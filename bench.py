@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full computation,
+no driver collect overhead). Wall time per query plus the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: headline set: TSDB hot paths + relational joins + pre-agg routing
+BENCH_QUERIES = [
+    "ts_rate",
+    "ts_instant_selector",
+    "ts_downsample_5m",
+    "ts_agg_sum_by",
+    "ts_topk",
+    "ts_quantile_over_time",
+    "ts_preagg_route_rate",
+    "ts_stitch_preagg_raw",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+]
+
+
+def main() -> None:
+    from squirreldb_spark.queries import CATALOG
+    from squirreldb_spark.session import get_session
+
+    spark = get_session("squirreldb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    CATALOG["ts_label_values"].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        df = CATALOG[name].fn(spark, SF_DIR)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Local replica of the driver's correctness gate.
+
+Runs each catalog query on Spark and its oracle on DuckDB over the same
+parquet directory, normalizes both results (column order by name, row order
+by all columns), and compares values. Used by tests and for pre-flight
+debugging; the real gate is the driver's CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from squirreldb_spark.model import TABLES
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    # widen to comparable dtypes
+    for c in df.columns:
+        if df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, tol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    issues: list[str] = []
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    if list(a.columns) != list(b.columns):
+        return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
+    if len(a) != len(b):
+        return [f"row count differs: spark={len(a)} duck={len(b)}"]
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f":
+            both_nan = av.isna() & bv.isna()
+            close = ((av - bv).abs() <= tol) | both_nan
+            if not close.all():
+                bad = (~close).idxmax()
+                issues.append(
+                    f"col {c}: {int((~close).sum())} diffs, first at row {bad}: "
+                    f"spark={av[bad]!r} duck={bv[bad]!r}"
+                )
+        else:
+            eq = (av == bv) | (av.isna() & bv.isna())
+            if not eq.all():
+                bad = (~eq).idxmax()
+                issues.append(
+                    f"col {c}: {int((~eq).sum())} diffs, first at row {bad}: "
+                    f"spark={av[bad]!r} duck={bv[bad]!r}"
+                )
+    return issues
+
+
+def run_parity(spark, sf_dir: str, names: list[str] | None = None, tol: float = 0.0):
+    """Yield (name, issues, n_rows) per catalog entry with an oracle."""
+    from squirreldb_spark.queries import CATALOG
+
+    con = duck_connection(sf_dir)
+    for name, qd in CATALOG.items():
+        if names and name not in names:
+            continue
+        if qd.oracle is None:
+            continue
+        spdf = qd.fn(spark, sf_dir).toPandas()
+        dpdf = con.execute(qd.oracle).fetchdf()
+        yield name, compare(spdf, dpdf, tol=tol), len(spdf)

@@ -1,0 +1,703 @@
+"""Query catalog: every implemented operator as (Spark program, DuckDB oracle).
+
+Each entry in :data:`CATALOG` demonstrates one operator from SURVEY.md §2 on
+the driver-provided test tables. The Spark side is the engine (the modules in
+``squirreldb_spark.tsdb`` / ``.pipeline``); the oracle is an independent ANSI
+SQL re-statement of the same semantics that DuckDB runs on the same parquet.
+The driver hash-compares values, so:
+
+* every computed column is aliased identically on both sides,
+* floating aggregates are rounded (6 dp; large currency sums 2 dp),
+* timestamps are epoch-ms BIGINTs (Spark: ``ns div 1e6``; DuckDB:
+  ``epoch_ms``; both truncate),
+* all grid/bucket arithmetic is integer-only so both engines agree bit-wise.
+
+The TSDB queries treat the ``events`` table as the remote-write stream:
+series = (user_id, event_type), cadence ~0.44 points/series/day over 30
+days — hence day-scale steps (step=1d, range=14d, lookback=5d) rather than
+the reference's 5-min production constants; the *semantics* are identical
+and the constants are parameters everywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squirreldb_spark import model
+from squirreldb_spark.tsdb import aggregation as agg_ops
+from squirreldb_spark.tsdb import binops, downsample, maintenance, range_fns, selectors
+from squirreldb_spark.tsdb.grid import data_grid
+
+# ---------------------------------------------------------------- parameters
+
+KEYS = ["user_id", "event_type"]
+STEP_MS = 86_400_000                 # 1 day evaluation step
+RANGE_MS = 14 * 86_400_000           # 14 day range-vector window
+LOOKBACK_MS = 5 * 86_400_000         # instant-selector lookback
+RES_MS = 300_000                     # 5-min pre-agg resolution (tsdb.go:41)
+STITCH_CUTOFF_MS = 1_705_276_800_000  # 2024-01-15, aligned to RES_MS
+RETENTION_NOW_MS = 1_706_745_600_000  # 2024-02-01
+RETENTION_TTL_S = 15 * 86_400
+Q1_CUTOFF_MS = 904_694_400_000       # 1998-09-02
+Q3_DATE_MS = 795_225_600_000         # 1995-03-15
+Q5_LO_MS, Q5_HI_MS = 820_454_400_000, 852_076_800_000  # calendar 1996
+
+# ------------------------------------------------------------- SQL preludes
+
+_PTS = "SELECT user_id, event_type, epoch_ms(ts) AS ts, value FROM events"
+
+
+def _grid_sql(src: str = "pts", step: int = STEP_MS) -> str:
+    return (
+        f"bounds AS (SELECT min(ts) AS min_ts, max(ts) AS max_ts FROM {src}),\n"
+        f"grid AS (SELECT unnest(generate_series(((min_ts + {step} - 1) // {step}) * {step},"
+        f" (max_ts // {step}) * {step}, {step})) AS step_ts FROM bounds)"
+    )
+
+
+def _rs_sql(src: str = "pts", range_ms: int = RANGE_MS) -> str:
+    return (
+        f"rs AS (SELECT p.user_id, p.event_type, g.step_ts, p.ts, p.value\n"
+        f"  FROM {src} p, grid g"
+        f" WHERE p.ts > g.step_ts - {range_ms} AND p.ts <= g.step_ts)"
+    )
+
+
+def _extrapolated_sql(
+    range_ms: int, is_counter: bool, is_rate: bool, src: str = "pts"
+) -> str:
+    """Oracle mirror of range_fns.extrapolated (Prometheus extrapolatedRate)."""
+    rv = "last_val - first_val + reset_corr" if is_counter else "last_val - first_val"
+    zero_clamp = (
+        "CASE WHEN rv > 0 AND first_val >= 0 AND sampled * (first_val / rv) < ds1"
+        " THEN sampled * (first_val / rv) ELSE ds1 END"
+        if is_counter
+        else "ds1"
+    )
+    rate_div = f" / {range_ms / 1000.0!r}" if is_rate else ""
+    return f"""
+WITH pts AS ({_PTS}),
+{_grid_sql(src='pts')},
+{_rs_sql(src=src, range_ms=range_ms)},
+win AS (
+  SELECT *, lag(value) OVER (PARTITION BY user_id, event_type, step_ts ORDER BY ts) AS prev_value
+  FROM rs),
+agg AS (
+  SELECT user_id, event_type, step_ts, count(*) AS n,
+         min(ts) AS first_ts, max(ts) AS last_ts,
+         arg_min(value, ts) AS first_val, arg_max(value, ts) AS last_val,
+         coalesce(sum(CASE WHEN value < prev_value THEN prev_value END), 0.0) AS reset_corr
+  FROM win GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+calc AS (
+  SELECT user_id, event_type, step_ts, first_val,
+         ({rv}) AS rv,
+         (last_ts - first_ts) / 1000.0 AS sampled,
+         ((last_ts - first_ts) / 1000.0) / (n - 1) AS avg_sp,
+         (first_ts - (step_ts - {range_ms})) / 1000.0 AS dur_start0,
+         (step_ts - last_ts) / 1000.0 AS dur_end0
+  FROM agg),
+calc2 AS (
+  SELECT *,
+         CASE WHEN dur_start0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_start0 END AS ds1,
+         CASE WHEN dur_end0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_end0 END AS de1
+  FROM calc),
+calc3 AS (SELECT *, {zero_clamp} AS ds2 FROM calc2)
+SELECT user_id, event_type, step_ts,
+       round(rv * ((sampled + ds2 + de1) / sampled){rate_div}, 6) AS value
+FROM calc3
+"""
+
+
+_INST_SQL = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+inst AS (
+  SELECT p.user_id, p.event_type, g.step_ts, arg_max(p.value, p.ts) AS value
+  FROM pts p, grid g
+  WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+  GROUP BY 1, 2, 3)
+"""
+
+# ------------------------------------------------------- Spark-side helpers
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return model.points(spark, sf_dir)
+
+
+def _instant(spark, sf_dir) -> DataFrame:
+    return selectors.instant_select(_pts(spark, sf_dir), KEYS, STEP_MS, LOOKBACK_MS)
+
+
+def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
+    for c, n in cols.items():
+        df = df.withColumn(c, F.round(F.col(c), n))
+    return df
+
+
+# ---------------------------------------------------------------- TSDB ops
+
+
+def q_downsample(spark, sf_dir):
+    ds = downsample.downsample(_pts(spark, sf_dir), KEYS, RES_MS)
+    return _round(
+        ds.select(
+            *KEYS, "bucket_ts",
+            F.col("min").alias("min_v"), F.col("max").alias("max_v"),
+            F.col("avg").alias("avg_v"), F.col("count").alias("cnt"),
+        ),
+        {"min_v": 6, "max_v": 6, "avg_v": 6},
+    )
+
+
+SQL_DOWNSAMPLE = f"""
+WITH pts AS ({_PTS})
+SELECT user_id, event_type, ts - ts % {RES_MS} AS bucket_ts,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(avg(value), 6) AS avg_v, count(*) AS cnt
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_instant(spark, sf_dir):
+    return _round(_instant(spark, sf_dir), {"value": 6})
+
+
+SQL_INSTANT = _INST_SQL + "SELECT user_id, event_type, step_ts, round(value, 6) AS value FROM inst"
+
+
+def q_range_avg(spark, sf_dir):
+    df = range_fns.over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "avg")
+    return _round(df, {"value": 6})
+
+
+SQL_RANGE_AVG = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()}
+SELECT user_id, event_type, step_ts, round(avg(value), 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
+def q_range_quantile(spark, sf_dir):
+    df = range_fns.over_time(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "quantile", quantile=0.9
+    )
+    return _round(df, {"value": 6})
+
+
+SQL_RANGE_QUANTILE = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()}
+SELECT user_id, event_type, step_ts,
+       round(quantile_cont(value, 0.9)::DOUBLE, 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
+def q_rate(spark, sf_dir):
+    df = range_fns.extrapolated(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=True
+    )
+    return _round(df, {"value": 6})
+
+
+def q_increase(spark, sf_dir):
+    df = range_fns.extrapolated(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=False
+    )
+    return _round(df, {"value": 6})
+
+
+def q_delta(spark, sf_dir):
+    df = range_fns.extrapolated(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=False, is_rate=False
+    )
+    return _round(df, {"value": 6})
+
+
+def q_irate(spark, sf_dir):
+    df = range_fns.instantaneous(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_rate=True
+    )
+    return _round(df, {"value": 6})
+
+
+def q_idelta(spark, sf_dir):
+    df = range_fns.instantaneous(
+        _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_rate=False
+    )
+    return _round(df, {"value": 6})
+
+
+SQL_IRATE = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, step_ts ORDER BY ts DESC) AS rn
+  FROM rs),
+agg AS (
+  SELECT user_id, event_type, step_ts, count(*) AS n,
+         arg_max(value, ts) AS last_val, arg_min(value, ts) AS prev_val,
+         max(ts) AS last_ts, min(ts) AS prev_ts
+  FROM win WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT user_id, event_type, step_ts,
+       round((CASE WHEN last_val < prev_val THEN last_val ELSE last_val - prev_val END)
+             / ((last_ts - prev_ts) / 1000.0), 6) AS value
+FROM agg
+"""
+
+SQL_IDELTA = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+win AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, step_ts ORDER BY ts DESC) AS rn
+  FROM rs),
+agg AS (
+  SELECT user_id, event_type, step_ts, count(*) AS n,
+         arg_max(value, ts) AS last_val, arg_min(value, ts) AS prev_val
+  FROM win WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+SELECT user_id, event_type, step_ts, round(last_val - prev_val, 6) AS value
+FROM agg
+"""
+
+
+def q_resets(spark, sf_dir):
+    return range_fns.resets_changes(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "resets")
+
+
+def q_changes(spark, sf_dir):
+    return range_fns.resets_changes(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "changes")
+
+
+def _resets_changes_sql(flag: str) -> str:
+    return f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+win AS (
+  SELECT *, lag(value) OVER (PARTITION BY user_id, event_type, step_ts ORDER BY ts) AS prev_value
+  FROM rs)
+SELECT user_id, event_type, step_ts, sum({flag})::DOUBLE AS value
+FROM win GROUP BY 1, 2, 3
+"""
+
+
+SQL_RESETS = _resets_changes_sql("CASE WHEN value < prev_value THEN 1 ELSE 0 END")
+SQL_CHANGES = _resets_changes_sql(
+    "CASE WHEN prev_value IS NOT NULL AND value != prev_value THEN 1 ELSE 0 END"
+)
+
+
+def q_agg_sum_by(spark, sf_dir):
+    df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "sum")
+    return _round(df, {"value": 6})
+
+
+SQL_AGG_SUM_BY = _INST_SQL + (
+    "SELECT event_type, step_ts, round(sum(value), 6) AS value FROM inst GROUP BY 1, 2"
+)
+
+
+def q_agg_stddev_by(spark, sf_dir):
+    df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "stddev")
+    return _round(df, {"value": 6})
+
+
+SQL_AGG_STDDEV_BY = _INST_SQL + (
+    "SELECT event_type, step_ts, round(stddev_pop(value), 6) AS value FROM inst GROUP BY 1, 2"
+)
+
+
+def q_agg_quantile_by(spark, sf_dir):
+    df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "quantile", quantile=0.5)
+    return _round(df, {"value": 6})
+
+
+SQL_AGG_QUANTILE_BY = _INST_SQL + (
+    "SELECT event_type, step_ts, round(quantile_cont(value, 0.5)::DOUBLE, 6) AS value"
+    " FROM inst GROUP BY 1, 2"
+)
+
+
+def q_topk(spark, sf_dir):
+    vec = _instant(spark, sf_dir)
+    df = agg_ops.topk(vec, by=["event_type"], series_keys=["user_id"], k=2)
+    return _round(df, {"value": 6})
+
+
+SQL_TOPK = _INST_SQL + f"""
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, step_ts
+                               ORDER BY value DESC, user_id) AS rank
+  FROM inst)
+SELECT user_id, event_type, step_ts, round(value, 6) AS value
+FROM ranked WHERE rank <= 2
+"""
+
+
+def q_count_values(spark, sf_dir):
+    vec = _instant(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") / F.lit(100.0)) * F.lit(100.0)
+    )
+    return agg_ops.count_values(vec, by=[], label="value_label")
+
+
+SQL_COUNT_VALUES = _INST_SQL + """
+SELECT floor(value / 100.0) * 100.0 AS value_label, step_ts, count(*)::DOUBLE AS value
+FROM inst GROUP BY 1, 2
+"""
+
+
+def _purchase_vec(spark, sf_dir):
+    pts = _pts(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    return selectors.instant_select(pts, ["user_id"], STEP_MS, LOOKBACK_MS)
+
+
+def _error_vec(spark, sf_dir):
+    pts = _pts(spark, sf_dir).filter(F.col("event_type") == "error")
+    return selectors.instant_select(pts, ["user_id"], STEP_MS, LOOKBACK_MS)
+
+
+_LP_SQL = f"""
+lp AS (
+  SELECT p.user_id, g.step_ts, arg_max(p.value, p.ts) AS value
+  FROM (SELECT * FROM pts WHERE event_type = 'purchase') p, grid g
+  WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts GROUP BY 1, 2),
+le AS (
+  SELECT p.user_id, g.step_ts, arg_max(p.value, p.ts) AS value
+  FROM (SELECT * FROM pts WHERE event_type = 'error') p, grid g
+  WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts GROUP BY 1, 2)
+"""
+
+
+def q_binop_ratio(spark, sf_dir):
+    left = _purchase_vec(spark, sf_dir)
+    total = agg_ops.aggregate(_instant(spark, sf_dir), ["user_id"], "sum")
+    df = binops.arith(left, total, on=["user_id"], op="/")
+    return _round(df, {"value": 6})
+
+
+SQL_BINOP_RATIO = _INST_SQL + f", {_LP_SQL}" + """
+, tot AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
+SELECT lp.user_id, lp.step_ts, round(lp.value / tot.value, 6) AS value
+FROM lp JOIN tot ON lp.user_id = tot.user_id AND lp.step_ts = tot.step_ts
+"""
+
+
+def q_binop_gt(spark, sf_dir):
+    df = binops.compare(
+        _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op=">"
+    )
+    return _round(df, {"value": 6})
+
+
+SQL_BINOP_GT = f"WITH pts AS ({_PTS}),\n{_grid_sql()},\n{_LP_SQL}" + """
+SELECT lp.user_id, lp.step_ts, round(lp.value, 6) AS value
+FROM lp JOIN le ON lp.user_id = le.user_id AND lp.step_ts = le.step_ts
+WHERE lp.value > le.value
+"""
+
+
+def q_set_and(spark, sf_dir):
+    df = binops.set_op(
+        _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="and"
+    )
+    return _round(df, {"value": 6})
+
+
+def q_set_unless(spark, sf_dir):
+    df = binops.set_op(
+        _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="unless"
+    )
+    return _round(df, {"value": 6})
+
+
+def q_set_or(spark, sf_dir):
+    df = binops.set_op(
+        _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="or"
+    )
+    return _round(df, {"value": 6})
+
+
+_SET_PRE = f"WITH pts AS ({_PTS}),\n{_grid_sql()},\n{_LP_SQL}"
+SQL_SET_AND = _SET_PRE + """
+SELECT lp.user_id, lp.step_ts, round(lp.value, 6) AS value
+FROM lp WHERE EXISTS (SELECT 1 FROM le WHERE le.user_id = lp.user_id AND le.step_ts = lp.step_ts)
+"""
+SQL_SET_UNLESS = _SET_PRE + """
+SELECT lp.user_id, lp.step_ts, round(lp.value, 6) AS value
+FROM lp WHERE NOT EXISTS (SELECT 1 FROM le WHERE le.user_id = lp.user_id AND le.step_ts = lp.step_ts)
+"""
+SQL_SET_OR = _SET_PRE + """
+SELECT user_id, step_ts, round(value, 6) AS value FROM lp
+UNION ALL
+SELECT user_id, step_ts, round(value, 6) AS value FROM le
+WHERE NOT EXISTS (SELECT 1 FROM lp WHERE lp.user_id = le.user_id AND lp.step_ts = le.step_ts)
+"""
+
+
+def q_preagg_route_avg(spark, sf_dir):
+    """A15/A16 routing: step >= resolution -> serve avg_over_time from the
+    5-min pre-agg table's avg column instead of raw points."""
+    assert downsample.use_preagg(STEP_MS)
+    ds = downsample.downsample(_pts(spark, sf_dir), KEYS, RES_MS)
+    ds_pts = downsample.as_points(ds, KEYS, "avg_over_time")
+    grid = data_grid(ds_pts, STEP_MS)
+    df = range_fns.over_time(ds_pts, KEYS, STEP_MS, RANGE_MS, "avg", grid=grid)
+    return _round(df, {"value": 6})
+
+
+SQL_PREAGG_ROUTE_AVG = f"""
+WITH pts0 AS ({_PTS}),
+pts AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS ts, avg(value) AS value
+        FROM pts0 GROUP BY 1, 2, 3),
+{_grid_sql()},
+{_rs_sql()}
+SELECT user_id, event_type, step_ts, round(avg(value), 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
+def q_preagg_route_rate(spark, sf_dir):
+    """Counter functions route to the MAX pre-agg column (read.go:604-609)."""
+    ds = downsample.downsample(_pts(spark, sf_dir), KEYS, RES_MS)
+    ds_pts = downsample.as_points(ds, KEYS, "rate")
+    grid = data_grid(ds_pts, STEP_MS)
+    df = range_fns.extrapolated(
+        ds_pts, KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=True, grid=grid
+    )
+    return _round(df, {"value": 6})
+
+
+SQL_PREAGG_ROUTE_RATE = _extrapolated_sql(RANGE_MS, True, True).replace(
+    f"WITH pts AS ({_PTS})",
+    f"WITH pts0 AS ({_PTS}),\n"
+    f"pts AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS ts, max(value) AS value"
+    f" FROM pts0 GROUP BY 1, 2, 3)",
+)
+
+
+def q_stitch(spark, sf_dir):
+    """A17 invariant: pre-agg head + re-downsampled raw tail == one uniform
+    downsample over everything (the oracle computes the latter directly)."""
+    pts = _pts(spark, sf_dir)
+    preagg = downsample.downsample(pts.filter(F.col("ts") < STITCH_CUTOFF_MS), KEYS, RES_MS)
+    df = downsample.stitch(preagg, pts, KEYS, STITCH_CUTOFF_MS, "avg_over_time", RES_MS)
+    return _round(df, {"value": 6})
+
+
+SQL_STITCH = f"""
+WITH pts AS ({_PTS})
+SELECT user_id, event_type, ts - ts % {RES_MS} AS ts, round(avg(value), 6) AS value
+FROM pts GROUP BY user_id, event_type, ts - ts % {RES_MS}
+"""
+
+
+def q_dedup(spark, sf_dir):
+    """A7 invariant: union the stream with a doubled re-write (higher ingest
+    seq); dedup must keep exactly the re-written values."""
+    pts = _pts(spark, sf_dir)
+    v0 = pts.withColumn("seq", F.lit(0))
+    v1 = pts.withColumn("value", F.col("value") * 2).withColumn("seq", F.lit(1))
+    df = maintenance.dedup_points(v0.unionByName(v1), KEYS, tiebreak="seq")
+    return _round(df.select(*KEYS, "ts", "value"), {"value": 6})
+
+
+SQL_DEDUP = f"""
+WITH pts AS ({_PTS})
+SELECT user_id, event_type, ts, round(value * 2, 6) AS value FROM pts
+"""
+
+
+def q_retention(spark, sf_dir):
+    pts = maintenance.apply_retention(_pts(spark, sf_dir), RETENTION_NOW_MS, RETENTION_TTL_S)
+    return pts.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+SQL_RETENTION = f"""
+WITH pts AS ({_PTS})
+SELECT user_id, event_type, count(*) AS cnt FROM pts
+WHERE ts >= {RETENTION_NOW_MS - RETENTION_TTL_S * 1000} GROUP BY 1, 2
+"""
+
+
+def q_interning(spark, sf_dir):
+    return model.series_dim(spark, sf_dir)
+
+
+SQL_INTERNING = f"""
+WITH pts AS ({_PTS}),
+dim AS (SELECT user_id, event_type, min(ts) AS first_seen, max(ts) AS last_seen,
+               count(*) AS n_points
+        FROM pts GROUP BY 1, 2)
+SELECT dense_rank() OVER (ORDER BY event_type, user_id) AS series_id,
+       user_id, event_type, first_seen, last_seen, n_points
+FROM dim
+"""
+
+
+def q_label_values(spark, sf_dir):
+    dim = model.series_dim(spark, sf_dir)
+    return maintenance.label_values(dim, "event_type")
+
+
+SQL_LABEL_VALUES = "SELECT DISTINCT event_type FROM events ORDER BY 1"
+
+
+def q_tenant_filter(spark, sf_dir):
+    """A27: implicit tenant matcher prepended to every query (tenant =
+    user_id % 10 stands in for the __account_id label)."""
+    pts = _pts(spark, sf_dir).filter(F.col("user_id") % 10 == 3)
+    vec = selectors.instant_select(pts, KEYS, STEP_MS, LOOKBACK_MS)
+    return _round(vec, {"value": 6})
+
+
+SQL_TENANT_FILTER = f"""
+WITH pts AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value
+             FROM events WHERE user_id % 10 = 3),
+{_grid_sql()}
+SELECT p.user_id, p.event_type, g.step_ts, round(arg_max(p.value, p.ts), 6) AS value
+FROM pts p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+GROUP BY 1, 2, 3
+"""
+
+# ------------------------------------------------------------ relational ops
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = model.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= Q1_CUTOFF_MS
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+        ).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+SQL_TPCH_Q1 = f"""
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE epoch_ms(l_shipdate) <= {Q1_CUTOFF_MS}
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = model.load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = model.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < Q3_DATE_MS
+    )
+    li = model.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > Q3_DATE_MS
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+SQL_TPCH_Q3 = f"""
+SELECT l_orderkey, epoch_ms(o_orderdate) AS o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND epoch_ms(o_orderdate) < {Q3_DATE_MS} AND epoch_ms(l_shipdate) > {Q3_DATE_MS}
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    t = {n: model.load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    j = (
+        t["lineitem"]
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= Q5_LO_MS) & (F.col("o_orderdate") < Q5_HI_MS)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+SQL_TPCH_Q5 = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND epoch_ms(o_orderdate) >= {Q5_LO_MS} AND epoch_ms(o_orderdate) < {Q5_HI_MS}
+GROUP BY 1
+"""
+
+# ---------------------------------------------------------------- catalog
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> driver does a rows-only check
+
+
+CATALOG: dict[str, QueryDef] = {
+    # TSDB storage/dataflow + PromQL surface (SURVEY §2A/§2B)
+    "ts_downsample_5m": QueryDef(q_downsample, SQL_DOWNSAMPLE),
+    "ts_instant_selector": QueryDef(q_instant, SQL_INSTANT),
+    "ts_avg_over_time": QueryDef(q_range_avg, SQL_RANGE_AVG),
+    "ts_quantile_over_time": QueryDef(q_range_quantile, SQL_RANGE_QUANTILE),
+    "ts_rate": QueryDef(q_rate, _extrapolated_sql(RANGE_MS, True, True)),
+    "ts_increase": QueryDef(q_increase, _extrapolated_sql(RANGE_MS, True, False)),
+    "ts_delta": QueryDef(q_delta, _extrapolated_sql(RANGE_MS, False, False)),
+    "ts_irate": QueryDef(q_irate, SQL_IRATE),
+    "ts_idelta": QueryDef(q_idelta, SQL_IDELTA),
+    "ts_resets": QueryDef(q_resets, SQL_RESETS),
+    "ts_changes": QueryDef(q_changes, SQL_CHANGES),
+    "ts_agg_sum_by": QueryDef(q_agg_sum_by, SQL_AGG_SUM_BY),
+    "ts_agg_stddev_by": QueryDef(q_agg_stddev_by, SQL_AGG_STDDEV_BY),
+    "ts_agg_quantile_by": QueryDef(q_agg_quantile_by, SQL_AGG_QUANTILE_BY),
+    "ts_topk": QueryDef(q_topk, SQL_TOPK),
+    "ts_count_values": QueryDef(q_count_values, SQL_COUNT_VALUES),
+    "ts_binop_ratio": QueryDef(q_binop_ratio, SQL_BINOP_RATIO),
+    "ts_binop_gt_filter": QueryDef(q_binop_gt, SQL_BINOP_GT),
+    "ts_set_and": QueryDef(q_set_and, SQL_SET_AND),
+    "ts_set_unless": QueryDef(q_set_unless, SQL_SET_UNLESS),
+    "ts_set_or": QueryDef(q_set_or, SQL_SET_OR),
+    "ts_preagg_route_avg": QueryDef(q_preagg_route_avg, SQL_PREAGG_ROUTE_AVG),
+    "ts_preagg_route_rate": QueryDef(q_preagg_route_rate, SQL_PREAGG_ROUTE_RATE),
+    "ts_stitch_preagg_raw": QueryDef(q_stitch, SQL_STITCH),
+    "ts_dedup_points": QueryDef(q_dedup, SQL_DEDUP),
+    "ts_retention": QueryDef(q_retention, SQL_RETENTION),
+    "ts_series_interning": QueryDef(q_interning, SQL_INTERNING),
+    "ts_label_values": QueryDef(q_label_values, SQL_LABEL_VALUES),
+    "ts_tenant_filter": QueryDef(q_tenant_filter, SQL_TENANT_FILTER),
+    # relational engine surface
+    "tpch_q1_pricing_summary": QueryDef(q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_shipping_priority": QueryDef(q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5_local_supplier": QueryDef(q_tpch_q5, SQL_TPCH_Q5),
+}

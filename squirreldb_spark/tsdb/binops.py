@@ -1,0 +1,88 @@
+"""PromQL binary operators with vector matching (SURVEY §2B, yml:100-137).
+
+vector ⊗ vector arithmetic is an inner equi-join on (step_ts, match labels);
+comparison operators filter (keeping the left value) or, with ``bool``,
+return 0/1; the set operators are semi/anti joins:
+
+  and    -> left semi join on match labels
+  unless -> left anti join
+  or     -> left ∪ (right anti left)
+
+These join shapes are exactly what Catalyst optimizes best — the match-label
+join is a shuffled hash join (or broadcast when one side is a small
+sub-expression), and AQE picks the strategy at runtime from observed sizes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,          # fmod on doubles, like PromQL
+    "^": lambda l, r: F.pow(l, r),
+}
+
+_CMP = {
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+}
+
+
+def arith(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    op: str,
+    out: str = "value",
+) -> DataFrame:
+    """1:1 vector matching ``on(...)``: inner join + arithmetic."""
+    on = list(on) + ["step_ts"]
+    l = left.withColumnRenamed("value", "_lv")
+    r = right.withColumnRenamed("value", "_rv").select(*on, "_rv")
+    j = l.join(r, on=on, how="inner")
+    return j.withColumn(out, _ARITH[op](F.col("_lv"), F.col("_rv"))).drop("_lv", "_rv")
+
+
+def compare(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    op: str,
+    bool_mode: bool = False,
+    out: str = "value",
+) -> DataFrame:
+    """Comparison binop: filter semantics, or 0/1 with ``bool``."""
+    on = list(on) + ["step_ts"]
+    l = left.withColumnRenamed("value", "_lv")
+    r = right.withColumnRenamed("value", "_rv").select(*on, "_rv")
+    j = l.join(r, on=on, how="inner")
+    cond = _CMP[op](F.col("_lv"), F.col("_rv"))
+    if bool_mode:
+        return j.withColumn(out, cond.cast("double")).drop("_lv", "_rv")
+    return j.filter(cond).withColumn(out, F.col("_lv")).drop("_lv", "_rv")
+
+
+def set_op(left: DataFrame, right: DataFrame, on: Sequence[str], op: str) -> DataFrame:
+    """``and`` / ``unless`` / ``or`` with matching on the given labels."""
+    on = list(on) + ["step_ts"]
+    rk = right.select(*on).distinct()
+    if op == "and":
+        return left.join(rk, on=on, how="left_semi")
+    if op == "unless":
+        return left.join(rk, on=on, how="left_anti")
+    if op == "or":
+        lk = left.select(*on).distinct()
+        extra = right.join(lk, on=on, how="left_anti")
+        return left.unionByName(extra.select(*left.columns))
+    raise ValueError(op)

@@ -1,0 +1,56 @@
+"""Evaluation grid: the `steps` relation of a PromQL range query.
+
+A range query evaluates every expression at ``start, start+step, ..., end``
+(SURVEY §2B). Here the grid is itself a DataFrame derived *inside the plan*
+from the data's time bounds (1-row aggregate -> sequence -> explode), so no
+driver-side collect happens and Catalyst can broadcast it — the grid is tiny
+(thousands of rows) next to the fact table.
+
+All times are epoch milliseconds (reference types/metric.go:35).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def data_grid(points: DataFrame, step_ms: int, ts_col: str = "ts") -> DataFrame:
+    """Grid aligned to ``step_ms`` covering the data's [min_ts, max_ts].
+
+    start = ceil(min_ts / step) * step, end = floor(max_ts / step) * step,
+    inclusive — integer arithmetic only, so a SQL oracle reproduces it
+    bit-exactly. Returns a single-column DataFrame ``step_ts``.
+    """
+    bounds = points.agg(
+        F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")
+    )
+    return bounds.select(
+        F.explode(
+            F.expr(
+                f"sequence(((min_ts + {step_ms} - 1) div {step_ms}) * {step_ms},"
+                f" (max_ts div {step_ms}) * {step_ms}, {step_ms})"
+            )
+        ).alias("step_ts")
+    )
+
+
+def grid_with_buckets(grid: DataFrame, step_ms: int, range_ms: int) -> DataFrame:
+    """Explode each grid step into the ``step_ms``-sized bucket ids its
+    lookback window ``(step_ts - range_ms, step_ts]`` overlaps.
+
+    This turns the range join "point.ts in window(step)" into a plain
+    equi-join on ``bucket`` + a residual filter — a broadcastable hash join
+    instead of a nested-loop theta join. Blowup factor is
+    ``range_ms/step_ms + 1`` rows per step, on the tiny side only.
+    """
+    n_buckets = range_ms // step_ms + 1
+    return grid.select(
+        "step_ts",
+        F.explode(
+            F.expr(
+                f"sequence((step_ts - {range_ms}) div {step_ms},"
+                f" step_ts div {step_ms})"
+            )
+        ).alias("bucket"),
+    ) if n_buckets > 0 else grid

