@@ -1,0 +1,254 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash + LSH, SimHash.
+
+Scale shapes (the point of each variant at 100 TB):
+
+* **exact**: hash-groupBy — one shuffle on a 16-byte key, no text movement
+  after the map-side hash.
+* **n-gram Jaccard**: the exact similarity verifier; only ever run on
+  *candidate pairs* (from LSH buckets), never all-pairs.
+* **MinHash signatures**: one pass over exploded shingles computing all K
+  min-aggregates simultaneously (single shuffle, K columns — NOT K jobs).
+* **LSH banding**: signatures -> band hashes -> self-join per bucket. The
+  self-join is an equi-join on (band_id, band_hash): only colliding docs
+  meet, which is the entire trick — no O(n²) pair enumeration.
+* **SimHash**: 60-bit sign-aggregated token hashes; near-dups differ in
+  few bits. Computed with an explode over bit positions + sum aggregate.
+
+Determinism: all hashes are the shared 60-bit md5 prefix (see package
+docstring) so every stage has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from squirreldb_spark.pipeline.text import tokens
+
+NUM_HASHES = 12
+BANDS = 4  # 4 bands x 3 rows
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SIMHASH_BITS = 60
+
+
+def _h60_sql_expr(expr: str) -> str:
+    """Shared 60-bit hash (Spark SQL side): first 15 md5 hex chars as BIGINT."""
+    return f"cast(conv(substring(md5(cast(({expr}) as binary)), 1, 15), 16, 10) as bigint)"
+
+
+def _h60_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: content hash -> representative (min id) + count."""
+    return (
+        docs.withColumn("content_hash", F.md5(F.col(text_col).cast("binary")))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("rep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings ('w1 w2 w3')."""
+    t = tokens(text_col)
+    return F.expr(
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, text_a: str = "text_a", text_b: str = "text_b", n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    Input columns ``(id_a, id_b, text_a, text_b)``; adds ``jaccard``.
+    """
+    sa = F.array_distinct(shingles(text_a, n))
+    sb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_distinct(F.concat(sa, sb)))
+    return pairs.withColumn("jaccard", F.round(inter / union, 6))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: columns ``mh0..mh{K-1}``.
+
+    One explode + one groupBy computing all K minima together — a single
+    shuffle whose payload is K longs per shingle row.
+    """
+    sh = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
+    )
+    aggs = [
+        F.min(
+            F.expr(_h60_sql_expr(f"concat(sh, '#', {seed})"))
+        ).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+) -> DataFrame:
+    """LSH banding: docs sharing any band's full sub-signature are candidates.
+
+    Output ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
+    """
+    rows = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows + r}").cast("string") for r in range(rows)]
+        band_cols.append(
+            F.md5(F.concat_ws("_", *parts).cast("binary")).alias(f"band{b}")
+        )
+    banded = signatures.select(id_col, *band_cols)
+    melted = banded.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = melted.select(
+        F.col(id_col).alias("id_a"), "band_id", "band_hash"
+    )
+    b = melted.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    pairs = a.join(b, on=["band_id", "band_hash"]).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_shared_bands"))
+
+
+def minhash_estimated_similarity(
+    signatures: DataFrame, candidate_pairs: DataFrame, id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+) -> DataFrame:
+    """Estimated Jaccard = fraction of matching signature components."""
+    mh = [f"mh{i}" for i in range(num_hashes)]
+    sa = signatures.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh]
+    )
+    sb = signatures.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh]
+    )
+    j = candidate_pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = sum(
+        F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0) for c in mh
+    )
+    return j.select(
+        "id_a", "id_b", "n_shared_bands",
+        F.round(matches / F.lit(num_hashes), 6).alias("est_jaccard"),
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash: per bit b, sum +1/-1 over token hashes' bit b; bit set if
+    the sum is positive. Near-duplicate docs land within small Hamming
+    distance. Explode (token x bit) then two aggregates."""
+    tok = docs.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("tok"),
+    ).withColumn("th", F.expr(_h60_sql_expr("tok")))
+    bit = tok.select(
+        id_col, "th", F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b")
+    ).withColumn(
+        "contrib",
+        F.when(F.expr("shiftright(th, b) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    )
+    per_bit = bit.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
+    return per_bit.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+# ----------------------------------------------------------- DuckDB oracles
+
+
+def _sql_minhash_ctes(num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> str:
+    """Shared CTE chain ``toks -> sh -> sig`` for the DuckDB oracles."""
+    min_exprs = []
+    for seed in range(num_hashes):
+        seeded = "sh || '#" + str(seed) + "'"
+        min_exprs.append(f"min({_h60_duck(seeded)}) AS mh{seed}")
+    mins = ",\n       ".join(min_exprs)
+    return f"""
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+           i -> array_to_string(t[i : i + {shingle_n - 1}], ' ')))) AS sh
+  FROM toks),
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+"""
+
+
+def sql_minhash_signatures(num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> str:
+    return f"WITH {_sql_minhash_ctes(num_hashes, shingle_n)} SELECT * FROM sig"
+
+
+def sql_minhash_lsh_pairs(
+    num_hashes: int = NUM_HASHES, bands: int = BANDS, shingle_n: int = 3
+) -> str:
+    """Oracle for the full MinHash -> banding -> candidate pairs -> estimated
+    Jaccard chain (mirrors lsh_candidate_pairs + minhash_estimated_similarity)."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    melt = "\n  UNION ALL\n  ".join(band_selects)
+    match_sum = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
+melt AS (
+  {melt}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+  FROM melt a JOIN melt b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.id_a, p.id_b, p.n_shared_bands,
+       round(({match_sum}) / {num_hashes}.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.id_a
+JOIN sig sb ON sb.doc_id = p.id_b
+"""
+
+
+def sql_simhash(bits: int = SIMHASH_BITS) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hashed AS (SELECT doc_id, {_h60_duck('tok')} AS th FROM tok),
+bitrows AS (
+  SELECT doc_id, th, unnest(generate_series(0, {bits - 1})) AS b FROM hashed),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (th >> b) % 2 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bitrows GROUP BY 1, 2)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN (2::BIGINT ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+FROM per_bit GROUP BY doc_id
+"""

@@ -1,0 +1,175 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* :func:`cosine_knn` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus; the dot product is a JVM-side higher-order
+  ``aggregate(zip_with(...))`` — no Python in the hot loop. At 100 TB the
+  corpus side stays partition-parallel, the query side is broadcast; cost
+  is one scan per query batch.
+* :func:`ann_lsh` — the scale path: random-hyperplane LSH. Sign bits
+  against ``n_planes`` fixed hyperplanes give a bucket id; only
+  same-bucket candidates get exact scoring. The bucket join is an
+  equi-join (shuffle by bucket), turning all-pairs into per-bucket pairs.
+
+Hyperplanes are deterministic (seeded md5 of "plane#j#i"), generated
+host-side and embedded as literals in both the Spark plan and the DuckDB
+oracle — identical bit-for-bit in both engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _plane_component(j: int, i: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1)."""
+    h = int(hashlib.md5(f"plane#{j}#{i}".encode()).hexdigest()[:15], 16)
+    return (h % 2000) / 1000.0 - 1.0
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    return [[_plane_component(j, i) for i in range(dim)] for j in range(n_planes)]
+
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+
+
+def _to_double(col: str) -> str:
+    return f"transform({col}, x -> cast(x as double))"
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """cosine(a, b) computed fully JVM-side; inputs array<float|double>."""
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return df.withColumn(out, F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"))
+
+
+def cosine_knn(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
+
+    Rank on the 6-dp-rounded score with an id tie-break so the result is
+    engine-independent (raw float ordering is not).
+    """
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
+def bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    """LSH bucket id: sum of sign bits against each hyperplane (Spark SQL)."""
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+        dot = _DOT.format(a=vec, b=arr)
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def ann_lsh(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact rerank restricted to the query's LSH bucket."""
+    planes = hyperplanes(n_planes, dim)
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    q = bucketed.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = bucketed.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket")
+    j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "bucket", "cosine", "rank")
+    )
+
+
+# ----------------------------------------------------------- DuckDB oracles
+
+_DUCK_DOT = (
+    "list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    dot = _DUCK_DOT.format(a=a, b=b)
+    na = _DUCK_DOT.format(a=a, b=a)
+    nb = _DUCK_DOT.format(a=b, b=b)
+    return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
+
+
+def sql_cosine_knn(k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv FROM base),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c, q WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}" for x in p) + "]"
+        dot = _DUCK_DOT.format(a=vec, b=arr)
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def sql_ann_lsh(k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {duck_bucket_expr('v', planes)} AS bucket FROM base),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT q_id, c_id, q.bucket AS bucket, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, bucket, cosine, rank FROM ranked WHERE rank <= {k}
+"""

@@ -656,6 +656,114 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppke
 GROUP BY 1
 """
 
+# ------------------------------------------------- LLM-data pipeline ops
+
+from squirreldb_spark.pipeline import dedup as pdedup  # noqa: E402
+from squirreldb_spark.pipeline import multimodal as pmm  # noqa: E402
+from squirreldb_spark.pipeline import similarity as psim  # noqa: E402
+from squirreldb_spark.pipeline import text as ptext  # noqa: E402
+
+
+def _docs(spark, sf_dir):
+    return model.load_table(spark, sf_dir, "documents")
+
+
+def q_doc_stats(spark, sf_dir):
+    df = ptext.doc_stats(_docs(spark, sf_dir))
+    for c in ("n_chars_calc", "n_tokens", "n_uniq_tokens", "n_bpe_ish_tokens"):
+        df = df.withColumn(c, F.col(c).cast("long"))
+    return df
+
+
+SQL_DOC_STATS = f"""
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       strlen(text) AS n_chars_calc,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_uniq_tokens,
+       round(len(list_distinct(toks)) / len(toks), 6) AS quality_uniq_ratio,
+       round((strlen(text) - (len(toks) - 1)) / len(toks), 6) AS avg_token_len,
+       len(regexp_extract_all(text, '{ptext.TOKEN_RE}')) AS n_bpe_ish_tokens
+FROM t
+"""
+
+
+def q_doc_langid(spark, sf_dir):
+    df = ptext.lang_scores(_docs(spark, sf_dir))
+    for lang in ptext.STOPWORDS:
+        df = df.withColumn(f"score_{lang}", F.col(f"score_{lang}").cast("long"))
+    return df
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return ptext.fingerprint(_docs(spark, sf_dir))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    return pdedup.exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT md5(text) AS content_hash, min(doc_id) AS rep_id, count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pdedup.ngram_jaccard_pairs(pairs).select("id_a", "id_b", "jaccard")
+
+
+SQL_DOC_NGRAM_JACCARD = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - 2, 1)),
+                i -> array_to_string(toks[i : i + 2], ' '))) AS s
+       FROM t)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.s, b.s)) / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_doc_minhash(spark, sf_dir):
+    return pdedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    sig = pdedup.minhash_signatures(_docs(spark, sf_dir))
+    pairs = pdedup.lsh_candidate_pairs(sig)
+    return pdedup.minhash_estimated_similarity(sig, pairs)
+
+
+def q_doc_simhash(spark, sf_dir):
+    return pdedup.simhash(_docs(spark, sf_dir))
+
+
+def q_emb_cosine_knn(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.cosine_knn(emb).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_emb_ann_lsh(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_lsh(emb).withColumn("rank", F.col("rank").cast("long"))
+
+
+def q_mm_extract(spark, sf_dir):
+    return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -700,4 +808,19 @@ CATALOG: dict[str, QueryDef] = {
     "tpch_q1_pricing_summary": QueryDef(q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_shipping_priority": QueryDef(q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5_local_supplier": QueryDef(q_tpch_q5, SQL_TPCH_Q5),
+    # LLM-data pipeline: text analysis
+    "doc_text_stats": QueryDef(q_doc_stats, SQL_DOC_STATS),
+    "doc_lang_id": QueryDef(q_doc_langid, ptext.sql_lang_scores()),
+    "doc_fingerprint": QueryDef(q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    # LLM-data pipeline: deduplication
+    "doc_exact_dedup": QueryDef(q_doc_exact_dedup, SQL_DOC_EXACT_DEDUP),
+    "doc_ngram_jaccard": QueryDef(q_doc_ngram_jaccard, SQL_DOC_NGRAM_JACCARD),
+    "doc_minhash_signatures": QueryDef(q_doc_minhash, pdedup.sql_minhash_signatures()),
+    "doc_minhash_lsh_pairs": QueryDef(q_doc_minhash_lsh, pdedup.sql_minhash_lsh_pairs()),
+    "doc_simhash": QueryDef(q_doc_simhash, pdedup.sql_simhash()),
+    # LLM-data pipeline: similarity search
+    "emb_cosine_knn": QueryDef(q_emb_cosine_knn, psim.sql_cosine_knn()),
+    "emb_ann_lsh": QueryDef(q_emb_ann_lsh, psim.sql_ann_lsh()),
+    # LLM-data pipeline: multimodal plumbing (Arrow-batched mapInPandas)
+    "mm_extract_features": QueryDef(q_mm_extract, pmm.SQL_EXTRACT_FEATURES),
 }
