@@ -1,0 +1,309 @@
+"""Hand-written PromQL lexer + recursive-descent parser.
+
+Covers the operator surface of SURVEY §2B: selectors with label matchers
+and offset, range selectors with duration literals, aggregation operators
+with ``by``/``without`` (prefix or postfix), the full binary-operator
+precedence ladder with ``bool`` / ``on`` / ``ignoring`` /
+``group_left`` / ``group_right``, function calls, and number literals.
+
+Precedence (loosest to tightest, per the PromQL spec):
+  or  <  and, unless  <  == != <= < >= >  <  + -  <  * / %  <  ^ (right)
+  <  unary +/-  <  atoms
+"""
+
+from __future__ import annotations
+
+import re
+
+from squirreldb_spark.promql.ast import (
+    Aggregation,
+    BinaryOp,
+    FunctionCall,
+    Matcher,
+    MatrixSelector,
+    NumberLiteral,
+    Unary,
+    VectorSelector,
+)
+
+_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<duration>\d+(?:ms|s|m|h|d|w|y))
+  | (?P<number>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
+  | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,)
+  | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
+    """,
+    re.VERBOSE,
+)
+
+AGG_OPS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar",
+           "topk", "bottomk", "quantile", "count_values", "group"}
+
+_CMP_OPS = {"==", "!=", "<=", ">=", "<", ">"}
+
+
+class ParseError(ValueError):
+    pass
+
+
+def duration_ms(text: str) -> int:
+    m = _DURATION_RE.match(text)
+    if not m:
+        raise ParseError(f"invalid duration {text!r}")
+    return int(m.group(1)) * _DURATION_MS[m.group(2)]
+
+
+def _lex(query: str) -> list[tuple[str, str]]:
+    tokens, pos = [], 0
+    while pos < len(query):
+        m = _TOKEN_RE.match(query, pos)
+        if not m:
+            raise ParseError(f"unexpected character {query[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind != "ws":
+            tokens.append((kind, m.group()))
+    tokens.append(("eof", ""))
+    return tokens
+
+
+class Parser:
+    def __init__(self, query: str):
+        self.toks = _lex(query)
+        self.i = 0
+
+    # ------------------------------------------------------------- helpers
+
+    def peek(self, k: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.toks[min(self.i, len(self.toks) - 1)]  # clamp at eof
+        self.i += 1
+        return tok
+
+    def expect(self, text: str) -> None:
+        kind, val = self.next()
+        if val != text:
+            raise ParseError(f"expected {text!r}, got {val!r}")
+
+    def accept(self, text: str) -> bool:
+        if self.peek()[1] == text:
+            self.i += 1
+            return True
+        return False
+
+    # ------------------------------------------------------------ grammar
+
+    def parse(self):
+        expr = self.expr_or()
+        if self.peek()[0] != "eof":
+            raise ParseError(f"trailing input at {self.peek()[1]!r}")
+        return expr
+
+    def expr_or(self):
+        lhs = self.expr_and()
+        while self.peek()[1] == "or" and self.peek()[0] == "ident":
+            self.next()
+            mods = self._matching_modifiers()
+            lhs = BinaryOp("or", lhs, self.expr_and(), **mods)
+        return lhs
+
+    def expr_and(self):
+        lhs = self.expr_cmp()
+        while self.peek()[0] == "ident" and self.peek()[1] in ("and", "unless"):
+            op = self.next()[1]
+            mods = self._matching_modifiers()
+            lhs = BinaryOp(op, lhs, self.expr_cmp(), **mods)
+        return lhs
+
+    def expr_cmp(self):
+        lhs = self.expr_add()
+        while self.peek()[1] in _CMP_OPS:
+            op = self.next()[1]
+            bool_mode = False
+            if self.peek() == ("ident", "bool"):
+                self.next()
+                bool_mode = True
+            mods = self._matching_modifiers()
+            lhs = BinaryOp(op, lhs, self.expr_add(), bool_mode=bool_mode, **mods)
+        return lhs
+
+    def expr_add(self):
+        lhs = self.expr_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            mods = self._matching_modifiers()
+            lhs = BinaryOp(op, lhs, self.expr_mul(), **mods)
+        return lhs
+
+    def expr_mul(self):
+        lhs = self.expr_pow()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            mods = self._matching_modifiers()
+            lhs = BinaryOp(op, lhs, self.expr_pow(), **mods)
+        return lhs
+
+    def expr_pow(self):
+        lhs = self.expr_unary()
+        if self.peek()[1] == "^":
+            self.next()
+            mods = self._matching_modifiers()
+            return BinaryOp("^", lhs, self.expr_pow(), **mods)  # right-assoc
+        return lhs
+
+    def expr_unary(self):
+        if self.peek()[1] in ("-", "+"):
+            op = self.next()[1]
+            return Unary(op, self.expr_unary())
+        return self.expr_postfix()
+
+    def expr_postfix(self):
+        expr = self.atom()
+        while True:
+            if self.peek()[1] == "[":
+                self.next()
+                kind, val = self.next()
+                if kind != "duration":
+                    raise ParseError(f"expected duration in range selector, got {val!r}")
+                self.expect("]")
+                if not isinstance(expr, VectorSelector):
+                    raise ParseError("range selector requires a vector selector")
+                expr = MatrixSelector(expr, duration_ms(val))
+            elif self.peek() == ("ident", "offset"):
+                self.next()
+                kind, val = self.next()
+                if kind != "duration":
+                    raise ParseError("expected duration after offset")
+                off = duration_ms(val)
+                if isinstance(expr, MatrixSelector):
+                    expr = MatrixSelector(
+                        VectorSelector(expr.inner.name, expr.inner.matchers, off),
+                        expr.range_ms,
+                    )
+                elif isinstance(expr, VectorSelector):
+                    expr = VectorSelector(expr.name, expr.matchers, off)
+                else:
+                    raise ParseError("offset requires a selector")
+            else:
+                return expr
+
+    def _matching_modifiers(self) -> dict:
+        mods: dict = {}
+        if self.peek()[0] == "ident" and self.peek()[1] in ("on", "ignoring"):
+            which = self.next()[1]
+            labels = self._label_list()
+            mods["on" if which == "on" else "ignoring"] = labels
+            if self.peek()[0] == "ident" and self.peek()[1] in ("group_left", "group_right"):
+                side = self.next()[1]
+                mods["group_side"] = "left" if side == "group_left" else "right"
+                if self.peek()[1] == "(":
+                    mods["group_labels"] = self._label_list()
+        return mods
+
+    def _label_list(self) -> tuple[str, ...]:
+        self.expect("(")
+        labels = []
+        while not self.accept(")"):
+            kind, val = self.next()
+            if kind != "ident":
+                raise ParseError(f"expected label name, got {val!r}")
+            labels.append(val)
+            if not self.accept(","):
+                self.expect(")")
+                break
+        return tuple(labels)
+
+    def atom(self):
+        kind, val = self.peek()
+        if val == "(":
+            self.next()
+            inner = self.expr_or()
+            self.expect(")")
+            return inner
+        if kind == "number":
+            self.next()
+            return NumberLiteral(float(int(val, 16)) if val.startswith("0x") else float(val))
+        if val == "{":
+            return self._selector(None)
+        if kind == "ident":
+            if val in AGG_OPS:
+                return self._aggregation()
+            if self.peek(1)[1] == "(":
+                return self._function_call()
+            self.next()
+            return self._selector(val)
+        raise ParseError(f"unexpected token {val!r}")
+
+    def _function_call(self):
+        name = self.next()[1]
+        self.expect("(")
+        args = []
+        while not self.accept(")"):
+            if self.peek()[0] == "string":
+                args.append(self.next()[1][1:-1])
+            else:
+                args.append(self.expr_or())
+            if not self.accept(","):
+                self.expect(")")
+                break
+        return FunctionCall(name, tuple(args))
+
+    def _aggregation(self):
+        op = self.next()[1]
+        grouping: tuple[str, ...] = ()
+        without = False
+        # prefix form: sum by (a, b) (expr)
+        if self.peek()[0] == "ident" and self.peek()[1] in ("by", "without"):
+            without = self.next()[1] == "without"
+            grouping = self._label_list()
+        self.expect("(")
+        param = None
+        if op in ("topk", "bottomk", "quantile", "count_values"):
+            if self.peek()[0] == "string":
+                param = self.next()[1][1:-1]
+            else:
+                p = self.expr_or()
+                if not isinstance(p, NumberLiteral):
+                    raise ParseError(f"{op} parameter must be a literal")
+                param = p.value
+            self.expect(",")
+        expr = self.expr_or()
+        self.expect(")")
+        # postfix form: sum (expr) by (a, b)
+        if self.peek()[0] == "ident" and self.peek()[1] in ("by", "without"):
+            without = self.next()[1] == "without"
+            grouping = self._label_list()
+        return Aggregation(op, expr, grouping, without, param)
+
+    def _selector(self, name: str | None):
+        matchers = []
+        if self.peek()[1] == "{":
+            self.next()
+            while not self.accept("}"):
+                _, lname = self.next()
+                _, op = self.next()
+                if op not in ("=", "!=", "=~", "!~"):
+                    raise ParseError(f"bad matcher op {op!r}")
+                kind, sval = self.next()
+                if kind != "string":
+                    raise ParseError("matcher value must be a string")
+                matchers.append(Matcher(lname, op, sval[1:-1]))
+                if not self.accept(","):
+                    self.expect("}")
+                    break
+        if name is None and not matchers:
+            raise ParseError("vector selector needs a name or at least one matcher")
+        return VectorSelector(name, tuple(matchers))
+
+
+def parse(query: str):
+    """Parse a PromQL expression into the AST."""
+    return Parser(query).parse()

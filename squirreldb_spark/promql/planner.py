@@ -1,0 +1,318 @@
+"""PromQL AST -> DataFrame planner.
+
+The reference feeds selector hints into ``MetricRequest`` and lets the
+embedded engine iterate series (SURVEY §3.2). Here each AST node lowers to
+a declarative DataFrame transform over the shared evaluation grid, built
+from the tsdb operator modules — so one PromQL query becomes ONE Catalyst
+plan: selector filters push into the parquet scan, the grid broadcast is
+shared by every selector, and no per-series iteration exists anywhere.
+
+Model mapping: the ``__name__`` label is the ``name_label`` column
+(``event_type`` for the events table); all label values compare as
+strings, regex matchers are fully anchored (``^(?:re)$``), matching the
+reference's matcher semantics (cassandra/index/index.go:3609-3628).
+
+Deviation noted: ``__name__`` is not dropped from function/binop results
+(Prometheus drops it); binop matching excludes it instead, which keeps
+results deterministic without a series-collision check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from squirreldb_spark.promql import ast as A
+from squirreldb_spark.promql.parser import parse
+from squirreldb_spark.tsdb import aggregation as agg_ops
+from squirreldb_spark.tsdb import binops, range_fns, selectors
+from squirreldb_spark.tsdb.grid import data_grid
+
+
+@dataclass
+class Vec:
+    """An instant vector: DataFrame (labels..., step_ts, value)."""
+
+    df: DataFrame
+    labels: tuple[str, ...]
+
+
+@dataclass
+class Mat:
+    """A range vector: the underlying (shifted, filtered) points + range."""
+
+    points: DataFrame
+    range_ms: int
+
+
+_RANGE_FNS = {
+    "rate": dict(is_counter=True, is_rate=True),
+    "increase": dict(is_counter=True, is_rate=False),
+    "delta": dict(is_counter=False, is_rate=False),
+}
+_INSTANT_RANGE = {"irate": True, "idelta": False}
+_OVER_TIME_FNS = {
+    f"{fn}_over_time": fn
+    for fn in ("avg", "min", "max", "sum", "count", "last", "stddev", "stdvar", "present")
+}
+
+_SCALAR_FNS: dict[str, object] = {
+    "abs": F.abs,
+    "ceil": F.ceil,
+    "floor": F.floor,
+    "exp": F.exp,
+    "ln": F.log,
+    "log2": F.log2,
+    "log10": F.log10,
+    "sqrt": F.sqrt,
+    "sgn": F.signum,
+}
+
+
+class PromQLEngine:
+    """Evaluates PromQL range queries over a points DataFrame.
+
+    ``points`` columns: ``(*label_cols, ts, value)``; ``name_label`` is the
+    column playing the ``__name__`` role. The evaluation grid derives from
+    the full points table (shared across every selector in the query).
+    """
+
+    def __init__(
+        self,
+        points: DataFrame,
+        label_cols: tuple[str, ...] = ("user_id", "event_type"),
+        name_label: str = "event_type",
+        step_ms: int = 86_400_000,
+        lookback_ms: int = 432_000_000,
+    ):
+        self.points = points
+        self.label_cols = tuple(label_cols)
+        self.name_label = name_label
+        self.step_ms = step_ms
+        self.lookback_ms = lookback_ms
+        self.grid = data_grid(points, step_ms)
+
+    # ------------------------------------------------------------ public
+
+    def query_range(self, promql: str) -> DataFrame:
+        """Evaluate and return (labels..., step_ts, value)."""
+        result = self._eval(parse(promql))
+        if isinstance(result, Vec):
+            return result.df
+        if isinstance(result, (int, float)):
+            return self.grid.select(
+                "step_ts", F.lit(float(result)).alias("value")
+            )
+        raise ValueError("query did not evaluate to an instant vector")
+
+    # ---------------------------------------------------------- selector
+
+    def _select_points(self, sel: A.VectorSelector) -> DataFrame:
+        pts = self.points
+        if sel.offset_ms:
+            # offset shifts the evaluation window into the past: a sample at
+            # t appears at t + offset
+            pts = pts.withColumn("ts", F.col("ts") + F.lit(sel.offset_ms))
+        conds = []
+        if sel.name:
+            conds.append(F.col(self.name_label).cast("string") == sel.name)
+        for m in sel.matchers:
+            name = self.name_label if m.name == "__name__" else m.name
+            if name not in self.label_cols:
+                raise ValueError(f"unknown label {name!r}")
+            col = F.col(name).cast("string")
+            if m.op == "=":
+                conds.append(col == m.value)
+            elif m.op == "!=":
+                conds.append(col != m.value)
+            elif m.op == "=~":
+                conds.append(col.rlike(f"^(?:{m.value})$"))
+            else:
+                conds.append(~col.rlike(f"^(?:{m.value})$"))
+        for c in conds:
+            pts = pts.filter(c)
+        return pts
+
+    # ---------------------------------------------------------- evaluate
+
+    def _eval(self, node):
+        if isinstance(node, A.NumberLiteral):
+            return node.value
+        if isinstance(node, A.Unary):
+            inner = self._eval(node.expr)
+            if isinstance(inner, float):
+                return -inner if node.op == "-" else inner
+            if node.op == "-":
+                return Vec(inner.df.withColumn("value", -F.col("value")), inner.labels)
+            return inner
+        if isinstance(node, A.VectorSelector):
+            pts = self._select_points(node)
+            df = selectors.instant_select(
+                pts, self.label_cols, self.step_ms, self.lookback_ms, grid=self.grid
+            )
+            return Vec(df, self.label_cols)
+        if isinstance(node, A.MatrixSelector):
+            return Mat(self._select_points(node.inner), node.range_ms)
+        if isinstance(node, A.FunctionCall):
+            return self._eval_function(node)
+        if isinstance(node, A.Aggregation):
+            return self._eval_aggregation(node)
+        if isinstance(node, A.BinaryOp):
+            return self._eval_binop(node)
+        raise ValueError(f"cannot evaluate {node!r}")
+
+    def _eval_function(self, node: A.FunctionCall):
+        name = node.name
+        if name in _RANGE_FNS:
+            mat = self._eval(node.args[0])
+            assert isinstance(mat, Mat), f"{name} needs a range vector"
+            df = range_fns.extrapolated(
+                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                grid=self.grid, **_RANGE_FNS[name],
+            )
+            return Vec(df, self.label_cols)
+        if name in _INSTANT_RANGE:
+            mat = self._eval(node.args[0])
+            df = range_fns.instantaneous(
+                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                is_rate=_INSTANT_RANGE[name], grid=self.grid,
+            )
+            return Vec(df, self.label_cols)
+        if name in _OVER_TIME_FNS:
+            mat = self._eval(node.args[0])
+            df = range_fns.over_time(
+                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                _OVER_TIME_FNS[name], grid=self.grid,
+            )
+            return Vec(df, self.label_cols)
+        if name == "quantile_over_time":
+            q = self._eval(node.args[0])
+            mat = self._eval(node.args[1])
+            df = range_fns.over_time(
+                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                "quantile", quantile=q, grid=self.grid,
+            )
+            return Vec(df, self.label_cols)
+        if name in ("resets", "changes"):
+            mat = self._eval(node.args[0])
+            df = range_fns.resets_changes(
+                mat.points, self.label_cols, self.step_ms, mat.range_ms, name,
+                grid=self.grid,
+            )
+            return Vec(df, self.label_cols)
+        if name in _SCALAR_FNS:
+            vec = self._eval(node.args[0])
+            fn = _SCALAR_FNS[name]
+            return Vec(vec.df.withColumn("value", fn(F.col("value"))), vec.labels)
+        if name == "round":
+            vec = self._eval(node.args[0])
+            nearest = self._eval(node.args[1]) if len(node.args) > 1 else 1.0
+            value = F.round(F.col("value") / F.lit(nearest)) * F.lit(nearest)
+            return Vec(vec.df.withColumn("value", value), vec.labels)
+        if name in ("clamp", "clamp_min", "clamp_max"):
+            vec = self._eval(node.args[0])
+            v = F.col("value")
+            if name in ("clamp", "clamp_min"):
+                v = F.greatest(v, F.lit(float(self._eval(node.args[1]))))
+            if name == "clamp":
+                v = F.least(v, F.lit(float(self._eval(node.args[2]))))
+            if name == "clamp_max":
+                v = F.least(v, F.lit(float(self._eval(node.args[1]))))
+            return Vec(vec.df.withColumn("value", v), vec.labels)
+        if name == "scalar":
+            vec = self._eval(node.args[0])
+            # single-series vector -> scalar per step; keep as 1-label-less vec
+            return Vec(vec.df.select("step_ts", "value"), ())
+        raise ValueError(f"unsupported function {name!r}")
+
+    def _eval_aggregation(self, node: A.Aggregation):
+        vec = self._eval(node.expr)
+        assert isinstance(vec, Vec)
+        if node.without:
+            by = tuple(
+                l for l in vec.labels
+                if l not in node.grouping and l != self.name_label
+            )
+        else:
+            by = node.grouping
+        for l in by:
+            if l not in vec.labels:
+                raise ValueError(f"grouping label {l!r} not in vector")
+        if node.op in ("topk", "bottomk"):
+            df = agg_ops.topk(
+                vec.df, by=by, series_keys=vec.labels, k=int(node.param),
+                bottom=node.op == "bottomk",
+            )
+            return Vec(df, vec.labels)
+        if node.op == "count_values":
+            df = agg_ops.count_values(vec.df, by=by, label=str(node.param))
+            return Vec(df, by + (str(node.param),))
+        if node.op == "quantile":
+            df = agg_ops.aggregate(vec.df, by, "quantile", quantile=float(node.param))
+            return Vec(df, by)
+        df = agg_ops.aggregate(vec.df, by, node.op)
+        return Vec(df, by)
+
+    def _eval_binop(self, node: A.BinaryOp):
+        lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
+        scalar_l = isinstance(lhs, float)
+        scalar_r = isinstance(rhs, float)
+        if scalar_l and scalar_r:
+            return self._scalar_arith(node.op, lhs, rhs)
+        if scalar_l or scalar_r:
+            return self._vector_scalar(node, lhs, rhs)
+        return self._vector_vector(node, lhs, rhs)
+
+    @staticmethod
+    def _scalar_arith(op: str, a: float, b: float) -> float:
+        import math
+
+        return {
+            "+": a + b, "-": a - b, "*": a * b,
+            "/": a / b if b else float("nan"),
+            "%": math.fmod(a, b) if b else float("nan"),
+            "^": a ** b,
+        }[op]
+
+    def _vector_scalar(self, node: A.BinaryOp, lhs, rhs):
+        vec, scalar, vec_left = (
+            (lhs, rhs, True) if isinstance(lhs, Vec) else (rhs, lhs, False)
+        )
+        v, s = F.col("value"), F.lit(float(scalar))
+        a, b = (v, s) if vec_left else (s, v)
+        if node.op in binops._ARITH:
+            value = binops._ARITH[node.op](a, b)
+            return Vec(vec.df.withColumn("value", value), vec.labels)
+        cond = binops._CMP[node.op](a, b)
+        if node.bool_mode:
+            return Vec(vec.df.withColumn("value", cond.cast("double")), vec.labels)
+        return Vec(vec.df.filter(cond), vec.labels)
+
+    def _vector_vector(self, node: A.BinaryOp, lhs: Vec, rhs: Vec):
+        if node.on is not None:
+            on = list(node.on)
+        else:
+            common = [l for l in lhs.labels if l in rhs.labels and l != self.name_label]
+            if node.ignoring:
+                common = [l for l in common if l not in node.ignoring]
+            on = common
+        if node.op in ("and", "unless", "or"):
+            df = binops.set_op(lhs.df, rhs.df, on=on, op=node.op)
+            return Vec(df, lhs.labels)
+        if node.op in binops._ARITH:
+            df = binops.arith(lhs.df, rhs.df, on=on, op=node.op)
+            return Vec(df.select(*on, "step_ts", "value"), tuple(on))
+        cmp_map = {"==": "==", "!=": "!=", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
+        df = binops.compare(
+            lhs.df, rhs.df, on=on, op=cmp_map[node.op], bool_mode=node.bool_mode
+        )
+        keep = list(dict.fromkeys(list(lhs.labels) + on))
+        return Vec(df.select(*[c for c in df.columns if c in keep] + ["step_ts", "value"]),
+                   lhs.labels)
+
+
+def query_range(points, promql: str, **kwargs) -> DataFrame:
+    """One-shot convenience: evaluate a PromQL range query."""
+    return PromQLEngine(points, **kwargs).query_range(promql)

@@ -68,7 +68,8 @@ def _rs_sql(src: str = "pts", range_ms: int = RANGE_MS) -> str:
 
 
 def _extrapolated_sql(
-    range_ms: int, is_counter: bool, is_rate: bool, src: str = "pts"
+    range_ms: int, is_counter: bool, is_rate: bool, src: str = "pts",
+    rounded: bool = True,
 ) -> str:
     """Oracle mirror of range_fns.extrapolated (Prometheus extrapolatedRate)."""
     rv = "last_val - first_val + reset_corr" if is_counter else "last_val - first_val"
@@ -107,7 +108,7 @@ calc2 AS (
   FROM calc),
 calc3 AS (SELECT *, {zero_clamp} AS ds2 FROM calc2)
 SELECT user_id, event_type, step_ts,
-       round(rv * ((sampled + ds2 + de1) / sampled){rate_div}, 6) AS value
+       {"round(" if rounded else "("}rv * ((sampled + ds2 + de1) / sampled){rate_div}{", 6)" if rounded else ")"} AS value
 FROM calc3
 """
 
@@ -764,6 +765,87 @@ def q_mm_extract(spark, sf_dir):
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+# ---------------------------------------- PromQL engine (parser + planner)
+
+from squirreldb_spark.promql import PromQLEngine  # noqa: E402
+
+
+def _engine(spark, sf_dir) -> PromQLEngine:
+    return PromQLEngine(
+        _pts(spark, sf_dir), label_cols=tuple(KEYS), name_label="event_type",
+        step_ms=STEP_MS, lookback_ms=LOOKBACK_MS,
+    )
+
+
+def _promql(q: str):
+    def run(spark, sf_dir):
+        df = _engine(spark, sf_dir).query_range(q)
+        return _round(df, {"value": 6})
+
+    run.__doc__ = f"PromQL via parser+planner: `{q}`"
+    return run
+
+
+SQL_PROMQL_RATE_SUM = f"""
+SELECT event_type, step_ts, round(sum(value), 6) AS value
+FROM ({_extrapolated_sql(RANGE_MS, True, True, rounded=False)})
+GROUP BY 1, 2
+"""
+
+SQL_PROMQL_SELECTOR = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()}
+SELECT p.user_id, p.event_type, g.step_ts, round(arg_max(p.value, p.ts), 6) AS value
+FROM pts p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+  AND regexp_matches(p.event_type, '^(?:purchase|error)$')
+  AND p.user_id::VARCHAR != '3'
+GROUP BY 1, 2, 3
+"""
+
+SQL_PROMQL_BINOP_SUB = f"WITH pts AS ({_PTS}),\n{_grid_sql()},\n{_LP_SQL}" + """
+SELECT lp.user_id, lp.step_ts, round(lp.value - le.value, 6) AS value
+FROM lp JOIN le ON lp.user_id = le.user_id AND lp.step_ts = le.step_ts
+"""
+
+SQL_PROMQL_TOPK = _INST_SQL + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY step_ts
+                               ORDER BY value DESC, user_id, event_type) AS rank
+  FROM inst)
+SELECT user_id, event_type, step_ts, round(value, 6) AS value
+FROM ranked WHERE rank <= 2
+"""
+
+SQL_PROMQL_CLAMP = f"WITH pts AS ({_PTS}),\n{_grid_sql()},\n{_LP_SQL}" + """
+SELECT user_id, 'purchase' AS event_type, step_ts,
+       round(least(greatest(100 * value, 5000), 15000), 6) AS value
+FROM lp
+"""
+
+SQL_PROMQL_OFFSET = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+shifted AS (SELECT user_id, event_type, ts + 604800000 AS ts, value FROM pts
+            WHERE event_type = 'purchase')
+SELECT p.user_id, p.event_type, g.step_ts, round(arg_max(p.value, p.ts), 6) AS value
+FROM shifted p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+GROUP BY 1, 2, 3
+"""
+
+SQL_PROMQL_CMP_FILTER = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+rs AS (SELECT p.user_id, p.event_type, g.step_ts, p.ts, p.value
+       FROM pts p, grid g
+       WHERE p.ts > g.step_ts - {RANGE_MS} AND p.ts <= g.step_ts
+         AND p.event_type = 'purchase')
+SELECT user_id, event_type, step_ts, round(avg(value), 6) AS value
+FROM rs GROUP BY 1, 2, 3 HAVING avg(value) > 100
+"""
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -823,4 +905,20 @@ CATALOG: dict[str, QueryDef] = {
     "emb_ann_lsh": QueryDef(q_emb_ann_lsh, psim.sql_ann_lsh()),
     # LLM-data pipeline: multimodal plumbing (Arrow-batched mapInPandas)
     "mm_extract_features": QueryDef(q_mm_extract, pmm.SQL_EXTRACT_FEATURES),
+    # PromQL strings through the native parser + planner
+    "promql_rate_sum": QueryDef(
+        _promql('sum by (event_type) (rate({__name__=~".+"}[14d]))'), SQL_PROMQL_RATE_SUM
+    ),
+    "promql_selector_matchers": QueryDef(
+        _promql('{__name__=~"purchase|error", user_id!="3"}'), SQL_PROMQL_SELECTOR
+    ),
+    "promql_binop_sub": QueryDef(_promql("purchase - error"), SQL_PROMQL_BINOP_SUB),
+    "promql_topk": QueryDef(_promql('topk(2, {__name__=~".+"})'), SQL_PROMQL_TOPK),
+    "promql_clamp_arith": QueryDef(
+        _promql("clamp(100 * purchase, 5000, 15000)"), SQL_PROMQL_CLAMP
+    ),
+    "promql_offset": QueryDef(_promql("purchase offset 7d"), SQL_PROMQL_OFFSET),
+    "promql_cmp_filter": QueryDef(
+        _promql("avg_over_time(purchase[14d]) > 100"), SQL_PROMQL_CMP_FILTER
+    ),
 }

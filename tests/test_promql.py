@@ -1,0 +1,162 @@
+"""Parser and planner tests for the native PromQL engine."""
+
+import pytest
+
+from squirreldb_spark.promql import parse
+from squirreldb_spark.promql.ast import (
+    Aggregation,
+    BinaryOp,
+    FunctionCall,
+    Matcher,
+    MatrixSelector,
+    NumberLiteral,
+    Unary,
+    VectorSelector,
+)
+from squirreldb_spark.promql.parser import ParseError, duration_ms
+
+
+# ---------------------------------------------------------------- parser
+
+
+def test_parse_selector_with_matchers():
+    got = parse('http_requests{job="api", code=~"5..", env!="dev"}')
+    assert got == VectorSelector(
+        "http_requests",
+        (
+            Matcher("job", "=", "api"),
+            Matcher("code", "=~", "5.."),
+            Matcher("env", "!=", "dev"),
+        ),
+    )
+
+
+def test_parse_range_and_offset():
+    got = parse("rate(m[5m] offset 1h)")
+    assert got == FunctionCall(
+        "rate", (MatrixSelector(VectorSelector("m", (), 3_600_000), 300_000),)
+    )
+
+
+def test_parse_aggregation_prefix_and_postfix():
+    pre = parse("sum by (job) (m)")
+    post = parse("sum (m) by (job)")
+    assert pre == post == Aggregation("sum", VectorSelector("m"), ("job",), False, None)
+
+
+def test_parse_without():
+    got = parse("avg without (instance) (m)")
+    assert got == Aggregation("avg", VectorSelector("m"), ("instance",), True, None)
+
+
+def test_parse_topk_param():
+    got = parse("topk(3, m)")
+    assert got == Aggregation("topk", VectorSelector("m"), (), False, 3.0)
+
+
+def test_parse_precedence():
+    # ^ binds tighter than *, * tighter than +, comparison loosest
+    got = parse("a + b * c ^ 2 > d")
+    assert isinstance(got, BinaryOp) and got.op == ">"
+    add = got.lhs
+    assert add.op == "+" and isinstance(add.lhs, VectorSelector)
+    mul = add.rhs
+    assert mul.op == "*"
+    assert mul.rhs.op == "^"
+
+
+def test_parse_pow_right_assoc():
+    got = parse("a ^ b ^ c")
+    assert got.op == "^" and got.rhs.op == "^"
+
+
+def test_parse_vector_matching():
+    got = parse("a / on(job, instance) group_left(extra) b")
+    assert got.on == ("job", "instance")
+    assert got.group_side == "left"
+    assert got.group_labels == ("extra",)
+
+
+def test_parse_bool_modifier():
+    got = parse("a > bool 0")
+    assert got.bool_mode and got.rhs == NumberLiteral(0.0)
+
+
+def test_parse_set_ops_precedence():
+    got = parse("a and b or c")
+    assert got.op == "or" and got.lhs.op == "and"
+
+
+def test_parse_unary():
+    got = parse("-a")
+    assert got == Unary("-", VectorSelector("a"))
+
+
+def test_durations():
+    assert duration_ms("5m") == 300_000
+    assert duration_ms("14d") == 14 * 86_400_000
+    assert duration_ms("1w") == 7 * 86_400_000
+
+
+@pytest.mark.parametrize(
+    "bad", ["{", "m[", "m[xyz]", "sum by job (m)", 'm{a=}', "m offset", "1 +"]
+)
+def test_parse_errors(bad):
+    with pytest.raises(ParseError):
+        parse(bad)
+
+
+# ---------------------------------------------------------------- planner
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        # two series: cpu{host=a} counter, cpu{host=b} counter
+        ("a", "cpu", 10_000, 0.0),
+        ("a", "cpu", 20_000, 10.0),
+        ("a", "cpu", 30_000, 20.0),
+        ("b", "cpu", 10_000, 0.0),
+        ("b", "cpu", 20_000, 5.0),
+        ("b", "cpu", 30_000, 10.0),
+        ("a", "mem", 30_000, 7.0),
+    ]
+    pts = spark.createDataFrame(rows, "host string, name string, ts long, value double")
+    return PromQLEngine(
+        pts, label_cols=("host", "name"), name_label="name",
+        step_ms=10_000, lookback_ms=20_000,
+    )
+
+
+def test_plan_selector(engine):
+    out = engine.query_range('cpu{host="a"}').collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got[("a", 30_000)] == 20.0
+    assert all(r.host == "a" for r in out)
+
+
+def test_plan_rate_sum(engine):
+    out = engine.query_range("sum by (name) (rate(cpu[20s]))").collect()
+    by = {(r.name, r.step_ts): r.value for r in out}
+    # at t=30s: rate(a) = 1.0/s over the window, rate(b) = 0.5/s -> sum 1.5
+    assert by[("cpu", 30_000)] == pytest.approx(1.5)
+
+
+def test_plan_binop_vector(engine):
+    out = engine.query_range('cpu{host="a"} - on(host) cpu{host="a"}').collect()
+    assert all(r.value == 0.0 for r in out)
+
+
+def test_plan_scalar_ops(engine):
+    out = engine.query_range("cpu * 2 + 1").collect()
+    src = engine.query_range("cpu").collect()
+    want = {(r.host, r.step_ts): r.value * 2 + 1 for r in src}
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got == want
+
+
+def test_plan_unsupported_function_raises(engine):
+    with pytest.raises(ValueError):
+        engine.query_range("holt_winters(cpu[20s], 0.5, 0.5)")
