@@ -28,6 +28,7 @@ from squirreldb_spark.promql import ast as A
 from squirreldb_spark.promql.parser import parse
 from squirreldb_spark.tsdb import aggregation as agg_ops
 from squirreldb_spark.tsdb import binops, range_fns, selectors
+from squirreldb_spark.tsdb import functions as fns
 from squirreldb_spark.tsdb.grid import data_grid
 
 
@@ -225,6 +226,64 @@ class PromQLEngine:
             vec = self._eval(node.args[0])
             # single-series vector -> scalar per step; keep as 1-label-less vec
             return Vec(vec.df.select("step_ts", "value"), ())
+        if name == "deriv":
+            mat = self._eval(node.args[0])
+            df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                            grid=self.grid)
+            return Vec(df, self.label_cols)
+        if name == "predict_linear":
+            mat = self._eval(node.args[0])
+            t = float(self._eval(node.args[1]))
+            df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                            predict_s=t, grid=self.grid)
+            return Vec(df, self.label_cols)
+        if name == "holt_winters":
+            mat = self._eval(node.args[0])
+            sf = float(self._eval(node.args[1]))
+            tf = float(self._eval(node.args[2]))
+            df = fns.holt_winters(mat.points, self.label_cols, self.step_ms,
+                                  mat.range_ms, sf=sf, tf=tf, grid=self.grid)
+            return Vec(df, self.label_cols)
+        if name == "absent":
+            vec = self._eval(node.args[0])
+            return Vec(fns.absent(vec.df, self.grid, vec.labels), ())
+        if name in ("minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+                    "month", "year", "days_in_month"):
+            vec = self._eval(node.args[0])
+            # PromQL date fns read the sample VALUE as epoch seconds
+            ts_ms = (F.col("value") * 1000).cast("long")
+            parted = fns.date_parts(
+                vec.df.withColumn("_t", ts_ms), ts_col="_t"
+            )
+            return Vec(
+                parted.withColumn("value", F.col(name)).select(*vec.df.columns),
+                vec.labels,
+            )
+        if name == "label_replace":
+            vec = self._eval(node.args[0])
+            dst, repl, src, regex = node.args[1:5]
+            df = fns.label_replace(vec.df, dst, repl, src, regex)
+            labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
+            return Vec(df, labels)
+        if name == "label_join":
+            vec = self._eval(node.args[0])
+            dst, sep = node.args[1], node.args[2]
+            df = fns.label_join(vec.df, dst, sep, list(node.args[3:]))
+            labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
+            return Vec(df, labels)
+        if name == "vector":
+            val = self._eval(node.args[0])
+            return Vec(self.grid.select("step_ts", F.lit(float(val)).alias("value")), ())
+        if name in ("sort", "sort_desc"):
+            vec = self._eval(node.args[0])
+            order = F.asc("value") if name == "sort" else F.desc("value")
+            return Vec(vec.df.orderBy(order), vec.labels)
+        if name == "timestamp":
+            vec = self._eval(node.args[0])
+            return Vec(
+                vec.df.withColumn("value", (F.col("step_ts") / 1000).cast("double")),
+                vec.labels,
+            )
         raise ValueError(f"unsupported function {name!r}")
 
     def _eval_aggregation(self, node: A.Aggregation):

@@ -21,6 +21,7 @@ and the constants are parameters everywhere.
 
 from __future__ import annotations
 
+from collections.abc import Sequence as _Seq
 from dataclasses import dataclass
 from typing import Callable
 
@@ -765,6 +766,206 @@ def q_mm_extract(spark, sf_dir):
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+# ----------------------------------------------- long-tail PromQL functions
+
+from squirreldb_spark.tsdb import functions as fns  # noqa: E402
+from squirreldb_spark.tsdb import mutable as mut  # noqa: E402
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+HIST_LES = [50.0, 100.0, 200.0, float("inf")]
+
+
+def q_histogram_quantile(spark, sf_dir):
+    """Bucket a range vector into cumulative le-counts per (event_type,
+    step), then Prometheus-interpolate the 0.9 quantile."""
+    rs = selectors.range_select(_pts(spark, sf_dir), ["event_type"], STEP_MS, RANGE_MS)
+    les = spark.createDataFrame([(le,) for le in HIST_LES], "le double")
+    buckets = (
+        rs.crossJoin(F.broadcast(les))
+        .groupBy("event_type", "step_ts", "le")
+        .agg(F.count(F.when(F.col("value") <= F.col("le"), 1)).cast("double").alias("value"))
+    )
+    out = fns.histogram_quantile(buckets, 0.9, ["event_type"], le_col="le")
+    return _round(out, {"value": 6})
+
+
+SQL_HISTOGRAM_QUANTILE = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+les AS (SELECT unnest([50.0, 100.0, 200.0, 'inf'::DOUBLE]) AS le),
+buckets AS (
+  SELECT event_type, step_ts, le,
+         count(CASE WHEN value <= le THEN 1 END)::DOUBLE AS cum
+  FROM rs, les GROUP BY 1, 2, 3),
+enr AS (
+  SELECT *, lag(le) OVER w AS prev_le, lag(cum) OVER w AS prev_count,
+         max(cum) OVER (PARTITION BY event_type, step_ts) AS total,
+         max(CASE WHEN le != 'inf'::DOUBLE THEN le END)
+             OVER (PARTITION BY event_type, step_ts) AS max_finite
+  FROM buckets WINDOW w AS (PARTITION BY event_type, step_ts ORDER BY le)),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, step_ts ORDER BY le) AS rn
+  FROM enr WHERE cum >= 0.9 * total)
+SELECT event_type, step_ts,
+       round(CASE WHEN le = 'inf'::DOUBLE THEN max_finite
+             ELSE coalesce(prev_le, 0) + (le - coalesce(prev_le, 0))
+                  * (0.9 * total - coalesce(prev_count, 0)) / (cum - coalesce(prev_count, 0))
+             END, 6) AS value
+FROM hit WHERE rn = 1
+"""
+
+
+def q_deriv(spark, sf_dir):
+    df = fns.linreg(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS)
+    return _round(df, {"value": 6})
+
+
+def q_predict_linear(spark, sf_dir):
+    df = fns.linreg(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, predict_s=3600.0)
+    return _round(df, {"value": 6})
+
+
+def _linreg_sql(predict_s: float | None) -> str:
+    value = (
+        "cov / var"
+        if predict_s is None
+        else f"(cov / var) * {predict_s!r} + (my - (cov / var) * mx)"
+    )
+    return f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+agg AS (
+  SELECT user_id, event_type, step_ts, count(*) AS n,
+         covar_pop((ts - step_ts) / 1000.0, value) AS cov,
+         var_pop((ts - step_ts) / 1000.0) AS var,
+         avg((ts - step_ts) / 1000.0) AS mx, avg(value) AS my
+  FROM rs GROUP BY 1, 2, 3 HAVING count(*) >= 2 AND var_pop((ts - step_ts) / 1000.0) > 0)
+SELECT user_id, event_type, step_ts, round({value}, 6) AS value FROM agg
+"""
+
+
+def q_absent(spark, sf_dir):
+    pts = _pts(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.col("user_id") == 3)
+    )
+    grid = data_grid(_pts(spark, sf_dir), STEP_MS)
+    vec = selectors.instant_select(pts, KEYS, STEP_MS, LOOKBACK_MS, grid=grid)
+    return fns.absent(vec, grid, KEYS)
+
+
+SQL_ABSENT = f"""
+WITH pts AS ({_PTS}), {_grid_sql()},
+vec AS (
+  SELECT g.step_ts
+  FROM pts p, grid g
+  WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+    AND p.event_type = 'purchase' AND p.user_id = 3
+  GROUP BY 1)
+SELECT g.step_ts, 1.0 AS value FROM grid g
+WHERE NOT EXISTS (SELECT 1 FROM vec v WHERE v.step_ts = g.step_ts)
+"""
+
+
+def q_date_fns(spark, sf_dir):
+    grid = data_grid(_pts(spark, sf_dir), STEP_MS)
+    return fns.date_parts(grid)
+
+
+SQL_DATE_FNS = f"""
+WITH pts AS ({_PTS}), {_grid_sql()},
+t AS (SELECT step_ts, make_timestamp(step_ts * 1000) AS ts FROM grid)
+SELECT step_ts,
+       ((step_ts // 86400000 + 4) % 7)::DOUBLE AS day_of_week,
+       date_part('day', ts)::DOUBLE AS day_of_month,
+       date_part('doy', ts)::DOUBLE AS day_of_year,
+       date_part('month', ts)::DOUBLE AS month,
+       date_part('year', ts)::DOUBLE AS year,
+       date_part('hour', ts)::DOUBLE AS hour,
+       date_part('minute', ts)::DOUBLE AS minute,
+       date_part('day', last_day(ts))::DOUBLE AS days_in_month
+FROM t
+"""
+
+
+def q_label_replace(spark, sf_dir):
+    vec = _instant(spark, sf_dir)
+    out = fns.label_replace(vec, "kind", "$1", "event_type", "(p.*|e.*)")
+    return _round(out, {"value": 6})
+
+
+SQL_LABEL_REPLACE = _INST_SQL + """
+SELECT user_id, event_type, step_ts, round(value, 6) AS value,
+       CASE WHEN regexp_matches(event_type, '^(?:(p.*|e.*))$')
+            THEN regexp_replace(event_type, '^(?:(p.*|e.*))$', '\\1')
+            ELSE '' END AS kind
+FROM inst
+"""
+
+
+def q_label_join(spark, sf_dir):
+    vec = _instant(spark, sf_dir)
+    out = fns.label_join(vec, "series_key", "-", ["user_id", "event_type"])
+    return _round(out, {"value": 6})
+
+
+SQL_LABEL_JOIN = _INST_SQL + """
+SELECT user_id, event_type, step_ts, round(value, 6) AS value,
+       user_id::VARCHAR || '-' || event_type AS series_key
+FROM inst
+"""
+
+
+def q_mutable_labels(spark, sf_dir):
+    """A31+A32: rewrite group="high" -> user_id isin(...), then enrich
+    results with the mutable label."""
+    mapping = spark.createDataFrame(
+        [("t1", "group", "high", "user_id", [str(u) for u in range(5)])],
+        mut.MAPPING_SCHEMA,
+    )
+    pts = mut.rewrite_filter(_pts(spark, sf_dir), mapping, "t1", "group", "high")
+    grid = data_grid(_pts(spark, sf_dir), STEP_MS)
+    vec = selectors.instant_select(pts, KEYS, STEP_MS, LOOKBACK_MS, grid=grid)
+    out = mut.enrich(vec, mapping, "t1", "group")
+    return _round(out.select(*KEYS, "step_ts", "value", "group"), {"value": 6})
+
+
+SQL_MUTABLE_LABELS = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}
+SELECT p.user_id, p.event_type, g.step_ts,
+       round(arg_max(p.value, p.ts), 6) AS value, 'high' AS "group"
+FROM pts p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+  AND p.user_id::VARCHAR IN ('0', '1', '2', '3', '4')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_export_pivot(spark, sf_dir):
+    """A35: wide Parquet export layout — per (user, ts) one column per metric."""
+    pts = _pts(spark, sf_dir).withColumn(
+        "series", F.concat_ws("_", F.lit("u"), F.col("user_id"), F.col("event_type"))
+    )
+    # pivot per timestamp over event types for one user slice (deterministic columns)
+    one_user = pts.filter(F.col("user_id") == 1)
+    return fns.export_pivot(one_user, "event_type", EVENT_TYPES)
+
+
+SQL_EXPORT_PIVOT = f"""
+WITH pts AS ({_PTS})
+SELECT ts,
+       max(CASE WHEN event_type = 'click' THEN value END) AS click,
+       max(CASE WHEN event_type = 'error' THEN value END) AS error,
+       max(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+       max(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+       max(CASE WHEN event_type = 'view' THEN value END) AS "view"
+FROM pts WHERE user_id = 1 GROUP BY ts
+"""
+
+
+def q_holt_winters(spark, sf_dir):
+    """Sequential smoothing -> applyInPandas (no SQL oracle; rows-only)."""
+    df = fns.holt_winters(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, sf=0.5, tf=0.3)
+    return _round(df, {"value": 6})
+
+
 # ---------------------------------------- PromQL engine (parser + planner)
 
 from squirreldb_spark.promql import PromQLEngine  # noqa: E402
@@ -855,6 +1056,17 @@ class QueryDef:
     oracle: str | None  # None -> driver does a rows-only check
 
 
+def _neg0(sql: str, cols: _Seq[str] = ("value",)) -> str:
+    """Normalize IEEE negative zero in a DuckDB oracle.
+
+    DuckDB ``round()`` preserves -0.0 where Spark's returns +0.0; the
+    hash compare is textual, so wrap float columns that can round to a
+    negative zero with ``col + 0`` (identity except -0.0 -> +0.0).
+    """
+    replaces = ", ".join(f'"{c}" + 0 AS "{c}"' for c in cols)
+    return f"SELECT * REPLACE ({replaces}) FROM (\n{sql}\n) _q"
+
+
 CATALOG: dict[str, QueryDef] = {
     # TSDB storage/dataflow + PromQL surface (SURVEY §2A/§2B)
     "ts_downsample_5m": QueryDef(q_downsample, SQL_DOWNSAMPLE),
@@ -863,9 +1075,9 @@ CATALOG: dict[str, QueryDef] = {
     "ts_quantile_over_time": QueryDef(q_range_quantile, SQL_RANGE_QUANTILE),
     "ts_rate": QueryDef(q_rate, _extrapolated_sql(RANGE_MS, True, True)),
     "ts_increase": QueryDef(q_increase, _extrapolated_sql(RANGE_MS, True, False)),
-    "ts_delta": QueryDef(q_delta, _extrapolated_sql(RANGE_MS, False, False)),
-    "ts_irate": QueryDef(q_irate, SQL_IRATE),
-    "ts_idelta": QueryDef(q_idelta, SQL_IDELTA),
+    "ts_delta": QueryDef(q_delta, _neg0(_extrapolated_sql(RANGE_MS, False, False))),
+    "ts_irate": QueryDef(q_irate, _neg0(SQL_IRATE)),
+    "ts_idelta": QueryDef(q_idelta, _neg0(SQL_IDELTA)),
     "ts_resets": QueryDef(q_resets, SQL_RESETS),
     "ts_changes": QueryDef(q_changes, SQL_CHANGES),
     "ts_agg_sum_by": QueryDef(q_agg_sum_by, SQL_AGG_SUM_BY),
@@ -901,10 +1113,21 @@ CATALOG: dict[str, QueryDef] = {
     "doc_minhash_lsh_pairs": QueryDef(q_doc_minhash_lsh, pdedup.sql_minhash_lsh_pairs()),
     "doc_simhash": QueryDef(q_doc_simhash, pdedup.sql_simhash()),
     # LLM-data pipeline: similarity search
-    "emb_cosine_knn": QueryDef(q_emb_cosine_knn, psim.sql_cosine_knn()),
-    "emb_ann_lsh": QueryDef(q_emb_ann_lsh, psim.sql_ann_lsh()),
+    "emb_cosine_knn": QueryDef(q_emb_cosine_knn, _neg0(psim.sql_cosine_knn(), ["cosine"])),
+    "emb_ann_lsh": QueryDef(q_emb_ann_lsh, _neg0(psim.sql_ann_lsh(), ["cosine"])),
     # LLM-data pipeline: multimodal plumbing (Arrow-batched mapInPandas)
     "mm_extract_features": QueryDef(q_mm_extract, pmm.SQL_EXTRACT_FEATURES),
+    # long-tail PromQL functions + mutable labels + export
+    "ts_histogram_quantile": QueryDef(q_histogram_quantile, SQL_HISTOGRAM_QUANTILE),
+    "ts_deriv": QueryDef(q_deriv, _neg0(_linreg_sql(None))),
+    "ts_predict_linear": QueryDef(q_predict_linear, _neg0(_linreg_sql(3600.0))),
+    "ts_absent": QueryDef(q_absent, SQL_ABSENT),
+    "ts_date_functions": QueryDef(q_date_fns, SQL_DATE_FNS),
+    "ts_label_replace": QueryDef(q_label_replace, SQL_LABEL_REPLACE),
+    "ts_label_join": QueryDef(q_label_join, SQL_LABEL_JOIN),
+    "ts_mutable_labels": QueryDef(q_mutable_labels, SQL_MUTABLE_LABELS),
+    "ts_export_pivot": QueryDef(q_export_pivot, SQL_EXPORT_PIVOT),
+    "ts_holt_winters": QueryDef(q_holt_winters, None),  # sequential: rows-only
     # PromQL strings through the native parser + planner
     "promql_rate_sum": QueryDef(
         _promql('sum by (event_type) (rate({__name__=~".+"}[14d]))'), SQL_PROMQL_RATE_SUM
@@ -912,7 +1135,7 @@ CATALOG: dict[str, QueryDef] = {
     "promql_selector_matchers": QueryDef(
         _promql('{__name__=~"purchase|error", user_id!="3"}'), SQL_PROMQL_SELECTOR
     ),
-    "promql_binop_sub": QueryDef(_promql("purchase - error"), SQL_PROMQL_BINOP_SUB),
+    "promql_binop_sub": QueryDef(_promql("purchase - error"), _neg0(SQL_PROMQL_BINOP_SUB)),
     "promql_topk": QueryDef(_promql('topk(2, {__name__=~".+"})'), SQL_PROMQL_TOPK),
     "promql_clamp_arith": QueryDef(
         _promql("clamp(100 * purchase, 5000, 15000)"), SQL_PROMQL_CLAMP

@@ -159,4 +159,21 @@ def test_plan_scalar_ops(engine):
 
 def test_plan_unsupported_function_raises(engine):
     with pytest.raises(ValueError):
-        engine.query_range("holt_winters(cpu[20s], 0.5, 0.5)")
+        engine.query_range("no_such_function(cpu)")
+
+
+def test_plan_deriv(engine):
+    # series a rises 1.0/s steadily -> slope 1.0 everywhere it has >= 2 samples
+    out = engine.query_range('deriv(cpu{host="a"}[20s])').collect()
+    got = {r.step_ts: r.value for r in out}
+    assert got[30_000] == pytest.approx(1.0)
+
+
+def test_plan_holt_winters_runs(engine):
+    out = engine.query_range("holt_winters(cpu[30s], 0.5, 0.3)").collect()
+    assert len(out) > 0
+
+
+def test_plan_timestamp_and_vector(engine):
+    out = engine.query_range("timestamp(cpu)").collect()
+    assert all(r.value == r.step_ts / 1000 for r in out)

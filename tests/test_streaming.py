@@ -1,0 +1,116 @@
+"""Streaming ingestion tests: exactly-once append + watermarked downsample.
+
+Mirrors the reference's write->read equality suite (SURVEY §5,
+tests/remote-storage-test) and the late-data rule (late points are stored
+raw but skip pre-aggregation).
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from squirreldb_spark.streaming import ingest
+from squirreldb_spark.tsdb import downsample as ds_batch
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="sqs_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, ingest.EVENT_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+BASE_TS = 1_700_000_000_000  # aligned-ish epoch ms
+
+
+def _mk_rows(n, t0=BASE_TS, step=60_000, user=1, etype="cpu"):
+    return [(i, t0 + i * step, user, etype, float(i), "{}") for i in range(n)]
+
+
+def test_ingest_end_to_end(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    _write_batch(spark, src, _mk_rows(100))
+    paths = ingest.run_ingest(spark, src, f"{tmpdir}/out", tenant="t1")
+
+    pts = spark.read.parquet(paths["points"])
+    assert pts.count() == 100
+    assert set(r.tenant for r in pts.select("tenant").distinct().collect()) == {"t1"}
+    # date partitioning present for pruning/retention
+    assert "date" in pts.columns
+
+    # downsample windows that closed (watermark = max - 8h; our data spans
+    # 100 min, so NO window closes -> empty is correct append-mode behavior)
+    # -> extend: write a second far-future batch to advance the watermark
+    _write_batch(spark, src, _mk_rows(1, t0=BASE_TS + 10 * 3600 * 1000))
+    ingest.run_ingest(spark, src, f"{tmpdir}/out", tenant="t1")
+    ds = spark.read.parquet(paths["downsample"])
+    closed = ds.count()
+    assert closed > 0
+
+    # closed windows must equal the batch downsample of the same rows
+    batch = ds_batch.downsample(
+        pts.select("user_id", "event_type", "ts", "value"), ["user_id", "event_type"]
+    )
+    joined = ds.alias("s").join(
+        batch.alias("b"),
+        on=[
+            F.col("s.user_id") == F.col("b.user_id"),
+            F.col("s.event_type") == F.col("b.event_type"),
+            F.col("s.bucket_ts") == F.col("b.bucket_ts"),
+        ],
+    )
+    assert joined.count() == closed
+    mismatches = joined.filter(
+        (F.col("s.min") != F.col("b.min"))
+        | (F.col("s.max") != F.col("b.max"))
+        | (F.col("s.count") != F.col("b.count"))
+    ).count()
+    assert mismatches == 0
+
+
+def test_late_data_stored_raw_but_skips_preagg(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    # batch 1: normal data, then a point 10h in the future advances watermark
+    _write_batch(spark, src, _mk_rows(50))
+    _write_batch(spark, src, _mk_rows(1, t0=BASE_TS + 12 * 3600 * 1000))
+    paths = ingest.run_ingest(spark, src, f"{tmpdir}/out")
+    ds_before = spark.read.parquet(paths["downsample"]).count()
+    assert ds_before > 0
+
+    # batch 2: a LATE point (far behind the watermark)
+    _write_batch(spark, src, [(999, BASE_TS + 1000, 9, "late_metric", 42.0, "{}")])
+    ingest.run_ingest(spark, src, f"{tmpdir}/out")
+
+    pts = spark.read.parquet(paths["points"])
+    # stored raw (reference: raw write has no past-delay limit)
+    assert pts.filter(F.col("event_type") == "late_metric").count() == 1
+    # but the pre-aggregate never sees it (MaxPastDelay semantics)
+    ds_after = spark.read.parquet(paths["downsample"])
+    assert ds_after.filter(F.col("event_type") == "late_metric").count() == 0
+
+
+def test_validation_rejects_invalid_samples(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    rows = [
+        (1, BASE_TS, 1, "ok", 1.0, "{}"),
+        (2, BASE_TS, 1, "", 2.0, "{}"),        # empty metric name
+        (3, BASE_TS, 1, None, 3.0, "{}"),      # null name
+        (4, BASE_TS, 1, "ok", None, "{}"),     # null value
+        (5, None, 1, "ok", 5.0, "{}"),         # null ts
+        (6, BASE_TS + 100 * 24 * 3600 * 1000, 1, "ok", 6.0, "{}"),  # too far future
+    ]
+    _write_batch(spark, src, rows)
+    stream = ingest.read_event_stream(spark, src)
+    valid = ingest.validate(stream, now_ms=BASE_TS)
+    q = ingest.points_sink(valid, f"{tmpdir}/out/points", f"{tmpdir}/out/_cp")
+    q.awaitTermination(120)
+    pts = spark.read.parquet(f"{tmpdir}/out/points")
+    assert pts.count() == 1
+    assert pts.collect()[0].event_id if "event_id" in pts.columns else True
