@@ -25,13 +25,27 @@ from squirreldb_spark.tsdb.selectors import range_select
 
 def _windowed(points: DataFrame, keys: Sequence[str], step_ms: int, range_ms: int,
               grid: DataFrame | None = None) -> DataFrame:
-    """Range selection + per-(series, step) lag deltas."""
+    """Range selection carrying per-window lag deltas.
+
+    Scale note: samples consecutive within a window are consecutive in the
+    raw series (windows are contiguous time slices), so ``lag`` runs ONCE
+    per series over the raw points — one narrow window shuffle — and the
+    range explosion only copies the precomputed columns. The previous
+    per-(series, step) window over the exploded rows sorted range/step
+    times more data. The lag is nulled when the previous sample falls
+    outside the window (the first in-window sample has no in-window
+    predecessor).
+    """
     keys = list(keys)
-    rs = range_select(points, keys, step_ms, range_ms, grid=grid)
-    w = Window.partitionBy(*keys, "step_ts").orderBy("ts")
-    return rs.withColumn("prev_value", F.lag("value").over(w)).withColumn(
+    w = Window.partitionBy(*keys).orderBy("ts")
+    pts = points.withColumn("prev_value", F.lag("value").over(w)).withColumn(
         "prev_ts", F.lag("ts").over(w)
     )
+    rs = range_select(pts, keys, step_ms, range_ms, grid=grid)
+    in_window = F.col("prev_ts") > F.col("step_ts") - F.lit(range_ms)
+    return rs.withColumn(
+        "prev_value", F.when(in_window, F.col("prev_value"))
+    ).withColumn("prev_ts", F.when(in_window, F.col("prev_ts")))
 
 
 def extrapolated(
@@ -108,16 +122,15 @@ def instantaneous(
     divides by the sample gap in seconds; idelta is the raw difference.
     """
     keys = list(keys)
-    rs = range_select(points, keys, step_ms, range_ms, grid=grid)
-    w = Window.partitionBy(*keys, "step_ts").orderBy(F.desc("ts"))
-    last2 = rs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
-    agg = last2.groupBy(*keys, "step_ts").agg(
-        F.count("value").alias("n"),
-        F.max_by("value", "ts").alias("last_val"),
-        F.min_by("value", "ts").alias("prev_val"),
+    win = _windowed(points, keys, step_ms, range_ms, grid=grid)
+    # the last two samples of the window = the last sample + its (in-window)
+    # global predecessor, so no per-(series, step) sort is needed at all
+    agg = win.groupBy(*keys, "step_ts").agg(
         F.max("ts").alias("last_ts"),
-        F.min("ts").alias("prev_ts"),
-    ).filter(F.col("n") >= 2)
+        F.max_by("value", "ts").alias("last_val"),
+        F.max_by("prev_value", "ts").alias("prev_val"),
+        F.max_by("prev_ts", "ts").alias("prev_ts"),
+    ).filter(F.col("prev_ts").isNotNull())
     if is_rate:
         diff = F.when(
             F.col("last_val") < F.col("prev_val"), F.col("last_val")

@@ -101,4 +101,5 @@ def range_select(
         (F.col("ts") > F.col("step_ts") - F.lit(range_ms))
         & (F.col("ts") <= F.col("step_ts"))
     )
-    return joined.select(*keys, "step_ts", "ts", "value")
+    # keep any extra columns the caller attached (e.g. precomputed lags)
+    return joined.select(*[c for c in points.columns if c != "bucket"], "step_ts")
