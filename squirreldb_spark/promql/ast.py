@@ -22,12 +22,23 @@ class VectorSelector:
     name: str | None  # metric name (None for {...}-only selectors)
     matchers: tuple[Matcher, ...] = ()
     offset_ms: int = 0
+    at_ms: int | None = None  # @ modifier: fixed evaluation time
 
 
 @dataclass(frozen=True)
 class MatrixSelector:
     inner: VectorSelector
     range_ms: int = 0
+
+
+@dataclass(frozen=True)
+class Subquery:
+    """``expr[range:step]`` — inner expression evaluated on a finer grid,
+    then consumed as a range vector."""
+
+    inner: object
+    range_ms: int
+    step_ms: int
 
 
 @dataclass(frozen=True)

@@ -22,6 +22,7 @@ from squirreldb_spark.promql.ast import (
     Matcher,
     MatrixSelector,
     NumberLiteral,
+    Subquery,
     Unary,
     VectorSelector,
 )
@@ -36,7 +37,7 @@ _TOKEN_RE = re.compile(
   | (?P<duration>\d+(?:ms|s|m|h|d|w|y))
   | (?P<number>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
-  | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,)
+  | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:|@)
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
     """,
     re.VERBOSE,
@@ -173,6 +174,14 @@ class Parser:
                 kind, val = self.next()
                 if kind != "duration":
                     raise ParseError(f"expected duration in range selector, got {val!r}")
+                if self.accept(":"):
+                    # subquery: expr[range:step]
+                    kind2, val2 = self.next()
+                    if kind2 != "duration":
+                        raise ParseError("expected step duration in subquery")
+                    self.expect("]")
+                    expr = Subquery(expr, duration_ms(val), duration_ms(val2))
+                    continue
                 self.expect("]")
                 if not isinstance(expr, VectorSelector):
                     raise ParseError("range selector requires a vector selector")
@@ -185,13 +194,30 @@ class Parser:
                 off = duration_ms(val)
                 if isinstance(expr, MatrixSelector):
                     expr = MatrixSelector(
-                        VectorSelector(expr.inner.name, expr.inner.matchers, off),
+                        VectorSelector(expr.inner.name, expr.inner.matchers, off,
+                                       expr.inner.at_ms),
                         expr.range_ms,
                     )
                 elif isinstance(expr, VectorSelector):
-                    expr = VectorSelector(expr.name, expr.matchers, off)
+                    expr = VectorSelector(expr.name, expr.matchers, off, expr.at_ms)
                 else:
                     raise ParseError("offset requires a selector")
+            elif self.peek()[1] == "@":
+                self.next()
+                kind, val = self.next()
+                if kind != "number":
+                    raise ParseError("expected unix-seconds literal after @")
+                at = int(float(val) * 1000)
+                if isinstance(expr, MatrixSelector):
+                    expr = MatrixSelector(
+                        VectorSelector(expr.inner.name, expr.inner.matchers,
+                                       expr.inner.offset_ms, at),
+                        expr.range_ms,
+                    )
+                elif isinstance(expr, VectorSelector):
+                    expr = VectorSelector(expr.name, expr.matchers, expr.offset_ms, at)
+                else:
+                    raise ParseError("@ requires a selector")
             else:
                 return expr
 

@@ -42,10 +42,15 @@ class Vec:
 
 @dataclass
 class Mat:
-    """A range vector: the underlying (shifted, filtered) points + range."""
+    """A range vector: the underlying (shifted, filtered) points + range.
+
+    ``labels`` is None for plain matrix selectors (full label set); a
+    subquery's inner aggregation may have reduced it.
+    """
 
     points: DataFrame
     range_ms: int
+    labels: tuple[str, ...] | None = None
 
 
 _RANGE_FNS = {
@@ -150,12 +155,35 @@ class PromQLEngine:
             return inner
         if isinstance(node, A.VectorSelector):
             pts = self._select_points(node)
+            if node.at_ms is not None:
+                # @ modifier: evaluate once at the fixed time, replicate the
+                # constant result across the whole grid
+                fixed = self.grid.sparkSession.range(1).select(
+                    F.lit(node.at_ms).alias("step_ts")
+                )
+                one = selectors.instant_select(
+                    pts, self.label_cols, self.step_ms, self.lookback_ms, grid=fixed
+                ).drop("step_ts")
+                df = one.crossJoin(F.broadcast(self.grid))
+                return Vec(df.select(*self.label_cols, "step_ts", "value"),
+                           self.label_cols)
             df = selectors.instant_select(
                 pts, self.label_cols, self.step_ms, self.lookback_ms, grid=self.grid
             )
             return Vec(df, self.label_cols)
         if isinstance(node, A.MatrixSelector):
             return Mat(self._select_points(node.inner), node.range_ms)
+        if isinstance(node, A.Subquery):
+            # evaluate the inner expression on its own finer grid, then feed
+            # the results back in as points of a range vector
+            inner_engine = PromQLEngine(
+                self.points, self.label_cols, self.name_label,
+                step_ms=node.step_ms, lookback_ms=self.lookback_ms,
+            )
+            inner = inner_engine._eval(node.inner)
+            assert isinstance(inner, Vec), "subquery inner must be an instant vector"
+            pts = inner.df.withColumnRenamed("step_ts", "ts")
+            return Mat(pts, node.range_ms, labels=inner.labels)
         if isinstance(node, A.FunctionCall):
             return self._eval_function(node)
         if isinstance(node, A.Aggregation):
@@ -169,40 +197,45 @@ class PromQLEngine:
         if name in _RANGE_FNS:
             mat = self._eval(node.args[0])
             assert isinstance(mat, Mat), f"{name} needs a range vector"
+            keys = mat.labels or self.label_cols
             df = range_fns.extrapolated(
-                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                mat.points, keys, self.step_ms, mat.range_ms,
                 grid=self.grid, **_RANGE_FNS[name],
             )
-            return Vec(df, self.label_cols)
+            return Vec(df, tuple(keys))
         if name in _INSTANT_RANGE:
             mat = self._eval(node.args[0])
+            keys = mat.labels or self.label_cols
             df = range_fns.instantaneous(
-                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                mat.points, keys, self.step_ms, mat.range_ms,
                 is_rate=_INSTANT_RANGE[name], grid=self.grid,
             )
-            return Vec(df, self.label_cols)
+            return Vec(df, tuple(keys))
         if name in _OVER_TIME_FNS:
             mat = self._eval(node.args[0])
+            keys = mat.labels or self.label_cols
             df = range_fns.over_time(
-                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                mat.points, keys, self.step_ms, mat.range_ms,
                 _OVER_TIME_FNS[name], grid=self.grid,
             )
-            return Vec(df, self.label_cols)
+            return Vec(df, tuple(keys))
         if name == "quantile_over_time":
             q = self._eval(node.args[0])
             mat = self._eval(node.args[1])
+            keys = mat.labels or self.label_cols
             df = range_fns.over_time(
-                mat.points, self.label_cols, self.step_ms, mat.range_ms,
+                mat.points, keys, self.step_ms, mat.range_ms,
                 "quantile", quantile=q, grid=self.grid,
             )
-            return Vec(df, self.label_cols)
+            return Vec(df, tuple(keys))
         if name in ("resets", "changes"):
             mat = self._eval(node.args[0])
+            keys = mat.labels or self.label_cols
             df = range_fns.resets_changes(
-                mat.points, self.label_cols, self.step_ms, mat.range_ms, name,
+                mat.points, keys, self.step_ms, mat.range_ms, name,
                 grid=self.grid,
             )
-            return Vec(df, self.label_cols)
+            return Vec(df, tuple(keys))
         if name in _SCALAR_FNS:
             vec = self._eval(node.args[0])
             fn = _SCALAR_FNS[name]
@@ -360,6 +393,29 @@ class PromQLEngine:
         if node.op in ("and", "unless", "or"):
             df = binops.set_op(lhs.df, rhs.df, on=on, op=node.op)
             return Vec(df, lhs.labels)
+        if node.group_side and node.op in binops._ARITH:
+            # many-to-one matching: each row of the "many" side joins the
+            # single matching row of the "one" side; extra labels are
+            # carried over from the "one" side (group_left(extra))
+            many, one = (lhs, rhs) if node.group_side == "left" else (rhs, lhs)
+            extra = [l for l in node.group_labels if l in one.labels]
+            one_df = one.df.select(
+                *on, "step_ts", F.col("value").alias("_ov"), *extra
+            )
+            j = many.df.withColumnRenamed("value", "_mv").join(
+                one_df, on=on + ["step_ts"], how="inner"
+            )
+            l_col, r_col = (
+                (F.col("_mv"), F.col("_ov"))
+                if node.group_side == "left"
+                else (F.col("_ov"), F.col("_mv"))
+            )
+            value = binops._ARITH[node.op](l_col, r_col)
+            labels = tuple(dict.fromkeys(list(many.labels) + extra))
+            return Vec(
+                j.withColumn("value", value).select(*labels, "step_ts", "value"),
+                labels,
+            )
         if node.op in binops._ARITH:
             df = binops.arith(lhs.df, rhs.df, on=on, op=node.op)
             return Vec(df.select(*on, "step_ts", "value"), tuple(on))

@@ -1035,6 +1035,36 @@ WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
 GROUP BY 1, 2, 3
 """
 
+SQL_PROMQL_SUBQUERY = _INST_SQL + f"""
+, inner_vec AS (
+  SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
+SELECT i.user_id, g.step_ts, round(avg(i.value), 6) AS value
+FROM inner_vec i, grid g
+WHERE i.step_ts > g.step_ts - {RANGE_MS} AND i.step_ts <= g.step_ts
+GROUP BY 1, 2
+"""
+
+AT_TS_MS = 1_705_276_800_000  # 2024-01-15T00:00Z
+
+SQL_PROMQL_AT = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+fixed AS (
+  SELECT p.user_id, p.event_type, arg_max(p.value, p.ts) AS value
+  FROM pts p
+  WHERE p.ts > {AT_TS_MS - LOOKBACK_MS} AND p.ts <= {AT_TS_MS}
+    AND p.event_type = 'purchase'
+  GROUP BY 1, 2)
+SELECT f.user_id, f.event_type, g.step_ts, round(f.value, 6) AS value
+FROM fixed f, grid g
+"""
+
+SQL_PROMQL_GROUP_LEFT = _INST_SQL + """
+, tot AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
+SELECT i.user_id, i.event_type, i.step_ts, round(i.value / t.value, 6) AS value
+FROM inst i JOIN tot t ON i.user_id = t.user_id AND i.step_ts = t.step_ts
+"""
+
 SQL_PROMQL_CMP_FILTER = f"""
 WITH pts AS ({_PTS}),
 {_grid_sql()},
@@ -1143,5 +1173,17 @@ CATALOG: dict[str, QueryDef] = {
     "promql_offset": QueryDef(_promql("purchase offset 7d"), SQL_PROMQL_OFFSET),
     "promql_cmp_filter": QueryDef(
         _promql("avg_over_time(purchase[14d]) > 100"), SQL_PROMQL_CMP_FILTER
+    ),
+    "promql_subquery": QueryDef(
+        _promql('avg_over_time(sum by (user_id) ({__name__=~".+"})[14d:1d])'),
+        SQL_PROMQL_SUBQUERY,
+    ),
+    "promql_at_modifier": QueryDef(
+        _promql(f"purchase @ {AT_TS_MS // 1000}"), SQL_PROMQL_AT
+    ),
+    "promql_group_left": QueryDef(
+        _promql('{__name__=~".+"} / on(user_id) group_left'
+                ' sum by (user_id) ({__name__=~".+"})'),
+        SQL_PROMQL_GROUP_LEFT,
     ),
 }

@@ -92,6 +92,23 @@ def test_parse_unary():
     assert got == Unary("-", VectorSelector("a"))
 
 
+def test_parse_subquery():
+    from squirreldb_spark.promql.ast import Subquery
+
+    got = parse("avg_over_time(sum(m)[1h:5m])")
+    sub = got.args[0]
+    assert isinstance(sub, Subquery)
+    assert sub.range_ms == 3_600_000 and sub.step_ms == 300_000
+    assert isinstance(sub.inner, Aggregation)
+
+
+def test_parse_at_modifier():
+    got = parse("m @ 1705276800")
+    assert got == VectorSelector("m", (), 0, 1_705_276_800_000)
+    got2 = parse("rate(m[5m] @ 1705276800)")
+    assert got2.args[0].inner.at_ms == 1_705_276_800_000
+
+
 def test_durations():
     assert duration_ms("5m") == 300_000
     assert duration_ms("14d") == 14 * 86_400_000
