@@ -199,6 +199,22 @@ FROM rs GROUP BY 1, 2, 3
 """
 
 
+def _q_over_time(fn: str):
+    def run(spark, sf_dir):
+        df = range_fns.over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, fn)
+        return _round(df, {"value": 6})
+
+    return run
+
+
+def _sql_over_time(agg_expr: str) -> str:
+    return f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()}
+SELECT user_id, event_type, step_ts, round({agg_expr}, 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
 def q_rate(spark, sf_dir):
     df = range_fns.extrapolated(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=True
@@ -1102,6 +1118,17 @@ CATALOG: dict[str, QueryDef] = {
     "ts_downsample_5m": QueryDef(q_downsample, SQL_DOWNSAMPLE),
     "ts_instant_selector": QueryDef(q_instant, SQL_INSTANT),
     "ts_avg_over_time": QueryDef(q_range_avg, SQL_RANGE_AVG),
+    "ts_sum_over_time": QueryDef(_q_over_time("sum"), _sql_over_time("sum(value)")),
+    "ts_minmax_over_time": QueryDef(_q_over_time("min"), _sql_over_time("min(value)")),
+    "ts_count_over_time": QueryDef(
+        _q_over_time("count"), _sql_over_time("count(*)::DOUBLE")
+    ),
+    "ts_last_over_time": QueryDef(
+        _q_over_time("last"), _sql_over_time("arg_max(value, ts)")
+    ),
+    "ts_stddev_over_time": QueryDef(
+        _q_over_time("stddev"), _sql_over_time("coalesce(stddev_pop(value), 0.0)")
+    ),
     "ts_quantile_over_time": QueryDef(q_range_quantile, SQL_RANGE_QUANTILE),
     "ts_rate": QueryDef(q_rate, _extrapolated_sql(RANGE_MS, True, True)),
     "ts_increase": QueryDef(q_increase, _extrapolated_sql(RANGE_MS, True, False)),
