@@ -120,6 +120,58 @@ def ann_lsh(
     )
 
 
+def ann_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 8,
+    cent_base: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
+
+    Centroids are the ``n_cells`` corpus vectors at ids ``cent_base..`` —
+    deterministic (no trained k-means), so the DuckDB oracle can replay the
+    exact same partitioning. Every vector is assigned to its nearest
+    centroid (rounded cosine, cell-id tie-break); a query probes its
+    ``nprobe`` nearest cells and reranks only those cells' members.
+
+    Scale shape: the centroid table is broadcast, so assignment is a
+    map-side pass over the corpus scan; the candidate join shuffles by
+    ``cell`` — the classic IVF cost model (scan / n_cells * nprobe per
+    query) instead of the brute-force full scan.
+    """
+    from pyspark.sql import Window
+
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    cents = base.filter(
+        (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + n_cells)
+    ).select((F.col(id_col) - cent_base).alias("cell"), F.col("v").alias("cent"))
+    ac = with_cosine(
+        base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
+    ).withColumn("ccos", F.round(F.col("ccos"), 6))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = ac.withColumn("crank", F.row_number().over(w))
+    cells = assigned.filter(F.col("crank") == 1).select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell"
+    )
+    probes = assigned.filter(
+        (F.col(id_col) < n_queries) & (F.col("crank") <= nprobe)
+    ).select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "cell")
+    j = cells.join(probes, on="cell").filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", "cosine", "rank")
+    )
+
+
 # ----------------------------------------------------------- DuckDB oracles
 
 _DUCK_DOT = (
@@ -156,6 +208,33 @@ def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
         dot = _DUCK_DOT.format(a=vec, b=arr)
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")"
+
+
+def sql_ann_ivf(
+    k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
+    nprobe: int = 2,
+) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id - {cent_base} AS cell, v AS cent FROM base
+          WHERE vec_id >= {cent_base} AND vec_id < {cent_base + n_cells}),
+ac AS (
+  SELECT base.vec_id, base.v, cents.cell, {_duck_cos('base.v', 'cents.cent')} AS ccos
+  FROM base, cents),
+assigned AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
+  FROM ac),
+cells AS (SELECT vec_id AS c_id, v AS cv, cell FROM assigned WHERE crank = 1),
+probes AS (SELECT vec_id AS q_id, v AS qv, cell FROM assigned
+           WHERE vec_id < {n_queries} AND crank <= {nprobe}),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM cells JOIN probes USING (cell) WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
 
 
 def sql_ann_lsh(k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = 64) -> str:

@@ -74,6 +74,21 @@ _SCALAR_FNS: dict[str, object] = {
     "log10": F.log10,
     "sqrt": F.sqrt,
     "sgn": F.signum,
+    # trigonometric family (Prometheus 2.31+)
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "asinh": F.asinh,
+    "acosh": F.acosh,
+    "atanh": F.atanh,
+    "deg": F.degrees,
+    "rad": F.radians,
 }
 
 
@@ -115,8 +130,8 @@ class PromQLEngine:
 
     # ---------------------------------------------------------- selector
 
-    def _select_points(self, sel: A.VectorSelector) -> DataFrame:
-        pts = self.points
+    def _select_points(self, sel: A.VectorSelector, points: DataFrame | None = None) -> DataFrame:
+        pts = self.points if points is None else points
         if sel.offset_ms:
             # offset shifts the evaluation window into the past: a sample at
             # t appears at t + offset
@@ -277,9 +292,42 @@ class PromQLEngine:
             df = fns.holt_winters(mat.points, self.label_cols, self.step_ms,
                                   mat.range_ms, sf=sf, tf=tf, grid=self.grid)
             return Vec(df, self.label_cols)
+        if name == "pi":
+            import math
+
+            return math.pi
+        if name == "time":
+            # per-step scalar: evaluation time in epoch seconds
+            return Vec(
+                self.grid.select(
+                    "step_ts", (F.col("step_ts") / F.lit(1000.0)).alias("value")
+                ),
+                (),
+            )
         if name == "absent":
             vec = self._eval(node.args[0])
             return Vec(fns.absent(vec.df, self.grid, vec.labels), ())
+        if name == "absent_over_time":
+            mat = self._eval(node.args[0])
+            keys = mat.labels or self.label_cols
+            present = range_fns.over_time(
+                mat.points, keys, self.step_ms, mat.range_ms, "present",
+                grid=self.grid,
+            )
+            return Vec(fns.absent(present, self.grid, keys), ())
+        if name == "histogram_quantile":
+            q = float(self._eval(node.args[0]))
+            vec = self._eval(node.args[1])
+            if "le" not in vec.labels:
+                raise ValueError("histogram_quantile needs an 'le' label column")
+            groups = [l for l in vec.labels if l != "le"]
+            buckets = vec.df.withColumn(
+                "le",
+                F.when(F.col("le").isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+                .otherwise(F.col("le").cast("double")),
+            )
+            df = fns.histogram_quantile(buckets, q, groups)
+            return Vec(df, tuple(groups))
         if name in ("minute", "hour", "day_of_week", "day_of_month", "day_of_year",
                     "month", "year", "days_in_month"):
             vec = self._eval(node.args[0])
@@ -312,7 +360,24 @@ class PromQLEngine:
             order = F.asc("value") if name == "sort" else F.desc("value")
             return Vec(vec.df.orderBy(order), vec.labels)
         if name == "timestamp":
-            vec = self._eval(node.args[0])
+            arg = node.args[0]
+            if isinstance(arg, A.VectorSelector) and arg.at_ms is None:
+                # the timestamp OF THE SAMPLE the instant selector resolves
+                # to: rewrite value := sample ts (seconds) before the offset
+                # shift, then run the normal as-of selection
+                pts = self._select_points(
+                    arg,
+                    points=self.points.withColumn(
+                        "value", F.col("ts") / F.lit(1000.0)
+                    ),
+                )
+                df = selectors.instant_select(
+                    pts, self.label_cols, self.step_ms, self.lookback_ms,
+                    grid=self.grid,
+                )
+                return Vec(df, self.label_cols)
+            # derived vectors carry samples AT the evaluation step
+            vec = self._eval(arg)
             return Vec(
                 vec.df.withColumn("value", (F.col("step_ts") / 1000).cast("double")),
                 vec.labels,
@@ -382,7 +447,44 @@ class PromQLEngine:
             return Vec(vec.df.withColumn("value", cond.cast("double")), vec.labels)
         return Vec(vec.df.filter(cond), vec.labels)
 
+    def _vector_stepscalar(self, node: A.BinaryOp, lhs: Vec, rhs: Vec):
+        """Binop where one side is a label-less per-step vector.
+
+        Deviation from strict PromQL 1:1 matching (which would demand equal
+        label sets): the label-less side behaves like ``scalar()`` — matched
+        per step against every series of the other side. This is the only
+        useful reading for ``time() - timestamp(m)``-style expressions.
+        """
+        scalar_side, vec_side, vec_left = (
+            (rhs, lhs, True) if rhs.labels == () else (lhs, rhs, False)
+        )
+        s = scalar_side.df.select("step_ts", F.col("value").alias("_sv"))
+        j = vec_side.df.withColumnRenamed("value", "_vv").join(s, on="step_ts")
+        a, b = (
+            (F.col("_vv"), F.col("_sv")) if vec_left else (F.col("_sv"), F.col("_vv"))
+        )
+        out_cols = [*vec_side.labels, "step_ts", "value"]
+        if node.op in binops._ARITH:
+            value = binops._ARITH[node.op](a, b)
+            return Vec(j.withColumn("value", value).select(*out_cols), vec_side.labels)
+        cond = binops._CMP[node.op](a, b)
+        if node.bool_mode:
+            return Vec(
+                j.withColumn("value", cond.cast("double")).select(*out_cols),
+                vec_side.labels,
+            )
+        return Vec(
+            j.filter(cond).withColumn("value", F.col("_vv")).select(*out_cols),
+            vec_side.labels,
+        )
+
     def _vector_vector(self, node: A.BinaryOp, lhs: Vec, rhs: Vec):
+        if (lhs.labels == () or rhs.labels == ()) and node.op not in (
+            "and", "or", "unless"
+        ):
+            # one side is a per-step scalar (time(), scalar(), vector()):
+            # join on the step only, keep the labelled side's identity
+            return self._vector_stepscalar(node, lhs, rhs)
         if node.on is not None:
             on = list(node.on)
         else:

@@ -778,6 +778,11 @@ def q_emb_ann_lsh(spark, sf_dir):
     return psim.ann_lsh(emb).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_emb_ann_ivf(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_ivf(emb).withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_mm_extract(spark, sf_dir):
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
@@ -1081,6 +1086,44 @@ SELECT i.user_id, i.event_type, i.step_ts, round(i.value / t.value, 6) AS value
 FROM inst i JOIN tot t ON i.user_id = t.user_id AND i.step_ts = t.step_ts
 """
 
+SQL_PROMQL_BOTTOMK_WITHOUT = _INST_SQL + """
+, s AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY step_ts ORDER BY value ASC, user_id) AS rank
+  FROM s)
+SELECT user_id, step_ts, round(value, 6) AS value FROM ranked WHERE rank <= 3
+"""
+
+SQL_PROMQL_AGG_GROUP = _INST_SQL + """
+SELECT user_id, step_ts, 1.0 AS value FROM inst GROUP BY 1, 2
+"""
+
+SQL_PROMQL_MODPOW = _INST_SQL + """
+SELECT user_id, event_type, step_ts, round(pow(fmod(value, 7), 2), 6) AS value
+FROM inst WHERE event_type = 'purchase'
+"""
+
+SQL_PROMQL_GROUP_RIGHT = _INST_SQL + """
+, tot AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
+SELECT i.user_id, i.event_type, i.step_ts, round(t.value - i.value, 6) AS value
+FROM inst i JOIN tot t ON i.user_id = t.user_id AND i.step_ts = t.step_ts
+"""
+
+SQL_PROMQL_ABSENT_OVER_TIME = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}
+SELECT step_ts, 1.0 AS value FROM grid
+"""
+
+SQL_PROMQL_TIME_TS = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}
+SELECT p.user_id, p.event_type, g.step_ts,
+       round(g.step_ts / 1000.0 - max(p.ts) / 1000.0, 6) AS value
+FROM pts p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+  AND p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
 SQL_PROMQL_CMP_FILTER = f"""
 WITH pts AS ({_PTS}),
 {_grid_sql()},
@@ -1119,7 +1162,12 @@ CATALOG: dict[str, QueryDef] = {
     "ts_instant_selector": QueryDef(q_instant, SQL_INSTANT),
     "ts_avg_over_time": QueryDef(q_range_avg, SQL_RANGE_AVG),
     "ts_sum_over_time": QueryDef(_q_over_time("sum"), _sql_over_time("sum(value)")),
-    "ts_minmax_over_time": QueryDef(_q_over_time("min"), _sql_over_time("min(value)")),
+    "ts_min_over_time": QueryDef(_q_over_time("min"), _sql_over_time("min(value)")),
+    "ts_max_over_time": QueryDef(_q_over_time("max"), _sql_over_time("max(value)")),
+    "ts_present_over_time": QueryDef(_q_over_time("present"), _sql_over_time("1.0")),
+    "ts_stdvar_over_time": QueryDef(
+        _q_over_time("stdvar"), _sql_over_time("coalesce(var_pop(value), 0.0)")
+    ),
     "ts_count_over_time": QueryDef(
         _q_over_time("count"), _sql_over_time("count(*)::DOUBLE")
     ),
@@ -1213,4 +1261,26 @@ CATALOG: dict[str, QueryDef] = {
                 ' sum by (user_id) ({__name__=~".+"})'),
         SQL_PROMQL_GROUP_LEFT,
     ),
+    "promql_group_right": QueryDef(
+        _promql('sum by (user_id) ({__name__=~".+"}) - on(user_id) group_right'
+                ' {__name__=~".+"}'),
+        _neg0(SQL_PROMQL_GROUP_RIGHT),
+    ),
+    "promql_bottomk_without": QueryDef(
+        _promql('bottomk(3, sum without () ({__name__=~".+"}))'),
+        SQL_PROMQL_BOTTOMK_WITHOUT,
+    ),
+    "promql_agg_group": QueryDef(
+        _promql('group by (user_id) ({__name__=~".+"})'), SQL_PROMQL_AGG_GROUP
+    ),
+    "promql_binop_modpow": QueryDef(
+        _promql("(purchase % 7) ^ 2"), SQL_PROMQL_MODPOW
+    ),
+    "promql_absent_over_time": QueryDef(
+        _promql("absent_over_time(nosuchmetric[14d])"), SQL_PROMQL_ABSENT_OVER_TIME
+    ),
+    "promql_time_timestamp": QueryDef(
+        _promql("time() - timestamp(purchase)"), SQL_PROMQL_TIME_TS
+    ),
+    "emb_ann_ivf": QueryDef(q_emb_ann_ivf, _neg0(psim.sql_ann_ivf(), ["cosine"])),
 }

@@ -25,11 +25,16 @@ def data_grid(points: DataFrame, step_ms: int, ts_col: str = "ts") -> DataFrame:
     bounds = points.agg(
         F.min(ts_col).alias("min_ts"), F.max(ts_col).alias("max_ts")
     )
+    start = f"((min_ts + {step_ms} - 1) div {step_ms}) * {step_ms}"
+    end = f"(max_ts div {step_ms}) * {step_ms}"
+    # empty array when no step falls inside [min_ts, max_ts] (sequence()
+    # rejects start > end) or the input has no rows at all
     return bounds.select(
         F.explode(
             F.expr(
-                f"sequence(((min_ts + {step_ms} - 1) div {step_ms}) * {step_ms},"
-                f" (max_ts div {step_ms}) * {step_ms}, {step_ms})"
+                f"CASE WHEN min_ts IS NOT NULL AND {start} <= {end}"
+                f" THEN sequence({start}, {end}, {step_ms})"
+                f" ELSE array() END"
             )
         ).alias("step_ts")
     )

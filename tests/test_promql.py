@@ -194,3 +194,85 @@ def test_plan_holt_winters_runs(engine):
 def test_plan_timestamp_and_vector(engine):
     out = engine.query_range("timestamp(cpu)").collect()
     assert all(r.value == r.step_ts / 1000 for r in out)
+
+
+def test_plan_timestamp_returns_sample_ts(spark):
+    """timestamp(m) is the SAMPLE's timestamp, not the eval step."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    pts = spark.createDataFrame(
+        [("a", "cpu", 12_000, 1.0), ("a", "cpu", 27_000, 2.0)],
+        "host string, name string, ts long, value double",
+    )
+    eng = PromQLEngine(pts, label_cols=("host", "name"), name_label="name",
+                       step_ms=10_000, lookback_ms=20_000)
+    out = eng.query_range("timestamp(cpu)").collect()
+    got = {r.step_ts: r.value for r in out}
+    assert got[20_000] == 12.0  # last sample before the 20s step is at 12s
+
+
+def test_data_grid_degenerate_inputs(spark):
+    from squirreldb_spark.tsdb.grid import data_grid
+
+    one = spark.createDataFrame([(12_000, 1.0)], "ts long, value double")
+    assert data_grid(one, 10_000).collect() == []  # no step inside [12s, 12s]
+    empty = one.filter("ts < 0")
+    assert data_grid(empty, 10_000).collect() == []
+
+
+def test_plan_time_minus_timestamp(engine):
+    out = engine.query_range("time() - timestamp(cpu)").collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    # every sample lands exactly on a step in the fixture -> age 0
+    assert all(v == 0.0 for v in got.values())
+    assert len(got) > 0
+
+
+def test_plan_trig_and_pi(engine):
+    import math
+
+    out = engine.query_range("cos(cpu * (pi() / pi()) * 0)").collect()
+    assert all(r.value == pytest.approx(math.cos(0.0)) for r in out)
+    out = engine.query_range("deg(rad(cpu))").collect()
+    src = engine.query_range("cpu").collect()
+    assert sorted(r.value for r in out) == pytest.approx(
+        sorted(float(r.value) for r in src)
+    )
+
+
+def test_plan_absent_over_time(engine):
+    out = engine.query_range("absent_over_time(nosuch[20s])").collect()
+    # present at every grid step since the metric never exists
+    assert sorted(r.step_ts for r in out) == [10_000, 20_000, 30_000]
+    assert all(r.value == 1.0 for r in out)
+    gone = engine.query_range("absent_over_time(cpu[20s])").collect()
+    assert gone == []
+
+
+def test_plan_histogram_quantile(spark):
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = []
+    # one histogram: buckets le=1 (cum 5), le=2 (cum 9), +Inf (cum 10)
+    for le, cum in [("1", 5.0), ("2", 9.0), ("+Inf", 10.0)]:
+        rows.append(("api", le, 10_000, cum))
+    pts = spark.createDataFrame(rows, "job string, le string, ts long, value double")
+    eng = PromQLEngine(pts, label_cols=("job", "le"), name_label="job",
+                       step_ms=10_000, lookback_ms=20_000)
+    out = eng.query_range("histogram_quantile(0.5, api)").collect()
+    got = {r.step_ts: r.value for r in out}
+    # rank = 0.5*10 = 5 -> exactly the le=1 bucket boundary
+    assert got[10_000] == pytest.approx(1.0)
+
+
+def test_plan_bottomk_and_group(engine):
+    out = engine.query_range("bottomk(1, cpu)").collect()
+    per_step = {}
+    for r in out:
+        per_step.setdefault(r.step_ts, []).append((r.host, r.value))
+    for step, rows in per_step.items():
+        assert len(rows) == 1
+    # host b is always the smaller counter (except the tied start)
+    assert per_step[30_000][0][0] == "b"
+    grp = engine.query_range("group by (name) (cpu)").collect()
+    assert all(r.value == 1.0 for r in grp)
