@@ -1,0 +1,220 @@
+"""Prometheus-compatible query API surface (SURVEY §2 "Set/DDL API operators").
+
+The reference exposes ``/api/v1/query``, ``/query_range``, ``/series``,
+``/labels``, ``/label/<name>/values`` plus remote read/write over HTTP
+(reference api/api.go:209-341), with per-request headers driving tenancy,
+forced matchers, limits and raw/pre-agg routing
+(api/promql/queryable.go:122-249, types/types.go:171-195).
+
+Here the same surface is a driver-side façade over the PromQL engine:
+each endpooint builds ONE DataFrame program; HTTP/JSON serialization is a
+thin shell around :meth:`PromAPI.query_range` etc. (any WSGI server can
+wrap this — the engine itself stays transport-agnostic). The per-request
+chain the reference implements as wrapper indexes/readers
+(filtering_index -> limiting_index -> caching_reader) collapses to plain
+DataFrame filters prepended to every selector:
+
+* tenant / forced matcher (A27)  -> ``points.filter(tenant == X)`` up front
+* series limit (A25)             -> count guard on the matched series dim
+* points limit (A26)             -> count guard on the scanned fact slice
+* time clamp (A28)               -> ``greatest/least`` on the request bounds
+
+Remote write protobuf/snappy codecs are not reimplemented: ingestion is the
+Structured Streaming path (``streaming.ingest``); see
+:func:`decode_remote_write` for the gated stub.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from squirreldb_spark.promql.planner import PromQLEngine
+
+# reference api/promql/time_range_index.go:29-87: clamp query times into
+# [epoch, year 3000]
+MIN_TS_MS = 0
+MAX_TS_MS = 32_503_680_000_000
+
+
+class LimitExceeded(Exception):
+    """A24/A25-style guard tripped (max_evaluated_series / points)."""
+
+
+@dataclass
+class RequestOptions:
+    """Per-request knobs, the reference's HTTP headers (types/types.go:171-195)."""
+
+    tenant: str | None = None             # X-SquirrelDB-Tenant
+    forced_matchers: dict[str, str] = field(default_factory=dict)  # X-...-Forced-Matcher
+    max_evaluated_series: int | None = None
+    max_evaluated_points: int | None = None
+
+
+def clamp_time(ts_ms: int) -> int:
+    return max(MIN_TS_MS, min(MAX_TS_MS, ts_ms))
+
+
+class PromAPI:
+    """The /api/v1 endpoint set over a points DataFrame.
+
+    ``points`` columns: ``(*label_cols, ts, value)`` (+ optional ``tenant``).
+    """
+
+    def __init__(
+        self,
+        points: DataFrame,
+        label_cols: tuple[str, ...] = ("user_id", "event_type"),
+        name_label: str = "event_type",
+        lookback_ms: int = 300_000,
+        tenant_col: str = "tenant",
+    ):
+        self.points = points
+        self.label_cols = tuple(label_cols)
+        self.name_label = name_label
+        self.lookback_ms = lookback_ms
+        self.tenant_col = tenant_col
+
+    # ------------------------------------------------------------ internals
+
+    def _scoped(self, opts: RequestOptions | None) -> DataFrame:
+        """Apply the implicit per-request matchers (tenant + forced)."""
+        pts = self.points
+        if opts is None:
+            return pts
+        if opts.tenant is not None:
+            if self.tenant_col not in pts.columns:
+                raise ValueError("points have no tenant column")
+            pts = pts.filter(F.col(self.tenant_col) == opts.tenant)
+        for name, value in opts.forced_matchers.items():
+            pts = pts.filter(F.col(name).cast("string") == value)
+        return pts
+
+    def _guard(self, pts: DataFrame, start_ms: int, end_ms: int,
+               opts: RequestOptions | None) -> None:
+        """A25/A26: series / points limits on the query's fact slice."""
+        if opts is None or (
+            opts.max_evaluated_series is None and opts.max_evaluated_points is None
+        ):
+            return
+        sl = pts.filter(
+            (F.col("ts") > start_ms - self.lookback_ms) & (F.col("ts") <= end_ms)
+        )
+        if opts.max_evaluated_points is not None:
+            n = sl.count()
+            if n > opts.max_evaluated_points:
+                raise LimitExceeded(
+                    f"{n} points > max_evaluated_points={opts.max_evaluated_points}"
+                )
+        if opts.max_evaluated_series is not None:
+            n = sl.select(*self.label_cols).distinct().count()
+            if n > opts.max_evaluated_series:
+                raise LimitExceeded(
+                    f"{n} series > max_evaluated_series={opts.max_evaluated_series}"
+                )
+
+    def _engine(self, start_ms: int, end_ms: int, step_ms: int,
+                opts: RequestOptions | None) -> PromQLEngine:
+        start_ms, end_ms = clamp_time(start_ms), clamp_time(end_ms)
+        pts = self._scoped(opts)
+        self._guard(pts, start_ms, end_ms, opts)
+        return PromQLEngine(
+            pts, label_cols=self.label_cols, name_label=self.name_label,
+            step_ms=step_ms, lookback_ms=self.lookback_ms,
+            start_ms=start_ms, end_ms=end_ms,
+        )
+
+    # ------------------------------------------------------------ endpoints
+
+    def query_range(self, promql: str, start_ms: int, end_ms: int, step_ms: int,
+                    opts: RequestOptions | None = None) -> DataFrame:
+        """/api/v1/query_range -> (labels..., step_ts, value)."""
+        return self._engine(start_ms, end_ms, step_ms, opts).query_range(promql)
+
+    def query(self, promql: str, time_ms: int,
+              opts: RequestOptions | None = None) -> DataFrame:
+        """/api/v1/query (instant): a range query with a single step."""
+        return self.query_range(promql, time_ms, time_ms, 1, opts)
+
+    def series(self, matchers: str, start_ms: int, end_ms: int,
+               opts: RequestOptions | None = None) -> DataFrame:
+        """/api/v1/series: the distinct label sets active in [start, end].
+
+        ``matchers`` is a PromQL selector string (``{job="api"}``). Mirrors
+        the reference's early-exit "series" scan (tsdb/read.go:392-396):
+        Catalyst stops at the distinct of the pruned slice — no values read.
+        """
+        eng = PromQLEngine(
+            self._scoped(opts), label_cols=self.label_cols,
+            name_label=self.name_label, step_ms=1, lookback_ms=self.lookback_ms,
+            start_ms=0, end_ms=0,
+        )
+        from squirreldb_spark.promql.parser import parse
+
+        sel = parse(matchers)
+        pts = eng._select_points(sel).filter(
+            (F.col("ts") >= clamp_time(start_ms)) & (F.col("ts") <= clamp_time(end_ms))
+        )
+        return pts.select(*self.label_cols).distinct()
+
+    def labels(self, opts: RequestOptions | None = None) -> list[str]:
+        """/api/v1/labels — fixed-schema label columns (+ __name__)."""
+        return sorted(set(self.label_cols) | {"__name__"})
+
+    def label_values(self, name: str,
+                     opts: RequestOptions | None = None) -> DataFrame:
+        """/api/v1/label/<name>/values."""
+        col = self.name_label if name == "__name__" else name
+        if col not in self.label_cols:
+            raise ValueError(f"unknown label {name!r}")
+        return (
+            self._scoped(opts)
+            .select(F.col(col).cast("string").alias("value"))
+            .distinct()
+            .orderBy("value")
+        )
+
+    # --------------------------------------------------------- serialization
+
+    def format_matrix(self, df: DataFrame, limit: int = 10_000) -> dict:
+        """Render a query_range result as the Prometheus JSON body.
+
+        Driver-side by construction (an API response IS a collect); ``limit``
+        bounds the rows pulled to the driver.
+        """
+        rows = df.limit(limit).collect()
+        series: dict[tuple, dict] = {}
+        label_names = [c for c in df.columns if c not in ("step_ts", "value")]
+        for r in rows:
+            key = tuple(str(r[l]) for l in label_names)
+            entry = series.setdefault(
+                key,
+                {"metric": dict(zip(label_names, key)), "values": []},
+            )
+            entry["values"].append([r["step_ts"] / 1000.0, str(r["value"])])
+        for entry in series.values():
+            entry["values"].sort(key=lambda v: v[0])
+        return {
+            "status": "success",
+            "data": {"resultType": "matrix", "result": list(series.values())},
+        }
+
+
+def decode_remote_write(body: bytes) -> DataFrame:
+    """Prometheus remote-write protobuf+snappy decode (reference A1).
+
+    The protobuf/snappy libraries are not available in this environment;
+    production ingestion is the Structured Streaming path
+    (``streaming.ingest``). Gated stub per the build rules.
+    """
+    try:
+        import snappy  # noqa: F401
+        from prometheus_pb2 import WriteRequest  # noqa: F401
+    except ImportError as exc:  # pragma: no cover
+        raise NotImplementedError(
+            "remote-write protobuf codec requires python-snappy + prompb; "
+            "use streaming.ingest for ingestion"
+        ) from exc
+    raise NotImplementedError

@@ -107,13 +107,22 @@ class PromQLEngine:
         name_label: str = "event_type",
         step_ms: int = 86_400_000,
         lookback_ms: int = 432_000_000,
+        start_ms: int | None = None,
+        end_ms: int | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
         self.name_label = name_label
         self.step_ms = step_ms
         self.lookback_ms = lookback_ms
-        self.grid = data_grid(points, step_ms)
+        if start_ms is not None and end_ms is not None:
+            # explicit query_range bounds: steps = start, start+step, ..., end
+            spark = points.sparkSession
+            self.grid = spark.range(start_ms, end_ms + 1, step_ms).select(
+                F.col("id").alias("step_ts")
+            )
+        else:
+            self.grid = data_grid(points, step_ms)
 
     # ------------------------------------------------------------ public
 

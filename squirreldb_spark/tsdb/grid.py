@@ -40,22 +40,35 @@ def data_grid(points: DataFrame, step_ms: int, ts_col: str = "ts") -> DataFrame:
     )
 
 
+def bucket_size_ms(step_ms: int, range_ms: int) -> int:
+    """Bucket width for the range-join rewrite.
+
+    ``step_ms`` minimizes false pairs (each point meets exactly the steps
+    whose window covers it), but a step much finer than the range (instant
+    queries use step=1 ms) would explode the grid side by
+    ``range/step`` rows per step. Floor the width at ``range/32`` so the
+    grid-side blowup is bounded by 33 rows per step while the residual
+    filter still discards only a ~3% overshoot per bucket.
+    """
+    return max(step_ms, range_ms // 32, 1)
+
+
 def grid_with_buckets(grid: DataFrame, step_ms: int, range_ms: int) -> DataFrame:
-    """Explode each grid step into the ``step_ms``-sized bucket ids its
-    lookback window ``(step_ts - range_ms, step_ts]`` overlaps.
+    """Explode each grid step into the bucket ids its lookback window
+    ``(step_ts - range_ms, step_ts]`` overlaps.
 
     This turns the range join "point.ts in window(step)" into a plain
     equi-join on ``bucket`` + a residual filter — a broadcastable hash join
     instead of a nested-loop theta join. Blowup factor is
-    ``range_ms/step_ms + 1`` rows per step, on the tiny side only.
+    ``range_ms/bucket + 1`` rows per step, on the tiny side only.
     """
-    n_buckets = range_ms // step_ms + 1
+    bucket_ms = bucket_size_ms(step_ms, range_ms)
     return grid.select(
         "step_ts",
         F.explode(
             F.expr(
-                f"sequence((step_ts - {range_ms}) div {step_ms},"
-                f" step_ts div {step_ms})"
+                f"sequence((step_ts - {range_ms}) div {bucket_ms},"
+                f" step_ts div {bucket_ms})"
             )
         ).alias("bucket"),
-    ) if n_buckets > 0 else grid
+    )

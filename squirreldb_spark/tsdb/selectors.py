@@ -25,7 +25,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from squirreldb_spark.tsdb.grid import data_grid, grid_with_buckets
+from squirreldb_spark.tsdb.grid import bucket_size_ms, data_grid, grid_with_buckets
 
 LOOKBACK_MS = 300_000  # PromQL lookback delta, api/promql/engine.go:43
 
@@ -96,7 +96,8 @@ def range_select(
         grid = data_grid(points, step_ms)
     keys = list(series_keys)
     gb = grid_with_buckets(grid, step_ms, range_ms)
-    pts = points.withColumn("bucket", F.expr(f"ts div {step_ms}"))
+    bucket_ms = bucket_size_ms(step_ms, range_ms)
+    pts = points.withColumn("bucket", F.expr(f"ts div {bucket_ms}"))
     joined = pts.join(F.broadcast(gb), on="bucket", how="inner").filter(
         (F.col("ts") > F.col("step_ts") - F.lit(range_ms))
         & (F.col("ts") <= F.col("step_ts"))

@@ -1,0 +1,111 @@
+"""Endpoint-level tests for the /api/v1 façade (reference api/api.go:209-341)."""
+
+import pytest
+
+from squirreldb_spark.api import (
+    MAX_TS_MS,
+    LimitExceeded,
+    PromAPI,
+    RequestOptions,
+    clamp_time,
+)
+
+H = 3_600_000
+
+
+@pytest.fixture(scope="module")
+def api(spark):
+    rows = []
+    for h in range(1, 25):  # hourly samples across one day, 2 tenants
+        rows.append(("a", "cpu", "t1", h * H, float(h)))
+        rows.append(("b", "cpu", "t2", h * H, float(h * 2)))
+    pts = spark.createDataFrame(
+        rows, "host string, name string, tenant string, ts long, value double"
+    )
+    return PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                   lookback_ms=2 * H)
+
+
+def test_query_range_explicit_grid(api):
+    out = api.query_range("cpu", start_ms=6 * H, end_ms=10 * H, step_ms=2 * H)
+    steps = sorted({r.step_ts for r in out.collect()})
+    assert steps == [6 * H, 8 * H, 10 * H]
+
+
+def test_instant_query_single_step(api):
+    out = api.query("cpu", time_ms=12 * H).collect()
+    assert {r.step_ts for r in out} == {12 * H}
+    got = {r.host: r.value for r in out}
+    assert got == {"a": 12.0, "b": 24.0}
+
+
+def test_instant_query_with_range_function(api):
+    # step=1ms with a wide range must not explode the bucket join
+    out = api.query("sum_over_time(cpu[6h])", time_ms=12 * H).collect()
+    got = {r.host: r.value for r in out}
+    # samples at 7..12 for host a -> 57; doubled for host b
+    assert got == {"a": 57.0, "b": 114.0}
+
+
+def test_tenant_scoping(api):
+    out = api.query("cpu", time_ms=12 * H, opts=RequestOptions(tenant="t1")).collect()
+    assert [r.host for r in out] == ["a"]
+
+
+def test_forced_matcher(api):
+    opts = RequestOptions(forced_matchers={"host": "b"})
+    out = api.query("cpu", time_ms=12 * H, opts=opts).collect()
+    assert [r.host for r in out] == ["b"]
+
+
+def test_series_limit_trips(api):
+    opts = RequestOptions(max_evaluated_series=1)
+    with pytest.raises(LimitExceeded):
+        api.query("cpu", time_ms=12 * H, opts=opts)
+
+
+def test_points_limit_trips(api):
+    opts = RequestOptions(max_evaluated_points=3)
+    with pytest.raises(LimitExceeded):
+        api.query_range("cpu", 1 * H, 24 * H, H, opts=opts)
+
+
+def test_limits_pass_under_threshold(api):
+    opts = RequestOptions(max_evaluated_series=10, max_evaluated_points=1000)
+    assert api.query("cpu", time_ms=12 * H, opts=opts).count() == 2
+
+
+def test_series_endpoint(api):
+    out = api.series('{name="cpu"}', 0, 48 * H).collect()
+    assert sorted((r.host, r.name) for r in out) == [("a", "cpu"), ("b", "cpu")]
+
+
+def test_labels_and_label_values(api):
+    assert api.labels() == ["__name__", "host", "name"]
+    vals = [r.value for r in api.label_values("host").collect()]
+    assert vals == ["a", "b"]
+    assert [r.value for r in api.label_values("__name__").collect()] == ["cpu"]
+    with pytest.raises(ValueError):
+        api.label_values("nope")
+
+
+def test_time_clamp():
+    assert clamp_time(-5) == 0
+    assert clamp_time(MAX_TS_MS + 1) == MAX_TS_MS
+
+
+def test_format_matrix(api):
+    body = api.format_matrix(api.query_range("cpu", 6 * H, 8 * H, 2 * H))
+    assert body["status"] == "success"
+    assert body["data"]["resultType"] == "matrix"
+    result = body["data"]["result"]
+    assert len(result) == 2  # one entry per series
+    a = next(e for e in result if e["metric"]["host"] == "a")
+    assert a["values"] == [[21600.0, "6.0"], [28800.0, "8.0"]]
+
+
+def test_remote_write_codec_is_gated():
+    from squirreldb_spark.api import decode_remote_write
+
+    with pytest.raises(NotImplementedError):
+        decode_remote_write(b"")
