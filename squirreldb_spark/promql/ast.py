@@ -39,6 +39,7 @@ class Subquery:
     inner: object
     range_ms: int
     step_ms: int
+    offset_ms: int = 0
 
 
 @dataclass(frozen=True)

@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<duration>\d+(?:ms|s|m|h|d|w|y))
-  | (?P<number>\d+\.\d*|\.\d+|\d+|0x[0-9a-fA-F]+)
+  | (?P<number>0x[0-9a-fA-F]+|(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:|@)
   | (?P<ident>[a-zA-Z_:][a-zA-Z0-9_:]*)
@@ -145,26 +145,29 @@ class Parser:
         return lhs
 
     def expr_mul(self):
-        lhs = self.expr_pow()
+        lhs = self.expr_unary()
         while self.peek()[1] in ("*", "/", "%"):
             op = self.next()[1]
             mods = self._matching_modifiers()
-            lhs = BinaryOp(op, lhs, self.expr_pow(), **mods)
-        return lhs
-
-    def expr_pow(self):
-        lhs = self.expr_unary()
-        if self.peek()[1] == "^":
-            self.next()
-            mods = self._matching_modifiers()
-            return BinaryOp("^", lhs, self.expr_pow(), **mods)  # right-assoc
+            lhs = BinaryOp(op, lhs, self.expr_unary(), **mods)
         return lhs
 
     def expr_unary(self):
+        # unary binds looser than ^ (PromQL: -1^2 == -(1^2)) but tighter
+        # than * / %
         if self.peek()[1] in ("-", "+"):
             op = self.next()[1]
             return Unary(op, self.expr_unary())
-        return self.expr_postfix()
+        return self.expr_pow()
+
+    def expr_pow(self):
+        lhs = self.expr_postfix()
+        if self.peek()[1] == "^":
+            self.next()
+            mods = self._matching_modifiers()
+            # right-assoc; rhs may carry a unary sign (2^-3)
+            return BinaryOp("^", lhs, self.expr_unary(), **mods)
+        return lhs
 
     def expr_postfix(self):
         expr = self.atom()
@@ -188,11 +191,14 @@ class Parser:
                 expr = MatrixSelector(expr, duration_ms(val))
             elif self.peek() == ("ident", "offset"):
                 self.next()
+                neg = self.accept("-")
                 kind, val = self.next()
                 if kind != "duration":
                     raise ParseError("expected duration after offset")
-                off = duration_ms(val)
-                if isinstance(expr, MatrixSelector):
+                off = -duration_ms(val) if neg else duration_ms(val)
+                if isinstance(expr, Subquery):
+                    expr = Subquery(expr.inner, expr.range_ms, expr.step_ms, off)
+                elif isinstance(expr, MatrixSelector):
                     expr = MatrixSelector(
                         VectorSelector(expr.inner.name, expr.inner.matchers, off,
                                        expr.inner.at_ms),
@@ -260,6 +266,12 @@ class Parser:
         if val == "{":
             return self._selector(None)
         if kind == "ident":
+            if val.lower() == "inf":
+                self.next()
+                return NumberLiteral(float("inf"))
+            if val.lower() == "nan":
+                self.next()
+                return NumberLiteral(float("nan"))
             if val in AGG_OPS:
                 return self._aggregation()
             if self.peek(1)[1] == "(":

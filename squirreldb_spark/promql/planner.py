@@ -207,6 +207,8 @@ class PromQLEngine:
             inner = inner_engine._eval(node.inner)
             assert isinstance(inner, Vec), "subquery inner must be an instant vector"
             pts = inner.df.withColumnRenamed("step_ts", "ts")
+            if node.offset_ms:
+                pts = pts.withColumn("ts", F.col("ts") + F.lit(node.offset_ms))
             return Mat(pts, node.range_ms, labels=inner.labels)
         if isinstance(node, A.FunctionCall):
             return self._eval_function(node)
@@ -221,7 +223,7 @@ class PromQLEngine:
         if name in _RANGE_FNS:
             mat = self._eval(node.args[0])
             assert isinstance(mat, Mat), f"{name} needs a range vector"
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.extrapolated(
                 mat.points, keys, self.step_ms, mat.range_ms,
                 grid=self.grid, **_RANGE_FNS[name],
@@ -229,7 +231,7 @@ class PromQLEngine:
             return Vec(df, tuple(keys))
         if name in _INSTANT_RANGE:
             mat = self._eval(node.args[0])
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.instantaneous(
                 mat.points, keys, self.step_ms, mat.range_ms,
                 is_rate=_INSTANT_RANGE[name], grid=self.grid,
@@ -237,7 +239,7 @@ class PromQLEngine:
             return Vec(df, tuple(keys))
         if name in _OVER_TIME_FNS:
             mat = self._eval(node.args[0])
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms,
                 _OVER_TIME_FNS[name], grid=self.grid,
@@ -246,7 +248,7 @@ class PromQLEngine:
         if name == "quantile_over_time":
             q = self._eval(node.args[0])
             mat = self._eval(node.args[1])
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms,
                 "quantile", quantile=q, grid=self.grid,
@@ -254,7 +256,7 @@ class PromQLEngine:
             return Vec(df, tuple(keys))
         if name in ("resets", "changes"):
             mat = self._eval(node.args[0])
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.resets_changes(
                 mat.points, keys, self.step_ms, mat.range_ms, name,
                 grid=self.grid,
@@ -262,6 +264,25 @@ class PromQLEngine:
             return Vec(df, tuple(keys))
         if name in _SCALAR_FNS:
             vec = self._eval(node.args[0])
+            if isinstance(vec, (int, float)):
+                import math
+
+                py = {
+                    "abs": abs, "ceil": math.ceil, "floor": math.floor,
+                    "exp": math.exp, "ln": math.log, "log2": math.log2,
+                    "log10": math.log10, "sqrt": math.sqrt,
+                    "sgn": lambda x: float((x > 0) - (x < 0)),
+                    "sin": math.sin, "cos": math.cos, "tan": math.tan,
+                    "asin": math.asin, "acos": math.acos, "atan": math.atan,
+                    "sinh": math.sinh, "cosh": math.cosh, "tanh": math.tanh,
+                    "asinh": math.asinh, "acosh": math.acosh,
+                    "atanh": math.atanh, "deg": math.degrees,
+                    "rad": math.radians,
+                }[name]
+                try:
+                    return float(py(vec))
+                except ValueError:
+                    return float("nan")
             fn = _SCALAR_FNS[name]
             return Vec(vec.df.withColumn("value", fn(F.col("value"))), vec.labels)
         if name == "round":
@@ -318,7 +339,7 @@ class PromQLEngine:
             return Vec(fns.absent(vec.df, self.grid, vec.labels), ())
         if name == "absent_over_time":
             mat = self._eval(node.args[0])
-            keys = mat.labels or self.label_cols
+            keys = mat.labels if mat.labels is not None else self.label_cols
             present = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms, "present",
                 grid=self.grid,
@@ -328,7 +349,9 @@ class PromQLEngine:
             q = float(self._eval(node.args[0]))
             vec = self._eval(node.args[1])
             if "le" not in vec.labels:
-                raise ValueError("histogram_quantile needs an 'le' label column")
+                # series without an "le" label are ignored (upstream drops
+                # them) -> empty vector, not an error
+                return Vec(vec.df.filter(F.lit(False)), vec.labels)
             groups = [l for l in vec.labels if l != "le"]
             buckets = vec.df.withColumn(
                 "le",
@@ -339,7 +362,11 @@ class PromQLEngine:
             return Vec(df, tuple(groups))
         if name in ("minute", "hour", "day_of_week", "day_of_month", "day_of_year",
                     "month", "year", "days_in_month"):
-            vec = self._eval(node.args[0])
+            if not node.args:
+                # zero-arg form defaults to vector(time())
+                vec = self._eval(A.FunctionCall("time"))
+            else:
+                vec = self._eval(node.args[0])
             # PromQL date fns read the sample VALUE as epoch seconds
             ts_ms = (F.col("value") * 1000).cast("long")
             parted = fns.date_parts(
@@ -352,17 +379,42 @@ class PromQLEngine:
         if name == "label_replace":
             vec = self._eval(node.args[0])
             dst, repl, src, regex = node.args[1:5]
-            df = fns.label_replace(vec.df, dst, repl, src, regex)
+            import re as _re
+
+            _re.compile(regex)  # invalid regex is a query error (yml:188-210)
+            if not _re.match(r"^[a-zA-Z_][a-zA-Z0-9_]*$", dst):
+                raise ValueError(f"invalid destination label name {dst!r}")
+            df = vec.df
+            if src not in df.columns:
+                # a missing source label matches as the empty string
+                df = df.withColumn(src, F.lit(""))
+            df = fns.label_replace(df, dst, repl, src, regex)
+            if src not in vec.labels and src != dst:
+                df = df.drop(src)
             labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
             return Vec(df, labels)
         if name == "label_join":
             vec = self._eval(node.args[0])
             dst, sep = node.args[1], node.args[2]
-            df = fns.label_join(vec.df, dst, sep, list(node.args[3:]))
+            import re as _re
+
+            if not _re.match(r"^[a-zA-Z_][a-zA-Z0-9_]*$", dst):
+                raise ValueError(f"invalid destination label name {dst!r}")
+            sources = list(node.args[3:])
+            df = vec.df
+            for s in sources:
+                if s not in df.columns:
+                    df = df.withColumn(s, F.lit(""))
+            df = fns.label_join(df, dst, sep, sources)
+            for s in sources:
+                if s not in vec.labels and s != dst:
+                    df = df.drop(s)
             labels = vec.labels if dst in vec.labels else vec.labels + (dst,)
             return Vec(df, labels)
         if name == "vector":
             val = self._eval(node.args[0])
+            if isinstance(val, Vec):  # e.g. vector(time())
+                return Vec(val.df.select("step_ts", "value"), ())
             return Vec(self.grid.select("step_ts", F.lit(float(val)).alias("value")), ())
         if name in ("sort", "sort_desc"):
             vec = self._eval(node.args[0])
@@ -402,10 +454,10 @@ class PromQLEngine:
                 if l not in node.grouping and l != self.name_label
             )
         else:
-            by = node.grouping
-        for l in by:
-            if l not in vec.labels:
-                raise ValueError(f"grouping label {l!r} not in vector")
+            # a grouping label absent from the vector behaves as the empty
+            # value on every series (Prometheus missing-label semantics):
+            # grouping by it is a no-op, so drop it
+            by = tuple(l for l in node.grouping if l in vec.labels)
         if node.op in ("topk", "bottomk"):
             df = agg_ops.topk(
                 vec.df, by=by, series_keys=vec.labels, k=int(node.param),
@@ -426,6 +478,8 @@ class PromQLEngine:
         scalar_l = isinstance(lhs, float)
         scalar_r = isinstance(rhs, float)
         if scalar_l and scalar_r:
+            if node.op in binops._CMP and not node.bool_mode:
+                raise ValueError("comparisons between scalars must use BOOL modifier")
             return self._scalar_arith(node.op, lhs, rhs)
         if scalar_l or scalar_r:
             return self._vector_scalar(node, lhs, rhs)
@@ -435,11 +489,25 @@ class PromQLEngine:
     def _scalar_arith(op: str, a: float, b: float) -> float:
         import math
 
+        if op in ("==", "!=", "<", ">", "<=", ">="):
+            # scalar comparisons require `bool` in PromQL and yield 0/1;
+            # the caller has already validated bool_mode
+            return float(
+                {"==": a == b, "!=": a != b, "<": a < b,
+                 ">": a > b, "<=": a <= b, ">=": a >= b}[op]
+            )
+        if op == "/":
+            if b == 0:
+                return math.inf * a if a else math.nan
+            return a / b
+        if op == "^":
+            try:
+                return math.pow(a, b)
+            except (OverflowError, ValueError):
+                return math.nan
         return {
             "+": a + b, "-": a - b, "*": a * b,
-            "/": a / b if b else float("nan"),
             "%": math.fmod(a, b) if b else float("nan"),
-            "^": a ** b,
         }[op]
 
     def _vector_scalar(self, node: A.BinaryOp, lhs, rhs):

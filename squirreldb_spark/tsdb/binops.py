@@ -20,12 +20,31 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+def _ieee_div(l, r):
+    """IEEE-754 division (PromQL): x/0 = ±Inf, 0/0 = NaN.
+
+    Spark 4 runs in ANSI mode by default where /0 raises; the zero branch
+    is taken via CASE so the raw division only evaluates when r != 0.
+    """
+    return F.when(
+        r == 0,
+        F.when(l > 0, F.lit(float("inf")))
+        .when(l < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan"))),
+    ).otherwise(l / r)
+
+
+def _ieee_mod(l, r):
+    """fmod with IEEE x%0 = NaN (ANSI-safe, as above)."""
+    return F.when(r == 0, F.lit(float("nan"))).otherwise(l % r)
+
+
 _ARITH = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
-    "%": lambda l, r: l % r,          # fmod on doubles, like PromQL
+    "/": _ieee_div,
+    "%": _ieee_mod,                   # fmod on doubles, like PromQL
     "^": lambda l, r: F.pow(l, r),
 }
 

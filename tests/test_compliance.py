@@ -1,0 +1,253 @@
+"""PromQL compliance-style corpus (SURVEY §5, pillar 3).
+
+Mirrors the shape of the reference's compliance suite
+(tests/promql-compliance-test/promql-test-queries.yml:35-248): the same
+operator templates with the same variant expansion, retargeted at a
+synthetic fixture. Every expanded query must PLAN (parser + planner build a
+DataFrame — Spark resolves columns eagerly, so this catches most semantic
+breakage); a stratified subset also EXECUTES and sanity-checks row counts.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from squirreldb_spark.promql import PromQLEngine
+
+# ------------------------------------------------------------------ fixture
+
+M = 60_000
+
+
+@pytest.fixture(scope="module")
+def ceng(spark):
+    rows = []
+    for i, inst in enumerate(("i1", "i2")):
+        for j, typ in enumerate(("free", "used")):
+            for t in range(13):  # every 10s over 2 minutes
+                ts = t * 10_000
+                rows.append((inst, typ, "demo_memory_usage_bytes", ts,
+                             100.0 + 10 * i + j + t))
+                rows.append((inst, typ, "demo_cpu_usage_seconds_total", ts,
+                             float(t * (i + 1))))
+        for t in range(13):
+            ts = t * 10_000
+            rows.append((inst, "", "demo_num_cpus", ts, float(i + 2)))
+            rows.append((inst, "", "demo_batch_last_success_timestamp_seconds",
+                         ts, float(ts // 1000 - 30)))
+            rows.append((inst, "", "demo_disk_usage_bytes", ts, 1000.0 + t * 5))
+    pts = spark.createDataFrame(
+        rows, "instance string, type string, name string, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=("instance", "type", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+
+
+# ------------------------------------------------------------------- corpus
+
+VARIANTS = {
+    "simpleAggrOp": ["sum", "min", "max", "avg", "count", "stddev", "stdvar", "group"],
+    "topBottomOp": ["topk", "bottomk"],
+    "binOp": ["+", "-", "*", "/", "%", "^"],
+    "compBinOp": ["==", "!=", "<", ">", "<=", ">="],
+    "arithBinOp": ["+", "-", "*", "/", "%", "^"],
+    "simpleTimeAggrOp": ["avg", "min", "max", "sum", "count", "stddev", "stdvar"],
+    "simpleMathFunc": ["abs", "ceil", "floor", "exp", "ln", "log2", "log10",
+                       "sqrt", "sgn"],
+    "extrapolatedRateFunc": ["rate", "increase", "delta"],
+    "instantRateFunc": ["irate", "idelta"],
+    "clampFunc": ["clamp_min", "clamp_max"],
+    "dateFunc": ["minute", "hour", "day_of_week", "day_of_month", "day_of_year",
+                 "month", "year", "days_in_month"],
+    "quantile": ["0.5"],
+    "range": ["1m"],
+    "offset": ["30s"],
+    "smoothingFactor": ["0.5"],
+    "trendFactor": ["0.3"],
+}
+
+TEMPLATES = [
+    # scalar literals
+    "42", "1.234", ".123", "1.23e-3", "0x3d", "Inf", "+Inf", "-Inf", "NaN",
+    # vector selectors
+    "demo_memory_usage_bytes",
+    '{__name__="demo_memory_usage_bytes"}',
+    'demo_memory_usage_bytes{type="free"}',
+    'demo_memory_usage_bytes{type!="free"}',
+    'demo_memory_usage_bytes{instance=~"i.*"}',
+    'demo_memory_usage_bytes{instance=~"host"}',
+    'demo_memory_usage_bytes{instance!~".*2"}',
+    'demo_memory_usage_bytes{type="free", instance!="i2"}',
+    '{type="free", instance!="i2"}',
+    "nonexistent_metric_name",
+    "demo_memory_usage_bytes offset {offset}",
+    "demo_memory_usage_bytes offset -{offset}",
+    # aggregation operators
+    "{simpleAggrOp}(demo_memory_usage_bytes)",
+    "{simpleAggrOp}(nonexistent_metric_name)",
+    "{simpleAggrOp} by() (demo_memory_usage_bytes)",
+    "{simpleAggrOp} by(instance) (demo_memory_usage_bytes)",
+    "{simpleAggrOp} by(instance, type) (demo_memory_usage_bytes)",
+    "{simpleAggrOp} by(nonexistent) (demo_memory_usage_bytes)",
+    "{simpleAggrOp} without() (demo_memory_usage_bytes)",
+    "{simpleAggrOp} without(instance) (demo_memory_usage_bytes)",
+    "{simpleAggrOp} without(instance, type) (demo_memory_usage_bytes)",
+    "{simpleAggrOp} without(nonexistent) (demo_memory_usage_bytes)",
+    "{topBottomOp} (3, demo_memory_usage_bytes)",
+    "{topBottomOp} by(instance) (2, demo_memory_usage_bytes)",
+    "quantile({quantile}, demo_memory_usage_bytes)",
+    "avg(max by(type) (demo_memory_usage_bytes))",
+    # binary operators
+    "1 * 2 + 4 / 6 - 10 % 2 ^ 2",
+    "demo_num_cpus + (1 {compBinOp} bool 2)",
+    "demo_memory_usage_bytes {binOp} 1.2345",
+    "demo_memory_usage_bytes {compBinOp} bool 1.2345",
+    "1.2345 {compBinOp} bool demo_memory_usage_bytes",
+    "0.12345 {binOp} demo_memory_usage_bytes",
+    "(1 * 2 + 4 / 6 - (10%7)^2) {binOp} demo_memory_usage_bytes",
+    "demo_memory_usage_bytes {binOp} (1 * 2 + 4 / 6 - 10)",
+    "timestamp(demo_memory_usage_bytes * 1)",
+    "timestamp(-demo_memory_usage_bytes)",
+    "demo_memory_usage_bytes {binOp} on(instance, type) demo_memory_usage_bytes",
+    "sum by(instance, type) (demo_memory_usage_bytes) {binOp} on(instance, type)"
+    " group_left demo_memory_usage_bytes",
+    "sum without(type) (demo_memory_usage_bytes) / on(instance)"
+    " group_left demo_memory_usage_bytes",
+    # NaN/Inf propagation
+    "demo_num_cpus * Inf",
+    "demo_num_cpus * -Inf",
+    "demo_num_cpus * NaN",
+    # unary
+    "demo_memory_usage_bytes + -(1)",
+    "-demo_memory_usage_bytes",
+    "-1 ^ 2",
+    # non-const scalars
+    "1 {arithBinOp} time()",
+    "time() {arithBinOp} 1",
+    "time() {compBinOp} bool 1",
+    "1 {compBinOp} bool time()",
+    "time() {arithBinOp} time()",
+    "time() {binOp} demo_memory_usage_bytes",
+    "demo_memory_usage_bytes {binOp} time()",
+    # functions
+    "{simpleTimeAggrOp}_over_time(demo_memory_usage_bytes[{range}])",
+    "quantile_over_time({quantile}, demo_memory_usage_bytes[{range}])",
+    "timestamp(demo_num_cpus)",
+    "timestamp(timestamp(demo_num_cpus))",
+    "{simpleMathFunc}(demo_memory_usage_bytes)",
+    "{simpleMathFunc}(-demo_memory_usage_bytes)",
+    "{extrapolatedRateFunc}(nonexistent_metric[1m])",
+    "{extrapolatedRateFunc}(demo_cpu_usage_seconds_total[{range}])",
+    "deriv(demo_disk_usage_bytes[{range}])",
+    "predict_linear(demo_disk_usage_bytes[{range}], 600)",
+    "time()",
+    'label_replace(demo_num_cpus, "job", "dest-$1", "instance", "i(.*)")',
+    'label_replace(demo_num_cpus, "job", "dest-$1", "instance", "host:(.*)")',
+    'label_replace(demo_num_cpus, "job", "value-$1", "nonexistent_src", "(.*)")',
+    'label_join(demo_num_cpus, "new_label", "-", "instance", "type")',
+    'label_join(demo_num_cpus, "type", "-", "instance")',
+    "{dateFunc}()",
+    "{dateFunc}(demo_batch_last_success_timestamp_seconds offset {offset})",
+    "{instantRateFunc}(demo_cpu_usage_seconds_total[{range}])",
+    "{clampFunc}(demo_memory_usage_bytes, 2)",
+    "clamp(demo_memory_usage_bytes, 0, 1)",
+    "clamp(demo_memory_usage_bytes, 0, 1000000000000)",
+    "resets(demo_cpu_usage_seconds_total[{range}])",
+    "changes(demo_batch_last_success_timestamp_seconds[{range}])",
+    "vector(1.23)",
+    "vector(time())",
+    "histogram_quantile(0.9, nonexistent_metric)",
+    "histogram_quantile(0.9, demo_memory_usage_bytes)",
+    "holt_winters(demo_disk_usage_bytes[1m], {smoothingFactor}, {trendFactor})",
+    'count_values("value", demo_num_cpus)',
+    "absent(demo_memory_usage_bytes)",
+    "absent(nonexistent_metric_name)",
+    "absent_over_time(nonexistent_metric_name[1m])",
+    # subqueries
+    "max_over_time(max(demo_batch_last_success_timestamp_seconds)[1m:10s]"
+    " offset 30s)",
+    "avg_over_time(rate(demo_cpu_usage_seconds_total[30s])[1m:10s])",
+    # trig
+    "deg(rad(demo_num_cpus))",
+    "atan(tan(vector(0.5)))",
+    "cos(pi())",
+]
+
+SHOULD_FAIL = [
+    'label_replace(demo_num_cpus, "job", "v-$1", "src", "(.*")',     # bad regex
+    'label_replace(demo_num_cpus, "~invalid", "", "src", "(.*)")',   # bad dst
+    'label_join(demo_num_cpus, "~invalid", "-", "instance")',        # bad dst
+    "1 > 2",                                                         # scalar cmp w/o bool
+]
+
+
+def _expand(template: str) -> list[str]:
+    out = [template]
+    for key, values in VARIANTS.items():
+        tok = "{" + key + "}"
+        nxt = []
+        for q in out:
+            if tok in q:
+                nxt.extend(q.replace(tok, v) for v in values)
+            else:
+                nxt.append(q)
+        out = nxt
+    return out
+
+
+CORPUS = [q for t in TEMPLATES for q in _expand(t)]
+
+#: every ~7th query also executes end-to-end (collect), stratified across
+#: the corpus so each operator family gets at least one execution
+EXECUTED = CORPUS[::7]
+
+
+def test_corpus_size():
+    assert len(CORPUS) > 200
+
+
+@pytest.mark.parametrize("q", CORPUS)
+def test_compliance_plans(ceng, q):
+    df = ceng.query_range(q)
+    assert "value" in df.columns and "step_ts" in df.columns
+
+
+@pytest.mark.parametrize("q", EXECUTED)
+def test_compliance_executes(ceng, q):
+    rows = ceng.query_range(q).collect()
+    assert rows is not None  # execution itself is the assertion
+
+
+@pytest.mark.parametrize("q", SHOULD_FAIL)
+def test_compliance_should_fail(ceng, q):
+    with pytest.raises(Exception):
+        ceng.query_range(q)
+
+
+# ----------------------------------------------------- golden spot checks
+
+
+def test_golden_unary_pow_precedence(ceng):
+    out = ceng.query_range("-1 ^ 2").collect()
+    assert all(r.value == -1.0 for r in out)  # -(1^2), not (-1)^2
+
+
+def test_golden_scalar_ladder(ceng):
+    out = ceng.query_range("1 * 2 + 4 / 6 - 10 % 2 ^ 2").collect()
+    assert all(r.value == pytest.approx(1 * 2 + 4 / 6 - 10 % 2**2) for r in out)
+
+
+def test_golden_num_cpus(ceng):
+    out = ceng.query_range("demo_num_cpus").collect()
+    got = {(r.instance, r.step_ts): r.value for r in out}
+    assert got[("i1", 60_000)] == 2.0 and got[("i2", 60_000)] == 3.0
+
+
+def test_golden_label_replace_missing_src(ceng):
+    # missing source label matches "" against (.*) -> dst gets "value-"
+    out = ceng.query_range(
+        'label_replace(demo_num_cpus, "job", "value-$1", "nonexistent_src", "(.*)")'
+    ).collect()
+    assert all(r.job == "value-" for r in out)
