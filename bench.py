@@ -32,6 +32,13 @@ BENCH_QUERIES = [
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
+    # PromQL-string path (parser + planner -> one Catalyst plan)
+    "promql_rate_sum",
+    # LLM-data pipeline operators
+    "doc_exact_dedup",
+    "doc_minhash_lsh_pairs",
+    "emb_cosine_knn",
+    "emb_ann_ivf",
 ]
 
 

@@ -72,6 +72,25 @@ def ngram_jaccard_pairs(
     return pairs.withColumn("jaccard", F.round(inter / union, 6))
 
 
+#: modulus for the permutation family — prime just above 2^32
+_MH_P = 4_294_967_311
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the linear permutation family.
+
+    Bounded to 2^31 so ``a * h32 + b`` stays inside a signed 64-bit int
+    (ANSI-safe in Spark, overflow-safe in DuckDB)."""
+    import hashlib as _hl
+
+    out = []
+    for i in range(num_hashes):
+        a = int(_hl.md5(f"mh_a#{i}".encode()).hexdigest()[:8], 16) % (2**31 - 1) + 1
+        b = int(_hl.md5(f"mh_b#{i}".encode()).hexdigest()[:8], 16) % (2**31)
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -82,16 +101,18 @@ def minhash_signatures(
     """MinHash signature per document: columns ``mh0..mh{K-1}``.
 
     One explode + one groupBy computing all K minima together — a single
-    shuffle whose payload is K longs per shingle row.
+    shuffle whose payload is K longs per shingle row. The K hash family is
+    ONE md5 per shingle (32-bit base) + K linear permutations
+    ``(a_i*h + b_i) mod p`` — integer-exact in both engines and ~K× fewer
+    digest computations than hashing K salted copies of every shingle.
     """
+    base = "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
-    )
+    ).withColumn("h32", F.expr(base))
     aggs = [
-        F.min(
-            F.expr(_h60_sql_expr(f"concat(sh, '#', {seed})"))
-        ).alias(f"mh{seed}")
-        for seed in range(num_hashes)
+        F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_perm_consts(num_hashes))
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -183,10 +204,10 @@ def simhash(
 
 def _sql_minhash_ctes(num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> str:
     """Shared CTE chain ``toks -> sh -> sig`` for the DuckDB oracles."""
-    min_exprs = []
-    for seed in range(num_hashes):
-        seeded = "sh || '#" + str(seed) + "'"
-        min_exprs.append(f"min({_h60_duck(seeded)}) AS mh{seed}")
+    min_exprs = [
+        f"min((h32 * {a} + {b}) % {_MH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_perm_consts(num_hashes))
+    ]
     mins = ",\n       ".join(min_exprs)
     return f"""
 toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -196,7 +217,8 @@ sh AS (
            generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
            i -> array_to_string(t[i : i + {shingle_n - 1}], ' ')))) AS sh
   FROM toks),
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+shb AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h32 FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shb GROUP BY doc_id)
 """
 
 
