@@ -987,6 +987,106 @@ def q_holt_winters(spark, sf_dir):
     return _round(df, {"value": 6})
 
 
+def q_import_roundtrip(spark, sf_dir):
+    """A35 both directions: wide export melted back to tall points."""
+    pts = _pts(spark, sf_dir).filter(F.col("user_id") == 1)
+    wide = fns.export_pivot(pts, "event_type", EVENT_TYPES)
+    return fns.import_pivot(wide, "event_type", EVENT_TYPES)
+
+
+SQL_IMPORT_ROUNDTRIP = f"""
+WITH pts AS ({_PTS})
+SELECT ts, event_type, max(value) AS value
+FROM pts WHERE user_id = 1 GROUP BY 1, 2
+"""
+
+
+def q_index_verify(spark, sf_dir):
+    """A40: fact/dim cross-check (reference index verifier)."""
+    return maintenance.verify_index(
+        _pts(spark, sf_dir), model.series_dim(spark, sf_dir), KEYS
+    )
+
+
+SQL_INDEX_VERIFY = """
+WITH fact_series AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT 'orphan_fact_series' AS "check", 0::BIGINT AS n
+UNION ALL SELECT 'empty_dim_series', 0::BIGINT
+UNION ALL SELECT 'n_series', (SELECT count(*) FROM fact_series)
+UNION ALL SELECT 'n_points', (SELECT count(*) FROM events)
+"""
+
+TPCH_Q6_LO_MS, TPCH_Q6_HI_MS = 788_918_400_000, 820_454_400_000  # calendar 1995
+Q10_LO_MS, Q10_HI_MS = 812_505_600_000, 820_454_400_000  # 1995-10..1996-01
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6: pure scan + filter + aggregate — the predicate-pushdown
+    showcase (no join, no shuffle beyond the final partial-agg merge)."""
+    li = model.load_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= TPCH_Q6_LO_MS)
+        & (F.col("l_shipdate") < TPCH_Q6_HI_MS)
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+SQL_TPCH_Q6 = f"""
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE epoch_ms(l_shipdate) >= {TPCH_Q6_LO_MS} AND epoch_ms(l_shipdate) < {TPCH_Q6_HI_MS}
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10: returned-item revenue, top 20 customers (join + group +
+    deterministic top-N on the rounded measure)."""
+    from pyspark.sql import Window
+
+    t = {n: model.load_table(spark, sf_dir, n) for n in
+         ("customer", "orders", "lineitem", "nation")}
+    j = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"].filter(
+            (F.col("o_orderdate") >= Q10_LO_MS) & (F.col("o_orderdate") < Q10_HI_MS)),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND epoch_ms(o_orderdate) >= {Q10_LO_MS} AND epoch_ms(o_orderdate) < {Q10_HI_MS}
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue DESC, c_custkey) AS rank FROM agg)
+SELECT c_custkey, c_name, n_name, revenue, rank FROM ranked WHERE rank <= 20
+"""
+
+
 # ---------------------------------------- PromQL engine (parser + planner)
 
 from squirreldb_spark.promql import PromQLEngine  # noqa: E402
@@ -1207,6 +1307,8 @@ CATALOG: dict[str, QueryDef] = {
     "tpch_q1_pricing_summary": QueryDef(q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_shipping_priority": QueryDef(q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5_local_supplier": QueryDef(q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6_forecast_revenue": QueryDef(q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q10_returned_items": QueryDef(q_tpch_q10, SQL_TPCH_Q10),
     # LLM-data pipeline: text analysis
     "doc_text_stats": QueryDef(q_doc_stats, SQL_DOC_STATS),
     "doc_lang_id": QueryDef(q_doc_langid, ptext.sql_lang_scores()),
@@ -1232,6 +1334,8 @@ CATALOG: dict[str, QueryDef] = {
     "ts_label_join": QueryDef(q_label_join, SQL_LABEL_JOIN),
     "ts_mutable_labels": QueryDef(q_mutable_labels, SQL_MUTABLE_LABELS),
     "ts_export_pivot": QueryDef(q_export_pivot, SQL_EXPORT_PIVOT),
+    "ts_import_roundtrip": QueryDef(q_import_roundtrip, SQL_IMPORT_ROUNDTRIP),
+    "ts_index_verify": QueryDef(q_index_verify, SQL_INDEX_VERIFY),
     "ts_holt_winters": QueryDef(q_holt_winters, None),  # sequential: rows-only
     # PromQL strings through the native parser + planner
     "promql_rate_sum": QueryDef(

@@ -213,3 +213,17 @@ def export_pivot(
         .pivot(series_col, list(series_values))
         .agg(F.max("value"))  # max: deterministic under duplicate timestamps
     )
+
+
+def import_pivot(
+    wide: DataFrame, series_col: str, series_values: Sequence[str], ts_col: str = "ts"
+) -> DataFrame:
+    """A35 inverse: melt the wide export back into tall points
+    (cmd/prom-remote-storage-to-parquet/import.go). ``stack`` is a narrow
+    projection — no shuffle; NULL cells (series absent at that ts) drop."""
+    pairs = ", ".join(f"'{v}', `{v}`" for v in series_values)
+    melted = wide.select(
+        F.col(ts_col),
+        F.expr(f"stack({len(series_values)}, {pairs}) AS ({series_col}, value)"),
+    )
+    return melted.filter(F.col("value").isNotNull())

@@ -69,3 +69,35 @@ def check_series_limit(series_dim: DataFrame, max_series: int) -> None:
     n = series_dim.limit(max_series + 1).count()
     if max_series and n > max_series:
         raise RuntimeError(f"max_evaluated_series exceeded: {n} > {max_series}")
+
+
+def verify_index(
+    points: DataFrame, series_dim: DataFrame, series_keys: list[str] | None = None
+) -> DataFrame:
+    """A40: the index verifier (reference cassandra/index/verify.go +
+    /debug/index_verify) as one DataFrame program.
+
+    Cross-checks the fact table against the series dimension the way the
+    reference hash-checks postings vs labels tables. Returns one row per
+    check: ``(check, n)`` — orphan facts (points whose label set is not
+    interned), empty series (dim entries with no facts), and the totals.
+    All four checks share one scan of each side (anti-joins + counts
+    unioned into a single plan).
+    """
+    keys = series_keys or ["user_id", "event_type"]
+    fact_series = points.select(*keys).distinct()
+    dim_series = series_dim.select(*keys).distinct()
+    orphan = fact_series.join(dim_series, on=keys, how="left_anti")
+    empty = dim_series.join(fact_series, on=keys, how="left_anti")
+
+    def _count(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("check"), "n"
+        )
+
+    return (
+        _count(orphan, "orphan_fact_series")
+        .unionByName(_count(empty, "empty_dim_series"))
+        .unionByName(_count(dim_series, "n_series"))
+        .unionByName(_count(points, "n_points"))
+    )
