@@ -982,9 +982,47 @@ FROM pts WHERE user_id = 1 GROUP BY ts
 
 
 def q_holt_winters(spark, sf_dir):
-    """Sequential smoothing -> applyInPandas (no SQL oracle; rows-only)."""
+    """Sequential smoothing -> applyInPandas (Arrow-batched pandas path)."""
     df = fns.holt_winters(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, sf=0.5, tf=0.3)
-    return _round(df, {"value": 6})
+    # identical-double rounding: smoothing with dyadic sf/tf lands many
+    # values exactly on .5 decimal boundaries, where Spark (rounds the
+    # shortest decimal string) and DuckDB (rounds the binary double)
+    # disagree; floor(x*1e6 + 0.5)/1e6 is the same IEEE ops on both sides
+    return df.withColumn(
+        "value", F.floor(F.col("value") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    )
+
+
+def _holt_winters_sql(sf: float, tf: float) -> str:
+    """Recursive-CTE oracle replaying the smoothing recurrence with the
+    EXACT float-op order of the pandas loop (constants pre-computed in
+    Python so 1-tf is the same double on both sides)."""
+    omsf, omtf = 1.0 - sf, 1.0 - tf
+    new_s = f"({sf!r} * x.value) + ({omsf!r} * (h.s + h.b))"
+    return f"""
+WITH RECURSIVE pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+xs AS (
+  SELECT user_id, event_type, step_ts, value,
+         row_number() OVER (PARTITION BY user_id, event_type, step_ts
+                            ORDER BY ts, value) AS i,
+         count(*) OVER (PARTITION BY user_id, event_type, step_ts) AS n
+  FROM rs),
+hw AS (
+  SELECT a.user_id, a.event_type, a.step_ts, a.n, 1 AS i,
+         a.value AS s, b.value - a.value AS b
+  FROM xs a JOIN xs b
+    ON a.user_id = b.user_id AND a.event_type = b.event_type
+   AND a.step_ts = b.step_ts AND a.i = 1 AND b.i = 2
+  UNION ALL
+  SELECT h.user_id, h.event_type, h.step_ts, h.n, h.i + 1,
+         {new_s} AS s,
+         {tf!r} * (({new_s}) - h.s) + ({omtf!r} * h.b) AS b
+  FROM hw h JOIN xs x
+    ON x.user_id = h.user_id AND x.event_type = h.event_type
+   AND x.step_ts = h.step_ts AND x.i = h.i + 1)
+SELECT user_id, event_type, step_ts, floor(s * 1e6 + 0.5) / 1e6 AS value
+FROM hw WHERE i = n
+"""
 
 
 def q_import_roundtrip(spark, sf_dir):
@@ -1336,7 +1374,7 @@ CATALOG: dict[str, QueryDef] = {
     "ts_export_pivot": QueryDef(q_export_pivot, SQL_EXPORT_PIVOT),
     "ts_import_roundtrip": QueryDef(q_import_roundtrip, SQL_IMPORT_ROUNDTRIP),
     "ts_index_verify": QueryDef(q_index_verify, SQL_INDEX_VERIFY),
-    "ts_holt_winters": QueryDef(q_holt_winters, None),  # sequential: rows-only
+    "ts_holt_winters": QueryDef(q_holt_winters, _holt_winters_sql(0.5, 0.3)),
     # PromQL strings through the native parser + planner
     "promql_rate_sum": QueryDef(
         _promql('sum by (event_type) (rate({__name__=~".+"}[14d]))'), SQL_PROMQL_RATE_SUM

@@ -185,7 +185,9 @@ def holt_winters(
     schema = f"{schema_keys}, {out} double"
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts")
+        # value tie-break: applyInPandas input order is shuffle-dependent,
+        # so equal timestamps must still order deterministically
+        pdf = pdf.sort_values(["ts", "value"])
         v = pdf["value"].to_numpy()
         head = pdf.iloc[:1][keys + ["step_ts"]]
         if len(v) < 2:
