@@ -1,0 +1,85 @@
+"""Physical-plan regression guards for the scale claims in docs/SCALE.md.
+
+These assert plan *shape*, not timings: the range join must be a hash join
+(never a nested loop / cartesian product), small sides must broadcast, and
+scans must prune columns. A regression here is invisible at sf0.001 but
+catastrophic at 100 TB.
+"""
+
+import pytest
+
+from squirreldb_spark import model
+from squirreldb_spark.tsdb import range_fns, selectors
+from squirreldb_spark.queries import CATALOG, KEYS, LOOKBACK_MS, RANGE_MS, STEP_MS
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def assert_no_theta_joins(plan: str, name: str) -> None:
+    """A CartesianProduct means a deliberate cross lost its broadcast hint;
+    a *conditioned* BroadcastNestedLoopJoin means a range/theta predicate
+    is being evaluated row-by-row against the whole build side. The only
+    nested-loop shape allowed is the intentional unconditioned
+    ``crossJoin(broadcast(grid))`` marker expansion (output-linear)."""
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert ", Cross" in line and "..." not in line.split("Cross", 1)[1][:3], (
+                f"{name}: conditioned nested-loop join: {line.strip()[:160]}"
+            )
+
+
+@pytest.mark.parametrize("name", [
+    "ts_rate", "ts_instant_selector", "ts_avg_over_time", "ts_topk",
+    "ts_binop_ratio", "ts_set_and", "ts_stitch_preagg_raw",
+    "promql_rate_sum", "promql_group_left", "emb_ann_lsh", "emb_ann_ivf",
+    "doc_minhash_lsh_pairs", "tpch_q5_local_supplier",
+])
+def test_no_theta_or_cartesian_joins(spark, sf_dir, name):
+    assert_no_theta_joins(plan_of(CATALOG[name].fn(spark, sf_dir)), name)
+
+
+def test_range_join_is_hash_join_on_bucket(spark, sf_dir):
+    pts = model.points(spark, sf_dir)
+    rs = selectors.range_select(pts, KEYS, STEP_MS, RANGE_MS)
+    plan = plan_of(rs)
+    assert "BroadcastHashJoin" in plan and "bucket" in plan
+    assert_no_theta_joins(plan, "range_select")
+
+
+def test_rate_has_single_series_shuffle(spark, sf_dir):
+    """The lag hoisting claim: exactly one hashpartitioning by the series
+    keys feeds the window; the range explosion adds no extra sort of
+    exploded rows."""
+    pts = model.points(spark, sf_dir)
+    df = range_fns.extrapolated(pts, KEYS, STEP_MS, RANGE_MS,
+                                is_counter=True, is_rate=True)
+    plan = plan_of(df)
+    # one series-window exchange + the final aggregation exchange
+    assert plan.count("Window") == 1
+
+
+def test_instant_selector_reads_pruned_columns(spark, sf_dir):
+    df = selectors.instant_select(
+        model.points(spark, sf_dir), KEYS, STEP_MS, LOOKBACK_MS
+    )
+    plan = plan_of(df)
+    # the fact scan must not read props/event_id etc.
+    assert "props" not in plan and "event_id" not in plan
+
+
+def test_grid_is_broadcast_in_instant_select(spark, sf_dir):
+    df = selectors.instant_select(
+        model.points(spark, sf_dir), KEYS, STEP_MS, LOOKBACK_MS
+    )
+    assert "BroadcastExchange" in plan_of(df)
+
+
+def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
+    plan = plan_of(CATALOG["tpch_q6_forecast_revenue"].fn(spark, sf_dir))
+    # quantity/discount predicates reach the parquet scan
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
+        "PushedFilters"
+    )[1][:400]

@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis) against pure-Python reference models.
+
+Mirrors the reference's randomized-fuzz layer (SURVEY §5: chunk-merge fuzz,
+cassandra/tsdb/read_test.go:442): random series through the Spark operators
+must match an independently-written Python port of the Prometheus
+semantics — extrapolatedRate and the as-of instant selector.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from squirreldb_spark.tsdb import range_fns, selectors
+
+STEP = 10_000
+RANGE = 25_000
+LOOKBACK = 15_000
+
+
+# --------------------------------------------------- pure-Python references
+
+
+def ref_extrapolated(samples, step_ts, range_ms, is_counter, is_rate):
+    """Direct port of Prometheus extrapolatedRate (promql/functions.go)."""
+    win = [(t, v) for t, v in samples if step_ts - range_ms < t <= step_ts]
+    if len(win) < 2:
+        return None
+    first_t, first_v = win[0]
+    last_t, last_v = win[-1]
+    rv = last_v - first_v
+    if is_counter:
+        prev = first_v
+        for _, v in win[1:]:
+            if v < prev:
+                rv += prev
+            prev = v
+    sampled = (last_t - first_t) / 1000.0
+    avg_sp = sampled / (len(win) - 1)
+    ds = (first_t - (step_ts - range_ms)) / 1000.0
+    de = (step_ts - last_t) / 1000.0
+    if ds >= avg_sp * 1.1:
+        ds = avg_sp / 2.0
+    if is_counter and rv > 0 and first_v >= 0:
+        dz = sampled * (first_v / rv)
+        if dz < ds:
+            ds = dz
+    if de >= avg_sp * 1.1:
+        de = avg_sp / 2.0
+    factor = (sampled + ds + de) / sampled
+    if is_rate:
+        factor = factor / (range_ms / 1000.0)
+    return rv * factor
+
+
+def ref_instant(samples, step_ts, lookback_ms):
+    """As-of lookup: most recent sample in (step - lookback, step]."""
+    eligible = [(t, v) for t, v in samples if step_ts - lookback_ms < t <= step_ts]
+    return eligible[-1][1] if eligible else None
+
+
+def grid_steps(samples):
+    ts = [t for t, _ in samples]
+    lo, hi = min(ts), max(ts)
+    start = -(-lo // STEP) * STEP
+    return list(range(start, (hi // STEP) * STEP + 1, STEP))
+
+
+series_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=120_000),
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False,
+                  allow_infinity=False, width=32),
+    ),
+    min_size=2, max_size=40, unique_by=lambda tv: tv[0],
+).map(lambda tvs: sorted(tvs))
+
+
+def _spark_df(spark, samples):
+    return spark.createDataFrame(
+        [("s", "m", t, float(v)) for t, v in samples],
+        "user_id string, event_type string, ts long, value double",
+    )
+
+
+@pytest.mark.parametrize("is_counter,is_rate", [(True, True), (False, False)])
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(samples=series_strategy)
+def test_extrapolated_matches_reference(spark, samples, is_counter, is_rate):
+    df = range_fns.extrapolated(
+        _spark_df(spark, samples), ["user_id", "event_type"], STEP, RANGE,
+        is_counter=is_counter, is_rate=is_rate,
+    )
+    got = {r.step_ts: r.value for r in df.collect()}
+    for step in grid_steps(samples):
+        want = ref_extrapolated(samples, step, RANGE, is_counter, is_rate)
+        if want is None:
+            assert step not in got
+        else:
+            assert math.isclose(got[step], want, rel_tol=1e-9, abs_tol=1e-9), (
+                f"step {step}: spark={got[step]} ref={want}"
+            )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(samples=series_strategy)
+def test_instant_select_matches_reference(spark, samples):
+    df = selectors.instant_select(
+        _spark_df(spark, samples), ["user_id", "event_type"], STEP, LOOKBACK
+    )
+    got = {r.step_ts: r.value for r in df.collect()}
+    for step in grid_steps(samples):
+        want = ref_instant(samples, step, LOOKBACK)
+        if want is None:
+            assert step not in got
+        else:
+            assert got[step] == want, f"step {step}: {got.get(step)} != {want}"
