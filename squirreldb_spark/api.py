@@ -70,12 +70,14 @@ class PromAPI:
         name_label: str = "event_type",
         lookback_ms: int = 300_000,
         tenant_col: str = "tenant",
+        mutable_mapping: DataFrame | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
         self.name_label = name_label
         self.lookback_ms = lookback_ms
         self.tenant_col = tenant_col
+        self.mutable_mapping = mutable_mapping
 
     # ------------------------------------------------------------ internals
 
@@ -124,14 +126,31 @@ class PromAPI:
             pts, label_cols=self.label_cols, name_label=self.name_label,
             step_ms=step_ms, lookback_ms=self.lookback_ms,
             start_ms=start_ms, end_ms=end_ms,
+            mutable_mapping=self.mutable_mapping,
+            tenant=(opts.tenant if opts and opts.tenant else ""),
         )
 
     # ------------------------------------------------------------ endpoints
 
     def query_range(self, promql: str, start_ms: int, end_ms: int, step_ms: int,
-                    opts: RequestOptions | None = None) -> DataFrame:
-        """/api/v1/query_range -> (labels..., step_ts, value)."""
-        return self._engine(start_ms, end_ms, step_ms, opts).query_range(promql)
+                    opts: RequestOptions | None = None,
+                    enrich_mutable: str | None = None) -> DataFrame:
+        """/api/v1/query_range -> (labels..., step_ts, value).
+
+        ``enrich_mutable`` (A32): attach the named mutable label to result
+        series via a broadcast join against the mapping.
+        """
+        out = self._engine(start_ms, end_ms, step_ms, opts).query_range(promql)
+        if enrich_mutable is not None:
+            from squirreldb_spark.tsdb import mutable as mut
+
+            if self.mutable_mapping is None:
+                raise ValueError("no mutable mapping configured")
+            out = mut.enrich(
+                out, self.mutable_mapping,
+                opts.tenant if opts and opts.tenant else "", enrich_mutable,
+            )
+        return out
 
     def query(self, promql: str, time_ms: int,
               opts: RequestOptions | None = None) -> DataFrame:

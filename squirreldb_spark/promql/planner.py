@@ -109,12 +109,16 @@ class PromQLEngine:
         lookback_ms: int = 432_000_000,
         start_ms: int | None = None,
         end_ms: int | None = None,
+        mutable_mapping: DataFrame | None = None,
+        tenant: str = "",
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
         self.name_label = name_label
         self.step_ms = step_ms
         self.lookback_ms = lookback_ms
+        self.mutable_mapping = mutable_mapping
+        self.tenant = tenant
         if start_ms is not None and end_ms is not None:
             # explicit query_range bounds: steps = start, start+step, ..., end
             spark = points.sparkSession
@@ -151,7 +155,10 @@ class PromQLEngine:
         for m in sel.matchers:
             name = self.name_label if m.name == "__name__" else m.name
             if name not in self.label_cols:
-                raise ValueError(f"unknown label {name!r}")
+                # A31: a matcher on a mutable (virtual) label rewrites to a
+                # concrete-label isin() before the scan
+                pts = self._apply_mutable_matcher(pts, m, name)
+                continue
             col = F.col(name).cast("string")
             if m.op == "=":
                 conds.append(col == m.value)
@@ -164,6 +171,42 @@ class PromQLEngine:
         for c in conds:
             pts = pts.filter(c)
         return pts
+
+    def _apply_mutable_matcher(self, pts: DataFrame, m, name: str) -> DataFrame:
+        """Rewrite a matcher on a mutable label to concrete values
+        (reference cassandra/mutable/processor.go:52-241): select the
+        mapping rows whose mutable value satisfies the matcher (regex
+        matchers expand over all values), filter on the union of their
+        associated concrete values."""
+        if self.mutable_mapping is None:
+            raise ValueError(f"unknown label {name!r}")
+        import re
+
+        rows = (
+            self.mutable_mapping.filter(
+                (F.col("tenant") == self.tenant)
+                & (F.col("mutable_name") == name)
+            )
+            .select("mutable_value", "associated_name", "associated_values")
+            .collect()
+        )
+        if not rows:
+            raise ValueError(f"unknown label {name!r}")
+        values: set[str] = set()
+        for r in rows:
+            v = r.mutable_value
+            hit = {
+                "=": v == m.value,
+                "!=": v != m.value,
+                "=~": re.fullmatch(f"(?:{m.value})", v) is not None,
+                "!~": re.fullmatch(f"(?:{m.value})", v) is None,
+            }[m.op]
+            if hit:
+                values.update(r.associated_values)
+        if not values:
+            return pts.filter(F.lit(False))
+        col = F.col(rows[0].associated_name).cast("string")
+        return pts.filter(col.isin(sorted(values)))
 
     # ---------------------------------------------------------- evaluate
 

@@ -109,3 +109,61 @@ def test_remote_write_codec_is_gated():
 
     with pytest.raises(NotImplementedError):
         decode_remote_write(b"")
+
+
+# ------------------------------------------------- mutable labels (A31/A32)
+
+
+@pytest.fixture(scope="module")
+def mapi(spark):
+    from squirreldb_spark.tsdb import mutable as mut
+
+    rows = []
+    for h in range(1, 25):
+        for host in ("a", "b", "c"):
+            rows.append((host, "cpu", "t1", h * H, float(h)))
+    pts = spark.createDataFrame(
+        rows, "host string, name string, tenant string, ts long, value double"
+    )
+    mapping = spark.createDataFrame(
+        [
+            ("t1", "group", "web", "host", ["a", "b"]),
+            ("t1", "group", "db", "host", ["c"]),
+        ],
+        mut.MAPPING_SCHEMA,
+    )
+    return PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                   lookback_ms=2 * H, mutable_mapping=mapping)
+
+
+def test_mutable_matcher_equality_rewrite(mapi):
+    opts = RequestOptions(tenant="t1")
+    out = mapi.query('cpu{group="web"}', time_ms=12 * H, opts=opts).collect()
+    assert sorted(r.host for r in out) == ["a", "b"]
+
+
+def test_mutable_matcher_regex_and_negation(mapi):
+    opts = RequestOptions(tenant="t1")
+    out = mapi.query('cpu{group=~"w.*"}', time_ms=12 * H, opts=opts).collect()
+    assert sorted(r.host for r in out) == ["a", "b"]
+    out = mapi.query('cpu{group!="web"}', time_ms=12 * H, opts=opts).collect()
+    assert [r.host for r in out] == ["c"]
+
+
+def test_mutable_matcher_no_match_is_empty(mapi):
+    opts = RequestOptions(tenant="t1")
+    assert mapi.query('cpu{group="nope"}', time_ms=12 * H, opts=opts).count() == 0
+
+
+def test_mutable_unknown_label_still_errors(mapi):
+    with pytest.raises(ValueError):
+        mapi.query('cpu{bogus="x"}', time_ms=12 * H,
+                   opts=RequestOptions(tenant="t1"))
+
+
+def test_mutable_enrichment(mapi):
+    opts = RequestOptions(tenant="t1")
+    out = mapi.query_range("cpu", 12 * H, 12 * H, H, opts=opts,
+                           enrich_mutable="group").collect()
+    got = {r.host: r.group for r in out}
+    assert got == {"a": "web", "b": "web", "c": "db"}
