@@ -22,7 +22,7 @@ class VectorSelector:
     name: str | None  # metric name (None for {...}-only selectors)
     matchers: tuple[Matcher, ...] = ()
     offset_ms: int = 0
-    at_ms: int | None = None  # @ modifier: fixed evaluation time
+    at_ms: int | str | None = None  # @ modifier: ms, or "start"/"end"
 
 
 @dataclass(frozen=True)

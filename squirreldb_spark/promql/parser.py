@@ -146,7 +146,7 @@ class Parser:
 
     def expr_mul(self):
         lhs = self.expr_unary()
-        while self.peek()[1] in ("*", "/", "%"):
+        while self.peek()[1] in ("*", "/", "%") or self.peek() == ("ident", "atan2"):
             op = self.next()[1]
             mods = self._matching_modifiers()
             lhs = BinaryOp(op, lhs, self.expr_unary(), **mods)
@@ -211,9 +211,15 @@ class Parser:
             elif self.peek()[1] == "@":
                 self.next()
                 kind, val = self.next()
-                if kind != "number":
-                    raise ParseError("expected unix-seconds literal after @")
-                at = int(float(val) * 1000)
+                if kind == "ident" and val in ("start", "end"):
+                    # @ start() / @ end(): the query range's boundaries
+                    self.expect("(")
+                    self.expect(")")
+                    at: object = val
+                elif kind == "number":
+                    at = int(float(val) * 1000)
+                else:
+                    raise ParseError("expected unix-seconds, start() or end() after @")
                 if isinstance(expr, MatrixSelector):
                     expr = MatrixSelector(
                         VectorSelector(expr.inner.name, expr.inner.matchers,

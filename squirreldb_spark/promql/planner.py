@@ -224,10 +224,16 @@ class PromQLEngine:
             pts = self._select_points(node)
             if node.at_ms is not None:
                 # @ modifier: evaluate once at the fixed time, replicate the
-                # constant result across the whole grid
-                fixed = self.grid.sparkSession.range(1).select(
-                    F.lit(node.at_ms).alias("step_ts")
-                )
+                # constant result across the whole grid; @ start()/@ end()
+                # resolve to the grid's boundary in-plan (no collect)
+                if node.at_ms == "start":
+                    fixed = self.grid.agg(F.min("step_ts").alias("step_ts"))
+                elif node.at_ms == "end":
+                    fixed = self.grid.agg(F.max("step_ts").alias("step_ts"))
+                else:
+                    fixed = self.grid.sparkSession.range(1).select(
+                        F.lit(node.at_ms).alias("step_ts")
+                    )
                 one = selectors.instant_select(
                     pts, self.label_cols, self.step_ms, self.lookback_ms, grid=fixed
                 ).drop("step_ts")
@@ -551,6 +557,7 @@ class PromQLEngine:
         return {
             "+": a + b, "-": a - b, "*": a * b,
             "%": math.fmod(a, b) if b else float("nan"),
+            "atan2": math.atan2(a, b),
         }[op]
 
     def _vector_scalar(self, node: A.BinaryOp, lhs, rhs):

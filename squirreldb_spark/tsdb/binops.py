@@ -46,6 +46,7 @@ _ARITH = {
     "/": _ieee_div,
     "%": _ieee_mod,                   # fmod on doubles, like PromQL
     "^": lambda l, r: F.pow(l, r),
+    "atan2": lambda l, r: F.atan2(l, r),  # Prometheus 2.31+ binop
 }
 
 _CMP = {

@@ -265,6 +265,27 @@ def test_plan_histogram_quantile(spark):
     assert got[10_000] == pytest.approx(1.0)
 
 
+def test_plan_atan2_binop(engine):
+    import math
+
+    out = engine.query_range("cpu atan2 cpu").collect()
+    src = {(r.host, r.step_ts): r.value for r in engine.query_range("cpu").collect()}
+    got = {(r.host, r.step_ts): r.value for r in out}
+    for k, v in got.items():
+        assert v == pytest.approx(math.atan2(src[k], src[k]))
+
+
+def test_plan_at_start_end(engine):
+    start = engine.query_range("cpu @ start()").collect()
+    end = engine.query_range("cpu @ end()").collect()
+    # @ start(): value fixed at the first step (10s) -> a=0.0 everywhere;
+    # @ end(): value fixed at the last step (30s) -> a=20.0 everywhere
+    a_start = {r.step_ts: r.value for r in start if r.host == "a"}
+    a_end = {r.step_ts: r.value for r in end if r.host == "a"}
+    assert set(a_start.values()) == {0.0} and len(a_start) == 3
+    assert set(a_end.values()) == {20.0} and len(a_end) == 3
+
+
 def test_plan_bottomk_and_group(engine):
     out = engine.query_range("bottomk(1, cpu)").collect()
     per_step = {}
