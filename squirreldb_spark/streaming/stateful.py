@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator: cross-batch per-series deltas.
+
+The reference's short-term store (A5, batch/batch.go:914-1033) keeps the
+tail of every series in memory so consecutive-sample logic (counter deltas,
+dedup, flush thresholds) can run before points reach cold storage. The
+Spark-native equivalent of "per-key mutable state that survives
+micro-batches" is ``applyInPandasWithState``: state lives in the streaming
+state store, checkpointed exactly-once, partitioned by the grouping key —
+no Redis, no ownership/takeover protocol.
+
+``streaming_deltas`` demonstrates the pattern end-to-end: each series
+carries ``(last_ts, last_value)`` across micro-batches and every incoming
+sample is emitted with its delta versus the previous sample — including
+across a query restart (state restores from the checkpoint). This is the
+building block for streaming counter-rate and threshold alerting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = (
+    "user_id long, event_type string, ts long, value double, delta double"
+)
+STATE_SCHEMA = "last_ts long, last_value double"
+
+
+def _delta_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_ts, last_value = state.get if state.exists else (None, None)
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "value"])
+        prev = pdf["value"].shift(1)
+        if last_value is not None:
+            prev.iloc[0] = last_value
+        out.append(
+            pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "event_type": key[1],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"],
+                    "delta": pdf["value"] - prev,
+                }
+            )
+        )
+        last_ts = int(pdf["ts"].iloc[-1])
+        last_value = float(pdf["value"].iloc[-1])
+    if last_ts is not None:
+        state.update((last_ts, last_value))
+    yield pd.concat(out) if out else pd.DataFrame(
+        columns=["user_id", "event_type", "ts", "value", "delta"]
+    )
+
+
+def streaming_deltas(stream: DataFrame) -> DataFrame:
+    """Per-series sample deltas with state across micro-batches.
+
+    Input: a streaming DataFrame with ``user_id, event_type, ts, value``.
+    Output stream: the same rows plus ``delta`` (null for the first sample
+    of a series ever seen). Grouping shuffles by series — the same
+    partitioning every stateful TSDB op wants, so state stays local.
+    """
+    return (
+        stream.select("user_id", "event_type", "ts", "value")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _delta_fn,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

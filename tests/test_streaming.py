@@ -114,3 +114,41 @@ def test_validation_rejects_invalid_samples(spark, tmpdir):
     pts = spark.read.parquet(f"{tmpdir}/out/points")
     assert pts.count() == 1
     assert pts.collect()[0].event_id if "event_id" in pts.columns else True
+
+
+def test_stateful_deltas_across_restarts(spark, tmpdir):
+    """applyInPandasWithState: per-series state survives micro-batches AND
+    a query restart (the A5 short-term-store semantics, minus the
+    ownership protocol — the checkpoint owns the state)."""
+    from squirreldb_spark.streaming import stateful
+
+    src, out, cp = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/cp"
+
+    def run_once():
+        stream = ingest.read_event_stream(spark, src)
+        q = (
+            stateful.streaming_deltas(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: values 0,10,20 -> deltas null,10,10
+    _write_batch(spark, src, [
+        (1, BASE_TS + i * 60_000, 1, "cpu", float(i * 10), "{}") for i in range(3)
+    ])
+    run_once()
+    # batch 2 (new query, same checkpoint): value 25 -> delta vs LAST of
+    # batch 1 (20.0) = 5.0, proving state restored across the restart
+    _write_batch(spark, src, [(3, BASE_TS + 3 * 60_000, 1, "cpu", 25.0, "{}")])
+    run_once()
+
+    got = {r.ts: (r.value, r.delta) for r in spark.read.parquet(out).collect()}
+    assert got[BASE_TS] == (0.0, None)
+    assert got[BASE_TS + 60_000] == (10.0, 10.0)
+    assert got[BASE_TS + 120_000] == (20.0, 10.0)
+    assert got[BASE_TS + 180_000] == (25.0, 5.0)
