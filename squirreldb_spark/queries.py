@@ -1125,6 +1125,38 @@ SELECT c_custkey, c_name, n_name, revenue, rank FROM ranked WHERE rank <= 20
 """
 
 
+API_START_MS, API_END_MS = 1_704_672_000_000, 1_707_091_200_000  # explicit grid
+
+
+def q_api_query_range(spark, sf_dir):
+    """The full /api/v1/query_range path: tenant scoping + explicit
+    [start, end, step] grid + PromQL string through PromAPI."""
+    from squirreldb_spark.api import PromAPI, RequestOptions
+
+    pts = _pts(spark, sf_dir).withColumn(
+        "tenant", (F.col("user_id") % 2).cast("string")
+    )
+    api = PromAPI(pts, label_cols=tuple(KEYS), name_label="event_type",
+                  lookback_ms=LOOKBACK_MS)
+    out = api.query_range(
+        "purchase", API_START_MS, API_END_MS, STEP_MS,
+        opts=RequestOptions(tenant="0"),
+    )
+    return _round(out, {"value": 6})
+
+
+SQL_API_QUERY_RANGE = f"""
+WITH pts AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value
+             FROM events WHERE user_id % 2 = 0),
+grid AS (SELECT unnest(generate_series({API_START_MS}, {API_END_MS}, {STEP_MS})) AS step_ts)
+SELECT p.user_id, p.event_type, g.step_ts, round(arg_max(p.value, p.ts), 6) AS value
+FROM pts p, grid g
+WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+  AND p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+"""
+
+
 # ---------------------------------------- PromQL engine (parser + planner)
 
 from squirreldb_spark.promql import PromQLEngine  # noqa: E402
@@ -1425,4 +1457,6 @@ CATALOG: dict[str, QueryDef] = {
         _promql("time() - timestamp(purchase)"), SQL_PROMQL_TIME_TS
     ),
     "emb_ann_ivf": QueryDef(q_emb_ann_ivf, _neg0(psim.sql_ann_ivf(), ["cosine"])),
+    # full API endpoint path (tenant scope + explicit grid + PromQL string)
+    "api_query_range": QueryDef(q_api_query_range, SQL_API_QUERY_RANGE),
 }

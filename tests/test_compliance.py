@@ -53,7 +53,8 @@ VARIANTS = {
     "binOp": ["+", "-", "*", "/", "%", "^"],
     "compBinOp": ["==", "!=", "<", ">", "<=", ">="],
     "arithBinOp": ["+", "-", "*", "/", "%", "^"],
-    "simpleTimeAggrOp": ["avg", "min", "max", "sum", "count", "stddev", "stdvar"],
+    "simpleTimeAggrOp": ["avg", "min", "max", "sum", "count", "stddev", "stdvar",
+                         "last", "present"],
     "simpleMathFunc": ["abs", "ceil", "floor", "exp", "ln", "log2", "log10",
                        "sqrt", "sgn"],
     "extrapolatedRateFunc": ["rate", "increase", "delta"],
@@ -169,7 +170,10 @@ TEMPLATES = [
     "max_over_time(max(demo_batch_last_success_timestamp_seconds)[1m:10s]"
     " offset 30s)",
     "avg_over_time(rate(demo_cpu_usage_seconds_total[30s])[1m:10s])",
-    # trig
+    "demo_memory_usage_bytes @ start()",
+    "demo_memory_usage_bytes @ end()",
+    # trig + atan2
+    "demo_num_cpus atan2 demo_num_cpus",
     "deg(rad(demo_num_cpus))",
     "atan(tan(vector(0.5)))",
     "cos(pi())",
