@@ -38,7 +38,7 @@ class Subquery:
 
     inner: object
     range_ms: int
-    step_ms: int
+    step_ms: int | None  # None: default to the query's evaluation interval
     offset_ms: int = 0
 
 

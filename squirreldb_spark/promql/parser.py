@@ -178,12 +178,16 @@ class Parser:
                 if kind != "duration":
                     raise ParseError(f"expected duration in range selector, got {val!r}")
                 if self.accept(":"):
-                    # subquery: expr[range:step]
-                    kind2, val2 = self.next()
-                    if kind2 != "duration":
-                        raise ParseError("expected step duration in subquery")
+                    # subquery: expr[range:step]; empty step = eval default
+                    if self.peek()[1] == "]":
+                        step_ms = None
+                    else:
+                        kind2, val2 = self.next()
+                        if kind2 != "duration":
+                            raise ParseError("expected step duration in subquery")
+                        step_ms = duration_ms(val2)
                     self.expect("]")
-                    expr = Subquery(expr, duration_ms(val), duration_ms(val2))
+                    expr = Subquery(expr, duration_ms(val), step_ms)
                     continue
                 self.expect("]")
                 if not isinstance(expr, VectorSelector):

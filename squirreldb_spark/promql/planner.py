@@ -251,7 +251,9 @@ class PromQLEngine:
             # the results back in as points of a range vector
             inner_engine = PromQLEngine(
                 self.points, self.label_cols, self.name_label,
-                step_ms=node.step_ms, lookback_ms=self.lookback_ms,
+                step_ms=node.step_ms or self.step_ms,
+                lookback_ms=self.lookback_ms,
+                mutable_mapping=self.mutable_mapping, tenant=self.tenant,
             )
             inner = inner_engine._eval(node.inner)
             assert isinstance(inner, Vec), "subquery inner must be an instant vector"
@@ -613,7 +615,8 @@ class PromQLEngine:
             # join on the step only, keep the labelled side's identity
             return self._vector_stepscalar(node, lhs, rhs)
         if node.on is not None:
-            on = list(node.on)
+            # __name__ in an on() list matches on the name column
+            on = [self.name_label if l == "__name__" else l for l in node.on]
         else:
             common = [l for l in lhs.labels if l in rhs.labels and l != self.name_label]
             if node.ignoring:

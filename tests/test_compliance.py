@@ -112,6 +112,7 @@ TEMPLATES = [
     "timestamp(demo_memory_usage_bytes * 1)",
     "timestamp(-demo_memory_usage_bytes)",
     "demo_memory_usage_bytes {binOp} on(instance, type) demo_memory_usage_bytes",
+    "demo_memory_usage_bytes / on(instance, type, __name__) demo_memory_usage_bytes",
     "sum by(instance, type) (demo_memory_usage_bytes) {binOp} on(instance, type)"
     " group_left demo_memory_usage_bytes",
     "sum without(type) (demo_memory_usage_bytes) / on(instance)"
@@ -170,6 +171,7 @@ TEMPLATES = [
     "max_over_time(max(demo_batch_last_success_timestamp_seconds)[1m:10s]"
     " offset 30s)",
     "avg_over_time(rate(demo_cpu_usage_seconds_total[30s])[1m:10s])",
+    "avg_over_time(demo_num_cpus[1m:])",
     "demo_memory_usage_bytes @ start()",
     "demo_memory_usage_bytes @ end()",
     # trig + atan2
