@@ -111,6 +111,10 @@ class PromQLEngine:
         end_ms: int | None = None,
         mutable_mapping: DataFrame | None = None,
         tenant: str = "",
+        downsample: DataFrame | None = None,
+        preagg_resolution_ms: int = 300_000,
+        force_raw: bool = False,
+        force_preagg: bool = False,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -119,6 +123,12 @@ class PromQLEngine:
         self.lookback_ms = lookback_ms
         self.mutable_mapping = mutable_mapping
         self.tenant = tenant
+        # A15-A17: optional 5-min pre-aggregate table
+        # (*label_cols, bucket_ts, min, max, avg, count)
+        self.downsample = downsample
+        self.preagg_resolution_ms = preagg_resolution_ms
+        self.force_raw = force_raw
+        self.force_preagg = force_preagg
         if start_ms is not None and end_ms is not None:
             # explicit query_range bounds: steps = start, start+step, ..., end
             spark = points.sparkSession
@@ -208,6 +218,43 @@ class PromQLEngine:
         col = F.col(rows[0].associated_name).cast("string")
         return pts.filter(col.isin(sorted(values)))
 
+    # ----------------------------------------------------- pre-agg routing
+
+    #: PromQL hint function -> downsample column (reference
+    #: cassandra/tsdb/read.go:548-613: counter functions read max for
+    #: reset safety; min/max/count read their own stream; default avg)
+    _ROUTE_COLUMN = {
+        "min_over_time": "min",
+        "max_over_time": "max",
+        "count_over_time": "count",
+        "rate": "max",
+        "irate": "max",
+        "increase": "max",
+        "resets": "max",
+    }
+
+    def _use_preagg(self) -> bool:
+        """A15 (read.go:60-72): pre-agg iff step >= resolution, with the
+        force flags mirroring the reference's headers; force-raw wins."""
+        if self.downsample is None or self.force_raw:
+            return False
+        return self.force_preagg or self.step_ms >= self.preagg_resolution_ms
+
+    def _routed_mat(self, node_arg, fn_name: str):
+        """Lower a plain matrix selector against the routed downsample
+        column instead of the raw table (A16). Matchers and offset apply
+        identically — the pre-agg table carries the same label columns."""
+        if not (isinstance(node_arg, A.MatrixSelector) and self._use_preagg()):
+            return None
+        col = self._ROUTE_COLUMN.get(fn_name, "avg")
+        pts = self.downsample.select(
+            *self.label_cols,
+            F.col("bucket_ts").alias("ts"),
+            F.col(col).cast("double").alias("value"),
+        )
+        return Mat(self._select_points(node_arg.inner, points=pts),
+                   node_arg.range_ms)
+
     # ---------------------------------------------------------- evaluate
 
     def _eval(self, node):
@@ -272,7 +319,7 @@ class PromQLEngine:
     def _eval_function(self, node: A.FunctionCall):
         name = node.name
         if name in _RANGE_FNS:
-            mat = self._eval(node.args[0])
+            mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             assert isinstance(mat, Mat), f"{name} needs a range vector"
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.extrapolated(
@@ -281,7 +328,7 @@ class PromQLEngine:
             )
             return Vec(df, tuple(keys))
         if name in _INSTANT_RANGE:
-            mat = self._eval(node.args[0])
+            mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.instantaneous(
                 mat.points, keys, self.step_ms, mat.range_ms,
@@ -289,7 +336,7 @@ class PromQLEngine:
             )
             return Vec(df, tuple(keys))
         if name in _OVER_TIME_FNS:
-            mat = self._eval(node.args[0])
+            mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms,

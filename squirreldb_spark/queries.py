@@ -1294,6 +1294,32 @@ WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
 GROUP BY 1, 2, 3
 """
 
+def q_promql_preagg_route(spark, sf_dir):
+    """A15/A16 inside the engine: max_over_time routed to the pre-agg max
+    stream (step 1d >= 5m resolution triggers the routing rule)."""
+    pts = _pts(spark, sf_dir)
+    ds = downsample.downsample(pts, KEYS, RES_MS)
+    eng = PromQLEngine(
+        pts, label_cols=tuple(KEYS), name_label="event_type",
+        step_ms=STEP_MS, lookback_ms=LOOKBACK_MS, downsample=ds,
+        preagg_resolution_ms=RES_MS,
+    )
+    return _round(eng.query_range("max_over_time(purchase[14d])"), {"value": 6})
+
+
+SQL_PROMQL_PREAGG_ROUTE = f"""
+WITH pts AS ({_PTS}), {_grid_sql()},
+ds AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS bts, max(value) AS value
+       FROM pts GROUP BY 1, 2, 3),
+rs AS (SELECT d.user_id, d.event_type, g.step_ts, d.value
+       FROM ds d, grid g
+       WHERE d.bts > g.step_ts - {RANGE_MS} AND d.bts <= g.step_ts
+         AND d.event_type = 'purchase')
+SELECT user_id, event_type, step_ts, round(max(value), 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
 SQL_PROMQL_CMP_FILTER = f"""
 WITH pts AS ({_PTS}),
 {_grid_sql()},
@@ -1459,4 +1485,6 @@ CATALOG: dict[str, QueryDef] = {
     "emb_ann_ivf": QueryDef(q_emb_ann_ivf, _neg0(psim.sql_ann_ivf(), ["cosine"])),
     # full API endpoint path (tenant scope + explicit grid + PromQL string)
     "api_query_range": QueryDef(q_api_query_range, SQL_API_QUERY_RANGE),
+    # A15/A16 routing inside the engine
+    "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
 }

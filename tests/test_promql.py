@@ -286,6 +286,47 @@ def test_plan_at_start_end(engine):
     assert set(a_end.values()) == {20.0} and len(a_end) == 3
 
 
+def test_preagg_routing_decision_and_lossless_max(spark):
+    """A15: route iff step >= resolution (force flags override, force_raw
+    wins); A16: max routes to the max stream, which is lossless when the
+    buckets align with the window."""
+    from squirreldb_spark.promql import PromQLEngine
+    from squirreldb_spark.tsdb import downsample as ds_mod
+
+    rows = [("a", "cpu", t * 1_000, float(t % 7)) for t in range(120)]
+    pts = spark.createDataFrame(rows, "host string, name string, ts long, value double")
+    ds = ds_mod.downsample(pts, ["host", "name"], 10_000)
+    kw = dict(label_cols=("host", "name"), name_label="name",
+              lookback_ms=60_000, downsample=ds, preagg_resolution_ms=10_000)
+
+    routed = PromQLEngine(pts, step_ms=30_000, **kw)
+    assert routed._use_preagg()
+    raw = PromQLEngine(pts, step_ms=30_000, force_raw=True, **kw)
+    assert not raw._use_preagg()
+    assert not PromQLEngine(pts, step_ms=5_000, **kw)._use_preagg()
+    assert PromQLEngine(pts, step_ms=5_000, force_preagg=True, **kw)._use_preagg()
+    forced_both = PromQLEngine(pts, step_ms=30_000, force_raw=True,
+                               force_preagg=True, **kw)
+    assert not forced_both._use_preagg()  # force-raw wins (types.go:180-186)
+
+    q = "max_over_time(cpu[30s])"
+    got_routed = {r.step_ts: r.value for r in routed.query_range(q).collect()}
+    got_raw = {r.step_ts: r.value for r in raw.query_range(q).collect()}
+    # bucketed reference: buckets carry their START timestamp (reference
+    # offset_second semantics), so a bucket at bts == step includes samples
+    # past the window end — the documented pre-agg boundary approximation
+    buckets: dict[int, float] = {}
+    for _, _, t, v in rows:
+        b = t // 10_000 * 10_000
+        buckets[b] = max(buckets.get(b, float("-inf")), v)
+    for step, got in got_routed.items():
+        want = max(v for b, v in buckets.items() if step - 30_000 < b <= step)
+        assert got == want, f"step {step}"
+    # raw path remains exact; routed path is the bucketed approximation
+    assert set(got_raw) == set(got_routed)
+    assert all(got_raw[s] <= got_routed[s] for s in got_raw)
+
+
 def test_plan_bottomk_and_group(engine):
     out = engine.query_range("bottomk(1, cpu)").collect()
     per_step = {}
