@@ -28,6 +28,7 @@ from squirreldb_spark.promql import ast as A
 from squirreldb_spark.promql.parser import parse
 from squirreldb_spark.tsdb import aggregation as agg_ops
 from squirreldb_spark.tsdb import binops, range_fns, selectors
+from squirreldb_spark.tsdb import downsample as ds_mod
 from squirreldb_spark.tsdb import functions as fns
 from squirreldb_spark.tsdb.grid import data_grid
 
@@ -113,6 +114,7 @@ class PromQLEngine:
         tenant: str = "",
         downsample: DataFrame | None = None,
         preagg_resolution_ms: int = 300_000,
+        preagg_until_ms: int | None = None,
         force_raw: bool = False,
         force_preagg: bool = False,
     ):
@@ -127,6 +129,7 @@ class PromQLEngine:
         # (*label_cols, bucket_ts, min, max, avg, count)
         self.downsample = downsample
         self.preagg_resolution_ms = preagg_resolution_ms
+        self.preagg_until_ms = preagg_until_ms
         self.force_raw = force_raw
         self.force_preagg = force_preagg
         if start_ms is not None and end_ms is not None:
@@ -220,19 +223,6 @@ class PromQLEngine:
 
     # ----------------------------------------------------- pre-agg routing
 
-    #: PromQL hint function -> downsample column (reference
-    #: cassandra/tsdb/read.go:548-613: counter functions read max for
-    #: reset safety; min/max/count read their own stream; default avg)
-    _ROUTE_COLUMN = {
-        "min_over_time": "min",
-        "max_over_time": "max",
-        "count_over_time": "count",
-        "rate": "max",
-        "irate": "max",
-        "increase": "max",
-        "resets": "max",
-    }
-
     def _use_preagg(self) -> bool:
         """A15 (read.go:60-72): pre-agg iff step >= resolution, with the
         force flags mirroring the reference's headers; force-raw wins."""
@@ -242,16 +232,21 @@ class PromQLEngine:
 
     def _routed_mat(self, node_arg, fn_name: str):
         """Lower a plain matrix selector against the routed downsample
-        column instead of the raw table (A16). Matchers and offset apply
-        identically — the pre-agg table carries the same label columns."""
+        column instead of the raw table (A16: counter functions read max
+        for reset safety). With ``preagg_until_ms`` set, the not-yet-
+        aggregated raw tail is re-bucketed with the same expression and
+        stitched on (A17) so range functions see a uniform cadence.
+        Matchers and offset apply identically — the routed relation
+        carries the same label columns."""
         if not (isinstance(node_arg, A.MatrixSelector) and self._use_preagg()):
             return None
-        col = self._ROUTE_COLUMN.get(fn_name, "avg")
-        pts = self.downsample.select(
-            *self.label_cols,
-            F.col("bucket_ts").alias("ts"),
-            F.col(col).cast("double").alias("value"),
-        )
+        if self.preagg_until_ms is not None:
+            pts = ds_mod.stitch(
+                self.downsample, self.points, list(self.label_cols),
+                self.preagg_until_ms, fn_name, self.preagg_resolution_ms,
+            )
+        else:
+            pts = ds_mod.as_points(self.downsample, list(self.label_cols), fn_name)
         return Mat(self._select_points(node_arg.inner, points=pts),
                    node_arg.range_ms)
 

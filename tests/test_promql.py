@@ -326,6 +326,17 @@ def test_preagg_routing_decision_and_lossless_max(spark):
     assert set(got_raw) == set(got_routed)
     assert all(got_raw[s] <= got_routed[s] for s in got_raw)
 
+    # A17: pre-agg head + re-bucketed raw tail == uniform downsample (the
+    # reference's stitch invariant, read.go:229-238) — even when the
+    # downsample table is truncated at the watermark
+    truncated = ds.filter("bucket_ts < 60000")
+    stitched = PromQLEngine(pts, step_ms=30_000, label_cols=("host", "name"),
+                            name_label="name", lookback_ms=60_000,
+                            downsample=truncated, preagg_resolution_ms=10_000,
+                            preagg_until_ms=60_000)
+    got_stitched = {r.step_ts: r.value for r in stitched.query_range(q).collect()}
+    assert got_stitched == got_routed
+
 
 def test_plan_bottomk_and_group(engine):
     out = engine.query_range("bottomk(1, cpu)").collect()
