@@ -172,6 +172,60 @@ def ann_ivf(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH.
+
+    Single-table sign-bit LSH has recall ``(1 - theta/pi)^r`` per pair — at
+    cosine 0.4 and r=6 planes that misses ~60%. OR-amplification fixes it:
+    ``n_tables`` independent banding tables, a pair is a candidate if it
+    collides in ANY table, then exact (rounded) cosine rescoring applies
+    the threshold. Candidates dedupe on (a_id, b_id) before rescoring so a
+    pair colliding in several tables is scored once.
+
+    Scale shape: the explode multiplies the scan by ``n_tables`` (cheap,
+    map-side); the self-join shuffles by (table, bucket) — per-bucket
+    all-pairs instead of corpus all-pairs, the same cost model as the
+    MinHash-LSH text path (pipeline/dedup.py). Skewed buckets are the
+    known failure mode; at production scale add a bucket-size cap or more
+    planes per table.
+    """
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    tables = F.array(*[
+        F.struct(
+            F.lit(t).alias("t"),
+            F.expr(
+                bucket_expr("v", all_planes[t * n_planes:(t + 1) * n_planes])
+            ).alias("b"),
+        )
+        for t in range(n_tables)
+    ])
+    bucketed = (
+        base.withColumn("tb", F.explode(tables))
+        .select(F.col(id_col), "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    a = bucketed.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "t", "b")
+    b = bucketed.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "t", "b")
+    cand = (
+        a.join(b, on=["t", "b"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "av", "bv")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    scored = with_cosine(cand, "av", "bv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("a_id", "b_id", "cosine")
+
+
 # ----------------------------------------------------------- DuckDB oracles
 
 _DUCK_DOT = (
@@ -251,4 +305,31 @@ ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
   FROM scored)
 SELECT q_id, c_id, bucket, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def sql_embedding_neardup(
+    threshold: float = 0.35, n_tables: int = 4, n_planes: int = 4, dim: int = 64
+) -> str:
+    """Replays the exact multi-table LSH candidate generation of
+    :func:`embedding_neardup_pairs` (same hyperplane literals), so the
+    approximate recall is identical on both engines."""
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    per_table = [
+        f"SELECT vec_id, v, {t} AS t, "
+        f"{duck_bucket_expr('v', all_planes[t * n_planes:(t + 1) * n_planes])} AS b "
+        "FROM base"
+        for t in range(n_tables)
+    ]
+    bucketed = "\nUNION ALL ".join(per_table)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS ({bucketed}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM bucketed a JOIN bucketed b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),
+pairs AS (
+  SELECT a_id, b_id, {_duck_cos('av.v', 'bv.v')} AS cosine
+  FROM cand JOIN base av ON av.vec_id = a_id JOIN base bv ON bv.vec_id = b_id)
+SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= {threshold}
 """

@@ -783,6 +783,11 @@ def q_emb_ann_ivf(spark, sf_dir):
     return psim.ann_ivf(emb).withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_emb_neardup(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.embedding_neardup_pairs(emb)
+
+
 def q_mm_extract(spark, sf_dir):
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
@@ -1418,6 +1423,9 @@ CATALOG: dict[str, QueryDef] = {
     # LLM-data pipeline: similarity search
     "emb_cosine_knn": QueryDef(q_emb_cosine_knn, _neg0(psim.sql_cosine_knn(), ["cosine"])),
     "emb_ann_lsh": QueryDef(q_emb_ann_lsh, _neg0(psim.sql_ann_lsh(), ["cosine"])),
+    "emb_neardup_pairs": QueryDef(
+        q_emb_neardup, _neg0(psim.sql_embedding_neardup(), ["cosine"])
+    ),
     # LLM-data pipeline: multimodal plumbing (Arrow-batched mapInPandas)
     "mm_extract_features": QueryDef(q_mm_extract, pmm.SQL_EXTRACT_FEATURES),
     # long-tail PromQL functions + mutable labels + export

@@ -73,6 +73,21 @@ def test_ann_lsh_subset_of_bucket_and_agrees_with_brute_on_top1(spark, sf_dir):
     assert len(hits) > 0
 
 
+def test_embedding_neardup_sound_and_or_amplified(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    got = similarity.embedding_neardup_pairs(emb, threshold=0.35).collect()
+    assert len(got) > 0
+    # soundness: every reported pair really clears the threshold, ordered ids
+    for r in got:
+        assert r.cosine >= 0.35 and r.a_id < r.b_id
+    # no duplicate pairs despite multi-table candidate generation
+    pairs = [(r.a_id, r.b_id) for r in got]
+    assert len(pairs) == len(set(pairs))
+    # OR-amplification: 4 tables recall at least as much as table 0 alone
+    single = similarity.embedding_neardup_pairs(emb, threshold=0.35, n_tables=1)
+    assert len(got) >= single.count()
+
+
 def test_lang_scores_deterministic_tiebreak(spark):
     df = spark.createDataFrame([(1, "xyz qqq")], "doc_id long, text string")
     out = text.lang_scores(df).collect()[0]
