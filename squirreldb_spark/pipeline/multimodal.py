@@ -78,6 +78,107 @@ def extract_features(binary_table: DataFrame) -> DataFrame:
     return binary_table.mapInPandas(featurize, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "doc_id long, width long, height long, pixels array<long>"
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_bytes long, frame_md5 string"
+
+
+def resize_images(
+    binary_table: DataFrame, out_w: int = 4, out_h: int = 4
+) -> DataFrame:
+    """'Resize' stub: nearest-neighbor sample of the payload byte stream.
+
+    A real implementation decodes the image and resamples pixels; the
+    deterministic stand-in treats the payload as a 1-D pixel stream and
+    takes ``out_w*out_h`` evenly spaced bytes (``offset_k = k*n // wh``).
+    What is REAL and load-bearing here is the Spark shape: binary column
+    in, fixed-width ``array<long>`` feature out, Arrow-batched
+    ``mapInPandas``, no per-row Python round trips — swap the sampler for
+    PIL in production and nothing else changes.
+    """
+    wh = out_w * out_h
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": out_w,
+                    "height": out_h,
+                    "pixels": payloads.map(
+                        lambda b: [b[(k * len(b)) // wh] for k in range(wh)]
+                        if len(b)
+                        else [-1] * wh
+                    ),
+                }
+            )
+
+    return binary_table.mapInPandas(sample, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    binary_table: DataFrame, n_frames: int = 4, frame_len: int = 16
+) -> DataFrame:
+    """'Video' frame sampling stub: explode each payload into ``n_frames``
+    evenly spaced windows of ``frame_len`` bytes.
+
+    Real frame sampling seeks keyframes with ffmpeg; the stand-in windows
+    the byte stream at ``start_f = f*n // n_frames``. The Spark shape is
+    the production one: one input row fans out to ``n_frames`` ordered
+    rows inside a single Arrow batch (no join, no explode shuffle), each
+    frame carrying its digest (md5 of the frame's hex encoding) so
+    downstream exact-dedup of frames works unchanged.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for f in range(n_frames):
+                    start = (f * n) // n_frames
+                    frame = payload[start : start + frame_len]
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["frame_bytes"].append(len(frame))
+                    rows["frame_md5"].append(
+                        hashlib.md5(frame.hex().encode()).hexdigest()
+                    )
+            yield pd.DataFrame(rows)
+
+    return binary_table.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
+def sql_resize_images(out_w: int = 4, out_h: int = 4) -> str:
+    """Oracle: byte k of the utf-8 payload via the hex-string of the blob
+    (DuckDB has no blob substring; ``'0x'||hex-pair`` casts to the byte)."""
+    wh = out_w * out_h
+    return f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+            FROM documents)
+SELECT doc_id, {out_w}::BIGINT AS width, {out_h}::BIGINT AS height,
+       list_transform(generate_series(0, {wh - 1}),
+                      k -> ('0x' || substr(h, 2 * ((k * n) // {wh}) + 1, 2))::BIGINT)
+         AS pixels
+FROM hx
+"""
+
+
+def sql_sample_frames(n_frames: int = 4, frame_len: int = 16) -> str:
+    return f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+f AS (SELECT unnest(generate_series(0, {n_frames - 1})) AS frame_idx)
+SELECT doc_id, frame_idx,
+       least({frame_len}, n - (frame_idx * n) // {n_frames}) AS frame_bytes,
+       md5(substr(h, 2 * ((frame_idx * n) // {n_frames}) + 1,
+                  2 * least({frame_len}, n - (frame_idx * n) // {n_frames})))
+         AS frame_md5
+FROM hx, f
+"""
+
+
 SQL_EXTRACT_FEATURES = """
 SELECT doc_id,
        strlen(text) AS byte_len,

@@ -792,6 +792,21 @@ def q_mm_extract(spark, sf_dir):
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+def q_mm_resize(spark, sf_dir):
+    out = pmm.resize_images(pmm.as_binary_table(_docs(spark, sf_dir)))
+    # hash compare is textual: stringify the pixel array identically on
+    # both sides (the operator itself keeps the real array<long>)
+    return out.select(
+        "doc_id", "width", "height",
+        F.array_join(F.transform("pixels", lambda x: x.cast("string")), ",")
+         .alias("pixels_csv"),
+    )
+
+
+def q_mm_frames(spark, sf_dir):
+    return pmm.sample_frames(pmm.as_binary_table(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------- long-tail PromQL functions
 
 from squirreldb_spark.tsdb import functions as fns  # noqa: E402
@@ -1428,6 +1443,12 @@ CATALOG: dict[str, QueryDef] = {
     ),
     # LLM-data pipeline: multimodal plumbing (Arrow-batched mapInPandas)
     "mm_extract_features": QueryDef(q_mm_extract, pmm.SQL_EXTRACT_FEATURES),
+    "mm_resize_images": QueryDef(
+        q_mm_resize,
+        "SELECT doc_id, width, height, array_to_string(pixels, ',') AS pixels_csv "
+        f"FROM (\n{pmm.sql_resize_images()}\n) _r",
+    ),
+    "mm_sample_frames": QueryDef(q_mm_frames, pmm.sql_sample_frames()),
     # long-tail PromQL functions + mutable labels + export
     "ts_histogram_quantile": QueryDef(q_histogram_quantile, SQL_HISTOGRAM_QUANTILE),
     "ts_deriv": QueryDef(q_deriv, _neg0(_linreg_sql(None))),

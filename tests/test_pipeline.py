@@ -102,6 +102,20 @@ def test_multimodal_plumbing_checksum(spark, docs):
     assert row.byte_len == len(original.encode())
 
 
+def test_resize_fixed_grid_and_frame_fanout(spark, docs):
+    bt = multimodal.as_binary_table(docs)
+    resized = multimodal.resize_images(bt, out_w=2, out_h=2).collect()
+    assert all(len(r.pixels) == 4 and r.width == 2 and r.height == 2 for r in resized)
+    frames = multimodal.sample_frames(bt, n_frames=3, frame_len=8).collect()
+    n_docs = docs.count()
+    assert len(frames) == 3 * n_docs
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_idx)
+        assert 0 < r.frame_bytes <= 8
+    assert all(sorted(v) == [0, 1, 2] for v in by_doc.values())
+
+
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
