@@ -1372,7 +1372,7 @@ def _neg0(sql: str, cols: _Seq[str] = ("value",)) -> str:
     return f"SELECT * REPLACE ({replaces}) FROM (\n{sql}\n) _q"
 
 
-CATALOG: dict[str, QueryDef] = {
+_ALL_QUERIES: dict[str, QueryDef] = {
     # TSDB storage/dataflow + PromQL surface (SURVEY §2A/§2B)
     "ts_downsample_5m": QueryDef(q_downsample, SQL_DOWNSAMPLE),
     "ts_instant_selector": QueryDef(q_instant, SQL_INSTANT),
@@ -1516,4 +1516,69 @@ CATALOG: dict[str, QueryDef] = {
     "api_query_range": QueryDef(q_api_query_range, SQL_API_QUERY_RANGE),
     # A15/A16 routing inside the engine
     "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
+}
+
+
+# The driver's correctness gate checks the FIRST 50 catalog entries in
+# insertion order.  Round 1 verified entries 1-50 of the old ordering
+# (everything up to and including ``doc_simhash``); the 37 entries after
+# that were only covered by the local pytest oracle harness.  Rotate:
+# put the never-driver-verified entries first so every entry earns a
+# driver-attested CORRECTNESS row across rounds, and keep a small spine
+# of round-1-green entries inside the window as a regression canary.
+_VERIFY_FIRST: list[str] = [
+    # --- never driver-verified (round 1 entries #51-#87) ---
+    "promql_rate_sum",
+    "promql_selector_matchers",
+    "promql_binop_sub",
+    "promql_topk",
+    "promql_clamp_arith",
+    "promql_offset",
+    "promql_cmp_filter",
+    "promql_subquery",
+    "promql_at_modifier",
+    "promql_group_left",
+    "promql_group_right",
+    "promql_bottomk_without",
+    "promql_agg_group",
+    "promql_binop_modpow",
+    "promql_absent_over_time",
+    "promql_time_timestamp",
+    "promql_preagg_route",
+    "api_query_range",
+    "ts_histogram_quantile",
+    "ts_deriv",
+    "ts_predict_linear",
+    "ts_absent",
+    "ts_date_functions",
+    "ts_label_replace",
+    "ts_label_join",
+    "ts_mutable_labels",
+    "ts_export_pivot",
+    "ts_import_roundtrip",
+    "ts_index_verify",
+    "ts_holt_winters",
+    "emb_cosine_knn",
+    "emb_ann_lsh",
+    "emb_ann_ivf",
+    "emb_neardup_pairs",
+    "mm_extract_features",
+    "mm_resize_images",
+    "mm_sample_frames",
+    # --- round-1-green spine (regression canaries inside the window) ---
+    "ts_rate",
+    "ts_quantile_over_time",
+    "ts_instant_selector",
+    "ts_agg_sum_by",
+    "ts_set_or",
+    "ts_preagg_route_rate",
+    "ts_dedup_points",
+    "tpch_q1_pricing_summary",
+    "doc_minhash_lsh_pairs",
+    "doc_simhash",
+]
+
+CATALOG: dict[str, QueryDef] = {
+    **{k: _ALL_QUERIES[k] for k in _VERIFY_FIRST},
+    **{k: v for k, v in _ALL_QUERIES.items() if k not in _VERIFY_FIRST},
 }
