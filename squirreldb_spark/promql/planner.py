@@ -93,6 +93,71 @@ _SCALAR_FNS: dict[str, object] = {
 }
 
 
+def time_window(node, lookback_ms: int) -> tuple[int, int, list[int]]:
+    """Conservative sample window for an expression evaluated at step ``t``.
+
+    Returns ``(behind_ms, ahead_ms, anchors)``: any raw sample the plan can
+    touch has ``ts in (t - behind_ms, t + ahead_ms]`` — except selectors
+    pinned by an absolute ``@`` modifier, whose anchor timestamps are
+    returned so the caller can widen the scan to cover them.  Mirrors the
+    reference's from/to pushdown into every table scan
+    (cassandra/tsdb/read.go:380-396): Prometheus computes the same
+    selector-relative start/end before touching storage.
+
+    Range selectors do not apply lookback (their window is exactly
+    ``(t - range, t]``); instant selectors add ``lookback_ms``; offsets
+    shift the window (negative offsets look ahead); subqueries widen by
+    their own range + offset.
+    """
+    if isinstance(node, A.VectorSelector):
+        behind = lookback_ms + max(node.offset_ms, 0)
+        ahead = max(-node.offset_ms, 0)
+        anchors = [node.at_ms] if isinstance(node.at_ms, int) else []
+        return behind, ahead, anchors
+    if isinstance(node, A.MatrixSelector):
+        s = node.inner
+        behind = node.range_ms + max(s.offset_ms, 0)
+        ahead = max(-s.offset_ms, 0)
+        anchors = [s.at_ms] if isinstance(s.at_ms, int) else []
+        return behind, ahead, anchors
+    if isinstance(node, A.Subquery):
+        b, a, an = time_window(node.inner, lookback_ms)
+        return (
+            b + node.range_ms + max(node.offset_ms, 0),
+            a + max(-node.offset_ms, 0),
+            an,
+        )
+    if isinstance(node, A.FunctionCall):
+        children = node.args
+    elif isinstance(node, A.Aggregation):
+        children = (node.expr, node.param)
+    elif isinstance(node, A.BinaryOp):
+        children = (node.lhs, node.rhs)
+    elif isinstance(node, A.Unary):
+        children = (node.expr,)
+    else:
+        children = ()
+    behind = ahead = 0
+    anchors: list[int] = []
+    for c in children:
+        if c is None or isinstance(c, (int, float, str)):
+            continue
+        cb, ca, can = time_window(c, lookback_ms)
+        behind, ahead = max(behind, cb), max(ahead, ca)
+        anchors.extend(can)
+    return behind, ahead, anchors
+
+
+def aligned_grid(spark, lo_ms: int, hi_ms: int, step_ms: int) -> DataFrame:
+    """Absolute-aligned steps (multiples of ``step_ms``) covering
+    ``[lo_ms, hi_ms]`` — PromQL subquery step alignment."""
+    first = -(-lo_ms // step_ms) * step_ms
+    last = (hi_ms // step_ms) * step_ms
+    return spark.range(first, last + 1, step_ms).select(
+        F.col("id").alias("step_ts")
+    )
+
+
 class PromQLEngine:
     """Evaluates PromQL range queries over a points DataFrame.
 
@@ -132,6 +197,8 @@ class PromQLEngine:
         self.preagg_until_ms = preagg_until_ms
         self.force_raw = force_raw
         self.force_preagg = force_preagg
+        self.start_ms = start_ms
+        self.end_ms = end_ms
         if start_ms is not None and end_ms is not None:
             # explicit query_range bounds: steps = start, start+step, ..., end
             spark = points.sparkSession
@@ -145,7 +212,8 @@ class PromQLEngine:
 
     def query_range(self, promql: str) -> DataFrame:
         """Evaluate and return (labels..., step_ts, value)."""
-        result = self._eval(parse(promql))
+        node = parse(promql)
+        result = self._bounded(node)._eval(node)
         if isinstance(result, Vec):
             return result.df
         if isinstance(result, (int, float)):
@@ -153,6 +221,49 @@ class PromQLEngine:
                 "step_ts", F.lit(float(result)).alias("value")
             )
         raise ValueError("query did not evaluate to an instant vector")
+
+    def _bounded(self, node) -> "PromQLEngine":
+        """Time-bound pushdown: with explicit [start, end] bounds, filter
+        the fact (and pre-agg) scan to the window the query can touch
+        BEFORE planning, so the ``ts`` predicate reaches the parquet
+        reader as a pushed filter / partition prune — the reference
+        pushes from/to into every scan (cassandra/tsdb/read.go:380-396).
+        A bounded 1-hour query must not scan years of history."""
+        if self.start_ms is None or self.end_ms is None:
+            return self
+        behind, ahead, anchors = time_window(node, self.lookback_ms)
+        lo = min([self.start_ms, *anchors]) - behind
+        hi = max([self.end_ms, *anchors]) + ahead
+        import copy
+
+        eng = copy.copy(self)
+        eng.points = self.points.filter(
+            (F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+        )
+        if "date" in self.points.columns:
+            # production layout (A9): the raw store is partitionBy("date");
+            # an equivalent predicate on the partition column turns the
+            # time bound into real partition pruning at the source
+            import datetime as _dt
+
+            lo_d = _dt.datetime.fromtimestamp(
+                lo // 1000, tz=_dt.timezone.utc
+            ).date()
+            hi_d = _dt.datetime.fromtimestamp(
+                hi // 1000, tz=_dt.timezone.utc
+            ).date()
+            eng.points = eng.points.filter(
+                F.col("date").between(lo_d.isoformat(), hi_d.isoformat())
+            )
+        if self.downsample is not None:
+            # pre-agg buckets are labelled by bucket start; a bucket
+            # starting up to one resolution before ``lo`` can still hold
+            # samples inside the window
+            eng.downsample = self.downsample.filter(
+                (F.col("bucket_ts") > F.lit(lo - self.preagg_resolution_ms))
+                & (F.col("bucket_ts") <= F.lit(hi))
+            )
+        return eng
 
     # ---------------------------------------------------------- selector
 
@@ -297,6 +408,19 @@ class PromQLEngine:
                 lookback_ms=self.lookback_ms,
                 mutable_mapping=self.mutable_mapping, tenant=self.tenant,
             )
+            if self.start_ms is not None and self.end_ms is not None:
+                # bounded outer query: the inner steps the outer range
+                # selector can consume are exactly
+                # (start - range - offset, end - offset]; evaluate on an
+                # absolute-aligned grid over that window instead of the
+                # data extent (matches PromQL subquery step alignment and
+                # keeps the pushdown effective for the nested scan)
+                inner_engine.grid = aligned_grid(
+                    self.points.sparkSession,
+                    self.start_ms - node.range_ms - node.offset_ms,
+                    self.end_ms - node.offset_ms,
+                    node.step_ms or self.step_ms,
+                )
             inner = inner_engine._eval(node.inner)
             assert isinstance(inner, Vec), "subquery inner must be an instant vector"
             pts = inner.df.withColumnRenamed("step_ts", "ts")

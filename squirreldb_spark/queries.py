@@ -1165,6 +1165,36 @@ def q_api_query_range(spark, sf_dir):
     return _round(out, {"value": 6})
 
 
+BOUND_START_MS, BOUND_END_MS = 1_705_708_800_000, 1_706_054_400_000  # 1-20..1-24
+
+
+def q_api_bounded_scan(spark, sf_dir):
+    """Bounded /query_range: explicit narrow [start, end] bounds push a
+    ``ts`` window into the fact scan before planning (reference pushes
+    from/to into every read — cassandra/tsdb/read.go:380-396). The plan
+    shape (filter adjacent to the scan, date-partition pruning on the
+    production layout) is asserted in tests/test_plan_shape.py."""
+    from squirreldb_spark.api import PromAPI
+
+    api = PromAPI(_pts(spark, sf_dir), label_cols=tuple(KEYS),
+                  name_label="event_type", lookback_ms=LOOKBACK_MS)
+    out = api.query_range('sum by (event_type) ({__name__=~".+"})',
+                          BOUND_START_MS, BOUND_END_MS, STEP_MS)
+    return _round(out, {"value": 6})
+
+
+SQL_API_BOUNDED_SCAN = f"""
+WITH pts AS ({_PTS}),
+grid AS (SELECT unnest(generate_series({BOUND_START_MS}, {BOUND_END_MS}, {STEP_MS})) AS step_ts),
+inst AS (SELECT p.user_id, p.event_type, g.step_ts, arg_max(p.value, p.ts) AS value
+         FROM pts p, grid g
+         WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+         GROUP BY 1, 2, 3)
+SELECT event_type, step_ts, round(sum(value), 6) AS value
+FROM inst GROUP BY 1, 2
+"""
+
+
 SQL_API_QUERY_RANGE = f"""
 WITH pts AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value
              FROM events WHERE user_id % 2 = 0),
@@ -1514,6 +1544,8 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "emb_ann_ivf": QueryDef(q_emb_ann_ivf, _neg0(psim.sql_ann_ivf(), ["cosine"])),
     # full API endpoint path (tenant scope + explicit grid + PromQL string)
     "api_query_range": QueryDef(q_api_query_range, SQL_API_QUERY_RANGE),
+    # time-bound pushdown: narrow explicit bounds prune the fact scan
+    "api_bounded_scan": QueryDef(q_api_bounded_scan, SQL_API_BOUNDED_SCAN),
     # A15/A16 routing inside the engine
     "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
 }
@@ -1546,6 +1578,7 @@ _VERIFY_FIRST: list[str] = [
     "promql_time_timestamp",
     "promql_preagg_route",
     "api_query_range",
+    "api_bounded_scan",
     "ts_histogram_quantile",
     "ts_deriv",
     "ts_predict_linear",

@@ -7,6 +7,7 @@ catastrophic at 100 TB.
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from squirreldb_spark import model
 from squirreldb_spark.tsdb import range_fns, selectors
@@ -75,6 +76,43 @@ def test_grid_is_broadcast_in_instant_select(spark, sf_dir):
         model.points(spark, sf_dir), KEYS, STEP_MS, LOOKBACK_MS
     )
     assert "BroadcastExchange" in plan_of(df)
+
+
+def test_bounded_query_filters_ts_at_scan(spark, sf_dir):
+    """Time-bound pushdown: an explicitly-bounded API query must carry the
+    derived ts window as a filter adjacent to the fact scan (not after a
+    join/window), so only the bounded slice flows into the query."""
+    from squirreldb_spark.queries import BOUND_START_MS, q_api_bounded_scan
+
+    plan = plan_of(q_api_bounded_scan(spark, sf_dir))
+    lo = BOUND_START_MS - LOOKBACK_MS
+    assert f"> {lo}" in plan, "lower ts bound missing from the physical plan"
+    # the bound must be applied before the grid join, i.e. inside the
+    # scan-side stage: no Window/Join text between the Scan and the filter
+    scan_stage = plan[plan.rindex("Scan parquet"):]
+    assert str(lo) in plan[: plan.rindex("Scan parquet")] or str(lo) in scan_stage
+
+
+def test_bounded_query_prunes_date_partitions(spark, sf_dir, tmp_path):
+    """On the production date-partitioned layout (A9), the same bounds
+    become real partition pruning: PartitionFilters on the scan."""
+    from squirreldb_spark import model
+    from squirreldb_spark.promql.planner import PromQLEngine
+    from squirreldb_spark.queries import BOUND_END_MS, BOUND_START_MS
+
+    store = str(tmp_path / "raw_by_date")
+    pts = model.points(spark, sf_dir).withColumn(
+        "date", F.expr("date_add(DATE '1970-01-01', cast(ts div 86400000 as int))")
+    )
+    pts.write.partitionBy("date").mode("overwrite").parquet(store)
+    eng = PromQLEngine(
+        spark.read.parquet(store), label_cols=tuple(KEYS),
+        name_label="event_type", step_ms=STEP_MS, lookback_ms=LOOKBACK_MS,
+        start_ms=BOUND_START_MS, end_ms=BOUND_END_MS,
+    )
+    plan = plan_of(eng.query_range("purchase"))
+    seg = plan[plan.index("PartitionFilters"):][:400]
+    assert "date" in seg and "isnotnull" in seg.lower(), seg
 
 
 def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
