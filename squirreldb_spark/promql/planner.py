@@ -519,8 +519,22 @@ class PromQLEngine:
             return Vec(vec.df.withColumn("value", v), vec.labels)
         if name == "scalar":
             vec = self._eval(node.args[0])
-            # single-series vector -> scalar per step; keep as 1-label-less vec
-            return Vec(vec.df.select("step_ts", "value"), ())
+            if isinstance(vec, (int, float)):
+                return float(vec)
+            # PromQL scalar(): the value when the vector has exactly one
+            # series at that step, NaN otherwise (incl. empty steps) —
+            # guarantees one row per step so downstream step-joins never
+            # fan out
+            agg = vec.df.groupBy("step_ts").agg(
+                F.count(F.lit(1)).alias("_n"), F.min("value").alias("_v")
+            )
+            df = self.grid.join(agg, "step_ts", "left").select(
+                "step_ts",
+                F.when(F.col("_n") == 1, F.col("_v"))
+                .otherwise(F.lit(float("nan")))
+                .alias("value"),
+            )
+            return Vec(df, ())
         if name == "deriv":
             mat = self._eval(node.args[0])
             df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
@@ -665,16 +679,21 @@ class PromQLEngine:
     def _eval_aggregation(self, node: A.Aggregation):
         vec = self._eval(node.expr)
         assert isinstance(vec, Vec)
+        # __name__ in a grouping list addresses the name column (same
+        # translation binop on() lists already apply)
+        grouping = tuple(
+            self.name_label if l == "__name__" else l for l in node.grouping
+        )
         if node.without:
             by = tuple(
                 l for l in vec.labels
-                if l not in node.grouping and l != self.name_label
+                if l not in grouping and l != self.name_label
             )
         else:
             # a grouping label absent from the vector behaves as the empty
             # value on every series (Prometheus missing-label semantics):
             # grouping by it is a no-op, so drop it
-            by = tuple(l for l in node.grouping if l in vec.labels)
+            by = tuple(l for l in grouping if l in vec.labels)
         if node.op in ("topk", "bottomk"):
             df = agg_ops.topk(
                 vec.df, by=by, series_keys=vec.labels, k=int(node.param),
@@ -789,7 +808,20 @@ class PromQLEngine:
                 common = [l for l in common if l not in node.ignoring]
             on = common
         if node.op in ("and", "unless", "or"):
+            if node.on is None:
+                # set ops default to matching on the FULL label set
+                # (minus __name__), not the intersection: a label absent
+                # on one side compares as "" inside set_op
+                on = [
+                    l for l in dict.fromkeys([*lhs.labels, *rhs.labels])
+                    if l != self.name_label
+                    and not (node.ignoring and l in node.ignoring)
+                ]
             df = binops.set_op(lhs.df, rhs.df, on=on, op=node.op)
+            if node.op == "or":
+                # the union carries both sides' labels (missing -> "")
+                labels = tuple(dict.fromkeys([*lhs.labels, *rhs.labels]))
+                return Vec(df.select(*labels, "step_ts", "value"), labels)
             return Vec(df, lhs.labels)
         if node.group_side and node.op in binops._ARITH:
             # many-to-one matching: each row of the "many" side joins the

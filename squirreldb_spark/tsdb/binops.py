@@ -94,15 +94,36 @@ def compare(
 
 
 def set_op(left: DataFrame, right: DataFrame, on: Sequence[str], op: str) -> DataFrame:
-    """``and`` / ``unless`` / ``or`` with matching on the given labels."""
-    on = list(on) + ["step_ts"]
-    rk = right.select(*on).distinct()
+    """``and`` / ``unless`` / ``or`` with matching on the given labels.
+
+    The sides may carry different label sets (e.g. ``sum by(a)(x) or
+    sum by(b)(y)``); a label absent on one side compares as the empty
+    string (Prometheus missing-label semantics), so both sides are
+    aligned to the matching columns before the join.
+    """
+    l_orig = list(left.columns)
+    for c in on:
+        if c not in left.columns:
+            left = left.withColumn(c, F.lit(""))
+        if c not in right.columns:
+            right = right.withColumn(c, F.lit(""))
+    keys = list(on) + ["step_ts"]
     if op == "and":
-        return left.join(rk, on=on, how="left_semi")
+        rk = right.select(*keys).distinct()
+        return left.join(rk, on=keys, how="left_semi").select(*l_orig)
     if op == "unless":
-        return left.join(rk, on=on, how="left_anti")
+        rk = right.select(*keys).distinct()
+        return left.join(rk, on=keys, how="left_anti").select(*l_orig)
     if op == "or":
-        lk = left.select(*on).distinct()
-        extra = right.join(lk, on=on, how="left_anti")
+        # the union carries both sides' labels, missing ones as ""
+        meta = ("step_ts", "value")
+        for c in right.columns:
+            if c not in left.columns and c not in meta:
+                left = left.withColumn(c, F.lit(""))
+        for c in left.columns:
+            if c not in right.columns and c not in meta:
+                right = right.withColumn(c, F.lit(""))
+        lk = left.select(*keys).distinct()
+        extra = right.join(lk, on=keys, how="left_anti")
         return left.unionByName(extra.select(*left.columns))
     raise ValueError(op)

@@ -33,8 +33,13 @@ def dedup_points(
     A single row_number window — one shuffle on the series keys.
     """
     keys = list(keys)
-    order = [F.desc_nulls_last("value")] if tiebreak is None else [
-        F.when(F.isnan("value"), 1).otherwise(0).asc(),
+    # NaN sorts ABOVE all doubles in Spark, so a bare desc() would let a
+    # NaN duplicate beat a real value — the non-NaN-survives rule
+    # (reference types/metric.go) needs the explicit NaN demotion in both
+    # branches.
+    nan_last = F.when(F.isnan("value"), 1).otherwise(0).asc()
+    order = [nan_last, F.desc("value")] if tiebreak is None else [
+        nan_last,
         F.desc(tiebreak),
     ]
     w = Window.partitionBy(*keys, ts_col).orderBy(*order)

@@ -179,6 +179,41 @@ def test_plan_unsupported_function_raises(engine):
         engine.query_range("no_such_function(cpu)")
 
 
+def test_scalar_multi_series_is_nan(engine):
+    # cpu has two series -> scalar(cpu) is NaN at every step (upstream
+    # semantics); scalar of a single-series selector passes the value
+    import math
+
+    multi = engine.query_range("scalar(cpu)").collect()
+    assert multi and all(math.isnan(r.value) for r in multi)
+    single = engine.query_range('scalar(cpu{host="a"})').collect()
+    got = {r.step_ts: r.value for r in single}
+    assert got[30_000] == 20.0
+    # and the step-join against a vector must not fan out
+    out = engine.query_range('cpu{host="a"} - scalar(cpu{host="a"})').collect()
+    keys = [(r.host, r.step_ts) for r in out]
+    assert len(keys) == len(set(keys))
+    assert all(r.value == 0.0 for r in out)
+
+
+def test_agg_group_by_name_label(engine):
+    # sum by (__name__) groups on the name column instead of dropping it
+    out = engine.query_range("sum by (__name__) (cpu)").collect()
+    assert out and all(r.name == "cpu" for r in out)
+    both = engine.query_range('sum by (__name__) ({__name__=~"cpu|mem"})').collect()
+    assert {r.name for r in both} == {"cpu", "mem"}
+
+
+def test_set_or_different_label_sets(engine):
+    # sides with different label sets union with missing labels as ""
+    out = engine.query_range(
+        "sum by (host) (cpu) or sum by (name) (mem)"
+    ).collect()
+    hosts = {(r.host, r.name) for r in out}
+    assert ("a", "") in hosts and ("b", "") in hosts
+    assert ("", "mem") in hosts
+
+
 def test_plan_deriv(engine):
     # series a rises 1.0/s steadily -> slope 1.0 everywhere it has >= 2 samples
     out = engine.query_range('deriv(cpu{host="a"}[20s])').collect()

@@ -202,6 +202,21 @@ def test_dedup_keeps_latest_write_and_prefers_non_nan(spark):
     assert got[("b", 100)] == 3.0
 
 
+def test_dedup_no_tiebreak_prefers_non_nan(spark):
+    """Without a tiebreak column the non-NaN duplicate must still win:
+    Spark sorts NaN above all doubles, so a bare desc() would keep NaN."""
+    rows = [
+        ("a", 100, float("nan")),
+        ("a", 100, 5.0),
+        ("b", 100, float("nan")),    # all-NaN group keeps its NaN
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double")
+    out = maintenance.dedup_points(df, KEYS)
+    got = {(r.series, r.ts): r.value for r in out.collect()}
+    assert got[("a", 100)] == 5.0
+    assert got[("b", 100)] != got[("b", 100)]  # NaN
+
+
 def test_retention_and_future_clamp(spark):
     pts = mk_points(spark, [("a", 0, 1.0), ("a", 1_000_000, 2.0), ("a", 10_000_000, 3.0)])
     kept = maintenance.apply_retention(pts, now_ms=1_001_000, ttl_seconds=1)
