@@ -117,15 +117,29 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+#: default LSH bucket-size cap: a bucket of B docs emits B(B-1)/2 pairs,
+#: so one degenerate bucket (empty docs, boilerplate headers) turns the
+#: banded self-join quadratic. Buckets above the cap are dropped — their
+#: members are near-identical to each other and still pair up through
+#: their other (rarer) bands, or are handled by exact dedup first.
+MAX_BUCKET = 1000
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = NUM_HASHES,
     bands: int = BANDS,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """LSH banding: docs sharing any band's full sub-signature are candidates.
 
     Output ``(id_a, id_b, n_shared_bands)`` with ``id_a < id_b``.
+
+    ``max_bucket`` caps the self-join fan-out: bucket sizes are counted
+    first (same shuffle key as the join, so the aggregation co-partitions
+    with it) and hot buckets are dropped before any pair is enumerated —
+    the standard skew guard for banded LSH at corpus scale.
     """
     rows = num_hashes // bands
     band_cols = []
@@ -144,6 +158,15 @@ def lsh_candidate_pairs(
             ])
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_bucket is not None:
+        sizes = (
+            melted.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket)
+        )
+        melted = melted.join(
+            sizes, on=["band_id", "band_hash"], how="left_semi"
+        )
     a = melted.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"
     )
@@ -180,22 +203,35 @@ def simhash(
 ) -> DataFrame:
     """SimHash: per bit b, sum +1/-1 over token hashes' bit b; bit set if
     the sum is positive. Near-duplicate docs land within small Hamming
-    distance. Explode (token x bit) then two aggregates."""
-    tok = docs.select(
-        F.col(id_col),
-        F.explode(tokens(text_col)).alias("tok"),
-    ).withColumn("th", F.expr(_h60_sql_expr("tok")))
-    bit = tok.select(
-        id_col, "th", F.explode(F.expr(f"sequence(0, {bits - 1})")).alias("b")
-    ).withColumn(
-        "contrib",
-        F.when(F.expr("shiftright(th, b) % 2") == 1, F.lit(1)).otherwise(F.lit(-1)),
+    distance.
+
+    Scale shape: the whole computation is a map-side fold with nested
+    higher-order functions over the token array — one md5 per token, the
+    60 bit-sums built per document in place. No token×bit explode, no
+    shuffle anywhere (docs are already one row each); at 100 TB this is
+    a narrow projection over the corpus scan.
+    """
+    ths = (
+        "transform(toks, t -> cast(conv(substring(md5(cast(t as binary)),"
+        " 1, 15), 16, 10) as bigint))"
     )
-    per_bit = bit.groupBy(id_col, "b").agg(F.sum("contrib").alias("s"))
-    return per_bit.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("s") > 0, F.expr("cast(pow(2, b) as bigint)")).otherwise(F.lit(0))
-        ).alias("simhash")
+    sums = (
+        f"transform(sequence(0, {bits - 1}), b -> aggregate(ths,"
+        " cast(0 as bigint), (acc, h) -> acc +"
+        " (CASE WHEN shiftright(h, b) % 2 = 1 THEN 1 ELSE -1 END)))"
+    )
+    sim = (
+        f"aggregate(zip_with(sums, sequence(0, {bits - 1}),"
+        " (s, b) -> CASE WHEN s > 0 THEN cast(pow(2, b) as bigint)"
+        " ELSE cast(0 as bigint) END), cast(0 as bigint), (a, x) -> a + x)"
+    )
+    return (
+        docs.withColumn("toks", tokens(text_col))
+        # explode-parity: a doc with no tokens produced no rows before
+        .filter(F.size("toks") > 0)
+        .withColumn("ths", F.expr(ths))
+        .withColumn("sums", F.expr(sums))
+        .select(id_col, F.expr(sim).alias("simhash"))
     )
 
 
@@ -227,10 +263,12 @@ def sql_minhash_signatures(num_hashes: int = NUM_HASHES, shingle_n: int = 3) -> 
 
 
 def sql_minhash_lsh_pairs(
-    num_hashes: int = NUM_HASHES, bands: int = BANDS, shingle_n: int = 3
+    num_hashes: int = NUM_HASHES, bands: int = BANDS, shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
 ) -> str:
     """Oracle for the full MinHash -> banding -> candidate pairs -> estimated
-    Jaccard chain (mirrors lsh_candidate_pairs + minhash_estimated_similarity)."""
+    Jaccard chain (mirrors lsh_candidate_pairs + minhash_estimated_similarity,
+    including the bucket-size cap)."""
     rows = num_hashes // bands
     band_selects = []
     for b in range(bands):
@@ -244,8 +282,11 @@ def sql_minhash_lsh_pairs(
     )
     return f"""
 WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
-melt AS (
+melt0 AS (
   {melt}),
+melt AS (
+  SELECT * FROM melt0
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {max_bucket}),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
   FROM melt a JOIN melt b

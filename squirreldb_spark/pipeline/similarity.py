@@ -172,6 +172,13 @@ def ann_ivf(
     )
 
 
+#: bucket-size cap for the banded self-join (see pipeline.dedup.MAX_BUCKET):
+#: a hot bucket (near-constant embeddings, zero vectors) is the one way the
+#: bucketed join goes quadratic, so buckets above the cap are dropped
+#: before pair enumeration.
+MAX_BUCKET = 1000
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -180,6 +187,7 @@ def embedding_neardup_pairs(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH.
 
@@ -193,9 +201,9 @@ def embedding_neardup_pairs(
     Scale shape: the explode multiplies the scan by ``n_tables`` (cheap,
     map-side); the self-join shuffles by (table, bucket) — per-bucket
     all-pairs instead of corpus all-pairs, the same cost model as the
-    MinHash-LSH text path (pipeline/dedup.py). Skewed buckets are the
-    known failure mode; at production scale add a bucket-size cap or more
-    planes per table.
+    MinHash-LSH text path (pipeline/dedup.py). ``max_bucket`` drops hot
+    buckets (the one quadratic failure mode) before any pair is
+    enumerated; the size count shares the join's shuffle key.
     """
     all_planes = hyperplanes(n_tables * n_planes, dim)
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
@@ -212,6 +220,13 @@ def embedding_neardup_pairs(
         base.withColumn("tb", F.explode(tables))
         .select(F.col(id_col), "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     )
+    if max_bucket is not None:
+        sizes = (
+            bucketed.groupBy("t", "b")
+            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+            .filter(F.col("_bucket_n") <= max_bucket)
+        )
+        bucketed = bucketed.join(sizes, on=["t", "b"], how="left_semi")
     a = bucketed.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "t", "b")
     b = bucketed.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "t", "b")
     cand = (
@@ -309,11 +324,13 @@ SELECT q_id, c_id, bucket, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 def sql_embedding_neardup(
-    threshold: float = 0.35, n_tables: int = 4, n_planes: int = 4, dim: int = 64
+    threshold: float = 0.35, n_tables: int = 4, n_planes: int = 4, dim: int = 64,
+    max_bucket: int = MAX_BUCKET,
 ) -> str:
     """Replays the exact multi-table LSH candidate generation of
-    :func:`embedding_neardup_pairs` (same hyperplane literals), so the
-    approximate recall is identical on both engines."""
+    :func:`embedding_neardup_pairs` (same hyperplane literals, same
+    bucket-size cap), so the approximate recall is identical on both
+    engines."""
     all_planes = hyperplanes(n_tables * n_planes, dim)
     per_table = [
         f"SELECT vec_id, v, {t} AS t, "
@@ -324,7 +341,10 @@ def sql_embedding_neardup(
     bucketed = "\nUNION ALL ".join(per_table)
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bucketed AS ({bucketed}),
+bucketed0 AS ({bucketed}),
+bucketed AS (
+  SELECT * FROM bucketed0
+  QUALIFY count(*) OVER (PARTITION BY t, b) <= {max_bucket}),
 cand AS (
   SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
   FROM bucketed a JOIN bucketed b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id),

@@ -47,6 +47,39 @@ def test_minhash_estimate_tracks_true_jaccard(spark, docs):
             assert r.est_jaccard > 0.6
 
 
+def test_lsh_bucket_cap_kills_hot_text_bucket(spark, docs):
+    """Skew guard: thousands of identical docs collapse into ONE bucket per
+    band; without the cap the self-join enumerates ~n²/2 pairs. With it,
+    the hot bucket is dropped before pair enumeration and normal near-dup
+    pairs elsewhere survive."""
+    clones = spark.range(5000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit("same boilerplate header text repeated everywhere").alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    sig = dedup.minhash_signatures(corpus)
+    pairs = dedup.lsh_candidate_pairs(sig, max_bucket=1000)
+    ids = pairs.select("id_a", "id_b").collect()
+    # no pair from the degenerate clone block was enumerated
+    assert all(r.id_a < 1_000_000 and r.id_b < 1_000_000 for r in ids)
+    # the known organic near-dup still collides
+    assert any((r.id_a, r.id_b) == (474, 498) for r in ids)
+
+
+def test_embedding_bucket_cap_kills_hot_bucket(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    first = emb.filter(F.col("vec_id") == 0).select("embedding")
+    clones = (
+        spark.range(5000)
+        .crossJoin(F.broadcast(first))
+        .select((F.col("id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    out = similarity.embedding_neardup_pairs(corpus, max_bucket=1000)
+    ids = out.select("a_id", "b_id").collect()
+    assert all(r.a_id < 1_000_000 and r.b_id < 1_000_000 for r in ids)
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark, docs):
     sh = {r.doc_id: r.simhash for r in dedup.simhash(docs).collect()}
     near = bin(sh[474] ^ sh[498]).count("1")
