@@ -91,20 +91,32 @@ def points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select("user_id", "event_type", "ts", "value")
 
 
+#: 60-bit content hash of the canonical label encoding — the series_id.
+#: (60 bits so DuckDB's 63-bit signed BIGINT parse replays it exactly.)
+_SERIES_ID_EXPR = (
+    "cast(conv(substring(md5(cast(concat_ws(',', event_type, user_id)"
+    " as binary)), 1, 15), 16, 10) as bigint)"
+)
+
+
 def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Series dimension: one row per distinct label set, with a dense
-    deterministic ``series_id`` (interning, reference
-    cassandra/index/index.go:1366-1538 LookupIDs).
+    """Series dimension: one row per distinct label set, with a stable
+    ``series_id`` (interning, reference cassandra/index/index.go:1366-1538
+    LookupIDs).
 
     The reference allocates IDs from a roaring-bitmap free list under a
-    global lock; in Spark a deterministic dense rank over the canonical
-    label ordering gives reproducible IDs with no coordination. At scale,
-    new-series interning is a Delta MERGE against this dimension instead.
+    global lock; here the ID is a 60-bit content hash of the canonical
+    label encoding — a pure function of the label set, so a series keeps
+    its ID across ingests with zero coordination and the ID is computed
+    map-side inside the same aggregation pass (no global window, no
+    single-partition sort; plan shape asserted in
+    tests/test_plan_shape.py). No MERGE allocation step is needed for
+    IDs at all; an incremental dimension refresh only needs a per-series
+    max/min MERGE of first/last_seen. At >10^9 series widen to the full
+    128-bit digest (two BIGINT halves) to keep the birthday bound
+    negligible.
     """
-    from pyspark.sql import Window
-
     pts = points(spark, sf_dir)
-    w = Window.orderBy("event_type", "user_id")
     return (
         pts.groupBy("user_id", "event_type")
         .agg(
@@ -112,6 +124,6 @@ def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_seen"),
             F.count(F.lit(1)).alias("n_points"),
         )
-        .withColumn("series_id", F.dense_rank().over(w).cast("long"))
+        .withColumn("series_id", F.expr(_SERIES_ID_EXPR))
         .select("series_id", "user_id", "event_type", "first_seen", "last_seen", "n_points")
     )

@@ -547,7 +547,7 @@ WITH pts AS ({_PTS}),
 dim AS (SELECT user_id, event_type, min(ts) AS first_seen, max(ts) AS last_seen,
                count(*) AS n_points
         FROM pts GROUP BY 1, 2)
-SELECT dense_rank() OVER (ORDER BY event_type, user_id) AS series_id,
+SELECT ('0x' || substr(md5(event_type || ',' || user_id::VARCHAR), 1, 15))::BIGINT AS series_id,
        user_id, event_type, first_seen, last_seen, n_points
 FROM dim
 """

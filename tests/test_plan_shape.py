@@ -78,6 +78,19 @@ def test_grid_is_broadcast_in_instant_select(spark, sf_dir):
     assert "BroadcastExchange" in plan_of(df)
 
 
+def test_series_interning_has_no_global_window(spark, sf_dir):
+    """Hash-ID interning: the series dimension must not contain a Window
+    (the old dense_rank forced every series through one task)."""
+    plan = plan_of(model.series_dim(spark, sf_dir))
+    assert "Window" not in plan
+    # IDs are stable: recomputation yields the same ids
+    a = {r.user_id * 1000 + hash(r.event_type) % 997: r.series_id
+         for r in model.series_dim(spark, sf_dir).collect()}
+    b = {r.user_id * 1000 + hash(r.event_type) % 997: r.series_id
+         for r in model.series_dim(spark, sf_dir).limit(10_000).collect()}
+    assert a == b
+
+
 def test_bounded_query_filters_ts_at_scan(spark, sf_dir):
     """Time-bound pushdown: an explicitly-bounded API query must carry the
     derived ts window as a filter adjacent to the fact scan (not after a
