@@ -567,7 +567,11 @@ class PromQLEngine:
             )
         if name == "absent":
             vec = self._eval(node.args[0])
-            return Vec(fns.absent(vec.df, self.grid, vec.labels), ())
+            lbls = self._absent_const_labels(node.args[0])
+            return Vec(
+                fns.absent(vec.df, self.grid, vec.labels, const_labels=lbls),
+                tuple(lbls),
+            )
         if name == "absent_over_time":
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
@@ -575,7 +579,11 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms, "present",
                 grid=self.grid,
             )
-            return Vec(fns.absent(present, self.grid, keys), ())
+            lbls = self._absent_const_labels(node.args[0])
+            return Vec(
+                fns.absent(present, self.grid, keys, const_labels=lbls),
+                tuple(lbls),
+            )
         if name == "histogram_quantile":
             q = float(self._eval(node.args[0]))
             vec = self._eval(node.args[1])
@@ -675,6 +683,24 @@ class PromQLEngine:
                 vec.labels,
             )
         raise ValueError(f"unsupported function {name!r}")
+
+    def _absent_const_labels(self, node) -> dict[str, str]:
+        """Labels absent()/absent_over_time() derive from the selector's
+        equality matchers (upstream createLabelsForAbsentFunction):
+        __name__ is excluded, and a label matched for two different
+        values is dropped."""
+        sel = node.inner if isinstance(node, A.MatrixSelector) else node
+        if not isinstance(sel, A.VectorSelector):
+            return {}
+        out: dict[str, str] = {}
+        dropped: set[str] = set()
+        for m in sel.matchers:
+            if m.op != "=" or m.name == "__name__":
+                continue
+            if m.name in out and out[m.name] != m.value:
+                dropped.add(m.name)
+            out[m.name] = m.value
+        return {k: v for k, v in out.items() if k not in dropped}
 
     def _eval_aggregation(self, node: A.Aggregation):
         vec = self._eval(node.expr)

@@ -884,12 +884,12 @@ SELECT user_id, event_type, step_ts, round({value}, 6) AS value FROM agg
 
 
 def q_absent(spark, sf_dir):
-    pts = _pts(spark, sf_dir).filter(
-        (F.col("event_type") == "purchase") & (F.col("user_id") == 3)
+    """absent() through the engine: result labels derive from the
+    selector's equality matchers (upstream createLabelsForAbsentFunction)
+    — {user_id="3"} here, with __name__ excluded."""
+    return _engine(spark, sf_dir).query_range(
+        'absent({__name__="purchase", user_id="3"})'
     )
-    grid = data_grid(_pts(spark, sf_dir), STEP_MS)
-    vec = selectors.instant_select(pts, KEYS, STEP_MS, LOOKBACK_MS, grid=grid)
-    return fns.absent(vec, grid, KEYS)
 
 
 SQL_ABSENT = f"""
@@ -898,9 +898,9 @@ vec AS (
   SELECT g.step_ts
   FROM pts p, grid g
   WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
-    AND p.event_type = 'purchase' AND p.user_id = 3
+    AND p.event_type = 'purchase' AND p.user_id::VARCHAR = '3'
   GROUP BY 1)
-SELECT g.step_ts, 1.0 AS value FROM grid g
+SELECT '3' AS user_id, g.step_ts, 1.0 AS value FROM grid g
 WHERE NOT EXISTS (SELECT 1 FROM vec v WHERE v.step_ts = g.step_ts)
 """
 

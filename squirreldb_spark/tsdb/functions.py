@@ -106,13 +106,25 @@ def linreg(
     )
 
 
-def absent(vec: DataFrame, grid: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """``absent(v)``: 1 at every step where the vector has no sample."""
+def absent(
+    vec: DataFrame,
+    grid: DataFrame,
+    keys: Sequence[str],
+    const_labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """``absent(v)``: 1 at every step where the vector has no sample.
+
+    ``const_labels`` are the labels upstream Prometheus derives from the
+    selector's equality matchers (promql/functions.go
+    createLabelsForAbsentFunction): absent(up{job="api"}) yields
+    {job="api"} rows, not a bare label-less vector.
+    """
     present = vec.select("step_ts").distinct()
-    return (
-        grid.join(present, on="step_ts", how="left_anti")
-        .select("step_ts", F.lit(1.0).alias("value"))
-    )
+    out = grid.join(present, on="step_ts", how="left_anti")
+    cols = list(const_labels or {})
+    for k, v in (const_labels or {}).items():
+        out = out.withColumn(k, F.lit(v))
+    return out.select(*cols, "step_ts", F.lit(1.0).alias("value"))
 
 
 # PromQL date functions. day_of_week uses pure integer arithmetic

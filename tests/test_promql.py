@@ -196,6 +196,15 @@ def test_scalar_multi_series_is_nan(engine):
     assert all(r.value == 0.0 for r in out)
 
 
+def test_absent_derives_matcher_labels(engine):
+    # equality matchers become result labels; __name__ excluded
+    out = engine.query_range('absent(nosuch{host="z"})').collect()
+    assert out and all(r.host == "z" for r in out)
+    # regex / inequality matchers contribute nothing
+    bare = engine.query_range('absent(nosuch{host=~"z.*"})').collect()
+    assert bare and "host" not in bare[0].asDict()
+
+
 def test_agg_group_by_name_label(engine):
     # sum by (__name__) groups on the name column instead of dropping it
     out = engine.query_range("sum by (__name__) (cpu)").collect()
