@@ -51,6 +51,8 @@ class RequestOptions:
     forced_matchers: dict[str, str] = field(default_factory=dict)  # X-...-Forced-Matcher
     max_evaluated_series: int | None = None
     max_evaluated_points: int | None = None
+    force_raw: bool = False               # X-SquirrelDB-ForceRaw
+    force_pre_aggregated: bool = False    # X-SquirrelDB-ForcePreAggregated
 
 
 def clamp_time(ts_ms: int) -> int:
@@ -71,6 +73,9 @@ class PromAPI:
         lookback_ms: int = 300_000,
         tenant_col: str = "tenant",
         mutable_mapping: DataFrame | None = None,
+        downsample: DataFrame | None = None,
+        preagg_resolution_ms: int = 300_000,
+        preagg_until_ms: int | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -78,12 +83,18 @@ class PromAPI:
         self.lookback_ms = lookback_ms
         self.tenant_col = tenant_col
         self.mutable_mapping = mutable_mapping
+        # A15-A17: optional pre-aggregate table + the raw/pre-agg routing
+        # cutoff, handed through to every engine the endpoints build
+        self.downsample = downsample
+        self.preagg_resolution_ms = preagg_resolution_ms
+        self.preagg_until_ms = preagg_until_ms
 
     # ------------------------------------------------------------ internals
 
-    def _scoped(self, opts: RequestOptions | None) -> DataFrame:
+    def _scoped(self, opts: RequestOptions | None,
+                df: DataFrame | None = None) -> DataFrame:
         """Apply the implicit per-request matchers (tenant + forced)."""
-        pts = self.points
+        pts = self.points if df is None else df
         if opts is None:
             return pts
         if opts.tenant is not None:
@@ -122,12 +133,20 @@ class PromAPI:
         start_ms, end_ms = clamp_time(start_ms), clamp_time(end_ms)
         pts = self._scoped(opts)
         self._guard(pts, start_ms, end_ms, opts)
+        ds = self.downsample
+        if ds is not None:
+            ds = self._scoped(opts, ds)
         return PromQLEngine(
             pts, label_cols=self.label_cols, name_label=self.name_label,
             step_ms=step_ms, lookback_ms=self.lookback_ms,
             start_ms=start_ms, end_ms=end_ms,
             mutable_mapping=self.mutable_mapping,
             tenant=(opts.tenant if opts and opts.tenant else ""),
+            downsample=ds,
+            preagg_resolution_ms=self.preagg_resolution_ms,
+            preagg_until_ms=self.preagg_until_ms,
+            force_raw=bool(opts and opts.force_raw),
+            force_preagg=bool(opts and opts.force_pre_aggregated),
         )
 
     # ------------------------------------------------------------ endpoints

@@ -1168,6 +1168,44 @@ def q_api_query_range(spark, sf_dir):
 BOUND_START_MS, BOUND_END_MS = 1_705_708_800_000, 1_706_054_400_000  # 1-20..1-24
 
 
+def q_api_preagg_stitch(spark, sf_dir):
+    """A17 through the API layer: PromAPI carries the pre-agg table +
+    stitch cutoff into every engine it builds, so a counter/max query
+    reads the pre-agg head and the re-bucketed raw tail in one plan.
+    The A17 invariant makes the oracle exact: head+tail == one uniform
+    downsample over everything (routing picks the max column for
+    max_over_time, read.go:604-609)."""
+    from squirreldb_spark.api import PromAPI
+
+    pts = _pts(spark, sf_dir)
+    ds = downsample.downsample(
+        pts.filter(F.col("ts") < STITCH_CUTOFF_MS), KEYS, RES_MS
+    )
+    api = PromAPI(
+        pts, label_cols=tuple(KEYS), name_label="event_type",
+        lookback_ms=LOOKBACK_MS, downsample=ds,
+        preagg_resolution_ms=RES_MS, preagg_until_ms=STITCH_CUTOFF_MS,
+    )
+    out = api.query_range(
+        "max_over_time(purchase[14d])", API_START_MS, API_END_MS, STEP_MS
+    )
+    return _round(out, {"value": 6})
+
+
+SQL_API_PREAGG_STITCH = f"""
+WITH pts0 AS ({_PTS}),
+pts AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS ts, max(value) AS value
+        FROM pts0 GROUP BY 1, 2, 3),
+grid AS (SELECT unnest(generate_series({API_START_MS}, {API_END_MS}, {STEP_MS})) AS step_ts),
+rs AS (SELECT p.user_id, p.event_type, g.step_ts, p.value
+       FROM pts p, grid g
+       WHERE p.ts > g.step_ts - {RANGE_MS} AND p.ts <= g.step_ts
+         AND p.event_type = 'purchase')
+SELECT user_id, event_type, step_ts, round(max(value), 6) AS value
+FROM rs GROUP BY 1, 2, 3
+"""
+
+
 def q_api_bounded_scan(spark, sf_dir):
     """Bounded /query_range: explicit narrow [start, end] bounds push a
     ``ts`` window into the fact scan before planning (reference pushes
@@ -1546,6 +1584,8 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "api_query_range": QueryDef(q_api_query_range, SQL_API_QUERY_RANGE),
     # time-bound pushdown: narrow explicit bounds prune the fact scan
     "api_bounded_scan": QueryDef(q_api_bounded_scan, SQL_API_BOUNDED_SCAN),
+    # A17 stitch reachable from the API layer
+    "api_preagg_stitch": QueryDef(q_api_preagg_stitch, SQL_API_PREAGG_STITCH),
     # A15/A16 routing inside the engine
     "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
 }
@@ -1579,6 +1619,7 @@ _VERIFY_FIRST: list[str] = [
     "promql_preagg_route",
     "api_query_range",
     "api_bounded_scan",
+    "api_preagg_stitch",
     "ts_histogram_quantile",
     "ts_deriv",
     "ts_predict_linear",
