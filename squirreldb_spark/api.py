@@ -214,6 +214,58 @@ class PromAPI:
             .orderBy("value")
         )
 
+    # ----------------------------------------------------------- remote read
+
+    def remote_read(self, body: bytes, limit: int = 100_000) -> bytes:
+        """/api/v1/read: snappy+prompb ReadRequest in, ReadResponse out
+        (reference api/api.go:58-61; A33/A34).
+
+        Each Query's matchers become plain scan filters on the fact
+        table (the same pushed-filter path every selector uses); raw
+        samples inside [start, end] are returned per matching series.
+        ``limit`` bounds the rows collected per query — an API response
+        is a driver-side materialization by construction.
+        """
+        from squirreldb_spark import codec
+
+        results: list[list[codec.TimeSeries]] = []
+        for q in codec.decode_remote_read_body(body):
+            pts = self.points
+            for op, name, value in q.matchers:
+                col_name = self.name_label if name == "__name__" else name
+                if col_name not in pts.columns:
+                    raise ValueError(f"unknown label {name!r}")
+                col = F.col(col_name).cast("string")
+                if op == "=":
+                    pts = pts.filter(col == value)
+                elif op == "!=":
+                    pts = pts.filter(col != value)
+                elif op == "=~":
+                    pts = pts.filter(col.rlike(f"^(?:{value})$"))
+                else:
+                    pts = pts.filter(~col.rlike(f"^(?:{value})$"))
+            pts = pts.filter(
+                (F.col("ts") >= clamp_time(q.start_timestamp_ms))
+                & (F.col("ts") <= clamp_time(q.end_timestamp_ms))
+            )
+            rows = (
+                pts.select(*self.label_cols, "ts", "value")
+                .orderBy(*self.label_cols, "ts")
+                .limit(limit)
+                .collect()
+            )
+            by_series: dict[tuple, codec.TimeSeries] = {}
+            for r in rows:
+                key = tuple(str(r[c]) for c in self.label_cols)
+                ts = by_series.get(key)
+                if ts is None:
+                    ts = by_series[key] = codec.TimeSeries(
+                        labels=dict(zip(self.label_cols, key))
+                    )
+                ts.samples.append(codec.Sample(r["value"], r["ts"]))
+            results.append(list(by_series.values()))
+        return codec.encode_remote_read_response_body(results)
+
     # --------------------------------------------------------- serialization
 
     def format_matrix(self, df: DataFrame, limit: int = 10_000) -> dict:
@@ -240,19 +292,27 @@ class PromAPI:
         }
 
 
-def decode_remote_write(body: bytes) -> DataFrame:
-    """Prometheus remote-write protobuf+snappy decode (reference A1).
+def decode_remote_write(body: bytes, spark=None) -> DataFrame | list:
+    """Prometheus remote-write decode (reference A1,
+    api/remotestorage/write.go:80-170): snappy block body -> prompb
+    WriteRequest, via the dependency-free wire codec in
+    :mod:`squirreldb_spark.codec`.
 
-    The protobuf/snappy libraries are not available in this environment;
-    production ingestion is the Structured Streaming path
-    (``streaming.ingest``). Gated stub per the build rules.
+    With ``spark``, returns a tall DataFrame
+    ``(labels MAP<STRING,STRING>, ts BIGINT, value DOUBLE)`` ready for
+    the streaming ingest path; without it, the decoded
+    ``codec.TimeSeries`` list.
     """
-    try:
-        import snappy  # noqa: F401
-        from prometheus_pb2 import WriteRequest  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "remote-write protobuf codec requires python-snappy + prompb; "
-            "use streaming.ingest for ingestion"
-        ) from exc
-    raise NotImplementedError
+    from squirreldb_spark import codec
+
+    series = codec.decode_remote_write_body(body)
+    if spark is None:
+        return series
+    rows = [
+        (ts.labels, s.timestamp_ms, s.value)
+        for ts in series
+        for s in ts.samples
+    ]
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )

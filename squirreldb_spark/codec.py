@@ -1,0 +1,357 @@
+"""Prometheus remote-storage wire codecs, dependency-free.
+
+The reference accepts remote-write/read bodies as snappy-compressed
+protobuf (reference api/remotestorage/write.go:80-170, api/api.go:58-61,
+using the published prompb schema). Neither ``python-snappy`` nor
+generated prompb bindings exist in this environment, so both codecs are
+implemented directly from the public specifications:
+
+* protobuf wire format (base-128 varints, little-endian fixed64,
+  length-delimited submessages) for the prompb message subset::
+
+      WriteRequest { repeated TimeSeries timeseries = 1; }
+      TimeSeries   { repeated Label labels = 1; repeated Sample samples = 2; }
+      Label        { string name = 1; string value = 2; }
+      Sample       { double value = 1; int64 timestamp = 2; }
+      ReadRequest  { repeated Query queries = 1; }
+      Query        { int64 start_timestamp_ms = 1; int64 end_timestamp_ms = 2;
+                     repeated LabelMatcher matchers = 3; }
+      LabelMatcher { Type type = 1; string name = 2; string value = 3; }
+      ReadResponse { repeated QueryResult results = 1; }
+      QueryResult  { repeated TimeSeries timeseries = 1; }
+
+  Unknown fields (exemplars, histograms, metadata, hints) are skipped by
+  wire type, so payloads from current Prometheus versions decode fine.
+
+* snappy *block* format (what remote write/read use — not the framing
+  format): a varint uncompressed length followed by literal and
+  copy elements. The decompressor handles all four element tags; the
+  compressor emits a single literal run — valid snappy output (what
+  golang/snappy produces for incompressible input), enough for
+  wire-compatible responses without implementing the matcher.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+# --------------------------------------------------------------- varints
+
+
+def write_uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _zigzag(n: int) -> int:  # only needed for sint fields; prompb has none
+    return (n << 1) ^ (n >> 63)
+
+
+def _int64(n: int) -> int:
+    """Two's-complement int64 from an unsigned varint value."""
+    return n - (1 << 64) if n >= 1 << 63 else n
+
+
+# ------------------------------------------------------- protobuf frames
+
+
+def _tag(field_no: int, wire: int) -> bytes:
+    return write_uvarint(field_no << 3 | wire)
+
+
+def _len_delim(field_no: int, payload: bytes) -> bytes:
+    return _tag(field_no, 2) + write_uvarint(len(payload)) + payload
+
+
+def _varint_field(field_no: int, n: int) -> bytes:
+    if n < 0:
+        n += 1 << 64
+    return _tag(field_no, 0) + write_uvarint(n)
+
+
+def _double_field(field_no: int, v: float) -> bytes:
+    return _tag(field_no, 1) + struct.pack("<d", v)
+
+
+def iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, value) skipping nothing; value is the
+    varint int, the 8/4 raw bytes, or the delimited slice."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        key, pos = read_uvarint(buf, pos)
+        field_no, wire = key >> 3, key & 7
+        if wire == 0:
+            v, pos = read_uvarint(buf, pos)
+        elif wire == 1:
+            v, pos = buf[pos:pos + 8], pos + 8
+        elif wire == 2:
+            ln, pos = read_uvarint(buf, pos)
+            v, pos = buf[pos:pos + ln], pos + ln
+        elif wire == 5:
+            v, pos = buf[pos:pos + 4], pos + 4
+        else:
+            raise ValueError(f"unsupported wire type {wire}")
+        yield field_no, wire, v
+
+
+# ----------------------------------------------------------- data model
+
+
+@dataclass
+class Sample:
+    value: float
+    timestamp_ms: int
+
+
+@dataclass
+class TimeSeries:
+    labels: dict[str, str] = field(default_factory=dict)
+    samples: list[Sample] = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    start_timestamp_ms: int = 0
+    end_timestamp_ms: int = 0
+    #: matcher tuples (op, name, value); op in '=', '!=', '=~', '!~'
+    matchers: list[tuple[str, str, str]] = field(default_factory=list)
+
+
+_MATCH_OPS = ["=", "!=", "=~", "!~"]  # prompb LabelMatcher.Type enum order
+
+
+# --------------------------------------------------------------- encode
+
+
+def encode_label(name: str, value: str) -> bytes:
+    return _len_delim(1, name.encode()) + _len_delim(2, value.encode())
+
+
+def encode_timeseries(ts: TimeSeries) -> bytes:
+    out = bytearray()
+    for name in ts.labels:
+        out += _len_delim(1, encode_label(name, ts.labels[name]))
+    for s in ts.samples:
+        out += _len_delim(2, _double_field(1, s.value) + _varint_field(2, s.timestamp_ms))
+    return bytes(out)
+
+
+def encode_write_request(series: list[TimeSeries]) -> bytes:
+    out = bytearray()
+    for ts in series:
+        out += _len_delim(1, encode_timeseries(ts))
+    return bytes(out)
+
+
+def encode_read_request(queries: list[Query]) -> bytes:
+    out = bytearray()
+    for q in queries:
+        body = _varint_field(1, q.start_timestamp_ms) + _varint_field(
+            2, q.end_timestamp_ms
+        )
+        for op, name, value in q.matchers:
+            body += _len_delim(
+                3,
+                _varint_field(1, _MATCH_OPS.index(op))
+                + _len_delim(2, name.encode())
+                + _len_delim(3, value.encode()),
+            )
+        out += _len_delim(1, body)
+    return bytes(out)
+
+
+def encode_read_response(results: list[list[TimeSeries]]) -> bytes:
+    out = bytearray()
+    for series in results:
+        body = bytearray()
+        for ts in series:
+            body += _len_delim(1, encode_timeseries(ts))
+        out += _len_delim(1, bytes(body))
+    return bytes(out)
+
+
+# --------------------------------------------------------------- decode
+
+
+def decode_timeseries(buf: bytes) -> TimeSeries:
+    ts = TimeSeries()
+    for field_no, wire, v in iter_fields(buf):
+        if field_no == 1 and wire == 2:
+            name = value = ""
+            for fn, w, lv in iter_fields(v):
+                if fn == 1 and w == 2:
+                    name = lv.decode()
+                elif fn == 2 and w == 2:
+                    value = lv.decode()
+            ts.labels[name] = value
+        elif field_no == 2 and wire == 2:
+            val, tstamp = 0.0, 0
+            for fn, w, sv in iter_fields(v):
+                if fn == 1 and w == 1:
+                    val = struct.unpack("<d", sv)[0]
+                elif fn == 2 and w == 0:
+                    tstamp = _int64(sv)
+            ts.samples.append(Sample(val, tstamp))
+        # exemplars (3) / histograms (4) skipped
+    return ts
+
+
+def decode_write_request(buf: bytes) -> list[TimeSeries]:
+    return [
+        decode_timeseries(v)
+        for field_no, wire, v in iter_fields(buf)
+        if field_no == 1 and wire == 2
+    ]
+
+
+def decode_read_request(buf: bytes) -> list[Query]:
+    out = []
+    for field_no, wire, v in iter_fields(buf):
+        if field_no != 1 or wire != 2:
+            continue
+        q = Query()
+        for fn, w, qv in iter_fields(v):
+            if fn == 1 and w == 0:
+                q.start_timestamp_ms = _int64(qv)
+            elif fn == 2 and w == 0:
+                q.end_timestamp_ms = _int64(qv)
+            elif fn == 3 and w == 2:
+                op_i, name, value = 0, "", ""
+                for mfn, mw, mv in iter_fields(qv):
+                    if mfn == 1 and mw == 0:
+                        op_i = mv
+                    elif mfn == 2 and mw == 2:
+                        name = mv.decode()
+                    elif mfn == 3 and mw == 2:
+                        value = mv.decode()
+                q.matchers.append((_MATCH_OPS[op_i], name, value))
+        out.append(q)
+    return out
+
+
+def decode_read_response(buf: bytes) -> list[list[TimeSeries]]:
+    out = []
+    for field_no, wire, v in iter_fields(buf):
+        if field_no == 1 and wire == 2:
+            out.append([
+                decode_timeseries(tv)
+                for fn, w, tv in iter_fields(v)
+                if fn == 1 and w == 2
+            ])
+    return out
+
+
+# ---------------------------------------------------------------- snappy
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Snappy block-format decompress (google/snappy format description)."""
+    expected, pos = read_uvarint(data, 0)
+    out = bytearray()
+    n = len(data)
+    while pos < n:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = tag >> 2
+            if ln >= 60:  # 60..63 -> 1..4 extra length bytes (LE)
+                extra = ln - 59
+                ln = int.from_bytes(data[pos:pos + extra], "little")
+                pos += extra
+            ln += 1
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 1-byte offset
+            ln = ((tag >> 2) & 0x7) + 4
+            offset = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 2-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 4-byte offset
+            ln = (tag >> 2) + 1
+            offset = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if offset == 0 or offset > len(out):
+            raise ValueError("corrupt snappy copy offset")
+        # copies may overlap forward (RLE-style): byte-at-a-time semantics
+        start = len(out) - offset
+        for i in range(ln):
+            out.append(out[start + i])
+    if len(out) != expected:
+        raise ValueError(f"snappy length mismatch: {len(out)} != {expected}")
+    return bytes(out)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    """Minimal valid snappy block stream: the whole input as literal runs.
+
+    Produces standard-conformant output any snappy reader accepts (no
+    back-references, so no compression — fine for wire compatibility).
+    """
+    out = bytearray(write_uvarint(len(data)))
+    pos = 0
+    while pos < len(data) or not data:
+        chunk = data[pos:pos + 65536]
+        ln = len(chunk) - 1
+        if not data:
+            break
+        if ln < 60:
+            out.append(ln << 2)
+        elif ln < 1 << 8:
+            out.append(60 << 2)
+            out += ln.to_bytes(1, "little")
+        elif ln < 1 << 16:
+            out.append(61 << 2)
+            out += ln.to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += ln.to_bytes(3, "little")
+        out += chunk
+        pos += len(chunk)
+    return bytes(out)
+
+
+# ------------------------------------------------------------ public API
+
+
+def decode_remote_write_body(body: bytes) -> list[TimeSeries]:
+    """Full remote-write decode: snappy body -> WriteRequest."""
+    return decode_write_request(snappy_decompress(body))
+
+
+def encode_remote_write_body(series: list[TimeSeries]) -> bytes:
+    return snappy_compress(encode_write_request(series))
+
+
+def decode_remote_read_body(body: bytes) -> list[Query]:
+    return decode_read_request(snappy_decompress(body))
+
+
+def encode_remote_read_response_body(results: list[list[TimeSeries]]) -> bytes:
+    return snappy_compress(encode_read_response(results))

@@ -1,0 +1,178 @@
+"""Wire-codec tests: prompb protobuf subset + snappy block format.
+
+Golden byte strings are hand-assembled from the public format specs
+(protobuf encoding docs, google/snappy format_description.txt), mirroring
+the reference's write_req fixtures strategy
+(api/remotestorage/write_test.go) without copying its payloads.
+"""
+
+import struct
+
+import pytest
+
+from squirreldb_spark import codec
+from squirreldb_spark.codec import Query, Sample, TimeSeries
+
+
+# ----------------------------------------------------------------- varint
+
+
+def test_uvarint_roundtrip():
+    for n in [0, 1, 127, 128, 300, 2**32, 2**63 - 1, 2**64 - 1]:
+        buf = codec.write_uvarint(n)
+        got, pos = codec.read_uvarint(buf, 0)
+        assert got == n and pos == len(buf)
+
+
+def test_uvarint_golden():
+    # canonical protobuf example: 300 -> 0xAC 0x02
+    assert codec.write_uvarint(300) == b"\xac\x02"
+
+
+# --------------------------------------------------------------- protobuf
+
+
+def _ts():
+    return TimeSeries(
+        labels={"__name__": "http_requests_total", "job": "api", "instance": "i-1"},
+        samples=[Sample(1027.0, 1_700_000_000_000), Sample(1028.5, 1_700_000_015_000)],
+    )
+
+
+def test_write_request_roundtrip():
+    series = [_ts(), TimeSeries(labels={"__name__": "up"}, samples=[Sample(1.0, 5)])]
+    buf = codec.encode_write_request(series)
+    out = codec.decode_write_request(buf)
+    assert len(out) == 2
+    assert out[0].labels == series[0].labels
+    assert [(s.value, s.timestamp_ms) for s in out[0].samples] == [
+        (1027.0, 1_700_000_000_000), (1028.5, 1_700_000_015_000)]
+    assert out[1].labels == {"__name__": "up"}
+
+
+def test_write_request_golden_bytes():
+    """Hand-assembled WriteRequest{TimeSeries{Label{n,v}, Sample{2.5, 3}}}."""
+    label = b"\x0a\x01n" + b"\x12\x01v"                 # name="n", value="v"
+    sample = b"\x09" + struct.pack("<d", 2.5) + b"\x10\x03"  # value=2.5 ts=3
+    ts = b"\x0a" + bytes([len(label)]) + label + b"\x12" + bytes([len(sample)]) + sample
+    req = b"\x0a" + bytes([len(ts)]) + ts
+    assert codec.encode_write_request(
+        [TimeSeries(labels={"n": "v"}, samples=[Sample(2.5, 3)])]
+    ) == req
+    out = codec.decode_write_request(req)
+    assert out[0].labels == {"n": "v"}
+    assert out[0].samples[0] == Sample(2.5, 3)
+
+
+def test_decoder_skips_unknown_fields():
+    # append an unknown field 15 (varint) and 9 (length-delimited) to a
+    # TimeSeries payload: current-Prometheus exemplars/histograms style
+    base = codec.encode_timeseries(_ts())
+    noise = b"\x78\x2a" + b"\x4a\x03abc"  # field 15 varint 42; field 9 "abc"
+    out = codec.decode_timeseries(base + noise)
+    assert out.labels == _ts().labels and len(out.samples) == 2
+
+
+def test_negative_timestamp_roundtrip():
+    ts = TimeSeries(labels={"a": "b"}, samples=[Sample(-1.5, -62_135_596_800_000)])
+    out = codec.decode_write_request(codec.encode_write_request([ts]))
+    assert out[0].samples[0].timestamp_ms == -62_135_596_800_000
+    assert out[0].samples[0].value == -1.5
+
+
+def test_read_request_roundtrip():
+    q = Query(
+        start_timestamp_ms=1000, end_timestamp_ms=2000,
+        matchers=[("=", "__name__", "up"), ("=~", "job", "a.*"), ("!=", "x", "y")],
+    )
+    out = codec.decode_read_request(codec.encode_read_request([q]))
+    assert out[0].start_timestamp_ms == 1000
+    assert out[0].end_timestamp_ms == 2000
+    assert out[0].matchers == q.matchers
+
+
+def test_read_response_roundtrip():
+    results = [[_ts()], [TimeSeries(labels={"z": "1"}, samples=[Sample(0.0, 0)])]]
+    out = codec.decode_read_response(codec.encode_read_response(results))
+    assert len(out) == 2 and out[0][0].labels == _ts().labels
+    assert out[1][0].labels == {"z": "1"}
+
+
+# ----------------------------------------------------------------- snappy
+
+
+def test_snappy_literal_roundtrip():
+    for payload in [b"", b"x", b"hello world" * 10, bytes(range(256)) * 300]:
+        assert codec.snappy_decompress(codec.snappy_compress(payload)) == payload
+
+
+def test_snappy_copy_ops_decode():
+    """Hand-built compressed stream exercising copy elements (RLE-style
+    overlapping copy included): literal 'abcd' + copy(offset=4, len=8)
+    -> 'abcdabcdabcd'."""
+    lit = bytes([(4 - 1) << 2]) + b"abcd"
+    # tag 01: len 4..11 in bits 2-4 -> len 8 = (8-4)<<2 | 1; offset 4 (high
+    # bits 0, low byte 4)
+    copy1 = bytes([((8 - 4) << 2) | 1, 4])
+    data = codec.write_uvarint(12) + lit + copy1
+    assert codec.snappy_decompress(data) == b"abcdabcdabcd"
+
+
+def test_snappy_two_byte_offset_copy():
+    filler = bytes(100)
+    lit = bytes([60 << 2, len(filler) + 4 - 1]) + filler + b"wxyz"
+    # tag 10: len-1 in upper 6 bits, 2-byte LE offset
+    copy2 = bytes([((4 - 1) << 2) | 2]) + (104).to_bytes(2, "little")
+    data = codec.write_uvarint(104 + 4) + lit + copy2
+    out = codec.snappy_decompress(data)
+    assert out == filler + b"wxyz" + filler[:4]
+
+
+def test_snappy_corrupt_raises():
+    with pytest.raises(ValueError):
+        codec.snappy_decompress(codec.write_uvarint(4) + bytes([1 | 1, 9]))  # offset 9 > out
+    with pytest.raises(ValueError):  # declared length mismatch
+        codec.snappy_decompress(codec.write_uvarint(99) + bytes([0]) + b"a")
+
+
+# --------------------------------------------------------- remote read/write
+
+
+def test_remote_write_body_roundtrip():
+    body = codec.encode_remote_write_body([_ts()])
+    out = codec.decode_remote_write_body(body)
+    assert out[0].labels == _ts().labels and len(out[0].samples) == 2
+
+
+def test_api_decode_remote_write_to_dataframe(spark):
+    from squirreldb_spark.api import decode_remote_write
+
+    body = codec.encode_remote_write_body([_ts()])
+    df = decode_remote_write(body, spark=spark)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0].labels["job"] == "api"
+    assert {r.value for r in rows} == {1027.0, 1028.5}
+    assert dict(df.dtypes)["labels"] == "map<string,string>"
+
+
+def test_api_remote_read_end_to_end(spark):
+    from squirreldb_spark.api import PromAPI
+
+    pts = spark.createDataFrame(
+        [("a", "cpu", 1000, 1.0), ("a", "cpu", 2000, 2.0),
+         ("b", "cpu", 1500, 5.0), ("a", "mem", 1500, 9.0)],
+        "host string, name string, ts long, value double",
+    )
+    api = PromAPI(pts, label_cols=("host", "name"), name_label="name")
+    body = codec.snappy_compress(codec.encode_read_request([
+        Query(start_timestamp_ms=0, end_timestamp_ms=3000,
+              matchers=[("=", "__name__", "cpu")]),
+    ]))
+    results = codec.decode_read_response(codec.snappy_decompress(api.remote_read(body)))
+    assert len(results) == 1
+    by_labels = {tuple(sorted(ts.labels.items())): ts for ts in results[0]}
+    a_cpu = by_labels[(("host", "a"), ("name", "cpu"))]
+    assert [(s.value, s.timestamp_ms) for s in a_cpu.samples] == [(1.0, 1000), (2.0, 2000)]
+    assert (("host", "b"), ("name", "cpu")) in by_labels
+    assert (("host", "a"), ("name", "mem")) not in by_labels
