@@ -148,6 +148,52 @@ def time_window(node, lookback_ms: int) -> tuple[int, int, list[int]]:
     return behind, ahead, anchors
 
 
+def referenced_labels(node, acc: set[str]) -> None:
+    """Collect every label NAME an expression references: selector
+    matchers (and the bare metric name as ``__name__``), by/without
+    groupings, on/ignoring lists, group_left/right carried labels, and
+    label_replace/label_join source labels."""
+    if isinstance(node, A.VectorSelector):
+        if node.name:
+            acc.add("__name__")
+        for m in node.matchers:
+            acc.add(m.name)
+        return
+    if isinstance(node, A.MatrixSelector):
+        referenced_labels(node.inner, acc)
+        return
+    if isinstance(node, A.Subquery):
+        referenced_labels(node.inner, acc)
+        return
+    if isinstance(node, A.Aggregation):
+        acc.update(node.grouping)
+        referenced_labels(node.expr, acc)
+        if not isinstance(node.param, (int, float, str, type(None))):
+            referenced_labels(node.param, acc)
+        return
+    if isinstance(node, A.BinaryOp):
+        for lst in (node.on, node.ignoring, node.group_labels):
+            if lst:
+                acc.update(lst)
+        referenced_labels(node.lhs, acc)
+        referenced_labels(node.rhs, acc)
+        return
+    if isinstance(node, A.FunctionCall):
+        if node.name == "label_replace" and len(node.args) >= 4:
+            if isinstance(node.args[3], str):
+                acc.add(node.args[3])
+        if node.name == "label_join":
+            for a in node.args[3:]:
+                if isinstance(a, str):
+                    acc.add(a)
+        for a in node.args:
+            if not isinstance(a, (int, float, str)):
+                referenced_labels(a, acc)
+        return
+    if isinstance(node, A.Unary):
+        referenced_labels(node.expr, acc)
+
+
 def aligned_grid(spark, lo_ms: int, hi_ms: int, step_ms: int) -> DataFrame:
     """Absolute-aligned steps (multiples of ``step_ms``) covering
     ``[lo_ms, hi_ms]`` — PromQL subquery step alignment."""
@@ -182,6 +228,7 @@ class PromQLEngine:
         preagg_until_ms: int | None = None,
         force_raw: bool = False,
         force_preagg: bool = False,
+        labels_map_col: str | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -197,6 +244,7 @@ class PromQLEngine:
         self.preagg_until_ms = preagg_until_ms
         self.force_raw = force_raw
         self.force_preagg = force_preagg
+        self.labels_map_col = labels_map_col
         self.start_ms = start_ms
         self.end_ms = end_ms
         if start_ms is not None and end_ms is not None:
@@ -213,7 +261,7 @@ class PromQLEngine:
     def query_range(self, promql: str) -> DataFrame:
         """Evaluate and return (labels..., step_ts, value)."""
         node = parse(promql)
-        result = self._bounded(node)._eval(node)
+        result = self._with_dynamic_labels(node)._bounded(node)._eval(node)
         if isinstance(result, Vec):
             return result.df
         if isinstance(result, (int, float)):
@@ -221,6 +269,54 @@ class PromQLEngine:
                 "step_ts", F.lit(float(result)).alias("value")
             )
         raise ValueError("query did not evaluate to an instant vector")
+
+    def _with_dynamic_labels(self, node) -> "PromQLEngine":
+        """Dynamic label model (reference index.go:1903-2136 creates label
+        names at write time; FIXTURES.md declares
+        ``labels MAP<STRING,STRING>``).
+
+        With ``labels_map_col`` set, the engine supports arbitrary
+        per-series label sets discovered at ingest: every label name the
+        query references (matchers, by/without, on/ignoring, group_*,
+        label_replace/join sources) is PROMOTED from the map into a
+        string column (missing key -> "" per Prometheus missing-label
+        semantics), and a canonical sorted-JSON fingerprint column
+        ``__series__`` is appended as the series-identity key so
+        differently-labelled series never merge even when the query only
+        references a subset of their labels. Promotion is a narrow
+        projection on the scan — no shuffle, no schema migration when
+        new label names appear in the data.
+        """
+        if self.labels_map_col is None:
+            return self
+        m = self.labels_map_col
+        refs: set[str] = set()
+        referenced_labels(node, refs)
+        refs = {self.name_label if r == "__name__" else r for r in refs}
+        import copy
+
+        eng = copy.copy(self)
+        pts = self.points
+        promoted: list[str] = []
+        for name in sorted(refs):
+            if name not in pts.columns and name not in self.label_cols:
+                pts = pts.withColumn(
+                    name,
+                    F.coalesce(F.element_at(F.col(m), F.lit(name)), F.lit("")),
+                )
+                promoted.append(name)
+        if "__series__" not in pts.columns:
+            pts = pts.withColumn(
+                "__series__",
+                F.to_json(
+                    F.expr(f"map_from_entries(array_sort(map_entries({m})))")
+                ),
+            )
+        eng.points = pts
+        eng.label_cols = tuple(
+            dict.fromkeys([*self.label_cols, *promoted, "__series__"])
+        )
+        return eng
 
     def _bounded(self, node) -> "PromQLEngine":
         """Time-bound pushdown: with explicit [start, end] bounds, filter

@@ -1266,6 +1266,42 @@ def _promql(q: str):
     return run
 
 
+def q_promql_map_labels(spark, sf_dir):
+    """Dynamic label model: the whole label set lives in a
+    ``labels MAP<STRING,STRING>`` column (FIXTURES.md schema; reference
+    index.go:1903-2136 discovers label names at write). ``parity`` exists
+    ONLY in the map — the engine promotes referenced names per query and
+    keys series identity on the canonical map fingerprint."""
+    pts = _pts(spark, sf_dir).select(
+        F.create_map(
+            F.lit("__name__"), F.col("event_type").cast("string"),
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("parity"), (F.col("user_id") % 2).cast("string"),
+        ).alias("labels"),
+        "ts", "value",
+    )
+    eng = PromQLEngine(
+        pts, label_cols=(), name_label="__name__",
+        step_ms=STEP_MS, lookback_ms=LOOKBACK_MS, labels_map_col="labels",
+    )
+    out = eng.query_range('sum by (parity) ({__name__="purchase", user!="3"})')
+    return _round(out, {"value": 6})
+
+
+SQL_PROMQL_MAP_LABELS = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+inst AS (SELECT (p.user_id % 2)::VARCHAR AS parity, p.user_id, g.step_ts,
+                arg_max(p.value, p.ts) AS value
+         FROM pts p, grid g
+         WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+           AND p.event_type = 'purchase' AND p.user_id::VARCHAR != '3'
+         GROUP BY 1, 2, 3)
+SELECT parity, step_ts, round(sum(value), 6) AS value
+FROM inst GROUP BY 1, 2
+"""
+
+
 SQL_PROMQL_RATE_SUM = f"""
 SELECT event_type, step_ts, round(sum(value), 6) AS value
 FROM ({_extrapolated_sql(RANGE_MS, True, True, rounded=False)})
@@ -1588,6 +1624,8 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "api_preagg_stitch": QueryDef(q_api_preagg_stitch, SQL_API_PREAGG_STITCH),
     # A15/A16 routing inside the engine
     "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
+    # dynamic MAP<STRING,STRING> label model through the engine
+    "promql_map_labels": QueryDef(q_promql_map_labels, SQL_PROMQL_MAP_LABELS),
 }
 
 
@@ -1617,6 +1655,7 @@ _VERIFY_FIRST: list[str] = [
     "promql_absent_over_time",
     "promql_time_timestamp",
     "promql_preagg_route",
+    "promql_map_labels",
     "api_query_range",
     "api_bounded_scan",
     "api_preagg_stitch",

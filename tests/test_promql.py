@@ -213,6 +213,61 @@ def test_agg_group_by_name_label(engine):
     assert {r.name for r in both} == {"cpu", "mem"}
 
 
+@pytest.fixture(scope="module")
+def map_engine(spark):
+    """Pure dynamic-label points: every label lives in a map column, with
+    per-series label sets differing (host b has no 'dc' label)."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ({"__name__": "cpu", "host": "a", "dc": "east"}, 10_000, 1.0),
+        ({"__name__": "cpu", "host": "a", "dc": "east"}, 20_000, 2.0),
+        ({"__name__": "cpu", "host": "b"}, 10_000, 10.0),
+        ({"__name__": "cpu", "host": "b"}, 20_000, 20.0),
+        ({"__name__": "mem", "host": "a"}, 20_000, 7.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=(), name_label="__name__",
+        step_ms=10_000, lookback_ms=20_000, labels_map_col="labels",
+    )
+
+
+def test_map_labels_selector_and_grouping(map_engine):
+    # a label that exists only in the map drives matching and grouping
+    out = map_engine.query_range('sum by (dc) (cpu)').collect()
+    by = {(r.dc, r.step_ts): r.value for r in out}
+    assert by[("east", 20_000)] == 2.0
+    assert by[("", 20_000)] == 20.0  # missing label groups as ""
+
+
+def test_map_labels_missing_matches_empty(map_engine):
+    # {dc=""} matches series WITHOUT the label (upstream semantics)
+    out = map_engine.query_range('sum by (host) (cpu{dc=""})').collect()
+    assert {r.host for r in out} == {"b"}
+    out2 = map_engine.query_range('sum by (host) (cpu{dc="east"})').collect()
+    assert {r.host for r in out2} == {"a"}
+
+
+def test_map_labels_series_identity_preserved(map_engine):
+    # count(cpu) must see two distinct series even though the query
+    # references no distinguishing label
+    out = map_engine.query_range("count(cpu)").collect()
+    got = {r.step_ts: r.value for r in out}
+    assert got[20_000] == 2.0
+
+
+def test_map_labels_rate_and_regex(map_engine):
+    out = map_engine.query_range(
+        'sum by (host) (rate({__name__=~"cpu|mem", host=~"a|b"}[20s]))'
+    ).collect()
+    by = {(r.host, r.step_ts): r.value for r in out}
+    assert by[("a", 20_000)] == pytest.approx(0.1)
+    assert by[("b", 20_000)] == pytest.approx(1.0)
+
+
 def test_set_or_different_label_sets(engine):
     # sides with different label sets union with missing labels as ""
     out = engine.query_range(
