@@ -268,6 +268,13 @@ def decode_read_response(buf: bytes) -> list[list[TimeSeries]]:
 
 def snappy_decompress(data: bytes) -> bytes:
     """Snappy block-format decompress (google/snappy format description)."""
+    try:
+        return _snappy_decompress(data)
+    except IndexError as exc:  # truncated stream
+        raise ValueError("truncated snappy body") from exc
+
+
+def _snappy_decompress(data: bytes) -> bytes:
     expected, pos = read_uvarint(data, 0)
     out = bytearray()
     n = len(data)

@@ -104,11 +104,19 @@ def test_format_matrix(api):
     assert a["values"] == [[21600.0, "6.0"], [28800.0, "8.0"]]
 
 
-def test_remote_write_codec_is_gated():
+def test_remote_write_codec_decodes_payload():
+    from squirreldb_spark import codec
     from squirreldb_spark.api import decode_remote_write
 
-    with pytest.raises(NotImplementedError):
-        decode_remote_write(b"")
+    body = codec.encode_remote_write_body([
+        codec.TimeSeries(labels={"__name__": "up", "job": "api"},
+                         samples=[codec.Sample(1.0, 1000)]),
+    ])
+    series = decode_remote_write(body)
+    assert series[0].labels["job"] == "api"
+    assert series[0].samples[0].timestamp_ms == 1000
+    with pytest.raises(ValueError):
+        decode_remote_write(b"")  # not a valid snappy body
 
 
 # ------------------------------------------------- mutable labels (A31/A32)
