@@ -49,13 +49,21 @@ _ARITH = {
     "atan2": lambda l, r: F.atan2(l, r),  # Prometheus 2.31+ binop
 }
 
+def _no_nan(l, r):
+    return ~F.isnan(l) & ~F.isnan(r)
+
+
+# IEEE comparison semantics (PromQL uses Go float comparisons): any
+# ordered comparison with NaN is FALSE and `!=` with NaN is TRUE. Spark
+# SQL instead totally orders NaN above all doubles (NaN == NaN, NaN > x),
+# so every comparison needs an explicit NaN guard.
 _CMP = {
-    ">": lambda l, r: l > r,
-    "<": lambda l, r: l < r,
-    ">=": lambda l, r: l >= r,
-    "<=": lambda l, r: l <= r,
-    "==": lambda l, r: l == r,
-    "!=": lambda l, r: l != r,
+    ">": lambda l, r: _no_nan(l, r) & (l > r),
+    "<": lambda l, r: _no_nan(l, r) & (l < r),
+    ">=": lambda l, r: _no_nan(l, r) & (l >= r),
+    "<=": lambda l, r: _no_nan(l, r) & (l <= r),
+    "==": lambda l, r: _no_nan(l, r) & (l == r),
+    "!=": lambda l, r: ~_no_nan(l, r) | (l != r),
 }
 
 
