@@ -392,6 +392,26 @@ class PromQLEngine:
             pts = pts.filter(c)
         return pts
 
+    def _mutable_rows(self):
+        """The mutable mapping, collected ONCE per mapping DataFrame and
+        cached on it — mirroring the reference's in-process cached store
+        (cassandra/mutable/processor.go keeps the mapping in a cache and
+        resolves matchers against it without I/O). Planning a query never
+        blocks on a Spark job after the first warm-up; the mapping is
+        config-sized by construction."""
+        mapping = self.mutable_mapping
+        rows = getattr(mapping, "_sq_mutable_rows", None)
+        if rows is None:
+            rows = mapping.select(
+                "tenant", "mutable_name", "mutable_value",
+                "associated_name", "associated_values",
+            ).collect()
+            try:
+                mapping._sq_mutable_rows = rows
+            except AttributeError:  # pragma: no cover
+                pass
+        return rows
+
     def _apply_mutable_matcher(self, pts: DataFrame, m, name: str) -> DataFrame:
         """Rewrite a matcher on a mutable label to concrete values
         (reference cassandra/mutable/processor.go:52-241): select the
@@ -402,14 +422,10 @@ class PromQLEngine:
             raise ValueError(f"unknown label {name!r}")
         import re
 
-        rows = (
-            self.mutable_mapping.filter(
-                (F.col("tenant") == self.tenant)
-                & (F.col("mutable_name") == name)
-            )
-            .select("mutable_value", "associated_name", "associated_values")
-            .collect()
-        )
+        rows = [
+            r for r in self._mutable_rows()
+            if r.tenant == self.tenant and r.mutable_name == name
+        ]
         if not rows:
             raise ValueError(f"unknown label {name!r}")
         values: set[str] = set()
