@@ -159,13 +159,16 @@ def lsh_candidate_pairs(
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
     if max_bucket is not None:
-        sizes = (
-            melted.groupBy("band_id", "band_hash")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        # window count over the join's own shuffle key: one exchange,
+        # no extra join, and the downstream self-join reuses the
+        # partitioning
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        melted = (
+            melted.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_bucket_n") <= max_bucket)
-        )
-        melted = melted.join(
-            sizes, on=["band_id", "band_hash"], how="left_semi"
+            .drop("_bucket_n")
         )
     a = melted.select(
         F.col(id_col).alias("id_a"), "band_id", "band_hash"

@@ -221,12 +221,16 @@ def embedding_neardup_pairs(
         .select(F.col(id_col), "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     )
     if max_bucket is not None:
-        sizes = (
-            bucketed.groupBy("t", "b")
-            .agg(F.count(F.lit(1)).alias("_bucket_n"))
+        # window count over the join's own shuffle key — one exchange,
+        # no extra join (see pipeline.dedup.lsh_candidate_pairs)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("t", "b")
+        bucketed = (
+            bucketed.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
             .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
         )
-        bucketed = bucketed.join(sizes, on=["t", "b"], how="left_semi")
     a = bucketed.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "t", "b")
     b = bucketed.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "t", "b")
     cand = (
