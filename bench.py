@@ -34,9 +34,12 @@ BENCH_QUERIES = [
     "tpch_q5_local_supplier",
     # PromQL-string path (parser + planner -> one Catalyst plan)
     "promql_rate_sum",
+    # bounded /query_range: time-bound pushdown prunes the fact scan
+    "api_bounded_scan",
     # LLM-data pipeline operators
     "doc_exact_dedup",
     "doc_minhash_lsh_pairs",
+    "doc_simhash",
     "emb_cosine_knn",
     "emb_ann_ivf",
 ]
