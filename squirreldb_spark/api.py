@@ -76,6 +76,7 @@ class PromAPI:
         downsample: DataFrame | None = None,
         preagg_resolution_ms: int = 300_000,
         preagg_until_ms: int | None = None,
+        labels_map_col: str | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -88,6 +89,9 @@ class PromAPI:
         self.downsample = downsample
         self.preagg_resolution_ms = preagg_resolution_ms
         self.preagg_until_ms = preagg_until_ms
+        # dynamic label model: per-series label sets in a map column
+        # (promql.planner promotes referenced names per query)
+        self.labels_map_col = labels_map_col
 
     # ------------------------------------------------------------ internals
 
@@ -147,6 +151,7 @@ class PromAPI:
             preagg_until_ms=self.preagg_until_ms,
             force_raw=bool(opts and opts.force_raw),
             force_preagg=bool(opts and opts.force_pre_aggregated),
+            labels_map_col=self.labels_map_col,
         )
 
     # ------------------------------------------------------------ endpoints
@@ -187,29 +192,52 @@ class PromAPI:
         eng = PromQLEngine(
             self._scoped(opts), label_cols=self.label_cols,
             name_label=self.name_label, step_ms=1, lookback_ms=self.lookback_ms,
-            start_ms=0, end_ms=0,
+            start_ms=0, end_ms=0, labels_map_col=self.labels_map_col,
         )
         from squirreldb_spark.promql.parser import parse
 
         sel = parse(matchers)
+        eng = eng._with_dynamic_labels(sel)
         pts = eng._select_points(sel).filter(
             (F.col("ts") >= clamp_time(start_ms)) & (F.col("ts") <= clamp_time(end_ms))
         )
+        if self.labels_map_col is not None:
+            # dynamic labels: the canonical sorted-JSON label set IS the
+            # series identity
+            return pts.select(F.col("__series__").alias("series")).distinct()
         return pts.select(*self.label_cols).distinct()
 
     def labels(self, opts: RequestOptions | None = None) -> list[str]:
-        """/api/v1/labels — fixed-schema label columns (+ __name__)."""
-        return sorted(set(self.label_cols) | {"__name__"})
+        """/api/v1/labels — fixed-schema label columns (+ __name__); with
+        a dynamic map column, also every label NAME present in the data
+        (the reference's label-names index scan, index.go:1903-2136)."""
+        names = set(self.label_cols) | {"__name__"}
+        if self.labels_map_col is not None:
+            rows = (
+                self._scoped(opts)
+                .select(
+                    F.explode(F.map_keys(F.col(self.labels_map_col))).alias("k")
+                )
+                .distinct()
+                .collect()
+            )
+            names |= {r.k for r in rows}
+        return sorted(names)
 
     def label_values(self, name: str,
                      opts: RequestOptions | None = None) -> DataFrame:
         """/api/v1/label/<name>/values."""
         col = self.name_label if name == "__name__" else name
-        if col not in self.label_cols:
+        if col in self.label_cols:
+            expr = F.col(col).cast("string")
+        elif self.labels_map_col is not None:
+            expr = F.element_at(F.col(self.labels_map_col), F.lit(col))
+        else:
             raise ValueError(f"unknown label {name!r}")
         return (
             self._scoped(opts)
-            .select(F.col(col).cast("string").alias("value"))
+            .select(expr.alias("value"))
+            .filter(F.col("value").isNotNull())
             .distinct()
             .orderBy("value")
         )

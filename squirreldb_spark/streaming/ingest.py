@@ -48,6 +48,64 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
 
 
+def decode_write_stream(payloads: DataFrame, body_col: str = "body") -> DataFrame:
+    """A1: decode a stream of remote-write HTTP bodies (snappy+prompb)
+    into samples — the piece between the receiver and :func:`validate`.
+
+    Works on any DataFrame/stream with a ``binary`` body column (Kafka
+    value, file stream of captured payloads). Arrow-batched
+    ``mapInPandas`` runs the pure-Python wire codec
+    (:mod:`squirreldb_spark.codec`) executor-side — no driver loop, no
+    shuffle; output is the dynamic-label samples relation
+    ``(labels MAP<STRING,STRING>, ts, value)``.
+    """
+    import pandas as pd
+
+    def _decode(batches):
+        from squirreldb_spark import codec
+
+        for pdf in batches:
+            labels, tss, values = [], [], []
+            for body in pdf[body_col]:
+                for series in codec.decode_remote_write_body(bytes(body)):
+                    for s in series.samples:
+                        labels.append(series.labels)
+                        tss.append(s.timestamp_ms)
+                        values.append(s.value)
+            yield pd.DataFrame({"labels": labels, "ts": tss, "value": values})
+
+    return payloads.mapInPandas(
+        _decode, "labels map<string,string>, ts long, value double"
+    )
+
+
+def validate_map(
+    stream: DataFrame, tenant: str = "default", now_ms: int | None = None,
+    tenant_label: str = "__account_id",
+) -> DataFrame:
+    """A2/A3 for dynamic-label rows: drop empty-valued labels
+    (write.go dropEmptyValue), require a metric name, clamp the future,
+    and inject/replace the tenant label inside the map (write.go:82-109
+    builder.Set semantics)."""
+    out = (
+        stream.filter(F.col("value").isNotNull())
+        .withColumn(
+            "labels", F.map_filter("labels", lambda k, v: v != F.lit(""))
+        )
+        .filter(F.element_at("labels", F.lit("__name__")).isNotNull())
+        .filter(F.col("ts").isNotNull() & (F.col("ts") > 0))
+    )
+    if now_ms is not None:
+        out = out.filter(F.col("ts") <= F.lit(now_ms + MAX_FUTURE_MS))
+    return out.withColumn(
+        "labels",
+        F.map_concat(
+            F.map_filter("labels", lambda k, v: k != F.lit(tenant_label)),
+            F.create_map(F.lit(tenant_label), F.lit(tenant)),
+        ),
+    )
+
+
 def validate(stream: DataFrame, tenant: str = "default", now_ms: int | None = None) -> DataFrame:
     """A2/A3: reject invalid samples, clamp the future, inject the tenant.
 

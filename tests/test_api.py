@@ -104,6 +104,30 @@ def test_format_matrix(api):
     assert a["values"] == [[21600.0, "6.0"], [28800.0, "8.0"]]
 
 
+def test_api_dynamic_labels_endpoints(spark):
+    from squirreldb_spark.api import PromAPI
+
+    rows = [
+        ({"__name__": "cpu", "host": "a", "dc": "east"}, 10_000, 1.0),
+        ({"__name__": "cpu", "host": "b"}, 20_000, 2.0),
+        ({"__name__": "mem", "host": "a"}, 20_000, 3.0),
+    ]
+    pts = spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+    api = PromAPI(pts, label_cols=(), name_label="__name__",
+                  lookback_ms=20_000, labels_map_col="labels")
+    assert api.labels() == ["__name__", "dc", "host"]
+    vals = [r.value for r in api.label_values("dc").collect()]
+    assert vals == ["east"]
+    series = {r.series for r in api.series('{__name__="cpu"}', 0, 30_000).collect()}
+    assert series == {
+        '{"__name__":"cpu","dc":"east","host":"a"}',
+        '{"__name__":"cpu","host":"b"}',
+    }
+    out = api.query_range("sum by (host) (cpu)", 10_000, 20_000, 10_000).collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got[("a", 10_000)] == 1.0 and got[("b", 20_000)] == 2.0
+
+
 def test_remote_write_codec_decodes_payload():
     from squirreldb_spark import codec
     from squirreldb_spark.api import decode_remote_write

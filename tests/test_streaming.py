@@ -116,6 +116,51 @@ def test_validation_rejects_invalid_samples(spark, tmpdir):
     assert pts.collect()[0].event_id if "event_id" in pts.columns else True
 
 
+def test_remote_write_payload_stream_decodes_end_to_end(spark, tmpdir):
+    """A1 fully: snappy+prompb payload bodies -> mapInPandas codec ->
+    validated dynamic-label samples, as a real file STREAM."""
+    from squirreldb_spark import codec
+
+    payloads = [
+        codec.encode_remote_write_body([
+            codec.TimeSeries(
+                labels={"__name__": "up", "job": "api", "drop_me": ""},
+                samples=[codec.Sample(1.0, 1_000), codec.Sample(0.0, 61_000)],
+            ),
+            codec.TimeSeries(
+                labels={"__name__": "up", "job": "db", "__account_id": "evil"},
+                samples=[codec.Sample(1.0, 2_000)],
+            ),
+        ]),
+        codec.encode_remote_write_body([
+            codec.TimeSeries(labels={"job": "noname"},
+                             samples=[codec.Sample(9.0, 3_000)]),
+        ]),
+    ]
+    src = f"{tmpdir}/payloads"
+    spark.createDataFrame([(p,) for p in payloads], "body binary").write.parquet(src)
+
+    stream = spark.readStream.schema("body binary").parquet(src)
+    decoded = ingest.decode_write_stream(stream)
+    valid = ingest.validate_map(decoded, tenant="t1")
+    out_dir = f"{tmpdir}/decoded_out"
+    q = (valid.writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", f"{tmpdir}/_cp_dec")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(out_dir).collect()
+    # the nameless series is rejected; 3 samples survive
+    assert len(rows) == 3
+    by_job = {}
+    for r in rows:
+        by_job.setdefault(r.labels["job"], []).append(r)
+        assert r.labels["__account_id"] == "t1"   # tenant replaces spoof
+        assert "drop_me" not in r.labels           # empty value dropped
+    assert len(by_job["api"]) == 2
+    assert by_job["db"][0].value == 1.0
+
+
 def test_stateful_deltas_across_restarts(spark, tmpdir):
     """applyInPandasWithState: per-series state survives micro-batches AND
     a query restart (the A5 short-term-store semantics, minus the
