@@ -129,19 +129,24 @@ def ann_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
 
-    Centroids are the ``n_cells`` corpus vectors at ids ``cent_base..`` —
-    deterministic (no trained k-means), so the DuckDB oracle can replay the
-    exact same partitioning. Every vector is assigned to its nearest
-    centroid (rounded cosine, cell-id tie-break); a query probes its
-    ``nprobe`` nearest cells and reranks only those cells' members.
+    The quantizer is spherical k-means: ``n_cells`` deterministic seeds
+    (the corpus vectors at ids ``cent_base..``) refined by
+    ``kmeans_iters`` Lloyd iterations — assign every vector to its
+    highest-cosine centroid (6-dp rounding + cell-id tie-break keeps the
+    argmax engine-independent), recompute centroids as element-wise
+    means. The DuckDB oracle replays the identical iterations, so the
+    trained partitioning matches bit-for-bit.
 
-    Scale shape: the centroid table is broadcast, so assignment is a
-    map-side pass over the corpus scan; the candidate join shuffles by
-    ``cell`` — the classic IVF cost model (scan / n_cells * nprobe per
-    query) instead of the brute-force full scan.
+    Scale shape: the centroid table is broadcast, so each Lloyd pass and
+    the final assignment are map-side over the corpus scan (the centroid
+    update shuffles (cell, dim) pairs — tiny); the candidate join
+    shuffles by ``cell`` — the classic IVF cost model
+    (scan / n_cells * nprobe per query) instead of the brute-force full
+    scan. Train on a sample at 100 TB; assignment stays a narrow pass.
     """
     from pyspark.sql import Window
 
@@ -149,10 +154,30 @@ def ann_ivf(
     cents = base.filter(
         (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + n_cells)
     ).select((F.col(id_col) - cent_base).alias("cell"), F.col("v").alias("cent"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    for _ in range(kmeans_iters):
+        ac_i = with_cosine(
+            base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
+        ).withColumn("ccos", F.round(F.col("ccos"), 6))
+        members = (
+            ac_i.withColumn("crank", F.row_number().over(w))
+            .filter(F.col("crank") == 1)
+            .select("cell", F.posexplode("v").alias("pos", "val"))
+        )
+        cents = (
+            members.groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cent")
+            )
+        )
     ac = with_cosine(
         base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
     ).withColumn("ccos", F.round(F.col("ccos"), 6))
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
     assigned = ac.withColumn("crank", F.row_number().over(w))
     cells = assigned.filter(F.col("crank") == 1).select(
         F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell"
@@ -285,15 +310,37 @@ def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
 
 def sql_ann_ivf(
     k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
-    nprobe: int = 2,
+    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64,
 ) -> str:
+    """Replays the spherical k-means training (same seeds, same rounding,
+    same tie-breaks) by unrolling the Lloyd iterations into CTEs."""
+    iters = []
+    prev = "cents0"
+    for i in range(kmeans_iters):
+        iters.append(f"""
+ac{i} AS (
+  SELECT base.vec_id, base.v, c.cell,
+         {_duck_cos('base.v', 'c.cent')} AS ccos
+  FROM base, {prev} c),
+asg{i} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
+    FROM ac{i}) WHERE crank = 1),
+cents{i + 1} AS (
+  SELECT cell, list(m ORDER BY pos) AS cent FROM (
+    SELECT cell, gs.i AS pos, round(avg(v[gs.i]), 6) AS m
+    FROM asg{i} CROSS JOIN generate_series(1, {dim}) gs(i)
+    GROUP BY 1, 2)
+  GROUP BY cell)""")
+        prev = f"cents{i + 1}"
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id - {cent_base} AS cell, v AS cent FROM base
-          WHERE vec_id >= {cent_base} AND vec_id < {cent_base + n_cells}),
+cents0 AS (SELECT vec_id - {cent_base} AS cell, v AS cent FROM base
+           WHERE vec_id >= {cent_base} AND vec_id < {cent_base + n_cells}),
+{','.join(iters)},
 ac AS (
-  SELECT base.vec_id, base.v, cents.cell, {_duck_cos('base.v', 'cents.cent')} AS ccos
-  FROM base, cents),
+  SELECT base.vec_id, base.v, c.cell, {_duck_cos('base.v', 'c.cent')} AS ccos
+  FROM base, {prev} c),
 assigned AS (
   SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
   FROM ac),
