@@ -99,6 +99,35 @@ _SERIES_ID_EXPR = (
 )
 
 
+def write_bucketed_points(
+    points_df: DataFrame,
+    table: str,
+    path: str,
+    n_buckets: int = 32,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+) -> None:
+    """Production layout #2: series-bucketed, ts-sorted parquet table.
+
+    ``bucketBy(series keys) + sortBy(ts)`` co-locates every series in one
+    bucket file sorted by time — the Spark analogue of the reference's
+    per-series clustered partitions (cassandra/tsdb base_ts layout).
+    Per-series aggregations and the window lag pass then run WITHOUT a
+    shuffle (bucketing already provides the hash distribution; asserted
+    in tests/test_plan_shape.py), and series-key equi-joins between two
+    tables bucketed the same way are shuffle-free on both sides. At
+    100 TB this removes the one wide exchange from the rate/selector
+    plans.
+    """
+    (
+        points_df.write.bucketBy(n_buckets, *keys)
+        .sortBy(*keys, "ts")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def series_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series dimension: one row per distinct label set, with a stable
     ``series_id`` (interning, reference cassandra/index/index.go:1366-1538

@@ -1266,6 +1266,51 @@ def _promql(q: str):
     return run
 
 
+def q_promql_sort(spark, sf_dir):
+    """A24 series-set sort through the engine (sort_desc). The driver's
+    value-hash compare is order-insensitive, so this entry attests
+    execution + values; the actual ordering is asserted in
+    tests/test_promql.py::test_sort_desc_orders_by_value."""
+    return _promql("sort_desc(sum by (user_id) (purchase))")(spark, sf_dir)
+
+
+SQL_PROMQL_SORT = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+inst AS (SELECT p.user_id, g.step_ts, arg_max(p.value, p.ts) AS value
+         FROM pts p, grid g
+         WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
+           AND p.event_type = 'purchase'
+         GROUP BY 1, 2)
+SELECT user_id, step_ts, round(sum(value), 6) AS value
+FROM inst GROUP BY 1, 2
+"""
+
+
+def q_doc_bpe_tokens(spark, sf_dir):
+    """Token counting for training-data budgeting: whitespace tokens plus
+    a BPE-ish subword estimate (GPT-2-style pretokenizer classes:
+    letter runs, digit runs, punctuation runs, each optionally
+    space-prefixed). Pure regexp column expressions — narrow map."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+SQL_DOC_BPE_TOKENS = """
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))::BIGINT AS n_bpe_tokens
+FROM documents
+"""
+
+
 def q_promql_map_labels(spark, sf_dir):
     """Dynamic label model: the whole label set lives in a
     ``labels MAP<STRING,STRING>`` column (FIXTURES.md schema; reference
@@ -1626,6 +1671,10 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "promql_preagg_route": QueryDef(q_promql_preagg_route, SQL_PROMQL_PREAGG_ROUTE),
     # dynamic MAP<STRING,STRING> label model through the engine
     "promql_map_labels": QueryDef(q_promql_map_labels, SQL_PROMQL_MAP_LABELS),
+    # A24 series-set sort (order asserted in pytest; hash attests values)
+    "promql_sort": QueryDef(q_promql_sort, SQL_PROMQL_SORT),
+    # token counting (whitespace + BPE-ish subword estimate)
+    "doc_bpe_tokens": QueryDef(q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS),
 }
 
 

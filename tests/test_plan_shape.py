@@ -78,6 +78,28 @@ def test_grid_is_broadcast_in_instant_select(spark, sf_dir):
     assert "BroadcastExchange" in plan_of(df)
 
 
+def test_bucketed_layout_aggregates_without_shuffle(spark, sf_dir, tmp_path):
+    """Series-bucketed storage: a per-series aggregation over the bucketed
+    table must contain NO Exchange — bucketing already hash-distributes
+    by the series keys. This is the layout that removes the one wide
+    shuffle from rate/selector plans at 100 TB."""
+    pts = model.points(spark, sf_dir)
+    model.write_bucketed_points(
+        pts, "pts_bucketed_test", str(tmp_path / "bucketed"), n_buckets=8
+    )
+    try:
+        df = (
+            spark.table("pts_bucketed_test")
+            .groupBy("user_id", "event_type")
+            .agg(F.max("value").alias("mx"), F.count(F.lit(1)).alias("n"))
+        )
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan[:800]
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pts_bucketed_test")
+
+
 def test_series_interning_has_no_global_window(spark, sf_dir):
     """Hash-ID interning: the series dimension must not contain a Window
     (the old dense_rank forced every series through one task)."""

@@ -196,6 +196,15 @@ def test_scalar_multi_series_is_nan(engine):
     assert all(r.value == 0.0 for r in out)
 
 
+def test_sort_desc_orders_by_value(engine):
+    rows = engine.query_range("sort_desc(cpu)").collect()
+    vals = [r.value for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    rows2 = engine.query_range("sort(cpu)").collect()
+    vals2 = [r.value for r in rows2]
+    assert vals2 == sorted(vals2)
+
+
 def test_absent_derives_matcher_labels(engine):
     # equality matchers become result labels; __name__ excluded
     out = engine.query_range('absent(nosuch{host="z"})').collect()
