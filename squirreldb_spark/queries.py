@@ -759,6 +759,11 @@ def q_doc_minhash(spark, sf_dir):
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
+    # the signature relation feeds four plan branches (both self-join
+    # sides + both estimate joins); AQE's ReusedExchange dedupes the
+    # identical shuffle subtrees, so an explicit cache() only hurts
+    # (measured: cold cache 6.6 s vs 2.5-3.6 s at sf0.1 — it breaks
+    # stage pipelining)
     sig = pdedup.minhash_signatures(_docs(spark, sf_dir))
     pairs = pdedup.lsh_candidate_pairs(sig)
     return pdedup.minhash_estimated_similarity(sig, pairs)
