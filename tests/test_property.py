@@ -120,3 +120,60 @@ def test_instant_select_matches_reference(spark, samples):
             assert step not in got
         else:
             assert got[step] == want, f"step {step}: {got.get(step)} != {want}"
+
+
+# ------------------------------------------------------------- wire codecs
+
+
+_label_names = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="_"),
+    min_size=1, max_size=12,
+)
+_ts_strategy = st.builds(
+    lambda labels, samples: __import__("squirreldb_spark.codec", fromlist=["x"]).TimeSeries(
+        labels=labels,
+        samples=[
+            __import__("squirreldb_spark.codec", fromlist=["x"]).Sample(v, t)
+            for v, t in samples
+        ],
+    ),
+    labels=st.dictionaries(_label_names, st.text(max_size=20), max_size=5),
+    samples=st.lists(
+        st.tuples(
+            st.floats(allow_nan=False, width=64),
+            st.integers(min_value=-(2**62), max_value=2**62),
+        ),
+        max_size=8,
+    ),
+)
+
+
+@given(series=st.lists(_ts_strategy, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_remote_write_body_roundtrip_property(series):
+    from squirreldb_spark import codec
+
+    out = codec.decode_remote_write_body(codec.encode_remote_write_body(series))
+    assert len(out) == len(series)
+    for a, b in zip(series, out):
+        assert a.labels == b.labels
+        assert [(s.value, s.timestamp_ms) for s in a.samples] == [
+            (s.value, s.timestamp_ms) for s in b.samples
+        ]
+
+
+@given(payload=st.binary(max_size=300_000))
+@settings(max_examples=200, deadline=None)
+def test_snappy_roundtrip_property(payload):
+    from squirreldb_spark import codec
+
+    assert codec.snappy_decompress(codec.snappy_compress(payload)) == payload
+
+
+@given(n=st.integers(min_value=0, max_value=2**64 - 1))
+@settings(max_examples=300, deadline=None)
+def test_uvarint_roundtrip_property(n):
+    from squirreldb_spark import codec
+
+    got, pos = codec.read_uvarint(codec.write_uvarint(n), 0)
+    assert got == n
