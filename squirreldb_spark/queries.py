@@ -1732,14 +1732,14 @@ _VERIFY_FIRST: list[str] = [
     "mm_extract_features",
     "mm_resize_images",
     "mm_sample_frames",
+    "promql_sort",
+    "doc_bpe_tokens",
     # --- round-1-green spine (regression canaries inside the window) ---
     "ts_rate",
     "ts_quantile_over_time",
     "ts_instant_selector",
     "ts_agg_sum_by",
-    "ts_set_or",
     "ts_preagg_route_rate",
-    "ts_dedup_points",
     "tpch_q1_pricing_summary",
     "doc_minhash_lsh_pairs",
     "doc_simhash",
