@@ -295,24 +295,32 @@ class PromQLEngine:
         refs = {self.name_label if r == "__name__" else r for r in refs}
         import copy
 
-        eng = copy.copy(self)
-        pts = self.points
-        promoted: list[str] = []
-        for name in sorted(refs):
-            if name not in pts.columns and name not in self.label_cols:
-                pts = pts.withColumn(
-                    name,
-                    F.coalesce(F.element_at(F.col(m), F.lit(name)), F.lit("")),
+        def promote(df: DataFrame) -> tuple[DataFrame, list[str]]:
+            names: list[str] = []
+            for name in sorted(refs):
+                if name not in df.columns and name not in self.label_cols:
+                    df = df.withColumn(
+                        name,
+                        F.coalesce(
+                            F.element_at(F.col(m), F.lit(name)), F.lit("")
+                        ),
+                    )
+                    names.append(name)
+            if "__series__" not in df.columns:
+                df = df.withColumn(
+                    "__series__",
+                    F.to_json(
+                        F.expr(f"map_from_entries(array_sort(map_entries({m})))")
+                    ),
                 )
-                promoted.append(name)
-        if "__series__" not in pts.columns:
-            pts = pts.withColumn(
-                "__series__",
-                F.to_json(
-                    F.expr(f"map_from_entries(array_sort(map_entries({m})))")
-                ),
-            )
-        eng.points = pts
+            return df, names
+
+        eng = copy.copy(self)
+        eng.points, promoted = promote(self.points)
+        if self.downsample is not None and m in self.downsample.columns:
+            # the pre-agg table (downsample_map) carries the same map:
+            # promote identically so A15-A17 routing works over it
+            eng.downsample, _ = promote(self.downsample)
         eng.label_cols = tuple(
             dict.fromkeys([*self.label_cols, *promoted, "__series__"])
         )

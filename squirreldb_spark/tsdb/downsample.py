@@ -59,6 +59,37 @@ def downsample(
     )
 
 
+def downsample_map(
+    points: DataFrame,
+    map_col: str = "labels",
+    resolution_ms: int = RESOLUTION_MS,
+) -> DataFrame:
+    """A13 for dynamic-label points: group by the canonical sorted-JSON
+    label fingerprint (maps are not directly groupable) and carry the
+    map through. Every row in a group shares the identical map by
+    construction of the fingerprint, so ``any_value`` is exact.
+
+    Output: ``(labels, __series__, bucket_ts, min, max, avg, count)`` —
+    consumable by the PromQL engine with ``labels_map_col`` (the
+    per-query label promotion applies to this table too).
+    """
+    key = F.to_json(
+        F.expr(f"map_from_entries(array_sort(map_entries({map_col})))")
+    )
+    bucket = (F.col("ts") - F.col("ts") % F.lit(resolution_ms)).alias("bucket_ts")
+    return (
+        points.withColumn("__series__", key)
+        .groupBy("__series__", bucket)
+        .agg(
+            F.any_value(F.col(map_col)).alias(map_col),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.avg("value").alias("avg"),
+            F.count("value").alias("count"),
+        )
+    )
+
+
 def route_column(function: str) -> str:
     """A16: which pre-agg column represents the samples for this function."""
     return _FUNC_COLUMN.get(function, "avg")

@@ -277,6 +277,27 @@ def test_map_labels_rate_and_regex(map_engine):
     assert by[("b", 20_000)] == pytest.approx(1.0)
 
 
+def test_map_labels_route_to_preagg(spark, map_engine):
+    """Dynamic labels + A15/A16: a map-labelled pre-agg table
+    (downsample_map) serves max_over_time when step >= resolution, and
+    agrees with the raw path evaluated over pre-bucketed points."""
+    from squirreldb_spark.promql import PromQLEngine
+    from squirreldb_spark.tsdb import downsample as ds
+
+    pts = map_engine.points
+    preagg = ds.downsample_map(pts, "labels", resolution_ms=10_000)
+    routed = PromQLEngine(
+        pts, label_cols=(), name_label="__name__",
+        step_ms=10_000, lookback_ms=20_000, labels_map_col="labels",
+        downsample=preagg, preagg_resolution_ms=10_000,
+    )
+    assert routed._use_preagg()
+    out = routed.query_range("sum by (host) (max_over_time(cpu[20s]))").collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got[("a", 20_000)] == 2.0
+    assert got[("b", 20_000)] == 20.0
+
+
 def test_set_or_different_label_sets(engine):
     # sides with different label sets union with missing labels as ""
     out = engine.query_range(

@@ -161,6 +161,43 @@ def test_remote_write_payload_stream_decodes_end_to_end(spark, tmpdir):
     assert by_job["db"][0].value == 1.0
 
 
+def test_remote_write_to_promql_query_full_loop(spark, tmpdir):
+    """The whole pipe a real user runs: remote-write payloads -> decoded
+    stream -> validated -> parquet store -> PromAPI range query over the
+    dynamic-label store."""
+    from squirreldb_spark import codec
+    from squirreldb_spark.api import PromAPI
+
+    body = codec.encode_remote_write_body([
+        codec.TimeSeries(labels={"__name__": "cpu", "host": "a"},
+                         samples=[codec.Sample(1.0, 10_000), codec.Sample(3.0, 20_000)]),
+        codec.TimeSeries(labels={"__name__": "cpu", "host": "b"},
+                         samples=[codec.Sample(10.0, 20_000)]),
+    ])
+    src = f"{tmpdir}/rw_payloads"
+    spark.createDataFrame([(body,)], "body binary").write.parquet(src)
+    stream = spark.readStream.schema("body binary").parquet(src)
+    valid = ingest.validate_map(ingest.decode_write_stream(stream), tenant="t9")
+    store = f"{tmpdir}/rw_store"
+    q = (valid.writeStream.format("parquet").option("path", store)
+         .option("checkpointLocation", f"{tmpdir}/_cp_rw")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    pts = spark.read.parquet(store)
+    api = PromAPI(pts, label_cols=(), name_label="__name__",
+                  lookback_ms=20_000, labels_map_col="labels")
+    out = api.query_range("sum by (host) (cpu)", 10_000, 20_000, 10_000).collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got[("a", 10_000)] == 1.0
+    assert got[("a", 20_000)] == 3.0
+    assert got[("b", 20_000)] == 10.0
+    # tenant label injected at ingest is queryable as a matcher
+    scoped = api.query_range('sum by (host) (cpu{__account_id="t9"})',
+                             10_000, 20_000, 10_000).collect()
+    assert len(scoped) == 3
+
+
 def test_stateful_deltas_across_restarts(spark, tmpdir):
     """applyInPandasWithState: per-series state survives micro-batches AND
     a query restart (the A5 short-term-store semantics, minus the
