@@ -1107,6 +1107,99 @@ WHERE epoch_ms(l_shipdate) >= {TPCH_Q6_LO_MS} AND epoch_ms(l_shipdate) < {TPCH_Q
 """
 
 
+Q4_LO_MS, Q4_HI_MS = 788_918_400_000, 796_694_400_000    # 1995-Q1
+Q14_LO_MS, Q14_HI_MS = 809_913_600_000, 812_505_600_000  # 1995-09
+LATE_MS = 60 * 86_400_000
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority counts gated by an EXISTS
+    subquery — lowered to a LEFT SEMI join on the order key (the plan
+    Catalyst picks for decorrelated EXISTS). Adapted predicate
+    (l_quantity > 45) since the test schema has no commit/receipt
+    dates; the join/agg shape is the point."""
+    orders = model.load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= Q4_LO_MS) & (F.col("o_orderdate") < Q4_HI_MS)
+    )
+    big = model.load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > 45
+    ).select(F.col("l_orderkey").alias("o_orderkey")).distinct()
+    return (
+        orders.join(big, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+SQL_TPCH_Q4 = f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE epoch_ms(o_orderdate) >= {Q4_LO_MS} AND epoch_ms(o_orderdate) < {Q4_HI_MS}
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share over one month — broadcast the
+    part dimension, conditional aggregation over the fact join."""
+    li = model.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q14_LO_MS) & (F.col("l_shipdate") < Q14_HI_MS)
+    )
+    part = model.load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey, "inner"
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        F.round(
+            100.0 * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+            / F.sum(disc),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+SQL_TPCH_Q14 = f"""
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE epoch_ms(l_shipdate) >= {Q14_LO_MS} AND epoch_ms(l_shipdate) < {Q14_HI_MS}
+"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment counts split into priority
+    classes via conditional aggregation (shipmode is absent from the
+    test schema; late = shipped >60 days after the order date)."""
+    li = model.load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= Q5_LO_MS) & (F.col("l_shipdate") < Q5_HI_MS)
+    ).select("l_orderkey", "l_shipdate")
+    orders = model.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner").filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.lit(LATE_MS)
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+    )
+
+
+SQL_TPCH_Q12 = f"""
+SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE epoch_ms(l_shipdate) >= {Q5_LO_MS} AND epoch_ms(l_shipdate) < {Q5_HI_MS}
+  AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + {LATE_MS}
+"""
+
+
 def q_tpch_q10(spark, sf_dir):
     """TPC-H Q10: returned-item revenue, top 20 customers (join + group +
     deterministic top-N on the rounded measure)."""
@@ -1269,6 +1362,54 @@ def _promql(q: str):
 
     run.__doc__ = f"PromQL via parser+planner: `{q}`"
     return run
+
+
+def q_doc_repetition(spark, sf_dir):
+    """Within-document repetition ratios (the Gopher-style quality
+    filters): duplicate-token fraction and duplicate n-gram fraction for
+    n in {2, 3}. Pure array higher-order expressions — a narrow map over
+    the corpus scan, no shuffle, no Python."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    toks = "split(text, ' ')"
+
+    def ngrams(n: int) -> str:
+        return (
+            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+        )
+
+    def dup_frac(arr: str) -> str:
+        return (
+            f"round(1.0 - size(array_distinct({arr})) / size({arr}), 6)"
+        )
+
+    return docs.select(
+        "doc_id",
+        F.expr(dup_frac(toks)).alias("dup_token_frac"),
+        F.expr(dup_frac(ngrams(2))).alias("dup_2gram_frac"),
+        F.expr(dup_frac(ngrams(3))).alias("dup_3gram_frac"),
+    )
+
+
+def _sql_dup_frac(arr: str) -> str:
+    return f"round(1.0 - len(list_distinct({arr})) / len({arr}), 6)"
+
+
+def _sql_ngrams(n: int) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(len(t) - {n - 1}, 1)),"
+        f" i -> array_to_string(t[i : i + {n - 1}], ' '))"
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       {_sql_dup_frac('t')} AS dup_token_frac,
+       {_sql_dup_frac(_sql_ngrams(2))} AS dup_2gram_frac,
+       {_sql_dup_frac(_sql_ngrams(3))} AS dup_3gram_frac
+FROM toks
+"""
 
 
 def q_promql_sort(spark, sf_dir):
@@ -1579,6 +1720,9 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "tpch_q5_local_supplier": QueryDef(q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6_forecast_revenue": QueryDef(q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10_returned_items": QueryDef(q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q4_order_priority": QueryDef(q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q12_late_shipments": QueryDef(q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q14_promo_revenue": QueryDef(q_tpch_q14, SQL_TPCH_Q14),
     # LLM-data pipeline: text analysis
     "doc_text_stats": QueryDef(q_doc_stats, SQL_DOC_STATS),
     "doc_lang_id": QueryDef(q_doc_langid, ptext.sql_lang_scores()),
@@ -1680,6 +1824,8 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "promql_sort": QueryDef(q_promql_sort, SQL_PROMQL_SORT),
     # token counting (whitespace + BPE-ish subword estimate)
     "doc_bpe_tokens": QueryDef(q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS),
+    # within-document repetition ratios (Gopher-style quality filters)
+    "doc_repetition": QueryDef(q_doc_repetition, SQL_DOC_REPETITION),
 }
 
 
