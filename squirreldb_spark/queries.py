@@ -1192,8 +1192,8 @@ def q_tpch_q12(spark, sf_dir):
 
 
 SQL_TPCH_Q12 = f"""
-SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE epoch_ms(l_shipdate) >= {Q5_LO_MS} AND epoch_ms(l_shipdate) < {Q5_HI_MS}
   AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + {LATE_MS}
