@@ -8,6 +8,7 @@ debugging; the real gate is the driver's CORRECTNESS_r{N}.json.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 
@@ -15,6 +16,17 @@ import duckdb
 import pandas as pd
 
 from squirreldb_spark.model import TABLES
+
+
+def driver_hash(pdf: pd.DataFrame) -> str:
+    """The driver's exact value hash: CSV text of the column-name-sorted,
+    row-sorted frame. TEXTUAL — an int64 719 and a float64 719.0 hash
+    differently even though they compare equal, so dtype drift between
+    Spark and DuckDB results is a real failure here (it is at the
+    driver's gate too)."""
+    pdf = pdf[sorted(pdf.columns)].copy()
+    pdf = pdf.sort_values(by=list(pdf.columns), ignore_index=True)
+    return hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -64,6 +76,12 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, tol: float = 0.0) -
                     f"col {c}: {int((~eq).sum())} diffs, first at row {bad}: "
                     f"spark={av[bad]!r} duck={bv[bad]!r}"
                 )
+    if not issues and tol == 0.0 and driver_hash(spark_pdf) != driver_hash(duck_pdf):
+        issues.append(
+            "driver value-hash mismatch despite equal values: dtype or "
+            "text-formatting drift (e.g. int64 vs float64 column) — the "
+            "driver's textual CSV hash would fail this entry"
+        )
     return issues
 
 
