@@ -296,6 +296,23 @@ class PromAPI:
 
     # --------------------------------------------------------- serialization
 
+    def format_vector(self, df: DataFrame, limit: int = 10_000) -> dict:
+        """Render an instant-query result as the Prometheus JSON body
+        (``resultType: vector`` — one sample per series)."""
+        rows = df.limit(limit).collect()
+        label_names = [c for c in df.columns if c not in ("step_ts", "value")]
+        result = [
+            {
+                "metric": {l: str(r[l]) for l in label_names},
+                "value": [r["step_ts"] / 1000.0, str(r["value"])],
+            }
+            for r in rows
+        ]
+        return {
+            "status": "success",
+            "data": {"resultType": "vector", "result": result},
+        }
+
     def format_matrix(self, df: DataFrame, limit: int = 10_000) -> dict:
         """Render a query_range result as the Prometheus JSON body.
 

@@ -104,6 +104,62 @@ def test_format_matrix(api):
     assert a["values"] == [[21600.0, "6.0"], [28800.0, "8.0"]]
 
 
+def test_api_force_routing_headers(spark):
+    """A15 via request options: ForcePreAggregated serves the pre-agg
+    column even when the step is finer than the resolution; ForceRaw
+    wins when both are set (reference header precedence)."""
+    from squirreldb_spark.api import PromAPI, RequestOptions
+    from squirreldb_spark.tsdb import downsample as ds
+
+    pts = spark.createDataFrame(
+        [("a", "cpu", 1_000, 1.0), ("a", "cpu", 8_000, 5.0),
+         ("a", "cpu", 12_000, 9.0)],
+        "host string, name string, ts long, value double",
+    )
+    preagg = ds.downsample(pts, ["host", "name"], resolution_ms=10_000)
+    api = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                  lookback_ms=10_000, downsample=preagg,
+                  preagg_resolution_ms=10_000)
+    q = "max_over_time(cpu[10s])"
+    # step 5s < resolution -> raw by default
+    raw = api.query_range(q, 10_000, 10_000, 5_000).collect()
+    assert {r.value for r in raw} == {5.0}
+    forced = api.query_range(
+        q, 10_000, 10_000, 5_000,
+        opts=RequestOptions(force_pre_aggregated=True),
+    ).collect()
+    # pre-agg serves buckets at their start ts: bucket [0,10s) max=5 AND
+    # bucket [10s,20s) max=9 both fall in (0,10s] -> 9.0. The coarser
+    # answer is exactly what forcing pre-agg below its resolution means.
+    assert {r.value for r in forced} == {9.0}
+    both = api.query_range(
+        q, 10_000, 10_000, 5_000,
+        opts=RequestOptions(force_pre_aggregated=True, force_raw=True),
+    ).collect()
+    assert {r.value for r in both} == {5.0}  # ForceRaw wins
+    eng = api._engine(10_000, 10_000, 5_000,
+                      RequestOptions(force_pre_aggregated=True))
+    assert eng._use_preagg()
+    eng2 = api._engine(10_000, 10_000, 5_000,
+                       RequestOptions(force_pre_aggregated=True, force_raw=True))
+    assert not eng2._use_preagg()
+
+
+def test_format_vector_instant(spark):
+    from squirreldb_spark.api import PromAPI
+
+    pts = spark.createDataFrame(
+        [("a", "cpu", 1_000, 2.5)],
+        "host string, name string, ts long, value double",
+    )
+    api = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                  lookback_ms=10_000)
+    body = api.format_vector(api.query("cpu", 5_000))
+    assert body["data"]["resultType"] == "vector"
+    assert body["data"]["result"][0]["metric"]["host"] == "a"
+    assert body["data"]["result"][0]["value"] == [5.0, "2.5"]
+
+
 def test_api_dynamic_labels_endpoints(spark):
     from squirreldb_spark.api import PromAPI
 
