@@ -149,6 +149,67 @@ def sample_frames(
     return binary_table.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id long, win_idx long, n_bytes long, mean_byte double, peak_byte long"
+)
+
+
+def sample_audio_windows(
+    binary_table: DataFrame, n_windows: int = 4, win_len: int = 32
+) -> DataFrame:
+    """'Audio' windowing stub: per evenly spaced window of the byte
+    stream, emit the mean and peak byte value — the shape of an
+    energy/loudness feature pass (real code runs an FFT per hop; the
+    stand-in keeps the exact same Spark contract: binary in, ordered
+    per-window scalar features out, fanned out inside one Arrow batch).
+    """
+
+    def windows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "win_idx": [], "n_bytes": [],
+                    "mean_byte": [], "peak_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for w in range(n_windows):
+                    start = (w * n) // n_windows
+                    win = payload[start : start + win_len]
+                    rows["doc_id"].append(doc_id)
+                    rows["win_idx"].append(w)
+                    rows["n_bytes"].append(len(win))
+                    rows["mean_byte"].append(
+                        round(sum(win) / len(win), 6) if win else -1.0
+                    )
+                    rows["peak_byte"].append(max(win) if win else -1)
+            yield pd.DataFrame(rows)
+
+    return binary_table.mapInPandas(windows, schema=AUDIO_SCHEMA)
+
+
+def sql_sample_audio_windows(n_windows: int = 4, win_len: int = 32) -> str:
+    return f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+w AS (SELECT unnest(generate_series(0, {n_windows - 1})) AS win_idx),
+win AS (
+  SELECT doc_id, win_idx,
+         least({win_len}, n - (win_idx * n) // {n_windows}) AS wl,
+         (win_idx * n) // {n_windows} AS start,
+         h
+  FROM hx, w),
+vals AS (
+  SELECT doc_id, win_idx, wl,
+         list_transform(generate_series(1, wl),
+                        i -> ('0x' || substr(h, 2 * (start + i - 1) + 1, 2))::BIGINT)
+           AS bytes
+  FROM win)
+SELECT doc_id, win_idx, wl::BIGINT AS n_bytes,
+       round(list_sum(bytes) / wl, 6) AS mean_byte,
+       list_max(bytes) AS peak_byte
+FROM vals
+"""
+
+
 def sql_resize_images(out_w: int = 4, out_h: int = 4) -> str:
     """Oracle: byte k of the utf-8 payload via the hex-string of the blob
     (DuckDB has no blob substring; ``'0x'||hex-pair`` casts to the byte)."""

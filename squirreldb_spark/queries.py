@@ -812,6 +812,12 @@ def q_mm_frames(spark, sf_dir):
     return pmm.sample_frames(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+def q_mm_audio(spark, sf_dir):
+    """Audio windowing plumbing: per-window energy features (mean/peak
+    byte as the FFT stand-in), ordered fan-out inside one Arrow batch."""
+    return pmm.sample_audio_windows(pmm.as_binary_table(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------- long-tail PromQL functions
 
 from squirreldb_spark.tsdb import functions as fns  # noqa: E402
@@ -1747,6 +1753,7 @@ _ALL_QUERIES: dict[str, QueryDef] = {
         f"FROM (\n{pmm.sql_resize_images()}\n) _r",
     ),
     "mm_sample_frames": QueryDef(q_mm_frames, pmm.sql_sample_frames()),
+    "mm_audio_windows": QueryDef(q_mm_audio, pmm.sql_sample_audio_windows()),
     # long-tail PromQL functions + mutable labels + export
     "ts_histogram_quantile": QueryDef(q_histogram_quantile, SQL_HISTOGRAM_QUANTILE),
     "ts_deriv": QueryDef(q_deriv, _neg0(_linreg_sql(None))),
