@@ -130,6 +130,7 @@ def ann_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
+    train_mod: int = 4,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
 
@@ -141,23 +142,29 @@ def ann_ivf(
     means. The DuckDB oracle replays the identical iterations, so the
     trained partitioning matches bit-for-bit.
 
-    Scale shape: the centroid table is broadcast, so each Lloyd pass and
-    the final assignment are map-side over the corpus scan (the centroid
-    update shuffles (cell, dim) pairs — tiny); the candidate join
-    shuffles by ``cell`` — the classic IVF cost model
-    (scan / n_cells * nprobe per query) instead of the brute-force full
-    scan. Train on a sample at 100 TB; assignment stays a narrow pass.
+    Training runs on the deterministic 1/``train_mod`` sample
+    (``id % train_mod == 0``) — the standard IVF practice at corpus
+    scale (train on a sample, assign everything); the oracle samples
+    identically so the centroids still match exactly.
+
+    Scale shape: the centroid table is broadcast, so each Lloyd pass
+    (over the sample) and the final assignment (over everything) are
+    map-side over the scan (the centroid update shuffles (cell, dim)
+    pairs — tiny); the candidate join shuffles by ``cell`` — the classic
+    IVF cost model (scan / n_cells * nprobe per query) instead of the
+    brute-force full scan.
     """
     from pyspark.sql import Window
 
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    train = base.filter(F.col(id_col) % train_mod == 0)
     cents = base.filter(
         (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + n_cells)
     ).select((F.col(id_col) - cent_base).alias("cell"), F.col("v").alias("cent"))
     w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
     for _ in range(kmeans_iters):
         ac_i = with_cosine(
-            base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
+            train.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
         ).withColumn("ccos", F.round(F.col("ccos"), 6))
         members = (
             ac_i.withColumn("crank", F.row_number().over(w))
@@ -310,10 +317,11 @@ def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
 
 def sql_ann_ivf(
     k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
-    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64,
+    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
 ) -> str:
-    """Replays the spherical k-means training (same seeds, same rounding,
-    same tie-breaks) by unrolling the Lloyd iterations into CTEs."""
+    """Replays the spherical k-means training (same seeds, same sample,
+    same rounding, same tie-breaks) by unrolling the Lloyd iterations
+    into CTEs."""
     iters = []
     prev = "cents0"
     for i in range(kmeans_iters):
@@ -321,7 +329,8 @@ def sql_ann_ivf(
 ac{i} AS (
   SELECT base.vec_id, base.v, c.cell,
          {_duck_cos('base.v', 'c.cent')} AS ccos
-  FROM base, {prev} c),
+  FROM base, {prev} c
+  WHERE base.vec_id % {train_mod} = 0),
 asg{i} AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
