@@ -81,7 +81,7 @@ def decode_write_stream(payloads: DataFrame, body_col: str = "body") -> DataFram
 
 def validate_map(
     stream: DataFrame, tenant: str = "default", now_ms: int | None = None,
-    tenant_label: str = "__account_id",
+    tenant_label: str = "__account_id", ttl_seconds: int | None = None,
 ) -> DataFrame:
     """A2/A3 for dynamic-label rows: drop empty-valued labels
     (write.go dropEmptyValue), require a metric name, clamp the future,
@@ -97,13 +97,19 @@ def validate_map(
     )
     if now_ms is not None:
         out = out.filter(F.col("ts") <= F.lit(now_ms + MAX_FUTURE_MS))
-    return out.withColumn(
+    out = out.withColumn(
         "labels",
         F.map_concat(
             F.map_filter("labels", lambda k, v: k != F.lit(tenant_label)),
             F.create_map(F.lit(tenant_label), F.lit(tenant)),
         ),
     )
+    if ttl_seconds is not None:
+        # per-write TTL (X-SquirrelDB-TTL, write.go timeToLiveSeconds):
+        # rows carry it so maintenance.apply_retention(ttl_col="ttl_s")
+        # can expire each write batch on its own clock
+        out = out.withColumn("ttl_s", F.lit(ttl_seconds).cast("long"))
+    return out
 
 
 def validate(stream: DataFrame, tenant: str = "default", now_ms: int | None = None) -> DataFrame:

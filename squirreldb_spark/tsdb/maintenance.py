@@ -51,11 +51,24 @@ def dedup_points(
 
 
 def apply_retention(points: DataFrame, now_ms: int, ttl_seconds: int,
-                    ts_col: str = "ts") -> DataFrame:
+                    ts_col: str = "ts", ttl_col: str | None = None) -> DataFrame:
     """A37: drop samples older than the TTL. On a date-partitioned table this
-    is pure partition pruning — no data is read for expired partitions."""
-    cutoff = now_ms - ttl_seconds * 1000
-    return points.filter(F.col(ts_col) >= F.lit(cutoff))
+    is pure partition pruning — no data is read for expired partitions.
+
+    With ``ttl_col``, rows carry their own TTL (the reference's
+    per-write X-SquirrelDB-TTL header, api/remotestorage/write.go
+    timeToLiveSeconds); ``ttl_seconds`` is the default where the column
+    is null. Per-row TTLs obviously can't partition-prune beyond the
+    shortest TTL in use — the default-TTL bound still prunes, the
+    per-row filter runs on the survivors.
+    """
+    if ttl_col is None:
+        cutoff = now_ms - ttl_seconds * 1000
+        return points.filter(F.col(ts_col) >= F.lit(cutoff))
+    eff_ttl = F.coalesce(F.col(ttl_col), F.lit(ttl_seconds))
+    return points.filter(
+        F.col(ts_col) >= F.lit(now_ms) - eff_ttl * F.lit(1000)
+    )
 
 
 def clamp_future(points: DataFrame, now_ms: int, max_future_seconds: int = 48 * 3600,

@@ -223,3 +223,19 @@ def test_retention_and_future_clamp(spark):
     assert {r.ts for r in kept.collect()} == {1_000_000, 10_000_000}
     clamped = maintenance.clamp_future(pts, now_ms=1_000_000, max_future_seconds=1)
     assert {r.ts for r in clamped.collect()} == {0, 1_000_000}
+
+
+def test_retention_per_row_ttl(spark):
+    """Per-write TTL (X-SquirrelDB-TTL): each row expires on its own
+    clock; null TTLs fall back to the default."""
+    rows = [
+        ("a", 0, 1.0, 10_000),          # ttl 10000s -> survives
+        ("a", 0, 2.0, 1),               # ttl 1s -> expired
+        ("a", 900_000, 3.0, None),      # default ttl 1000s -> survives
+        ("a", 0, 4.0, None),            # default ttl 1000s -> expired
+    ]
+    df = spark.createDataFrame(rows, "series string, ts long, value double, ttl_s long")
+    kept = maintenance.apply_retention(
+        df, now_ms=1_001_000, ttl_seconds=1_000, ttl_col="ttl_s"
+    )
+    assert {r.value for r in kept.collect()} == {1.0, 3.0}
