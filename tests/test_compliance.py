@@ -207,7 +207,7 @@ CORPUS = [q for t in TEMPLATES for q in _expand(t)]
 
 #: every ~7th query also executes end-to-end (collect), stratified across
 #: the corpus so each operator family gets at least one execution
-EXECUTED = CORPUS[::7]
+EXECUTED = CORPUS[::3]
 
 
 def test_corpus_size():
