@@ -179,6 +179,8 @@ def referenced_labels(node, acc: set[str]) -> None:
         referenced_labels(node.rhs, acc)
         return
     if isinstance(node, A.FunctionCall):
+        if node.name == "histogram_quantile":
+            acc.add("le")  # the bucket label is an implicit reference
         if node.name == "label_replace" and len(node.args) >= 4:
             if isinstance(node.args[3], str):
                 acc.add(node.args[3])

@@ -277,6 +277,28 @@ def test_map_labels_rate_and_regex(map_engine):
     assert by[("b", 20_000)] == pytest.approx(1.0)
 
 
+def test_map_labels_histogram_quantile(spark):
+    """histogram_quantile over a map-labelled store: the 'le' bucket
+    label lives only in the map and is promoted per query."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ({"__name__": "lat_bucket", "le": "0.1"}, 10_000, 5.0),
+        ({"__name__": "lat_bucket", "le": "0.5"}, 10_000, 8.0),
+        ({"__name__": "lat_bucket", "le": "+Inf"}, 10_000, 10.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    eng = PromQLEngine(pts, label_cols=(), name_label="__name__",
+                       step_ms=10_000, lookback_ms=20_000,
+                       labels_map_col="labels")
+    out = eng.query_range("histogram_quantile(0.5, lat_bucket)").collect()
+    got = {r.step_ts: r.value for r in out}
+    # median: rank 5 of 10; first bucket holds 5 -> upper bound 0.1 exactly
+    assert got[10_000] == pytest.approx(0.1)
+
+
 def test_map_labels_route_to_preagg(spark, map_engine):
     """Dynamic labels + A15/A16: a map-labelled pre-agg table
     (downsample_map) serves max_over_time when step >= resolution, and
