@@ -196,6 +196,24 @@ def referenced_labels(node, acc: set[str]) -> None:
         referenced_labels(node.expr, acc)
 
 
+def contains_function(node, fn_name: str) -> bool:
+    """Whether the expression contains a call to ``fn_name``."""
+    if isinstance(node, A.FunctionCall):
+        if node.name == fn_name:
+            return True
+        return any(
+            contains_function(a, fn_name)
+            for a in node.args
+            if not isinstance(a, (int, float, str))
+        )
+    for attr in ("expr", "inner", "lhs", "rhs"):
+        child = getattr(node, attr, None)
+        if child is not None and not isinstance(child, (int, float, str)):
+            if contains_function(child, fn_name):
+                return True
+    return False
+
+
 def aligned_grid(spark, lo_ms: int, hi_ms: int, step_ms: int) -> DataFrame:
     """Absolute-aligned steps (multiples of ``step_ms``) covering
     ``[lo_ms, hi_ms]`` — PromQL subquery step alignment."""
@@ -295,6 +313,7 @@ class PromQLEngine:
         refs: set[str] = set()
         referenced_labels(node, refs)
         refs = {self.name_label if r == "__name__" else r for r in refs}
+        needs_nole = contains_function(node, "histogram_quantile")
         import copy
 
         def promote(df: DataFrame) -> tuple[DataFrame, list[str]]:
@@ -315,6 +334,19 @@ class PromQLEngine:
                         F.expr(f"map_from_entries(array_sort(map_entries({m})))")
                     ),
                 )
+            if needs_nole and "__series_nole__" not in df.columns:
+                # histogram grouping identity: the label set MINUS 'le'
+                # (__series__ itself includes le, which would put every
+                # bucket in its own group)
+                df = df.withColumn(
+                    "__series_nole__",
+                    F.to_json(
+                        F.expr(
+                            "map_from_entries(array_sort(map_entries("
+                            f"map_filter({m}, (k, v) -> k != 'le'))))"
+                        )
+                    ),
+                )
             return df, names
 
         eng = copy.copy(self)
@@ -324,7 +356,10 @@ class PromQLEngine:
             # promote identically so A15-A17 routing works over it
             eng.downsample, _ = promote(self.downsample)
         eng.label_cols = tuple(
-            dict.fromkeys([*self.label_cols, *promoted, "__series__"])
+            dict.fromkeys(
+                [*self.label_cols, *promoted, "__series__"]
+                + (["__series_nole__"] if needs_nole else [])
+            )
         )
         return eng
 
@@ -714,12 +749,21 @@ class PromQLEngine:
                 # them) -> empty vector, not an error
                 return Vec(vec.df.filter(F.lit(False)), vec.labels)
             groups = [l for l in vec.labels if l != "le"]
+            if "__series_nole__" in groups:
+                # dynamic-label store: group on the le-less fingerprint,
+                # not the full one (which is distinct per bucket)
+                groups = [l for l in groups if l != "__series__"]
             buckets = vec.df.withColumn(
                 "le",
                 F.when(F.col("le").isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
                 .otherwise(F.col("le").cast("double")),
             )
             df = fns.histogram_quantile(buckets, q, groups)
+            if "__series_nole__" in groups:
+                df = df.withColumnRenamed("__series_nole__", "__series__")
+                groups = [
+                    "__series__" if l == "__series_nole__" else l for l in groups
+                ]
             return Vec(df, tuple(groups))
         if name in ("minute", "hour", "day_of_week", "day_of_month", "day_of_year",
                     "month", "year", "days_in_month"):
