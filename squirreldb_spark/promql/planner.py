@@ -196,6 +196,35 @@ def referenced_labels(node, acc: set[str]) -> None:
         referenced_labels(node.expr, acc)
 
 
+def collect_without_sets(node, acc: set[frozenset]) -> None:
+    """Collect the grouping sets of every ``without (...)`` aggregation —
+    each needs its own label-set fingerprint over a dynamic-label store."""
+    if isinstance(node, A.Aggregation):
+        if node.without:
+            acc.add(frozenset(node.grouping))
+        collect_without_sets(node.expr, acc)
+        if not isinstance(node.param, (int, float, str, type(None))):
+            collect_without_sets(node.param, acc)
+        return
+    if isinstance(node, A.FunctionCall):
+        for a in node.args:
+            if not isinstance(a, (int, float, str)):
+                collect_without_sets(a, acc)
+        return
+    for attr in ("expr", "inner", "lhs", "rhs"):
+        child = getattr(node, attr, None)
+        if child is not None and not isinstance(child, (int, float, str)):
+            collect_without_sets(child, acc)
+
+
+def without_fp_name(grouping) -> str:
+    """Column name for the fingerprint excluding a ``without`` set."""
+    import hashlib as _hl
+
+    digest = _hl.md5("|".join(sorted(grouping)).encode()).hexdigest()[:8]
+    return f"__series_wo_{digest}__"
+
+
 def contains_function(node, fn_name: str) -> bool:
     """Whether the expression contains a call to ``fn_name``."""
     if isinstance(node, A.FunctionCall):
@@ -265,6 +294,9 @@ class PromQLEngine:
         self.force_raw = force_raw
         self.force_preagg = force_preagg
         self.labels_map_col = labels_map_col
+        #: fingerprint columns added by _with_dynamic_labels (empty for
+        #: promoted-column stores)
+        self._fp_cols: frozenset[str] = frozenset()
         self.start_ms = start_ms
         self.end_ms = end_ms
         if start_ms is not None and end_ms is not None:
@@ -314,7 +346,20 @@ class PromQLEngine:
         referenced_labels(node, refs)
         refs = {self.name_label if r == "__name__" else r for r in refs}
         needs_nole = contains_function(node, "histogram_quantile")
+        wo_sets: set[frozenset] = set()
+        collect_without_sets(node, wo_sets)
         import copy
+
+        def fp_expr(excluded: list[str]):
+            """Canonical sorted-JSON fingerprint of the map minus keys."""
+            if excluded:
+                lits = ", ".join(f"'{k}'" for k in sorted(excluded))
+                inner = f"map_filter({m}, (k, v) -> k NOT IN ({lits}))"
+            else:
+                inner = m
+            return F.to_json(
+                F.expr(f"map_from_entries(array_sort(map_entries({inner})))")
+            )
 
         def promote(df: DataFrame) -> tuple[DataFrame, list[str]]:
             names: list[str] = []
@@ -328,25 +373,27 @@ class PromQLEngine:
                     )
                     names.append(name)
             if "__series__" not in df.columns:
+                df = df.withColumn("__series__", fp_expr([]))
+            if "__series_noname__" not in df.columns:
+                # vector-matching identity: upstream matches on the full
+                # label set EXCEPT __name__; __series__ embeds the name,
+                # so binops/set-ops match on this fingerprint instead
                 df = df.withColumn(
-                    "__series__",
-                    F.to_json(
-                        F.expr(f"map_from_entries(array_sort(map_entries({m})))")
-                    ),
+                    "__series_noname__", fp_expr([self.name_label])
                 )
             if needs_nole and "__series_nole__" not in df.columns:
                 # histogram grouping identity: the label set MINUS 'le'
                 # (__series__ itself includes le, which would put every
                 # bucket in its own group)
-                df = df.withColumn(
-                    "__series_nole__",
-                    F.to_json(
-                        F.expr(
-                            "map_from_entries(array_sort(map_entries("
-                            f"map_filter({m}, (k, v) -> k != 'le'))))"
-                        )
-                    ),
-                )
+                df = df.withColumn("__series_nole__", fp_expr(["le"]))
+            for w in wo_sets:
+                col = without_fp_name(w)
+                if col not in df.columns:
+                    # without(...) identity: the label set minus the
+                    # without-ed labels minus __name__
+                    df = df.withColumn(
+                        col, fp_expr(sorted(w) + [self.name_label])
+                    )
             return df, names
 
         eng = copy.copy(self)
@@ -355,12 +402,14 @@ class PromQLEngine:
             # the pre-agg table (downsample_map) carries the same map:
             # promote identically so A15-A17 routing works over it
             eng.downsample, _ = promote(self.downsample)
+        fp_cols = ["__series__", "__series_noname__"]
+        if needs_nole:
+            fp_cols.append("__series_nole__")
+        fp_cols.extend(without_fp_name(w) for w in wo_sets)
         eng.label_cols = tuple(
-            dict.fromkeys(
-                [*self.label_cols, *promoted, "__series__"]
-                + (["__series_nole__"] if needs_nole else [])
-            )
+            dict.fromkeys([*self.label_cols, *promoted, *fp_cols])
         )
+        eng._fp_cols = frozenset(fp_cols)
         return eng
 
     def _bounded(self, node) -> "PromQLEngine":
@@ -750,9 +799,13 @@ class PromQLEngine:
                 return Vec(vec.df.filter(F.lit(False)), vec.labels)
             groups = [l for l in vec.labels if l != "le"]
             if "__series_nole__" in groups:
-                # dynamic-label store: group on the le-less fingerprint,
-                # not the full one (which is distinct per bucket)
-                groups = [l for l in groups if l != "__series__"]
+                # dynamic-label store: group on the le-less fingerprint
+                # only — every other fingerprint embeds le and would put
+                # each bucket in its own group
+                groups = [
+                    l for l in groups
+                    if l not in self._fp_cols or l == "__series_nole__"
+                ]
             buckets = vec.df.withColumn(
                 "le",
                 F.when(F.col("le").isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
@@ -881,6 +934,14 @@ class PromQLEngine:
                 l for l in vec.labels
                 if l not in grouping and l != self.name_label
             )
+            fp = without_fp_name(grouping)
+            if "__series__" in by and fp in vec.labels:
+                # dynamic-label store: the full fingerprint embeds the
+                # without-ed labels and would block the merge; group on
+                # the per-without fingerprint instead
+                by = tuple(
+                    l for l in by if l not in self._fp_cols
+                ) + (fp,)
         else:
             # a grouping label absent from the vector behaves as the empty
             # value on every series (Prometheus missing-label semantics):
@@ -892,14 +953,23 @@ class PromQLEngine:
                 bottom=node.op == "bottomk",
             )
             return Vec(df, vec.labels)
+
+        def finish(df: DataFrame, labels: tuple[str, ...]) -> Vec:
+            # a per-without fingerprint becomes the result's __series__
+            fp = next((c for c in labels if c.startswith("__series_wo_")), None)
+            if fp is not None:
+                df = df.withColumnRenamed(fp, "__series__")
+                labels = tuple("__series__" if c == fp else c for c in labels)
+            return Vec(df, labels)
+
         if node.op == "count_values":
             df = agg_ops.count_values(vec.df, by=by, label=str(node.param))
-            return Vec(df, by + (str(node.param),))
+            return finish(df, by + (str(node.param),))
         if node.op == "quantile":
             df = agg_ops.aggregate(vec.df, by, "quantile", quantile=float(node.param))
-            return Vec(df, by)
+            return finish(df, by)
         df = agg_ops.aggregate(vec.df, by, node.op)
-        return Vec(df, by)
+        return finish(df, by)
 
     def _eval_binop(self, node: A.BinaryOp):
         lhs, rhs = self._eval(node.lhs), self._eval(node.rhs)
@@ -991,6 +1061,19 @@ class PromQLEngine:
             # one side is a per-step scalar (time(), scalar(), vector()):
             # join on the step only, keep the labelled side's identity
             return self._vector_stepscalar(node, lhs, rhs)
+        # dynamic-label stores: when both sides are raw map selectors,
+        # default matching uses the name-less fingerprint instead of the
+        # full one (upstream matches all labels EXCEPT __name__; the full
+        # fingerprint embeds the name and would never match across
+        # metrics), and the auxiliary fingerprints never participate
+        both_noname = (
+            "__series_noname__" in lhs.labels
+            and "__series_noname__" in rhs.labels
+        )
+        aux = {"__series__", "__series_nole__"} | {
+            c for c in (*lhs.labels, *rhs.labels)
+            if c.startswith("__series_wo_")
+        }
         if node.on is not None:
             # __name__ in an on() list matches on the name column
             on = [self.name_label if l == "__name__" else l for l in node.on]
@@ -998,6 +1081,8 @@ class PromQLEngine:
             common = [l for l in lhs.labels if l in rhs.labels and l != self.name_label]
             if node.ignoring:
                 common = [l for l in common if l not in node.ignoring]
+            if both_noname:
+                common = [l for l in common if l not in aux]
             on = common
         if node.op in ("and", "unless", "or"):
             if node.on is None:
@@ -1009,6 +1094,8 @@ class PromQLEngine:
                     if l != self.name_label
                     and not (node.ignoring and l in node.ignoring)
                 ]
+                if both_noname:
+                    on = [l for l in on if l not in aux]
             df = binops.set_op(lhs.df, rhs.df, on=on, op=node.op)
             if node.op == "or":
                 # the union carries both sides' labels (missing -> "")
@@ -1040,7 +1127,16 @@ class PromQLEngine:
             )
         if node.op in binops._ARITH:
             df = binops.arith(lhs.df, rhs.df, on=on, op=node.op)
-            return Vec(df.select(*on, "step_ts", "value"), tuple(on))
+            out = df.select(*on, "step_ts", "value")
+            labels = tuple(on)
+            if "__series_noname__" in labels:
+                # the binop result's identity IS the name-less label set
+                out = out.withColumnRenamed("__series_noname__", "__series__")
+                labels = tuple(
+                    "__series__" if l == "__series_noname__" else l
+                    for l in labels
+                )
+            return Vec(out, labels)
         cmp_map = {"==": "==", "!=": "!=", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
         df = binops.compare(
             lhs.df, rhs.df, on=on, op=cmp_map[node.op], bool_mode=node.bool_mode

@@ -277,6 +277,69 @@ def test_map_labels_rate_and_regex(map_engine):
     assert by[("b", 20_000)] == pytest.approx(1.0)
 
 
+def test_map_labels_without_grouping(map_engine):
+    import json
+
+    # without(dc) must merge series differing only in dc (the full
+    # fingerprint embeds dc and would block the merge); the remaining
+    # label set is the result's __series__ fingerprint
+    out = map_engine.query_range("sum without (dc) (cpu)").collect()
+    by_host = {
+        (json.loads(r["__series__"]).get("host"), r.step_ts): r.value
+        for r in out
+    }
+    assert by_host[("a", 20_000)] == 2.0
+    assert by_host[("b", 20_000)] == 20.0
+    # host a and b have different dc values; without(host, dc) merges all
+    merged = map_engine.query_range("sum without (host, dc) (cpu)").collect()
+    got = {r.step_ts: r.value for r in merged}
+    assert got[20_000] == 22.0
+
+
+@pytest.fixture(scope="module")
+def map_engine2(spark):
+    """Map-labelled metrics with ALIGNED label sets (upstream matching
+    requires the name-less label sets to be identical)."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ({"__name__": "cpu", "host": "a"}, 20_000, 2.0),
+        ({"__name__": "cpu", "host": "b"}, 20_000, 20.0),
+        ({"__name__": "mem", "host": "a"}, 20_000, 7.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=(), name_label="__name__",
+        step_ms=10_000, lookback_ms=20_000, labels_map_col="labels",
+    )
+
+
+def test_map_labels_binop_across_metrics(map_engine2):
+    # default matching excludes __name__: cpu{host=a} and mem{host=a}
+    # share the name-less label set {host=a} -> they match
+    out = map_engine2.query_range('cpu{host=~".+"} - mem').collect()
+    got = {(r.host, r.step_ts): r.value for r in out}
+    assert got[("a", 20_000)] == 2.0 - 7.0
+    # host b has no mem series -> no row
+    assert all(r.host == "a" for r in out)
+
+
+def test_map_labels_set_ops_across_metrics(map_engine2):
+    got = map_engine2.query_range('cpu{host=~".+"} and mem').collect()
+    # mem exists only for host=a (name excluded from matching)
+    assert {r.host for r in got} == {"a"}
+    un = map_engine2.query_range('cpu{host=~".+"} unless mem').collect()
+    assert {(r.host, r.step_ts) for r in un} == {("b", 20_000)}
+
+
+def test_map_labels_differing_sets_never_match(map_engine):
+    # cpu{host=a,dc=east} vs mem{host=a}: remaining label sets differ ->
+    # upstream yields no match; so do we
+    assert map_engine.query_range('cpu{host=~".+"} - mem').collect() == []
+
+
 def test_map_labels_histogram_quantile(spark):
     """histogram_quantile over a map-labelled store: the 'le' bucket
     label lives only in the map and is promoted per query."""
