@@ -12,9 +12,18 @@ Model mapping: the ``__name__`` label is the ``name_label`` column
 strings, regex matchers are fully anchored (``^(?:re)$``), matching the
 reference's matcher semantics (cassandra/index/index.go:3609-3628).
 
-Deviation noted: ``__name__`` is not dropped from function/binop results
-(Prometheus drops it); binop matching excludes it instead, which keeps
-results deterministic without a series-collision check.
+Upstream ``__name__`` semantics (promql/functions.go DropMetricName):
+value-transforming functions (rate/increase/delta, irate/idelta, the
+``*_over_time`` family except ``last_over_time``, resets/changes, the
+scalar math functions, round/clamp*, deriv/predict_linear/holt_winters,
+histogram_quantile, timestamp, the date functions) and arithmetic /
+bool-mode binops drop the metric name from every result series; unary
+negation does too. Two result series left with an identical label set
+raise ``vector cannot contain metrics with the same labelset`` exactly
+like Prometheus — implemented as an in-plan window count over the
+result identity (the exchange it adds is usually reused by the
+downstream aggregation, which groups on the same keys). Disable with
+``collision_check=False`` to trade the guard for the exchange.
 """
 
 from __future__ import annotations
@@ -278,6 +287,7 @@ class PromQLEngine:
         force_raw: bool = False,
         force_preagg: bool = False,
         labels_map_col: str | None = None,
+        collision_check: bool = True,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -294,6 +304,7 @@ class PromQLEngine:
         self.force_raw = force_raw
         self.force_preagg = force_preagg
         self.labels_map_col = labels_map_col
+        self.collision_check = collision_check
         #: fingerprint columns added by _with_dynamic_labels (empty for
         #: promoted-column stores)
         self._fp_cols: frozenset[str] = frozenset()
@@ -577,7 +588,11 @@ class PromQLEngine:
             if isinstance(inner, float):
                 return -inner if node.op == "-" else inner
             if node.op == "-":
-                return Vec(inner.df.withColumn("value", -F.col("value")), inner.labels)
+                # unary negation is arithmetic: drops the metric name
+                return self._drop_name(
+                    Vec(inner.df.withColumn("value", -F.col("value")),
+                        inner.labels)
+                )
             return inner
         if isinstance(node, A.VectorSelector):
             pts = self._select_points(node)
@@ -641,6 +656,64 @@ class PromQLEngine:
             return self._eval_binop(node)
         raise ValueError(f"cannot evaluate {node!r}")
 
+    _COLLIDE_MSG = "vector cannot contain metrics with the same labelset"
+
+    def _dup_check(self, df: DataFrame, labels) -> DataFrame:
+        """Upstream duplicate-series guard: a result vector holding two
+        samples with the same label set at the same step is a query
+        error (promql/engine.go "vector cannot contain metrics with the
+        same labelset"). Declarative: a window count over the result
+        identity gates the value through raise_error, so the error
+        surfaces at execution exactly when upstream's would. The window
+        exchange partitions on (labels, step_ts) — the same keys any
+        downstream per-step aggregation shuffles on, so Catalyst reuses
+        it in the common sum(rate(...)) shape."""
+        if not self.collision_check:
+            return df
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*labels, "step_ts")
+        n = F.count(F.lit(1)).over(w)
+        return df.withColumn(
+            "value",
+            F.when(n > 1, F.raise_error(F.lit(self._COLLIDE_MSG)))
+            .otherwise(F.col("value")),
+        )
+
+    def _drop_name(self, vec: Vec, force_check: bool = False) -> Vec:
+        """Remove ``__name__`` from a result vector per upstream
+        DropMetricName, then apply the duplicate-series guard.
+
+        Promoted-column stores drop the name column; dynamic-label
+        stores swap the series identity to the name-less fingerprint
+        (``__series_noname__`` becomes ``__series__``). ``force_check``
+        runs the duplicate guard even when there was no name to drop —
+        binop results use it because a coarse ``on()`` set can fan out
+        without touching the name."""
+        labels = list(vec.labels)
+        df = vec.df
+        dropped = False
+        if self.name_label in labels:
+            labels.remove(self.name_label)
+            df = df.drop(self.name_label)
+            dropped = True
+        if "__series__" in labels and "__series_noname__" in labels:
+            labels.remove("__series__")
+            df = df.drop("__series__").withColumnRenamed(
+                "__series_noname__", "__series__"
+            )
+            labels = [
+                "__series__" if l == "__series_noname__" else l for l in labels
+            ]
+            dropped = True
+        if not dropped and not force_check:
+            return vec
+        if dropped or force_check:
+            df = self._dup_check(df, labels)
+        if dropped:
+            df = df.select(*labels, "step_ts", "value")
+        return Vec(df, tuple(labels))
+
     def _eval_function(self, node: A.FunctionCall):
         name = node.name
         if name in _RANGE_FNS:
@@ -651,7 +724,7 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms,
                 grid=self.grid, **_RANGE_FNS[name],
             )
-            return Vec(df, tuple(keys))
+            return self._drop_name(Vec(df, tuple(keys)))
         if name in _INSTANT_RANGE:
             mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
@@ -659,7 +732,7 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms,
                 is_rate=_INSTANT_RANGE[name], grid=self.grid,
             )
-            return Vec(df, tuple(keys))
+            return self._drop_name(Vec(df, tuple(keys)))
         if name in _OVER_TIME_FNS:
             mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
@@ -667,7 +740,10 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms,
                 _OVER_TIME_FNS[name], grid=self.grid,
             )
-            return Vec(df, tuple(keys))
+            vec = Vec(df, tuple(keys))
+            # last_over_time is the one *_over_time that KEEPS the metric
+            # name (upstream functions.go funcLastOverTime)
+            return vec if name == "last_over_time" else self._drop_name(vec)
         if name == "quantile_over_time":
             q = self._eval(node.args[0])
             mat = self._eval(node.args[1])
@@ -676,7 +752,7 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms,
                 "quantile", quantile=q, grid=self.grid,
             )
-            return Vec(df, tuple(keys))
+            return self._drop_name(Vec(df, tuple(keys)))
         if name in ("resets", "changes"):
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
@@ -684,7 +760,7 @@ class PromQLEngine:
                 mat.points, keys, self.step_ms, mat.range_ms, name,
                 grid=self.grid,
             )
-            return Vec(df, tuple(keys))
+            return self._drop_name(Vec(df, tuple(keys)))
         if name in _SCALAR_FNS:
             vec = self._eval(node.args[0])
             if isinstance(vec, (int, float)):
@@ -707,12 +783,16 @@ class PromQLEngine:
                 except ValueError:
                     return float("nan")
             fn = _SCALAR_FNS[name]
-            return Vec(vec.df.withColumn("value", fn(F.col("value"))), vec.labels)
+            return self._drop_name(
+                Vec(vec.df.withColumn("value", fn(F.col("value"))), vec.labels)
+            )
         if name == "round":
             vec = self._eval(node.args[0])
             nearest = self._eval(node.args[1]) if len(node.args) > 1 else 1.0
             value = F.round(F.col("value") / F.lit(nearest)) * F.lit(nearest)
-            return Vec(vec.df.withColumn("value", value), vec.labels)
+            return self._drop_name(
+                Vec(vec.df.withColumn("value", value), vec.labels)
+            )
         if name in ("clamp", "clamp_min", "clamp_max"):
             vec = self._eval(node.args[0])
             v = F.col("value")
@@ -722,7 +802,9 @@ class PromQLEngine:
                 v = F.least(v, F.lit(float(self._eval(node.args[2]))))
             if name == "clamp_max":
                 v = F.least(v, F.lit(float(self._eval(node.args[1]))))
-            return Vec(vec.df.withColumn("value", v), vec.labels)
+            return self._drop_name(
+                Vec(vec.df.withColumn("value", v), vec.labels)
+            )
         if name == "scalar":
             vec = self._eval(node.args[0])
             if isinstance(vec, (int, float)):
@@ -745,20 +827,20 @@ class PromQLEngine:
             mat = self._eval(node.args[0])
             df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
                             grid=self.grid)
-            return Vec(df, self.label_cols)
+            return self._drop_name(Vec(df, self.label_cols))
         if name == "predict_linear":
             mat = self._eval(node.args[0])
             t = float(self._eval(node.args[1]))
             df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
                             predict_s=t, grid=self.grid)
-            return Vec(df, self.label_cols)
+            return self._drop_name(Vec(df, self.label_cols))
         if name == "holt_winters":
             mat = self._eval(node.args[0])
             sf = float(self._eval(node.args[1]))
             tf = float(self._eval(node.args[2]))
             df = fns.holt_winters(mat.points, self.label_cols, self.step_ms,
                                   mat.range_ms, sf=sf, tf=tf, grid=self.grid)
-            return Vec(df, self.label_cols)
+            return self._drop_name(Vec(df, self.label_cols))
         if name == "pi":
             import math
 
@@ -817,7 +899,7 @@ class PromQLEngine:
                 groups = [
                     "__series__" if l == "__series_nole__" else l for l in groups
                 ]
-            return Vec(df, tuple(groups))
+            return self._drop_name(Vec(df, tuple(groups)))
         if name in ("minute", "hour", "day_of_week", "day_of_month", "day_of_year",
                     "month", "year", "days_in_month"):
             if not node.args:
@@ -830,10 +912,10 @@ class PromQLEngine:
             parted = fns.date_parts(
                 vec.df.withColumn("_t", ts_ms), ts_col="_t"
             )
-            return Vec(
+            return self._drop_name(Vec(
                 parted.withColumn("value", F.col(name)).select(*vec.df.columns),
                 vec.labels,
-            )
+            ))
         if name == "label_replace":
             vec = self._eval(node.args[0])
             dst, repl, src, regex = node.args[1:5]
@@ -894,13 +976,13 @@ class PromQLEngine:
                     pts, self.label_cols, self.step_ms, self.lookback_ms,
                     grid=self.grid,
                 )
-                return Vec(df, self.label_cols)
+                return self._drop_name(Vec(df, self.label_cols))
             # derived vectors carry samples AT the evaluation step
             vec = self._eval(arg)
-            return Vec(
+            return self._drop_name(Vec(
                 vec.df.withColumn("value", (F.col("step_ts") / 1000).cast("double")),
                 vec.labels,
-            )
+            ))
         raise ValueError(f"unsupported function {name!r}")
 
     def _absent_const_labels(self, node) -> dict[str, str]:
@@ -1017,10 +1099,16 @@ class PromQLEngine:
         a, b = (v, s) if vec_left else (s, v)
         if node.op in binops._ARITH:
             value = binops._ARITH[node.op](a, b)
-            return Vec(vec.df.withColumn("value", value), vec.labels)
+            return self._drop_name(
+                Vec(vec.df.withColumn("value", value), vec.labels)
+            )
         cond = binops._CMP[node.op](a, b)
         if node.bool_mode:
-            return Vec(vec.df.withColumn("value", cond.cast("double")), vec.labels)
+            # bool-mode comparisons drop the name; plain comparisons
+            # FILTER and keep the original series untouched (upstream)
+            return self._drop_name(
+                Vec(vec.df.withColumn("value", cond.cast("double")), vec.labels)
+            )
         return Vec(vec.df.filter(cond), vec.labels)
 
     def _vector_stepscalar(self, node: A.BinaryOp, lhs: Vec, rhs: Vec):
@@ -1042,12 +1130,17 @@ class PromQLEngine:
         out_cols = [*vec_side.labels, "step_ts", "value"]
         if node.op in binops._ARITH:
             value = binops._ARITH[node.op](a, b)
-            return Vec(j.withColumn("value", value).select(*out_cols), vec_side.labels)
+            return self._drop_name(
+                Vec(j.withColumn("value", value).select(*out_cols),
+                    vec_side.labels)
+            )
         cond = binops._CMP[node.op](a, b)
         if node.bool_mode:
-            return Vec(
-                j.withColumn("value", cond.cast("double")).select(*out_cols),
-                vec_side.labels,
+            return self._drop_name(
+                Vec(
+                    j.withColumn("value", cond.cast("double")).select(*out_cols),
+                    vec_side.labels,
+                )
             )
         return Vec(
             j.filter(cond).withColumn("value", F.col("_vv")).select(*out_cols),
@@ -1121,9 +1214,17 @@ class PromQLEngine:
             )
             value = binops._ARITH[node.op](l_col, r_col)
             labels = tuple(dict.fromkeys(list(many.labels) + extra))
-            return Vec(
-                j.withColumn("value", value).select(*labels, "step_ts", "value"),
-                labels,
+            # upstream: group_* results carry the many side's labels
+            # WITHOUT the metric name; a non-unique "one" side fans the
+            # join out and trips the duplicate guard, matching
+            # upstream's "multiple matches" error class
+            return self._drop_name(
+                Vec(
+                    j.withColumn("value", value)
+                    .select(*labels, "step_ts", "value"),
+                    labels,
+                ),
+                force_check=True,
             )
         if node.op in binops._ARITH:
             df = binops.arith(lhs.df, rhs.df, on=on, op=node.op)
@@ -1136,14 +1237,20 @@ class PromQLEngine:
                     "__series__" if l == "__series_noname__" else l
                     for l in labels
                 )
-            return Vec(out, labels)
+            # arithmetic always drops the name (even an explicit
+            # on(__name__) keeps it for MATCHING only); a coarse on()
+            # set can fan out, so force the duplicate guard
+            return self._drop_name(Vec(out, labels), force_check=True)
         cmp_map = {"==": "==", "!=": "!=", "<": "<", ">": ">", "<=": "<=", ">=": ">="}
         df = binops.compare(
             lhs.df, rhs.df, on=on, op=cmp_map[node.op], bool_mode=node.bool_mode
         )
         keep = list(dict.fromkeys(list(lhs.labels) + on))
-        return Vec(df.select(*[c for c in df.columns if c in keep] + ["step_ts", "value"]),
-                   lhs.labels)
+        vec = Vec(
+            df.select(*[c for c in df.columns if c in keep] + ["step_ts", "value"]),
+            lhs.labels,
+        )
+        return self._drop_name(vec) if node.bool_mode else vec
 
 
 def query_range(points, promql: str, **kwargs) -> DataFrame:

@@ -1306,12 +1306,12 @@ WITH pts0 AS ({_PTS}),
 pts AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS ts, max(value) AS value
         FROM pts0 GROUP BY 1, 2, 3),
 grid AS (SELECT unnest(generate_series({API_START_MS}, {API_END_MS}, {STEP_MS})) AS step_ts),
-rs AS (SELECT p.user_id, p.event_type, g.step_ts, p.value
+rs AS (SELECT p.user_id, g.step_ts, p.value
        FROM pts p, grid g
        WHERE p.ts > g.step_ts - {RANGE_MS} AND p.ts <= g.step_ts
          AND p.event_type = 'purchase')
-SELECT user_id, event_type, step_ts, round(max(value), 6) AS value
-FROM rs GROUP BY 1, 2, 3
+SELECT user_id, step_ts, round(max(value), 6) AS value
+FROM rs GROUP BY 1, 2
 """
 
 
@@ -1505,8 +1505,9 @@ FROM inst GROUP BY 1, 2
 
 
 SQL_PROMQL_RATE_SUM = f"""
-SELECT event_type, step_ts, round(sum(value), 6) AS value
+SELECT user_id, step_ts, round(sum(value), 6) AS value
 FROM ({_extrapolated_sql(RANGE_MS, True, True, rounded=False)})
+WHERE event_type = 'purchase'
 GROUP BY 1, 2
 """
 
@@ -1536,7 +1537,7 @@ FROM ranked WHERE rank <= 2
 """
 
 SQL_PROMQL_CLAMP = f"WITH pts AS ({_PTS}),\n{_grid_sql()},\n{_LP_SQL}" + """
-SELECT user_id, 'purchase' AS event_type, step_ts,
+SELECT user_id, step_ts,
        round(least(greatest(100 * value, 5000), 15000), 6) AS value
 FROM lp
 """
@@ -1578,8 +1579,9 @@ FROM fixed f, grid g
 
 SQL_PROMQL_GROUP_LEFT = _INST_SQL + """
 , tot AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
-SELECT i.user_id, i.event_type, i.step_ts, round(i.value / t.value, 6) AS value
+SELECT i.user_id, i.step_ts, round(i.value / t.value, 6) AS value
 FROM inst i JOIN tot t ON i.user_id = t.user_id AND i.step_ts = t.step_ts
+WHERE i.event_type = 'purchase'
 """
 
 SQL_PROMQL_BOTTOMK_WITHOUT = _INST_SQL + """
@@ -1595,14 +1597,15 @@ SELECT user_id, step_ts, 1.0 AS value FROM inst GROUP BY 1, 2
 """
 
 SQL_PROMQL_MODPOW = _INST_SQL + """
-SELECT user_id, event_type, step_ts, round(pow(fmod(value, 7), 2), 6) AS value
+SELECT user_id, step_ts, round(pow(fmod(value, 7), 2), 6) AS value
 FROM inst WHERE event_type = 'purchase'
 """
 
 SQL_PROMQL_GROUP_RIGHT = _INST_SQL + """
 , tot AS (SELECT user_id, step_ts, sum(value) AS value FROM inst GROUP BY 1, 2)
-SELECT i.user_id, i.event_type, i.step_ts, round(t.value - i.value, 6) AS value
+SELECT i.user_id, i.step_ts, round(t.value - i.value, 6) AS value
 FROM inst i JOIN tot t ON i.user_id = t.user_id AND i.step_ts = t.step_ts
+WHERE i.event_type = 'purchase'
 """
 
 SQL_PROMQL_ABSENT_OVER_TIME = f"""
@@ -1612,12 +1615,12 @@ SELECT step_ts, 1.0 AS value FROM grid
 
 SQL_PROMQL_TIME_TS = f"""
 WITH pts AS ({_PTS}), {_grid_sql()}
-SELECT p.user_id, p.event_type, g.step_ts,
+SELECT p.user_id, g.step_ts,
        round(g.step_ts / 1000.0 - max(p.ts) / 1000.0, 6) AS value
 FROM pts p, grid g
 WHERE p.ts > g.step_ts - {LOOKBACK_MS} AND p.ts <= g.step_ts
   AND p.event_type = 'purchase'
-GROUP BY 1, 2, 3
+GROUP BY 1, 2
 """
 
 def q_promql_preagg_route(spark, sf_dir):
@@ -1637,24 +1640,24 @@ SQL_PROMQL_PREAGG_ROUTE = f"""
 WITH pts AS ({_PTS}), {_grid_sql()},
 ds AS (SELECT user_id, event_type, ts - ts % {RES_MS} AS bts, max(value) AS value
        FROM pts GROUP BY 1, 2, 3),
-rs AS (SELECT d.user_id, d.event_type, g.step_ts, d.value
+rs AS (SELECT d.user_id, g.step_ts, d.value
        FROM ds d, grid g
        WHERE d.bts > g.step_ts - {RANGE_MS} AND d.bts <= g.step_ts
          AND d.event_type = 'purchase')
-SELECT user_id, event_type, step_ts, round(max(value), 6) AS value
-FROM rs GROUP BY 1, 2, 3
+SELECT user_id, step_ts, round(max(value), 6) AS value
+FROM rs GROUP BY 1, 2
 """
 
 
 SQL_PROMQL_CMP_FILTER = f"""
 WITH pts AS ({_PTS}),
 {_grid_sql()},
-rs AS (SELECT p.user_id, p.event_type, g.step_ts, p.ts, p.value
+rs AS (SELECT p.user_id, g.step_ts, p.ts, p.value
        FROM pts p, grid g
        WHERE p.ts > g.step_ts - {RANGE_MS} AND p.ts <= g.step_ts
          AND p.event_type = 'purchase')
-SELECT user_id, event_type, step_ts, round(avg(value), 6) AS value
-FROM rs GROUP BY 1, 2, 3 HAVING avg(value) > 100
+SELECT user_id, step_ts, round(avg(value), 6) AS value
+FROM rs GROUP BY 1, 2 HAVING avg(value) > 100
 """
 
 
@@ -1773,8 +1776,11 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "ts_index_verify": QueryDef(q_index_verify, SQL_INDEX_VERIFY),
     "ts_holt_winters": QueryDef(q_holt_winters, _holt_winters_sql(0.5, 0.3)),
     # PromQL strings through the native parser + planner
+    # rate() drops __name__ (upstream DropMetricName), so a multi-metric
+    # rate over this store would collide on {user_id} and error exactly
+    # like Prometheus; the catalog query rates a single metric
     "promql_rate_sum": QueryDef(
-        _promql('sum by (event_type) (rate({__name__=~".+"}[14d]))'), SQL_PROMQL_RATE_SUM
+        _promql("sum by (user_id) (rate(purchase[14d]))"), SQL_PROMQL_RATE_SUM
     ),
     "promql_selector_matchers": QueryDef(
         _promql('{__name__=~"purchase|error", user_id!="3"}'), SQL_PROMQL_SELECTOR
@@ -1795,14 +1801,17 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "promql_at_modifier": QueryDef(
         _promql(f"purchase @ {AT_TS_MS // 1000}"), SQL_PROMQL_AT
     ),
+    # group_* results carry the many side's labels minus __name__; a
+    # multi-metric many side would collide on {user_id} (upstream
+    # errors), so the many side selects one metric
     "promql_group_left": QueryDef(
-        _promql('{__name__=~".+"} / on(user_id) group_left'
+        _promql('purchase / on(user_id) group_left'
                 ' sum by (user_id) ({__name__=~".+"})'),
         SQL_PROMQL_GROUP_LEFT,
     ),
     "promql_group_right": QueryDef(
         _promql('sum by (user_id) ({__name__=~".+"}) - on(user_id) group_right'
-                ' {__name__=~".+"}'),
+                ' purchase'),
         _neg0(SQL_PROMQL_GROUP_RIGHT),
     ),
     "promql_bottomk_without": QueryDef(

@@ -115,8 +115,6 @@ TEMPLATES = [
     "demo_memory_usage_bytes / on(instance, type, __name__) demo_memory_usage_bytes",
     "sum by(instance, type) (demo_memory_usage_bytes) {binOp} on(instance, type)"
     " group_left demo_memory_usage_bytes",
-    "sum without(type) (demo_memory_usage_bytes) / on(instance)"
-    " group_left demo_memory_usage_bytes",
     # NaN/Inf propagation
     "demo_num_cpus * Inf",
     "demo_num_cpus * -Inf",
@@ -189,6 +187,7 @@ SHOULD_FAIL = [
 ]
 
 
+
 def _expand(template: str) -> list[str]:
     out = [template]
     for key, values in VARIANTS.items():
@@ -205,16 +204,31 @@ def _expand(template: str) -> list[str]:
 
 CORPUS = [q for t in TEMPLATES for q in _expand(t)]
 
-#: every ~7th query also executes end-to-end (collect), stratified across
-#: the corpus so each operator family gets at least one execution
-EXECUTED = CORPUS[::3]
+#: queries that PLAN but must error at EXECUTION, matching a real
+#: Prometheus: the "one" side of this group_left has two series per
+#: matching key (type=free/used), so the match fans out and upstream
+#: raises its duplicate/multiple-matches error; the engine's in-plan
+#: duplicate-series guard surfaces the same failure on collect
+RUNTIME_SHOULD_FAIL = [
+    q
+    for t in [
+        "sum without(type) (demo_memory_usage_bytes) / on(instance)"
+        " group_left demo_memory_usage_bytes",
+    ]
+    for q in _expand(t)
+]
+
+#: the FULL corpus executes end-to-end (collect), mirroring the
+#: reference's full-corpus run against a live Prometheus
+#: (tests/promql-compliance-test/README.md:1-35)
+EXECUTED = CORPUS
 
 
 def test_corpus_size():
     assert len(CORPUS) > 200
 
 
-@pytest.mark.parametrize("q", CORPUS)
+@pytest.mark.parametrize("q", CORPUS + RUNTIME_SHOULD_FAIL)
 def test_compliance_plans(ceng, q):
     df = ceng.query_range(q)
     assert "value" in df.columns and "step_ts" in df.columns
@@ -230,6 +244,12 @@ def test_compliance_executes(ceng, q):
 def test_compliance_should_fail(ceng, q):
     with pytest.raises(Exception):
         ceng.query_range(q)
+
+
+@pytest.mark.parametrize("q", RUNTIME_SHOULD_FAIL)
+def test_compliance_runtime_should_fail(ceng, q):
+    with pytest.raises(Exception, match="same labelset"):
+        ceng.query_range(q).collect()
 
 
 # ----------------------------------------------------- golden spot checks

@@ -70,8 +70,10 @@ def test_group_left_values(geng):
 
 def test_group_left_carries_extra_labels(geng):
     out = geng.query_range("req / on(h) group_left lim").collect()
-    # many-side labels survive on every row
-    assert all(r.p == "web" and r.name == "req" for r in out)
+    # many-side labels survive on every row — except __name__, which
+    # arithmetic drops (upstream DropMetricName)
+    assert all(r.p == "web" for r in out)
+    assert "name" not in out[0].asDict()
 
 
 def test_group_right_values(geng):

@@ -155,10 +155,13 @@ def test_plan_selector(engine):
 
 
 def test_plan_rate_sum(engine):
+    # rate() drops __name__ (upstream DropMetricName), so grouping by the
+    # name label afterwards groups on a missing label -> one global group
     out = engine.query_range("sum by (name) (rate(cpu[20s]))").collect()
-    by = {(r.name, r.step_ts): r.value for r in out}
+    assert "name" not in out[0].asDict()
+    by = {r.step_ts: r.value for r in out}
     # at t=30s: rate(a) = 1.0/s over the window, rate(b) = 0.5/s -> sum 1.5
-    assert by[("cpu", 30_000)] == pytest.approx(1.5)
+    assert by[30_000] == pytest.approx(1.5)
 
 
 def test_plan_binop_vector(engine):
