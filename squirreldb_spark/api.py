@@ -102,11 +102,30 @@ class PromAPI:
         if opts is None:
             return pts
         if opts.tenant is not None:
-            if self.tenant_col not in pts.columns:
+            if self.tenant_col in pts.columns:
+                pts = pts.filter(F.col(self.tenant_col) == opts.tenant)
+            elif self.labels_map_col is not None:
+                # dynamic-label store: the tenant is a label inside the
+                # map (the reference injects __account_id at write,
+                # api/remotestorage/write.go:80-170)
+                pts = pts.filter(
+                    F.element_at(
+                        F.col(self.labels_map_col), F.lit(self.tenant_col)
+                    )
+                    == opts.tenant
+                )
+            else:
                 raise ValueError("points have no tenant column")
-            pts = pts.filter(F.col(self.tenant_col) == opts.tenant)
         for name, value in opts.forced_matchers.items():
-            pts = pts.filter(F.col(name).cast("string") == value)
+            if name in pts.columns:
+                pts = pts.filter(F.col(name).cast("string") == value)
+            elif self.labels_map_col is not None:
+                pts = pts.filter(
+                    F.element_at(F.col(self.labels_map_col), F.lit(name))
+                    == value
+                )
+            else:
+                raise ValueError(f"unknown forced matcher label {name!r}")
         return pts
 
     def _guard(self, pts: DataFrame, start_ms: int, end_ms: int,
@@ -126,7 +145,21 @@ class PromAPI:
                     f"{n} points > max_evaluated_points={opts.max_evaluated_points}"
                 )
         if opts.max_evaluated_series is not None:
-            n = sl.select(*self.label_cols).distinct().count()
+            if self.label_cols:
+                ident = sl.select(*self.label_cols)
+            elif self.labels_map_col is not None:
+                # dynamic-label store: the canonical map IS the identity
+                ident = sl.select(
+                    F.to_json(
+                        F.expr(
+                            "map_from_entries(array_sort(map_entries("
+                            f"{self.labels_map_col})))"
+                        )
+                    )
+                )
+            else:
+                ident = sl
+            n = ident.distinct().count()
             if n > opts.max_evaluated_series:
                 raise LimitExceeded(
                     f"{n} series > max_evaluated_series={opts.max_evaluated_series}"
@@ -261,9 +294,19 @@ class PromAPI:
             pts = self.points
             for op, name, value in q.matchers:
                 col_name = self.name_label if name == "__name__" else name
-                if col_name not in pts.columns:
+                if col_name in pts.columns:
+                    col = F.col(col_name).cast("string")
+                elif self.labels_map_col is not None:
+                    # dynamic-label store: match against the map entry
+                    # (missing key compares as "", upstream semantics)
+                    col = F.coalesce(
+                        F.element_at(
+                            F.col(self.labels_map_col), F.lit(name)
+                        ),
+                        F.lit(""),
+                    )
+                else:
                     raise ValueError(f"unknown label {name!r}")
-                col = F.col(col_name).cast("string")
                 if op == "=":
                     pts = pts.filter(col == value)
                 elif op == "!=":
@@ -276,19 +319,37 @@ class PromAPI:
                 (F.col("ts") >= clamp_time(q.start_timestamp_ms))
                 & (F.col("ts") <= clamp_time(q.end_timestamp_ms))
             )
-            rows = (
-                pts.select(*self.label_cols, "ts", "value")
-                .orderBy(*self.label_cols, "ts")
-                .limit(limit)
-                .collect()
-            )
-            by_series: dict[tuple, codec.TimeSeries] = {}
+            if self.labels_map_col is not None and not self.label_cols:
+                sel = pts.select(
+                    F.to_json(
+                        F.expr(
+                            "map_from_entries(array_sort(map_entries("
+                            f"{self.labels_map_col})))"
+                        )
+                    ).alias("_lbl"),
+                    "ts", "value",
+                )
+            else:
+                sel = pts.select(
+                    F.to_json(
+                        F.struct(
+                            *[
+                                F.col(c).cast("string").alias(c)
+                                for c in self.label_cols
+                            ]
+                        )
+                    ).alias("_lbl"),
+                    "ts", "value",
+                )
+            rows = sel.orderBy("_lbl", "ts").limit(limit).collect()
+            import json as _json
+
+            by_series: dict[str, codec.TimeSeries] = {}
             for r in rows:
-                key = tuple(str(r[c]) for c in self.label_cols)
-                ts = by_series.get(key)
+                ts = by_series.get(r["_lbl"])
                 if ts is None:
-                    ts = by_series[key] = codec.TimeSeries(
-                        labels=dict(zip(self.label_cols, key))
+                    ts = by_series[r["_lbl"]] = codec.TimeSeries(
+                        labels=_json.loads(r["_lbl"])
                     )
                 ts.samples.append(codec.Sample(r["value"], r["ts"]))
             results.append(list(by_series.values()))

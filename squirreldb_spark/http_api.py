@@ -1,0 +1,342 @@
+"""HTTP listener over :class:`squirreldb_spark.api.PromAPI`.
+
+The reference is a network daemon: a router binds ``/api/v1/query``,
+``/query_range``, ``/series``, ``/labels``, ``/label/<name>/values`` plus
+remote read/write, with body-size limits and per-request header options
+(reference api/api.go:209-341, 276-336). This module is the same daemon
+shape on the Python stdlib — a threading HTTP server whose handler parses
+params/headers, drives ``PromAPI``, and serializes Prometheus JSON or
+prompb+snappy wire bytes. No third-party framework: ``http.server`` is
+enough because every endpoint is one DataFrame program + one driver-side
+serialization.
+
+Remote write ingests into a server-held buffer that is unioned into the
+query store as a ``labels MAP<STRING,STRING>`` tall frame — the same
+dynamic-label model the streaming ingest path produces — so a written
+sample is immediately queryable (write -> /query_range round-trip is
+tested end-to-end in tests/test_http_api.py). The tenant header injects
+the tenant as a label at write and filters it at query, mirroring the
+reference's __account_id flow (api/remotestorage/write.go:80-170).
+
+Headers honored (types/types.go:171-195):
+
+* ``X-SquirrelDB-Tenant``        tenant scope (write: injected label)
+* ``X-SquirrelDB-TTL``           per-write TTL seconds (recorded per row)
+* ``X-SquirrelDB-Forced-Matcher``  ``name=value`` implicit equality
+* ``X-SquirrelDB-Max-Evaluated-Series`` / ``-Max-Evaluated-Points``
+* ``X-SquirrelDB-ForceRaw`` / ``X-SquirrelDB-ForcePreAggregated``
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from squirreldb_spark import codec
+from squirreldb_spark.api import LimitExceeded, PromAPI, RequestOptions
+
+#: reference api/api.go: decoded request bodies are size-limited
+MAX_BODY_BYTES = 32 << 20
+
+_WRITE_SCHEMA = "labels map<string,string>, ts long, value double, ttl_s long"
+
+
+def _parse_time_s(raw: str) -> int:
+    """Prometheus API times are float epoch seconds -> epoch ms."""
+    return int(float(raw) * 1000)
+
+
+class PromHTTPServer:
+    """A live /api/v1 endpoint set over Spark.
+
+    ``base_points`` (optional) seeds the store; remote writes accumulate
+    in a driver-side buffer (config-sized for tests; the production
+    ingest path is Structured Streaming, streaming/ingest.py) and are
+    unioned into every query's points frame.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        base_points: DataFrame | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        tenant_label: str = "__account_id",
+        lookback_ms: int = 300_000,
+        max_body_bytes: int = MAX_BODY_BYTES,
+        **api_kwargs,
+    ):
+        self.spark = spark
+        self.base_points = base_points
+        self.host = host
+        self._requested_port = port
+        self.tenant_label = tenant_label
+        self.lookback_ms = lookback_ms
+        self.max_body_bytes = max_body_bytes
+        self.api_kwargs = api_kwargs
+        #: rows written via /api/v1/write: (labels, ts, value, ttl_s)
+        self._written: list[tuple[dict, int, float, int | None]] = []
+        self._lock = threading.Lock()
+        self._httpd: ThreadingHTTPServer | None = None
+        self._thread: threading.Thread | None = None
+
+    # ------------------------------------------------------------- store
+
+    def _points(self) -> DataFrame:
+        with self._lock:
+            rows = list(self._written)
+        written = (
+            self.spark.createDataFrame(rows, _WRITE_SCHEMA).drop("ttl_s")
+            if rows
+            else None
+        )
+        if self.base_points is not None and written is not None:
+            return self.base_points.unionByName(written, allowMissingColumns=True)
+        if written is not None:
+            return written
+        if self.base_points is not None:
+            return self.base_points
+        return self.spark.createDataFrame([], _WRITE_SCHEMA).drop("ttl_s")
+
+    def _api(self) -> PromAPI:
+        kwargs = dict(
+            label_cols=(),
+            name_label="__name__",
+            labels_map_col="labels",
+            tenant_col=self.tenant_label,
+            lookback_ms=self.lookback_ms,
+        )
+        kwargs.update(self.api_kwargs)
+        return PromAPI(self._points(), **kwargs)
+
+    def ingest(self, series: list[codec.TimeSeries],
+               tenant: str | None, ttl_s: int | None) -> int:
+        """Buffer decoded remote-write series; returns samples accepted."""
+        rows = []
+        for ts in series:
+            labels = dict(ts.labels)
+            if tenant is not None:
+                labels[self.tenant_label] = tenant
+            # A3: drop empty-valued labels (reference write validation)
+            labels = {k: v for k, v in labels.items() if v != ""}
+            for s in ts.samples:
+                rows.append((labels, s.timestamp_ms, s.value, ttl_s))
+        with self._lock:
+            self._written.extend(rows)
+        return len(rows)
+
+    # --------------------------------------------------------- lifecycle
+
+    def start(self) -> "PromHTTPServer":
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet test output
+                pass
+
+            def do_GET(self):
+                server._route(self, body=b"")
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length") or 0)
+                if length > server.max_body_bytes:
+                    server._send_json(
+                        self, 413,
+                        {"status": "error", "errorType": "bad_data",
+                         "error": "body too large"},
+                    )
+                    return
+                server._route(self, body=self.rfile.read(length))
+
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self._requested_port), Handler
+        )
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    @property
+    def port(self) -> int:
+        assert self._httpd is not None, "server not started"
+        return self._httpd.server_address[1]
+
+    def stop(self) -> None:
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+    # ----------------------------------------------------------- routing
+
+    @staticmethod
+    def _send_json(handler, code: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        handler.send_response(code)
+        handler.send_header("Content-Type", "application/json")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
+
+    @staticmethod
+    def _send_bytes(handler, code: int, body: bytes,
+                    content_type: str = "application/x-protobuf") -> None:
+        handler.send_response(code)
+        handler.send_header("Content-Type", content_type)
+        handler.send_header("Content-Encoding", "snappy")
+        handler.send_header("Content-Length", str(len(body)))
+        handler.end_headers()
+        handler.wfile.write(body)
+
+    @staticmethod
+    def _opts(handler) -> RequestOptions:
+        h = handler.headers
+        forced: dict[str, str] = {}
+        fm = h.get("X-SquirrelDB-Forced-Matcher")
+        if fm:
+            name, _, value = fm.partition("=")
+            forced[name.strip()] = value.strip()
+        def _int(name):
+            v = h.get(name)
+            return int(v) if v else None
+        return RequestOptions(
+            tenant=h.get("X-SquirrelDB-Tenant"),
+            forced_matchers=forced,
+            max_evaluated_series=_int("X-SquirrelDB-Max-Evaluated-Series"),
+            max_evaluated_points=_int("X-SquirrelDB-Max-Evaluated-Points"),
+            force_raw=h.get("X-SquirrelDB-ForceRaw", "").lower() == "true",
+            force_pre_aggregated=(
+                h.get("X-SquirrelDB-ForcePreAggregated", "").lower() == "true"
+            ),
+        )
+
+    def _route(self, handler, body: bytes) -> None:
+        url = urlparse(handler.path)
+        params = parse_qs(url.query)
+        if body and handler.headers.get("Content-Type", "").startswith(
+            "application/x-www-form-urlencoded"
+        ):
+            params = {**parse_qs(body.decode()), **params}
+
+        def p(name: str, default: str | None = None) -> str | None:
+            vals = params.get(name)
+            return vals[0] if vals else default
+
+        try:
+            path = url.path
+            if path == "/api/v1/write":
+                series = codec.decode_remote_write_body(body)
+                ttl = handler.headers.get("X-SquirrelDB-TTL")
+                self.ingest(
+                    series,
+                    handler.headers.get("X-SquirrelDB-Tenant"),
+                    int(ttl) if ttl else None,
+                )
+                handler.send_response(204)
+                handler.send_header("Content-Length", "0")
+                handler.end_headers()
+                return
+            if path == "/api/v1/read":
+                out = self._api().remote_read(body)
+                self._send_bytes(handler, 200, out)
+                return
+            if path == "/api/v1/query_range":
+                opts = self._opts(handler)
+                start = _parse_time_s(p("start"))
+                end = _parse_time_s(p("end"))
+                step = int(float(p("step", "60")) * 1000)
+                df = self._api().query_range(
+                    p("query"), start, end, step, opts=opts
+                )
+                self._send_json(handler, 200, self._format(df, "matrix"))
+                return
+            if path == "/api/v1/query":
+                opts = self._opts(handler)
+                t = _parse_time_s(p("time"))
+                df = self._api().query(p("query"), t, opts=opts)
+                self._send_json(handler, 200, self._format(df, "vector"))
+                return
+            if path == "/api/v1/series":
+                opts = self._opts(handler)
+                df = self._api().series(
+                    p("match[]", "{}"),
+                    _parse_time_s(p("start", "0")),
+                    _parse_time_s(p("end", "32503680000")),
+                    opts=opts,
+                )
+                rows = df.limit(10_000).collect()
+                if "series" in df.columns:
+                    data = [json.loads(r["series"]) for r in rows]
+                else:
+                    data = [r.asDict() for r in rows]
+                self._send_json(
+                    handler, 200, {"status": "success", "data": data}
+                )
+                return
+            if path == "/api/v1/labels":
+                opts = self._opts(handler)
+                self._send_json(
+                    handler, 200,
+                    {"status": "success", "data": self._api().labels(opts)},
+                )
+                return
+            m = re.match(r"^/api/v1/label/([^/]+)/values$", path)
+            if m:
+                opts = self._opts(handler)
+                rows = self._api().label_values(m.group(1), opts).collect()
+                self._send_json(
+                    handler, 200,
+                    {"status": "success",
+                     "data": [r["value"] for r in rows]},
+                )
+                return
+            self._send_json(
+                handler, 404,
+                {"status": "error", "errorType": "not_found",
+                 "error": f"unknown endpoint {path}"},
+            )
+        except LimitExceeded as ex:
+            self._send_json(
+                handler, 422,
+                {"status": "error", "errorType": "execution",
+                 "error": str(ex)},
+            )
+        except Exception as ex:  # bad query/params -> Prometheus error body
+            self._send_json(
+                handler, 400,
+                {"status": "error", "errorType": "bad_data",
+                 "error": f"{type(ex).__name__}: {ex}"},
+            )
+
+    def _format(self, df: DataFrame, result_type: str) -> dict:
+        api = self._api()
+        out = (
+            api.format_matrix(df)
+            if result_type == "matrix"
+            else api.format_vector(df)
+        )
+        # dynamic-label stores return the fingerprint columns; unpack the
+        # canonical sorted-JSON __series__ back into the metric object and
+        # hide the auxiliary fingerprints from the wire format
+        for entry in out["data"]["result"]:
+            metric = entry["metric"]
+            fp = metric.pop("__series__", None)
+            for k in list(metric):
+                if k.startswith("__series_"):
+                    del metric[k]
+            if fp is not None:
+                parsed = json.loads(fp)
+                # promoted columns carry "" for a label the series lacks
+                # (Prometheus missing-label semantics) — not a real label
+                parsed.update(
+                    {k: v for k, v in metric.items() if v != ""}
+                )
+                entry["metric"] = parsed
+        return out

@@ -1,0 +1,208 @@
+"""End-to-end HTTP daemon tests (reference api/api.go:209-341).
+
+A real socket is bound; the client is urllib. The write path POSTs a
+snappy-compressed prompb WriteRequest exactly like a Prometheus
+remote_write client, then reads the same samples back through
+/api/v1/query_range, /api/v1/query, /api/v1/read, /labels,
+/label/<name>/values and /series.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from squirreldb_spark import codec
+from squirreldb_spark.http_api import PromHTTPServer
+
+
+def _post(url: str, body: bytes, headers: dict | None = None) -> tuple[int, bytes]:
+    req = urllib.request.Request(url, data=body, method="POST")
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read()
+
+
+def _get(url: str, headers: dict | None = None) -> tuple[int, dict]:
+    req = urllib.request.Request(url)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as ex:
+        return ex.code, json.loads(ex.read())
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv = PromHTTPServer(spark, lookback_ms=300_000).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def base(server):
+    return f"http://127.0.0.1:{server.port}"
+
+
+@pytest.fixture(scope="module")
+def written(server, base):
+    """POST a WriteRequest: 2 series x 3 samples, one tenant-scoped."""
+    series = [
+        codec.TimeSeries(
+            labels={"__name__": "http_requests_total", "job": "api", "inst": "a"},
+            samples=[codec.Sample(1.0, 10_000), codec.Sample(4.0, 70_000),
+                     codec.Sample(9.0, 130_000)],
+        ),
+        codec.TimeSeries(
+            labels={"__name__": "http_requests_total", "job": "api", "inst": "b"},
+            samples=[codec.Sample(2.0, 10_000), codec.Sample(3.0, 70_000),
+                     codec.Sample(5.0, 130_000)],
+        ),
+    ]
+    body = codec.encode_remote_write_body(series)
+    status, _ = _post(
+        f"{base}/api/v1/write", body,
+        {"X-SquirrelDB-Tenant": "t0", "X-SquirrelDB-TTL": "86400",
+         "Content-Encoding": "snappy",
+         "Content-Type": "application/x-protobuf"},
+    )
+    assert status == 204
+    return series
+
+
+def test_write_then_query_range_roundtrip(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=http_requests_total"
+        "&start=0&end=130&step=60",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200 and out["status"] == "success"
+    assert out["data"]["resultType"] == "matrix"
+    result = out["data"]["result"]
+    by_inst = {e["metric"]["inst"]: e for e in result}
+    assert set(by_inst) == {"a", "b"}
+    assert by_inst["a"]["metric"]["__name__"] == "http_requests_total"
+    assert by_inst["a"]["metric"]["job"] == "api"
+    # step 60s grid at 60/120s sees samples 4.0 (ts=70s? no: lookback):
+    # at step 60s the freshest sample <= 60s is ts=10s -> 1.0; at 120s
+    # it's ts=70s -> 4.0
+    vals_a = {int(t): float(v) for t, v in by_inst["a"]["values"]}
+    assert vals_a[60] == 1.0 and vals_a[120] == 4.0
+
+
+def test_tenant_isolation(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=http_requests_total"
+        "&start=0&end=130&step=60",
+        {"X-SquirrelDB-Tenant": "other"},
+    )
+    assert status == 200
+    assert out["data"]["result"] == []
+
+
+def test_instant_query_vector(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query?query=sum(http_requests_total)&time=130",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200
+    result = out["data"]["result"]
+    assert out["data"]["resultType"] == "vector"
+    assert len(result) == 1
+    assert float(result[0]["value"][1]) == 14.0  # 9 + 5 at t=130s
+
+
+def test_rate_drops_name_over_http(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query?query=rate(http_requests_total%5B2m%5D)&time=130",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200
+    for entry in out["data"]["result"]:
+        assert "__name__" not in entry["metric"]
+        assert entry["metric"]["job"] == "api"
+
+
+def test_labels_and_label_values(base, written):
+    status, out = _get(f"{base}/api/v1/labels")
+    assert status == 200
+    assert {"__name__", "job", "inst"} <= set(out["data"])
+    status, out = _get(f"{base}/api/v1/label/inst/values")
+    assert status == 200
+    assert out["data"] == ["a", "b"]
+    status, out = _get(f"{base}/api/v1/label/__name__/values")
+    assert status == 200
+    assert out["data"] == ["http_requests_total"]
+
+
+def test_series_endpoint(base, written):
+    status, out = _get(
+        f"{base}/api/v1/series?match[]=http_requests_total&start=0&end=200"
+    )
+    assert status == 200
+    insts = {d["inst"] for d in out["data"]}
+    assert insts == {"a", "b"}
+    assert all(d["__name__"] == "http_requests_total" for d in out["data"])
+
+
+def test_remote_read_roundtrip(base, written):
+    body = codec.encode_read_request(
+        [codec.Query(
+            start_timestamp_ms=0, end_timestamp_ms=200_000,
+            matchers=[("=", "inst", "a")],
+        )]
+    )
+    status, raw = _post(
+        f"{base}/api/v1/read", codec.snappy_compress(body),
+        {"Content-Encoding": "snappy",
+         "Content-Type": "application/x-protobuf"},
+    )
+    assert status == 200
+    results = codec.decode_read_response(codec.snappy_decompress(raw))
+    assert len(results) == 1 and len(results[0]) == 1
+    ts = results[0][0]
+    assert ts.labels["inst"] == "a"
+    assert [(s.value, s.timestamp_ms) for s in ts.samples] == [
+        (1.0, 10_000), (4.0, 70_000), (9.0, 130_000)
+    ]
+
+
+def test_forced_matcher_header(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query?query=http_requests_total&time=130",
+        {"X-SquirrelDB-Tenant": "t0",
+         "X-SquirrelDB-Forced-Matcher": "inst=a"},
+    )
+    assert status == 200
+    metrics = [e["metric"] for e in out["data"]["result"]]
+    assert len(metrics) == 1 and metrics[0]["inst"] == "a"
+
+
+def test_limit_header_yields_422(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=http_requests_total"
+        "&start=0&end=130&step=60",
+        {"X-SquirrelDB-Tenant": "t0",
+         "X-SquirrelDB-Max-Evaluated-Series": "1"},
+    )
+    assert status == 422
+    assert out["errorType"] == "execution"
+
+
+def test_bad_query_yields_400(base, written):
+    status, out = _get(f"{base}/api/v1/query?query=rate(oops&time=100")
+    assert status == 400
+    assert out["status"] == "error"
+
+
+def test_unknown_endpoint_404(base):
+    status, out = _get(f"{base}/api/v1/nope")
+    assert status == 404
