@@ -80,6 +80,11 @@ class PromHTTPServer:
         self.lookback_ms = lookback_ms
         self.max_body_bytes = max_body_bytes
         self.api_kwargs = api_kwargs
+        #: mutable-label management state (POST/DELETE /mutable/names,
+        #: /mutable/values — reference api/api.go:230-233)
+        from squirreldb_spark.tsdb.mutable import MutableLabelStore
+
+        self.mutable_store = MutableLabelStore(spark)
         #: rows written via /api/v1/write: (labels, ts, value, ttl_s)
         self._written: list[tuple[dict, int, float, int | None]] = []
         self._lock = threading.Lock()
@@ -111,6 +116,7 @@ class PromHTTPServer:
             labels_map_col="labels",
             tenant_col=self.tenant_label,
             lookback_ms=self.lookback_ms,
+            mutable_mapping=self.mutable_store.mapping(),
         )
         kwargs.update(self.api_kwargs)
         return PromAPI(self._points(), **kwargs)
@@ -153,6 +159,8 @@ class PromHTTPServer:
                     )
                     return
                 server._route(self, body=self.rfile.read(length))
+
+            do_DELETE = do_POST
 
         self._httpd = ThreadingHTTPServer(
             (self.host, self._requested_port), Handler
@@ -297,6 +305,9 @@ class PromHTTPServer:
                      "data": [r["value"] for r in rows]},
                 )
                 return
+            if path in ("/mutable/names", "/mutable/values"):
+                self._mutable_route(handler, path, body)
+                return
             self._send_json(
                 handler, 404,
                 {"status": "error", "errorType": "not_found",
@@ -314,6 +325,31 @@ class PromHTTPServer:
                 {"status": "error", "errorType": "bad_data",
                  "error": f"{type(ex).__name__}: {ex}"},
             )
+
+    def _mutable_route(self, handler, path: str, body: bytes) -> None:
+        """Mutable-label management (reference api/api.go:230-233,
+        cassandra/mutable/cassandra.go:78-96): JSON arrays in, mutating
+        the store; the next query sees a fresh mapping (cache
+        invalidation is object identity — see MutableLabelStore)."""
+        entries = json.loads(body.decode() or "[]")
+        store = self.mutable_store
+        for e in entries:
+            tenant, name = e["tenant"], e["name"]
+            if path.endswith("names"):
+                if handler.command == "DELETE":
+                    store.delete_name(tenant, name)
+                else:
+                    store.set_name(tenant, name, e["associated_name"])
+            else:
+                if handler.command == "DELETE":
+                    store.delete_values(tenant, name, e["value"])
+                else:
+                    store.set_values(
+                        tenant, name, e["value"], e["associated_values"]
+                    )
+        handler.send_response(204)
+        handler.send_header("Content-Length", "0")
+        handler.end_headers()
 
     def _format(self, df: DataFrame, result_type: str) -> dict:
         api = self._api()

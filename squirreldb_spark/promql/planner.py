@@ -356,6 +356,15 @@ class PromQLEngine:
         refs: set[str] = set()
         referenced_labels(node, refs)
         refs = {self.name_label if r == "__name__" else r for r in refs}
+        if self.mutable_mapping is not None:
+            # mutable (virtual) labels are resolved by the matcher
+            # rewrite, never stored: promoting one would shadow it with
+            # an empty column and defeat the rewrite
+            refs -= {
+                r.mutable_name
+                for r in self._mutable_rows()
+                if r.tenant == self.tenant
+            }
         needs_nole = contains_function(node, "histogram_quantile")
         wo_sets: set[frozenset] = set()
         collect_without_sets(node, wo_sets)
@@ -498,24 +507,12 @@ class PromQLEngine:
         return pts
 
     def _mutable_rows(self):
-        """The mutable mapping, collected ONCE per mapping DataFrame and
-        cached on it — mirroring the reference's in-process cached store
-        (cassandra/mutable/processor.go keeps the mapping in a cache and
-        resolves matchers against it without I/O). Planning a query never
-        blocks on a Spark job after the first warm-up; the mapping is
-        config-sized by construction."""
-        mapping = self.mutable_mapping
-        rows = getattr(mapping, "_sq_mutable_rows", None)
-        if rows is None:
-            rows = mapping.select(
-                "tenant", "mutable_name", "mutable_value",
-                "associated_name", "associated_values",
-            ).collect()
-            try:
-                mapping._sq_mutable_rows = rows
-            except AttributeError:  # pragma: no cover
-                pass
-        return rows
+        """The mutable mapping via the shared per-DataFrame row cache
+        (tsdb.mutable.cached_rows) — one collect per mapping object,
+        none at all when the mapping comes from a MutableLabelStore."""
+        from squirreldb_spark.tsdb.mutable import cached_rows
+
+        return cached_rows(self.mutable_mapping)
 
     def _apply_mutable_matcher(self, pts: DataFrame, m, name: str) -> DataFrame:
         """Rewrite a matcher on a mutable label to concrete values
@@ -546,7 +543,14 @@ class PromQLEngine:
                 values.update(r.associated_values)
         if not values:
             return pts.filter(F.lit(False))
-        col = F.col(rows[0].associated_name).cast("string")
+        assoc = rows[0].associated_name
+        if assoc in pts.columns:
+            col = F.col(assoc).cast("string")
+        elif self.labels_map_col is not None:
+            # dynamic-label store: the associated label lives in the map
+            col = F.element_at(F.col(self.labels_map_col), F.lit(assoc))
+        else:
+            raise ValueError(f"unknown associated label {assoc!r}")
         return pts.filter(col.isin(sorted(values)))
 
     # ----------------------------------------------------- pre-agg routing

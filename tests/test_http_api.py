@@ -206,3 +206,50 @@ def test_bad_query_yields_400(base, written):
 def test_unknown_endpoint_404(base):
     status, out = _get(f"{base}/api/v1/nope")
     assert status == 404
+
+
+# ------------------------------------------------- mutable label management
+
+
+def test_mutable_label_management_write_then_query(base, written):
+    """POST /mutable/names + /mutable/values, then a query with the
+    mutable matcher resolves through the rewrite (A31) — and DELETE
+    makes the next query fail to resolve it again (cache invalidated)."""
+    body = json.dumps(
+        [{"tenant": "t0", "name": "group", "associated_name": "inst"}]
+    ).encode()
+    status, _ = _post(f"{base}/mutable/names", body)
+    assert status == 204
+    body = json.dumps(
+        [{"tenant": "t0", "name": "group", "value": "g1",
+          "associated_values": ["a"]}]
+    ).encode()
+    status, _ = _post(f"{base}/mutable/values", body)
+    assert status == 204
+
+    status, out = _get(
+        f'{base}/api/v1/query?query=http_requests_total%7Bgroup%3D%22g1%22%7D'
+        "&time=130",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200, out
+    metrics = [e["metric"] for e in out["data"]["result"]]
+    assert len(metrics) == 1 and metrics[0]["inst"] == "a"
+
+    # DELETE the name -> the rewrite no longer applies; "group" falls
+    # back to a plain (absent) label, so the matcher returns EMPTY —
+    # upstream semantics for a label no series carries
+    req = urllib.request.Request(
+        f"{base}/mutable/names",
+        data=json.dumps([{"tenant": "t0", "name": "group"}]).encode(),
+        method="DELETE",
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+    status, out = _get(
+        f'{base}/api/v1/query?query=http_requests_total%7Bgroup%3D%22g1%22%7D'
+        "&time=130",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200
+    assert out["data"]["result"] == []
