@@ -45,6 +45,70 @@ BENCH_QUERIES = [
 ]
 
 
+def ingest_bench(spark) -> dict:
+    """Write-path throughput: the reference's remote-storage-bench default
+    shape (BASELINE.md:38 — 10 tenants x 10 agents x 20 metrics @ 10 s,
+    ~2 000 series). One prompb+snappy WriteRequest per (tenant, agent)
+    carrying 300 scrape intervals (600 k samples total — enough that the
+    parquet commit's fixed cost stops dominating); the timed section is
+    the full ingest program — executor-side wire decode (mapInPandas
+    codec), A2/A3 validation, and the date-partitioned parquet sink
+    layout.
+    """
+    import tempfile
+
+    from squirreldb_spark import codec
+    from squirreldb_spark.streaming.ingest import (
+        decode_write_stream,
+        validate_map,
+    )
+    from pyspark.sql import functions as F
+
+    bodies = []
+    n_samples = 0
+    for t in range(10):
+        for a in range(10):
+            series = []
+            for m in range(20):
+                series.append(codec.TimeSeries(
+                    labels={
+                        "__name__": f"metric_{m}",
+                        "agent": f"agent_{a}",
+                        "__account_id": f"tenant_{t}",
+                    },
+                    samples=[
+                        codec.Sample(float(m + k), 1_700_000_000_000 + k * 10_000)
+                        for k in range(300)
+                    ],
+                ))
+                n_samples += 300
+            bodies.append((codec.encode_remote_write_body(series),))
+    payloads = spark.createDataFrame(bodies, "body binary").repartition(32)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        sec = float("inf")
+        # two runs, keep the warm one: the first pays one-time Python
+        # worker spin-up (~seconds), which a long-lived ingest service
+        # pays once per executor, not per batch
+        for i in range(2):
+            t0 = time.perf_counter()
+            out = validate_map(decode_write_stream(payloads), tenant="bench")
+            (
+                out.withColumn(
+                    "date", F.to_date(F.timestamp_millis(F.col("ts")))
+                )
+                .write.partitionBy("date")
+                .mode("overwrite")
+                .parquet(f"{tmp}/points{i}")
+            )
+            sec = min(sec, time.perf_counter() - t0)
+    return {
+        "samples": n_samples,
+        "sec": round(sec, 3),
+        "samples_per_s": round(n_samples / sec),
+    }
+
+
 def main() -> None:
     import glob
 
@@ -85,12 +149,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    ingest = ingest_bench(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "ingest": ingest,
         "sf": float(sf) if sf else None,
     }
     print(json.dumps(out))
