@@ -243,6 +243,63 @@ def simhash(
     )
 
 
+def duplicate_ngram_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Fraction of a document's n-gram instances that occur more than
+    once in the WHOLE corpus — the CCNet/RefinedWeb duplicated-n-gram
+    quality signal (high ratio = boilerplate / templated text).
+
+    Scale shape: explode to (doc, shingle) rows (narrow), then a window
+    count partitioned by the shingle marks corpus-wide duplicates on the
+    join's own shuffle key — no self-join, no second pass over the
+    corpus; the per-doc ratio is one groupBy on the doc id. Two
+    shuffles, both on natural keys, both combiner-friendly.
+    """
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    w = Window.partitionBy("sh")
+    marked = sh.withColumn("_cnt", F.count(F.lit(1)).over(w))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("_cnt") > 1, 1).otherwise(0)).alias(
+                "n_dup_ngrams"
+            ),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_ngrams") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def sql_duplicate_ngram_ratio(n: int = 8) -> str:
+    """Replays :func:`duplicate_ngram_ratio` exactly (same padded-slice
+    shingling for short documents)."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))) AS sh
+  FROM toks),
+marked AS (
+  SELECT doc_id, count(*) OVER (PARTITION BY sh) AS cnt FROM sh)
+SELECT doc_id,
+       count(*)::BIGINT AS n_ngrams,
+       sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_ngrams,
+       round(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS dup_ratio
+FROM marked GROUP BY doc_id
+"""
+
+
 # ----------------------------------------------------------- DuckDB oracles
 
 

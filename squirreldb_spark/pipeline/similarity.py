@@ -370,13 +370,11 @@ def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
-def sql_ann_ivf(
-    k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
-    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
-) -> str:
-    """Replays the spherical k-means training (same seeds, same sample,
-    same rounding, same tie-breaks) by unrolling the Lloyd iterations
-    into CTEs."""
+def _ivf_train_ctes(
+    n_cells: int, cent_base: int, kmeans_iters: int, dim: int, train_mod: int
+) -> tuple[str, str]:
+    """The unrolled Lloyd-iteration CTE chain (shared by the serving
+    oracle and the centroids oracle). Returns (cte_sql, final_cte)."""
     iters = []
     prev = "cents0"
     for i in range(kmeans_iters):
@@ -397,11 +395,39 @@ cents{i + 1} AS (
     GROUP BY 1, 2)
   GROUP BY cell)""")
         prev = f"cents{i + 1}"
-    return f"""
+    ctes = f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cents0 AS (SELECT vec_id - {cent_base} AS cell, v AS cent FROM base
            WHERE vec_id >= {cent_base} AND vec_id < {cent_base + n_cells}),
-{','.join(iters)},
+{','.join(iters)}"""
+    return ctes, prev
+
+
+def sql_ivf_centroids(
+    n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
+    dim: int = 64, train_mod: int = 4,
+) -> str:
+    """Oracle for the OFFLINE training half (train_ivf): the centroid
+    table itself, elements fixed to 6 decimal places (`+ 0` folds IEEE
+    -0.0 into +0.0 on both engines)."""
+    ctes, final = _ivf_train_ctes(n_cells, cent_base, kmeans_iters, dim, train_mod)
+    return f"""{ctes}
+SELECT cell,
+       array_to_string(list_transform(cent, x -> format('{{:.6f}}', x + 0)), ',')
+         AS cent_csv
+FROM {final}
+"""
+
+
+def sql_ann_ivf(
+    k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
+    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
+) -> str:
+    """Replays the spherical k-means training (same seeds, same sample,
+    same rounding, same tie-breaks) by unrolling the Lloyd iterations
+    into CTEs."""
+    ctes, prev = _ivf_train_ctes(n_cells, cent_base, kmeans_iters, dim, train_mod)
+    return f"""{ctes},
 ac AS (
   SELECT base.vec_id, base.v, c.cell, {_duck_cos('base.v', 'c.cent')} AS ccos
   FROM base, {prev} c),

@@ -80,6 +80,116 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(normalized.cast("binary")).alias("fingerprint"))
 
 
+#: stopword presence list for the Gopher "must contain a common word" rule
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "in"]
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 12.0,
+    min_uniq_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021, A1.1) as a
+    single keep/drop decision: token-count bounds, mean-token-length
+    bounds, type-token-ratio floor, and a required common stopword.
+
+    Pure column expressions — a narrow map, no shuffle; the decision is
+    computed on the 6-dp-rounded signals so the threshold comparisons are
+    engine-exact (the DuckDB oracle rounds identically).
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    avg_len = F.round((n_chars - (n_tok - F.lit(1))) / n_tok, 6)
+    uniq_ratio = F.round(F.size(F.array_distinct(t)) / n_tok, 6)
+    has_stop = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t),
+                F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]),
+            )
+        )
+        > 0
+    )
+    keep = (
+        (n_tok >= min_tokens)
+        & (n_tok <= max_tokens)
+        & (avg_len >= min_avg_len)
+        & (avg_len <= max_avg_len)
+        & (uniq_ratio >= min_uniq_ratio)
+        & has_stop
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        uniq_ratio.alias("uniq_ratio"),
+        has_stop.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+def sql_quality_filter(
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 12.0,
+    min_uniq_ratio: float = 0.3,
+) -> str:
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         round((length(text) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS avg_token_len,
+         round(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS uniq_ratio,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            [{stops}])) > 0 AS has_stopword
+  FROM documents)
+SELECT doc_id, n_tokens, avg_token_len, uniq_ratio, has_stopword,
+       (n_tokens >= {min_tokens} AND n_tokens <= {max_tokens}
+        AND avg_token_len >= {min_avg_len} AND avg_token_len <= {max_avg_len}
+        AND uniq_ratio >= {min_uniq_ratio} AND has_stopword) AS keep
+FROM s
+"""
+
+
+def top_terms(docs: DataFrame, text_col: str = "text", k: int = 20) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent tokens.
+
+    The classic wordcount shape: explode is a narrow map, the count is
+    one shuffle with map-side partial aggregation (vocabulary-sized
+    payload), and the top-k is a TakeOrdered over the counts — no global
+    sort of the corpus. Deterministic ordering via (count desc, term).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    return counts.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def sql_top_terms(k: int = 20) -> str:
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, count(*)::BIGINT AS n FROM t GROUP BY term),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c)
+SELECT term, n, rank FROM r WHERE rank <= {k}
+"""
+
+
 def sql_lang_scores() -> str:
     """DuckDB oracle for :func:`lang_scores` (shared CASE-chain tie-break)."""
     score_exprs = ",\n       ".join(

@@ -1468,6 +1468,42 @@ FROM documents
 """
 
 
+def q_doc_quality_filter(spark, sf_dir):
+    """Gopher-style composite quality rules -> keep/drop per document
+    (narrow map; pipeline/text.py quality_filter)."""
+    return ptext.quality_filter(model.load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_dup_ngrams(spark, sf_dir):
+    """Corpus-wide duplicated 8-gram fraction per document (CCNet /
+    RefinedWeb quality signal; window count on the shingle shuffle key,
+    pipeline/dedup.py duplicate_ngram_ratio)."""
+    return pdedup.duplicate_ngram_ratio(
+        model.load_table(spark, sf_dir, "documents")
+    )
+
+
+def q_doc_top_terms(spark, sf_dir):
+    """Corpus heavy hitters: top-20 tokens by frequency (wordcount shape
+    with map-side partial agg + TakeOrdered)."""
+    return ptext.top_terms(model.load_table(spark, sf_dir, "documents"))
+
+
+def q_emb_ivf_centroids(spark, sf_dir):
+    """The OFFLINE IVF training product: the centroid table itself
+    (spherical k-means over the deterministic sample, similarity.py
+    train_ivf) — the serving path (emb_ann_ivf) broadcasts this."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    rows = psim.train_ivf(emb, cache_key=sf_dir)
+    return spark.createDataFrame(
+        [
+            (int(r["cell"]), ",".join(f"{x + 0:.6f}" for x in r["cent"]))
+            for r in rows
+        ],
+        "cell int, cent_csv string",
+    )
+
+
 def q_promql_map_labels(spark, sf_dir):
     """Dynamic label model: the whole label set lives in a
     ``labels MAP<STRING,STRING>`` column (FIXTURES.md schema; reference
@@ -1847,6 +1883,20 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "doc_bpe_tokens": QueryDef(q_doc_bpe_tokens, SQL_DOC_BPE_TOKENS),
     # within-document repetition ratios (Gopher-style quality filters)
     "doc_repetition": QueryDef(q_doc_repetition, SQL_DOC_REPETITION),
+    # Gopher composite keep/drop decision
+    "doc_quality_filter": QueryDef(
+        q_doc_quality_filter, ptext.sql_quality_filter()
+    ),
+    # corpus-wide duplicated-ngram fraction (boilerplate signal)
+    "doc_dup_ngrams": QueryDef(
+        q_doc_dup_ngrams, pdedup.sql_duplicate_ngram_ratio()
+    ),
+    # corpus heavy hitters
+    "doc_top_terms": QueryDef(q_doc_top_terms, ptext.sql_top_terms()),
+    # offline IVF quantizer training -> persisted centroid table
+    "emb_ivf_centroids": QueryDef(
+        q_emb_ivf_centroids, psim.sql_ivf_centroids()
+    ),
 }
 
 
@@ -1864,6 +1914,11 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q14_promo_revenue",
     "mm_audio_windows",
     "doc_repetition",
+    # --- new in round 3 ---
+    "doc_quality_filter",
+    "doc_dup_ngrams",
+    "doc_top_terms",
+    "emb_ivf_centroids",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
     "ts_increase",

@@ -152,3 +152,68 @@ def test_resize_fixed_grid_and_frame_fanout(spark, docs):
 def test_decode_stub_raises(spark):
     with pytest.raises(NotImplementedError):
         multimodal.decode_stub(b"\x89PNG")
+
+
+def test_quality_filter_rules(spark):
+    df = spark.createDataFrame(
+        [
+            # 50 varied tokens incl stopword "the" -> keep
+            (1, "the " + " ".join(f"tok{i}" for i in range(49))),
+            # too short -> drop
+            (2, "the small doc"),
+            # no stopword -> drop
+            (3, " ".join(f"tok{i}" for i in range(50))),
+            # heavy repetition (low uniq ratio) -> drop
+            (4, "the " + "spam " * 59 + "spam"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in text.quality_filter(df).collect()}
+    assert out[1].keep and out[1].has_stopword
+    assert not out[2].keep and out[2].n_tokens == 3
+    assert not out[3].keep and not out[3].has_stopword
+    assert not out[4].keep and out[4].uniq_ratio < 0.3
+
+
+def test_duplicate_ngram_ratio(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [
+            (1, shared + " aa bb cc dd ee ff gg hh"),
+            (2, shared + " ii jj kk ll mm nn oo pp"),
+            (3, " ".join(f"u{i}" for i in range(16))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.duplicate_ngram_ratio(df, n=8).collect()}
+    # docs 1 and 2 share exactly the first 8-gram; doc 3 shares none
+    assert out[1].n_dup_ngrams == 1 and out[2].n_dup_ngrams == 1
+    assert out[3].n_dup_ngrams == 0 and out[3].dup_ratio == 0.0
+    assert out[1].n_ngrams == 9  # 16 tokens -> 9 shingles
+
+
+def test_top_terms_ordering(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z")],
+        "doc_id long, text string",
+    )
+    out = text.top_terms(df, k=3).collect()
+    assert [(r.term, r.n, r.rank) for r in out] == [
+        ("b", 4, 1), ("a", 3, 2), ("c", 1, 3)  # tie c/z broken by term asc
+    ]
+
+
+def test_ivf_train_serve_split(spark, sf_dir):
+    """Trained centroids are deterministic and the serving path accepts
+    them precomputed (no Lloyd iteration in the query plan)."""
+    from squirreldb_spark.pipeline import similarity as sim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    c1 = sim.train_ivf(emb)
+    c2 = sim.train_ivf(emb)
+    assert [r["cell"] for r in c1] == [r["cell"] for r in c2]
+    assert all(a["cent"] == b["cent"] for a, b in zip(c1, c2))
+    served = sim.ann_ivf(emb, centroids=c1)
+    plan = served._jdf.queryExecution().optimizedPlan().toString()
+    assert "posexplode" not in plan  # the Lloyd fold never enters the plan
+    assert served.count() > 0
