@@ -838,7 +838,8 @@ class PromQLEngine:
             df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
                             predict_s=t, grid=self.grid)
             return self._drop_name(Vec(df, self.label_cols))
-        if name == "holt_winters":
+        if name in ("holt_winters", "double_exponential_smoothing"):
+            # Prometheus 3.x renamed holt_winters; both spellings accepted
             mat = self._eval(node.args[0])
             sf = float(self._eval(node.args[1]))
             tf = float(self._eval(node.args[2]))

@@ -156,3 +156,27 @@ def test_tpch_q6_filters_push_to_scan(spark, sf_dir):
     assert "PushedFilters: [" in plan and "l_quantity" in plan.split(
         "PushedFilters"
     )[1][:400]
+
+
+def test_dup_guard_exchange_reused_by_aggregation(spark, sf_dir):
+    """The duplicate-series guard (upstream name-drop semantics) windows
+    over (result labels, step_ts) — the same keys sum-by groups on, so
+    the canonical sum(rate(...)) shape must run with exactly TWO hash
+    exchanges: the per-series window and the shared guard/aggregation
+    partitioning. A third exchange means the reuse regressed."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["promql_rate_sum"].fn(spark, sf_dir))
+        n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+        assert n_hash == 2, f"expected 2 hash exchanges, saw {n_hash}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ivf_serving_plan_has_no_training(spark, sf_dir):
+    """emb_ann_ivf is serving-only: the Lloyd fold (posexplode + per-cell
+    centroid re-aggregation) must not appear in the query plan."""
+    plan = plan_of(CATALOG["emb_ann_ivf"].fn(spark, sf_dir))
+    assert "posexplode" not in plan

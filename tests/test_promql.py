@@ -566,3 +566,11 @@ def test_plan_bottomk_and_group(engine):
     assert per_step[30_000][0][0] == "b"
     grp = engine.query_range("group by (name) (cpu)").collect()
     assert all(r.value == 1.0 for r in grp)
+
+
+def test_double_exponential_smoothing_alias(engine):
+    a = engine.query_range("holt_winters(cpu[30s], 0.5, 0.3)").collect()
+    b = engine.query_range(
+        "double_exponential_smoothing(cpu[30s], 0.5, 0.3)"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
