@@ -1152,6 +1152,100 @@ GROUP BY o_orderpriority
 """
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13: customer order-count distribution — LEFT OUTER join
+    (customers with no orders count as 0) then a two-level aggregation.
+    The outer join shuffles on the customer key; the distribution agg is
+    tiny. Priority filter adapts Q13's not-like comment predicate."""
+    cust = model.load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = model.load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority != '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+"""
+
+Q18_QTY = 200.0
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18: large-volume orders — per-order quantity sum with a
+    HAVING gate, then joins back to orders and customers. The having
+    output is small, so both enrichment joins broadcast it."""
+    li = model.load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY)
+    )
+    orders = model.load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = model.load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    j = orders.join(
+        F.broadcast(big), orders.o_orderkey == big.l_orderkey, "inner"
+    ).join(cust, orders.o_custkey == cust.c_custkey, "inner")
+    return j.select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > {Q18_QTY})
+SELECT c_name, o_orderkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicate
+    triples over the part join — the OR-of-ANDs pushdown test (each
+    disjunct prunes with the broadcast dim). Containers adapted to
+    p_size bands (test schema has no p_container)."""
+    li = model.load_table(spark, sf_dir, "lineitem")
+    part = model.load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#1") & s.between(1, 10) & q.between(1, 11))
+        | ((b == "Brand#2") & s.between(1, 20) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 30) & q.between(20, 30))
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.filter(cond).agg(F.round(F.sum(disc), 2).alias("revenue"))
+
+
+SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_tpch_q14(spark, sf_dir):
     """TPC-H Q14: promo revenue share over one month — broadcast the
     part dimension, conditional aggregation over the fact join."""
@@ -1772,7 +1866,10 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "tpch_q10_returned_items": QueryDef(q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q4_order_priority": QueryDef(q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q12_late_shipments": QueryDef(q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q13_order_distribution": QueryDef(q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q14_promo_revenue": QueryDef(q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q18_large_orders": QueryDef(q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19_disjunctive_revenue": QueryDef(q_tpch_q19, SQL_TPCH_Q19),
     # LLM-data pipeline: text analysis
     "doc_text_stats": QueryDef(q_doc_stats, SQL_DOC_STATS),
     "doc_lang_id": QueryDef(q_doc_langid, ptext.sql_lang_scores()),
@@ -1919,6 +2016,9 @@ _VERIFY_FIRST: list[str] = [
     "doc_dup_ngrams",
     "doc_top_terms",
     "emb_ivf_centroids",
+    "tpch_q13_order_distribution",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
     "ts_increase",
