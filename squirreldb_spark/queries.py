@@ -1348,6 +1348,519 @@ SELECT c_custkey, c_name, n_name, revenue, rank FROM ranked WHERE rank <= 20
 """
 
 
+# Remaining TPC-H shapes (completing the 22-query relational surface).
+# The test schema has no partsupp table, so Q2/Q11/Q16/Q20 derive the
+# part<->supplier relation from lineitem (distinct (l_partkey, l_suppkey),
+# unit cost = l_extendedprice / l_quantity); join/agg/decorrelation shapes
+# are the point, matching the adaptations of Q4/Q12/Q19 above.
+YB_MS = 31_557_600_000                # 365.25-day "year" bucket (engine-neutral)
+MS_1998 = 883_612_800_000             # 1998-01-01
+MS_1996_Q2 = 828_316_800_000          # 1996-04-01
+MS_2001 = 978_307_200_000             # 2001-01-01
+
+
+def _tpch(spark, sf_dir, *names):
+    return tuple(model.load_table(spark, sf_dir, n) for n in names)
+
+
+def _eur_suppliers(spark, sf_dir):
+    """supplier ⋈ nation ⋈ region(EUROPE) — two broadcast dim joins."""
+    supp, nat, reg = _tpch(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 shape: min-cost supplier per part. The correlated MIN
+    subquery decorrelates to a window min over the part key — one shuffle,
+    no self-join (the plan upstream Catalyst picks for decorrelated
+    scalar subqueries, minus the extra exchange)."""
+    from pyspark.sql import Window
+
+    (li, part) = _tpch(spark, sf_dir, "lineitem", "part")
+    cost = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    parts = part.filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand")
+    pc = cost.join(
+        F.broadcast(parts), cost.l_partkey == parts.p_partkey
+    ).join(F.broadcast(_eur_suppliers(spark, sf_dir)),
+           F.col("l_suppkey") == F.col("s_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        pc.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name", F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem WHERE l_quantity > 0 GROUP BY 1, 2),
+eur AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+pc AS (
+  SELECT p.p_partkey, p.p_brand, e.s_suppkey, e.s_name, e.s_acctbal,
+         e.n_name, c.unit_cost
+  FROM (SELECT p_partkey, p_brand FROM part
+        WHERE p_type = 'LARGE' AND p_size <= 25) p
+  JOIN cost c ON p.p_partkey = c.l_partkey
+  JOIN eur e ON c.l_suppkey = e.s_suppkey),
+best AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM pc GROUP BY 1)
+SELECT pc.p_partkey, pc.p_brand, pc.s_suppkey, pc.s_name,
+       round(pc.s_acctbal, 2) AS s_acctbal, pc.n_name,
+       round(pc.unit_cost, 4) AS unit_cost
+FROM pc JOIN best ON pc.p_partkey = best.p_partkey
+                 AND pc.unit_cost = best.min_cost
+"""
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7: shipping volume between a nation pair per year bucket.
+    Nation filters are applied to the dimension sides BEFORE the fact
+    join, so the big scan only shuffles matching rows."""
+    li, supp, orders, cust, nat = _tpch(
+        spark, sf_dir, "lineitem", "supplier", "orders", "customer", "nation"
+    )
+    pair = ("NATION_3", "NATION_8")
+    n1 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s1 = supp.join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = cust.join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= Q5_LO_MS) & (F.col("l_shipdate") < MS_1998)
+        )
+        .join(F.broadcast(s1), li.l_suppkey == s1.s_suppkey)
+        .join(orders.select("o_orderkey", "o_custkey"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .join(c2, F.col("o_custkey") == c2.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation",
+            F.expr(f"l_shipdate div {YB_MS}").alias("ship_bucket"),
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+SQL_TPCH_Q7 = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       epoch_ms(l_shipdate) // {YB_MS} AS ship_bucket,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE epoch_ms(l_shipdate) >= {Q5_LO_MS} AND epoch_ms(l_shipdate) < {MS_1998}
+  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8: national market share — NATION_3's slice of ECONOMY-part
+    revenue sold to EUROPE customers, per order-year bucket. Conditional
+    aggregation over a 5-table join; every dimension is broadcast."""
+    li, part, supp, orders, cust, nat, reg = _tpch(
+        spark, sf_dir,
+        "lineitem", "part", "supplier", "orders", "customer", "nation", "region",
+    )
+    eco = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    s_n = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                               F.col("n_name").alias("supp_nation"))),
+        supp.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    eur_cust = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    j = (
+        li.join(F.broadcast(eco), li.l_partkey == eco.p_partkey)
+        .join(F.broadcast(s_n), li.l_suppkey == s_n.s_suppkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= Q5_LO_MS) & (F.col("o_orderdate") < MS_1998)
+            ).select("o_orderkey", "o_custkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .join(eur_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        j.groupBy(F.expr(f"o_orderdate div {YB_MS}").alias("order_bucket"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+SQL_TPCH_Q8 = f"""
+WITH rev AS (
+  SELECT epoch_ms(o_orderdate) // {YB_MS} AS order_bucket,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND epoch_ms(o_orderdate) >= {Q5_LO_MS} AND epoch_ms(o_orderdate) < {MS_1998})
+SELECT order_bucket,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM rev GROUP BY 1
+"""
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by nation and order-year.
+    ps_supplycost is absent; cost = 0.5 * p_retailprice * l_quantity."""
+    li, part, supp, orders, nat = _tpch(
+        spark, sf_dir, "lineitem", "part", "supplier", "orders", "nation"
+    )
+    gear = part.filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s_n = supp.join(
+        F.broadcast(nat.select("n_nationkey", F.col("n_name").alias("nation"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "nation")
+    j = (
+        li.join(F.broadcast(gear), li.l_partkey == gear.p_partkey)
+        .join(F.broadcast(s_n), li.l_suppkey == s_n.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+    )
+    # Profit terms cancel (revenue minus cost), so a float sum rounded to
+    # 2dp is order-sensitive; sum exact integer cents instead.
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100
+    ).cast("long")
+    return (
+        j.groupBy(
+            "nation", F.expr(f"o_orderdate div {YB_MS}").alias("order_bucket")
+        )
+        .agg(F.round(F.sum(profit_cents) / 100.0, 2).alias("profit"))
+    )
+
+
+SQL_TPCH_Q9 = f"""
+SELECT n_name AS nation, epoch_ms(o_orderdate) // {YB_MS} AS order_bucket,
+       round(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                 - 0.5 * p_retailprice * l_quantity) * 100) AS BIGINT)) / 100.0,
+             2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose EUROPE-supplied inventory value
+    exceeds a threshold of the average (scale-free: TPC-H's fixed
+    FRACTION/SF empties out as SF grows). The scalar subquery is a
+    broadcast cross join of the one-row global aggregate (Exchange
+    reuse computes the per-part aggregate once for both branches)."""
+    li = model.load_table(spark, sf_dir, "lineitem")
+    eur = _eur_suppliers(spark, sf_dir).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(eur), li.l_suppkey == eur.s_suppkey, "left_semi")
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+             .alias("part_value"))
+    )
+    tot = val.agg(F.avg("part_value").alias("avg_value"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 1.5 * F.col("avg_value"))
+        .select("p_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' GROUP BY 1),
+tot AS (SELECT avg(part_value) AS avg_value FROM val)
+SELECT l_partkey AS p_partkey, round(part_value, 2) AS part_value
+FROM val, tot WHERE part_value > 1.5 * avg_value
+"""
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15: top supplier by 1996-Q1 revenue — the scalar MAX
+    subquery as a broadcast cross join against the rounded revenue
+    (rounding first makes the equality engine-stable)."""
+    li, supp = _tpch(spark, sf_dir, "lineitem", "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= Q5_LO_MS) & (F.col("l_shipdate") < MS_1996_Q2)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    best = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+SQL_TPCH_Q15 = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE epoch_ms(l_shipdate) >= {Q5_LO_MS} AND epoch_ms(l_shipdate) < {MS_1996_Q2}
+  GROUP BY 1),
+best AS (SELECT max(total_revenue) AS max_rev FROM rev)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey, best
+WHERE r.total_revenue = best.max_rev
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: distinct-supplier counts per part descriptor,
+    with value-list + inequality filters and the complaints NOT-IN as a
+    semi join against suppliers in good standing (s_acctbal >= 0)."""
+    li, part, supp = _tpch(spark, sf_dir, "lineitem", "part", "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    sel = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok = supp.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(sel), ps.l_partkey == sel.p_partkey)
+        .join(F.broadcast(ok), ps.l_suppkey == ok.s_suppkey, "left_semi")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#1' AND p_type != 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders. The correlated
+    per-part AVG decorrelates into a grouped aggregate joined back on
+    the part key (both sides shuffle on l_partkey — co-partitioned)."""
+    li, part = _tpch(spark, sf_dir, "lineitem", "part")
+    cut = li.groupBy(F.col("l_partkey").alias("pa_key")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_cut")
+    )
+    b3 = part.filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(F.broadcast(b3), li.l_partkey == b3.p_partkey, "left_semi")
+        .join(cut, li.l_partkey == F.col("pa_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH pa AS (
+  SELECT l_partkey AS pa_key, 0.2 * avg(l_quantity) AS qty_cut
+  FROM lineitem GROUP BY 1)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN pa ON pa_key = p_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_cut
+"""
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 shape: EUROPE suppliers who shipped > 100 units of red
+    parts in 1996 — nested IN subqueries lowered to a HAVING aggregate
+    plus a broadcast semi join."""
+    li, part = _tpch(spark, sf_dir, "lineitem", "part")
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= Q5_LO_MS) & (F.col("l_shipdate") < Q5_HI_MS)
+        )
+        .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    return _eur_suppliers(spark, sf_dir).join(
+        F.broadcast(shipped), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+SQL_TPCH_Q20 = f"""
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+shipped AS (
+  SELECT l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN red ON l_partkey = p_partkey
+  WHERE epoch_ms(l_shipdate) >= {Q5_LO_MS} AND epoch_ms(l_shipdate) < {Q5_HI_MS}
+  GROUP BY 1 HAVING sum(l_quantity) > 100)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT l_suppkey FROM shipped)
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who alone held up a multi-supplier
+    'F' order (late = shipped > 60 days after order). The EXISTS /
+    NOT-EXISTS pair decorrelates to per-order supplier counts: other
+    supplier exists <=> n_supp >= 2; no other LATE supplier <=>
+    n_late == 1 — three aggregations on the same order-key shuffle."""
+    li, orders, supp = _tpch(spark, sf_dir, "lineitem", "orders", "supplier")
+    li2 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    f_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        li2.join(f_orders, li2.l_orderkey == f_orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.lit(LATE_MS))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    n_all = li2.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy(F.col("l_orderkey").alias("lo_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_late")
+    )
+    waiting = (
+        late.join(n_late, late.l_orderkey == F.col("lo_key"))
+        .join(n_all, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+SQL_TPCH_Q21 = f"""
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + {LATE_MS}),
+waiting AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey FROM l1 f
+  WHERE EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = f.l_orderkey
+                  AND l2.l_suppkey != f.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l1 l3
+                    WHERE l3.l_orderkey = f.l_orderkey
+                      AND l3.l_suppkey != f.l_suppkey))
+SELECT s_name, count(*) AS numwait
+FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: well-funded customers with no 2001+ orders, per
+    nation — scalar AVG subquery (broadcast cross join) + anti join."""
+    cust, orders = _tpch(spark, sf_dir, "customer", "orders")
+    cut = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= MS_2001).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(cut))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = f"""
+WITH cut AS (SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0),
+recent AS (SELECT DISTINCT o_custkey FROM orders
+           WHERE epoch_ms(o_orderdate) >= {MS_2001})
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, cut
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY 1
+"""
+
+
 API_START_MS, API_END_MS = 1_704_672_000_000, 1_707_091_200_000  # explicit grid
 
 
@@ -1870,6 +2383,17 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "tpch_q14_promo_revenue": QueryDef(q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18_large_orders": QueryDef(q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19_disjunctive_revenue": QueryDef(q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q2_min_cost_supplier": QueryDef(q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q7_nation_volume": QueryDef(q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8_market_share": QueryDef(q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9_product_profit": QueryDef(q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11_important_stock": QueryDef(q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q15_top_supplier": QueryDef(q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16_supplier_counts": QueryDef(q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17_small_qty_revenue": QueryDef(q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q20_excess_shippers": QueryDef(q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21_waiting_suppliers": QueryDef(q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22_dormant_customers": QueryDef(q_tpch_q22, SQL_TPCH_Q22),
     # LLM-data pipeline: text analysis
     "doc_text_stats": QueryDef(q_doc_stats, SQL_DOC_STATS),
     "doc_lang_id": QueryDef(q_doc_langid, ptext.sql_lang_scores()),
@@ -2019,6 +2543,17 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q13_order_distribution",
     "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
     "ts_increase",
