@@ -62,7 +62,11 @@ def get_session(app_name: str = "squirreldb-spark", cpus: int | None = None) -> 
         .master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs everything in the driver JVM; an 8g heap GC-thrashes
+        # once a long session accumulates shuffle/broadcast state (round-2
+        # bench drifted 1.4-12x late in the query list purely from this).
+        # On a real cluster this maps to executor memory sized per brief.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()
     return configure_session(spark)
