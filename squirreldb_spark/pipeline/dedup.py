@@ -380,3 +380,118 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (2::BIGINT ** b)::BIGINT ELSE 0 END)::BIGINT AS simhash
 FROM per_bit GROUP BY doc_id
 """
+
+
+# --------------------------------------------------- duplicate clustering
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation; returns ``(node, cluster_id)`` with ``cluster_id`` the
+    smallest node id reachable — the canonical "pick one representative
+    per duplicate group" step of a corpus dedup DAG (the reference stops
+    at pair emission; clustering is what a pipeline actually applies).
+
+    Each pass joins current labels across edges and keeps the
+    element-wise min, so labels travel one hop per pass and the loop
+    stops at the first pass that changes nothing — graph-diameter
+    passes total. Near-dup components are copies of one underlying
+    document (tiny, star-shaped), so the diameter is small by
+    construction; for adversarial long chains the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) brings it to
+    O(log^2 n) passes — not needed here. ``localCheckpoint`` truncates
+    lineage every pass so the plan stays constant-size (swap for
+    ``checkpoint()`` on reliable storage in a cluster deployment).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def cluster_members(
+    cc: DataFrame, id_alias: str = "doc_id"
+) -> DataFrame:
+    """Decorate a ``connected_components`` result with per-cluster size
+    and the canonical-representative flag (the member that survives
+    dedup). One window over the cluster key — a single shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id")
+    return (
+        cc.select(F.col("node").alias(id_alias), "cluster_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_canonical", F.col(id_alias) == F.col("cluster_id"))
+    )
+
+
+def sql_cc_clusters(
+    pairs_sql: str,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    id_alias: str = "doc_id",
+    where: str = "",
+) -> str:
+    """DuckDB oracle for pair-list -> connected components -> decorated
+    members: transitive closure as a recursive CTE (exact, engine-side),
+    then min-reachable-id per node. ``pairs_sql`` is any complete query
+    emitting ``(a_col, b_col)`` pairs (nested WITH is fine in DuckDB
+    subqueries)."""
+    return f"""
+WITH RECURSIVE dup AS (
+  SELECT {a_col} AS id_a, {b_col} AS id_b FROM ({pairs_sql}) _pairs {where}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM dup
+  UNION SELECT id_b, id_a FROM dup),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS cluster_id
+  FROM reach GROUP BY src)
+SELECT node AS {id_alias}, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       node = cluster_id AS is_canonical
+FROM comp
+"""

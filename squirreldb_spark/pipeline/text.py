@@ -211,3 +211,135 @@ SELECT doc_id, score_en, score_es, score_de, score_fr,
        {guess} AS lang_guess
 FROM scored
 """
+
+
+def token_budget_sample(
+    docs: DataFrame, budget: int = 400, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic stratified sampling under a per-stratum token budget.
+
+    Within each (lang, source) stratum, docs are ordered by a
+    content-independent pseudo-random key (md5 of the doc id) and kept
+    while the running token total fits ``budget`` — the data-mixing
+    primitive for assembling a training corpus to a token target per
+    language/domain cell. One window partitioned by the stratum key: a
+    single shuffle, and strata are numerous and balanced at corpus scale
+    so no partition is hot.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", "source",
+            n_tok.alias("n_tokens"), key.alias("sample_key"),
+        )
+        .withColumn("running_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("running_tokens") <= budget)
+    )
+
+
+def sql_token_budget_sample(budget: int = 400) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS sample_key
+  FROM documents),
+r AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang, source
+                                  ORDER BY sample_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_tokens
+  FROM t)
+SELECT doc_id, lang, source, n_tokens, sample_key, running_tokens
+FROM r WHERE running_tokens <= {budget}
+"""
+
+
+def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus mixture report: volume, exact-dup rate,
+    and quality pass rate — the dashboard a pipeline operator reads
+    before deciding mixture weights.
+
+    All signals are computed in ONE projection (no self-joins of the
+    documents table) followed by a single groupBy shuffle; the dup rate
+    uses the md5 canonical fingerprint so it is a count-distinct over a
+    16-byte key, not text movement.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    avg_len = F.round((n_chars - (n_tok - F.lit(1))) / n_tok, 6)
+    uniq_ratio = F.round(F.size(F.array_distinct(t)) / n_tok, 6)
+    has_stop = (
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t),
+                F.array(*[F.lit(w) for w in QUALITY_STOPWORDS]),
+            )
+        )
+        > 0
+    )
+    keep = (
+        (n_tok >= 40) & (n_tok <= 100_000)
+        & (avg_len >= 3.0) & (avg_len <= 12.0)
+        & (uniq_ratio >= 0.3) & has_stop
+    )
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    base = docs.select(
+        "lang", "source",
+        n_tok.cast("long").alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        keep.cast("int").alias("keep"),
+        F.md5(normalized.cast("binary")).alias("fp"),
+    )
+    n_docs = F.count(F.lit(1))
+    n_uniq = F.countDistinct("fp")
+    return base.groupBy("lang", "source").agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.round((n_docs - n_uniq) / n_docs, 6).alias("exact_dup_rate"),
+        F.round(F.avg("keep"), 6).alias("quality_pass_rate"),
+    )
+
+
+def sql_source_stats() -> str:
+    stops = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT lang, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         length(text)::BIGINT AS n_chars,
+         round((length(text) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS avg_token_len,
+         round(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS uniq_ratio,
+         len(list_intersect(list_distinct(string_split(text, ' ')),
+                            [{stops}])) > 0 AS has_stopword,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents),
+k AS (
+  SELECT *,
+         CASE WHEN n_tokens >= 40 AND n_tokens <= 100000
+                   AND avg_token_len >= 3.0 AND avg_token_len <= 12.0
+                   AND uniq_ratio >= 0.3 AND has_stopword
+              THEN 1 ELSE 0 END AS keep
+  FROM s)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_chars), 2) AS avg_chars,
+       round((count(*) - count(DISTINCT fp)) / count(*)::DOUBLE, 6)
+         AS exact_dup_rate,
+       round(avg(keep), 6) AS quality_pass_rate
+FROM k GROUP BY 1, 2
+"""

@@ -2096,6 +2096,51 @@ def q_doc_top_terms(spark, sf_dir):
     return ptext.top_terms(model.load_table(spark, sf_dir, "documents"))
 
 
+#: estimated-Jaccard floor for "these candidates ARE duplicates" when
+#: clustering (LSH candidates below this are near-misses, not copies)
+DUP_EST_JACCARD = 0.5
+
+
+def q_doc_dedup_clusters(spark, sf_dir):
+    """Full dedup DAG to the decision point: MinHash -> LSH candidates
+    -> estimated-Jaccard gate -> connected components -> canonical
+    representative per duplicate cluster (pipeline/dedup.py
+    connected_components; min-label propagation, diameter-bounded)."""
+    docs = _docs(spark, sf_dir)
+    sig = pdedup.minhash_signatures(docs)
+    pairs = pdedup.minhash_estimated_similarity(
+        sig, pdedup.lsh_candidate_pairs(sig)
+    )
+    cc = pdedup.connected_components(
+        pairs.filter(F.col("est_jaccard") >= DUP_EST_JACCARD)
+    )
+    return pdedup.cluster_members(cc, "doc_id")
+
+
+def q_doc_sample_budget(spark, sf_dir):
+    """Deterministic per-(lang, source) token-budget sampling — the
+    data-mixing primitive for hitting a per-domain token target
+    (pipeline/text.py token_budget_sample)."""
+    return ptext.token_budget_sample(_docs(spark, sf_dir))
+
+
+def q_doc_source_stats(spark, sf_dir):
+    """Per-(lang, source) mixture report: volume, exact-dup rate,
+    quality pass rate (pipeline/text.py source_stats)."""
+    return ptext.source_stats(_docs(spark, sf_dir))
+
+
+def q_emb_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup decision: embedding near-dup pairs
+    (multi-table LSH) -> connected components -> one canonical vector
+    per semantic cluster."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    cc = pdedup.connected_components(
+        psim.embedding_neardup_pairs(emb), a_col="a_id", b_col="b_id"
+    )
+    return pdedup.cluster_members(cc, "vec_id")
+
+
 def q_emb_ivf_centroids(spark, sf_dir):
     """The OFFLINE IVF training product: the centroid table itself
     (spherical k-means over the deterministic sample, similarity.py
@@ -2518,6 +2563,28 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "emb_ivf_centroids": QueryDef(
         q_emb_ivf_centroids, psim.sql_ivf_centroids()
     ),
+    # duplicate clustering: LSH pairs -> connected components -> canonical
+    "doc_dedup_clusters": QueryDef(
+        q_doc_dedup_clusters,
+        pdedup.sql_cc_clusters(
+            pdedup.sql_minhash_lsh_pairs(),
+            where=f"WHERE est_jaccard >= {DUP_EST_JACCARD}",
+        ),
+    ),
+    # per-stratum token-budget sampling (data mixing)
+    "doc_sample_budget": QueryDef(
+        q_doc_sample_budget, ptext.sql_token_budget_sample()
+    ),
+    # per-(lang, source) corpus mixture report
+    "doc_source_stats": QueryDef(q_doc_source_stats, ptext.sql_source_stats()),
+    # semantic dedup over embeddings (near-dup graph -> clusters)
+    "emb_semantic_dedup": QueryDef(
+        q_emb_semantic_dedup,
+        pdedup.sql_cc_clusters(
+            psim.sql_embedding_neardup(),
+            a_col="a_id", b_col="b_id", id_alias="vec_id",
+        ),
+    ),
 }
 
 
@@ -2554,6 +2621,10 @@ _VERIFY_FIRST: list[str] = [
     "tpch_q20_excess_shippers",
     "tpch_q21_waiting_suppliers",
     "tpch_q22_dormant_customers",
+    "doc_dedup_clusters",
+    "doc_sample_budget",
+    "doc_source_stats",
+    "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
     "ts_increase",

@@ -217,3 +217,45 @@ def test_ivf_train_serve_split(spark, sf_dir):
     plan = served._jdf.queryExecution().optimizedPlan().toString()
     assert "posexplode" not in plan  # the Lloyd fold never enters the plan
     assert served.count() > 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation pass), island 7-8,
+    # and a triangle 10-11-12 with a redundant edge
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.node: r.cluster_id
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10}
+
+
+def test_cluster_members_sizes_and_canonical(spark):
+    pairs = spark.createDataFrame([(5, 9), (9, 2)], "id_a long, id_b long")
+    cc = dedup.connected_components(pairs)
+    rows = {r.doc_id: r for r in dedup.cluster_members(cc).collect()}
+    assert all(r.cluster_id == 2 for r in rows.values())
+    assert all(r.cluster_size == 3 for r in rows.values())
+    assert [d for d, r in rows.items() if r.is_canonical] == [2]
+
+
+def test_token_budget_sample_respects_budget(spark, docs):
+    out = text.token_budget_sample(docs, budget=120).collect()
+    assert out, "sample must be non-empty"
+    assert all(r.running_tokens <= 120 for r in out)
+    # running totals are a prefix per stratum: max row count per stratum
+    # equals the number of kept docs there, and re-running is identical
+    again = text.token_budget_sample(docs, budget=120).collect()
+    assert sorted(r.doc_id for r in out) == sorted(r.doc_id for r in again)
+
+
+def test_source_stats_rates_bounded(spark, docs):
+    rows = text.source_stats(docs).collect()
+    n_docs_total = docs.count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert 0.0 <= r.exact_dup_rate <= 1.0
+        assert 0.0 <= r.quality_pass_rate <= 1.0
