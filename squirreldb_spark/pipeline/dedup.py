@@ -396,18 +396,24 @@ def connected_components(
     per duplicate group" step of a corpus dedup DAG (the reference stops
     at pair emission; clustering is what a pipeline actually applies).
 
-    Each pass joins current labels across edges and keeps the
-    element-wise min, so labels travel one hop per pass and the loop
-    stops at the first pass that changes nothing — graph-diameter
-    passes total. Near-dup components are copies of one underlying
-    document (tiny, star-shaped), so the diameter is small by
-    construction; for adversarial long chains the alternating
-    large-star/small-star contraction (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) brings it to
-    O(log^2 n) passes — not needed here. ``localCheckpoint`` truncates
-    lineage every pass so the plan stays constant-size (swap for
-    ``checkpoint()`` on reliable storage in a cluster deployment).
+    Each pass takes the element-wise min of (own label, neighbors'
+    labels) and then POINTER-JUMPS — replaces each label by its label's
+    label — so label distances halve per pass and convergence is
+    O(log diameter) passes, not diameter (path doubling; same round
+    complexity as the star contractions of Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14, with simpler passes).
+    Convergence detection is a one-row aggregate: labels only ever
+    decrease, so an unchanged label sum IS the fixpoint — no
+    old-vs-new join. ``localCheckpoint`` truncates lineage every pass
+    so the plan stays constant-size (swap for ``checkpoint()`` on
+    reliable storage in a cluster deployment). The graph is the dup
+    PAIRS, orders of magnitude smaller than the corpus, so per-pass
+    shuffles are cheap at any corpus scale.
     """
+    # materialize the pair list once: the src/dst union references it
+    # twice, and without this the (expensive) candidate-generation plan
+    # upstream would execute twice
+    pairs = pairs.localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -420,32 +426,41 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = None
     for _ in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels["node"] == nbr["src"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
         new = (
-            labels.join(nbr, labels["node"] == nbr["src"], "left")
+            stepped.alias("s")
+            .join(
+                labels.select(
+                    F.col("node").alias("p_node"), F.col("label").alias("p_label")
+                ),
+                F.col("s.label") == F.col("p_node"),
+                "left",
+            )
             .select(
-                "node",
+                F.col("s.node").alias("node"),
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("s.label"), F.coalesce("p_label", F.col("s.label"))
                 ).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
         labels = new
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 
