@@ -343,3 +343,43 @@ SELECT lang, source,
        round(avg(keep), 6) AS quality_pass_rate
 FROM k GROUP BY 1, 2
 """
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram LM quality score: mean negative log-probability per doc
+    (the cheap stand-in for the CCNet/KenLM perplexity filter — docs far
+    from the corpus distribution score high).
+
+    Two-pass: the vocabulary aggregate reduces the corpus to distinct
+    terms (one shuffle, map-side combine); scoring broadcasts the
+    vocab + its log-probs back over the token stream (vocabularies are
+    ~1e6 rows at web scale — comfortably broadcastable) and aggregates
+    per document (second shuffle). No UDFs.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    tot = vocab.agg(F.sum("n").alias("total"))
+    v = vocab.crossJoin(F.broadcast(tot)).select(
+        "term", (F.log("n") - F.log("total")).alias("logp")
+    )
+    return (
+        tok.join(F.broadcast(v), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(-F.avg("logp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def sql_unigram_logprob() -> str:
+    return """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+vocab AS (SELECT term, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM vocab),
+v AS (SELECT term, ln(n) - ln(total) AS logp FROM vocab, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(logp), 6) AS avg_neg_logprob
+FROM tok JOIN v USING (term) GROUP BY doc_id
+"""

@@ -2130,6 +2130,12 @@ def q_doc_source_stats(spark, sf_dir):
     return ptext.source_stats(_docs(spark, sf_dir))
 
 
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality score (mean -log p per token) — the cheap
+    perplexity-filter shape (pipeline/text.py unigram_logprob)."""
+    return ptext.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_emb_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup decision: embedding near-dup pairs
     (multi-table LSH) -> connected components -> one canonical vector
@@ -2577,6 +2583,10 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     ),
     # per-(lang, source) corpus mixture report
     "doc_source_stats": QueryDef(q_doc_source_stats, ptext.sql_source_stats()),
+    # unigram-LM quality score (perplexity-filter shape)
+    "doc_unigram_logprob": QueryDef(
+        q_doc_unigram_logprob, ptext.sql_unigram_logprob()
+    ),
     # semantic dedup over embeddings (near-dup graph -> clusters)
     "emb_semantic_dedup": QueryDef(
         q_emb_semantic_dedup,
@@ -2624,6 +2634,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_dedup_clusters",
     "doc_sample_budget",
     "doc_source_stats",
+    "doc_unigram_logprob",
     "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",

@@ -180,3 +180,36 @@ def test_ivf_serving_plan_has_no_training(spark, sf_dir):
     centroid re-aggregation) must not appear in the query plan."""
     plan = plan_of(CATALOG["emb_ann_ivf"].fn(spark, sf_dir))
     assert "posexplode" not in plan
+
+
+def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
+    plan = plan_of(CATALOG["doc_sample_budget"].fn(spark, sf_dir))
+    # exactly one exchange: the stratum window; the budget filter must not
+    # introduce another
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "lang" in plan and "source" in plan
+
+
+def test_source_stats_has_no_joins(spark, sf_dir):
+    # all signals come from ONE projection over documents + one groupBy;
+    # a join would mean the table is being scanned more than once
+    plan = plan_of(CATALOG["doc_source_stats"].fn(spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_unigram_vocab_is_broadcast(spark, sf_dir):
+    plan = plan_of(CATALOG["doc_unigram_logprob"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert_no_theta_joins(plan, "doc_unigram_logprob")
+
+
+@pytest.mark.parametrize("name", [
+    "tpch_q2_min_cost_supplier", "tpch_q7_nation_volume",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q16_supplier_counts", "tpch_q20_excess_shippers",
+])
+def test_new_tpch_dims_broadcast(spark, sf_dir, name):
+    plan = plan_of(CATALOG[name].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert_no_theta_joins(plan, name)
