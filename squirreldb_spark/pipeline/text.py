@@ -383,3 +383,62 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        round(-avg(logp), 6) AS avg_neg_logprob
 FROM tok JOIN v USING (term) GROUP BY doc_id
 """
+
+
+def pack_sequences(
+    docs: DataFrame, context_len: int = 512, text_col: str = "text"
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document its pack
+    (training-example) index for a fixed context length.
+
+    Documents are ordered per language by the content-independent
+    shuffle key, the running token total is one window cumsum, and a
+    doc's pack is the chunk its first token lands in:
+    ``floor(start_offset / context_len)`` — the standard streaming
+    packing used to build fixed-length training batches. One window
+    shuffle per language partition; the pack assignment itself is a
+    narrow map over the cumsum.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("sample_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.col("running_tokens") - F.col("n_tokens")
+    return (
+        docs.select(
+            "doc_id", "lang", n_tok.alias("n_tokens"), key.alias("sample_key")
+        )
+        .withColumn("running_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor(start / context_len).alias("pack_id"),
+            (start % context_len).alias("pack_offset"),
+        )
+    )
+
+
+def sql_pack_sequences(context_len: int = 512) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS sample_key
+  FROM documents),
+r AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang
+                                  ORDER BY sample_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_tokens
+  FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((running_tokens - n_tokens) / {context_len}.0) AS BIGINT)
+         AS pack_id,
+       (running_tokens - n_tokens) % {context_len} AS pack_offset
+FROM r
+"""

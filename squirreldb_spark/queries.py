@@ -2136,6 +2136,12 @@ def q_doc_unigram_logprob(spark, sf_dir):
     return ptext.unigram_logprob(_docs(spark, sf_dir))
 
 
+def q_doc_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing: each doc's training-example
+    index at a fixed context length (pipeline/text.py pack_sequences)."""
+    return ptext.pack_sequences(_docs(spark, sf_dir))
+
+
 def q_emb_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup decision: embedding near-dup pairs
     (multi-table LSH) -> connected components -> one canonical vector
@@ -2587,6 +2593,10 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "doc_unigram_logprob": QueryDef(
         q_doc_unigram_logprob, ptext.sql_unigram_logprob()
     ),
+    # concat-and-chunk sequence packing (fixed context length)
+    "doc_pack_sequences": QueryDef(
+        q_doc_pack_sequences, ptext.sql_pack_sequences()
+    ),
     # semantic dedup over embeddings (near-dup graph -> clusters)
     "emb_semantic_dedup": QueryDef(
         q_emb_semantic_dedup,
@@ -2635,6 +2645,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_sample_budget",
     "doc_source_stats",
     "doc_unigram_logprob",
+    "doc_pack_sequences",
     "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",

@@ -259,3 +259,16 @@ def test_source_stats_rates_bounded(spark, docs):
     for r in rows:
         assert 0.0 <= r.exact_dup_rate <= 1.0
         assert 0.0 <= r.quality_pass_rate <= 1.0
+
+
+def test_pack_sequences_contiguous_within_lang(spark, docs):
+    out = text.pack_sequences(docs, context_len=256).collect()
+    assert out
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in by_lang.items():
+        # pack ids form a contiguous prefix 0..max and offsets stay in range
+        ids = sorted({r.pack_id for r in rows})
+        assert ids == list(range(ids[-1] + 1))
+        assert all(0 <= r.pack_offset < 256 for r in rows)
