@@ -263,6 +263,102 @@ def decode_read_response(buf: bytes) -> list[list[TimeSeries]]:
     return out
 
 
+# ----------------------------------------------- remote-write 2.0 (PRW2)
+#
+# The reference accepts both protocol versions (api/api.go:63-66,
+# allowedProtoMsgs = [V1, V2]).  PRW2 (io.prometheus.write.v2.Request,
+# published in prometheus/prompb/io/prometheus/write/v2/types.proto)
+# string-interns every label name/value into a request-level symbol
+# table; series carry packed uint32 reference pairs:
+#
+#   Request    { repeated string symbols = 4; repeated TimeSeries = 5; }
+#   TimeSeries { repeated uint32 labels_refs = 1 (packed);
+#                repeated Sample samples = 2; ... }
+#
+# symbols[0] MUST be the empty string per spec.
+
+
+def encode_write_request_v2(series: list[TimeSeries]) -> bytes:
+    symbols: list[str] = [""]
+    index: dict[str, int] = {"": 0}
+
+    def ref(s: str) -> int:
+        if s not in index:
+            index[s] = len(symbols)
+            symbols.append(s)
+        return index[s]
+
+    ts_bodies = []
+    for ts in series:
+        refs = bytearray()
+        for name in ts.labels:
+            refs += write_uvarint(ref(name))
+            refs += write_uvarint(ref(ts.labels[name]))
+        body = _len_delim(1, bytes(refs))  # packed labels_refs
+        for s in ts.samples:
+            body += _len_delim(
+                2, _double_field(1, s.value) + _varint_field(2, s.timestamp_ms)
+            )
+        ts_bodies.append(body)
+    out = bytearray()
+    for sym in symbols:
+        out += _len_delim(4, sym.encode())
+    for body in ts_bodies:
+        out += _len_delim(5, body)
+    return bytes(out)
+
+
+def decode_write_request_v2(buf: bytes) -> list[TimeSeries]:
+    symbols: list[str] = []
+    ts_bufs: list[bytes] = []
+    for field_no, wire, v in iter_fields(buf):
+        if field_no == 4 and wire == 2:
+            symbols.append(v.decode())
+        elif field_no == 5 and wire == 2:
+            ts_bufs.append(v)
+    out = []
+    for tb in ts_bufs:
+        ts = TimeSeries()
+        refs: list[int] = []
+        for fn, w, v in iter_fields(tb):
+            if fn == 1 and w == 2:  # packed labels_refs
+                pos = 0
+                while pos < len(v):
+                    r, pos = read_uvarint(v, pos)
+                    refs.append(r)
+            elif fn == 1 and w == 0:  # unpacked encoder variant
+                refs.append(v)
+            elif fn == 2 and w == 2:
+                val, tstamp = 0.0, 0
+                for sfn, sw, sv in iter_fields(v):
+                    if sfn == 1 and sw == 1:
+                        val = struct.unpack("<d", sv)[0]
+                    elif sfn == 2 and sw == 0:
+                        tstamp = _int64(sv)
+                ts.samples.append(Sample(val, tstamp))
+            # exemplars (3) / metadata (4) / created_timestamp (5) skipped
+        if len(refs) % 2:
+            raise ValueError("odd labels_refs length")
+        for i in range(0, len(refs), 2):
+            ts.labels[symbols[refs[i]]] = symbols[refs[i + 1]]
+        out.append(ts)
+    return out
+
+
+def decode_write_request_any(buf: bytes) -> list[TimeSeries]:
+    """Version sniff for uncompressed WriteRequest bytes: PRW2 uses only
+    fields 4/5 (1-3 reserved), V1 uses field 1 — disjoint tag sets, so
+    the first field number decides (the HTTP layer prefers the explicit
+    Content-Type ``proto=`` parameter when present)."""
+    for field_no, _wire, _v in iter_fields(buf):
+        return (
+            decode_write_request_v2(buf)
+            if field_no >= 4
+            else decode_write_request(buf)
+        )
+    return []
+
+
 # ---------------------------------------------------------------- snappy
 
 
@@ -347,13 +443,26 @@ def snappy_compress(data: bytes) -> bytes:
 # ------------------------------------------------------------ public API
 
 
-def decode_remote_write_body(body: bytes) -> list[TimeSeries]:
-    """Full remote-write decode: snappy body -> WriteRequest."""
-    return decode_write_request(snappy_decompress(body))
+def decode_remote_write_body(
+    body: bytes, proto: str | None = None
+) -> list[TimeSeries]:
+    """Full remote-write decode: snappy body -> WriteRequest (V1 or
+    PRW2). ``proto`` is the Content-Type ``proto=`` parameter when the
+    caller has one; otherwise the tag sets disambiguate."""
+    buf = snappy_decompress(body)
+    if proto == "io.prometheus.write.v2.Request":
+        return decode_write_request_v2(buf)
+    if proto == "prometheus.WriteRequest":
+        return decode_write_request(buf)
+    return decode_write_request_any(buf)
 
 
 def encode_remote_write_body(series: list[TimeSeries]) -> bytes:
     return snappy_compress(encode_write_request(series))
+
+
+def encode_remote_write_body_v2(series: list[TimeSeries]) -> bytes:
+    return snappy_compress(encode_write_request_v2(series))
 
 
 def decode_remote_read_body(body: bytes) -> list[Query]:

@@ -240,7 +240,16 @@ class PromHTTPServer:
         try:
             path = url.path
             if path == "/api/v1/write":
-                series = codec.decode_remote_write_body(body)
+                # version negotiation per the remote-write 2.0 spec: the
+                # proto= Content-Type parameter names the message
+                # (reference allows both, api/api.go:63-66)
+                ctype = handler.headers.get("Content-Type", "")
+                proto = None
+                for part in ctype.split(";"):
+                    part = part.strip()
+                    if part.startswith("proto="):
+                        proto = part[len("proto="):]
+                series = codec.decode_remote_write_body(body, proto=proto)
                 ttl = handler.headers.get("X-SquirrelDB-TTL")
                 self.ingest(
                     series,

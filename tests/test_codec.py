@@ -176,3 +176,46 @@ def test_api_remote_read_end_to_end(spark):
     assert [(s.value, s.timestamp_ms) for s in a_cpu.samples] == [(1.0, 1000), (2.0, 2000)]
     assert (("host", "b"), ("name", "cpu")) in by_labels
     assert (("host", "a"), ("name", "mem")) not in by_labels
+
+
+def test_write_request_v2_roundtrip():
+    series = [_ts(), TimeSeries(labels={"__name__": "up"}, samples=[Sample(1.0, 5)])]
+    out = codec.decode_write_request_v2(codec.encode_write_request_v2(series))
+    assert [t.labels for t in out] == [t.labels for t in series]
+    assert [(s.value, s.timestamp_ms) for s in out[0].samples] == [
+        (1027.0, 1_700_000_000_000), (1028.5, 1_700_000_015_000)]
+
+
+def test_write_request_v2_interns_symbols():
+    # shared names/values must appear once in the symbol table
+    series = [
+        TimeSeries(labels={"__name__": "up", "job": "api"}, samples=[Sample(1.0, 1)]),
+        TimeSeries(labels={"__name__": "up", "job": "db"}, samples=[Sample(2.0, 1)]),
+    ]
+    buf = codec.encode_write_request_v2(series)
+    symbols = [v.decode() for f, w, v in codec.iter_fields(buf) if f == 4]
+    assert symbols[0] == ""
+    assert symbols.count("up") == 1 and symbols.count("__name__") == 1
+    assert codec.decode_write_request_v2(buf)[1].labels == {
+        "__name__": "up", "job": "db"}
+
+
+def test_write_request_version_sniff():
+    series = [TimeSeries(labels={"a": "b"}, samples=[Sample(7.0, 42)])]
+    v1 = codec.encode_write_request(series)
+    v2 = codec.encode_write_request_v2(series)
+    assert codec.decode_write_request_any(v1)[0].labels == {"a": "b"}
+    assert codec.decode_write_request_any(v2)[0].labels == {"a": "b"}
+    assert codec.decode_write_request_any(b"") == []
+
+
+def test_remote_write_body_v2_and_proto_param():
+    series = [TimeSeries(labels={"a": "b"}, samples=[Sample(7.0, 42)])]
+    body = codec.encode_remote_write_body_v2(series)
+    for proto in (None, "io.prometheus.write.v2.Request"):
+        out = codec.decode_remote_write_body(body, proto=proto)
+        assert out[0].labels == {"a": "b"}
+        assert out[0].samples[0] == Sample(7.0, 42)
+    v1_body = codec.encode_remote_write_body(series)
+    assert codec.decode_remote_write_body(
+        v1_body, proto="prometheus.WriteRequest")[0].labels == {"a": "b"}

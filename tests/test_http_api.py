@@ -253,3 +253,34 @@ def test_mutable_label_management_write_then_query(base, written):
     )
     assert status == 200
     assert out["data"]["result"] == []
+
+
+def test_write_v2_then_query_range(base, written):
+    """A PRW2 (symbol-table) WriteRequest lands alongside v1 data: POST
+    with the spec's proto= Content-Type parameter, read back via
+    /api/v1/query_range."""
+    series = [
+        codec.TimeSeries(
+            labels={"__name__": "prw2_metric", "job": "v2"},
+            samples=[codec.Sample(11.0, 10_000), codec.Sample(12.0, 70_000)],
+        ),
+    ]
+    body = codec.encode_remote_write_body_v2(series)
+    status, _ = _post(
+        f"{base}/api/v1/write", body,
+        {"X-SquirrelDB-Tenant": "t0",
+         "Content-Encoding": "snappy",
+         "Content-Type":
+             "application/x-protobuf;proto=io.prometheus.write.v2.Request"},
+    )
+    assert status == 204
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=prw2_metric"
+        "&start=0&end=130&step=60",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200, out
+    results = out["data"]["result"]
+    assert len(results) == 1
+    assert results[0]["metric"]["job"] == "v2"
+    assert [v for _, v in results[0]["values"]] == ["11.0", "12.0"]
