@@ -471,3 +471,142 @@ def decode_remote_read_body(body: bytes) -> list[Query]:
 
 def encode_remote_read_response_body(results: list[list[TimeSeries]]) -> bytes:
     return snappy_compress(encode_read_response(results))
+
+
+# ----------------------------------------------------------- OTLP metrics
+#
+# The reference registers the Prometheus OTLP-write handler alongside
+# remote write (api/api.go:157-195, both enabled). Decode the published
+# opentelemetry-proto metrics subset (ExportMetricsServiceRequest) into
+# the same TimeSeries model, applying the prometheus translation rules:
+# data-point + resource attributes become labels (names sanitized to
+# [a-zA-Z0-9_]), the metric name becomes __name__, and nanosecond
+# timestamps become milliseconds. Gauge and Sum number points are
+# supported — the monotonic-counter / gauge distinction does not change
+# the stored samples. Histogram/summary/exponential points are skipped
+# (the reference relies on the embedded translator for those; parity for
+# the number path is what our ingest consumes).
+
+
+def _sanitize_label(name: str) -> str:
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    return "_" + out if out and out[0].isdigit() else out
+
+
+def _decode_any_value(buf: bytes) -> str:
+    for fn, w, v in iter_fields(buf):
+        if fn == 1 and w == 2:          # string_value
+            return v.decode()
+        if fn == 2 and w == 0:          # bool_value
+            return "true" if v else "false"
+        if fn == 3 and w == 0:          # int_value
+            return str(_int64(v))
+        if fn == 4 and w == 1:          # double_value
+            return repr(struct.unpack("<d", v)[0])
+    return ""
+
+
+def _decode_attributes(bufs: list[bytes]) -> dict[str, str]:
+    out = {}
+    for kv in bufs:
+        key, val = "", ""
+        for fn, w, v in iter_fields(kv):
+            if fn == 1 and w == 2:
+                key = v.decode()
+            elif fn == 2 and w == 2:
+                val = _decode_any_value(v)
+        if key:
+            out[_sanitize_label(key)] = val
+    return out
+
+
+def _decode_number_point(buf: bytes) -> tuple[dict[str, str], int, float]:
+    attrs_bufs: list[bytes] = []
+    t_ns = 0
+    value = 0.0
+    for fn, w, v in iter_fields(buf):
+        if fn == 7 and w == 2:          # attributes
+            attrs_bufs.append(v)
+        elif fn == 3 and w == 1:        # time_unix_nano (fixed64)
+            t_ns = struct.unpack("<Q", v)[0]
+        elif fn == 4 and w == 1:        # as_double
+            value = struct.unpack("<d", v)[0]
+        elif fn == 6 and w == 1:        # as_int (sfixed64)
+            value = float(struct.unpack("<q", v)[0])
+    return _decode_attributes(attrs_bufs), t_ns // 1_000_000, value
+
+
+def decode_otlp_metrics(buf: bytes) -> list[TimeSeries]:
+    """ExportMetricsServiceRequest -> TimeSeries list (gauge/sum points)."""
+    series: dict[tuple, TimeSeries] = {}
+    for fn, w, rm in iter_fields(buf):          # resource_metrics = 1
+        if fn != 1 or w != 2:
+            continue
+        res_attrs: dict[str, str] = {}
+        scope_bufs: list[bytes] = []
+        for rfn, rw, rv in iter_fields(rm):
+            if rfn == 1 and rw == 2:            # resource
+                res_attrs = _decode_attributes([
+                    av for afn, aw, av in iter_fields(rv)
+                    if afn == 1 and aw == 2
+                ])
+            elif rfn == 2 and rw == 2:          # scope_metrics
+                scope_bufs.append(rv)
+        for sm in scope_bufs:
+            for sfn, sw, metric in iter_fields(sm):
+                if sfn != 2 or sw != 2:         # metrics = 2
+                    continue
+                name = ""
+                point_bufs: list[bytes] = []
+                for mfn, mw, mv in iter_fields(metric):
+                    if mfn == 1 and mw == 2:    # name
+                        name = mv.decode()
+                    elif mfn in (5, 7) and mw == 2:  # gauge / sum
+                        point_bufs += [
+                            pv for pfn, pw, pv in iter_fields(mv)
+                            if pfn == 1 and pw == 2
+                        ]
+                for pb in point_bufs:
+                    attrs, ts_ms, value = _decode_number_point(pb)
+                    labels = {
+                        **res_attrs, **attrs,
+                        "__name__": _sanitize_label(name),
+                    }
+                    key = tuple(sorted(labels.items()))
+                    series.setdefault(key, TimeSeries(labels=labels)).samples.append(
+                        Sample(value, ts_ms)
+                    )
+    return list(series.values())
+
+
+def _kv(key: str, value: str) -> bytes:
+    return _len_delim(1, key.encode()) + _len_delim(
+        2, _len_delim(1, value.encode())
+    )
+
+
+def encode_otlp_metrics(
+    series: list[TimeSeries], resource_attrs: dict[str, str] | None = None
+) -> bytes:
+    """Test-side encoder: each TimeSeries becomes one gauge metric whose
+    data points carry the non-__name__ labels as attributes."""
+    metrics = bytearray()
+    for ts in series:
+        points = bytearray()
+        for s in ts.samples:
+            body = bytearray()
+            for k, v in ts.labels.items():
+                if k != "__name__":
+                    body += _len_delim(7, _kv(k, v))
+            body += _tag(3, 1) + struct.pack("<Q", s.timestamp_ms * 1_000_000)
+            body += _tag(4, 1) + struct.pack("<d", s.value)
+            points += _len_delim(1, bytes(body))
+        metric = _len_delim(1, ts.labels.get("__name__", "").encode())
+        metric += _len_delim(5, bytes(points))   # gauge
+        metrics += _len_delim(2, bytes(metric))
+    scope_metrics = _len_delim(2, bytes(metrics))
+    resource = bytearray()
+    for k, v in (resource_attrs or {}).items():
+        resource += _len_delim(1, _kv(k, v))
+    rm = _len_delim(1, bytes(resource)) + scope_metrics
+    return bytes(_len_delim(1, rm))

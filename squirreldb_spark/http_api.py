@@ -260,6 +260,23 @@ class PromHTTPServer:
                 handler.send_header("Content-Length", "0")
                 handler.end_headers()
                 return
+            if path == "/api/v1/otlp/v1/metrics":
+                # OTLP metrics ingest (reference enables the handler
+                # alongside remote write, api/api.go:157-195); body is
+                # uncompressed or gzip protobuf, never snappy
+                if handler.headers.get("Content-Encoding") == "gzip":
+                    import gzip
+
+                    body = gzip.decompress(body)
+                series = codec.decode_otlp_metrics(body)
+                ttl = handler.headers.get("X-SquirrelDB-TTL")
+                self.ingest(
+                    series,
+                    handler.headers.get("X-SquirrelDB-Tenant"),
+                    int(ttl) if ttl else None,
+                )
+                self._send_bytes(handler, 200, b"")
+                return
             if path == "/api/v1/read":
                 out = self._api().remote_read(body)
                 self._send_bytes(handler, 200, out)

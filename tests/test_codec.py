@@ -219,3 +219,30 @@ def test_remote_write_body_v2_and_proto_param():
     v1_body = codec.encode_remote_write_body(series)
     assert codec.decode_remote_write_body(
         v1_body, proto="prometheus.WriteRequest")[0].labels == {"a": "b"}
+
+
+def test_otlp_metrics_roundtrip():
+    series = [
+        TimeSeries(labels={"__name__": "cpu_usage", "core": "0"},
+                   samples=[Sample(0.5, 1_000), Sample(0.7, 2_000)]),
+        TimeSeries(labels={"__name__": "cpu_usage", "core": "1"},
+                   samples=[Sample(0.9, 1_000)]),
+    ]
+    buf = codec.encode_otlp_metrics(series, resource_attrs={"host": "h1"})
+    out = sorted(codec.decode_otlp_metrics(buf),
+                 key=lambda t: t.labels["core"])
+    assert [t.labels for t in out] == [
+        {"host": "h1", "core": "0", "__name__": "cpu_usage"},
+        {"host": "h1", "core": "1", "__name__": "cpu_usage"},
+    ]
+    assert [(s.value, s.timestamp_ms) for s in out[0].samples] == [
+        (0.5, 1_000), (0.7, 2_000)]
+
+
+def test_otlp_label_sanitization():
+    series = [TimeSeries(labels={"__name__": "http.server.duration",
+                                 "span.kind": "server"},
+                         samples=[Sample(1.0, 1_000)])]
+    out = codec.decode_otlp_metrics(codec.encode_otlp_metrics(series))
+    assert out[0].labels == {"__name__": "http_server_duration",
+                             "span_kind": "server"}

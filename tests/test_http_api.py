@@ -284,3 +284,36 @@ def test_write_v2_then_query_range(base, written):
     assert len(results) == 1
     assert results[0]["metric"]["job"] == "v2"
     assert [v for _, v in results[0]["values"]] == ["11.0", "12.0"]
+
+
+def test_otlp_write_then_query(base, written):
+    """OTLP number points land through /api/v1/otlp/v1/metrics (gzip
+    protobuf) and come back through the PromQL surface."""
+    import gzip
+
+    series = [
+        codec.TimeSeries(
+            labels={"__name__": "otlp.cpu.usage", "core": "0"},
+            samples=[codec.Sample(0.25, 10_000), codec.Sample(0.75, 70_000)],
+        ),
+    ]
+    body = gzip.compress(
+        codec.encode_otlp_metrics(series, resource_attrs={"host": "h9"})
+    )
+    status, _ = _post(
+        f"{base}/api/v1/otlp/v1/metrics", body,
+        {"X-SquirrelDB-Tenant": "t0",
+         "Content-Encoding": "gzip",
+         "Content-Type": "application/x-protobuf"},
+    )
+    assert status == 200
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=otlp_cpu_usage"
+        "&start=0&end=130&step=60",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200, out
+    results = out["data"]["result"]
+    assert len(results) == 1
+    assert results[0]["metric"]["host"] == "h9"
+    assert [v for _, v in results[0]["values"]] == ["0.25", "0.75"]
