@@ -510,3 +510,28 @@ SELECT node AS {id_alias}, cluster_id,
        node = cluster_id AS is_canonical
 FROM comp
 """
+
+
+def dedup_document_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: canonical md5 fingerprint + state-bounded
+    duplicate drop for an unbounded document stream.
+
+    ``dropDuplicatesWithinWatermark`` keeps a fingerprint's state only
+    until the watermark passes its event time, so state is bounded by
+    (throughput x watermark) instead of growing with the corpus — the
+    only shape that survives an unbounded ingest stream. Batch dedup of
+    the same corpus (``exact_dedup``) remains the exactness baseline;
+    the stream variant can re-admit a duplicate that arrives more than
+    ``watermark`` after the original, which is the documented, bounded
+    trade.
+    """
+    normalized = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    fp = docs.withColumn("fingerprint", F.md5(normalized.cast("binary")))
+    return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["fingerprint"]
+    )

@@ -234,3 +234,37 @@ def test_stateful_deltas_across_restarts(spark, tmpdir):
     assert got[BASE_TS + 60_000] == (10.0, 10.0)
     assert got[BASE_TS + 120_000] == (20.0, 10.0)
     assert got[BASE_TS + 180_000] == (25.0, 5.0)
+
+
+def test_streaming_document_dedup_bounded_state(spark, tmpdir):
+    """pipeline.dedup.dedup_document_stream: duplicates inside the
+    watermark are dropped, state does not require the full corpus."""
+    from squirreldb_spark.pipeline.dedup import dedup_document_stream
+
+    src = f"{tmpdir}/docs_src"
+    rows = [
+        (1, "alpha beta gamma", 1_000),
+        (2, "alpha  BETA gamma", 2_000),   # same canonical text -> dup
+        (3, "delta epsilon", 3_000),
+        (4, "alpha beta gamma", 4_000),    # dup again
+        (5, "zeta eta", 5_000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts long")
+    df = df.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out_dir, ckpt = f"{tmpdir}/docs_out", f"{tmpdir}/docs_ckpt"
+    q = (
+        dedup_document_stream(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    fps = [r.fingerprint for r in got.collect()]
+    assert len(fps) == 3 and len(set(fps)) == 3
+    assert {r.doc_id for r in got.collect()} <= {1, 2, 3, 5}  # one per text
