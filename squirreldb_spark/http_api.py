@@ -90,6 +90,9 @@ class PromHTTPServer:
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: self-telemetry for /metrics (reference serves promhttp on
+        #: /metrics, api/api.go:211): per-path request counts + ingest
+        self._counters: dict[str, int] = {}
 
     # ------------------------------------------------------------- store
 
@@ -135,6 +138,9 @@ class PromHTTPServer:
                 rows.append((labels, s.timestamp_ms, s.value, ttl_s))
         with self._lock:
             self._written.extend(rows)
+            self._counters["ingested_samples_total"] = (
+                self._counters.get("ingested_samples_total", 0) + len(rows)
+            )
         return len(rows)
 
     # --------------------------------------------------------- lifecycle
@@ -227,6 +233,9 @@ class PromHTTPServer:
 
     def _route(self, handler, body: bytes) -> None:
         url = urlparse(handler.path)
+        with self._lock:
+            key = f"requests_total{{path={url.path}}}"
+            self._counters[key] = self._counters.get(key, 0) + 1
         params = parse_qs(url.query)
         if body and handler.headers.get("Content-Type", "").startswith(
             "application/x-www-form-urlencoded"
@@ -333,6 +342,92 @@ class PromHTTPServer:
                 return
             if path in ("/mutable/names", "/mutable/values"):
                 self._mutable_route(handler, path, body)
+                return
+            if path == "/ready":
+                self._send_json(handler, 200, {"status": "ok"})
+                return
+            if path == "/metrics":
+                # Prometheus text exposition of the daemon's own counters
+                with self._lock:
+                    counters = dict(self._counters)
+                    buffered = len(self._written)
+                lines = ["# TYPE squirreldb_requests_total counter"]
+                for k in sorted(counters):
+                    lines.append(f"squirreldb_{k} {counters[k]}")
+                lines.append(f"squirreldb_buffered_points {buffered}")
+                self._send_bytes(
+                    handler, 200, ("\n".join(lines) + "\n").encode(),
+                    content_type="text/plain; version=0.0.4",
+                )
+                return
+            if path == "/debug/index_info":
+                pts = self._points()
+                fp = F.to_json(F.expr(
+                    "map_from_entries(array_sort(map_entries(labels)))"
+                ))
+                info = pts.agg(
+                    F.count(F.lit(1)).alias("n_points"),
+                    F.countDistinct(fp).alias("n_series"),
+                ).collect()[0]
+                tenants = [
+                    r[0] for r in pts.select(
+                        F.col("labels")[self.tenant_label]
+                    ).distinct().collect() if r[0] is not None
+                ]
+                self._send_json(
+                    handler, 200,
+                    {"n_points": info["n_points"],
+                     "n_series": info["n_series"],
+                     "tenants": sorted(tenants)},
+                )
+                return
+            if path == "/debug/index_verify":
+                # A40 over the daemon store: fact label-sets vs the
+                # interned fingerprint dimension (reference
+                # /debug/index_verify, cassandra/index/verify.go)
+                from squirreldb_spark.tsdb.maintenance import verify_index
+
+                pts = self._points().withColumn(
+                    "__series__",
+                    F.to_json(F.expr(
+                        "map_from_entries(array_sort(map_entries(labels)))"
+                    )),
+                )
+                dim = pts.select("__series__").distinct()
+                rows = verify_index(pts, dim, ["__series__"]).collect()
+                self._send_json(
+                    handler, 200,
+                    {"checks": {r["check"]: r["n"] for r in rows}},
+                )
+                return
+            if path == "/debug/preaggregate":
+                # A36 forced pre-aggregation over [from, to]
+                from squirreldb_spark.tsdb.downsample import downsample_map
+
+                lo = _parse_time_s(p("from", "0"))
+                hi = _parse_time_s(p("to", str(1 << 40)))
+                pts = self._points().filter(
+                    (F.col("ts") >= lo) & (F.col("ts") < hi)
+                )
+                n = downsample_map(pts).count()
+                self._send_json(
+                    handler, 200, {"status": "ok", "buckets": n}
+                )
+                return
+            if path == "/debug/flush":
+                # the parquet/buffer store is immediately queryable; the
+                # reference flushes its temporary store here
+                with self._lock:
+                    buffered = len(self._written)
+                self._send_json(
+                    handler, 200, {"status": "ok", "points": buffered}
+                )
+                return
+            if path == "/debug/mutable_dump":
+                self._send_json(
+                    handler, 200,
+                    {"data": [r.asDict() for r in self.mutable_store.rows()]},
+                )
                 return
             self._send_json(
                 handler, 404,

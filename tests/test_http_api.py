@@ -317,3 +317,57 @@ def test_otlp_write_then_query(base, written):
     assert len(results) == 1
     assert results[0]["metric"]["host"] == "h9"
     assert [v for _, v in results[0]["values"]] == ["0.25", "0.75"]
+
+
+# ---------------------------------------------------- operational routes
+
+
+def test_ready_and_metrics(base, written):
+    status, out = _get(f"{base}/ready")
+    assert status == 200 and out["status"] == "ok"
+    req = urllib.request.Request(f"{base}/metrics")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        text = resp.read().decode()
+    assert "squirreldb_ingested_samples_total" in text
+    assert "squirreldb_buffered_points" in text
+    assert 'requests_total{path=/api/v1/write}' in text
+
+
+def test_debug_index_info_and_verify(base, written):
+    status, out = _get(f"{base}/debug/index_info")
+    assert status == 200
+    assert out["n_points"] >= 6 and out["n_series"] >= 2
+    assert "t0" in out["tenants"]
+    status, out = _get(f"{base}/debug/index_verify")
+    assert status == 200
+    checks = out["checks"]
+    assert checks["orphan_fact_series"] == 0
+    assert checks["empty_dim_series"] == 0
+    assert checks["n_series"] >= 2
+    assert checks["n_points"] >= checks["n_series"]
+
+
+def test_debug_preaggregate_and_flush(base, written):
+    status, out = _get(f"{base}/debug/preaggregate?from=0&to=1000")
+    assert status == 200 and out["buckets"] >= 1
+    status, out = _get(f"{base}/debug/flush")
+    assert status == 200 and out["points"] >= 6
+
+
+def test_debug_mutable_dump(base, written):
+    body = json.dumps(
+        [{"tenant": "t9", "name": "grp", "value": "g1",
+          "associated_values": ["a", "b"]}]
+    ).encode()
+    # need the name registered first
+    _post(f"{base}/mutable/names", json.dumps(
+        [{"tenant": "t9", "name": "grp", "associated_name": "inst"}]
+    ).encode(), {"Content-Type": "application/json"})
+    status, _ = _post(f"{base}/mutable/values", body,
+                      {"Content-Type": "application/json"})
+    assert status == 204
+    status, out = _get(f"{base}/debug/mutable_dump")
+    assert status == 200
+    entries = [e for e in out["data"] if e["tenant"] == "t9"]
+    assert entries and entries[0]["associated_values"] == ["a", "b"]
