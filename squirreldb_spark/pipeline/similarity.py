@@ -494,3 +494,51 @@ pairs AS (
   FROM cand JOIN base av ON av.vec_id = a_id JOIN base bv ON bv.vec_id = b_id)
 SELECT a_id, b_id, cosine FROM pairs WHERE cosine >= {threshold}
 """
+
+
+def hybrid_text_embedding_neardup(
+    pairs: DataFrame,
+    emb: DataFrame,
+    threshold: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cross-modal near-dup verification: text-LSH recall, embedding
+    precision. Candidate pairs from the cheap MinHash-LSH text path are
+    re-scored with the exact embedding cosine; ``semantic_confirmed``
+    applies the precision threshold (~0.9 in production; the synthetic
+    corpus embeddings are uncorrelated with its texts, so the catalog
+    default 0.0 exercises both flag branches).
+
+    Scale shape: the pair list is orders of magnitude smaller than the
+    corpus, so the two id equi-joins against the embedding table are the
+    whole cost — no self-join, no new candidate generation.
+    """
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    out = with_cosine(j, "va", "vb").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    return out.select(
+        "id_a", "id_b", "est_jaccard", "cosine",
+        (F.col("cosine") >= threshold).alias("semantic_confirmed"),
+    )
+
+
+def sql_hybrid_text_embedding_neardup(
+    pairs_sql: str, threshold: float = 0.0
+) -> str:
+    return f"""
+WITH cand AS (SELECT id_a, id_b, est_jaccard FROM ({pairs_sql}) _p),
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT c.id_a, c.id_b, c.est_jaccard,
+         {_duck_cos('av.v', 'bv.v')} AS cosine
+  FROM cand c JOIN base av ON av.vec_id = c.id_a
+              JOIN base bv ON bv.vec_id = c.id_b)
+SELECT id_a, id_b, est_jaccard, cosine,
+       cosine >= {threshold} AS semantic_confirmed
+FROM scored
+"""

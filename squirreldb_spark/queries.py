@@ -2153,6 +2153,19 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return pdedup.cluster_members(cc, "vec_id")
 
 
+def q_doc_hybrid_neardup(spark, sf_dir):
+    """Cross-modal dedup verification: MinHash-LSH text candidates
+    re-scored by exact embedding cosine (similarity.py
+    hybrid_text_embedding_neardup) — cheap recall, semantic precision."""
+    docs = _docs(spark, sf_dir)
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    sig = pdedup.minhash_signatures(docs)
+    pairs = pdedup.minhash_estimated_similarity(
+        sig, pdedup.lsh_candidate_pairs(sig)
+    )
+    return psim.hybrid_text_embedding_neardup(pairs, emb)
+
+
 def q_emb_ivf_centroids(spark, sf_dir):
     """The OFFLINE IVF training product: the centroid table itself
     (spherical k-means over the deterministic sample, similarity.py
@@ -2597,6 +2610,13 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "doc_pack_sequences": QueryDef(
         q_doc_pack_sequences, ptext.sql_pack_sequences()
     ),
+    # cross-modal verification: text-LSH candidates x embedding cosine
+    "doc_hybrid_neardup": QueryDef(
+        q_doc_hybrid_neardup,
+        psim.sql_hybrid_text_embedding_neardup(
+            pdedup.sql_minhash_lsh_pairs()
+        ),
+    ),
     # semantic dedup over embeddings (near-dup graph -> clusters)
     "emb_semantic_dedup": QueryDef(
         q_emb_semantic_dedup,
@@ -2646,6 +2666,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_source_stats",
     "doc_unigram_logprob",
     "doc_pack_sequences",
+    "doc_hybrid_neardup",
     "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
