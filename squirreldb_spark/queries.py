@@ -2153,6 +2153,26 @@ def q_emb_semantic_dedup(spark, sf_dir):
     return pdedup.cluster_members(cc, "vec_id")
 
 
+def q_doc_dedup_keep_list(spark, sf_dir):
+    """The dedup pipeline's actual deliverable: doc ids that survive
+    near-dup clustering (everything except non-canonical cluster
+    members) — anti-join of the corpus against the drop set."""
+    docs = _docs(spark, sf_dir)
+    sig = pdedup.minhash_signatures(docs)
+    pairs = pdedup.minhash_estimated_similarity(
+        sig, pdedup.lsh_candidate_pairs(sig)
+    )
+    cc = pdedup.connected_components(
+        pairs.filter(F.col("est_jaccard") >= DUP_EST_JACCARD)
+    )
+    drop = (
+        pdedup.cluster_members(cc, "doc_id")
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_doc_hybrid_neardup(spark, sf_dir):
     """Cross-modal dedup verification: MinHash-LSH text candidates
     re-scored by exact embedding cosine (similarity.py
@@ -2610,6 +2630,18 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "doc_pack_sequences": QueryDef(
         q_doc_pack_sequences, ptext.sql_pack_sequences()
     ),
+    # the dedup decision applied: surviving doc ids
+    "doc_dedup_keep_list": QueryDef(
+        q_doc_dedup_keep_list,
+        f"""
+WITH members AS (SELECT * FROM ({pdedup.sql_cc_clusters(
+            pdedup.sql_minhash_lsh_pairs(),
+            where=f"WHERE est_jaccard >= {DUP_EST_JACCARD}",
+        )}) _m)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
+""",
+    ),
     # cross-modal verification: text-LSH candidates x embedding cosine
     "doc_hybrid_neardup": QueryDef(
         q_doc_hybrid_neardup,
@@ -2667,6 +2699,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_unigram_logprob",
     "doc_pack_sequences",
     "doc_hybrid_neardup",
+    "doc_dedup_keep_list",
     "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",
