@@ -757,6 +757,13 @@ class PromQLEngine:
                 "quantile", quantile=q, grid=self.grid,
             )
             return self._drop_name(Vec(df, tuple(keys)))
+        if name == "mad_over_time":
+            mat = self._eval(node.args[0])
+            keys = mat.labels if mat.labels is not None else self.label_cols
+            df = range_fns.mad_over_time(
+                mat.points, keys, self.step_ms, mat.range_ms, grid=self.grid,
+            )
+            return self._drop_name(Vec(df, tuple(keys)))
         if name in ("resets", "changes"):
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
@@ -965,6 +972,17 @@ class PromQLEngine:
             vec = self._eval(node.args[0])
             order = F.asc("value") if name == "sort" else F.desc("value")
             return Vec(vec.df.orderBy(order), vec.labels)
+        if name in ("sort_by_label", "sort_by_label_desc"):
+            # Prometheus experimental (functions.go funcSortByLabel):
+            # lexicographic sort on the given label names
+            vec = self._eval(node.args[0])
+            mk = F.asc if name == "sort_by_label" else F.desc
+            cols = []
+            for lbl in node.args[1:]:
+                if lbl not in vec.df.columns:
+                    raise ValueError(f"unknown label {lbl!r}")
+                cols.append(mk(lbl))
+            return Vec(vec.df.orderBy(*cols), vec.labels)
         if name == "timestamp":
             arg = node.args[0]
             if isinstance(arg, A.VectorSelector) and arg.at_ms is None:

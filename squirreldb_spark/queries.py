@@ -199,6 +199,28 @@ FROM rs GROUP BY 1, 2, 3
 """
 
 
+def q_range_mad(spark, sf_dir):
+    """mad_over_time: median absolute deviation around the window median
+    (Prometheus experimental; two exact percentiles, one shuffle key)."""
+    df = range_fns.mad_over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS)
+    return _round(df, {"value": 6})
+
+
+SQL_RANGE_MAD = f"""
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+med AS (
+  SELECT user_id, event_type, step_ts,
+         quantile_cont(value, 0.5) AS med
+  FROM rs GROUP BY 1, 2, 3)
+SELECT r.user_id, r.event_type, r.step_ts,
+       round(quantile_cont(abs(r.value - m.med), 0.5)::DOUBLE, 6) AS value
+FROM rs r
+JOIN med m ON r.user_id = m.user_id AND r.event_type = m.event_type
+          AND r.step_ts = m.step_ts
+GROUP BY 1, 2, 3
+"""
+
+
 def _q_over_time(fn: str):
     def run(spark, sf_dir):
         df = range_fns.over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, fn)
@@ -2419,6 +2441,7 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "ts_downsample_5m": QueryDef(q_downsample, SQL_DOWNSAMPLE),
     "ts_instant_selector": QueryDef(q_instant, SQL_INSTANT),
     "ts_avg_over_time": QueryDef(q_range_avg, SQL_RANGE_AVG),
+    "ts_mad_over_time": QueryDef(q_range_mad, SQL_RANGE_MAD),
     "ts_sum_over_time": QueryDef(_q_over_time("sum"), _sql_over_time("sum(value)")),
     "ts_min_over_time": QueryDef(_q_over_time("min"), _sql_over_time("min(value)")),
     "ts_max_over_time": QueryDef(_q_over_time("max"), _sql_over_time("max(value)")),
@@ -2700,6 +2723,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_pack_sequences",
     "doc_hybrid_neardup",
     "doc_dedup_keep_list",
+    "ts_mad_over_time",
     "emb_semantic_dedup",
     # --- attested-green spine (regression canaries inside the window) ---
     "ts_rate",

@@ -180,6 +180,33 @@ def over_time(
     return rs.groupBy(*keys, "step_ts").agg(expr.alias(out))
 
 
+def mad_over_time(
+    points: DataFrame,
+    keys: Sequence[str],
+    step_ms: int,
+    range_ms: int,
+    grid: DataFrame | None = None,
+    out: str = "value",
+) -> DataFrame:
+    """``mad_over_time(m[range])`` (Prometheus experimental): median
+    absolute deviation around the window median.
+
+    Two exact-percentile aggregations over the SAME (series, step)
+    shuffle key — the per-step median joins back co-partitioned, so the
+    second pass adds no new exchange of the range rows.
+    """
+    keys = list(keys)
+    rs = range_select(points, keys, step_ms, range_ms, grid=grid)
+    med = rs.groupBy(*keys, "step_ts").agg(
+        F.expr("percentile(value, 0.5)").alias("_med")
+    )
+    return (
+        rs.join(med, [*keys, "step_ts"])
+        .groupBy(*keys, "step_ts")
+        .agg(F.expr("percentile(abs(value - _med), 0.5)").alias(out))
+    )
+
+
 def resets_changes(
     points: DataFrame,
     keys: Sequence[str],

