@@ -191,9 +191,11 @@ def mad_over_time(
     """``mad_over_time(m[range])`` (Prometheus experimental): median
     absolute deviation around the window median.
 
-    Two exact-percentile aggregations over the SAME (series, step)
-    shuffle key — the per-step median joins back co-partitioned, so the
-    second pass adds no new exchange of the range rows.
+    Two exact-percentile aggregations: the per-step median table is
+    (series x steps)-sized — far smaller than the range rows — so it
+    broadcasts back onto the range vector (observed plan: broadcast
+    join, zero sort-merge joins) and the deviations aggregate on the
+    same (series, step) key.
     """
     keys = list(keys)
     rs = range_select(points, keys, step_ms, range_ms, grid=grid)
