@@ -177,3 +177,37 @@ def test_uvarint_roundtrip_property(n):
 
     got, pos = codec.read_uvarint(codec.write_uvarint(n), 0)
     assert got == n
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20,
+))
+def test_connected_components_matches_union_find(spark, edges):
+    from squirreldb_spark.pipeline.dedup import connected_components
+
+    # reference: plain union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.node: r.cluster_id
+           for r in connected_components(pairs).collect()}
+    assert got == expected
