@@ -128,6 +128,60 @@ def ann_lsh(
 _IVF_CENTROIDS: dict[tuple, list] = {}
 
 
+def _vnorm_expr(v: str = "v") -> str:
+    """||v|| as a single JVM-side fold (computed once per row, shared by
+    every per-centroid cosine)."""
+    return f"sqrt({_DOT.format(a=v, b=v)})"
+
+
+def _centroid_scores_expr(cent_rows, v: str = "v", vn: str = "_vn") -> str:
+    """``array<struct<ccos:double, cell:int>>`` of the 6-dp-rounded cosine
+    of ``v`` against every (literal) centroid.
+
+    The centroids are embedded as literals — config-sized, the broadcast
+    analogue — so assignment is a pure projection inside the corpus scan:
+    NO exchange, unlike the former crossJoin + ``row_number`` window which
+    shuffled corpus x n_cells rows. Centroid norms are precomputed
+    host-side with the same left-fold summation ``aggregate`` uses, so the
+    arithmetic (dot / (||v|| * ||c||), rounded) is bit-identical to the
+    former ``with_cosine`` path and to the DuckDB oracle.
+    """
+    entries = []
+    for r in sorted(cent_rows, key=lambda r: int(r["cell"])):
+        cent = [float(x) for x in r["cent"]]
+        acc = 0.0
+        for x in cent:  # left fold, mirroring aggregate(zip_with(...))
+            acc += x * x
+        cn = acc ** 0.5
+        arr = ", ".join(f"{x!r}D" for x in cent)
+        entries.append(
+            f"named_struct('cell', {int(r['cell'])}, "
+            f"'cent', array({arr}), 'cn', {cn!r}D)"
+        )
+    dot = _DOT.format(a=v, b="c.cent")
+    return (
+        f"transform(array({', '.join(entries)}), "
+        f"c -> named_struct('ccos', round(({dot}) / ({vn} * c.cn), 6), "
+        f"'cell', c.cell))"
+    )
+
+
+#: argmax over the scores array (highest ccos, lowest cell on ties) as a
+#: zero-shuffle fold — replaces ``row_number() over partitionBy(vec_id)``.
+_ARGMAX_CELL = (
+    "aggregate({scores}, cast(null as struct<ccos:double, cell:int>), "
+    "(acc, s) -> CASE WHEN acc IS NULL OR s.ccos > acc.ccos "
+    "OR (s.ccos = acc.ccos AND s.cell < acc.cell) THEN s ELSE acc END).cell"
+)
+
+#: scores sorted (ccos desc, cell asc) for nprobe selection
+_SORTED_SCORES = (
+    "array_sort({scores}, (l, r) -> CASE "
+    "WHEN l.ccos > r.ccos THEN -1 WHEN l.ccos < r.ccos THEN 1 "
+    "WHEN l.cell < r.cell THEN -1 WHEN l.cell > r.cell THEN 1 ELSE 0 END)"
+)
+
+
 def train_ivf(
     emb: DataFrame,
     n_cells: int = 8,
@@ -155,28 +209,26 @@ def train_ivf(
     (e.g. the dataset path) memoizes the collected centroids driver-side
     so repeated queries over the same corpus never retrain.
     """
-    from pyspark.sql import Window
-
     key = (cache_key, n_cells, cent_base, kmeans_iters, train_mod)
     if cache_key is not None and key in _IVF_CENTROIDS:
         return _IVF_CENTROIDS[key]
 
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
-    train = base.filter(F.col(id_col) % train_mod == 0)
-    cents = base.filter(
+    train = base.filter(F.col(id_col) % train_mod == 0).withColumn(
+        "_vn", F.expr(_vnorm_expr("v"))
+    )
+    rows = base.filter(
         (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + n_cells)
-    ).select((F.col(id_col) - cent_base).alias("cell"), F.col("v").alias("cent"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
+    ).select((F.col(id_col) - cent_base).alias("cell"), F.col("v").alias("cent")).collect()
     for _ in range(kmeans_iters):
-        ac_i = with_cosine(
-            train.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
-        ).withColumn("ccos", F.round(F.col("ccos"), 6))
-        members = (
-            ac_i.withColumn("crank", F.row_number().over(w))
-            .filter(F.col("crank") == 1)
-            .select("cell", F.posexplode("v").alias("pos", "val"))
-        )
-        cents = (
+        # assignment is a literal-centroid fold inside the scan (no
+        # exchange); the only shuffle per iteration is the inherent
+        # per-(cell, pos) mean aggregation, with map-side combine
+        scores = _centroid_scores_expr(rows)
+        members = train.withColumn(
+            "cell", F.expr(_ARGMAX_CELL.format(scores=scores))
+        ).select("cell", F.posexplode("v").alias("pos", "val"))
+        rows = (
             members.groupBy("cell", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cell")
@@ -186,8 +238,7 @@ def train_ivf(
                     lambda s: s["m"],
                 ).alias("cent")
             )
-        )
-    rows = cents.collect()
+        ).collect()
     if cache_key is not None:
         _IVF_CENTROIDS[key] = rows
     return rows
@@ -209,14 +260,19 @@ def ann_ivf(
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
 
-    The query path is pure serving: broadcast the (pre-)trained
-    centroids (``centroids``, or :func:`train_ivf` with driver-side
-    memoization via ``cache_key``), assign map-side over the scan, and
-    rerank only the probed cells — the classic IVF cost model
-    (scan / n_cells * nprobe per query) instead of the brute-force full
-    scan. No Lloyd iteration appears in this plan. The DuckDB oracle
-    derives the same centroids independently (unrolled training CTEs),
-    so the trained partitioning is still cross-checked bit-for-bit.
+    The query path is pure serving: the (pre-)trained centroids
+    (``centroids``, or :func:`train_ivf` with driver-side memoization via
+    ``cache_key``) are embedded as literals — the broadcast analogue —
+    and every vector's cell is an argmax FOLD inside the corpus scan
+    (zero exchange; formerly a corpus x n_cells crossJoin + row_number
+    window, an avoidable wide shuffle at 100 TB). The probe side is tiny
+    (n_queries x nprobe) and explicitly broadcast, so the corpus is never
+    shuffled at all before the rerank; the only exchange in the plan is
+    the per-query top-k window over probed candidates — the classic IVF
+    cost model (scan / n_cells * nprobe per query). No Lloyd iteration
+    appears in this plan. The DuckDB oracle derives the same centroids
+    independently (unrolled training CTEs), so the trained partitioning
+    is still cross-checked bit-for-bit.
     """
     from pyspark.sql import Window
 
@@ -231,23 +287,29 @@ def ann_ivf(
             train_mod=train_mod,
             cache_key=cache_key,
         )
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
-    cents = emb.sparkSession.createDataFrame(
-        [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in centroids],
-        "cell int, cent array<double>",
+    scores = _centroid_scores_expr(centroids)
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_vn", F.expr(_vnorm_expr("v")))
+    cells = base.withColumn(
+        "cell", F.expr(_ARGMAX_CELL.format(scores=scores))
+    ).select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell")
+    probes = (
+        base.filter(F.col(id_col) < n_queries)
+        .withColumn(
+            "pc",
+            F.explode(
+                F.expr(f"slice({_SORTED_SCORES.format(scores=scores)}, 1, {nprobe})")
+            ),
+        )
+        .select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+            F.col("pc.cell").alias("cell"),
+        )
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-    ac = with_cosine(
-        base.crossJoin(F.broadcast(cents)), "v", "cent", out="ccos"
-    ).withColumn("ccos", F.round(F.col("ccos"), 6))
-    assigned = ac.withColumn("crank", F.row_number().over(w))
-    cells = assigned.filter(F.col("crank") == 1).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell"
+    j = cells.join(F.broadcast(probes), on="cell").filter(
+        F.col("c_id") != F.col("q_id")
     )
-    probes = assigned.filter(
-        (F.col(id_col) < n_queries) & (F.col("crank") <= nprobe)
-    ).select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "cell")
-    j = cells.join(probes, on="cell").filter(F.col("c_id") != F.col("q_id"))
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )

@@ -182,6 +182,25 @@ def test_ivf_serving_plan_has_no_training(spark, sf_dir):
     assert "posexplode" not in plan
 
 
+def test_ivf_assignment_is_map_side(spark, sf_dir):
+    """Cell assignment must be a literal-centroid argmax FOLD inside the
+    corpus scan: the ONLY hash exchange allowed is the per-query top-k
+    window over probed candidates, and the probe join must broadcast the
+    (n_queries x nprobe)-row probe side. A second hash exchange means the
+    corpus is being shuffled to compute the assignment again (the former
+    crossJoin + row_number shape)."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["emb_ann_ivf"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 hash exchange (top-k), saw {n_hash}"
+    assert "BroadcastHashJoin" in plan
+
+
 def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
     plan = plan_of(CATALOG["doc_sample_budget"].fn(spark, sf_dir))
     # exactly one exchange: the stratum window; the budget filter must not
