@@ -213,8 +213,26 @@ FROM scored
 """
 
 
+def _hex_shard_expr(key_col: str, n_shards: int) -> str:
+    """Shard id in ``[0, n_shards)`` from the first 4 hex digits of an md5
+    key — a *content-derived* shard key, so shard membership (and thus
+    every per-shard running sum) is deterministic. The expression uses
+    only ``instr``/``substring`` arithmetic, valid verbatim in both Spark
+    SQL and DuckDB, so the oracle replays the identical sharding.
+    """
+    nibbles = [
+        f"(instr('0123456789abcdef', substring({key_col}, {i + 1}, 1)) - 1)"
+        for i in range(4)
+    ]
+    val = " + ".join(
+        f"{nib} * {16 ** (3 - i)}" for i, nib in enumerate(nibbles)
+    )
+    return f"(({val}) % {n_shards})"
+
+
 def token_budget_sample(
-    docs: DataFrame, budget: int = 400, text_col: str = "text"
+    docs: DataFrame, budget: int = 400, text_col: str = "text",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Deterministic stratified sampling under a per-stratum token budget.
 
@@ -223,30 +241,52 @@ def token_budget_sample(
     while the running token total fits ``budget`` — the data-mixing
     primitive for assembling a training corpus to a token target per
     language/domain cell. One window partitioned by the stratum key: a
-    single shuffle, and strata are numerous and balanced at corpus scale
-    so no partition is hot.
+    single shuffle.
+
+    Scale bound: with ``n_shards=1`` the unit of sequential work is the
+    stratum — fine while every (lang, source) cell fits one task's sort
+    (the common case: strata are numerous and balanced). For corpora
+    with a mega-stratum, ``n_shards > 1`` splits each stratum into
+    content-derived shards (md5-keyed, deterministic) and gives each
+    shard an equal ``budget // n_shards`` slice — the standard sharded
+    sampler: the kept set changes (a budget is an arbitrary cut anyway)
+    but stays deterministic, and no single task ever sorts a whole
+    stratum.
     """
     from pyspark.sql import Window
 
     n_tok = F.size(tokens(text_col)).cast("long")
     key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.select(
+        "doc_id", "lang", "source",
+        n_tok.alias("n_tokens"), key.alias("sample_key"),
+    )
+    if n_shards <= 1:
+        w = (
+            Window.partitionBy("lang", "source")
+            .orderBy("sample_key", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return base.withColumn(
+            "running_tokens", F.sum("n_tokens").over(w)
+        ).filter(F.col("running_tokens") <= budget)
+    shard = F.expr(_hex_shard_expr("sample_key", n_shards))
     w = (
-        Window.partitionBy("lang", "source")
+        Window.partitionBy("lang", "source", "shard")
         .orderBy("sample_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        docs.select(
-            "doc_id", "lang", "source",
-            n_tok.alias("n_tokens"), key.alias("sample_key"),
-        )
+        base.withColumn("shard", shard)
         .withColumn("running_tokens", F.sum("n_tokens").over(w))
-        .filter(F.col("running_tokens") <= budget)
+        .filter(F.col("running_tokens") <= budget // n_shards)
+        .drop("shard")
     )
 
 
-def sql_token_budget_sample(budget: int = 400) -> str:
-    return f"""
+def sql_token_budget_sample(budget: int = 400, n_shards: int = 1) -> str:
+    if n_shards <= 1:
+        return f"""
 WITH t AS (
   SELECT doc_id, lang, source,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -261,6 +301,24 @@ r AS (
   FROM t)
 SELECT doc_id, lang, source, n_tokens, sample_key, running_tokens
 FROM r WHERE running_tokens <= {budget}
+"""
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         md5(doc_id::VARCHAR) AS sample_key
+  FROM documents),
+s AS (
+  SELECT *, {_hex_shard_expr('sample_key', n_shards)} AS shard FROM t),
+r AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang, source, shard
+                                  ORDER BY sample_key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS running_tokens
+  FROM s)
+SELECT doc_id, lang, source, n_tokens, sample_key, running_tokens
+FROM r WHERE running_tokens <= {budget // n_shards}
 """
 
 
@@ -386,59 +444,96 @@ FROM tok JOIN v USING (term) GROUP BY doc_id
 
 
 def pack_sequences(
-    docs: DataFrame, context_len: int = 512, text_col: str = "text"
+    docs: DataFrame, context_len: int = 512, text_col: str = "text",
+    n_shards: int = 16,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document its pack
     (training-example) index for a fixed context length.
 
-    Documents are ordered per language by the content-independent
-    shuffle key, the running token total is one window cumsum, and a
-    doc's pack is the chunk its first token lands in:
-    ``floor(start_offset / context_len)`` — the standard streaming
-    packing used to build fixed-length training batches. One window
-    shuffle per language partition; the pack assignment itself is a
-    narrow map over the cumsum.
+    Documents are ordered per (language, shard) by the
+    content-independent shuffle key; the running token total is one
+    window cumsum; a doc's pack is the chunk its first token lands in:
+    ``floor(global_start / context_len)`` — the standard streaming
+    packing used to build fixed-length training batches.
+
+    Scale shape: the cumsum is partitioned by (lang, *content-derived
+    shard*), never by language alone — a dominant language (~half a
+    100 TB corpus) would otherwise serialize into ONE task's sort. Each
+    shard packs independently, then per-shard token totals (a tiny
+    n_langs x n_shards aggregate) are prefix-summed and broadcast back
+    as each shard's global token base, so pack ids remain globally
+    consistent and deterministic: the corpus moves through exactly one
+    (lang, shard) exchange, and the only sequential unit is a 1/n_shards
+    slice of a language. Mirrors the reference's 60-way id-sharded
+    aggregation job (cassandra/tsdb/aggregate.go:35-118), which shards
+    for the same reason.
     """
     from pyspark.sql import Window
 
     n_tok = F.size(tokens(text_col)).cast("long")
     key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    base = docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"), key.alias("sample_key")
+    ).withColumn("shard", F.expr(_hex_shard_expr("sample_key", n_shards)))
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("sample_key", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    start = F.col("running_tokens") - F.col("n_tokens")
-    return (
-        docs.select(
-            "doc_id", "lang", n_tok.alias("n_tokens"), key.alias("sample_key")
+    sharded = base.withColumn("running_in_shard", F.sum("n_tokens").over(w))
+    # per-shard token totals -> exclusive prefix sum = each shard's global
+    # token base (n_langs x n_shards rows: driver-tiny, broadcast back)
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        base.groupBy("lang", "shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .withColumn(
+            "shard_base",
+            F.coalesce(F.sum("shard_tokens").over(wb), F.lit(0)),
         )
-        .withColumn("running_tokens", F.sum("n_tokens").over(w))
-        .select(
-            "doc_id", "lang", "n_tokens",
-            F.floor(start / context_len).alias("pack_id"),
-            (start % context_len).alias("pack_offset"),
-        )
+        .select("lang", "shard", "shard_base")
+    )
+    start = (
+        F.col("shard_base") + F.col("running_in_shard") - F.col("n_tokens")
+    )
+    return sharded.join(F.broadcast(bases), on=["lang", "shard"]).select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(start / context_len).alias("pack_id"),
+        (start % context_len).alias("pack_offset"),
     )
 
 
-def sql_pack_sequences(context_len: int = 512) -> str:
+def sql_pack_sequences(context_len: int = 512, n_shards: int = 16) -> str:
     return f"""
 WITH t AS (
   SELECT doc_id, lang,
          len(string_split(text, ' '))::BIGINT AS n_tokens,
          md5(doc_id::VARCHAR) AS sample_key
   FROM documents),
+s AS (
+  SELECT *, {_hex_shard_expr('sample_key', n_shards)} AS shard FROM t),
 r AS (
   SELECT *,
-         CAST(sum(n_tokens) OVER (PARTITION BY lang
+         CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
                                   ORDER BY sample_key, doc_id
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
-           AS running_tokens
-  FROM t)
+           AS running_in_shard
+  FROM s),
+b AS (
+  SELECT lang, shard,
+         CAST(coalesce(sum(sum(n_tokens)) OVER (
+             PARTITION BY lang ORDER BY shard
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS shard_base
+  FROM s GROUP BY lang, shard)
 SELECT doc_id, lang, n_tokens,
-       CAST(floor((running_tokens - n_tokens) / {context_len}.0) AS BIGINT)
-         AS pack_id,
-       (running_tokens - n_tokens) % {context_len} AS pack_offset
-FROM r
+       CAST(floor((shard_base + running_in_shard - n_tokens)
+                  / {context_len}.0) AS BIGINT) AS pack_id,
+       (shard_base + running_in_shard - n_tokens) % {context_len}
+         AS pack_offset
+FROM r JOIN b USING (lang, shard)
 """

@@ -2146,6 +2146,14 @@ def q_doc_sample_budget(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_doc_sample_budget_sharded(spark, sf_dir):
+    """The mega-stratum-safe variant: each (lang, source) stratum is
+    split into content-derived shards with equal budget slices, so no
+    single task ever sorts a whole stratum (pipeline/text.py
+    token_budget_sample n_shards>1)."""
+    return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
+
+
 def q_doc_source_stats(spark, sf_dir):
     """Per-(lang, source) mixture report: volume, exact-dup rate,
     quality pass rate (pipeline/text.py source_stats)."""
@@ -2642,6 +2650,11 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     # per-stratum token-budget sampling (data mixing)
     "doc_sample_budget": QueryDef(
         q_doc_sample_budget, ptext.sql_token_budget_sample()
+    ),
+    # sharded variant: stratum split into content-derived budget slices
+    "doc_sample_budget_sharded": QueryDef(
+        q_doc_sample_budget_sharded,
+        ptext.sql_token_budget_sample(n_shards=4),
     ),
     # per-(lang, source) corpus mixture report
     "doc_source_stats": QueryDef(q_doc_source_stats, ptext.sql_source_stats()),

@@ -201,6 +201,32 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_pack_sequences_cumsum_is_sharded(spark, sf_dir):
+    """The packing cumsum must partition by (lang, content-derived shard),
+    never by lang alone — one task per language serializes the dominant
+    language at corpus scale. The per-shard global token bases (a tiny
+    n_langs x n_shards aggregate) must come back via a broadcast join,
+    so the corpus itself moves through exactly one wide exchange."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["doc_pack_sequences"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    import re
+
+    windows = [
+        ln for ln in plan.splitlines()
+        if "hashpartitioning" in ln and "lang" in ln
+    ]
+    assert any("shard" in ln for ln in windows), (
+        "cumsum window not sharded:\n" + "\n".join(windows)
+    )
+    assert "BroadcastHashJoin" in plan
+    # the documents scan feeds exactly one wide (lang, shard) exchange
+    n_sharded = len(re.findall(r"Exchange hashpartitioning\(lang[^\n]*shard", plan))
+    assert n_sharded >= 1
+
+
 def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
     plan = plan_of(CATALOG["doc_sample_budget"].fn(spark, sf_dir))
     # exactly one exchange: the stratum window; the budget filter must not
