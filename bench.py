@@ -19,6 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# The bench session is the one long heavy local[N] JVM that needs a big
+# heap (8g GC-thrashed once shuffle/broadcast state accumulated — the
+# round-2 drift); this is bench-harness tuning, NOT the library default,
+# which stays conservative for small hosts. Keeps the round-3 bench basis
+# (warm cache, best-of-2, 48g) frozen.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
 #: headline set: TSDB hot paths + relational joins + pre-agg routing
 BENCH_QUERIES = [
     "ts_rate",

@@ -336,7 +336,11 @@ def decode_write_request_v2(buf: bytes) -> list[TimeSeries]:
                     elif sfn == 2 and sw == 0:
                         tstamp = _int64(sv)
                 ts.samples.append(Sample(val, tstamp))
-            # exemplars (3) / metadata (4) / created_timestamp (5) skipped
+            # io.prometheus.write.v2 TimeSeries remaining fields are
+            # skipped: histograms (3) — native-histogram series are
+            # DROPPED, not ingested (the reference rejects them too,
+            # api/remotestorage/write.go:234-252) — exemplars (4),
+            # metadata (5), created_timestamp (6)
         if len(refs) % 2:
             raise ValueError("odd labels_refs length")
         for i in range(0, len(refs), 2):
@@ -488,8 +492,16 @@ def encode_remote_read_response_body(results: list[list[TimeSeries]]) -> bytes:
 # the number path is what our ingest consumes).
 
 
+_LABEL_CHARS = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+)
+
+
 def _sanitize_label(name: str) -> str:
-    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    # ASCII [a-zA-Z0-9_] only — str.isalnum() would admit all Unicode
+    # letters/digits, producing label names invalid under Prometheus
+    # naming rules for non-ASCII OTLP attribute keys
+    out = "".join(c if c in _LABEL_CHARS else "_" for c in name)
     return "_" + out if out and out[0].isdigit() else out
 
 

@@ -91,8 +91,10 @@ class PromHTTPServer:
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
         #: self-telemetry for /metrics (reference serves promhttp on
-        #: /metrics, api/api.go:211): per-path request counts + ingest
-        self._counters: dict[str, int] = {}
+        #: /metrics, api/api.go:211): keyed (family, ((label, value),...))
+        #: so the exposition can emit one # TYPE line per family with
+        #: properly quoted label values
+        self._counters: dict[tuple[str, tuple[tuple[str, str], ...]], int] = {}
 
     # ------------------------------------------------------------- store
 
@@ -138,9 +140,8 @@ class PromHTTPServer:
                 rows.append((labels, s.timestamp_ms, s.value, ttl_s))
         with self._lock:
             self._written.extend(rows)
-            self._counters["ingested_samples_total"] = (
-                self._counters.get("ingested_samples_total", 0) + len(rows)
-            )
+            key = ("ingested_samples_total", ())
+            self._counters[key] = self._counters.get(key, 0) + len(rows)
         return len(rows)
 
     # --------------------------------------------------------- lifecycle
@@ -201,10 +202,15 @@ class PromHTTPServer:
 
     @staticmethod
     def _send_bytes(handler, code: int, body: bytes,
-                    content_type: str = "application/x-protobuf") -> None:
+                    content_type: str = "application/x-protobuf",
+                    encoding: str | None = "snappy") -> None:
         handler.send_response(code)
         handler.send_header("Content-Type", content_type)
-        handler.send_header("Content-Encoding", "snappy")
+        if encoding is not None:
+            # only stamp Content-Encoding when the body really is
+            # compressed (prompb read responses); plain text/protobuf
+            # bodies must not claim snappy
+            handler.send_header("Content-Encoding", encoding)
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         handler.wfile.write(body)
@@ -234,7 +240,7 @@ class PromHTTPServer:
     def _route(self, handler, body: bytes) -> None:
         url = urlparse(handler.path)
         with self._lock:
-            key = f"requests_total{{path={url.path}}}"
+            key = ("requests_total", (("path", url.path),))
             self._counters[key] = self._counters.get(key, 0) + 1
         params = parse_qs(url.query)
         if body and handler.headers.get("Content-Type", "").startswith(
@@ -284,7 +290,7 @@ class PromHTTPServer:
                     handler.headers.get("X-SquirrelDB-Tenant"),
                     int(ttl) if ttl else None,
                 )
-                self._send_bytes(handler, 200, b"")
+                self._send_bytes(handler, 200, b"", encoding=None)
                 return
             if path == "/api/v1/read":
                 out = self._api().remote_read(body)
@@ -347,17 +353,38 @@ class PromHTTPServer:
                 self._send_json(handler, 200, {"status": "ok"})
                 return
             if path == "/metrics":
-                # Prometheus text exposition of the daemon's own counters
+                # Prometheus text exposition of the daemon's own counters:
+                # one # TYPE line per family, label values quoted/escaped
+                # per the exposition format (a real scraper must parse it)
+                def esc(v: str) -> str:
+                    return (
+                        v.replace("\\", "\\\\")
+                        .replace('"', '\\"')
+                        .replace("\n", "\\n")
+                    )
+
                 with self._lock:
                     counters = dict(self._counters)
                     buffered = len(self._written)
-                lines = ["# TYPE squirreldb_requests_total counter"]
-                for k in sorted(counters):
-                    lines.append(f"squirreldb_{k} {counters[k]}")
+                lines: list[str] = []
+                for family in sorted({k[0] for k in counters}):
+                    lines.append(f"# TYPE squirreldb_{family} counter")
+                    for (fam, labels), n in sorted(counters.items()):
+                        if fam != family:
+                            continue
+                        if labels:
+                            lbl = ",".join(
+                                f'{k}="{esc(v)}"' for k, v in labels
+                            )
+                            lines.append(f"squirreldb_{family}{{{lbl}}} {n}")
+                        else:
+                            lines.append(f"squirreldb_{family} {n}")
+                lines.append("# TYPE squirreldb_buffered_points gauge")
                 lines.append(f"squirreldb_buffered_points {buffered}")
                 self._send_bytes(
                     handler, 200, ("\n".join(lines) + "\n").encode(),
                     content_type="text/plain; version=0.0.4",
+                    encoding=None,
                 )
                 return
             if path == "/debug/index_info":

@@ -197,6 +197,12 @@ def referenced_labels(node, acc: set[str]) -> None:
             for a in node.args[3:]:
                 if isinstance(a, str):
                     acc.add(a)
+        if node.name in ("sort_by_label", "sort_by_label_desc"):
+            # the sort keys are label references too — without this a
+            # dynamic-label (map) store never promotes them to columns
+            for a in node.args[1:]:
+                if isinstance(a, str):
+                    acc.add(a)
         for a in node.args:
             if not isinstance(a, (int, float, str)):
                 referenced_labels(a, acc)
@@ -974,14 +980,19 @@ class PromQLEngine:
             return Vec(vec.df.orderBy(order), vec.labels)
         if name in ("sort_by_label", "sort_by_label_desc"):
             # Prometheus experimental (functions.go funcSortByLabel):
-            # lexicographic sort on the given label names
+            # lexicographic sort on the given label names; a label a
+            # series lacks sorts as the empty string (upstream labels.Get
+            # semantics), never an error
             vec = self._eval(node.args[0])
             mk = F.asc if name == "sort_by_label" else F.desc
             cols = []
             for lbl in node.args[1:]:
-                if lbl not in vec.df.columns:
-                    raise ValueError(f"unknown label {lbl!r}")
-                cols.append(mk(lbl))
+                expr = (
+                    F.coalesce(F.col(lbl).cast("string"), F.lit(""))
+                    if lbl in vec.df.columns
+                    else F.lit("")
+                )
+                cols.append(mk(expr))
             return Vec(vec.df.orderBy(*cols), vec.labels)
         if name == "timestamp":
             arg = node.args[0]

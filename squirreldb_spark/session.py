@@ -62,11 +62,13 @@ def get_session(app_name: str = "squirreldb-spark", cpus: int | None = None) -> 
         .master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
-        # local[N] runs everything in the driver JVM; an 8g heap GC-thrashes
-        # once a long session accumulates shuffle/broadcast state (round-2
-        # bench drifted 1.4-12x late in the query list purely from this).
-        # On a real cluster this maps to executor memory sized per brief.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Conservative library default: 8g is plenty for tests and ad-hoc
+        # sessions, and a 48g -Xmx would risk host OOM/swap on small
+        # machines. Long heavy local[N] sessions (the bench harness, which
+        # GC-thrashed at 8g once shuffle/broadcast state accumulated — the
+        # round-2 drift) opt in via SPARK_GRAFT_DRIVER_MEM; bench.py sets
+        # 48g itself. On a real cluster this maps to executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()
     return configure_session(spark)

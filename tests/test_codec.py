@@ -246,3 +246,12 @@ def test_otlp_label_sanitization():
     out = codec.decode_otlp_metrics(codec.encode_otlp_metrics(series))
     assert out[0].labels == {"__name__": "http_server_duration",
                              "span_kind": "server"}
+
+
+def test_label_sanitization_is_ascii_only():
+    # non-ASCII OTLP attribute keys must map into [a-zA-Z0-9_] — Unicode
+    # letters are NOT valid Prometheus label-name characters
+    assert codec._sanitize_label("café") == "caf_"
+    assert codec._sanitize_label("日本語") == "___"
+    assert codec._sanitize_label("0始まり") == "_0___"
+    assert codec._sanitize_label("ok_name9") == "ok_name9"

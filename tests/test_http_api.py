@@ -328,10 +328,31 @@ def test_ready_and_metrics(base, written):
     req = urllib.request.Request(f"{base}/metrics")
     with urllib.request.urlopen(req) as resp:
         assert resp.status == 200
+        # plain text body: must NOT claim a compressed encoding
+        assert resp.headers.get("Content-Encoding") is None
         text = resp.read().decode()
     assert "squirreldb_ingested_samples_total" in text
     assert "squirreldb_buffered_points" in text
-    assert 'requests_total{path=/api/v1/write}' in text
+    # exposition-format validity: quoted label values, one # TYPE line
+    # per family, every sample line parseable by a Prometheus scraper
+    assert 'squirreldb_requests_total{path="/api/v1/write"}' in text
+    import re
+
+    sample_re = re.compile(
+        r'^[a-zA-Z_:][a-zA-Z0-9_:]*'
+        r'(\{[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*"'
+        r'(,[a-zA-Z_][a-zA-Z0-9_]*="(?:[^"\\]|\\.)*")*\})? '
+        r'-?[0-9.eE+]+$'
+    )
+    families = []
+    for line in text.strip().splitlines():
+        if line.startswith("# TYPE "):
+            families.append(line.split()[2])
+            continue
+        assert sample_re.match(line), f"unparseable exposition line: {line!r}"
+        # every sample belongs to the most recent TYPE'd family
+        assert families and line.startswith(families[-1]), line
+    assert len(families) == len(set(families)), "duplicate # TYPE family"
 
 
 def test_debug_index_info_and_verify(base, written):

@@ -299,6 +299,22 @@ def test_map_labels_without_grouping(map_engine):
     assert got[20_000] == 22.0
 
 
+def test_sort_by_label_map_mode_and_missing_label(map_engine):
+    # regression: the sort keys are label references, so the dynamic-label
+    # store must promote them from the map (previously ValueError); a
+    # label a series lacks sorts as "" (upstream labels.Get), never errors
+    out = map_engine.query_range('sort_by_label(cpu, "dc")').collect()
+    assert out
+    vals = [r.dc or "" for r in out]
+    assert vals == sorted(vals)
+    desc = map_engine.query_range('sort_by_label_desc(cpu, "dc")').collect()
+    dvals = [r.dc or "" for r in desc]
+    assert dvals == sorted(dvals, reverse=True)
+    # a label NO series has: all-empty sort key, result set unchanged
+    out2 = map_engine.query_range('sort_by_label(cpu, "nosuch")').collect()
+    assert len(out2) == len(out)
+
+
 @pytest.fixture(scope="module")
 def map_engine2(spark):
     """Map-labelled metrics with ALIGNED label sets (upstream matching
@@ -597,5 +613,7 @@ def test_sort_by_label_orders_lexicographically(engine):
     rows2 = engine.query_range('sort_by_label_desc(cpu, "host")').collect()
     hosts2 = [r.host for r in rows2]
     assert hosts2 == sorted(hosts2, reverse=True)
-    with pytest.raises(Exception):
-        engine.query_range('sort_by_label(cpu, "nope")').collect()
+    # upstream labels.Get semantics: a label no series has sorts as ""
+    # rather than raising (Prometheus never errors on a missing label)
+    rows3 = engine.query_range('sort_by_label(cpu, "nope")').collect()
+    assert len(rows3) == len(rows)
