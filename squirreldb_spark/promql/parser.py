@@ -44,7 +44,8 @@ _TOKEN_RE = re.compile(
 )
 
 AGG_OPS = {"sum", "min", "max", "avg", "count", "stddev", "stdvar",
-           "topk", "bottomk", "quantile", "count_values", "group"}
+           "topk", "bottomk", "quantile", "count_values", "group",
+           "limitk", "limit_ratio"}
 
 _CMP_OPS = {"==", "!=", "<=", ">=", "<", ">"}
 
@@ -314,11 +315,17 @@ class Parser:
             grouping = self._label_list()
         self.expect("(")
         param = None
-        if op in ("topk", "bottomk", "quantile", "count_values"):
+        if op in ("topk", "bottomk", "quantile", "count_values",
+                  "limitk", "limit_ratio"):
             if self.peek()[0] == "string":
                 param = self.next()[1][1:-1]
             else:
                 p = self.expr_or()
+                if isinstance(p, Unary) and isinstance(p.expr, NumberLiteral):
+                    # limit_ratio(-0.3, v): negative ratio = complement
+                    p = NumberLiteral(
+                        -p.expr.value if p.op == "-" else p.expr.value
+                    )
                 if not isinstance(p, NumberLiteral):
                     raise ParseError(f"{op} parameter must be a literal")
                 param = p.value

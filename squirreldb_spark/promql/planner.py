@@ -1069,6 +1069,18 @@ class PromQLEngine:
                 bottom=node.op == "bottomk",
             )
             return Vec(df, vec.labels)
+        if node.op == "limitk":
+            # experimental upstream aggregation (promql/functions,
+            # --enable-feature=promql-experimental-functions)
+            df = agg_ops.limitk(
+                vec.df, by=by, series_keys=vec.labels, k=int(node.param)
+            )
+            return Vec(df, vec.labels)
+        if node.op == "limit_ratio":
+            df = agg_ops.limit_ratio(
+                vec.df, by=by, series_keys=vec.labels, r=float(node.param)
+            )
+            return Vec(df, vec.labels)
 
         def finish(df: DataFrame, labels: tuple[str, ...]) -> Vec:
             # a per-without fingerprint becomes the result's __series__

@@ -374,6 +374,45 @@ FROM ranked WHERE rank <= 2
 """
 
 
+def q_limitk(spark, sf_dir):
+    """limitk(2, ...) by (event_type) — experimental upstream aggregation
+    (promql/functions, feature-flagged): at most k series per group, pick
+    order deterministic on the series keys (tsdb/aggregation.limitk)."""
+    vec = _instant(spark, sf_dir)
+    df = agg_ops.limitk(vec, by=["event_type"], series_keys=["user_id"], k=2)
+    return _round(df, {"value": 6})
+
+
+SQL_LIMITK = _INST_SQL + """
+, ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, step_ts
+                               ORDER BY user_id) AS rank
+  FROM inst)
+SELECT user_id, event_type, step_ts, round(value, 6) AS value
+FROM ranked WHERE rank <= 2
+"""
+
+
+def q_limit_ratio(spark, sf_dir):
+    """limit_ratio(0.7, ...) — experimental upstream aggregation:
+    deterministic per-series sampling by label-hash threshold
+    (tsdb/aggregation.limit_ratio); a zero-shuffle narrow filter."""
+    vec = _instant(spark, sf_dir)
+    df = agg_ops.limit_ratio(
+        vec, by=[], series_keys=["user_id", "event_type"], r=0.7
+    )
+    return _round(df, {"value": 6})
+
+
+SQL_LIMIT_RATIO = _INST_SQL + f"""
+, keyed AS (
+  SELECT *, md5(concat_ws(chr(31), user_id::VARCHAR, event_type)) AS lrk
+  FROM inst)
+SELECT user_id, event_type, step_ts, round(value, 6) AS value
+FROM keyed WHERE {agg_ops._hex_fraction_expr('lrk')} < 0.7
+"""
+
+
 def q_count_values(spark, sf_dir):
     vec = _instant(spark, sf_dir).withColumn(
         "value", F.floor(F.col("value") / F.lit(100.0)) * F.lit(100.0)
@@ -2478,6 +2517,8 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "ts_agg_stddev_by": QueryDef(q_agg_stddev_by, SQL_AGG_STDDEV_BY),
     "ts_agg_quantile_by": QueryDef(q_agg_quantile_by, SQL_AGG_QUANTILE_BY),
     "ts_topk": QueryDef(q_topk, SQL_TOPK),
+    "ts_limitk": QueryDef(q_limitk, SQL_LIMITK),
+    "ts_limit_ratio": QueryDef(q_limit_ratio, SQL_LIMIT_RATIO),
     "ts_count_values": QueryDef(q_count_values, SQL_COUNT_VALUES),
     "ts_binop_ratio": QueryDef(q_binop_ratio, SQL_BINOP_RATIO),
     "ts_binop_gt_filter": QueryDef(q_binop_gt, SQL_BINOP_GT),

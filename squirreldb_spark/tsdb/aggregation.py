@@ -61,6 +61,74 @@ def count_values(vec: DataFrame, by: Sequence[str], label: str = "value_label",
     )
 
 
+def limitk(
+    vec: DataFrame,
+    by: Sequence[str],
+    series_keys: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """``limitk(k, vec)`` (Prometheus experimental, promql/functions):
+    at most k series per (step, by-group).
+
+    Upstream's pick order is unspecified; here it is the series-key sort
+    order — deterministic, required for the hash-compare oracle. Same
+    shuffle shape as :func:`topk`: one window on (group, step), no
+    global sort.
+    """
+    by = list(by)
+    w = Window.partitionBy(*by, "step_ts").orderBy(
+        *[F.asc(c) for c in series_keys]
+    )
+    return (
+        vec.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def _hex_fraction_expr(key_col: str, digits: int = 6) -> str:
+    """Uniform fraction in [0, 1) from the first ``digits`` hex chars of
+    an md5 key — plain ``instr``/``substring`` arithmetic, valid verbatim
+    in both Spark SQL and DuckDB so the oracle replays it exactly."""
+    nibbles = [
+        f"(instr('0123456789abcdef', substring({key_col}, {i + 1}, 1)) - 1)"
+        for i in range(digits)
+    ]
+    val = " + ".join(
+        f"{nib} * {16 ** (digits - 1 - i)}" for i, nib in enumerate(nibbles)
+    )
+    return f"(({val}) / {16 ** digits}.0)"
+
+
+def limit_ratio(
+    vec: DataFrame,
+    by: Sequence[str],
+    series_keys: Sequence[str],
+    r: float,
+) -> DataFrame:
+    """``limit_ratio(r, vec)`` (Prometheus experimental): deterministic
+    per-series sampling by label-hash threshold — upstream keeps series
+    whose labels hash below ``r * maxUint64``, and a NEGATIVE r selects
+    the exact complement (limit_ratio(0.7) + limit_ratio(-0.3) = all).
+
+    Here the hash is the md5 of the joined series-key values, mapped to a
+    fraction — step-independent, so a series is kept at every step or
+    none. Zero shuffle: a narrow filter over the vector.
+    """
+    key = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in series_keys]
+        ).cast("binary")
+    )
+    df = vec.withColumn("_lr_key", key).withColumn(
+        "_lr_frac", F.expr(_hex_fraction_expr("_lr_key"))
+    )
+    cond = (
+        F.col("_lr_frac") < r if r >= 0 else F.col("_lr_frac") >= 1.0 + r
+    )
+    return df.filter(cond).drop("_lr_key", "_lr_frac")
+
+
 def topk(
     vec: DataFrame,
     by: Sequence[str],

@@ -121,21 +121,21 @@ def resolve_values(
 ) -> tuple[str, list[str]]:
     """A31: mutable matcher -> (associated column, concrete values).
 
-    Driver-side lookup: the mapping is tiny (config data); the reference
-    does the same resolution in-process against its cached store.
+    Driver-side lookup through the per-DataFrame row cache
+    (:func:`cached_rows`) — the same cache :func:`enrich` and the
+    planner's matcher rewrite read, so a pre-seeded mapping (the
+    :class:`MutableLabelStore` path) resolves with ZERO Spark jobs,
+    mirroring the reference's in-process cached store
+    (cassandra/mutable/processor.go).
     """
-    rows = (
-        mapping.filter(
-            (F.col("tenant") == tenant)
-            & (F.col("mutable_name") == mutable_name)
-            & (F.col("mutable_value") == mutable_value)
-        )
-        .select("associated_name", "associated_values")
-        .collect()
-    )
-    if not rows:
-        return "", []
-    return rows[0].associated_name, list(rows[0].associated_values)
+    for r in cached_rows(mapping):
+        if (
+            r.tenant == tenant
+            and r.mutable_name == mutable_name
+            and r.mutable_value == mutable_value
+        ):
+            return r.associated_name, list(r.associated_values)
+    return "", []
 
 
 def rewrite_filter(

@@ -59,6 +59,25 @@ def test_mutable_label_rewrite_and_enrich(spark):
     assert mut.rewrite_filter(pts, mapping, "t1", "group", "nope").count() == 0
 
 
+def test_resolve_values_reads_row_cache_not_spark(spark):
+    """Matcher resolution must go through the per-DataFrame row cache
+    (zero Spark jobs on the pre-seeded MutableLabelStore path). Seed the
+    cache with rows that DIFFER from the DataFrame contents: if a Spark
+    filter/collect ran, the DataFrame's values would come back instead."""
+    from pyspark.sql import Row
+
+    mapping = spark.createDataFrame(
+        [("t1", "group", "web", "host", ["from_spark"])], mut.MAPPING_SCHEMA
+    )
+    mapping._sq_mutable_rows = [Row(
+        tenant="t1", mutable_name="group", mutable_value="web",
+        associated_name="host", associated_values=["from_cache"],
+    )]
+    col, vals = mut.resolve_values(mapping, "t1", "group", "web")
+    assert (col, vals) == ("host", ["from_cache"])
+    assert mut.resolve_values(mapping, "t1", "group", "nope") == ("", [])
+
+
 def test_export_pivot_wide_layout(spark):
     rows = [(100, "m1", 1.0), (100, "m2", 2.0), (200, "m1", 3.0)]
     pts = spark.createDataFrame(rows, "ts long, name string, value double")

@@ -299,6 +299,35 @@ def test_map_labels_without_grouping(map_engine):
     assert got[20_000] == 22.0
 
 
+def test_limitk_caps_series_per_group(engine):
+    # experimental upstream aggregation: at most k series per (group, step)
+    rows = engine.query_range("limitk(1, cpu)").collect()
+    per_step: dict[int, int] = {}
+    for r in rows:
+        per_step[r.step_ts] = per_step.get(r.step_ts, 0) + 1
+    assert per_step and all(n <= 1 for n in per_step.values())
+    # deterministic pick order: the series-key sort order -> host "a"
+    assert {r.host for r in rows} == {"a"}
+    all_rows = engine.query_range("limitk(5, cpu)").collect()
+    assert len(all_rows) == len(engine.query_range("cpu").collect())
+
+
+def test_limit_ratio_is_deterministic_partition(engine):
+    # limit_ratio(r) + limit_ratio(r - 1) must partition the vector
+    # exactly (upstream: negative ratio selects the complement)
+    full = engine.query_range("cpu").collect()
+    kept = engine.query_range("limit_ratio(0.6, cpu)").collect()
+    comp = engine.query_range("limit_ratio(-0.4, cpu)").collect()
+    assert len(kept) + len(comp) == len(full)
+    key = lambda r: (r.host, r.step_ts)
+    assert {key(r) for r in kept} | {key(r) for r in comp} == {key(r) for r in full}
+    assert not ({key(r) for r in kept} & {key(r) for r in comp})
+    # a series is kept at EVERY step or none (step-independent hash)
+    hosts_kept = {r.host for r in kept}
+    assert all((r.host in hosts_kept) == (key(r) in {key(x) for x in kept})
+               for r in full)
+
+
 def test_sort_by_label_map_mode_and_missing_label(map_engine):
     # regression: the sort keys are label references, so the dynamic-label
     # store must promote them from the map (previously ValueError); a
