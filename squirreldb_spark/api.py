@@ -277,71 +277,78 @@ class PromAPI:
 
     # ----------------------------------------------------------- remote read
 
-    def remote_read(self, body: bytes, limit: int = 100_000) -> bytes:
-        """/api/v1/read: snappy+prompb ReadRequest in, ReadResponse out
-        (reference api/api.go:58-61; A33/A34).
+    def _read_query_slice(self, q) -> DataFrame:
+        """A remote-read Query as a ``(_lbl, ts, value)`` DataFrame: the
+        matchers become plain scan filters (the same pushed-filter path
+        every selector uses) and ``_lbl`` is the canonical sorted-JSON
+        label set."""
+        pts = self.points
+        for op, name, value in q.matchers:
+            col_name = self.name_label if name == "__name__" else name
+            if col_name in pts.columns:
+                col = F.col(col_name).cast("string")
+            elif self.labels_map_col is not None:
+                # dynamic-label store: match against the map entry
+                # (missing key compares as "", upstream semantics)
+                col = F.coalesce(
+                    F.element_at(
+                        F.col(self.labels_map_col), F.lit(name)
+                    ),
+                    F.lit(""),
+                )
+            else:
+                raise ValueError(f"unknown label {name!r}")
+            if op == "=":
+                pts = pts.filter(col == value)
+            elif op == "!=":
+                pts = pts.filter(col != value)
+            elif op == "=~":
+                pts = pts.filter(col.rlike(f"^(?:{value})$"))
+            else:
+                pts = pts.filter(~col.rlike(f"^(?:{value})$"))
+        pts = pts.filter(
+            (F.col("ts") >= clamp_time(q.start_timestamp_ms))
+            & (F.col("ts") <= clamp_time(q.end_timestamp_ms))
+        )
+        if self.labels_map_col is not None and not self.label_cols:
+            return pts.select(
+                F.to_json(
+                    F.expr(
+                        "map_from_entries(array_sort(map_entries("
+                        f"{self.labels_map_col})))"
+                    )
+                ).alias("_lbl"),
+                "ts", "value",
+            )
+        return pts.select(
+            F.to_json(
+                F.struct(
+                    *[
+                        F.col(c).cast("string").alias(c)
+                        for c in self.label_cols
+                    ]
+                )
+            ).alias("_lbl"),
+            "ts", "value",
+        )
 
-        Each Query's matchers become plain scan filters on the fact
-        table (the same pushed-filter path every selector uses); raw
-        samples inside [start, end] are returned per matching series.
-        ``limit`` bounds the rows collected per query — an API response
-        is a driver-side materialization by construction.
+    def remote_read(self, body: bytes, limit: int = 100_000) -> bytes:
+        """/api/v1/read SAMPLES response: snappy+prompb ReadRequest in,
+        one ReadResponse out (reference api/api.go:58-61; A33/A34).
+
+        ``limit`` bounds the rows collected per query — the non-streamed
+        response is a driver-side materialization by construction; large
+        reads should negotiate STREAMED_XOR_CHUNKS
+        (:meth:`remote_read_frames`) instead.
         """
         from squirreldb_spark import codec
 
         results: list[list[codec.TimeSeries]] = []
         for q in codec.decode_remote_read_body(body):
-            pts = self.points
-            for op, name, value in q.matchers:
-                col_name = self.name_label if name == "__name__" else name
-                if col_name in pts.columns:
-                    col = F.col(col_name).cast("string")
-                elif self.labels_map_col is not None:
-                    # dynamic-label store: match against the map entry
-                    # (missing key compares as "", upstream semantics)
-                    col = F.coalesce(
-                        F.element_at(
-                            F.col(self.labels_map_col), F.lit(name)
-                        ),
-                        F.lit(""),
-                    )
-                else:
-                    raise ValueError(f"unknown label {name!r}")
-                if op == "=":
-                    pts = pts.filter(col == value)
-                elif op == "!=":
-                    pts = pts.filter(col != value)
-                elif op == "=~":
-                    pts = pts.filter(col.rlike(f"^(?:{value})$"))
-                else:
-                    pts = pts.filter(~col.rlike(f"^(?:{value})$"))
-            pts = pts.filter(
-                (F.col("ts") >= clamp_time(q.start_timestamp_ms))
-                & (F.col("ts") <= clamp_time(q.end_timestamp_ms))
+            rows = (
+                self._read_query_slice(q).orderBy("_lbl", "ts")
+                .limit(limit).collect()
             )
-            if self.labels_map_col is not None and not self.label_cols:
-                sel = pts.select(
-                    F.to_json(
-                        F.expr(
-                            "map_from_entries(array_sort(map_entries("
-                            f"{self.labels_map_col})))"
-                        )
-                    ).alias("_lbl"),
-                    "ts", "value",
-                )
-            else:
-                sel = pts.select(
-                    F.to_json(
-                        F.struct(
-                            *[
-                                F.col(c).cast("string").alias(c)
-                                for c in self.label_cols
-                            ]
-                        )
-                    ).alias("_lbl"),
-                    "ts", "value",
-                )
-            rows = sel.orderBy("_lbl", "ts").limit(limit).collect()
             import json as _json
 
             by_series: dict[str, codec.TimeSeries] = {}
@@ -354,6 +361,76 @@ class PromAPI:
                 ts.samples.append(codec.Sample(r["value"], r["ts"]))
             results.append(list(by_series.values()))
         return codec.encode_remote_read_response_body(results)
+
+    def remote_read_frames(
+        self,
+        body: bytes,
+        frame_bytes: int = 1 << 20,
+        samples_per_chunk: int = 120,
+    ):
+        """/api/v1/read STREAMED_XOR_CHUNKS response: yields framed
+        ``ChunkedReadResponse`` messages, each at most ~``frame_bytes``
+        (the reference's 1 MiB ChunkedReadLimit, api/api.go:58-61;
+        chunk streaming in api/promql/queryable.go:436-445).
+
+        Driver memory is bounded by ONE frame: rows stream through
+        ``toLocalIterator`` over the ts-sorted per-series slices (one
+        partition resident at a time), samples cut into XOR chunks of
+        ``samples_per_chunk`` (upstream's 120), and a frame flushes as
+        soon as it exceeds the budget — no per-query row limit needed.
+        """
+        import json as _json
+
+        from squirreldb_spark import codec
+
+        for qi, q in enumerate(codec.decode_remote_read_body(body)):
+            it = (
+                self._read_query_slice(q).orderBy("_lbl", "ts")
+                .toLocalIterator()
+            )
+            frame: list[codec.ChunkedSeries] = []
+            frame_size = 0
+            cur_lbl: str | None = None
+            cur_samples: list[codec.Sample] = []
+
+            def flush_chunk():
+                nonlocal frame_size
+                if not cur_samples:
+                    return
+                data = codec.encode_xor_chunk(cur_samples)
+                chunk = (
+                    cur_samples[0].timestamp_ms,
+                    cur_samples[-1].timestamp_ms,
+                    codec.XOR_ENCODING,
+                    data,
+                )
+                if frame and frame[-1].labels == _json.loads(cur_lbl):
+                    frame[-1].chunks.append(chunk)
+                else:
+                    frame.append(codec.ChunkedSeries(
+                        labels=_json.loads(cur_lbl), chunks=[chunk]
+                    ))
+                frame_size += len(data) + len(cur_lbl) + 16
+                cur_samples.clear()
+
+            for r in it:
+                if cur_lbl is not None and (
+                    r["_lbl"] != cur_lbl
+                    or len(cur_samples) >= samples_per_chunk
+                ):
+                    flush_chunk()
+                    if frame_size >= frame_bytes:
+                        yield codec.frame_chunked_message(
+                            codec.encode_chunked_read_response(frame, qi)
+                        )
+                        frame, frame_size = [], 0
+                cur_lbl = r["_lbl"]
+                cur_samples.append(codec.Sample(r["value"], r["ts"]))
+            flush_chunk()
+            if frame:
+                yield codec.frame_chunked_message(
+                    codec.encode_chunked_read_response(frame, qi)
+                )
 
     # --------------------------------------------------------- serialization
 

@@ -165,7 +165,10 @@ def encode_write_request(series: list[TimeSeries]) -> bytes:
     return bytes(out)
 
 
-def encode_read_request(queries: list[Query]) -> bytes:
+def encode_read_request(
+    queries: list[Query],
+    accepted_response_types: list[int] | None = None,
+) -> bytes:
     out = bytearray()
     for q in queries:
         body = _varint_field(1, q.start_timestamp_ms) + _varint_field(
@@ -179,6 +182,10 @@ def encode_read_request(queries: list[Query]) -> bytes:
                 + _len_delim(3, value.encode()),
             )
         out += _len_delim(1, body)
+    if accepted_response_types:
+        # packed repeated enum, as proto3 marshals it
+        packed = b"".join(write_uvarint(t) for t in accepted_response_types)
+        out += _len_delim(2, packed)
     return bytes(out)
 
 
@@ -261,6 +268,329 @@ def decode_read_response(buf: bytes) -> list[list[TimeSeries]]:
                 if fn == 1 and w == 2
             ])
     return out
+
+
+#: ReadRequest.ResponseType enum (prompb/remote.proto)
+READ_SAMPLES = 0
+READ_STREAMED_XOR_CHUNKS = 1
+
+
+def decode_read_request_accepted_types(buf: bytes) -> list[int]:
+    """ReadRequest.accepted_response_types (field 2, repeated enum —
+    packed or unpacked). Absent means [SAMPLES] per the spec."""
+    out: list[int] = []
+    for field_no, wire, v in iter_fields(buf):
+        if field_no != 2:
+            continue
+        if wire == 0:
+            out.append(v)
+        elif wire == 2:  # packed
+            pos = 0
+            while pos < len(v):
+                t, pos = read_uvarint(v, pos)
+                out.append(t)
+    return out or [READ_SAMPLES]
+
+
+# ------------------------------------------- XOR (Gorilla) chunk codec
+#
+# The reference streams remote-read responses as STREAMED_XOR_CHUNKS
+# (api/api.go:58-61 ChunkedReadLimit, api/promql/queryable.go:436-445);
+# the chunk payload is the Prometheus tsdb chunkenc XOR format (public
+# tsdb/chunkenc/xor.go, the Gorilla paper's timestamp-dod + value-XOR
+# scheme): 2-byte big-endian sample count, first sample as signed-varint
+# timestamp + raw 64-bit value, second as uvarint time delta + XOR'd
+# value, then delta-of-delta prefix codes. Bit-exact with upstream so a
+# real Prometheus/Thanos client can decode our frames.
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.free = 0  # unused bits in the last byte
+
+    def write_bit(self, bit: int) -> None:
+        if self.free == 0:
+            self.buf.append(0)
+            self.free = 8
+        if bit:
+            self.buf[-1] |= 1 << (self.free - 1)
+        self.free -= 1
+
+    def write_bits(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.write_bit((value >> i) & 1)
+
+    def write_byte(self, b: int) -> None:
+        self.write_bits(b, 8)
+
+    def write_varint(self, n: int) -> None:  # zigzag, like binary.PutVarint
+        self.write_uvarint((n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1)
+
+    def write_uvarint(self, n: int) -> None:
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                self.write_byte(b | 0x80)
+            else:
+                self.write_byte(b)
+                return
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos_bits: int = 0):
+        self.data = data
+        self.pos = pos_bits
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, nbits: int) -> int:
+        v = 0
+        for _ in range(nbits):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_byte(self) -> int:
+        return self.read_bits(8)
+
+    def read_uvarint(self) -> int:
+        result = shift = 0
+        while True:
+            b = self.read_byte()
+            result |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return result
+            shift += 7
+
+    def read_varint(self) -> int:  # zigzag
+        u = self.read_uvarint()
+        return (u >> 1) ^ -(u & 1)
+
+
+def _bit_range(x: int, nbits: int) -> bool:
+    return -((1 << (nbits - 1)) - 1) <= x <= 1 << (nbits - 1)
+
+
+def encode_xor_chunk(samples: list[Sample]) -> bytes:
+    """Encode samples (ts-ascending) as a Prometheus XOR chunk."""
+    if len(samples) > 0xFFFF:
+        raise ValueError("XOR chunk holds at most 65535 samples")
+    w = _BitWriter()
+    w.write_bits(len(samples), 16)  # big-endian count, byte-aligned here
+    prev_t = prev_tdelta = 0
+    prev_v = 0
+    leading, trailing = 0xFF, 0
+    for i, s in enumerate(samples):
+        t = s.timestamp_ms
+        vbits = struct.unpack("<Q", struct.pack("<d", s.value))[0]
+        if i == 0:
+            w.write_varint(t)
+            w.write_bits(vbits, 64)
+        else:
+            if i == 1:
+                tdelta = t - prev_t
+                w.write_uvarint(tdelta)
+                prev_tdelta = tdelta
+            else:
+                tdelta = t - prev_t
+                dod = tdelta - prev_tdelta
+                prev_tdelta = tdelta
+                if dod == 0:
+                    w.write_bit(0)
+                elif _bit_range(dod, 14):
+                    w.write_bits(0b10, 2)
+                    w.write_bits(dod & ((1 << 14) - 1), 14)
+                elif _bit_range(dod, 17):
+                    w.write_bits(0b110, 3)
+                    w.write_bits(dod & ((1 << 17) - 1), 17)
+                elif _bit_range(dod, 20):
+                    w.write_bits(0b1110, 4)
+                    w.write_bits(dod & ((1 << 20) - 1), 20)
+                else:
+                    w.write_bits(0b1111, 4)
+                    w.write_bits(dod & ((1 << 64) - 1), 64)
+            # value: XOR against the previous (xor.go xorWrite)
+            delta = vbits ^ prev_v
+            if delta == 0:
+                w.write_bit(0)
+            else:
+                w.write_bit(1)
+                new_leading = 64 - delta.bit_length()
+                if new_leading >= 32:
+                    new_leading = 31
+                new_trailing = (delta & -delta).bit_length() - 1
+                if (
+                    leading != 0xFF
+                    and new_leading >= leading
+                    and new_trailing >= trailing
+                ):
+                    w.write_bit(0)
+                    w.write_bits(delta >> trailing, 64 - leading - trailing)
+                else:
+                    leading, trailing = new_leading, new_trailing
+                    w.write_bit(1)
+                    w.write_bits(leading, 5)
+                    sigbits = 64 - leading - trailing
+                    w.write_bits(sigbits & 0x3F, 6)  # 64 encodes as 0
+                    w.write_bits(delta >> trailing, sigbits)
+        prev_t, prev_v = t, vbits
+    return bytes(w.buf)
+
+
+def decode_xor_chunk(data: bytes) -> list[Sample]:
+    count = struct.unpack(">H", data[:2])[0]
+    r = _BitReader(data, 16)
+    out: list[Sample] = []
+    t = tdelta = 0
+    vbits = 0
+    leading = trailing = 0
+    for i in range(count):
+        if i == 0:
+            t = r.read_varint()
+            vbits = r.read_bits(64)
+        else:
+            if i == 1:
+                tdelta = r.read_uvarint()
+            else:
+                kind = 0
+                while kind < 4 and r.read_bit():
+                    kind += 1
+                if kind > 0:
+                    nbits = {1: 14, 2: 17, 3: 20, 4: 64}[kind]
+                    dod = r.read_bits(nbits)
+                    if dod > (1 << (nbits - 1)):  # two's complement
+                        dod -= 1 << nbits
+                    elif nbits == 64 and dod >= 1 << 63:
+                        dod -= 1 << 64
+                    tdelta += dod
+            t += tdelta
+            if r.read_bit():
+                if r.read_bit():
+                    leading = r.read_bits(5)
+                    sigbits = r.read_bits(6) or 64
+                    trailing = 64 - leading - sigbits
+                sigbits = 64 - leading - trailing
+                vbits ^= r.read_bits(sigbits) << trailing
+        out.append(
+            Sample(struct.unpack("<d", struct.pack("<Q", vbits))[0], t)
+        )
+    return out
+
+
+# ----------------------------- streamed read framing (ChunkedReadResponse)
+#
+# prompb/remote.proto:
+#   ChunkedReadResponse { repeated ChunkedSeries chunked_series = 1;
+#                         int64 query_index = 2; }
+#   ChunkedSeries { repeated Label labels = 1; repeated Chunk chunks = 2; }
+#   Chunk { int64 min_time_ms = 1; int64 max_time_ms = 2;
+#           Encoding type = 3 (XOR = 1); bytes data = 4; }
+# Stream framing (upstream storage/remote chunked writer): per message,
+# uvarint(len) + 4-byte big-endian CRC32-Castagnoli(data) + data; the
+# stream itself is NOT snappy-compressed (XOR chunks already are).
+
+XOR_ENCODING = 1
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE: list[int] = []
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+@dataclass
+class ChunkedSeries:
+    labels: dict[str, str] = field(default_factory=dict)
+    #: (min_time_ms, max_time_ms, encoding, data)
+    chunks: list[tuple[int, int, int, bytes]] = field(default_factory=list)
+
+
+def encode_chunked_read_response(
+    series: list[ChunkedSeries], query_index: int
+) -> bytes:
+    out = bytearray()
+    for cs in series:
+        body = bytearray()
+        for name in cs.labels:
+            body += _len_delim(1, encode_label(name, cs.labels[name]))
+        for mn, mx, enc, data in cs.chunks:
+            body += _len_delim(
+                2,
+                _varint_field(1, mn) + _varint_field(2, mx)
+                + _varint_field(3, enc) + _len_delim(4, data),
+            )
+        out += _len_delim(1, bytes(body))
+    out += _varint_field(2, query_index)
+    return bytes(out)
+
+
+def decode_chunked_read_response(
+    buf: bytes,
+) -> tuple[list[ChunkedSeries], int]:
+    series: list[ChunkedSeries] = []
+    query_index = 0
+    for field_no, wire, v in iter_fields(buf):
+        if field_no == 2 and wire == 0:
+            query_index = _int64(v)
+        elif field_no == 1 and wire == 2:
+            cs = ChunkedSeries()
+            for fn, w, cv in iter_fields(v):
+                if fn == 1 and w == 2:
+                    name = value = ""
+                    for lfn, lw, lv in iter_fields(cv):
+                        if lfn == 1 and lw == 2:
+                            name = lv.decode()
+                        elif lfn == 2 and lw == 2:
+                            value = lv.decode()
+                    cs.labels[name] = value
+                elif fn == 2 and w == 2:
+                    mn = mx = enc = 0
+                    data = b""
+                    for cfn, cw, ccv in iter_fields(cv):
+                        if cfn == 1 and cw == 0:
+                            mn = _int64(ccv)
+                        elif cfn == 2 and cw == 0:
+                            mx = _int64(ccv)
+                        elif cfn == 3 and cw == 0:
+                            enc = ccv
+                        elif cfn == 4 and cw == 2:
+                            data = ccv
+                    cs.chunks.append((mn, mx, enc, data))
+            series.append(cs)
+    return series, query_index
+
+
+def frame_chunked_message(data: bytes) -> bytes:
+    """uvarint length + BE crc32c + data (upstream chunked stream unit)."""
+    return write_uvarint(len(data)) + struct.pack(">I", crc32c(data)) + data
+
+
+def iter_chunked_frames(stream: bytes):
+    """Split a chunked read stream back into verified messages."""
+    pos = 0
+    while pos < len(stream):
+        ln, pos = read_uvarint(stream, pos)
+        crc = struct.unpack(">I", stream[pos:pos + 4])[0]
+        pos += 4
+        data = stream[pos:pos + ln]
+        pos += ln
+        if crc32c(data) != crc:
+            raise ValueError("chunked frame CRC mismatch")
+        yield data
 
 
 # ----------------------------------------------- remote-write 2.0 (PRW2)

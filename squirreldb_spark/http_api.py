@@ -70,6 +70,7 @@ class PromHTTPServer:
         tenant_label: str = "__account_id",
         lookback_ms: int = 300_000,
         max_body_bytes: int = MAX_BODY_BYTES,
+        read_frame_bytes: int = 1 << 20,
         **api_kwargs,
     ):
         self.spark = spark
@@ -79,6 +80,9 @@ class PromHTTPServer:
         self.tenant_label = tenant_label
         self.lookback_ms = lookback_ms
         self.max_body_bytes = max_body_bytes
+        #: frame budget for streamed remote read (reference 1 MiB
+        #: ChunkedReadLimit); tests shrink it to force multi-frame reads
+        self.read_frame_bytes = read_frame_bytes
         self.api_kwargs = api_kwargs
         #: mutable-label management state (POST/DELETE /mutable/names,
         #: /mutable/values — reference api/api.go:230-233)
@@ -293,6 +297,30 @@ class PromHTTPServer:
                 self._send_bytes(handler, 200, b"", encoding=None)
                 return
             if path == "/api/v1/read":
+                # response-type negotiation (prompb ReadRequest
+                # accepted_response_types; reference api/api.go:58-61):
+                # a client accepting STREAMED_XOR_CHUNKS gets framed
+                # ChunkedReadResponse messages with bounded server
+                # memory; otherwise the single SAMPLES ReadResponse
+                accepted = codec.decode_read_request_accepted_types(
+                    codec.snappy_decompress(body)
+                )
+                if codec.READ_STREAMED_XOR_CHUNKS in accepted:
+                    handler.send_response(200)
+                    handler.send_header(
+                        "Content-Type",
+                        "application/x-streamed-protobuf; "
+                        "proto=prometheus.ChunkedReadResponse",
+                    )
+                    # no Content-Length: the stream is delimited by
+                    # connection close (HTTP/1.0 handler); frames flow
+                    # as they are produced, never buffered whole
+                    handler.end_headers()
+                    for frame in self._api().remote_read_frames(
+                        body, frame_bytes=self.read_frame_bytes
+                    ):
+                        handler.wfile.write(frame)
+                    return
                 out = self._api().remote_read(body)
                 self._send_bytes(handler, 200, out)
                 return

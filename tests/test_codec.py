@@ -248,6 +248,82 @@ def test_otlp_label_sanitization():
                              "span_kind": "server"}
 
 
+def _xor_roundtrip(samples):
+    enc = codec.encode_xor_chunk(samples)
+    dec = codec.decode_xor_chunk(enc)
+    assert len(dec) == len(samples)
+    import math
+
+    for a, b in zip(samples, dec):
+        assert a.timestamp_ms == b.timestamp_ms
+        if math.isnan(a.value):
+            assert math.isnan(b.value)
+        else:
+            assert a.value == b.value
+    return enc
+
+
+def test_xor_chunk_roundtrip_shapes():
+    S = Sample
+    _xor_roundtrip([])
+    _xor_roundtrip([S(1.5, 1_000)])
+    _xor_roundtrip([S(1.0, 1_000), S(1.0, 2_000)])  # zero XOR delta
+    _xor_roundtrip([S(float("nan"), 0), S(float("inf"), 10),
+                    S(-float("inf"), 17), S(-0.0, 1_003)])
+    _xor_roundtrip([S(0.1 * i, -5_000_000 + i * 13_777) for i in range(50)])
+    # regular counter series compresses hard (the Gorilla headline case)
+    enc = _xor_roundtrip([S(float(i), 1_000 * i) for i in range(120)])
+    assert len(enc) < 120 * 4
+
+
+def test_xor_chunk_roundtrip_random():
+    import random
+
+    random.seed(7)
+    ts = sorted(random.sample(range(10**12), 300))
+    _xor_roundtrip([Sample(random.uniform(-1e12, 1e12), t) for t in ts])
+    # large delta-of-deltas exercise the 17/20/64-bit dod branches
+    _xor_roundtrip([Sample(2.0**i - 1, i**5 + i) for i in range(40)])
+
+
+def test_chunked_read_response_roundtrip_and_framing():
+    cs = codec.ChunkedSeries(
+        labels={"__name__": "m", "inst": "a"},
+        chunks=[(10, 30, codec.XOR_ENCODING,
+                 codec.encode_xor_chunk([Sample(1.0, 10), Sample(2.0, 30)]))],
+    )
+    msg = codec.encode_chunked_read_response([cs], query_index=3)
+    series, qi = codec.decode_chunked_read_response(msg)
+    assert qi == 3 and series[0].labels == cs.labels
+    assert series[0].chunks == cs.chunks
+    stream = codec.frame_chunked_message(msg) + codec.frame_chunked_message(msg)
+    frames = list(codec.iter_chunked_frames(stream))
+    assert frames == [msg, msg]
+    # CRC must catch corruption
+    corrupted = bytearray(codec.frame_chunked_message(msg))
+    corrupted[-1] ^= 0xFF
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        list(codec.iter_chunked_frames(bytes(corrupted)))
+
+
+def test_read_request_accepted_types():
+    q = codec.Query(0, 100, [("=", "a", "b")])
+    plain = codec.encode_read_request([q])
+    assert codec.decode_read_request_accepted_types(plain) == [
+        codec.READ_SAMPLES
+    ]
+    streamed = codec.encode_read_request(
+        [q], accepted_response_types=[codec.READ_STREAMED_XOR_CHUNKS]
+    )
+    assert codec.decode_read_request_accepted_types(streamed) == [
+        codec.READ_STREAMED_XOR_CHUNKS
+    ]
+    # queries decode identically with the extra field present
+    assert codec.decode_read_request(streamed)[0].matchers == q.matchers
+
+
 def test_label_sanitization_is_ascii_only():
     # non-ASCII OTLP attribute keys must map into [a-zA-Z0-9_] — Unicode
     # letters are NOT valid Prometheus label-name characters

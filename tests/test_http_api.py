@@ -175,6 +175,79 @@ def test_remote_read_roundtrip(base, written):
     ]
 
 
+def test_remote_read_streamed_chunks(spark):
+    """Negotiating STREAMED_XOR_CHUNKS returns MULTIPLE framed
+    ChunkedReadResponse messages (uvarint + crc32c framing, XOR-encoded
+    chunk payloads) with bounded server memory — the reference's
+    streamed read path (api/api.go:58-61 ChunkedReadLimit). A tiny
+    frame budget forces one frame per series."""
+    srv = PromHTTPServer(
+        spark, lookback_ms=300_000, read_frame_bytes=16
+    ).start()
+    try:
+        base2 = f"http://127.0.0.1:{srv.port}"
+        series = [
+            codec.TimeSeries(
+                labels={"__name__": "stream_metric", "inst": f"i{j}"},
+                samples=[
+                    codec.Sample(float(j * 100 + k), 1_000 * k)
+                    for k in range(10)
+                ],
+            )
+            for j in range(3)
+        ]
+        status, _ = _post(
+            f"{base2}/api/v1/write",
+            codec.encode_remote_write_body(series),
+            {"Content-Encoding": "snappy",
+             "Content-Type": "application/x-protobuf"},
+        )
+        assert status == 204
+        body = codec.encode_read_request(
+            [codec.Query(
+                start_timestamp_ms=0, end_timestamp_ms=1_000_000,
+                matchers=[("=", "__name__", "stream_metric")],
+            )],
+            accepted_response_types=[codec.READ_STREAMED_XOR_CHUNKS],
+        )
+        req = urllib.request.Request(
+            f"{base2}/api/v1/read",
+            data=codec.snappy_compress(body), method="POST",
+            headers={"Content-Encoding": "snappy",
+                     "Content-Type": "application/x-protobuf"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith(
+                "application/x-streamed-protobuf"
+            )
+            # the stream is NOT snappy-compressed (chunks already are)
+            assert resp.headers.get("Content-Encoding") is None
+            raw = resp.read()
+        frames = list(codec.iter_chunked_frames(raw))
+        assert len(frames) >= 3, "expected one frame per series"
+        got: dict[str, list] = {}
+        for fr in frames:
+            chunked, qi = codec.decode_chunked_read_response(fr)
+            assert qi == 0
+            for cs in chunked:
+                assert cs.labels["__name__"] == "stream_metric"
+                for mn, mx, enc, data in cs.chunks:
+                    assert enc == codec.XOR_ENCODING
+                    smp = codec.decode_xor_chunk(data)
+                    assert mn == smp[0].timestamp_ms
+                    assert mx == smp[-1].timestamp_ms
+                    got.setdefault(cs.labels["inst"], []).extend(
+                        (s.value, s.timestamp_ms) for s in smp
+                    )
+        assert got == {
+            f"i{j}": [(float(j * 100 + k), 1_000 * k) for k in range(10)]
+            for j in range(3)
+        }
+    finally:
+        srv.stop()
+
+
 def test_forced_matcher_header(base, written):
     status, out = _get(
         f"{base}/api/v1/query?query=http_requests_total&time=130",
