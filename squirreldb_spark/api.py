@@ -43,6 +43,66 @@ class LimitExceeded(Exception):
     """A24/A25-style guard tripped (max_evaluated_series / points)."""
 
 
+class QueryTimeout(Exception):
+    """Per-query wall-clock deadline exceeded (the reference engine's
+    Timeout=2 min, api/promql/engine.go:39-40)."""
+
+
+def run_with_timeout(spark, fn, timeout_ms: int | None, desc: str = "promql"):
+    """Run ``fn`` (a driver-side materialization) under a wall-clock
+    deadline, killing its Spark jobs on expiry.
+
+    The work is tagged with a per-call job group (``interruptOnCancel``
+    so running tasks are interrupted, the analogue of the reference's
+    context cancellation); a watchdog thread cancels the group at the
+    deadline and keeps re-cancelling until ``fn`` returns, so jobs
+    submitted after the first cancel don't slip through. Like upstream's
+    context deadline, expiry raises :class:`QueryTimeout` even if a
+    result arrived late.
+    """
+    if not timeout_ms:
+        return fn()
+    import threading
+    import uuid
+
+    sc = spark.sparkContext
+    gid = f"sq-query-{uuid.uuid4().hex}"
+    done = threading.Event()
+    expired = threading.Event()
+
+    def watchdog():
+        if done.wait(timeout_ms / 1000.0):
+            return
+        expired.set()
+        while not done.is_set():
+            try:
+                sc.cancelJobGroup(gid)
+            except Exception:  # pragma: no cover - JVM teardown race
+                pass
+            done.wait(0.05)
+
+    sc.setJobGroup(gid, desc, interruptOnCancel=True)
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        result = fn()
+    except Exception:
+        if expired.is_set():
+            raise QueryTimeout(
+                f"query execution exceeded {timeout_ms} ms"
+            ) from None
+        raise
+    finally:
+        done.set()
+        try:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        except Exception:  # pragma: no cover
+            pass
+    if expired.is_set():
+        raise QueryTimeout(f"query execution exceeded {timeout_ms} ms")
+    return result
+
+
 @dataclass
 class RequestOptions:
     """Per-request knobs, the reference's HTTP headers (types/types.go:171-195)."""
@@ -77,6 +137,7 @@ class PromAPI:
         preagg_resolution_ms: int = 300_000,
         preagg_until_ms: int | None = None,
         labels_map_col: str | None = None,
+        max_samples: int | None = None,
     ):
         self.points = points
         self.label_cols = tuple(label_cols)
@@ -92,6 +153,9 @@ class PromAPI:
         # dynamic label model: per-series label sets in a map column
         # (promql.planner promotes referenced names per query)
         self.labels_map_col = labels_map_col
+        #: always-on total-sample budget (the reference engine's
+        #: MaxSamples=50M, api/promql/engine.go:39-41); None = unlimited
+        self.max_samples = max_samples
 
     # ------------------------------------------------------------ internals
 
@@ -130,21 +194,27 @@ class PromAPI:
 
     def _guard(self, pts: DataFrame, start_ms: int, end_ms: int,
                opts: RequestOptions | None) -> None:
-        """A25/A26: series / points limits on the query's fact slice."""
-        if opts is None or (
-            opts.max_evaluated_series is None and opts.max_evaluated_points is None
-        ):
+        """A25/A26 series/points limits plus the engine sample budget
+        (``max_samples``) on the query's fact slice — one scanned-rows
+        count over the pruned scan, only when a guard is configured."""
+        max_points = opts.max_evaluated_points if opts else None
+        max_series = opts.max_evaluated_series if opts else None
+        if max_points is None and max_series is None and self.max_samples is None:
             return
         sl = pts.filter(
             (F.col("ts") > start_ms - self.lookback_ms) & (F.col("ts") <= end_ms)
         )
-        if opts.max_evaluated_points is not None:
+        if max_points is not None or self.max_samples is not None:
             n = sl.count()
-            if n > opts.max_evaluated_points:
+            if self.max_samples is not None and n > self.max_samples:
                 raise LimitExceeded(
-                    f"{n} points > max_evaluated_points={opts.max_evaluated_points}"
+                    f"{n} samples > engine budget max_samples={self.max_samples}"
                 )
-        if opts.max_evaluated_series is not None:
+            if max_points is not None and n > max_points:
+                raise LimitExceeded(
+                    f"{n} points > max_evaluated_points={max_points}"
+                )
+        if opts is not None and opts.max_evaluated_series is not None:
             if self.label_cols:
                 ident = sl.select(*self.label_cols)
             elif self.labels_map_col is not None:

@@ -39,7 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from squirreldb_spark import codec
-from squirreldb_spark.api import LimitExceeded, PromAPI, RequestOptions
+from squirreldb_spark.api import (
+    LimitExceeded,
+    PromAPI,
+    QueryTimeout,
+    RequestOptions,
+    run_with_timeout,
+)
 
 #: reference api/api.go: decoded request bodies are size-limited
 MAX_BODY_BYTES = 32 << 20
@@ -71,6 +77,8 @@ class PromHTTPServer:
         lookback_ms: int = 300_000,
         max_body_bytes: int = MAX_BODY_BYTES,
         read_frame_bytes: int = 1 << 20,
+        query_timeout_ms: int | None = 120_000,
+        max_samples: int | None = 50_000_000,
         **api_kwargs,
     ):
         self.spark = spark
@@ -83,6 +91,10 @@ class PromHTTPServer:
         #: frame budget for streamed remote read (reference 1 MiB
         #: ChunkedReadLimit); tests shrink it to force multi-frame reads
         self.read_frame_bytes = read_frame_bytes
+        #: per-query guardrails, the reference engine's Timeout=2 min and
+        #: MaxSamples=50M (api/promql/engine.go:39-41)
+        self.query_timeout_ms = query_timeout_ms
+        self.max_samples = max_samples
         self.api_kwargs = api_kwargs
         #: mutable-label management state (POST/DELETE /mutable/names,
         #: /mutable/values — reference api/api.go:230-233)
@@ -126,6 +138,7 @@ class PromHTTPServer:
             tenant_col=self.tenant_label,
             lookback_ms=self.lookback_ms,
             mutable_mapping=self.mutable_store.mapping(),
+            max_samples=self.max_samples,
         )
         kwargs.update(self.api_kwargs)
         return PromAPI(self._points(), **kwargs)
@@ -218,6 +231,18 @@ class PromHTTPServer:
         handler.send_header("Content-Length", str(len(body)))
         handler.end_headers()
         handler.wfile.write(body)
+
+    def _timeout_ms(self, p) -> int | None:
+        """Effective per-query deadline: the Prometheus ``timeout``
+        request parameter (seconds), capped by the server default —
+        clients may shorten the engine timeout, never extend it."""
+        raw = p("timeout")
+        if raw is None:
+            return self.query_timeout_ms
+        ms = int(float(raw) * 1000)
+        if self.query_timeout_ms is not None:
+            ms = min(ms, self.query_timeout_ms)
+        return ms
 
     @staticmethod
     def _opts(handler) -> RequestOptions:
@@ -329,16 +354,34 @@ class PromHTTPServer:
                 start = _parse_time_s(p("start"))
                 end = _parse_time_s(p("end"))
                 step = int(float(p("step", "60")) * 1000)
-                df = self._api().query_range(
-                    p("query"), start, end, step, opts=opts
+
+                def run_range():
+                    df = self._api().query_range(
+                        p("query"), start, end, step, opts=opts
+                    )
+                    return self._format(df, "matrix")
+
+                self._send_json(
+                    handler, 200,
+                    run_with_timeout(
+                        self.spark, run_range, self._timeout_ms(p)
+                    ),
                 )
-                self._send_json(handler, 200, self._format(df, "matrix"))
                 return
             if path == "/api/v1/query":
                 opts = self._opts(handler)
                 t = _parse_time_s(p("time"))
-                df = self._api().query(p("query"), t, opts=opts)
-                self._send_json(handler, 200, self._format(df, "vector"))
+
+                def run_instant():
+                    df = self._api().query(p("query"), t, opts=opts)
+                    return self._format(df, "vector")
+
+                self._send_json(
+                    handler, 200,
+                    run_with_timeout(
+                        self.spark, run_instant, self._timeout_ms(p)
+                    ),
+                )
                 return
             if path == "/api/v1/series":
                 opts = self._opts(handler)
@@ -488,6 +531,14 @@ class PromHTTPServer:
                 handler, 404,
                 {"status": "error", "errorType": "not_found",
                  "error": f"unknown endpoint {path}"},
+            )
+        except QueryTimeout as ex:
+            # the Prometheus timeout error shape (503 / errorType
+            # "timeout"), as a client of the reference would see it
+            self._send_json(
+                handler, 503,
+                {"status": "error", "errorType": "timeout",
+                 "error": str(ex)},
             )
         except LimitExceeded as ex:
             self._send_json(

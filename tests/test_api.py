@@ -75,6 +75,43 @@ def test_limits_pass_under_threshold(api):
     assert api.query("cpu", time_ms=12 * H, opts=opts).count() == 2
 
 
+def test_engine_sample_budget_always_on(spark):
+    # the MaxSamples analog trips with NO per-request opts at all
+    rows = [("a", "cpu", h * H, float(h)) for h in range(1, 25)]
+    pts = spark.createDataFrame(rows, "host string, name string, ts long, value double")
+    capped = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                     lookback_ms=2 * H, max_samples=3)
+    with pytest.raises(LimitExceeded, match="max_samples"):
+        capped.query_range("cpu", 1 * H, 24 * H, H)
+    roomy = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                    lookback_ms=2 * H, max_samples=10_000)
+    assert roomy.query("cpu", time_ms=12 * H).count() == 1
+
+
+def test_run_with_timeout_kills_runaway_job(spark):
+    from squirreldb_spark.api import QueryTimeout, run_with_timeout
+
+    # a deliberately huge aggregation (minutes of CPU if left alone;
+    # modulo keeps the sum inside long range under ANSI mode)
+    big = spark.range(1 << 40).selectExpr("sum(id % 1000) AS s")
+    import time
+
+    t0 = time.monotonic()
+    with pytest.raises(QueryTimeout):
+        run_with_timeout(spark, lambda: big.collect(), timeout_ms=500)
+    assert time.monotonic() - t0 < 60, "cancellation did not interrupt the job"
+    # the session must stay healthy for subsequent queries
+    assert spark.range(10).count() == 10
+
+
+def test_run_with_timeout_passes_fast_work(spark):
+    from squirreldb_spark.api import run_with_timeout
+
+    assert run_with_timeout(
+        spark, lambda: spark.range(5).count(), timeout_ms=60_000
+    ) == 5
+
+
 def test_series_endpoint(api):
     out = api.series('{name="cpu"}', 0, 48 * H).collect()
     assert sorted((r.host, r.name) for r in out) == [("a", "cpu"), ("b", "cpu")]

@@ -259,6 +259,62 @@ def test_forced_matcher_header(base, written):
     assert len(metrics) == 1 and metrics[0]["inst"] == "a"
 
 
+def test_query_timeout_returns_prometheus_error_shape(spark):
+    """A pathological query is killed at the engine deadline and the
+    client sees the upstream error shape (503, errorType "timeout") —
+    the reference engine's Timeout=2 min (api/promql/engine.go:39-40).
+    query_timeout_ms=1 guarantees expiry before any Spark job finishes."""
+    srv = PromHTTPServer(spark, lookback_ms=300_000, query_timeout_ms=1).start()
+    try:
+        b = f"http://127.0.0.1:{srv.port}"
+        series = [codec.TimeSeries(
+            labels={"__name__": "m"},
+            samples=[codec.Sample(1.0, 10_000)],
+        )]
+        status, _ = _post(
+            f"{b}/api/v1/write", codec.encode_remote_write_body(series),
+            {"Content-Encoding": "snappy",
+             "Content-Type": "application/x-protobuf"},
+        )
+        assert status == 204
+        # a wide 1s-step subquery: hours of grid x range join if unkilled
+        status, out = _get(
+            f"{b}/api/v1/query?query=sum_over_time(m%5B360000s%3A1s%5D)&time=130"
+        )
+        assert status == 503
+        assert out["errorType"] == "timeout"
+        # the per-request timeout param may SHORTEN but never extend:
+        # still 503 even though the client asked for 600s
+        status, out = _get(f"{b}/api/v1/query?query=m&time=130&timeout=600")
+        assert status == 503 and out["errorType"] == "timeout"
+    finally:
+        srv.stop()
+
+
+def test_sample_budget_returns_422(spark):
+    """The engine MaxSamples analog (50M upstream) trips with no
+    per-request headers at all."""
+    srv = PromHTTPServer(spark, lookback_ms=300_000, max_samples=2).start()
+    try:
+        b = f"http://127.0.0.1:{srv.port}"
+        series = [codec.TimeSeries(
+            labels={"__name__": "m"},
+            samples=[codec.Sample(float(k), 10_000 * k) for k in range(1, 8)],
+        )]
+        status, _ = _post(
+            f"{b}/api/v1/write", codec.encode_remote_write_body(series),
+            {"Content-Encoding": "snappy",
+             "Content-Type": "application/x-protobuf"},
+        )
+        assert status == 204
+        status, out = _get(f"{b}/api/v1/query_range?query=m&start=0&end=130&step=10")
+        assert status == 422
+        assert out["errorType"] == "execution"
+        assert "max_samples" in out["error"]
+    finally:
+        srv.stop()
+
+
 def test_limit_header_yields_422(base, written):
     status, out = _get(
         f"{base}/api/v1/query_range?query=http_requests_total"
