@@ -322,6 +322,124 @@ FROM r WHERE running_tokens <= {budget // n_shards}
 """
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench_mod: int = 97,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    ``n``-gram with a held-out benchmark set (the standard eval-leakage
+    check a pipeline runs before training; GPT-3-style 13-gram collision
+    scanning — n=3 on the synthetic small-vocabulary corpus so both the
+    contaminated and clean branches carry real mass; production raises n).
+
+    The benchmark here is the deterministic ``doc_id % bench_mod == 0``
+    subset standing in for an external eval file. Scale shape: benchmark
+    n-grams are a *small* distinct set (evals are tiny next to a corpus)
+    — broadcast them; the corpus side explodes its n-grams map-side and
+    the contamination count is a broadcast semi-join + one groupBy on
+    doc_id. The corpus is never self-joined and never shuffled by
+    n-gram.
+    """
+    grams = F.transform(
+        F.sequence(
+            F.lit(0), F.size(tokens(text_col)) - n
+        ),
+        lambda i: F.array_join(
+            F.slice(tokens(text_col), i + 1, n), " "
+        ),
+    )
+    bench = (
+        docs.filter(F.col("doc_id") % bench_mod == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    corpus = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_ngrams"))
+    )
+    return (
+        docs.select("doc_id", (F.col("doc_id") % bench_mod == 0).alias("is_benchmark"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_benchmark",
+            F.coalesce("contaminated_ngrams", F.lit(0)).alias("contaminated_ngrams"),
+            (F.coalesce("contaminated_ngrams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(bench_mod: int = 97, n: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+         array_to_string(t[i:i+{n - 1}], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {n - 1})) AS i)
+  WHERE len(t) >= {n}),
+bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % {bench_mod} = 0),
+corpus AS (SELECT DISTINCT doc_id, gram FROM grams),
+hits AS (
+  SELECT doc_id, count(*)::BIGINT AS contaminated_ngrams
+  FROM corpus JOIN bench USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       d.doc_id % {bench_mod} = 0 AS is_benchmark,
+       coalesce(h.contaminated_ngrams, 0) AS contaminated_ngrams,
+       coalesce(h.contaminated_ngrams, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+def mix_temperature_weights(
+    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Temperature-based mixture weights per (lang, source): sampling
+    probability proportional to ``tokens^alpha``, normalized within the
+    language — the exponential-smoothing formula multilingual training
+    uses to up-sample small sources without letting giants dominate
+    (alpha=1 is proportional, alpha=0 uniform).
+
+    One groupBy of token counts (map-side combine) and one window over
+    the tiny (lang, source) aggregate — corpus text moves through a
+    single shuffle, the weights table is dashboard-sized.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "lang", "source", F.size(tokens(text_col)).cast("long").alias("n")
+    )
+    agg = tok.groupBy("lang", "source").agg(F.sum("n").alias("tokens"))
+    w = Window.partitionBy("lang")
+    return agg.select(
+        "lang", "source", "tokens",
+        F.round(
+            F.pow("tokens", alpha) / F.sum(F.pow("tokens", alpha)).over(w),
+            6,
+        ).alias("sample_weight"),
+    )
+
+
+def sql_mix_temperature_weights(alpha: float = 0.5) -> str:
+    return f"""
+WITH agg AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1, 2)
+SELECT lang, source, tokens,
+       round(pow(tokens, {alpha})
+             / sum(pow(tokens, {alpha})) OVER (PARTITION BY lang), 6)
+         AS sample_weight
+FROM agg
+"""
+
+
 def source_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(lang, source) corpus mixture report: volume, exact-dup rate,
     and quality pass rate — the dashboard a pipeline operator reads

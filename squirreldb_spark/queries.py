@@ -2185,6 +2185,19 @@ def q_doc_sample_budget(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir))
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag docs sharing any word 8-gram with
+    the held-out benchmark subset (pipeline/text.py decontaminate) —
+    broadcast the benchmark n-grams, never self-join the corpus."""
+    return ptext.decontaminate(_docs(spark, sf_dir))
+
+
+def q_doc_mix_weights(spark, sf_dir):
+    """Temperature-based (alpha=0.5) mixture weights per (lang, source)
+    (pipeline/text.py mix_temperature_weights)."""
+    return ptext.mix_temperature_weights(_docs(spark, sf_dir))
+
+
 def q_doc_sample_budget_sharded(spark, sf_dir):
     """The mega-stratum-safe variant: each (lang, source) stratum is
     split into content-derived shards with equal budget slices, so no
@@ -2697,6 +2710,14 @@ _ALL_QUERIES: dict[str, QueryDef] = {
         q_doc_sample_budget_sharded,
         ptext.sql_token_budget_sample(n_shards=4),
     ),
+    # benchmark decontamination (eval-leakage n-gram collision scan)
+    "doc_decontaminate": QueryDef(
+        q_doc_decontaminate, ptext.sql_decontaminate()
+    ),
+    # temperature-based source mixture weights
+    "doc_mix_weights": QueryDef(
+        q_doc_mix_weights, ptext.sql_mix_temperature_weights()
+    ),
     # per-(lang, source) corpus mixture report
     "doc_source_stats": QueryDef(q_doc_source_stats, ptext.sql_source_stats()),
     # unigram-LM quality score (perplexity-filter shape)
@@ -2753,6 +2774,8 @@ _VERIFY_FIRST: list[str] = [
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",
+    "doc_decontaminate",
+    "doc_mix_weights",
     # --- (2) code changed in round 4 ---
     "doc_pack_sequences",     # sharded cumsum: pack ids CHANGED
     "doc_sample_budget",      # shared token_budget_sample refactor
@@ -2801,8 +2824,6 @@ _VERIFY_FIRST: list[str] = [
     "promql_subquery",
     "promql_at_modifier",
     "promql_group_left",
-    "promql_group_right",
-    "promql_bottomk_without",
 ]
 
 
