@@ -50,6 +50,7 @@ def ceng(spark):
 VARIANTS = {
     "simpleAggrOp": ["sum", "min", "max", "avg", "count", "stddev", "stdvar", "group"],
     "topBottomOp": ["topk", "bottomk"],
+    "limitOp": ["limitk"],
     "binOp": ["+", "-", "*", "/", "%", "^"],
     "compBinOp": ["==", "!=", "<", ">", "<=", ">="],
     "arithBinOp": ["+", "-", "*", "/", "%", "^"],
@@ -98,6 +99,11 @@ TEMPLATES = [
     "{simpleAggrOp} without(nonexistent) (demo_memory_usage_bytes)",
     "{topBottomOp} (3, demo_memory_usage_bytes)",
     "{topBottomOp} by(instance) (2, demo_memory_usage_bytes)",
+    # experimental feature-flagged aggregations (upstream 2.x limitk)
+    "{limitOp} (2, demo_memory_usage_bytes)",
+    "{limitOp} by(instance) (1, demo_memory_usage_bytes)",
+    "limit_ratio (0.5, demo_memory_usage_bytes)",
+    "limit_ratio (-0.5, demo_memory_usage_bytes)",
     "quantile({quantile}, demo_memory_usage_bytes)",
     "avg(max by(type) (demo_memory_usage_bytes))",
     # binary operators
