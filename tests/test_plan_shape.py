@@ -227,6 +227,15 @@ def test_pack_sequences_cumsum_is_sharded(spark, sf_dir):
     assert n_sharded >= 1
 
 
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set is eval-sized: every join in the plan
+    must be a broadcast — a SortMergeJoin would mean the corpus is being
+    shuffled by n-gram."""
+    plan = plan_of(CATALOG["doc_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_token_budget_sample_single_stratum_shuffle(spark, sf_dir):
     plan = plan_of(CATALOG["doc_sample_budget"].fn(spark, sf_dir))
     # exactly one exchange: the stratum window; the budget filter must not

@@ -211,3 +211,41 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r.node: r.cluster_id
            for r in connected_components(pairs).collect()}
     assert got == expected
+
+
+# --------------------------------------------------- XOR chunk codec fuzz
+
+
+@settings(max_examples=200, deadline=None)
+@given(samples=st.lists(
+    st.tuples(
+        st.integers(-(1 << 48), 1 << 48),
+        st.one_of(
+            st.floats(allow_nan=True, allow_infinity=True, width=64),
+            st.integers(-1000, 1000).map(float),
+        ),
+    ),
+    max_size=80,
+))
+def test_xor_chunk_roundtrip_fuzz(samples):
+    """Any (ts-ascending, strictly-deduped) sample sequence must survive
+    the Gorilla XOR chunk encode/decode bit-exactly — including NaN
+    payload bits, infinities, and arbitrary irregular timestamps."""
+    from squirreldb_spark import codec
+
+    seen: set[int] = set()
+    seq = []
+    for t, v in sorted(samples, key=lambda s: s[0]):
+        if t in seen:
+            continue
+        seen.add(t)
+        seq.append(codec.Sample(v, t))
+    enc = codec.encode_xor_chunk(seq)
+    dec = codec.decode_xor_chunk(enc)
+    assert len(dec) == len(seq)
+    import struct as _struct
+
+    for a, b in zip(seq, dec):
+        assert a.timestamp_ms == b.timestamp_ms
+        # bit-exact (distinguishes NaN payloads and -0.0)
+        assert _struct.pack("<d", a.value) == _struct.pack("<d", b.value)
