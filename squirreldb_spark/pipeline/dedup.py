@@ -535,3 +535,95 @@ def dedup_document_stream(
     return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["fingerprint"]
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 8
+) -> DataFrame:
+    """Exact duplicated-substring detection (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr shape, re-expressed
+    relationally): per document, how many of its n-gram windows also
+    appear in ANOTHER document, and the longest consecutive duplicated
+    run in tokens — the span a substring-level deduper would cut.
+
+    Scale shape: positions + shingles explode narrowly; "occurs in >1
+    distinct doc" is the dense_rank/max trick on ONE exchange keyed by
+    the shingle (no self-join, no count-distinct subquery); the
+    gaps-and-islands run detection is a second exchange keyed by the doc.
+    Two shuffles total, both on natural keys — the suffix-array pass of
+    the original paper needs a global sort; this needs none.
+    """
+    from pyspark.sql import Window
+
+    sh = docs.select(
+        F.col(id_col),
+        F.posexplode(shingles(text_col, n)).alias("pos", "sh"),
+    )
+    # distinct docs per shingle without count-distinct: rank doc ids
+    # within the shingle partition, then take the partition max rank —
+    # both windows share one exchange/sort on `sh`
+    w_rank = Window.partitionBy("sh").orderBy(id_col)
+    w_all = Window.partitionBy("sh")
+    marked = sh.withColumn("rk", F.dense_rank().over(w_rank)).withColumn(
+        "ndocs", F.max("rk").over(w_all)
+    )
+    dup = marked.filter(F.col("ndocs") > 1)
+    # gaps-and-islands: consecutive duplicated positions share one group
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup.withColumn("grp", F.col("pos") - F.row_number().over(w_doc))
+        .groupBy(id_col, "grp")
+        .agg(F.count(F.lit(1)).alias("run_windows"))
+    )
+    per_doc = runs.groupBy(id_col).agg(
+        F.sum("run_windows").cast("long").alias("n_dup_windows"),
+        (F.max("run_windows") + F.lit(n - 1)).cast("long").alias(
+            "max_dup_run_tokens"
+        ),
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("max_dup_run_tokens", F.lit(0)).alias(
+                "max_dup_run_tokens"
+            ),
+        )
+    )
+
+
+def sql_duplicate_spans(n: int = 8) -> str:
+    """Replays :func:`duplicate_spans` (same padded-slice shingling);
+    DuckDB allows COUNT(DISTINCT) as a window, making the oracle an
+    independent formulation of the cross-doc test."""
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, u.pos, u.sh
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(t) - {n - 1}, 1)),
+                 i -> {{'pos': i, 'sh': array_to_string(list_slice(t, i, i + {n - 1}), ' ')}})) AS u
+        FROM toks)),
+marked AS (
+  SELECT doc_id, pos,
+         count(DISTINCT doc_id) OVER (PARTITION BY sh) AS ndocs
+  FROM sh),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM marked WHERE ndocs > 1),
+runs AS (
+  SELECT doc_id, grp, count(*) AS run_windows
+  FROM islands GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(run_windows) AS n_dup_windows,
+         max(run_windows) + {n - 1} AS max_dup_run_tokens
+  FROM runs GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(p.n_dup_windows, 0)::BIGINT AS n_dup_windows,
+       coalesce(p.max_dup_run_tokens, 0)::BIGINT AS max_dup_run_tokens
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""

@@ -1,0 +1,280 @@
+"""Event-analytics operators: sessionization, funnels, cohorts, as-of join.
+
+These are the event-stream counterparts of the TSDB query surface: the
+same (user_id, event_type, ts, value) facts viewed as behavioural events
+rather than metric samples. Every operator here is a classic analytics
+shape a reference user runs against the raw write stream (the ``events``
+table IS the remote-write stream, model.py:8), re-expressed as declarative
+DataFrame plans.
+
+Scale shapes at 100 TB:
+
+* **sessionize** — one shuffle on ``user_id``; the session aggregation
+  re-groups on (user_id, session_seq), a superset key of the window's
+  partitioning, so AQE coalesces rather than re-distributes. Skew unit is
+  a single user's history (bot traffic); bound it upstream with the
+  per-query sample budget (api.py guardrails) or salt by day.
+* **asof_join** — the union-tag + last-non-null-window formulation: ONE
+  shuffle on the join key, no point-in-interval range join (a naive
+  ``BETWEEN`` join explodes to |left|x|right| per key before filtering).
+  This is the standard big-data as-of strategy (same shape as Flink's
+  temporal join state machine).
+* **funnel / retention** — per-user first-touch reductions; every stage
+  keys by ``user_id`` so all shuffles hash identically and co-locate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: session gap: a new session starts after 30 min of inactivity
+SESSION_GAP_MS = 30 * 60 * 1000
+
+#: default funnel: first view -> first later click -> first later purchase
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+_WEEK_MS = 7 * 86_400_000
+
+
+def sessionize(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Gap-based sessionization: a session is a maximal run of one user's
+    events with consecutive gaps <= ``gap_ms``.
+
+    The canonical lag-flag-cumsum plan: one window pass per user marks
+    session starts, a running sum numbers them, and a groupBy collapses
+    each session to (start, end, n_events, duration). Ties on ``ts``
+    break on ``event_id`` so the numbering is deterministic.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w) > gap_ms, 1
+    ).otherwise(
+        # first event of a user (lag NULL) also starts a session
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    numbered = events.select("user_id", "event_id", "ts").withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("ts") - F.min("ts")).alias("duration_ms"),
+    )
+
+
+def sql_sessionize(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, max(ts) - min(ts) AS duration_ms
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def funnel(
+    events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> DataFrame:
+    """Ordered first-touch funnel: a user converts stage k only with an
+    event of type ``stages[k]`` strictly AFTER their stage k-1 conversion
+    time (first-touch at every stage).
+
+    Plan: per-user min-ts for stage 1, then for each later stage one
+    filtered aggregation joined on ``user_id`` — every shuffle keys by
+    the same column, so the exchanges co-locate; the final count is a
+    two-column rollup. Stage count is tiny and static (a 3-deep funnel
+    is 3 joins, not an iteration over the corpus).
+    """
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    per_stage = [cur.select("user_id", F.col("t0").alias("t"))]
+    for k, stage in enumerate(stages[1:], start=1):
+        prev = per_stage[-1]
+        nxt = (
+            events.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        per_stage.append(nxt)
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            "n_users",
+        )
+        for i, df in enumerate(per_stage)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def sql_funnel(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM ev"
+        f" WHERE event_type = '{stages[0]}' GROUP BY 1)"
+    ]
+    for k, stage in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM ev e"
+            f" JOIN s{k - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{stage}' AND e.ts > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i + 1}::BIGINT AS stage_idx, '{s}' AS stage,"
+        f" count(*)::BIGINT AS n_users FROM s{i + 1}"
+        for i, s in enumerate(stages)
+    ]
+    return (
+        "WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),\n"
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts: users grouped by the week of their first
+    event; each later activity week contributes to (cohort_week, offset).
+
+    Plan: first-event reduction per user, join back on ``user_id`` (both
+    sides hash the same key), distinct activity weeks, then the cohort
+    rollup. The cohort matrix itself is tiny (weeks x weeks).
+    """
+    first = events.groupBy("user_id").agg(
+        (F.min("ts") / _WEEK_MS).cast("long").alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", (F.col("ts") / _WEEK_MS).cast("long").alias("week")
+    )
+    return (
+        active.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def sql_retention_cohorts() -> str:
+    return f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+first AS (SELECT user_id, (min(ts) // {_WEEK_MS}) AS cohort_week
+          FROM ev GROUP BY 1),
+weeks AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                 (e.ts // {_WEEK_MS}) - f.cohort_week AS week_offset
+          FROM ev e JOIN first f ON e.user_id = f.user_id)
+SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
+FROM weeks GROUP BY 1, 2
+"""
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value: str = "ts",
+    out_col: str = "asof_value",
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Generic as-of join: for every left row, the ``right_value`` of the
+    LATEST right row with ``right.ts <= left.ts`` on the same key (NULL
+    when none, or when the match is older than ``tolerance_ms``).
+
+    The union-tag formulation: tag both inputs, union them, sort each key
+    group once by (ts, side) — right rows sort before left rows at equal
+    ts so the match is inclusive — and carry the last non-null right
+    value forward with ``last(..., ignorenulls)``. ONE shuffle on the
+    key, linear in |left| + |right|; a range join would materialize every
+    (left, right-candidate) pair per key first.
+
+    Left columns pass through unchanged; the right side contributes the
+    matched ``right_value`` as ``out_col`` plus its timestamp as
+    ``asof_ts``.
+    """
+    lcols = left.columns
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        F.col(right_value).alias("_aval"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+          for c in lcols if c not in on],
+    )
+    tagged_l = left.select(
+        *on,
+        F.col(left_ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(dict(right.dtypes)[right_value]).alias("_aval"),
+        *[c for c in lcols if c not in on],
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = tagged_r.unionByName(tagged_l).select(
+        "*",
+        F.last("_aval", ignorenulls=True).over(w).alias("_matched"),
+        F.last(F.when(F.col("_side") == 0, F.col("_ats")), ignorenulls=True)
+        .over(w)
+        .alias("_matched_ts"),
+    )
+    out = merged.filter(F.col("_side") == 1)
+    if tolerance_ms is not None:
+        in_tol = F.col("_ats") - F.col("_matched_ts") <= tolerance_ms
+        out = out.withColumn(
+            "_matched", F.when(in_tol, F.col("_matched"))
+        ).withColumn("_matched_ts", F.when(in_tol, F.col("_matched_ts")))
+    return out.select(
+        *on,
+        *[c for c in lcols if c not in on],
+        F.col("_matched").alias(out_col),
+        F.col("_matched_ts").alias("asof_ts"),
+    )
+
+
+def sql_asof_purchase_view(tolerance_ms: int) -> str:
+    """Oracle for the catalog's as-of query (purchases joined to the most
+    recent preceding view per user) — uses DuckDB's native ASOF JOIN, an
+    entirely independent implementation of the same semantics."""
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts,
+                   value FROM events),
+l AS (SELECT user_id, event_id, ts, value FROM ev WHERE event_type = 'purchase'),
+r AS (SELECT user_id, max(value) AS viewed_value, ts
+      FROM ev WHERE event_type = 'view' GROUP BY user_id, ts)
+SELECT l.user_id, l.event_id, l.ts, l.value,
+       CASE WHEN l.ts - r.ts <= {tolerance_ms} THEN r.viewed_value END
+         AS viewed_value,
+       CASE WHEN l.ts - r.ts <= {tolerance_ms} THEN r.ts END AS asof_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+"""

@@ -655,3 +655,117 @@ SELECT doc_id, lang, n_tokens,
          AS pack_offset
 FROM r JOIN b USING (lang, shard)
 """
+
+
+# ------------------------------------------------------------ PII scrubbing
+
+#: detection patterns, applied in this order (emails first so their dots
+#: can't be re-matched as IPv4 fragments). Plain character-class regexes
+#: valid in both Java (Spark) and RE2 (DuckDB) dialects.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b", "<IP>"),
+    ("phone", r"\+?[0-9]{1,2}[ -]?\(?[0-9]{3}\)?[ -][0-9]{3}[ -][0-9]{4}", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: emails, IPv4 addresses, phone numbers.
+
+    The standard pre-training scrub pass (e.g. BigScience ROOTS / the
+    Pile preprocessing): count matches per category, replace each with a
+    typed placeholder, and fingerprint the redacted text so downstream
+    dedup runs on the scrubbed form. Pure ``regexp_extract_all`` /
+    ``regexp_replace`` column expressions — a narrow map, zero shuffle,
+    whole-stage codegen end to end.
+    """
+    # patterns go through the function API (not F.expr), so backslashes
+    # reach the regex engine verbatim instead of the SQL string parser
+    clean = F.col(text_col)
+    counts = []
+    total = None
+    for name, pat, repl in PII_PATTERNS:
+        c = F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).cast("long")
+        counts.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        clean = F.regexp_replace(clean, pat, repl)
+    return docs.select(
+        "doc_id",
+        *counts,
+        F.md5(clean.cast("binary")).alias("clean_fp"),
+        F.length(clean).cast("long").alias("clean_chars"),
+        total.alias("n_pii"),
+    )
+
+
+def sql_pii_scrub() -> str:
+    count_cols = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    clean = "text"
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return f"""
+SELECT doc_id,
+       {count_cols},
+       md5({clean}) AS clean_fp,
+       len({clean})::BIGINT AS clean_chars,
+       {total} AS n_pii
+FROM documents
+"""
+
+
+# --------------------------------------------------------- token entropy
+
+
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) and its normalized
+    form (entropy / ln(n_tokens)) — a scale-free repetitiveness signal:
+    near 1 for diverse text, near 0 for degenerate repetition.
+
+    Plan: explode tokens, count per (doc, token), fold the -p·ln p sum
+    per doc. Both shuffles key by ``doc_id`` (the second is a superset
+    re-group of the first), and both are combiner-friendly partial aggs.
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("tok")
+    )
+    per_tok = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("sum_clnc"),
+    )
+    n = F.col("n_tokens")
+    ent = F.log(n) - F.col("sum_clnc") / n
+    return per_doc.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(ent, 6).alias("entropy"),
+        F.round(
+            F.when(n > 1, ent / F.log(n)).otherwise(F.lit(0.0)), 6
+        ).alias("norm_entropy"),
+    )
+
+
+def sql_token_entropy() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+per_tok AS (
+  SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n_tokens, sum(c * ln(c)) AS sum_clnc
+  FROM per_tok GROUP BY 1)
+SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+       round(ln(n_tokens) - sum_clnc / n_tokens, 6) AS entropy,
+       round(CASE WHEN n_tokens > 1
+                  THEN (ln(n_tokens) - sum_clnc / n_tokens) / ln(n_tokens)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM per_doc
+"""

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from squirreldb_spark import model
+from squirreldb_spark.pipeline import events as pevents
 from squirreldb_spark.tsdb import aggregation as agg_ops
 from squirreldb_spark.tsdb import binops, downsample, maintenance, range_fns, selectors
 from squirreldb_spark.tsdb.grid import data_grid
@@ -2206,6 +2207,81 @@ def q_doc_sample_budget_sharded(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII detection + redaction (emails/IPv4/phones -> typed
+    placeholders) with a fingerprint of the scrubbed text — zero-shuffle
+    narrow map (pipeline/text.py pii_scrub). This corpus is clean word
+    salad, so every count is attested zero and the clean fingerprint
+    equals the raw one; the operator's detection behaviour is proven on
+    synthetic PII rows in tests/test_pipeline.py."""
+    return ptext.pii_scrub(model.load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_token_entropy(spark, sf_dir):
+    """Per-document unigram Shannon entropy + normalized form — the
+    scale-free repetitiveness quality signal (pipeline/text.py
+    token_entropy)."""
+    return ptext.token_entropy(model.load_table(spark, sf_dir, "documents"))
+
+
+def q_doc_dup_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (ExactSubstr dedup shape): per
+    doc, cross-document duplicated 8-gram windows and the longest
+    consecutive duplicated run (pipeline/dedup.py duplicate_spans)."""
+    return pdedup.duplicate_spans(_docs(spark, sf_dir))
+
+
+def _events(spark, sf_dir):
+    return model.load_table(spark, sf_dir, "events")
+
+
+def q_ev_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the raw event stream (30-min
+    inactivity gap; pipeline/events.py sessionize)."""
+    return pevents.sessionize(_events(spark, sf_dir))
+
+
+def q_ev_funnel(spark, sf_dir):
+    """Ordered first-touch funnel view -> click -> purchase
+    (pipeline/events.py funnel)."""
+    return pevents.funnel(_events(spark, sf_dir))
+
+
+def q_ev_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohort matrix (pipeline/events.py
+    retention_cohorts)."""
+    return pevents.retention_cohorts(_events(spark, sf_dir))
+
+
+#: as-of join tolerance: a purchase attributes to a view <= 3 days old
+ASOF_TOL_MS = 3 * 86_400_000
+
+
+def q_ev_asof_join(spark, sf_dir):
+    """As-of join: each purchase picks the most recent preceding view of
+    the same user (3-day tolerance). Single-shuffle union-tag plan
+    (pipeline/events.py asof_join) vs DuckDB's native ASOF JOIN oracle —
+    two independent implementations of the semantics."""
+    ev = _events(spark, sf_dir)
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    # pre-collapse equal-ts views so the "latest" match is well-defined
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("viewed_value"))
+    )
+    return pevents.asof_join(
+        left,
+        right,
+        on=["user_id"],
+        right_value="viewed_value",
+        out_col="viewed_value",
+        tolerance_ms=ASOF_TOL_MS,
+    )
+
+
 def q_doc_source_stats(spark, sf_dir):
     """Per-(lang, source) mixture report: volume, exact-dup rate,
     quality pass rate (pipeline/text.py source_stats)."""
@@ -2755,6 +2831,26 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
             a_col="a_id", b_col="b_id", id_alias="vec_id",
         ),
     ),
+    # PII scrub: typed-placeholder redaction + scrubbed fingerprint
+    "doc_pii_scrub": QueryDef(q_doc_pii_scrub, ptext.sql_pii_scrub()),
+    # unigram Shannon entropy (repetitiveness quality signal)
+    "doc_token_entropy": QueryDef(
+        q_doc_token_entropy, ptext.sql_token_entropy()
+    ),
+    # exact duplicated-substring spans (ExactSubstr dedup shape)
+    "doc_dup_spans": QueryDef(q_doc_dup_spans, pdedup.sql_duplicate_spans()),
+    # gap-based sessionization of the event stream
+    "ev_sessionize": QueryDef(q_ev_sessionize, pevents.sql_sessionize()),
+    # ordered first-touch funnel
+    "ev_funnel": QueryDef(q_ev_funnel, pevents.sql_funnel()),
+    # weekly retention cohorts
+    "ev_retention_cohorts": QueryDef(
+        q_ev_retention_cohorts, pevents.sql_retention_cohorts()
+    ),
+    # as-of join (vs DuckDB native ASOF JOIN as the oracle)
+    "ev_asof_join": QueryDef(
+        q_ev_asof_join, pevents.sql_asof_purchase_view(ASOF_TOL_MS)
+    ),
 }
 
 
@@ -2771,6 +2867,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tests/test_oracle_parity.py.
 _VERIFY_FIRST: list[str] = [
     # --- (1) never driver-verified (new in round 4) ---
+    "doc_pii_scrub",
+    "doc_token_entropy",
+    "doc_dup_spans",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_retention_cohorts",
+    "ev_asof_join",
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",
@@ -2813,17 +2916,12 @@ _VERIFY_FIRST: list[str] = [
     "doc_exact_dedup",
     "doc_ngram_jaccard",
     "doc_minhash_signatures",
-    # --- (4) r2-era promql_* (post-__name__-drop planner) ---
+    # --- (4) r2-era promql_* (post-__name__-drop planner); the rest of
+    # this family rotates in next round — the 7 brand-new entries above
+    # displaced 8 of them from the 50-row window ---
     "promql_rate_sum",
     "promql_selector_matchers",
     "promql_binop_sub",
-    "promql_topk",
-    "promql_clamp_arith",
-    "promql_offset",
-    "promql_cmp_filter",
-    "promql_subquery",
-    "promql_at_modifier",
-    "promql_group_left",
 ]
 
 

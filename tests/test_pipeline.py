@@ -272,3 +272,147 @@ def test_pack_sequences_contiguous_within_lang(spark, docs):
         ids = sorted({r.pack_id for r in rows})
         assert ids == list(range(ids[-1] + 1))
         assert all(0 <= r.pack_offset < 256 for r in rows)
+
+
+# ---------------------------------------------------------------- round 4
+
+
+def test_pii_scrub_detects_and_redacts(spark):
+    rows = [
+        (1, "contact bob at bob.smith+x@example.co.uk or 10.0.0.1 now"),
+        (2, "call +1 (555) 123-4567 tomorrow"),
+        (3, "clean text with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.pii_scrub(df).collect()}
+    assert out[1].n_email == 1 and out[1].n_ipv4 == 1 and out[1].n_pii == 2
+    assert out[2].n_phone == 1 and out[2].n_pii == 1
+    assert out[3].n_pii == 0
+    # redaction really rewrites the text (fingerprint changes iff PII found)
+    raw_fp = {
+        r.doc_id: r.fingerprint
+        for r in df.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("fingerprint")
+        ).collect()
+    }
+    assert out[1].clean_fp != raw_fp[1]
+    assert out[3].clean_fp == raw_fp[3]
+    # placeholders survive in the scrubbed length (shorter than raw here)
+    assert out[1].clean_chars < len(rows[0][1])
+
+
+def test_token_entropy_orders_repetitive_below_diverse(spark):
+    rows = [
+        (1, "a a a a a a a a"),          # zero entropy
+        (2, "a b c d e f g h"),          # maximal entropy
+        (3, "a a b b c c d d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.token_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].norm_entropy == 0.0
+    assert out[2].norm_entropy == 1.0
+    assert 0.0 < out[3].norm_entropy < 1.0
+
+
+def test_duplicate_spans_finds_cross_doc_run(spark):
+    # docs 1 and 2 share a 10-token run -> 3 duplicated 8-gram windows,
+    # max run 10 tokens; doc 3 repeats ITS OWN ngram (not cross-doc)
+    shared = "q w e r t y u i o p"
+    rows = [
+        (1, "a b c " + shared + " x1 y1"),
+        (2, "d e f " + shared + " x2 y2"),
+        (3, "m n " + " ".join(["z"] * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_spans(df).collect()}
+    assert out[1].n_dup_windows == 3 and out[1].max_dup_run_tokens == 10
+    assert out[2].n_dup_windows == 3 and out[2].max_dup_run_tokens == 10
+    assert out[3].n_dup_windows == 0 and out[3].max_dup_run_tokens == 0
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long, value double"
+    )
+
+
+def test_sessionize_splits_on_gap(spark):
+    m = 60_000
+    rows = [
+        (1, 10, "view", 0 * m, 1.0),
+        (1, 11, "click", 10 * m, 1.0),   # same session (10 min gap)
+        (1, 12, "view", 50 * m, 1.0),    # 40 min gap -> new session
+        (2, 20, "view", 0 * m, 1.0),     # other user: own numbering
+    ]
+    from squirreldb_spark.pipeline import events as pev
+
+    out = {
+        (r.user_id, r.session_seq): r
+        for r in pev.sessionize(_ev(spark, rows)).collect()
+    }
+    assert out[(1, 1)].n_events == 2 and out[(1, 1)].duration_ms == 10 * m
+    assert out[(1, 2)].n_events == 1 and out[(1, 2)].session_start == 50 * m
+    assert out[(2, 1)].n_events == 1
+    assert len(out) == 3
+
+
+def test_funnel_requires_strict_stage_order(spark):
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, 1, "view", 100, 1.0),
+        (1, 2, "click", 200, 1.0),
+        (1, 3, "purchase", 300, 1.0),
+        # user 2 clicks BEFORE their first view: stalls at stage 1
+        (2, 4, "click", 100, 1.0),
+        (2, 5, "view", 200, 1.0),
+        (2, 6, "purchase", 300, 1.0),  # no click after view -> not stage 3
+        # user 3 never views
+        (3, 7, "purchase", 100, 1.0),
+    ]
+    from squirreldb_spark.pipeline import events as pev
+
+    out = {r.stage: r.n_users for r in pev.funnel(_ev(spark, rows)).collect()}
+    assert out == {"view": 2, "click": 1, "purchase": 1}
+
+
+def test_asof_join_picks_latest_preceding_within_tolerance(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    left = spark.createDataFrame(
+        [(1, 100, 1000), (1, 101, 40), (2, 102, 1000)],
+        "user_id long, event_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 900, 7.0), (1, 1000, 9.0), (2, 2000, 3.0)],
+        "user_id long, ts long, v double",
+    )
+    out = {
+        r.event_id: r
+        for r in pev.asof_join(
+            left, right, on=["user_id"], right_value="v",
+            out_col="v", tolerance_ms=500,
+        ).collect()
+    }
+    # inclusive match at equal ts; latest wins
+    assert out[100].v == 9.0 and out[100].asof_ts == 1000
+    # only the ts=10 view precedes ts=40, within tolerance
+    assert out[101].v == 5.0
+    # user 2's only right row is in the future -> NULL
+    assert out[102].v is None and out[102].asof_ts is None
+
+
+def test_retention_cohorts_counts_distinct_users(spark):
+    wk = 7 * 86_400_000
+    rows = [
+        (1, 1, "view", 0, 1.0),          # cohort week 0
+        (1, 2, "view", wk + 5, 1.0),     # active week 1
+        (1, 3, "view", wk + 9, 1.0),     # same week: counted once
+        (2, 4, "view", wk, 1.0),         # cohort week 1
+    ]
+    from squirreldb_spark.pipeline import events as pev
+
+    out = {
+        (r.cohort_week, r.week_offset): r.n_users
+        for r in pev.retention_cohorts(_ev(spark, rows)).collect()
+    }
+    assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
