@@ -79,3 +79,81 @@ def streaming_deltas(stream: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ------------------------------------------------- streaming sessionization
+
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start long, session_end long,"
+    " n_events long, duration_ms long"
+)
+SESSION_STATE_SCHEMA = "session_start long, last_ts long, n_events long"
+
+#: default inactivity gap, matching the batch operator
+#: (pipeline/events.py SESSION_GAP_MS)
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn_factory(gap_ms: int):
+    def _session_fn(
+        key: tuple, pdfs, state: GroupState
+    ):
+        cur = state.get if state.exists else None  # (start, last, n)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts in pdf["ts"]:
+                ts = int(ts)
+                if cur is None:
+                    cur = (ts, ts, 1)
+                elif ts - cur[1] > gap_ms:
+                    closed.append(cur)
+                    cur = (ts, ts, 1)
+                else:
+                    cur = (cur[0], ts, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_start": [c[0] for c in closed],
+                "session_end": [c[1] for c in closed],
+                "n_events": [c[2] for c in closed],
+                "duration_ms": [c[1] - c[0] for c in closed],
+            }
+        )
+
+    return _session_fn
+
+
+def streaming_sessions(
+    stream: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Streaming gap-based sessionization: the stateful counterpart of
+    ``pipeline.events.sessionize``.
+
+    Each user's open session (start, last_ts, n_events) lives in the
+    checkpointed state store; a session is emitted when a later event
+    arrives more than ``gap_ms`` after it ends — including across
+    micro-batches and query restarts. State is one tuple per user (not
+    per event), so the store is bounded by the user cardinality. A
+    production deployment closes idle sessions with an event-time
+    timeout against the ingest watermark; with ``availableNow`` batch
+    replays the trailing open session simply stays in state, which is
+    the honest answer (it might still grow).
+
+    The per-row Python loop is confined to each user's slice of ONE
+    micro-batch (already tiny); the shuffle key is ``user_id`` — the
+    same distribution the batch operator uses.
+    """
+    return (
+        stream.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn_factory(gap_ms),
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

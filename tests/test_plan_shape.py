@@ -267,3 +267,54 @@ def test_new_tpch_dims_broadcast(spark, sf_dir, name):
     plan = plan_of(CATALOG[name].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert_no_theta_joins(plan, name)
+
+
+def test_asof_join_is_single_exchange_no_range_join(spark, sf_dir):
+    """The as-of join must be the union-tag window plan: exactly ONE
+    hash exchange on the join key, and no join operator at all (a range
+    join would appear as a theta BroadcastNestedLoopJoin or worse)."""
+    import re
+    from squirreldb_spark.queries import q_ev_asof_join
+
+    plan = plan_of(q_ev_asof_join(spark, sf_dir))
+    assert "Join" not in plan.replace("SortMergeJoin", "Join"), plan[:800]
+    assert "CartesianProduct" not in plan
+    # one exchange for the right-side pre-collapse groupBy is allowed,
+    # but the window pass itself must reuse the user_id distribution:
+    # the union's two branches each hash by user_id, nothing else
+    keys = set(re.findall(r"Exchange hashpartitioning\((\w+)", plan))
+    assert keys == {"user_id"}, keys
+
+
+def test_duplicate_spans_windows_share_one_shingle_exchange(spark, sf_dir):
+    """dense_rank + max-over-partition must share a single exchange+sort
+    on the shingle key; only the doc-side island reduction adds more."""
+    import re
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(pdedup.duplicate_spans(docs))
+    n_sh = len(re.findall(r"Exchange hashpartitioning\(sh", plan))
+    assert n_sh == 1, f"shingle key exchanged {n_sh} times:\n{plan[:800]}"
+
+
+def test_sessionize_rollup_reuses_user_partitioning(spark, sf_dir):
+    """The session window shuffles once on user_id; the (user_id,
+    session_seq) rollup must NOT re-shuffle — grouping on a superset of
+    the existing distribution is exchange-free."""
+    import re
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.sessionize(ev))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 exchange, got {n_hash}:\n{plan[:800]}"
+
+
+def test_pii_scrub_is_zero_shuffle(spark, sf_dir):
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.pii_scrub(docs))
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]

@@ -268,3 +268,48 @@ def test_streaming_document_dedup_bounded_state(spark, tmpdir):
     fps = [r.fingerprint for r in got.collect()]
     assert len(fps) == 3 and len(set(fps)) == 3
     assert {r.doc_id for r in got.collect()} <= {1, 2, 3, 5}  # one per text
+
+
+def test_streaming_sessionization_across_batches_and_restart(spark, tmpdir):
+    """Stateful sessionization: the open session survives micro-batches
+    and a query restart; a later event past the gap closes it exactly
+    once (exactly-once via the checkpoint)."""
+    from squirreldb_spark.streaming import stateful
+
+    src, out, cp = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/cp"
+    m = 60_000
+
+    def run_once():
+        stream = ingest.read_event_stream(spark, src)
+        q = (
+            stateful.streaming_sessions(stream, gap_ms=30 * m)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: two events 10 min apart -> ONE open session, nothing emitted
+    _write_batch(spark, src, [
+        (1, BASE_TS, 1, "view", 1.0, "{}"),
+        (2, BASE_TS + 10 * m, 1, "click", 1.0, "{}"),
+    ])
+    run_once()
+    import glob
+    assert spark.read.schema(stateful.SESSION_OUT_SCHEMA).parquet(out).count() == 0
+
+    # batch 2 (restarted query, same checkpoint): 60 min later -> closes
+    # the restored session; another user starts their own
+    _write_batch(spark, src, [
+        (3, BASE_TS + 70 * m, 1, "view", 1.0, "{}"),
+        (4, BASE_TS, 2, "view", 1.0, "{}"),
+    ])
+    run_once()
+    rows = {r.user_id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].session_start == BASE_TS
+    assert rows[1].session_end == BASE_TS + 10 * m
+    assert rows[1].n_events == 2 and rows[1].duration_ms == 10 * m
+    assert len(rows) == 1  # user 2's session is still open (in state)
