@@ -384,11 +384,18 @@ FROM per_bit GROUP BY doc_id
 
 # --------------------------------------------------- duplicate clustering
 
+#: edge-count gate below which components finish on the driver: 2M edges
+#: of two longs is ~32 MB — trivial for the driver, while EVERY distributed
+#: pass costs several scheduled stages regardless of size
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iters: int = 25,
+    local_max_edges: int = LOCAL_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected edge list by min-label
     propagation; returns ``(node, cluster_id)`` with ``cluster_id`` the
@@ -414,6 +421,40 @@ def connected_components(
     # twice, and without this the (expensive) candidate-generation plan
     # upstream would execute twice
     pairs = pairs.localCheckpoint(eager=True)
+    # Hybrid finish (the "…and Beyond" half of Kiveris et al.): once the
+    # edge list fits on one machine, iterating distributed pays several
+    # scheduled stages per pass for no parallelism gain — union-find on
+    # the driver is exact and effectively free. The dup-pair graph of
+    # even a 100 TB corpus is often under this gate (pairs, not docs);
+    # when it isn't, the pointer-jumping passes below shrink-wrap it.
+    # The count is free-ish: the checkpoint above already materialized.
+    if local_max_edges and pairs.count() <= local_max_edges:
+        rows = pairs.select(
+            F.col(a_col).cast("long"), F.col(b_col).cast("long")
+        ).collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in rows:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so cluster_id is the smallest member,
+                # matching the distributed path and the SQL oracle
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        out = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "node long, cluster_id long"
+        )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

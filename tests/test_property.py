@@ -179,13 +179,15 @@ def test_uvarint_roundtrip_property(n):
     assert got == n
 
 
+@pytest.mark.parametrize("local_gate", [0, 10**6],
+                         ids=["distributed", "driver-local"])
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=st.lists(
     st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
     min_size=1, max_size=20,
 ))
-def test_connected_components_matches_union_find(spark, edges):
+def test_connected_components_matches_union_find(spark, local_gate, edges):
     from squirreldb_spark.pipeline.dedup import connected_components
 
     # reference: plain union-find with path compression
@@ -209,7 +211,8 @@ def test_connected_components_matches_union_find(spark, edges):
         [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
     )
     got = {r.node: r.cluster_id
-           for r in connected_components(pairs).collect()}
+           for r in connected_components(
+               pairs, local_max_edges=local_gate).collect()}
     assert got == expected
 
 
