@@ -380,13 +380,22 @@ def embedding_neardup_pairs(
             .filter(F.col("_bucket_n") <= max_bucket)
             .drop("_bucket_n")
         )
-    a = bucketed.select(F.col(id_col).alias("a_id"), F.col("v").alias("av"), "t", "b")
-    b = bucketed.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv"), "t", "b")
+    # enumerate + dedup candidates as BARE id pairs (16 bytes/row), and
+    # only then join the vector payloads back: carrying two 64-dim double
+    # arrays (~1 KB/row) through the per-bucket pair explosion and the
+    # dedup shuffle moves ~60x more bytes for the same result
+    a = bucketed.select(F.col(id_col).alias("a_id"), "t", "b")
+    b = bucketed.select(F.col(id_col).alias("b_id"), "t", "b")
     cand = (
         a.join(b, on=["t", "b"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "av", "bv")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    cand = cand.join(
+        base.select(F.col(id_col).alias("a_id"), F.col("v").alias("av")), "a_id"
+    ).join(
+        base.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv")), "b_id"
     )
     scored = with_cosine(cand, "av", "bv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
