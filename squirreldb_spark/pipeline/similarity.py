@@ -613,3 +613,90 @@ SELECT id_a, id_b, est_jaccard, cosine,
        cosine >= {threshold} AS semantic_confirmed
 FROM scored
 """
+
+
+# ------------------------------------------------- scalar quantization
+
+#: int8 code range (0..255 stored in a long; storage is 1 byte/dim)
+SQ_LEVELS = 255
+
+
+def scalar_quantize(
+    emb: DataFrame,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar quantization to int8 codes — the first
+    compression rung of a 100 TB vector store (8x smaller than float64
+    before any PQ/IVF), with the per-vector reconstruction MSE as the
+    quality signal.
+
+    Plan: one global aggregate computes per-dimension (min, max) — 2xdim
+    partial-agg columns, map-side combined, one row out — which then
+    broadcasts back over the corpus via a literal-free crossJoin; codes
+    and reconstruction error are pure array HOFs inside the scan. Two
+    jobs, one one-row exchange; the corpus is never shuffled.
+
+    Codes serialize as a CSV string so the value-hash comparison is
+    byte-identical across engines.
+    """
+    v = F.expr(_to_double(vec_col))
+    stats = emb.select(v.alias("v")).agg(
+        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
+    )
+    coded = emb.select(F.col(id_col), v.alias("v")).crossJoin(
+        F.broadcast(stats)
+    )
+    # code_i = round(LEVELS * (v_i - lo_i) / (hi_i - lo_i)); flat dims -> 0
+    codes = F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> CASE WHEN hi[i] = lo[i]"
+        f" THEN 0L ELSE cast(round({SQ_LEVELS} * (v[i] - lo[i])"
+        f" / (hi[i] - lo[i]), 0) as long) END)"
+    )
+    recon_err = F.expr(
+        f"round(aggregate(sequence(0, {dim - 1}), 0D, (acc, i) -> acc +"
+        f" CASE WHEN hi[i] = lo[i] THEN 0D ELSE"
+        f" pow(v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / {SQ_LEVELS}), 2)"
+        f" END) / {dim}, 6)"
+    )
+    return (
+        coded.withColumn("codes", codes)
+        .withColumn("mse", recon_err)
+        .select(
+            id_col,
+            F.concat_ws(",", F.col("codes")).alias("codes_csv"),
+            "mse",
+        )
+    )
+
+
+def sql_scalar_quantize(dim: int = 64) -> str:
+    """Replays :func:`scalar_quantize`: same expression order so the
+    IEEE arithmetic is bit-identical (both engines round positive codes
+    half-away-from-zero)."""
+    return f"""
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+per_dim AS (SELECT i, min(x) AS lo, max(x) AS hi FROM dims GROUP BY i),
+stats AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+          FROM per_dim),
+coded AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v, lo, hi,
+         list_transform(generate_series(1, {dim}),
+           i -> CASE WHEN hi[i] = lo[i] THEN 0
+                ELSE CAST(round({SQ_LEVELS} * (v[i] - lo[i])
+                          / (hi[i] - lo[i]), 0) AS BIGINT) END) AS codes
+  FROM embeddings, stats)
+SELECT vec_id,
+       array_to_string(codes, ',') AS codes_csv,
+       round(list_sum(list_transform(generate_series(1, {dim}),
+         i -> CASE WHEN hi[i] = lo[i] THEN 0.0 ELSE
+              pow(v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / {SQ_LEVELS}), 2)
+              END)) / {dim}, 6) AS mse
+FROM coded
+"""

@@ -2207,6 +2207,14 @@ def q_doc_sample_budget_sharded(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
 
 
+def q_emb_scalar_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (codes +
+    per-vector reconstruction MSE) — the 8x storage-compression rung
+    below PQ/IVF (pipeline/similarity.py scalar_quantize); one-row
+    stats aggregate broadcast back over an unshuffled corpus scan."""
+    return psim.scalar_quantize(model.load_table(spark, sf_dir, "embeddings"))
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII detection + redaction (emails/IPv4/phones -> typed
     placeholders) with a fingerprint of the scrubbed text — zero-shuffle
@@ -2851,6 +2859,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_asof_join": QueryDef(
         q_ev_asof_join, pevents.sql_asof_purchase_view(ASOF_TOL_MS)
     ),
+    # int8 scalar quantization (codes + reconstruction MSE)
+    "emb_scalar_quantize": QueryDef(
+        q_emb_scalar_quantize, psim.sql_scalar_quantize()
+    ),
 }
 
 
@@ -2874,6 +2886,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_funnel",
     "ev_retention_cohorts",
     "ev_asof_join",
+    "emb_scalar_quantize",
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",

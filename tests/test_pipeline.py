@@ -416,3 +416,22 @@ def test_retention_cohorts_counts_distinct_users(spark):
         for r in pev.retention_cohorts(_ev(spark, rows)).collect()
     }
     assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_scalar_quantize_codes_and_error(spark):
+    from squirreldb_spark.pipeline import similarity as psim
+
+    rows = [
+        (0, [0.0, 5.0, 1.0]),
+        (1, [10.0, 5.0, 3.0]),
+        (2, [5.0, 5.0, 2.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in psim.scalar_quantize(df, dim=3).collect()}
+    # extremes code to 0/255, midpoint to ~128; flat dim always 0
+    assert out[0].codes_csv.split(",")[0] == "0"
+    assert out[1].codes_csv.split(",")[0] == "255"
+    assert out[2].codes_csv.split(",")[0] in ("127", "128")
+    assert all(r.codes_csv.split(",")[1] == "0" for r in out.values())
+    # 8-bit reconstruction of a 0..10 range is accurate to ~(10/255)^2
+    assert all(r.mse < (10 / 255) ** 2 + 1e-9 for r in out.values())
