@@ -168,11 +168,12 @@ def _centroid_scores_expr(cent_rows, v: str = "v", vn: str = "_vn") -> str:
 
 #: argmax over the scores array (highest ccos, lowest cell on ties) as a
 #: zero-shuffle fold — replaces ``row_number() over partitionBy(vec_id)``.
-_ARGMAX_CELL = (
+_ARGMAX_STRUCT = (
     "aggregate({scores}, cast(null as struct<ccos:double, cell:int>), "
     "(acc, s) -> CASE WHEN acc IS NULL OR s.ccos > acc.ccos "
-    "OR (s.ccos = acc.ccos AND s.cell < acc.cell) THEN s ELSE acc END).cell"
+    "OR (s.ccos = acc.ccos AND s.cell < acc.cell) THEN s ELSE acc END)"
 )
+_ARGMAX_CELL = _ARGMAX_STRUCT + ".cell"
 
 #: scores sorted (ccos desc, cell asc) for nprobe selection
 _SORTED_SCORES = (
@@ -699,4 +700,87 @@ SELECT vec_id,
               pow(v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / {SQ_LEVELS}), 2)
               END)) / {dim}, 6) AS mse
 FROM coded
+"""
+
+
+# ------------------------------------------------- diversity sampling
+
+
+def ivf_diversity_sample(
+    emb: DataFrame,
+    per_cell: int = 3,
+    n_cells: int = 8,
+    cent_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    centroids=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Coreset-style diversity sampling: the ``per_cell`` most central
+    vectors of every IVF cell — one small set of representatives that
+    covers the embedding space (the cheap relative of k-center / herding
+    selection used to seed balanced training subsets).
+
+    Plan: the trained centroids embed as literals, so cell assignment
+    AND the centrality score (cosine to the own centroid) come out of
+    one argmax fold inside the corpus scan — zero exchange; the only
+    shuffle is the per-cell top-k window, whose key cardinality is
+    ``n_cells`` (thousands in a real deployment — parallel; 8 in the
+    test config).
+    """
+    from pyspark.sql import Window
+
+    if centroids is None:
+        centroids = train_ivf(
+            emb,
+            n_cells=n_cells,
+            cent_base=cent_base,
+            id_col=id_col,
+            vec_col=vec_col,
+            kmeans_iters=kmeans_iters,
+            train_mod=train_mod,
+            cache_key=cache_key,
+        )
+    scores = _centroid_scores_expr(centroids)
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_vn", F.expr(_vnorm_expr("v")))
+    assigned = base.withColumn(
+        "best", F.expr(_ARGMAX_STRUCT.format(scores=scores))
+    ).select(
+        id_col,
+        F.col("best.cell").alias("cell"),
+        F.col("best.ccos").alias("ccos"),
+    )
+    w = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc(id_col))
+    return (
+        assigned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= per_cell)
+        .select("cell", id_col, "ccos", "rank")
+    )
+
+
+def sql_ivf_diversity_sample(
+    per_cell: int = 3, n_cells: int = 8, cent_base: int = 100,
+    kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
+) -> str:
+    """Replays :func:`ivf_diversity_sample`; the centroids derive from
+    the same unrolled training CTEs the other IVF oracles use."""
+    ctes, prev = _ivf_train_ctes(n_cells, cent_base, kmeans_iters, dim, train_mod)
+    return f"""{ctes},
+ac AS (
+  SELECT base.vec_id, c.cell, {_duck_cos('base.v', 'c.cent')} AS ccos
+  FROM base, {prev} c),
+acr AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell)
+       AS crank
+  FROM ac),
+best AS (SELECT vec_id, cell, ccos FROM acr WHERE crank = 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id)
+       AS rank
+  FROM best)
+SELECT cell, vec_id, ccos, rank FROM ranked WHERE rank <= {per_cell}
 """

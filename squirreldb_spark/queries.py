@@ -2207,6 +2207,15 @@ def q_doc_sample_budget_sharded(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
 
 
+def q_emb_diversity_sample(spark, sf_dir):
+    """Coreset-style diversity sampling: the 3 most central vectors per
+    IVF cell (pipeline/similarity.py ivf_diversity_sample) — cell AND
+    centrality from one zero-shuffle argmax fold; the only exchange is
+    the per-cell top-k window."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ivf_diversity_sample(emb, cache_key=sf_dir)
+
+
 def q_emb_scalar_quantize(spark, sf_dir):
     """Int8 scalar quantization of the embedding corpus (codes +
     per-vector reconstruction MSE) — the 8x storage-compression rung
@@ -2863,6 +2872,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "emb_scalar_quantize": QueryDef(
         q_emb_scalar_quantize, psim.sql_scalar_quantize()
     ),
+    # per-IVF-cell representatives (coreset/diversity sampling)
+    "emb_diversity_sample": QueryDef(
+        q_emb_diversity_sample, psim.sql_ivf_diversity_sample()
+    ),
 }
 
 
@@ -2887,6 +2900,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_retention_cohorts",
     "ev_asof_join",
     "emb_scalar_quantize",
+    "emb_diversity_sample",
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",

@@ -435,3 +435,20 @@ def test_scalar_quantize_codes_and_error(spark):
     assert all(r.codes_csv.split(",")[1] == "0" for r in out.values())
     # 8-bit reconstruction of a 0..10 range is accurate to ~(10/255)^2
     assert all(r.mse < (10 / 255) ** 2 + 1e-9 for r in out.values())
+
+
+def test_diversity_sample_covers_every_cell(spark, sf_dir):
+    from squirreldb_spark import model as m
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = m.load_table(spark, sf_dir, "embeddings")
+    rows = psim.ivf_diversity_sample(emb, per_cell=2, cache_key=sf_dir).collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    # every non-empty cell yields <= per_cell reps, ranked by centrality
+    assert len(by_cell) > 1
+    for cell, reps in by_cell.items():
+        assert len(reps) <= 2
+        ccos = [r.ccos for r in sorted(reps, key=lambda r: r.rank)]
+        assert ccos == sorted(ccos, reverse=True)

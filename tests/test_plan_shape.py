@@ -318,3 +318,16 @@ def test_pii_scrub_is_zero_shuffle(spark, sf_dir):
     plan = plan_of(ptext.pii_scrub(docs))
     assert "Exchange" not in plan, plan[:800]
     assert "Join" not in plan, plan[:800]
+
+
+def test_diversity_sample_single_cell_exchange(spark, sf_dir):
+    """Cell assignment + centrality come from a literal-centroid fold in
+    the scan: the ONLY exchange is the per-cell top-k window."""
+    import re
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(psim.ivf_diversity_sample(emb, cache_key=sf_dir))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 exchange, got {n_hash}:\n{plan[:800]}"
+    assert "posexplode" not in plan  # no training stage in the serving plan
