@@ -725,10 +725,13 @@ def ivf_diversity_sample(
 
     Plan: the trained centroids embed as literals, so cell assignment
     AND the centrality score (cosine to the own centroid) come out of
-    one argmax fold inside the corpus scan — zero exchange; the only
-    shuffle is the per-cell top-k window, whose key cardinality is
-    ``n_cells`` (thousands in a real deployment — parallel; 8 in the
-    test config).
+    one argmax fold inside the corpus scan — zero exchange. The top-k
+    itself is two-phase: a per-(cell, content-derived shard) window
+    first, then the merge window over the per_cell*n_shards winners —
+    no task ever sorts a whole cell's membership (corpus/n_cells rows,
+    tens of GB at 100 TB), and the result is provably identical to the
+    single-window plan (a row outside its shard's top-k cannot be in
+    the cell's top-k).
     """
     from pyspark.sql import Window
 
@@ -754,9 +757,21 @@ def ivf_diversity_sample(
         F.col("best.cell").alias("cell"),
         F.col("best.ccos").alias("ccos"),
     )
-    w = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc(id_col))
+    n_shards = 16
+    sharded = assigned.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+    w1 = Window.partitionBy("cell", "_shard").orderBy(
+        F.desc("ccos"), F.asc(id_col)
+    )
+    finalists = (
+        sharded.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= per_cell)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc(id_col))
     return (
-        assigned.withColumn("rank", F.row_number().over(w))
+        finalists.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= per_cell)
         .select("cell", id_col, "ccos", "rank")
     )

@@ -328,6 +328,9 @@ def test_diversity_sample_single_cell_exchange(spark, sf_dir):
 
     emb = model.load_table(spark, sf_dir, "embeddings")
     plan = plan_of(psim.ivf_diversity_sample(emb, cache_key=sf_dir))
-    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_hash == 1, f"expected 1 exchange, got {n_hash}:\n{plan[:800]}"
     assert "posexplode" not in plan  # no training stage in the serving plan
+    # two-phase top-k: first window keys by (cell, shard) so no task ever
+    # sorts a whole cell; the merge window sees only the shard winners
+    assert re.search(r"Exchange hashpartitioning\(cell[^\n]*_shard", plan), plan[:900]
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 2, f"expected 2 exchanges, got {n_hash}:\n{plan[:900]}"
