@@ -48,6 +48,36 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"))
 
 
+def _topk_per_query(
+    scored: DataFrame, k: int, carry: list[str], n_shards: int = 16
+) -> DataFrame:
+    """Exact per-query top-k by (cosine desc, c_id asc), two-phase: a
+    per-(q_id, content-derived shard) window first, then a merge window
+    over the shard winners. Identical output to a single per-query
+    window — a candidate outside its shard's top-k cannot be in the
+    query's top-k — but no task ever sorts one query's full candidate
+    set (the whole corpus for brute-force k-NN at scale)."""
+    from pyspark.sql import Window
+
+    sharded = scored.withColumn(
+        "_shard", F.pmod(F.xxhash64(F.col("c_id")), F.lit(n_shards))
+    )
+    w1 = Window.partitionBy("q_id", "_shard").orderBy(
+        F.desc("cosine"), F.asc("c_id")
+    )
+    finalists = (
+        sharded.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        finalists.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "c_id", *carry, "cosine", "rank")
+    )
+
+
 def cosine_knn(
     emb: DataFrame,
     k: int = 5,
@@ -69,14 +99,7 @@ def cosine_knn(
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, carry=[])
 
 
 def bucket_expr(vec: str, planes: list[list[float]]) -> str:
@@ -110,14 +133,7 @@ def ann_lsh(
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "bucket", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, carry=["bucket"])
 
 
 #: Driver-side cache of trained IVF centroids keyed by (dataset key,
@@ -275,7 +291,6 @@ def ann_ivf(
     independently (unrolled training CTEs), so the trained partitioning
     is still cross-checked bit-for-bit.
     """
-    from pyspark.sql import Window
 
     if centroids is None:
         centroids = train_ivf(
@@ -314,12 +329,7 @@ def ann_ivf(
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", "cosine", "rank")
-    )
+    return _topk_per_query(scored, k, carry=[])
 
 
 #: bucket-size cap for the banded self-join (see pipeline.dedup.MAX_BUCKET):

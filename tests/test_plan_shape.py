@@ -184,11 +184,12 @@ def test_ivf_serving_plan_has_no_training(spark, sf_dir):
 
 def test_ivf_assignment_is_map_side(spark, sf_dir):
     """Cell assignment must be a literal-centroid argmax FOLD inside the
-    corpus scan: the ONLY hash exchange allowed is the per-query top-k
-    window over probed candidates, and the probe join must broadcast the
-    (n_queries x nprobe)-row probe side. A second hash exchange means the
-    corpus is being shuffled to compute the assignment again (the former
-    crossJoin + row_number shape)."""
+    corpus scan: the only hash exchanges allowed are the TWO top-k
+    windows (per-(q_id, shard) partial, then the merge over shard
+    winners), and the probe join must broadcast the
+    (n_queries x nprobe)-row probe side. Any other hash exchange means
+    the corpus is being shuffled to compute the assignment again (the
+    former crossJoin + row_number shape)."""
     import re
 
     spark.conf.set("spark.sql.adaptive.enabled", "false")
@@ -196,8 +197,10 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
         plan = plan_of(CATALOG["emb_ann_ivf"].fn(spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
-    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_hash == 1, f"expected 1 hash exchange (top-k), saw {n_hash}"
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, f"expected the 2 top-k exchanges, saw {keys}"
+    assert any("_shard" in k for k in keys), keys
+    assert all("q_id" in k for k in keys), keys
     assert "BroadcastHashJoin" in plan
 
 
