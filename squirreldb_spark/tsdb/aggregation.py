@@ -146,9 +146,25 @@ def topk(
     order = [F.asc("value") if bottom else F.desc("value")] + [
         F.asc(c) for c in series_keys
     ]
-    w = Window.partitionBy(*by, "step_ts").orderBy(*order)
+    # two-phase top-k: a (group, step) pair with millions of member
+    # series would otherwise sort entirely inside ONE task; the partial
+    # window keys by a content-derived series shard, the merge window
+    # ranks only the k*n_shards shard winners (identical output — a row
+    # outside its shard's top-k cannot be in the group's top-k)
+    n_shards = 16
+    sharded = vec.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(*[F.col(c) for c in series_keys]), F.lit(n_shards)),
+    )
+    w1 = Window.partitionBy(*by, "step_ts", "_shard").orderBy(*order)
+    finalists = (
+        sharded.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy(*by, "step_ts").orderBy(*order)
     return (
-        vec.withColumn("rank", F.row_number().over(w))
+        finalists.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
