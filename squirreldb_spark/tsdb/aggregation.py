@@ -72,15 +72,25 @@ def limitk(
 
     Upstream's pick order is unspecified; here it is the series-key sort
     order — deterministic, required for the hash-compare oracle. Same
-    shuffle shape as :func:`topk`: one window on (group, step), no
-    global sort.
+    two-phase shape as :func:`topk` so one mega-group never sorts in a
+    single task.
     """
     by = list(by)
-    w = Window.partitionBy(*by, "step_ts").orderBy(
-        *[F.asc(c) for c in series_keys]
+    order = [F.asc(c) for c in series_keys]
+    n_shards = 16
+    sharded = vec.withColumn(
+        "_shard",
+        F.pmod(F.xxhash64(*[F.col(c) for c in series_keys]), F.lit(n_shards)),
     )
+    w1 = Window.partitionBy(*by, "step_ts", "_shard").orderBy(*order)
+    finalists = (
+        sharded.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_shard", "_r1")
+    )
+    w2 = Window.partitionBy(*by, "step_ts").orderBy(*order)
     return (
-        vec.withColumn("rank", F.row_number().over(w))
+        finalists.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .drop("rank")
     )
