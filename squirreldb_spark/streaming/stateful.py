@@ -22,6 +22,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = (
@@ -156,4 +157,73 @@ def streaming_sessions(
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# ------------------------------------------- watermarked stream-stream join
+
+#: bucket width for the streaming binop alignment (1 h)
+JOIN_BUCKET_MS = 3_600_000
+
+
+def streaming_ratio(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    bucket_ms: int = JOIN_BUCKET_MS,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming binary operation: the continuous counterpart of the
+    batch PromQL ``lhs / rhs`` vector match — two sample streams of the
+    same key space joined on (user_id, time bucket) as they arrive.
+
+    This is the watermarked stream-stream inner join pattern: both sides
+    carry an event-time watermark AND the join predicate bounds the two
+    event times against each other, so Spark can expire join state — the
+    window of co-arrival a deployment must buffer is explicit
+    (watermark + one bucket), not unbounded. Per-side aggregation
+    happens BEFORE the join (sum per (user, bucket)), so join state
+    holds one row per key-bucket, not one per sample.
+
+    Inputs are streaming DataFrames with ``user_id, ts (epoch ms),
+    value`` (pre-filtered to one metric each). Output: one row per
+    (user_id, bucket) seen on both sides, with lhs/rhs sums and their
+    ratio.
+    """
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                "user_id",
+                F.timestamp_millis(F.col("ts")).alias("ts_ts"),
+                F.col("value").alias(f"{tag}_value"),
+            )
+            .withWatermark("ts_ts", watermark)
+            .groupBy(
+                "user_id",
+                F.window("ts_ts", f"{bucket_ms // 1000} seconds").alias(
+                    f"{tag}_win"
+                ),
+            )
+            .agg(F.sum(f"{tag}_value").alias(f"{tag}_sum"))
+            .select(
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col(f"{tag}_win"),
+                f"{tag}_sum",
+            )
+        )
+
+    l, r = prep(lhs, "l"), prep(rhs, "r")
+    joined = l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("l_win") == F.col("r_win")),
+        "inner",
+    )
+    return joined.select(
+        F.col("l_user").alias("user_id"),
+        (F.unix_millis(F.col("l_win.start")) / bucket_ms)
+        .cast("long")
+        .alias("bucket"),
+        "l_sum",
+        "r_sum",
+        F.round(F.col("l_sum") / F.col("r_sum"), 6).alias("ratio"),
     )

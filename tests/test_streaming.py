@@ -313,3 +313,47 @@ def test_streaming_sessionization_across_batches_and_restart(spark, tmpdir):
     assert rows[1].session_end == BASE_TS + 10 * m
     assert rows[1].n_events == 2 and rows[1].duration_ms == 10 * m
     assert len(rows) == 1  # user 2's session is still open (in state)
+
+
+def test_streaming_ratio_joins_closed_buckets(spark, tmpdir):
+    """Watermarked stream-stream join: per-side windowed sums join on
+    (user, window) and emit once both sides' watermark passes the
+    bucket — the continuous analogue of the batch PromQL binop."""
+    from squirreldb_spark.streaming import stateful
+
+    lsrc, rsrc = f"{tmpdir}/l", f"{tmpdir}/r"
+    out, cp = f"{tmpdir}/out", f"{tmpdir}/cp"
+    h = 3_600_000
+
+    # bucket 0: purchases 3+5, errors 2+2 for user 1 -> ratio 8/4 = 2.0
+    _write_batch(spark, lsrc, [
+        (1, BASE_TS - BASE_TS % h + 60_000, 1, "purchase", 3.0, "{}"),
+        (2, BASE_TS - BASE_TS % h + 120_000, 1, "purchase", 5.0, "{}"),
+        # watermark pusher 6 h later (own bucket; no matching error side)
+        (3, BASE_TS + 6 * h, 1, "purchase", 1.0, "{}"),
+    ])
+    _write_batch(spark, rsrc, [
+        (4, BASE_TS - BASE_TS % h + 90_000, 1, "error", 2.0, "{}"),
+        (5, BASE_TS - BASE_TS % h + 100_000, 1, "error", 2.0, "{}"),
+        (6, BASE_TS + 6 * h, 2, "error", 1.0, "{}"),
+    ])
+    l = ingest.read_event_stream(spark, lsrc).filter(F.col("event_type") == "purchase")
+    r = ingest.read_event_stream(spark, rsrc).filter(F.col("event_type") == "error")
+    q = (
+        stateful.streaming_ratio(l, r)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.user_id, r.bucket): r for r in rows}
+    key = (1, (BASE_TS - BASE_TS % h) // h)
+    assert key in got
+    assert got[key].l_sum == 8.0 and got[key].r_sum == 4.0
+    assert got[key].ratio == 2.0
+    # the pusher buckets have no counterpart on the other side: inner join
+    assert len(got) == 1
