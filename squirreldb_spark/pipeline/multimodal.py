@@ -248,3 +248,49 @@ SELECT doc_id,
        ord(substr(text, strlen(text), 1)) AS tail_byte
 FROM documents
 """
+
+
+def frame_dedup(binary_table: DataFrame, n_frames: int = 4,
+                frame_len: int = 16) -> DataFrame:
+    """Cross-video duplicate-frame detection: sampled frames grouped by
+    content digest — the multimodal counterpart of text exact-dedup
+    (shared intros/outros/watermark cards collapse to one group).
+
+    Scale shape: the frame fanout happens inside the Arrow batch (no
+    explode shuffle), then ONE hash-groupBy on the 32-char digest — the
+    frame bytes themselves never shuffle.
+    """
+    frames = sample_frames(binary_table, n_frames=n_frames,
+                           frame_len=frame_len)
+    # lexicographic (doc, frame) min via integer encoding so the DuckDB
+    # oracle can replay it without tuple-valued arg_min
+    enc = F.col("doc_id") * n_frames + F.col("frame_idx")
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.min(enc).alias("_enc"),
+        )
+        .filter(F.col("n_frames") > 1)
+        .select(
+            "frame_md5",
+            "n_frames",
+            F.expr(f"_enc div {n_frames}").alias("rep_doc"),
+            F.pmod(F.col("_enc"), F.lit(n_frames)).cast("long").alias(
+                "rep_frame_idx"
+            ),
+        )
+    )
+
+
+def sql_frame_dedup(n_frames: int = 4, frame_len: int = 16) -> str:
+    return f"""
+WITH frames AS ({sql_sample_frames(n_frames, frame_len)})
+SELECT frame_md5,
+       count(*)::BIGINT AS n_frames,
+       (min(doc_id * {n_frames} + frame_idx) // {n_frames})::BIGINT AS rep_doc,
+       (min(doc_id * {n_frames} + frame_idx) % {n_frames})::BIGINT AS rep_frame_idx
+FROM frames
+GROUP BY frame_md5
+HAVING count(*) > 1
+"""

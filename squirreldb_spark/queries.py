@@ -2207,6 +2207,14 @@ def q_doc_sample_budget_sharded(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
 
 
+def q_mm_frame_dedup(spark, sf_dir):
+    """Cross-video duplicate-frame detection: sampled frame digests ->
+    one hash-groupBy; frame bytes never shuffle (pipeline/multimodal.py
+    frame_dedup)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pmm.frame_dedup(pmm.as_binary_table(docs))
+
+
 def q_emb_diversity_sample(spark, sf_dir):
     """Coreset-style diversity sampling: the 3 most central vectors per
     IVF cell (pipeline/similarity.py ivf_diversity_sample) — cell AND
@@ -2876,6 +2884,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "emb_diversity_sample": QueryDef(
         q_emb_diversity_sample, psim.sql_ivf_diversity_sample()
     ),
+    # cross-video duplicate-frame groups (multimodal exact dedup)
+    "mm_frame_dedup": QueryDef(q_mm_frame_dedup, pmm.sql_frame_dedup()),
 }
 
 
@@ -2901,6 +2911,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_asof_join",
     "emb_scalar_quantize",
     "emb_diversity_sample",
+    "mm_frame_dedup",
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",
