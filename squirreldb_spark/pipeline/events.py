@@ -278,3 +278,41 @@ SELECT l.user_id, l.event_id, l.ts, l.value,
        CASE WHEN l.ts - r.ts <= {tolerance_ms} THEN r.ts END AS asof_ts
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
 """
+
+
+def props_stats(events: DataFrame, key: str = "k") -> DataFrame:
+    """Semi-structured payload analytics: extract a numeric field from
+    the JSON ``props`` column and aggregate it per event type.
+
+    ``get_json_object`` is a JVM-side codegen expression — the JSON
+    never reaches Python, and the aggregation is an ordinary
+    combiner-friendly groupBy (cardinality = event types). The shape a
+    deployment uses for ad-hoc payload fields before promoting them to
+    real columns.
+    """
+    v = F.get_json_object(F.col("props"), f"$.{key}").cast("long")
+    return (
+        events.select("event_type", v.alias("v"))
+        .filter(F.col("v").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("v"), 6).alias("avg_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )
+
+
+def sql_props_stats(key: str = "k") -> str:
+    return f"""
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(avg(v), 6) AS avg_v,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM (SELECT event_type, json_extract(props, '$.{key}')::BIGINT AS v
+      FROM events)
+WHERE v IS NOT NULL
+GROUP BY event_type
+"""

@@ -2207,6 +2207,13 @@ def q_doc_sample_budget_sharded(spark, sf_dir):
     return ptext.token_budget_sample(_docs(spark, sf_dir), n_shards=4)
 
 
+def q_ev_props_stats(spark, sf_dir):
+    """Semi-structured payload analytics: JSON field extract (JVM-side
+    get_json_object) + per-type aggregate (pipeline/events.py
+    props_stats)."""
+    return pevents.props_stats(_events(spark, sf_dir))
+
+
 def q_mm_frame_dedup(spark, sf_dir):
     """Cross-video duplicate-frame detection: sampled frame digests ->
     one hash-groupBy; frame bytes never shuffle (pipeline/multimodal.py
@@ -2886,6 +2893,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # cross-video duplicate-frame groups (multimodal exact dedup)
     "mm_frame_dedup": QueryDef(q_mm_frame_dedup, pmm.sql_frame_dedup()),
+    # JSON payload field extraction + per-type aggregate
+    "ev_props_stats": QueryDef(q_ev_props_stats, pevents.sql_props_stats()),
 }
 
 
@@ -2912,6 +2921,7 @@ _VERIFY_FIRST: list[str] = [
     "emb_scalar_quantize",
     "emb_diversity_sample",
     "mm_frame_dedup",
+    "ev_props_stats",
     "ts_limitk",
     "ts_limit_ratio",
     "doc_sample_budget_sharded",
