@@ -452,3 +452,37 @@ def test_diversity_sample_covers_every_cell(spark, sf_dir):
         assert len(reps) <= 2
         ccos = [r.ccos for r in sorted(reps, key=lambda r: r.rank)]
         assert ccos == sorted(ccos, reverse=True)
+
+
+def test_frame_dedup_groups_shared_frames(spark):
+    rows = [(1, b"A" * 64), (2, b"A" * 64), (3, bytes(range(64)))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.frame_md5: r for r in multimodal.frame_dedup(df).collect()}
+    # docs 1 and 2 are byte-identical: all 4 sampled frames collide,
+    # each group keeping the lexicographically first (doc, frame)
+    assert len(out) >= 1
+    for r in out.values():
+        assert r.n_frames >= 2
+        assert r.rep_doc == 1
+    # doc 3's frames are unique -> absent from the duplicate groups
+    reps = {r.rep_doc for r in out.values()}
+    assert 3 not in reps
+
+
+def test_props_stats_extracts_json_field(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    rows = [
+        (1, 1, "view", 0, 1.0, '{"k": 10}'),
+        (2, 2, "view", 0, 1.0, '{"k": 30}'),
+        (3, 3, "click", 0, 1.0, '{"other": 5}'),   # no k -> filtered
+        (4, 4, "click", 0, 1.0, '{"k": 7}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, event_type string, ts long,"
+        " value double, props string",
+    )
+    out = {r.event_type: r for r in pev.props_stats(df).collect()}
+    assert out["view"].n == 2 and out["view"].avg_v == 20.0
+    assert out["click"].n == 1 and out["click"].max_v == 7
