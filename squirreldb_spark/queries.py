@@ -2965,8 +2965,9 @@ _VERIFY_FIRST: list[str] = [
     "doc_ngram_jaccard",
     "doc_minhash_signatures",
     # --- (4) r2-era promql_* (post-__name__-drop planner); the rest of
-    # this family rotates in next round — the 7 brand-new entries above
-    # displaced 8 of them from the 50-row window ---
+    # this family rotates in next round — the 11 brand-new entries above
+    # displaced most of it from the 50-row window (entries past #50 in
+    # this list simply fall outside this round's gate) ---
     "promql_rate_sum",
     "promql_selector_matchers",
     "promql_binop_sub",
