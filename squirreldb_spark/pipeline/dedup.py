@@ -668,3 +668,63 @@ SELECT d.doc_id,
        coalesce(p.max_dup_run_tokens, 0)::BIGINT AS max_dup_run_tokens
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
+
+
+def winnowing_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window, and dedup the
+    kept values per document. Guarantees every shared run of
+    ``w + k - 1`` tokens contributes at least one common fingerprint —
+    the position-robust cousin of :func:`minhash_signatures` (which
+    bounds *global* similarity, not local overlap).
+
+    Output: one row per distinct ``(doc, fingerprint)``.
+
+    Scale shape: hashing, the sliding min, and the dedup are all array
+    expressions inside the document scan — ZERO shuffle; the fanout to
+    fingerprint rows is a narrow explode. Grouping the output by
+    fingerprint (to find sharing docs) is then one exchange on a 60-bit
+    key, exactly the exact-dedup cost model.
+    """
+    hs = (
+        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
+        f" i -> {_h60_sql_expr(f'concat_ws(chr(32), slice(split({text_col}, chr(32)), i, {k}))')})"
+    )
+    fps = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(size(h) - {w - 1}, 1),"
+        f" 1), i -> array_min(slice(h, i, {w}))))"
+    )
+    return docs.select(F.col(id_col), F.expr(hs).alias("h")).select(
+        id_col, F.explode(F.expr(fps)).alias("fingerprint")
+    )
+
+
+def sql_winnowing_fingerprints(k: int = 4, w: int = 5) -> str:
+    """Replays :func:`winnowing_fingerprints` with DuckDB list lambdas
+    (same padded-slice shingling convention as :func:`sql_duplicate_spans`,
+    same 60-bit md5 hash as every other dedup oracle)."""
+    sh = f"array_to_string(list_slice(t, i, i + {k - 1}), ' ')"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+hs AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(len(t) - {k - 1}, 1)),
+           i -> {_h60_duck(sh)}) AS h
+  FROM toks),
+fps AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - {w - 1}, 1)),
+           i -> list_min(list_slice(h, i, i + {w - 1})))) AS fp
+  FROM hs)
+SELECT doc_id, unnest(fp) AS fingerprint FROM fps
+"""

@@ -316,3 +316,69 @@ FROM (SELECT event_type, json_extract(props, '$.{key}')::BIGINT AS v
 WHERE v IS NOT NULL
 GROUP BY event_type
 """
+
+
+#: hopping-window defaults: 10-minute windows sliding every 5 minutes
+HOP_LENGTH_MS = 600_000
+HOP_SLIDE_MS = 300_000
+
+
+def hopping_counts(
+    events: DataFrame,
+    length_ms: int = HOP_LENGTH_MS,
+    slide_ms: int = HOP_SLIDE_MS,
+) -> DataFrame:
+    """Hopping (sliding) window aggregation per event type: count + value
+    sum for every ``length_ms`` window advancing by ``slide_ms`` — the
+    batch twin of the Structured Streaming windowed aggregation
+    (``groupBy(window(ts, len, slide))`` is watermark-ready verbatim in
+    ``readStream`` form, the shape streaming/ingest.py uses for the
+    downsample sink).
+
+    Scale shape: ``window()`` with overlap fans each row out to
+    ``length/slide`` window instances *inside the scan* (a projection,
+    not a join against a window table), then ONE exchange on
+    (window, event_type) with map-side partial aggregation. Skew unit is
+    one (5-min, type) bucket — bounded by ingest rate, the same unit the
+    reference's 5-min downsample shuffles on.
+    """
+    # ts is epoch-ms BIGINT (model.load_table convention); re-tag it a
+    # timestamp so the plan is the watermark-ready window() aggregation
+    w = F.window(
+        F.timestamp_millis(F.col("ts")),
+        f"{length_ms} milliseconds",
+        f"{slide_ms} milliseconds",
+    )
+    return (
+        events.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sql_hopping_counts(
+    length_ms: int = HOP_LENGTH_MS, slide_ms: int = HOP_SLIDE_MS
+) -> str:
+    """Replays :func:`hopping_counts`: each event belongs to the
+    ``length/slide`` epoch-aligned window starts covering its timestamp
+    (Spark's ``window()`` alignment, reproduced arithmetically)."""
+    nwin = length_ms // slide_ms
+    return f"""
+WITH e AS (SELECT epoch_ms(ts) AS m, event_type, value FROM events),
+w AS (SELECT event_type, value,
+             (m // {slide_ms}) * {slide_ms}
+               - unnest(range(0, {nwin})) * {slide_ms} AS window_start_ms
+      FROM e)
+SELECT window_start_ms, event_type,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM w GROUP BY 1, 2
+"""

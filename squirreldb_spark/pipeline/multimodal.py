@@ -294,3 +294,213 @@ FROM frames
 GROUP BY frame_md5
 HAVING count(*) > 1
 """
+
+
+PHASH_SCHEMA = "doc_id long, frame_idx long, phash long"
+
+#: pHash banding: 2 bands x 16 bits over the 32-bit stub hash (production:
+#: 64-bit DCT pHash, 4 bands x 16 bits); pairs at hamming <= PHASH_MAX_HAM
+PHASH_BANDS = 2
+PHASH_BAND_BITS = 16
+PHASH_MAX_HAM = 2
+
+#: band-bucket cap, same rationale as pipeline.dedup.MAX_BUCKET: a
+#: degenerate hash value (solid-color frames) is the one way the banded
+#: self-join goes quadratic
+PHASH_MAX_BUCKET = 1000
+
+
+def frame_phashes(
+    binary_table: DataFrame, n_frames: int = 4, frame_len: int = 16
+) -> DataFrame:
+    """Per-frame 32-bit perceptual-hash stub: bit ``i`` is set when the
+    byte at position ``i*len//32`` exceeds the frame's mean byte — the
+    deterministic stand-in for a DCT pHash (decode libraries absent, see
+    :func:`decode_stub`); the Arrow batch shape and downstream banding
+    are the production ones.
+    """
+
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "phash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                for f in range(n_frames):
+                    start = (f * n) // n_frames
+                    frame = payload[start : start + frame_len]
+                    flen = len(frame)
+                    mean = sum(frame) / flen
+                    ph = 0
+                    for i in range(32):
+                        if frame[(i * flen) // 32] > mean:
+                            ph |= 1 << i
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(f)
+                    rows["phash"].append(ph)
+            yield pd.DataFrame(rows)
+
+    return binary_table.mapInPandas(hashes, schema=PHASH_SCHEMA)
+
+
+def phash_neardup(
+    binary_table: DataFrame,
+    n_frames: int = 4,
+    frame_len: int = 16,
+    max_ham: int = PHASH_MAX_HAM,
+) -> DataFrame:
+    """Cross-video NEAR-duplicate frames: banded LSH over the perceptual
+    hash (any shared band -> candidate), verified by hamming distance —
+    the multimodal counterpart of MinHash-LSH, catching re-encoded /
+    slightly-edited frames that :func:`frame_dedup`'s exact digest
+    misses.
+
+    Scale shape: band fanout is a narrow explode (x2); candidates come
+    from ONE equi-join keyed by (band, band-value) with the
+    PHASH_MAX_BUCKET cap computed on the join's own shuffle key; the
+    hamming verify (``bit_count(xor)``) is a projection on the pair
+    list. The frame payloads never join — only 16-bit hashes move.
+    """
+    frames = frame_phashes(binary_table, n_frames=n_frames,
+                           frame_len=frame_len)
+    enc = (F.col("doc_id") * n_frames + F.col("frame_idx")).alias("enc")
+    mask = (1 << PHASH_BAND_BITS) - 1
+    banded = frames.select(
+        enc, "doc_id", "frame_idx", "phash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.expr(
+                        f"shiftright(phash, {b * PHASH_BAND_BITS}) & {mask}"
+                    ).alias("bv"),
+                )
+                for b in range(PHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("enc", "doc_id", "frame_idx", "phash", "bk.band", "bk.bv")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bv")
+    capped = banded.withColumn("bucket_n", F.count(F.lit(1)).over(w)).filter(
+        F.col("bucket_n") <= PHASH_MAX_BUCKET
+    )
+    a = capped.select(
+        F.col("enc").alias("a_enc"), F.col("doc_id").alias("a_doc"),
+        F.col("frame_idx").alias("a_frame"), F.col("phash").alias("a_ph"),
+        "band", "bv",
+    )
+    b = capped.select(
+        F.col("enc").alias("b_enc"), F.col("doc_id").alias("b_doc"),
+        F.col("frame_idx").alias("b_frame"), F.col("phash").alias("b_ph"),
+        "band", "bv",
+    )
+    pairs = (
+        a.join(b, ["band", "bv"])
+        .filter((F.col("a_enc") < F.col("b_enc")) & (F.col("a_doc") != F.col("b_doc")))
+        .select("a_doc", "a_frame", "b_doc", "b_frame", "a_ph", "b_ph")
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(a_ph ^ b_ph)").cast("long"))
+        .filter(F.col("hamming") <= max_ham)
+        .select("a_doc", "a_frame", "b_doc", "b_frame", "hamming")
+    )
+    return pairs
+
+
+def sql_frame_phashes(n_frames: int = 4, frame_len: int = 16) -> str:
+    """Replays :func:`frame_phashes` byte-for-byte via the hex-string
+    byte extraction every other multimodal oracle uses."""
+    return f"""
+WITH hx AS (SELECT doc_id, lower(hex(encode(text))) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+f AS (SELECT unnest(generate_series(0, {n_frames - 1})) AS frame_idx),
+fr AS (
+  SELECT doc_id, frame_idx,
+         (frame_idx * n) // {n_frames} AS start,
+         least({frame_len}, n - (frame_idx * n) // {n_frames}) AS flen,
+         h
+  FROM hx, f),
+by_ AS (
+  SELECT doc_id, frame_idx, flen,
+         list_transform(generate_series(1, flen),
+                        i -> ('0x' || substr(h, 2 * (start + i - 1) + 1, 2))::BIGINT)
+           AS bytes
+  FROM fr)
+SELECT doc_id, frame_idx,
+       list_sum(list_transform(generate_series(0, 31),
+         i -> CASE WHEN bytes[(i * flen) // 32 + 1]
+                        > list_sum(bytes) / flen
+                   THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS phash
+FROM by_
+"""
+
+
+def sql_phash_neardup(
+    n_frames: int = 4, frame_len: int = 16, max_ham: int = PHASH_MAX_HAM
+) -> str:
+    mask = (1 << PHASH_BAND_BITS) - 1
+    bands = ", ".join(
+        f"(phash >> {b * PHASH_BAND_BITS}) & {mask}" for b in range(PHASH_BANDS)
+    )
+    return f"""
+WITH ph AS ({sql_frame_phashes(n_frames, frame_len)}),
+banded AS (
+  SELECT doc_id * {n_frames} + frame_idx AS enc, doc_id, frame_idx, phash,
+         gs.band, ([{bands}])[gs.band + 1] AS bv
+  FROM ph CROSS JOIN generate_series(0, {PHASH_BANDS - 1}) gs(band)),
+capped AS (
+  SELECT * FROM (
+    SELECT *, count(*) OVER (PARTITION BY band, bv) AS bucket_n FROM banded)
+  WHERE bucket_n <= {PHASH_MAX_BUCKET}),
+pairs AS (
+  SELECT DISTINCT
+         a.doc_id AS a_doc, a.frame_idx AS a_frame,
+         b.doc_id AS b_doc, b.frame_idx AS b_frame,
+         a.phash AS a_ph, b.phash AS b_ph
+  FROM capped a JOIN capped b USING (band, bv)
+  WHERE a.enc < b.enc AND a.doc_id != b.doc_id)
+SELECT a_doc, a_frame, b_doc, b_frame,
+       bit_count(xor(a_ph, b_ph))::BIGINT AS hamming
+FROM pairs
+WHERE bit_count(xor(a_ph, b_ph)) <= {max_ham}
+"""
+
+
+def video_neardup(
+    binary_table: DataFrame,
+    n_frames: int = 4,
+    frame_len: int = 16,
+    max_ham: int = PHASH_MAX_HAM,
+    min_frames: int = 2,
+) -> DataFrame:
+    """Video-level near-duplicate detection by frame voting: two videos
+    are near-dups when >= ``min_frames`` of their sampled frames are
+    pHash-near (the re-encode/re-crop case exact digests miss). The
+    frame-pair stage is :func:`phash_neardup`; the vote is one further
+    aggregation keyed by the (a_doc, b_doc) pair — output is doc pairs,
+    bounded by true duplication, not by frame-pair volume.
+    """
+    pairs = phash_neardup(
+        binary_table, n_frames=n_frames, frame_len=frame_len, max_ham=max_ham
+    )
+    return (
+        pairs.groupBy("a_doc", "b_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frame_matches"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= min_frames)
+    )
+
+
+def sql_video_neardup(
+    n_frames: int = 4, frame_len: int = 16,
+    max_ham: int = PHASH_MAX_HAM, min_frames: int = 2,
+) -> str:
+    return f"""
+WITH fp AS ({sql_phash_neardup(n_frames, frame_len, max_ham)})
+SELECT a_doc, b_doc,
+       count(*)::BIGINT AS n_frame_matches,
+       min(hamming) AS min_hamming
+FROM fp GROUP BY 1, 2 HAVING count(*) >= {min_frames}
+"""

@@ -809,3 +809,215 @@ ranked AS (
   FROM best)
 SELECT cell, vec_id, ccos, rank FROM ranked WHERE rank <= {per_cell}
 """
+
+
+# ---------------------------------------------------------------- PQ
+
+#: product-quantization defaults: 4 subspaces x 4 codes (2 bits/subspace
+#: at toy scale; production uses 8-96 subspaces x 256 codes)
+PQ_M = 4
+PQ_KS = 4
+
+#: driver-side codebook memo, same rationale as _IVF_CENTROIDS
+_PQ_CODEBOOKS: dict[tuple, list] = {}
+
+_L2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
+
+
+def _pq_scores_expr(codebook, sub: str) -> str:
+    """``array<struct<d:double, dr:double, code:int>>`` of the L2²
+    distance of ``sub`` against every (literal) sub-centroid of one
+    subspace — ``dr`` 6-dp-rounded for the engine-independent argmin,
+    ``d`` raw for the MSE. Literal-codebook fold inside the scan, the
+    same zero-exchange shape as the IVF cell assignment."""
+    entries = []
+    for code, cent in sorted(codebook, key=lambda e: e[0]):
+        arr = ", ".join(f"{float(x)!r}D" for x in cent)
+        entries.append(
+            f"named_struct('code', {int(code)}, 'cent', array({arr}))"
+        )
+    d = _L2.format(a=sub, b="e.cent")
+    return (
+        f"transform(array({', '.join(entries)}), "
+        f"e -> named_struct('d', {d}, 'dr', round({d}, 6), 'code', e.code))"
+    )
+
+
+#: argmin over the scores array (lowest rounded distance, lowest code on
+#: ties) as a zero-shuffle fold
+_ARGMIN_STRUCT = (
+    "aggregate({scores}, cast(null as struct<d:double, dr:double, code:int>), "
+    "(acc, s) -> CASE WHEN acc IS NULL OR s.dr < acc.dr "
+    "OR (s.dr = acc.dr AND s.code < acc.code) THEN s ELSE acc END)"
+)
+
+
+def train_pq(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    cent_base: int = 100,
+    dim: int = 64,
+    iters: int = 1,
+    train_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+):
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    every vector into ``m`` subvectors; per subspace, run Lloyd k-means
+    (L2, ``ks`` centroids seeded from the corpus vectors at
+    ``cent_base..``) on the deterministic 1/``train_mod`` sample.
+    Returns ``{subspace: [(code, sub_centroid)]}``.
+
+    The offline half of the index, like :func:`train_ivf`: assignment is
+    a literal-codebook fold inside the scan (no exchange); the only
+    shuffle per iteration is the per-(code, pos) mean — sd x ks rows per
+    subspace, map-side combined. Memoized driver-side via ``cache_key``.
+    """
+    key = (cache_key, m, ks, cent_base, iters, train_mod)
+    if cache_key is not None and key in _PQ_CODEBOOKS:
+        return _PQ_CODEBOOKS[key]
+    sd = dim // m
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    seeds = base.filter(
+        (F.col(id_col) >= cent_base) & (F.col(id_col) < cent_base + ks)
+    ).collect()
+    books = {
+        s: [
+            (int(r[id_col] - cent_base), [float(x) for x in r["v"][s * sd : (s + 1) * sd]])
+        for r in seeds]
+        for s in range(m)
+    }
+    train = base.filter(F.col(id_col) % train_mod == 0)
+    for _ in range(iters):
+        for s in range(m):
+            sub = f"slice(v, {s * sd + 1}, {sd})"
+            scores = _pq_scores_expr(books[s], sub)
+            code = _ARGMIN_STRUCT.format(scores=scores) + ".code"
+            rows = (
+                train.select(
+                    F.expr(code).alias("code"),
+                    F.posexplode(F.expr(sub)).alias("pos", "val"),
+                )
+                .groupBy("code", "pos")
+                .agg(F.round(F.avg("val"), 6).alias("c"))
+                .groupBy("code")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                        lambda t: t["c"],
+                    ).alias("cent")
+                )
+            ).collect()
+            books[s] = [(int(r["code"]), [float(x) for x in r["cent"]]) for r in rows]
+    if cache_key is not None:
+        _PQ_CODEBOOKS[key] = books
+    return books
+
+
+def pq_codes(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    cent_base: int = 100,
+    dim: int = 64,
+    iters: int = 1,
+    train_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Product-quantization encoding: every vector's per-subspace argmin
+    code + its reconstruction MSE — the (m x log2 ks)-bit compressed
+    corpus representation ADC search runs on.
+
+    The serving half: (pre-)trained codebooks embed as literals and the
+    whole encode is a projection inside the corpus scan — codes, the
+    reconstruction, and the MSE are array folds; the plan has ZERO
+    exchanges (cf. the scalar-quantize one-row broadcast — PQ needs not
+    even that). Codes serialize as CSV for the cross-engine value hash.
+    """
+    if codebooks is None:
+        codebooks = train_pq(
+            emb, m=m, ks=ks, cent_base=cent_base, dim=dim, iters=iters,
+            train_mod=train_mod, id_col=id_col, vec_col=vec_col,
+            cache_key=cache_key,
+        )
+    sd = dim // m
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    code_cols, err_terms = [], []
+    for s in range(m):
+        sub = f"slice(v, {s * sd + 1}, {sd})"
+        best = _ARGMIN_STRUCT.format(scores=_pq_scores_expr(codebooks[s], sub))
+        code_cols.append(f"({best}).code")
+        err_terms.append(f"({best}).d")
+    codes_csv = "concat_ws(',', " + ", ".join(code_cols) + ")"
+    mse = f"round(({' + '.join(err_terms)}) / {dim}, 6)"
+    return base.select(
+        id_col,
+        F.expr(codes_csv).alias("codes_csv"),
+        F.expr(mse).alias("mse"),
+    )
+
+
+_DUCK_L2 = (
+    "list_sum(list_transform(generate_series(1, len({a})),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def sql_pq_codes(
+    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
+    iters: int = 1, train_mod: int = 4,
+) -> str:
+    """Replays :func:`train_pq` + :func:`pq_codes` (same seeds, sample,
+    6-dp rounding, lowest-code tie-break) with unrolled per-iteration
+    CTEs over all subspaces at once."""
+    sd = dim // m
+    it_ctes = []
+    prev = "cb0"
+    for i in range(iters):
+        d = _DUCK_L2.format(a="subs.sub", b="c.cent")
+        it_ctes.append(f"""
+a{i} AS (
+  SELECT subs.vec_id, subs.s, subs.sub, c.code, round({d}, 6) AS dr
+  FROM subs JOIN {prev} c USING (s)
+  WHERE subs.vec_id % {train_mod} = 0),
+asg{i} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr, code)
+         AS rk
+    FROM a{i}) WHERE rk = 1),
+cb{i + 1} AS (
+  SELECT s, code, list(c ORDER BY pos) AS cent FROM (
+    SELECT s, code, gs.i AS pos, round(avg(sub[gs.i]), 6) AS c
+    FROM asg{i} CROSS JOIN generate_series(1, {sd}) gs(i)
+    GROUP BY 1, 2, 3)
+  GROUP BY 1, 2)""")
+        prev = f"cb{i + 1}"
+    d_enc = _DUCK_L2.format(a="subs.sub", b="c.cent")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+subs AS (
+  SELECT vec_id, gs.s,
+         list_slice(v, gs.s * {sd} + 1, gs.s * {sd} + {sd}) AS sub
+  FROM base CROSS JOIN generate_series(0, {m - 1}) gs(s)),
+cb0 AS (
+  SELECT s, vec_id - {cent_base} AS code, sub AS cent
+  FROM subs WHERE vec_id >= {cent_base} AND vec_id < {cent_base + ks}),
+{','.join(it_ctes)},
+enc AS (
+  SELECT subs.vec_id, subs.s, c.code, {d_enc} AS d, round({d_enc}, 6) AS dr
+  FROM subs JOIN {prev} c USING (s)),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr, code)
+         AS rk
+    FROM enc) WHERE rk = 1)
+SELECT vec_id,
+       string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
+       round(sum(d) / {dim}, 6) AS mse
+FROM best GROUP BY vec_id
+"""

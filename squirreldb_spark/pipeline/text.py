@@ -769,3 +769,110 @@ SELECT doc_id, n_tokens::BIGINT AS n_tokens,
                   ELSE 0.0 END, 6) AS norm_entropy
 FROM per_doc
 """
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Bigram LM quality score: mean negative conditional log-probability
+    ``-avg(ln P(w_i | w_{i-1}))`` per document — the next step up from
+    :func:`unigram_logprob` toward the CCNet/KenLM perplexity filter.
+    Scoring the corpus against its own counts means every bigram is in
+    the model, so no backoff branch is needed (document-external serving
+    would add interpolation with the unigram table).
+
+    Plan shape at 100 TB: bigram extraction is a zero-shuffle zip of the
+    token array with its own tail; the model is two aggregations (bigram
+    counts, then context counts derived FROM the bigram table — the
+    corpus is read once); scoring joins the model back on (w1, w2).
+    The model join auto-broadcasts while the bigram vocabulary fits and
+    degrades to a hash join keyed by the model's own keys otherwise —
+    either way the corpus moves through exactly two exchanges (model
+    build + per-doc aggregation).
+    """
+    pairs = F.expr(
+        f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+        f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+        " (a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cc = cb.groupBy("w1").agg(F.sum("c").alias("n"))
+    model = cb.join(cc, "w1").select(
+        "w1", "w2", (F.log("c") - F.log("n")).alias("logp")
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("avg_neg_logprob"),
+        )
+    )
+
+
+def sql_bigram_logprob() -> str:
+    return """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+cb AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+cc AS (SELECT w1, sum(c) AS n FROM cb GROUP BY 1),
+m AS (SELECT w1, w2, ln(c) - ln(n) AS logp FROM cb JOIN cc USING (w1))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(logp), 6) AS avg_neg_logprob
+FROM bg JOIN m USING (w1, w2) GROUP BY doc_id
+"""
+
+
+def zipf_stats(docs: DataFrame, text_col: str = "text", k: int = 500) -> DataFrame:
+    """Corpus Zipf fit: least-squares slope/intercept/R² of
+    ``ln(freq) ~ ln(rank)`` over the top-``k`` terms — the standard
+    sanity check that a (synthetic or filtered) corpus still has a
+    natural-language frequency profile (slope ≈ -1 for Zipfian text).
+
+    Plan shape: the term count is the wordcount exchange with map-side
+    combine; the top-``k`` is a TakeOrdered (no global sort of the
+    vocabulary); ranking + regression then run over ``k`` rows — a
+    config-sized single partition, like the IVF centroid collect. The
+    corpus itself is touched exactly once.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    pts = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.log("rank").alias("x"), F.log("n").alias("y")
+    )
+    slope = F.covar_pop("x", "y") / F.var_pop("x")
+    r2 = (F.covar_pop("x", "y") * F.covar_pop("x", "y")) / (
+        F.var_pop("x") * F.var_pop("y")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("zipf_intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def sql_zipf_stats(k: int = 500) -> str:
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+r AS (SELECT *, row_number() OVER (ORDER BY n DESC, term) AS rank FROM c),
+pts AS (SELECT ln(rank) AS x, ln(n) AS y FROM r WHERE rank <= {k})
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round(covar_pop(x, y) / var_pop(x), 6) AS zipf_slope,
+       round(avg(y) - (covar_pop(x, y) / var_pop(x)) * avg(x), 6)
+         AS zipf_intercept,
+       round(covar_pop(x, y) * covar_pop(x, y) / (var_pop(x) * var_pop(y)), 6)
+         AS r2
+FROM pts
+"""

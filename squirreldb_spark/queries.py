@@ -2584,6 +2584,51 @@ FROM rs GROUP BY 1, 2 HAVING avg(value) > 100
 """
 
 
+def q_doc_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality score (mean -ln P(w_i | w_{i-1}) per doc) — the
+    conditional step up from the unigram perplexity filter
+    (pipeline/text.py bigram_logprob)."""
+    return ptext.bigram_logprob(_docs(spark, sf_dir))
+
+
+def q_doc_zipf_stats(spark, sf_dir):
+    """Corpus Zipf fit over the top-500 terms: ln(freq) ~ ln(rank)
+    slope/intercept/R² — the frequency-profile sanity check for a
+    filtered corpus (pipeline/text.py zipf_stats)."""
+    return ptext.zipf_stats(_docs(spark, sf_dir))
+
+
+def q_doc_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint selection: per-window minimum of
+    k-gram hashes, deduplicated per document — position-robust local
+    overlap fingerprints (pipeline/dedup.py winnowing_fingerprints)."""
+    return pdedup.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
+def q_ev_hopping_counts(spark, sf_dir):
+    """Hopping-window event aggregation (10-min windows every 5 min):
+    the batch twin of the streaming windowed count
+    (pipeline/events.py hopping_counts)."""
+    return pevents.hopping_counts(_events(spark, sf_dir))
+
+
+def q_emb_pq_codes(spark, sf_dir):
+    """Product-quantization encode: per-subspace argmin codes +
+    reconstruction MSE; codebooks trained offline (memoized) and served
+    as a zero-exchange literal fold (pipeline/similarity.py
+    train_pq/pq_codes)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.pq_codes(emb, cache_key=sf_dir)
+
+
+def q_mm_video_neardup(spark, sf_dir):
+    """Video-level near-dup by frame voting: banded pHash LSH over
+    sampled frames, hamming-verified, >= 2 matching frames per doc pair
+    (pipeline/multimodal.py video_neardup)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pmm.video_neardup(pmm.as_binary_table(docs))
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -2895,6 +2940,26 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "mm_frame_dedup": QueryDef(q_mm_frame_dedup, pmm.sql_frame_dedup()),
     # JSON payload field extraction + per-type aggregate
     "ev_props_stats": QueryDef(q_ev_props_stats, pevents.sql_props_stats()),
+    # bigram conditional-LM quality score
+    "doc_bigram_logprob": QueryDef(
+        q_doc_bigram_logprob, ptext.sql_bigram_logprob()
+    ),
+    # corpus Zipf slope/intercept/R² over the top terms
+    "doc_zipf_stats": QueryDef(q_doc_zipf_stats, ptext.sql_zipf_stats()),
+    # winnowing (MOSS) fingerprint selection
+    "doc_winnowing": QueryDef(
+        q_doc_winnowing, pdedup.sql_winnowing_fingerprints()
+    ),
+    # hopping-window event counts (streaming-agg twin)
+    "ev_hopping_counts": QueryDef(
+        q_ev_hopping_counts, pevents.sql_hopping_counts()
+    ),
+    # product quantization: train/serve codes + reconstruction MSE
+    "emb_pq_codes": QueryDef(q_emb_pq_codes, psim.sql_pq_codes()),
+    # video-level near-dup via banded pHash frame voting
+    "mm_video_neardup": QueryDef(
+        q_mm_video_neardup, pmm.sql_video_neardup()
+    ),
 }
 
 
@@ -2911,6 +2976,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tests/test_oracle_parity.py.
 _VERIFY_FIRST: list[str] = [
     # --- (1) never driver-verified (new in round 4) ---
+    "doc_bigram_logprob",
+    "doc_zipf_stats",
+    "doc_winnowing",
+    "ev_hopping_counts",
+    "emb_pq_codes",
+    "mm_video_neardup",
     "doc_pii_scrub",
     "doc_token_entropy",
     "doc_dup_spans",

@@ -486,3 +486,111 @@ def test_props_stats_extracts_json_field(spark):
     out = {r.event_type: r for r in pev.props_stats(df).collect()}
     assert out["view"].n == 2 and out["view"].avg_v == 20.0
     assert out["click"].n == 1 and out["click"].max_v == 7
+
+
+def test_bigram_logprob_predictable_text_scores_lower(spark):
+    rows = [
+        (1, "a b a b a b a b"),  # every context has ONE successor -> P=1
+        (2, "c d c e c f c g"),  # context 'c' has four successors
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.bigram_logprob(df).collect()}
+    assert out[1].avg_neg_logprob == 0.0
+    assert out[2].avg_neg_logprob > 0.0
+    assert out[1].n_bigrams == 7 and out[2].n_bigrams == 7
+
+
+def test_winnowing_shared_run_guarantees_common_fingerprint(spark):
+    # winnowing guarantee (k=4, w=5): any shared run of w+k-1 = 8 tokens
+    # yields at least one common fingerprint
+    shared = "q w e r t y u i o p k l"
+    rows = [
+        (1, "a b c " + shared + " x1 y1"),
+        (2, "d e f g h " + shared + " x2"),
+        (3, "m n o p2 q2 r2 s2 t2 u2 v2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = dedup.winnowing_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 12-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    # per-doc fingerprints are deduplicated
+    assert len(fps) == sum(len(v) for v in by_doc.values())
+
+
+def test_zipf_stats_exact_inverse_law(spark):
+    # frequencies 12/r for r = 1..4 -> ln f = ln 12 - ln r: slope exactly
+    # -1, perfect fit
+    words = ["t1"] * 12 + ["t2"] * 6 + ["t3"] * 4 + ["t4"] * 3
+    df = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = text.zipf_stats(df).collect()[0]
+    assert row.n_terms == 4
+    assert row.zipf_slope == -1.0
+    assert row.r2 == 1.0
+
+
+def test_hopping_counts_each_event_in_two_windows(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    m = 60_000
+    rows = [
+        (1, 1, "view", 7 * m, 1.0),    # windows starting at 0 and 5 min
+        (2, 2, "view", 12 * m, 2.0),   # windows starting at 5 and 10 min
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long, value double"
+    )
+    out = {
+        (r.window_start_ms, r.event_type): r
+        for r in pev.hopping_counts(df).collect()
+    }
+    assert len(out) == 3  # starts 0, 5m, 10m
+    assert out[(0, "view")].n_events == 1
+    assert out[(5 * m, "view")].n_events == 2  # both events overlap here
+    assert out[(5 * m, "view")].sum_value == 3.0
+    assert out[(10 * m, "view")].n_events == 1
+
+
+def test_pq_codes_reconstruct_seed_vectors_exactly(spark):
+    # iters=0 -> codebooks are the raw seed subvectors (ids 100, 101);
+    # a vector equal to a seed encodes to that seed's code with MSE 0,
+    # and mixing subvector halves mixes the codes
+    s0 = [1.0, 1.0, 10.0, 10.0]
+    s1 = [5.0, 5.0, -10.0, -10.0]
+    mixed = [1.0, 1.0, -10.0, -10.0]  # first half s0, second half s1
+    rows = [(100, s0), (101, s1), (7, mixed)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r.vec_id: r
+        for r in similarity.pq_codes(
+            df, m=2, ks=2, dim=4, iters=0
+        ).collect()
+    }
+    assert out[100].codes_csv == "0,0" and out[100].mse == 0.0
+    assert out[101].codes_csv == "1,1" and out[101].mse == 0.0
+    assert out[7].codes_csv == "0,1" and out[7].mse == 0.0
+
+
+def test_video_neardup_votes_on_identical_payloads(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    rows = [
+        (1, base, "en", "s", len(base)),
+        (2, base, "en", "s", len(base)),          # identical video
+        (3, "zz " * 30 + "yy", "en", "s", 92),    # unrelated
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        (r.a_doc, r.b_doc): r
+        for r in multimodal.video_neardup(multimodal.as_binary_table(df)).collect()
+    }
+    assert (1, 2) in out
+    # >= 4: the four aligned frames all match at hamming 0; identical
+    # payloads can add cross-position coincidences on top
+    assert out[(1, 2)].n_frame_matches >= 4
+    assert out[(1, 2)].min_hamming == 0
