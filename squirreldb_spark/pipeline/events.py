@@ -327,30 +327,35 @@ def hopping_counts(
     events: DataFrame,
     length_ms: int = HOP_LENGTH_MS,
     slide_ms: int = HOP_SLIDE_MS,
+    watermark: str | None = None,
 ) -> DataFrame:
     """Hopping (sliding) window aggregation per event type: count + value
-    sum for every ``length_ms`` window advancing by ``slide_ms`` — the
-    batch twin of the Structured Streaming windowed aggregation
-    (``groupBy(window(ts, len, slide))`` is watermark-ready verbatim in
-    ``readStream`` form, the shape streaming/ingest.py uses for the
-    downsample sink).
+    sum for every ``length_ms`` window advancing by ``slide_ms``. The
+    SAME plan runs batch and streaming: pass ``watermark`` (e.g.
+    ``"1 hour"``) on a ``readStream`` input and closed windows emit in
+    append mode — the shape streaming/ingest.py uses for the downsample
+    sink.
 
     Scale shape: ``window()`` with overlap fans each row out to
     ``length/slide`` window instances *inside the scan* (a projection,
     not a join against a window table), then ONE exchange on
     (window, event_type) with map-side partial aggregation. Skew unit is
     one (5-min, type) bucket — bounded by ingest rate, the same unit the
-    reference's 5-min downsample shuffles on.
+    reference's 5-min downsample shuffles on; streaming state is bounded
+    by watermark x window count.
     """
     # ts is epoch-ms BIGINT (model.load_table convention); re-tag it a
     # timestamp so the plan is the watermark-ready window() aggregation
+    base = events.withColumn("_evt", F.timestamp_millis(F.col("ts")))
+    if watermark is not None:
+        base = base.withWatermark("_evt", watermark)
     w = F.window(
-        F.timestamp_millis(F.col("ts")),
+        F.col("_evt"),
         f"{length_ms} milliseconds",
         f"{slide_ms} milliseconds",
     )
     return (
-        events.groupBy(w.alias("w"), "event_type")
+        base.groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),

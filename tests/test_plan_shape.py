@@ -337,3 +337,70 @@ def test_diversity_sample_single_cell_exchange(spark, sf_dir):
     assert re.search(r"Exchange hashpartitioning\(cell[^\n]*_shard", plan), plan[:900]
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 2, f"expected 2 exchanges, got {n_hash}:\n{plan[:900]}"
+
+
+def test_pq_encode_is_zero_exchange(spark, sf_dir):
+    """PQ serving is a pure projection: literal-codebook argmin folds
+    inside the corpus scan — no Exchange, no Join at all (cf. the
+    scalar-quantize one-row broadcast; PQ needs not even that)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(psim.pq_codes(emb, cache_key=sf_dir))
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    assert "posexplode" not in plan  # no training stage in the encode plan
+
+
+def test_winnowing_selection_is_zero_shuffle(spark, sf_dir):
+    """Hashing, the sliding min and the per-doc dedup are all array HOFs
+    in the scan; the only operator after it is the fingerprint explode."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(pdedup.winnowing_fingerprints(docs))
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_hopping_counts_single_combiner_exchange(spark, sf_dir):
+    """window() fans out inside the scan (Expand, not a join against a
+    window table); the plan's ONE exchange carries partial aggregates."""
+    import re
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.hopping_counts(ev))
+    assert "Expand" in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, f"expected 1 exchange, got {n_hash}:\n{plan[:900]}"
+    assert "partial_count" in plan  # map-side combine before the exchange
+
+
+def test_zipf_topk_is_take_ordered(spark, sf_dir):
+    """The top-k over the vocabulary must be a TakeOrdered, never a
+    global sort of the term counts."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.zipf_stats(docs))
+    assert "TakeOrderedAndProject" in plan, plan[:900]
+
+
+def test_bigram_model_join_broadcasts(spark, sf_dir):
+    """At test scale the (w1, w2) model fits the broadcast threshold, so
+    scoring must not shuffle the corpus bigram stream for the join."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.bigram_logprob(docs))
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert_no_theta_joins(plan, "bigram_logprob")
+
+
+def test_video_neardup_no_theta_joins(spark, sf_dir):
+    """The pHash candidate join must stay an equi-join on (band, bv) with
+    the bucket cap — never a cartesian/nested-loop pair enumeration."""
+    plan = plan_of(CATALOG["mm_video_neardup"].fn(spark, sf_dir))
+    assert_no_theta_joins(plan, "mm_video_neardup")

@@ -357,3 +357,43 @@ def test_streaming_ratio_joins_closed_buckets(spark, tmpdir):
     assert got[key].ratio == 2.0
     # the pusher buckets have no counterpart on the other side: inner join
     assert len(got) == 1
+
+
+def test_streaming_hopping_counts_emits_closed_windows(spark, tmpdir):
+    """The batch hopping-window operator runs unchanged on a stream: with
+    a 1 h watermark, windows fully earlier than (max event time - 1 h)
+    close and emit in append mode; the open tail stays in state."""
+    from squirreldb_spark.pipeline import events as pev
+
+    src, out, cp = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/cp"
+    t0 = BASE_TS - BASE_TS % 600_000  # align to a window boundary
+    _write_batch(spark, src, [
+        (1, t0 + 60_000, 1, "view", 1.0, "{}"),
+        (2, t0 + 360_000, 1, "view", 2.0, "{}"),
+        # watermark pusher 3 h later: closes every window around t0
+        (3, t0 + 3 * 3_600_000, 1, "view", 9.0, "{}"),
+    ])
+    stream = ingest.read_event_stream(spark, src)
+    q = (
+        pev.hopping_counts(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.window_start_ms, r.event_type): r
+        for r in spark.read.parquet(out).collect()
+    }
+    # event 1 (offset 1 min) -> windows t0-5m and t0; event 2 (offset
+    # 6 min) -> windows t0 and t0+5m; all three closed by the pusher
+    assert got[(t0 - 300_000, "view")].n_events == 1
+    assert got[(t0, "view")].n_events == 2
+    assert got[(t0, "view")].sum_value == 3.0
+    assert got[(t0 + 300_000, "view")].n_events == 1
+    # the pusher's own windows are NOT closed (watermark = its time - 1 h)
+    assert (t0 + 3 * 3_600_000, "view") not in got
+    assert len(got) == 3
