@@ -728,3 +728,46 @@ fps AS (
   FROM hs)
 SELECT doc_id, unnest(fp) AS fingerprint FROM fps
 """
+
+
+def ngram_containment_pairs(
+    pairs: DataFrame, text_a: str = "text_a", text_b: str = "text_b", n: int = 3
+) -> DataFrame:
+    """Asymmetric n-gram containment for candidate pairs:
+    ``|A∩B| / |A|`` and ``|A∩B| / |B|`` — the signal symmetric Jaccard
+    misses when one document CONTAINS the other (quote inclusion,
+    boilerplate wrapping, sub-document duplication): a short doc fully
+    embedded in a long one has low Jaccard but containment 1.0.
+
+    Input columns ``(id_a, id_b, text_a, text_b)``; adds both
+    containments. Pure array HOFs on the already-restricted pair list —
+    zero additional shuffle.
+    """
+    sa = F.array_distinct(shingles(text_a, n))
+    sb = F.array_distinct(shingles(text_b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    return pairs.withColumn(
+        "containment_a", F.round(inter / F.size(sa), 6)
+    ).withColumn("containment_b", F.round(inter / F.size(sb), 6))
+
+
+def sql_ngram_containment(n: int = 3) -> str:
+    """Containment over the same LSH candidate pairs the Spark plan
+    restricts to (the candidate oracle is composed as a subquery)."""
+    return f"""
+WITH cand AS ({sql_minhash_lsh_pairs()}),
+t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (SELECT doc_id,
+              list_distinct(list_transform(
+                generate_series(1, greatest(len(toks) - {n - 1}, 1)),
+                i -> array_to_string(toks[i : i + {n - 1}], ' '))) AS s
+       FROM t)
+SELECT c.id_a, c.id_b,
+       round(len(list_intersect(a.s, b.s)) / len(a.s)::DOUBLE, 6)
+         AS containment_a,
+       round(len(list_intersect(a.s, b.s)) / len(b.s)::DOUBLE, 6)
+         AS containment_b
+FROM cand c
+JOIN sh a ON c.id_a = a.doc_id
+JOIN sh b ON c.id_b = b.doc_id
+"""

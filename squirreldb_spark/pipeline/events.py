@@ -387,3 +387,76 @@ SELECT window_start_ms, event_type,
        round(sum(value), 4) AS sum_value
 FROM w GROUP BY 1, 2
 """
+
+
+def session_paths(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS, k: int = 20
+) -> DataFrame:
+    """Top-``k`` most common session paths: each session collapses to its
+    ordered event-type string (``view>click>purchase``), counted
+    corpus-wide — the exploratory cousin of the fixed-stage funnel.
+
+    Plan shape: session numbering is the :func:`sessionize` window (one
+    shuffle on ``user_id``); the path rollup groups on
+    (user_id, session_seq) — a superset of the window partitioning, so
+    AQE coalesces instead of re-distributing — with the ordering done by
+    an in-group ``array_sort`` fold, not a second sort exchange; the
+    path count shuffles path-string-sized rows; the final top-k is a
+    TakeOrdered. Skew units: one user's history, then one path string.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = F.when(
+        F.col("ts") - F.lag("ts").over(w) > gap_ms, 1
+    ).otherwise(
+        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
+    )
+    numbered = events.select("user_id", "event_id", "ts", "event_type").withColumn(
+        "session_seq",
+        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = numbered.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    counts = (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+    wr = Window.orderBy(F.desc("n_sessions"), F.asc("path"))
+    return counts.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+def sql_session_paths(gap_ms: int = SESSION_GAP_MS, k: int = 20) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts
+            FROM events),
+flagged AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM numbered GROUP BY 1, 2),
+counts AS (
+  SELECT path, count(*)::BIGINT AS n_sessions FROM paths GROUP BY 1),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY n_sessions DESC, path) AS rank
+  FROM counts)
+SELECT path, n_sessions, rank FROM ranked WHERE rank <= {k}
+"""

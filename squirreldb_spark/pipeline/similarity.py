@@ -1021,3 +1021,50 @@ SELECT vec_id,
        round(sum(d) / {dim}, 6) AS mse
 FROM best GROUP BY vec_id
 """
+
+
+def ann_recall(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Recall@k of the IVF index against exact cosine top-k, per query —
+    the self-evaluation every ANN deployment runs before trusting probes
+    (IVF misses exactly the neighbours whose cell the probe skipped).
+
+    Plan: both rankings are the existing catalog plans (exact
+    brute-force broadcast scan; IVF literal-fold serving); the recall is
+    one left join on (q_id, c_id) — both sides are k x n_queries rows,
+    config-sized — and a per-query count.
+    """
+    exact = cosine_knn(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    approx = ann_ivf(
+        emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key,
+    ).select("q_id", "c_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select("q_id", "c_id")
+        .join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
+def sql_ann_recall(k: int = 5, n_queries: int = 5) -> str:
+    """Composes the two existing oracles as subqueries: exact top-k left
+    join IVF top-k, counted per query."""
+    return f"""
+SELECT e.q_id,
+       count(a.c_id)::BIGINT AS n_hits,
+       round(count(a.c_id) / {k}.0, 6) AS recall
+FROM ({sql_cosine_knn(k, n_queries)}) e
+LEFT JOIN ({sql_ann_ivf(k, n_queries)}) a
+  ON e.q_id = a.q_id AND e.c_id = a.c_id
+GROUP BY 1
+"""

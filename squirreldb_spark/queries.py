@@ -2621,6 +2621,35 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_emb_ann_recall(spark, sf_dir):
+    """Recall@5 of the IVF index vs exact cosine top-5, per query — the
+    ANN self-evaluation (pipeline/similarity.py ann_recall); both
+    rankings are the existing emb_cosine_knn / emb_ann_ivf plans."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_recall(emb, cache_key=sf_dir)
+
+
+def q_ev_session_paths(spark, sf_dir):
+    """Top-20 most common ordered session paths (view>click>... strings)
+    — exploratory funnel discovery (pipeline/events.py session_paths)."""
+    return pevents.session_paths(_events(spark, sf_dir))
+
+
+def q_doc_containment(spark, sf_dir):
+    """Asymmetric n-gram containment on the LSH candidate pairs: detects
+    sub-document duplication (one doc embedded in another) that
+    symmetric Jaccard under-scores (pipeline/dedup.py
+    ngram_containment_pairs)."""
+    docs = _docs(spark, sf_dir)
+    cand = pdedup.lsh_candidate_pairs(pdedup.minhash_signatures(docs))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
+    return pdedup.ngram_containment_pairs(pairs).select(
+        "id_a", "id_b", "containment_a", "containment_b"
+    )
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -2960,6 +2989,16 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()
     ),
+    # IVF recall@k vs exact top-k (ANN self-evaluation)
+    "emb_ann_recall": QueryDef(q_emb_ann_recall, psim.sql_ann_recall()),
+    # top-k ordered session paths
+    "ev_session_paths": QueryDef(
+        q_ev_session_paths, pevents.sql_session_paths()
+    ),
+    # asymmetric n-gram containment on LSH candidates
+    "doc_containment": QueryDef(
+        q_doc_containment, pdedup.sql_ngram_containment()
+    ),
 }
 
 
@@ -2982,6 +3021,9 @@ _VERIFY_FIRST: list[str] = [
     "ev_hopping_counts",
     "emb_pq_codes",
     "mm_video_neardup",
+    "emb_ann_recall",
+    "ev_session_paths",
+    "doc_containment",
     "doc_pii_scrub",
     "doc_token_entropy",
     "doc_dup_spans",

@@ -594,3 +594,59 @@ def test_video_neardup_votes_on_identical_payloads(spark):
     # payloads can add cross-position coincidences on top
     assert out[(1, 2)].n_frame_matches >= 4
     assert out[(1, 2)].min_hamming == 0
+
+
+def test_ann_recall_matches_manual_intersection(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_knn(emb).collect()
+    approx = similarity.ann_ivf(emb, cache_key=sf_dir).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.c_id)
+    for r in approx:
+        ap.setdefault(r.q_id, set()).add(r.c_id)
+    got = {r.q_id: r for r in similarity.ann_recall(emb, cache_key=sf_dir).collect()}
+    assert set(got) == set(ex)
+    for q, r in got.items():
+        hits = len(ex[q] & ap.get(q, set()))
+        assert r.n_hits == hits
+        assert r.recall == round(hits / 5, 6)
+
+
+def test_session_paths_orders_within_session(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    m = 60_000
+    rows = [
+        # user 1, one session: view -> click -> purchase
+        (1, 1, "view", 0 * m, 1.0),
+        (1, 2, "click", 5 * m, 1.0),
+        (1, 3, "purchase", 10 * m, 1.0),
+        # user 1, second session after 40-min gap: lone view
+        (1, 4, "view", 50 * m, 1.0),
+        # user 2: same full path
+        (2, 5, "view", 0 * m, 1.0),
+        (2, 6, "click", 1 * m, 1.0),
+        (2, 7, "purchase", 2 * m, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts long, value double"
+    )
+    out = {r.path: r for r in pev.session_paths(df).collect()}
+    assert out["view>click>purchase"].n_sessions == 2
+    assert out["view>click>purchase"].rank == 1
+    assert out["view"].n_sessions == 1
+    assert len(out) == 2
+
+
+def test_containment_detects_embedded_document(spark):
+    big = "a b c d e f g h i j k l m n o p"
+    rows = [(1, "x y z " + big + " q r s", 2, big)]
+    pairs = spark.createDataFrame(
+        rows, "id_a long, text_a string, id_b long, text_b string"
+    )
+    r = dedup.ngram_containment_pairs(pairs).collect()[0]
+    # doc 2 fully embedded in doc 1: containment_b = 1.0; the symmetric
+    # direction is < 1 (doc 1 has extra shingles)
+    assert r.containment_b == 1.0
+    assert r.containment_a < 1.0

@@ -404,3 +404,18 @@ def test_video_neardup_no_theta_joins(spark, sf_dir):
     the bucket cap — never a cartesian/nested-loop pair enumeration."""
     plan = plan_of(CATALOG["mm_video_neardup"].fn(spark, sf_dir))
     assert_no_theta_joins(plan, "mm_video_neardup")
+
+
+def test_session_paths_topk_is_take_ordered(spark, sf_dir):
+    """The path ranking must TakeOrder the path counts, never globally
+    sort them; the candidate join shapes stay equi-joins."""
+    plan = plan_of(CATALOG["ev_session_paths"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:900]
+    assert_no_theta_joins(plan, "ev_session_paths")
+
+
+def test_containment_restricted_to_candidates(spark, sf_dir):
+    """Containment only ever runs on the LSH candidate pair list — the
+    plan must contain the banded equi-join, never a cartesian pairing."""
+    plan = plan_of(CATALOG["doc_containment"].fn(spark, sf_dir))
+    assert_no_theta_joins(plan, "doc_containment")
