@@ -68,9 +68,13 @@ ITERATIVE_QUERIES = [
 SECONDARY_QUERIES = [
     "ev_sessionize",
     "ev_asof_join",
+    "ev_hopping_counts",
     "doc_dup_spans",
+    "doc_winnowing",
     "emb_scalar_quantize",
+    "emb_pq_codes",
     "emb_diversity_sample",
+    "mm_video_neardup",
 ]
 
 

@@ -771,3 +771,60 @@ FROM cand c
 JOIN sh a ON c.id_a = a.doc_id
 JOIN sh b ON c.id_b = b.doc_id
 """
+
+
+def winnowing_matches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """MOSS-style match scoring: doc pairs ranked by how many winnowing
+    fingerprints they share (>= ``min_shared``) — local-overlap detection
+    that is position-robust where MinHash only bounds global similarity.
+
+    Scale shape: fingerprint selection is the zero-shuffle
+    :func:`winnowing_fingerprints` stage; the pair enumeration is ONE
+    self-join keyed by the 60-bit fingerprint with the standard
+    hot-bucket cap on the join's own shuffle key (a boilerplate
+    fingerprint shared by B docs would otherwise emit B²/2 pairs); the
+    vote is a pair-keyed count — the same guard composition as the
+    banded LSH and pHash paths.
+    """
+    from pyspark.sql import Window
+
+    fps = winnowing_fingerprints(docs, text_col=text_col, id_col=id_col, k=k, w=w)
+    wcap = Window.partitionBy("fingerprint")
+    capped = fps.withColumn("_n", F.count(F.lit(1)).over(wcap)).filter(
+        F.col("_n") <= max_bucket
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = capped.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= min_shared)
+    )
+
+
+def sql_winnowing_matches(
+    k: int = 4, w: int = 5, min_shared: int = 2, max_bucket: int = MAX_BUCKET
+) -> str:
+    return f"""
+WITH fps AS ({sql_winnowing_fingerprints(k, w)}),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS n
+    FROM fps) WHERE n <= {max_bucket})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       count(*)::BIGINT AS n_shared_fps
+FROM capped a JOIN capped b USING (fingerprint)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""

@@ -2650,6 +2650,13 @@ def q_doc_containment(spark, sf_dir):
     )
 
 
+def q_doc_winnowing_matches(spark, sf_dir):
+    """MOSS match scoring: doc pairs sharing >= 2 winnowing fingerprints
+    (position-robust local-overlap detection; pipeline/dedup.py
+    winnowing_matches)."""
+    return pdedup.winnowing_matches(_docs(spark, sf_dir))
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -2999,20 +3006,24 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_containment": QueryDef(
         q_doc_containment, pdedup.sql_ngram_containment()
     ),
+    # MOSS match scoring over shared winnowing fingerprints
+    "doc_winnowing_matches": QueryDef(
+        q_doc_winnowing_matches, pdedup.sql_winnowing_matches()
+    ),
 }
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
 # insertion order.  Round-4 rotation policy: (1) entries never through
-# the gate (new this round), (2) entries whose code changed this round
-# while carrying an older attestation (sharded packing changed VALUES;
-# IVF/sort/mutable changed plans or shared paths), (3) the 29 rows whose
-# only green is round 1 (the oldest signal), (4) the r2-era promql_*
-# rows — round 3's shared-planner __name__-drop change makes their r2
-# attestation the stalest meaningful signal.  The ~27 remaining r2-era
-# rows (api_*, mm_*, ts function goldens, dedup/ANN) rotate in next
-# round; every entry is still locally re-verified per round by
-# tests/test_oracle_parity.py.
+# the gate (new this round — including the ten added late in the round:
+# bigram LM, Zipf, winnowing + matches, hopping windows, PQ, pHash
+# video near-dup, ANN recall, session paths, containment), (2) entries
+# whose code changed this round while carrying an older attestation
+# (sharded packing changed VALUES; IVF/sort/mutable changed plans or
+# shared paths), (3) the r1-era rows (the oldest signal; the late
+# additions push the tail of this group past #50 — they rotate next
+# round), (4) the r2-era promql_* rows.  Every entry is still locally
+# re-verified per round by tests/test_oracle_parity.py.
 _VERIFY_FIRST: list[str] = [
     # --- (1) never driver-verified (new in round 4) ---
     "doc_bigram_logprob",
@@ -3024,6 +3035,7 @@ _VERIFY_FIRST: list[str] = [
     "emb_ann_recall",
     "ev_session_paths",
     "doc_containment",
+    "doc_winnowing_matches",
     "doc_pii_scrub",
     "doc_token_entropy",
     "doc_dup_spans",

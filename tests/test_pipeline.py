@@ -650,3 +650,17 @@ def test_containment_detects_embedded_document(spark):
     # direction is < 1 (doc 1 has extra shingles)
     assert r.containment_b == 1.0
     assert r.containment_a < 1.0
+
+
+def test_winnowing_matches_scores_shared_runs(spark):
+    shared = "q w e r t y u i o p k l"
+    rows = [
+        (1, "a b c " + shared + " x1 y1"),
+        (2, "d e f " + shared + " x2 y2"),
+        (3, "m n o p2 q2 r2 s2 t2 u2 v2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.n_shared_fps
+           for r in dedup.winnowing_matches(df).collect()}
+    assert (1, 2) in out and out[(1, 2)] >= 2
+    assert not any(3 in p for p in out)

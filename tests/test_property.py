@@ -252,3 +252,80 @@ def test_xor_chunk_roundtrip_fuzz(samples):
         assert a.timestamp_ms == b.timestamp_ms
         # bit-exact (distinguishes NaN payloads and -0.0)
         assert _struct.pack("<d", a.value) == _struct.pack("<d", b.value)
+
+
+# --------------------------------------------------- winnowing guarantee
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words_a=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+    words_b=st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+    shared=st.lists(st.sampled_from("qrstuvwx"), min_size=8, max_size=12),
+)
+def test_winnowing_guarantee_property(spark, words_a, words_b, shared):
+    """The Schleimer-Wilkerson-Aiken guarantee: any two documents sharing
+    a run of >= w + k - 1 tokens (here 8, with k=4, w=5) share at least
+    one selected fingerprint — regardless of the surrounding text."""
+    from squirreldb_spark.pipeline.dedup import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words_a + shared)),
+            (2, " ".join(shared + words_b)),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set] = {1: set(), 2: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]
+
+
+# --------------------------------------------------- PQ encode invariants
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-50, 50).map(float), min_size=4, max_size=4),
+        min_size=4, max_size=10,
+    ),
+)
+def test_pq_codes_match_python_reference(spark, vecs):
+    """PQ encode (iters=0: codebooks = seed subvectors) must agree with a
+    direct Python argmin over the same rounded L2 distances, and the MSE
+    must equal the chosen centroids' residual."""
+    from squirreldb_spark.pipeline.similarity import pq_codes
+
+    m, ks, dim, cent_base = 2, 2, 4, 0
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    # need the seed rows (ids 0, 1) to exist
+    if len(rows) < ks:
+        return
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in pq_codes(
+        df, m=m, ks=ks, dim=dim, cent_base=cent_base, iters=0
+    ).collect()}
+    sd = dim // m
+    books = {s: [(c, vecs[c][s * sd:(s + 1) * sd]) for c in range(ks)]
+             for s in range(m)}
+    for i, v in rows:
+        codes, err = [], 0.0
+        for s in range(m):
+            sub = v[s * sd:(s + 1) * sd]
+            best = None
+            for c, cent in books[s]:
+                d = 0.0
+                for x, y in zip(sub, cent):
+                    d += (x - y) * (x - y)
+                dr = round(d, 6)
+                if best is None or dr < best[0] or (dr == best[0] and c < best[1]):
+                    best = (dr, c, d)
+            codes.append(best[1])
+            err += best[2]
+        assert got[i].codes_csv == ",".join(str(c) for c in codes)
+        assert got[i].mse == round(err / dim, 6)
