@@ -58,6 +58,24 @@ def _parse_time_s(raw: str) -> int:
     return int(float(raw) * 1000)
 
 
+#: canonical sorted-labels JSON — the interning key the debug dumps and
+#: /debug/index_verify share
+_SERIES_JSON = "to_json(map_from_entries(array_sort(map_entries(labels))))"
+
+
+def _dump_csv(series_jsons) -> bytes:
+    """CSV lines ``series_id,labels_json`` (reference IndexDumper.Dump
+    shape); the id is the engine's 60-bit md5-prefix content hash of the
+    canonical labels JSON (model.py interning convention)."""
+    import hashlib
+
+    lines = []
+    for sj in sorted(series_jsons):
+        sid = int(hashlib.md5(sj.encode()).hexdigest()[:15], 16)
+        lines.append(f"{sid},{sj}")
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
 class PromHTTPServer:
     """A live /api/v1 endpoint set over Spark.
 
@@ -106,6 +124,10 @@ class PromHTTPServer:
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        #: /debug/toggle_debug_query state + captured query strings
+        #: (reference toggleDebugQueryHandler flips engine query logging)
+        self.debug_query = False
+        self._debug_queries: list[str] = []
         #: self-telemetry for /metrics (reference serves promhttp on
         #: /metrics, api/api.go:211): keyed (family, ((label, value),...))
         #: so the exposition can emit one # TYPE line per family with
@@ -351,6 +373,7 @@ class PromHTTPServer:
                 return
             if path == "/api/v1/query_range":
                 opts = self._opts(handler)
+                self._capture_query(p("query"))
                 start = _parse_time_s(p("start"))
                 end = _parse_time_s(p("end"))
                 step = int(float(p("step", "60")) * 1000)
@@ -370,6 +393,7 @@ class PromHTTPServer:
                 return
             if path == "/api/v1/query":
                 opts = self._opts(handler)
+                self._capture_query(p("query"))
                 t = _parse_time_s(p("time"))
 
                 def run_instant():
@@ -527,6 +551,156 @@ class PromHTTPServer:
                     {"data": [r.asDict() for r in self.mutable_store.rows()]},
                 )
                 return
+            if path == "/debug/mutable_import":
+                # reference api/api.go:640-657: dry-run by default, apply
+                # with ?force; the body is the /debug/mutable_dump shape,
+                # so dump -> import is a round trip
+                payload = json.loads(body.decode() or "{}")
+                entries = payload.get("data", [])
+                # a bare ?force (no value) is dropped by the default
+                # parse_qs; mirror the reference's presence check
+                force = "force" in parse_qs(url.query, keep_blank_values=True)
+                if not force:
+                    self._send_json(
+                        handler, 200,
+                        {"status": "dry-run", "would_import": len(entries),
+                         "note": "add ?force to apply"},
+                    )
+                    return
+                for e in entries:
+                    self.mutable_store.set_name(
+                        e["tenant"], e["mutable_name"], e["associated_name"]
+                    )
+                    self.mutable_store.set_values(
+                        e["tenant"], e["mutable_name"], e["mutable_value"],
+                        e["associated_values"],
+                    )
+                self._send_json(
+                    handler, 200, {"status": "ok", "imported": len(entries)}
+                )
+                return
+            if path in ("/debug", "/debug/"):
+                # reference debugHelpHandler: plain-text endpoint listing
+                lines = [
+                    "/debug/index_info", "/debug/index_verify",
+                    "/debug/index_dump", "/debug/index_dump_by_labels",
+                    "/debug/index_dump_by_expiration",
+                    "/debug/index_dump_by_shard",
+                    "/debug/index_block (501: n/a by design)",
+                    "/debug/index_unblock (501: n/a by design)",
+                    "/debug/toggle_debug_query", "/debug/preaggregate",
+                    "/debug/flush", "/debug/mutable_dump",
+                    "/debug/mutable_import",
+                ]
+                self._send_bytes(
+                    handler, 200, ("\n".join(lines) + "\n").encode(),
+                    content_type="text/plain; charset=utf-8", encoding=None,
+                )
+                return
+            if path == "/debug/index_dump":
+                # A40: full id -> labels dump as CSV lines, like the
+                # reference IndexDumper.Dump (cassandra/index/verify.go)
+                rows = (
+                    self._points()
+                    .select(F.expr(_SERIES_JSON).alias("s"))
+                    .distinct().limit(10_000).collect()
+                )
+                self._send_bytes(
+                    handler, 200, _dump_csv(r["s"] for r in rows),
+                    content_type="text/csv; charset=utf-8", encoding=None,
+                )
+                return
+            if path == "/debug/index_dump_by_labels":
+                # matcher-restricted dump (reference indexDumpByLabels):
+                # match[] is a PromQL selector, same as /api/v1/series
+                df = self._api().series(
+                    p("match[]", "{}"),
+                    _parse_time_s(p("start", "0")),
+                    _parse_time_s(p("end", "32503680000")),
+                )
+                rows = df.limit(10_000).collect()
+                sjs = [
+                    r["series"] if "series" in df.columns
+                    else json.dumps(r.asDict(), sort_keys=True)
+                    for r in rows
+                ]
+                self._send_bytes(
+                    handler, 200, _dump_csv(sjs),
+                    content_type="text/csv; charset=utf-8", encoding=None,
+                )
+                return
+            if path == "/debug/index_dump_by_expiration":
+                # reference: ids expiring on ?date=YYYY-MM-DD (daily
+                # expiration bitsets). Our analogue: per-series expiry =
+                # max(write ts + per-write TTL) over the daemon buffer.
+                date = p("date")
+                if not date:
+                    raise ValueError('expect one parameter "date"')
+                expiry: dict[str, float] = {}
+                with self._lock:
+                    rows = list(self._written)
+                for labels, ts_ms, _val, ttl_s in rows:
+                    if ttl_s is None:
+                        continue
+                    sj = json.dumps(
+                        dict(sorted(labels.items())), separators=(",", ":")
+                    )
+                    exp = ts_ms / 1000 + ttl_s
+                    expiry[sj] = max(expiry.get(sj, 0), exp)
+                import datetime as _dt
+
+                matching = sorted(
+                    sj for sj, exp in expiry.items()
+                    if _dt.datetime.fromtimestamp(
+                        exp, _dt.timezone.utc
+                    ).strftime("%Y-%m-%d") == date
+                )
+                self._send_bytes(
+                    handler, 200, _dump_csv(matching),
+                    content_type="text/csv; charset=utf-8", encoding=None,
+                )
+                return
+            if path == "/debug/index_dump_by_shard":
+                # the reference's 7-day postings shard maps to our date
+                # partition (SURVEY §1.5): dump series active on ?date=
+                date = p("date")
+                if not date:
+                    raise ValueError('expect one parameter "date"')
+                import datetime as _dt
+
+                day = _dt.datetime.strptime(date, "%Y-%m-%d").replace(
+                    tzinfo=_dt.timezone.utc
+                )
+                lo = int(day.timestamp() * 1000)
+                hi = lo + 86_400_000
+                rows = (
+                    self._points()
+                    .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+                    .select(F.expr(_SERIES_JSON).alias("s"))
+                    .distinct().limit(10_000).collect()
+                )
+                self._send_bytes(
+                    handler, 200, _dump_csv(r["s"] for r in rows),
+                    content_type="text/csv; charset=utf-8", encoding=None,
+                )
+                return
+            if path in ("/debug/index_block", "/debug/index_unblock"):
+                # reference blocks Cassandra index writes cluster-wide
+                # during maintenance; n/a by design here (no shared
+                # mutable index) — mirror its not-implemented response
+                self._send_bytes(
+                    handler, 501,
+                    b"Index does not implement Block(): "
+                    b"single-writer parquet store, nothing to block\n",
+                    content_type="text/plain; charset=utf-8", encoding=None,
+                )
+                return
+            if path == "/debug/toggle_debug_query":
+                self.debug_query = not self.debug_query
+                self._send_json(
+                    handler, 200, {"debug_query": self.debug_query}
+                )
+                return
             self._send_json(
                 handler, 404,
                 {"status": "error", "errorType": "not_found",
@@ -552,6 +726,14 @@ class PromHTTPServer:
                 {"status": "error", "errorType": "bad_data",
                  "error": f"{type(ex).__name__}: {ex}"},
             )
+
+    def _capture_query(self, query: str | None) -> None:
+        """When /debug/toggle_debug_query is on, keep the last 100 query
+        strings (the reference logs them engine-side)."""
+        if self.debug_query and query:
+            with self._lock:
+                self._debug_queries.append(query)
+                del self._debug_queries[:-100]
 
     def _mutable_route(self, handler, path: str, body: bytes) -> None:
         """Mutable-label management (reference api/api.go:230-233,

@@ -521,3 +521,105 @@ def test_debug_mutable_dump(base, written):
     assert status == 200
     entries = [e for e in out["data"] if e["tenant"] == "t9"]
     assert entries and entries[0]["associated_values"] == ["a", "b"]
+
+
+def _get_raw(url: str) -> tuple[int, bytes]:
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, resp.read()
+    except urllib.error.HTTPError as ex:
+        return ex.code, ex.read()
+
+
+def test_debug_help_lists_endpoints(base, written):
+    status, body = _get_raw(f"{base}/debug/")
+    assert status == 200
+    text = body.decode()
+    for ep in ("/debug/index_dump", "/debug/mutable_import",
+               "/debug/toggle_debug_query"):
+        assert ep in text
+
+
+def test_debug_index_dump_full_and_by_labels(base, written):
+    status, body = _get_raw(f"{base}/debug/index_dump")
+    assert status == 200
+    lines = body.decode().strip().splitlines()
+    assert len(lines) >= 2
+    # CSV shape: 60-bit id, canonical sorted-labels JSON
+    sid, sj = lines[0].split(",", 1)
+    assert int(sid) > 0 and json.loads(sj)
+
+    import urllib.parse
+
+    sel = urllib.parse.quote('http_requests_total{inst="a"}')
+    status, body = _get_raw(
+        f"{base}/debug/index_dump_by_labels?match[]={sel}"
+    )
+    assert status == 200
+    lines = [l for l in body.decode().strip().splitlines() if l]
+    assert len(lines) >= 1
+    assert all(json.loads(l.split(",", 1)[1]).get("inst") == "a"
+               for l in lines)
+
+
+def test_debug_index_dump_by_expiration_and_shard(base, written):
+    # the `written` fixture posts TTL=86400 s at ts 10-130 s epoch ->
+    # every series expires on 1970-01-02
+    status, body = _get_raw(
+        f"{base}/debug/index_dump_by_expiration?date=1970-01-02"
+    )
+    assert status == 200
+    assert len(body.decode().strip().splitlines()) >= 2
+    status, body = _get_raw(
+        f"{base}/debug/index_dump_by_expiration?date=2030-01-01"
+    )
+    assert status == 200 and body == b""
+    # all sample timestamps fall in the 1970-01-01 date shard
+    status, body = _get_raw(
+        f"{base}/debug/index_dump_by_shard?date=1970-01-01"
+    )
+    assert status == 200
+    assert len(body.decode().strip().splitlines()) >= 2
+    # missing parameter -> Prometheus error shape
+    status, out = _get(f"{base}/debug/index_dump_by_expiration")
+    assert status == 400 and out["errorType"] == "bad_data"
+
+
+def test_debug_block_not_implemented(base):
+    status, body = _get_raw(f"{base}/debug/index_block")
+    assert status == 501 and b"does not implement" in body
+
+
+def test_debug_toggle_query_captures(base, server, written):
+    status, out = _get(f"{base}/debug/toggle_debug_query")
+    assert status == 200 and out["debug_query"] is True
+    _get(
+        f"{base}/api/v1/query?query=http_requests_total&time=130",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert "http_requests_total" in server._debug_queries
+    status, out = _get(f"{base}/debug/toggle_debug_query")
+    assert status == 200 and out["debug_query"] is False
+
+
+def test_debug_mutable_import_dry_run_then_force(base, server, written):
+    entries = {"data": [{
+        "tenant": "t7", "mutable_name": "team", "mutable_value": "core",
+        "associated_name": "inst", "associated_values": ["a", "b"],
+    }]}
+    body = json.dumps(entries).encode()
+    status, out = _post(f"{base}/debug/mutable_import", body)
+    out = json.loads(out)
+    assert status == 200 and out["status"] == "dry-run"
+    assert not any(
+        r.tenant == "t7" for r in server.mutable_store.rows()
+    )
+    status, out = _post(f"{base}/debug/mutable_import?force", body)
+    out = json.loads(out)
+    assert status == 200 and out["imported"] == 1
+    # dump -> import is a round trip
+    status, dump = _get(f"{base}/debug/mutable_dump")
+    assert any(
+        r["tenant"] == "t7" and r["associated_values"] == ["a", "b"]
+        for r in dump["data"]
+    )
