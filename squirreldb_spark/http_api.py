@@ -353,6 +353,14 @@ class PromHTTPServer:
                     codec.snappy_decompress(body)
                 )
                 if codec.READ_STREAMED_XOR_CHUNKS in accepted:
+                    frames = self._api().remote_read_frames(
+                        body, frame_bytes=self.read_frame_bytes
+                    )
+                    # pull the FIRST frame before committing the 200:
+                    # planning/matcher errors surface here and must go
+                    # out as a JSON error response, not be spliced into
+                    # a half-written chunked stream
+                    first = next(frames, None)
                     handler.send_response(200)
                     handler.send_header(
                         "Content-Type",
@@ -363,10 +371,18 @@ class PromHTTPServer:
                     # connection close (HTTP/1.0 handler); frames flow
                     # as they are produced, never buffered whole
                     handler.end_headers()
-                    for frame in self._api().remote_read_frames(
-                        body, frame_bytes=self.read_frame_bytes
-                    ):
-                        handler.wfile.write(frame)
+                    try:
+                        if first is not None:
+                            handler.wfile.write(first)
+                        for frame in frames:
+                            handler.wfile.write(frame)
+                    except Exception:
+                        # headers are committed: a JSON error body would
+                        # corrupt the frame stream — abort the
+                        # connection so the client's CRC/length check
+                        # fails cleanly (reference behaviour on a
+                        # mid-stream chunk error)
+                        handler.close_connection = True
                     return
                 out = self._api().remote_read(body)
                 self._send_bytes(handler, 200, out)
@@ -621,7 +637,11 @@ class PromHTTPServer:
                 rows = df.limit(10_000).collect()
                 sjs = [
                     r["series"] if "series" in df.columns
-                    else json.dumps(r.asDict(), sort_keys=True)
+                    # compact separators: must match _SERIES_JSON's
+                    # to_json output or the md5 ids diverge between dumps
+                    else json.dumps(
+                        r.asDict(), sort_keys=True, separators=(",", ":")
+                    )
                     for r in rows
                 ]
                 self._send_bytes(

@@ -37,17 +37,13 @@ FUNNEL_STAGES = ("view", "click", "purchase")
 _WEEK_MS = 7 * 86_400_000
 
 
-def sessionize(
-    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+def _numbered_sessions(
+    events: DataFrame, gap_ms: int, carry: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Gap-based sessionization: a session is a maximal run of one user's
-    events with consecutive gaps <= ``gap_ms``.
-
-    The canonical lag-flag-cumsum plan: one window pass per user marks
-    session starts, a running sum numbers them, and a groupBy collapses
-    each session to (start, end, n_events, duration). Ties on ``ts``
-    break on ``event_id`` so the numbering is deterministic.
-    """
+    """Shared lag-flag-cumsum session numbering (one window pass per
+    user; ties on ``ts`` break on ``event_id`` so the numbering is
+    deterministic). ``carry`` names extra columns to keep alongside
+    (user_id, event_id, ts, session_seq)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     new_sess = F.when(
         F.col("ts") - F.lag("ts").over(w) > gap_ms, 1
@@ -55,10 +51,23 @@ def sessionize(
         # first event of a user (lag NULL) also starts a session
         F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
     )
-    numbered = events.select("user_id", "event_id", "ts").withColumn(
+    return events.select("user_id", "event_id", "ts", *carry).withColumn(
         "session_seq",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def sessionize(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Gap-based sessionization: a session is a maximal run of one user's
+    events with consecutive gaps <= ``gap_ms``.
+
+    The canonical lag-flag-cumsum plan: one window pass per user marks
+    session starts (:func:`_numbered_sessions`), and a groupBy collapses
+    each session to (start, end, n_events, duration).
+    """
+    numbered = _numbered_sessions(events, gap_ms)
     return numbered.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
@@ -71,13 +80,15 @@ def sql_sessionize(gap_ms: int = SESSION_GAP_MS) -> str:
     return f"""
 WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts FROM events),
 flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, event_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL THEN 1
               WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 numbered AS (
   SELECT user_id, ts,
-         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+         -- the cumsum MUST use the same (ts, event_id) tie-break as the
+         -- flag window, or equal-ts events renumber nondeterministically
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
            AS session_seq
   FROM flagged)
@@ -396,24 +407,16 @@ def session_paths(
     ordered event-type string (``view>click>purchase``), counted
     corpus-wide — the exploratory cousin of the fixed-stage funnel.
 
-    Plan shape: session numbering is the :func:`sessionize` window (one
-    shuffle on ``user_id``); the path rollup groups on
-    (user_id, session_seq) — a superset of the window partitioning, so
-    AQE coalesces instead of re-distributing — with the ordering done by
-    an in-group ``array_sort`` fold, not a second sort exchange; the
-    path count shuffles path-string-sized rows; the final top-k is a
-    TakeOrdered. Skew units: one user's history, then one path string.
+    Plan shape: session numbering is the shared
+    :func:`_numbered_sessions` window (one shuffle on ``user_id``); the
+    path rollup groups on (user_id, session_seq) — a superset of the
+    window partitioning, so AQE coalesces instead of re-distributing —
+    with the ordering done by an in-group ``array_sort`` fold, not a
+    second sort exchange; the path count shuffles path-string-sized
+    rows; the final top-k is a TakeOrdered. Skew units: one user's
+    history, then one path string.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    new_sess = F.when(
-        F.col("ts") - F.lag("ts").over(w) > gap_ms, 1
-    ).otherwise(
-        F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)
-    )
-    numbered = events.select("user_id", "event_id", "ts", "event_type").withColumn(
-        "session_seq",
-        F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    numbered = _numbered_sessions(events, gap_ms, carry=("event_type",))
     paths = numbered.groupBy("user_id", "session_seq").agg(
         F.concat_ws(
             ">",

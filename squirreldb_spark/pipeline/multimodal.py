@@ -329,6 +329,8 @@ def frame_phashes(
                     start = (f * n) // n_frames
                     frame = payload[start : start + frame_len]
                     flen = len(frame)
+                    if flen == 0:  # empty payload: no hashable frame
+                        continue
                     mean = sum(frame) / flen
                     ph = 0
                     for i in range(32):
@@ -432,6 +434,7 @@ SELECT doc_id, frame_idx,
                         > list_sum(bytes) / flen
                    THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS phash
 FROM by_
+WHERE flen > 0
 """
 
 

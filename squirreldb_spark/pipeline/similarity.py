@@ -51,31 +51,21 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
 def _topk_per_query(
     scored: DataFrame, k: int, carry: list[str], n_shards: int = 16
 ) -> DataFrame:
-    """Exact per-query top-k by (cosine desc, c_id asc), two-phase: a
-    per-(q_id, content-derived shard) window first, then a merge window
-    over the shard winners. Identical output to a single per-query
-    window — a candidate outside its shard's top-k cannot be in the
-    query's top-k — but no task ever sorts one query's full candidate
-    set (the whole corpus for brute-force k-NN at scale)."""
-    from pyspark.sql import Window
+    """Exact per-query top-k by (cosine desc, c_id asc) via the shared
+    two-phase kernel (tsdb.aggregation.two_phase_topk): no task ever
+    sorts one query's full candidate set (the whole corpus for
+    brute-force k-NN at scale)."""
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
 
-    sharded = scored.withColumn(
-        "_shard", F.pmod(F.xxhash64(F.col("c_id")), F.lit(n_shards))
-    )
-    w1 = Window.partitionBy("q_id", "_shard").orderBy(
-        F.desc("cosine"), F.asc("c_id")
-    )
-    finalists = (
-        sharded.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-        .drop("_shard", "_r1")
-    )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (
-        finalists.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "c_id", *carry, "cosine", "rank")
-    )
+    return two_phase_topk(
+        scored,
+        ["q_id"],
+        [F.desc("cosine"), F.asc("c_id")],
+        k,
+        shard_cols=["c_id"],
+        n_shards=n_shards,
+        rank_col="rank",
+    ).select("q_id", "c_id", *carry, "cosine", "rank")
 
 
 def cosine_knn(
@@ -743,8 +733,6 @@ def ivf_diversity_sample(
     single-window plan (a row outside its shard's top-k cannot be in
     the cell's top-k).
     """
-    from pyspark.sql import Window
-
     if centroids is None:
         centroids = train_ivf(
             emb,
@@ -767,24 +755,16 @@ def ivf_diversity_sample(
         F.col("best.cell").alias("cell"),
         F.col("best.ccos").alias("ccos"),
     )
-    n_shards = 16
-    sharded = assigned.withColumn(
-        "_shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-    )
-    w1 = Window.partitionBy("cell", "_shard").orderBy(
-        F.desc("ccos"), F.asc(id_col)
-    )
-    finalists = (
-        sharded.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= per_cell)
-        .drop("_shard", "_r1")
-    )
-    w2 = Window.partitionBy("cell").orderBy(F.desc("ccos"), F.asc(id_col))
-    return (
-        finalists.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= per_cell)
-        .select("cell", id_col, "ccos", "rank")
-    )
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    return two_phase_topk(
+        assigned,
+        ["cell"],
+        [F.desc("ccos"), F.asc(id_col)],
+        per_cell,
+        shard_cols=[id_col],
+        rank_col="rank",
+    ).select("cell", id_col, "ccos", "rank")
 
 
 def sql_ivf_diversity_sample(

@@ -342,14 +342,17 @@ def decontaminate(
     doc_id. The corpus is never self-joined and never shuffled by
     n-gram.
     """
-    grams = F.transform(
-        F.sequence(
-            F.lit(0), F.size(tokens(text_col)) - n
+    # a doc shorter than n tokens has no n-grams: sequence(0, size-n)
+    # would count DOWN for size < n and feed slice() a 0 start (runtime
+    # error), so clamp to an empty gram list — matching the oracle's
+    # WHERE len(t) >= n guard
+    grams = F.when(
+        F.size(tokens(text_col)) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens(text_col)) - n),
+            lambda i: F.array_join(F.slice(tokens(text_col), i + 1, n), " "),
         ),
-        lambda i: F.array_join(
-            F.slice(tokens(text_col), i + 1, n), " "
-        ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     bench = (
         docs.filter(F.col("doc_id") % bench_mod == 0)
         .select(F.explode(grams).alias("gram"))
@@ -680,13 +683,17 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     whole-stage codegen end to end.
     """
     # patterns go through the function API (not F.expr), so backslashes
-    # reach the regex engine verbatim instead of the SQL string parser
+    # reach the regex engine verbatim instead of the SQL string parser.
+    # Each category COUNTS on the progressively cleaned text — the same
+    # text its replace pass sees — so a span an earlier pass consumed
+    # (the IPv4-shaped host inside an email) is never double-counted and
+    # n_pii always equals the number of redactions.
     clean = F.col(text_col)
     counts = []
     total = None
     for name, pat, repl in PII_PATTERNS:
         c = F.size(
-            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+            F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
         ).cast("long")
         counts.append(c.alias(f"n_{name}"))
         total = c if total is None else total + c
@@ -701,13 +708,15 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def sql_pii_scrub() -> str:
-    count_cols = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}"
-        for name, pat, _ in PII_PATTERNS
-    )
+    # counts run on the progressively cleaned text, mirroring pii_scrub
+    count_exprs = []
     clean = "text"
-    for _, pat, repl in PII_PATTERNS:
+    for name, pat, repl in PII_PATTERNS:
+        count_exprs.append(
+            f"len(regexp_extract_all({clean}, '{pat}'))::BIGINT AS n_{name}"
+        )
         clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    count_cols = ",\n       ".join(count_exprs)
     total = " + ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
     return f"""
 SELECT doc_id,

@@ -61,6 +61,55 @@ def count_values(vec: DataFrame, by: Sequence[str], label: str = "value_label",
     )
 
 
+def two_phase_topk(
+    df: DataFrame,
+    partition_cols: Sequence[str],
+    order_cols: Sequence,
+    k: int,
+    shard_cols: Sequence[str],
+    n_shards: int = 16,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Shared two-phase "top-k per group" kernel (topk/bottomk, limitk,
+    ANN per-query rerank all use it): a partial window keyed by a
+    content-derived shard of ``shard_cols`` takes each shard's top-k,
+    then the merge window ranks only the ``k * n_shards`` shard winners —
+    identical output to one window (a row outside its shard's top-k
+    cannot be in the group's top-k), but no task ever sorts a whole
+    group.
+
+    With ``shard_cols`` empty (e.g. ``topk`` over a fully-aggregated
+    vector, where each group holds at most one row per step and
+    ``xxhash64`` would have zero args) the partial phase is skipped —
+    single-window ranking is already scale-safe there.
+    """
+    order_cols = list(order_cols)
+    if not order_cols:
+        # limitk over a fully-aggregated vector: no series keys to sort
+        # by, and a window cannot have an empty ORDER BY — any constant
+        # order is correct (each group holds at most one row per step)
+        order_cols = [F.asc("value")]
+    if shard_cols:
+        sharded = df.withColumn(
+            "_shard",
+            F.pmod(
+                F.xxhash64(*[F.col(c) for c in shard_cols]), F.lit(n_shards)
+            ),
+        )
+        w1 = Window.partitionBy(*partition_cols, "_shard").orderBy(*order_cols)
+        df = (
+            sharded.withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= k)
+            .drop("_shard", "_r1")
+        )
+    out = rank_col or "_rank"
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    ranked = df.withColumn(out, F.row_number().over(w2)).filter(
+        F.col(out) <= k
+    )
+    return ranked if rank_col else ranked.drop(out)
+
+
 def limitk(
     vec: DataFrame,
     by: Sequence[str],
@@ -76,23 +125,12 @@ def limitk(
     single task.
     """
     by = list(by)
-    order = [F.asc(c) for c in series_keys]
-    n_shards = 16
-    sharded = vec.withColumn(
-        "_shard",
-        F.pmod(F.xxhash64(*[F.col(c) for c in series_keys]), F.lit(n_shards)),
-    )
-    w1 = Window.partitionBy(*by, "step_ts", "_shard").orderBy(*order)
-    finalists = (
-        sharded.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-        .drop("_shard", "_r1")
-    )
-    w2 = Window.partitionBy(*by, "step_ts").orderBy(*order)
-    return (
-        finalists.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
+    return two_phase_topk(
+        vec,
+        [*by, "step_ts"],
+        [F.asc(c) for c in series_keys],
+        k,
+        shard_cols=series_keys,
     )
 
 
@@ -156,25 +194,6 @@ def topk(
     order = [F.asc("value") if bottom else F.desc("value")] + [
         F.asc(c) for c in series_keys
     ]
-    # two-phase top-k: a (group, step) pair with millions of member
-    # series would otherwise sort entirely inside ONE task; the partial
-    # window keys by a content-derived series shard, the merge window
-    # ranks only the k*n_shards shard winners (identical output — a row
-    # outside its shard's top-k cannot be in the group's top-k)
-    n_shards = 16
-    sharded = vec.withColumn(
-        "_shard",
-        F.pmod(F.xxhash64(*[F.col(c) for c in series_keys]), F.lit(n_shards)),
-    )
-    w1 = Window.partitionBy(*by, "step_ts", "_shard").orderBy(*order)
-    finalists = (
-        sharded.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-        .drop("_shard", "_r1")
-    )
-    w2 = Window.partitionBy(*by, "step_ts").orderBy(*order)
-    return (
-        finalists.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
+    return two_phase_topk(
+        vec, [*by, "step_ts"], order, k, shard_cols=series_keys
     )

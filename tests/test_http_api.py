@@ -623,3 +623,42 @@ def test_debug_mutable_import_dry_run_then_force(base, server, written):
         r["tenant"] == "t7" and r["associated_values"] == ["a", "b"]
         for r in dump["data"]
     )
+
+
+def test_streamed_read_planning_error_yields_json_not_corrupt_stream(spark):
+    """Regression: a planning error (unknown label on a fixed-schema
+    store) used to surface AFTER the 200 + streamed headers were
+    committed, splicing a JSON error into the chunk stream. The first
+    frame is now pulled before the headers, so the client gets a proper
+    JSON 400."""
+    import pyspark.sql.functions as SF
+
+    base_pts = spark.createDataFrame(
+        [(1, 10_000, 1.0)], "user_id long, ts long, value double"
+    ).withColumn("__name__", SF.lit("m"))
+    srv = PromHTTPServer(
+        spark,
+        base_points=base_pts,
+        label_cols=("user_id",),
+        labels_map_col=None,
+        tenant_col=None,
+    ).start()
+    try:
+        body = codec.encode_read_request(
+            [codec.Query(
+                start_timestamp_ms=0, end_timestamp_ms=1_000_000,
+                matchers=[("=", "no_such_label", "x")],
+            )],
+            accepted_response_types=[codec.READ_STREAMED_XOR_CHUNKS],
+        )
+        status, raw = _post(
+            f"http://127.0.0.1:{srv.port}/api/v1/read",
+            codec.snappy_compress(body),
+            {"Content-Encoding": "snappy",
+             "Content-Type": "application/x-protobuf"},
+        )
+        assert status == 400
+        out = json.loads(raw)
+        assert out["status"] == "error" and out["errorType"] == "bad_data"
+    finally:
+        srv.stop()

@@ -664,3 +664,33 @@ def test_winnowing_matches_scores_shared_runs(spark):
            for r in dedup.winnowing_matches(df).collect()}
     assert (1, 2) in out and out[(1, 2)] >= 2
     assert not any(3 in p for p in out)
+
+
+def test_decontaminate_tolerates_short_docs(spark):
+    """Regression: a doc with fewer than n tokens used to crash the
+    whole job (descending sequence -> slice(start=0))."""
+    rows = [(0, "a b c d e"), (1, "hi"), (2, "a b c d e f")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.decontaminate(df, bench_mod=97).collect()}
+    assert out[1].contaminated_ngrams == 0 and not out[1].contaminated
+    assert out[0].is_benchmark and out[2].contaminated
+
+
+def test_frame_phashes_tolerates_empty_payload(spark):
+    rows = [(1, b""), (2, b"some real payload bytes here")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = multimodal.frame_phashes(df).collect()
+    assert all(r.doc_id == 2 for r in out)
+    assert len(out) == 4
+
+
+def test_pii_counts_match_redactions_on_cascade(spark):
+    """Regression: an IPv4-shaped host inside an email must count as ONE
+    email, not email + ipv4 — counts run on the progressively cleaned
+    text, so n_pii equals the number of redactions."""
+    rows = [(1, "contact john@10.0.0.1.example.com now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = text.pii_scrub(df).collect()[0]
+    assert r.n_email == 1
+    assert r.n_ipv4 == 0
+    assert r.n_pii == 1

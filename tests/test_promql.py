@@ -646,3 +646,15 @@ def test_sort_by_label_orders_lexicographically(engine):
     # rather than raising (Prometheus never errors on a missing label)
     rows3 = engine.query_range('sort_by_label(cpu, "nope")').collect()
     assert len(rows3) == len(rows)
+
+
+def test_topk_and_limitk_over_fully_aggregated_vector(engine):
+    """Regression: topk/limitk over a global aggregate (no series keys
+    left) must not crash — the two-phase shard hash has zero columns
+    there and is skipped."""
+    rows = engine.query_range("topk(1, sum(cpu))").collect()
+    assert rows
+    per_step = {r.step_ts: r.value for r in rows}
+    assert per_step[20_000] == 15.0  # sum over hosts a(10) + b(5)
+    assert engine.query_range("limitk(1, sum(cpu))").count() == len(rows)
+    assert engine.query_range("bottomk(1, sum(cpu))").count() == len(rows)
