@@ -193,16 +193,39 @@ class PromAPI:
         return pts
 
     def _guard(self, pts: DataFrame, start_ms: int, end_ms: int,
-               opts: RequestOptions | None) -> None:
+               opts: RequestOptions | None,
+               promql: str | None = None) -> None:
         """A25/A26 series/points limits plus the engine sample budget
         (``max_samples``) on the query's fact slice — one scanned-rows
-        count over the pruned scan, only when a guard is configured."""
+        count over the pruned scan, only when a guard is configured.
+
+        When the query string is known, the counted slice is the AST's
+        OWN sample window (planner.time_window) — a ``rate(m[30d])``
+        scans 30 days, and the budget must see those rows, not just the
+        default lookback slice.
+        """
         max_points = opts.max_evaluated_points if opts else None
         max_series = opts.max_evaluated_series if opts else None
         if max_points is None and max_series is None and self.max_samples is None:
             return
+        behind, ahead = self.lookback_ms, 0
+        if promql is not None:
+            from squirreldb_spark.promql.parser import parse
+            from squirreldb_spark.promql.planner import time_window
+
+            try:
+                behind, ahead, anchors = time_window(
+                    parse(promql), self.lookback_ms
+                )
+                for a in anchors:
+                    behind = max(behind, start_ms - (a - self.lookback_ms))
+                    ahead = max(ahead, a - end_ms)
+            except Exception:
+                # unparseable here -> engine raises the real error later;
+                # guard conservatively on the default slice
+                behind, ahead = self.lookback_ms, 0
         sl = pts.filter(
-            (F.col("ts") > start_ms - self.lookback_ms) & (F.col("ts") <= end_ms)
+            (F.col("ts") > start_ms - behind) & (F.col("ts") <= end_ms + ahead)
         )
         if max_points is not None or self.max_samples is not None:
             n = sl.count()
@@ -236,10 +259,11 @@ class PromAPI:
                 )
 
     def _engine(self, start_ms: int, end_ms: int, step_ms: int,
-                opts: RequestOptions | None) -> PromQLEngine:
+                opts: RequestOptions | None,
+                promql: str | None = None) -> PromQLEngine:
         start_ms, end_ms = clamp_time(start_ms), clamp_time(end_ms)
         pts = self._scoped(opts)
-        self._guard(pts, start_ms, end_ms, opts)
+        self._guard(pts, start_ms, end_ms, opts, promql=promql)
         ds = self.downsample
         if ds is not None:
             ds = self._scoped(opts, ds)
@@ -267,7 +291,9 @@ class PromAPI:
         ``enrich_mutable`` (A32): attach the named mutable label to result
         series via a broadcast join against the mapping.
         """
-        out = self._engine(start_ms, end_ms, step_ms, opts).query_range(promql)
+        out = self._engine(
+            start_ms, end_ms, step_ms, opts, promql=promql
+        ).query_range(promql)
         if enrich_mutable is not None:
             from squirreldb_spark.tsdb import mutable as mut
 
@@ -296,6 +322,10 @@ class PromAPI:
             self._scoped(opts), label_cols=self.label_cols,
             name_label=self.name_label, step_ms=1, lookback_ms=self.lookback_ms,
             start_ms=0, end_ms=0, labels_map_col=self.labels_map_col,
+            # same mutable/tenant wiring as query_range — a mutable-label
+            # matcher must resolve identically on /series
+            mutable_mapping=self.mutable_mapping,
+            tenant=(opts.tenant if opts and opts.tenant else ""),
         )
         from squirreldb_spark.promql.parser import parse
 

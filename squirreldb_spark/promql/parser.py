@@ -27,14 +27,17 @@ from squirreldb_spark.promql.ast import (
     VectorSelector,
 )
 
-_DURATION_RE = re.compile(r"^(\d+)(ms|s|m|h|d|w|y)$")
+#: compound durations are valid PromQL (``1h30m``, ``1m30s``) — one or
+#: more (count, unit) groups, summed
+_DURATION_RE = re.compile(r"^(?:\d+(?:ms|s|m|h|d|w|y))+$")
+_DURATION_PART_RE = re.compile(r"(\d+)(ms|s|m|h|d|w|y)")
 _DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
                 "d": 86_400_000, "w": 604_800_000, "y": 31_536_000_000}
 
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<duration>\d+(?:ms|s|m|h|d|w|y))
+  | (?P<duration>(?:\d+(?:ms|s|m|h|d|w|y))+)
   | (?P<number>0x[0-9a-fA-F]+|(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:|@)
@@ -55,10 +58,55 @@ class ParseError(ValueError):
 
 
 def duration_ms(text: str) -> int:
-    m = _DURATION_RE.match(text)
-    if not m:
+    if not _DURATION_RE.match(text):
         raise ParseError(f"invalid duration {text!r}")
-    return int(m.group(1)) * _DURATION_MS[m.group(2)]
+    return sum(
+        int(n) * _DURATION_MS[u] for n, u in _DURATION_PART_RE.findall(text)
+    )
+
+
+#: Go escape sequences legal inside PromQL string literals
+_STRING_ESCAPES = {
+    "\\": "\\", '"': '"', "'": "'", "a": "\a", "b": "\b", "f": "\f",
+    "n": "\n", "r": "\r", "t": "\t", "v": "\v",
+}
+
+
+def unquote(tok: str) -> str:
+    """Strip quotes AND process Go escape sequences (upstream strutil):
+    ``"1\\\\.5"`` denotes the four characters ``1\\.5`` — without this,
+    regex matchers containing backslashes silently match nothing."""
+    body = tok[1:-1]
+    if "\\" not in body:
+        return body
+    out: list[str] = []
+    i = 0
+    while i < len(body):
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        i += 1
+        e = body[i]
+        if e in _STRING_ESCAPES:
+            out.append(_STRING_ESCAPES[e])
+            i += 1
+        elif e == "x":
+            out.append(chr(int(body[i + 1:i + 3], 16)))
+            i += 3
+        elif e == "u":
+            out.append(chr(int(body[i + 1:i + 5], 16)))
+            i += 5
+        elif e == "U":
+            out.append(chr(int(body[i + 1:i + 9], 16)))
+            i += 9
+        elif e.isdigit():
+            out.append(chr(int(body[i:i + 3], 8)))
+            i += 3
+        else:
+            raise ParseError(f"invalid escape \\{e} in string literal")
+    return "".join(out)
 
 
 def _lex(query: str) -> list[tuple[str, str]]:
@@ -297,7 +345,7 @@ class Parser:
         args = []
         while not self.accept(")"):
             if self.peek()[0] == "string":
-                args.append(self.next()[1][1:-1])
+                args.append(unquote(self.next()[1]))
             else:
                 args.append(self.expr_or())
             if not self.accept(","):
@@ -318,7 +366,7 @@ class Parser:
         if op in ("topk", "bottomk", "quantile", "count_values",
                   "limitk", "limit_ratio"):
             if self.peek()[0] == "string":
-                param = self.next()[1][1:-1]
+                param = unquote(self.next()[1])
             else:
                 p = self.expr_or()
                 if isinstance(p, Unary) and isinstance(p.expr, NumberLiteral):
@@ -350,7 +398,7 @@ class Parser:
                 kind, sval = self.next()
                 if kind != "string":
                     raise ParseError("matcher value must be a string")
-                matchers.append(Matcher(lname, op, sval[1:-1]))
+                matchers.append(Matcher(lname, op, unquote(sval)))
                 if not self.accept(","):
                     self.expect("}")
                     break

@@ -374,6 +374,16 @@ class PromQLEngine:
         needs_nole = contains_function(node, "histogram_quantile")
         wo_sets: set[frozenset] = set()
         collect_without_sets(node, wo_sets)
+        # apply the same __name__ -> name_label translation the eval side
+        # uses (see _eval_aggregation), or the fingerprint column computed
+        # here and the one looked up there get different digests and
+        # without(__name__) silently fails to merge series
+        wo_sets = {
+            frozenset(
+                self.name_label if l == "__name__" else l for l in w
+            )
+            for w in wo_sets
+        }
         import copy
 
         def fp_expr(excluded: list[str]):
@@ -841,24 +851,29 @@ class PromQLEngine:
             )
             return Vec(df, ())
         if name == "deriv":
+            # mat.labels, NOT self.label_cols: a subquery input may carry
+            # a reduced label set (deriv(sum by (x)(m)[30m:5m]))
             mat = self._eval(node.args[0])
-            df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
+            keys = mat.labels if mat.labels is not None else self.label_cols
+            df = fns.linreg(mat.points, keys, self.step_ms, mat.range_ms,
                             grid=self.grid)
-            return self._drop_name(Vec(df, self.label_cols))
+            return self._drop_name(Vec(df, keys))
         if name == "predict_linear":
             mat = self._eval(node.args[0])
+            keys = mat.labels if mat.labels is not None else self.label_cols
             t = float(self._eval(node.args[1]))
-            df = fns.linreg(mat.points, self.label_cols, self.step_ms, mat.range_ms,
+            df = fns.linreg(mat.points, keys, self.step_ms, mat.range_ms,
                             predict_s=t, grid=self.grid)
-            return self._drop_name(Vec(df, self.label_cols))
+            return self._drop_name(Vec(df, keys))
         if name in ("holt_winters", "double_exponential_smoothing"):
             # Prometheus 3.x renamed holt_winters; both spellings accepted
             mat = self._eval(node.args[0])
+            keys = mat.labels if mat.labels is not None else self.label_cols
             sf = float(self._eval(node.args[1]))
             tf = float(self._eval(node.args[2]))
-            df = fns.holt_winters(mat.points, self.label_cols, self.step_ms,
+            df = fns.holt_winters(mat.points, keys, self.step_ms,
                                   mat.range_ms, sf=sf, tf=tf, grid=self.grid)
-            return self._drop_name(Vec(df, self.label_cols))
+            return self._drop_name(Vec(df, keys))
         if name == "pi":
             import math
 

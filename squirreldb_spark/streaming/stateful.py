@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from squirreldb_spark.tsdb.binops import _ieee_div
+
 OUT_SCHEMA = (
     "user_id long, event_type string, ts long, value double, delta double"
 )
@@ -225,5 +227,7 @@ def streaming_ratio(
         .alias("bucket"),
         "l_sum",
         "r_sum",
-        F.round(F.col("l_sum") / F.col("r_sum"), 6).alias("ratio"),
+        # IEEE division: a zero-valued rhs bucket must yield ±Inf/NaN,
+        # not kill the streaming query under ANSI mode
+        F.round(_ieee_div(F.col("l_sum"), F.col("r_sum")), 6).alias("ratio"),
     )

@@ -64,7 +64,12 @@ def histogram_quantile(
     )
     lower = F.coalesce(F.col("prev_le"), F.lit(0.0))
     prev_c = F.coalesce(F.col("prev_count"), F.lit(0.0))
-    interp = lower + (F.col(le_col) - lower) * (rank - prev_c) / (F.col("value") - prev_c)
+    bucket_n = F.col("value") - prev_c
+    # an empty histogram (total 0, so rank 0 and every bucket count 0)
+    # would interpolate 0/0 — ANSI raises; upstream returns NaN
+    interp = F.when(
+        bucket_n == 0, F.lit(float("nan"))
+    ).otherwise(lower + (F.col(le_col) - lower) * (rank - prev_c) / bucket_n)
     value = F.when(
         F.col(le_col) == float("inf"), F.col("max_finite_le")
     ).otherwise(interp)
@@ -154,11 +159,17 @@ def label_replace(
     match the template (with $1..$9 groups) is written to dst, else dst is
     unchanged/copied. Template limited to a single group reference + text
     (covers the compliance corpus usage)."""
+    import re as _re
+
     anchored = f"^(?:{regex})$"
     src_c = F.col(src).cast("string")
     matched = src_c.rlike(anchored)
-    # rewrite $N -> Spark's regexp_replace group syntax
-    replaced = F.regexp_replace(src_c, anchored, replacement_template.replace("$", "$"))
+    # Java's regexp_replace already reads $N as a group reference; a
+    # LITERAL dollar not followed by a group number would make the Java
+    # Matcher throw at execution, so escape those (upstream Go Expand
+    # emits them verbatim)
+    template = _re.sub(r"\$(?![0-9])", r"\\$", replacement_template)
+    replaced = F.regexp_replace(src_c, anchored, template)
     existing = F.col(dst).cast("string") if dst in vec.columns else F.lit("")
     return vec.withColumn(dst, F.when(matched, replaced).otherwise(existing))
 

@@ -75,7 +75,11 @@ def extrapolated(
             F.sum(F.when(F.col("value") < F.col("prev_value"), F.col("prev_value"))),
             F.lit(0.0),
         ).alias("reset_corr"),
-    ).filter(F.col("n") >= 2)
+        # >= 2 samples AND a nonzero time spread: duplicate-timestamp
+        # writes (which upstream's A7 dedup collapses before reads) would
+        # otherwise make the extrapolation factor divide by zero under
+        # ANSI mode; a zero-spread window carries no rate information
+    ).filter((F.col("n") >= 2) & (F.col("last_ts") > F.col("first_ts")))
 
     result_value = F.col("last_val") - F.col("first_val")
     if is_counter:
@@ -130,7 +134,12 @@ def instantaneous(
         F.max_by("value", "ts").alias("last_val"),
         F.max_by("prev_value", "ts").alias("prev_val"),
         F.max_by("prev_ts", "ts").alias("prev_ts"),
-    ).filter(F.col("prev_ts").isNotNull())
+        # strict predecessor: a duplicate-timestamp pair would divide
+        # irate by a zero gap (ANSI raises); upstream dedup makes equal
+        # timestamps impossible, so mirror that invariant here
+    ).filter(
+        F.col("prev_ts").isNotNull() & (F.col("prev_ts") < F.col("last_ts"))
+    )
     if is_rate:
         diff = F.when(
             F.col("last_val") < F.col("prev_val"), F.col("last_val")

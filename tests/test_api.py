@@ -292,3 +292,30 @@ def test_mutable_enrichment(mapi):
                            enrich_mutable="group").collect()
     got = {r.host: r.group for r in out}
     assert got == {"a": "web", "b": "web", "c": "db"}
+
+
+def test_series_endpoint_resolves_mutable_matcher(mapi):
+    """Regression: /series used to build its engine without the mutable
+    mapping, so a mutable matcher that worked in query_range raised."""
+    opts = RequestOptions(tenant="t1")
+    out = mapi.series('cpu{group="web"}', 0, 30 * H, opts=opts).collect()
+    hosts = sorted(r.host for r in out)
+    assert hosts == ["a", "b"]
+
+
+def test_sample_budget_sees_long_range_selector(spark):
+    """Regression: the budget guard counted only the (start - lookback,
+    end] slice; a rate over a long range selector scans far more and
+    must trip the same budget."""
+    rows = [("a", "cpu", h * H, float(h)) for h in range(1, 25)]
+    pts = spark.createDataFrame(
+        rows, "host string, name string, ts long, value double"
+    )
+    capped = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                     lookback_ms=1, max_samples=5)
+    # instant query at 24h: default slice holds ~0 rows, but the 23h
+    # range selector touches 23 samples > 5
+    with pytest.raises(LimitExceeded, match="max_samples"):
+        capped.query("rate(cpu[23h])", time_ms=24 * H)
+    # a narrow selector over the same store stays under budget
+    assert capped.query("rate(cpu[2h])", time_ms=24 * H).count() >= 0

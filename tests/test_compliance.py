@@ -102,6 +102,14 @@ TEMPLATES = [
     # experimental feature-flagged aggregations (upstream 2.x limitk)
     "{limitOp} (2, demo_memory_usage_bytes)",
     "{limitOp} by(instance) (1, demo_memory_usage_bytes)",
+    # nested aggregations: the inner aggregate strips series keys, so the
+    # outer ranking runs over a keyless (or partially-keyed) vector — a
+    # regression class (empty shard-hash column list) caught in review
+    "{topBottomOp} (1, sum(demo_memory_usage_bytes))",
+    "{topBottomOp} (1, sum by(instance) (demo_memory_usage_bytes))",
+    "{limitOp} (1, sum(demo_memory_usage_bytes))",
+    "{simpleAggrOp}({simpleAggrOp} by(instance) (demo_memory_usage_bytes))",
+    "quantile(0.5, sum by(instance) (demo_memory_usage_bytes))",
     "limit_ratio (0.5, demo_memory_usage_bytes)",
     "limit_ratio (-0.5, demo_memory_usage_bytes)",
     "quantile({quantile}, demo_memory_usage_bytes)",
@@ -146,6 +154,11 @@ TEMPLATES = [
     "{simpleMathFunc}(-demo_memory_usage_bytes)",
     "{extrapolatedRateFunc}(nonexistent_metric[1m])",
     "{extrapolatedRateFunc}(demo_cpu_usage_seconds_total[{range}])",
+    # compound duration literals (1m30s) and escaped regex strings are
+    # valid PromQL the parser must accept
+    "{extrapolatedRateFunc}(demo_cpu_usage_seconds_total[1m30s])",
+    'demo_memory_usage_bytes{type=~"fre\\\\w"}',
+    'demo_memory_usage_bytes offset 1m30s',
     "deriv(demo_disk_usage_bytes[{range}])",
     "predict_linear(demo_disk_usage_bytes[{range}], 600)",
     "time()",

@@ -93,3 +93,27 @@ def test_date_parts_conventions(spark):
     assert r.day_of_week == 0.0
     assert (r.day_of_month, r.month, r.year) == (7.0, 1.0, 2024.0)
     assert r.days_in_month == 31.0
+
+
+def test_histogram_quantile_empty_histogram_is_nan(spark):
+    """Regression: a histogram with zero observations (all cumulative
+    counts 0) interpolated 0/0 — ANSI raised; upstream returns NaN."""
+    import math
+
+    rows = [
+        ("g", 0, 1.0, 0.0),
+        ("g", 0, 2.0, 0.0),
+        ("g", 0, float("inf"), 0.0),
+    ]
+    vec = spark.createDataFrame(
+        rows, "grp string, step_ts long, le double, value double"
+    )
+    out = fns.histogram_quantile(vec, 0.5, ["grp"]).collect()
+    assert len(out) == 1 and math.isnan(out[0].value)
+
+
+def test_label_replace_literal_dollar_and_groups(spark):
+    rows = [("a", 0, 1.0)]
+    vec = spark.createDataFrame(rows, "src string, step_ts long, value double")
+    out = fns.label_replace(vec, "dst", "x_$1_$", "src", "(a)").collect()
+    assert out[0].dst == "x_a_$"

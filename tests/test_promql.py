@@ -658,3 +658,107 @@ def test_topk_and_limitk_over_fully_aggregated_vector(engine):
     assert per_step[20_000] == 15.0  # sum over hosts a(10) + b(5)
     assert engine.query_range("limitk(1, sum(cpu))").count() == len(rows)
     assert engine.query_range("bottomk(1, sum(cpu))").count() == len(rows)
+
+
+def test_deriv_over_subquery_with_reduced_labels(engine):
+    """Regression: range functions over a subquery must group by the
+    subquery's OWN (reduced) label set, not the engine's label_cols."""
+    out = engine.query_range("deriv(sum by (host) (cpu)[40s:10s])").collect()
+    assert out  # used to raise UNRESOLVED_COLUMN on the missing label
+    assert {r.host for r in out} <= {"a", "b"}
+    out2 = engine.query_range(
+        "predict_linear(sum by (host) (cpu)[40s:10s], 10)"
+    ).collect()
+    assert out2
+
+
+def test_parser_unescapes_string_literals(engine):
+    from squirreldb_spark.promql.parser import parse
+
+    sel = parse(r'cpu{host=~"a\\d*"}')
+    assert sel.matchers[0].value == r"a\d*"
+    sel2 = parse('cpu{host="a\\nb"}')
+    assert sel2.matchers[0].value == "a\nb"
+    # a regex with an escaped dot must still match the literal value
+    rows = engine.query_range(r'cpu{host=~"a\\.?"}').collect()
+    assert rows and all(r.host == "a" for r in rows)
+    import pytest as _pt
+    from squirreldb_spark.promql.parser import ParseError
+
+    with _pt.raises(ParseError):
+        parse(r'cpu{host=~"bad\descape"}')
+
+
+def test_parser_compound_durations(engine):
+    from squirreldb_spark.promql.parser import duration_ms, parse
+
+    assert duration_ms("1h30m") == 5_400_000
+    assert duration_ms("1m30s") == 90_000
+    node = parse("rate(cpu[1m30s])")
+    assert node.args[0].range_ms == 90_000
+    # still rejects garbage
+    import pytest as _pt
+    from squirreldb_spark.promql.parser import ParseError
+
+    with _pt.raises(ParseError):
+        duration_ms("90")
+
+
+def test_rate_tolerates_duplicate_timestamp_writes(spark):
+    """Regression: un-deduped double writes (same series, same ts) must
+    not crash rate/irate with a zero-interval division under ANSI."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ("a", "cpu", 10_000, 1.0),
+        ("a", "cpu", 10_000, 1.0),   # duplicate write
+        ("a", "cpu", 20_000, 5.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "host string, name string, ts long, value double"
+    )
+    eng = PromQLEngine(
+        pts, label_cols=("host", "name"), name_label="name",
+        step_ms=10_000, lookback_ms=20_000,
+    )
+    assert eng.query_range("rate(cpu[30s])").collect() is not None
+    assert eng.query_range("irate(cpu[30s])").collect() is not None
+
+
+def test_without_name_merges_on_map_store_with_custom_name_label(spark):
+    """Regression: the without-fingerprint digest must apply the same
+    __name__ -> name_label translation at promotion and eval time, or
+    without(__name__) never merges series on a dynamic-label store."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ({"name": "cpu", "host": "a"}, 20_000, 1.0),
+        ({"name": "mem", "host": "a"}, 20_000, 2.0),
+        ({"name": "cpu", "host": "b"}, 20_000, 10.0),
+    ]
+    pts = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    eng = PromQLEngine(
+        pts, label_cols=(), name_label="name",
+        step_ms=10_000, lookback_ms=20_000, labels_map_col="labels",
+    )
+    out = eng.query_range(
+        'sum without (__name__) ({__name__=~"cpu|mem"})'
+    ).collect()
+    by_step = {}
+    for r in out:
+        if r.step_ts == 20_000:
+            by_step.setdefault(r.step_ts, []).append(r.value)
+    # host a's cpu+mem MERGE into one 3.0 row; host b stays 10.0
+    assert sorted(by_step[20_000]) == [3.0, 10.0]
+
+
+def test_label_replace_literal_dollar_template(engine):
+    out = engine.query_range(
+        'label_replace(cpu, "cost", "price_$", "host", "a")'
+    ).collect()
+    assert out
+    got = {r.host: r.cost for r in out if r.step_ts == 20_000}
+    assert got["a"] == "price_$"
+    assert got["b"] == ""

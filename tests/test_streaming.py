@@ -397,3 +397,42 @@ def test_streaming_hopping_counts_emits_closed_windows(spark, tmpdir):
     # the pusher's own windows are NOT closed (watermark = its time - 1 h)
     assert (t0 + 3 * 3_600_000, "view") not in got
     assert len(got) == 3
+
+
+def test_streaming_ratio_zero_rhs_bucket_yields_inf_not_crash(spark, tmpdir):
+    """Regression: a bucket whose error-side samples sum to 0.0 divided
+    by zero under ANSI mode and killed the whole streaming query; PromQL
+    division is IEEE (x/0 = Inf)."""
+    import math
+
+    from squirreldb_spark.streaming import stateful
+
+    lsrc, rsrc = f"{tmpdir}/l", f"{tmpdir}/r"
+    out, cp = f"{tmpdir}/out", f"{tmpdir}/cp"
+    h = 3_600_000
+    t0 = BASE_TS - BASE_TS % h
+    _write_batch(spark, lsrc, [
+        (1, t0 + 60_000, 1, "purchase", 3.0, "{}"),
+        (2, t0 + 6 * h, 1, "purchase", 1.0, "{}"),   # watermark pusher
+    ])
+    _write_batch(spark, rsrc, [
+        (3, t0 + 90_000, 1, "error", 0.0, "{}"),     # zero-valued sample
+        (4, t0 + 6 * h, 2, "error", 1.0, "{}"),
+    ])
+    l = ingest.read_event_stream(spark, lsrc).filter(F.col("event_type") == "purchase")
+    r = ingest.read_event_stream(spark, rsrc).filter(F.col("event_type") == "error")
+    q = (
+        stateful.streaming_ratio(l, r)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.user_id, r.bucket): r for r in rows}
+    key = (1, t0 // h)
+    assert key in got
+    assert got[key].r_sum == 0.0 and math.isinf(got[key].ratio)
