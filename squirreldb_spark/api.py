@@ -432,19 +432,23 @@ class PromAPI:
             "ts", "value",
         )
 
-    def remote_read(self, body: bytes, limit: int = 100_000) -> bytes:
+    def remote_read(self, body: bytes, limit: int = 100_000, *,
+                    decompressed: bool = False) -> bytes:
         """/api/v1/read SAMPLES response: snappy+prompb ReadRequest in,
         one ReadResponse out (reference api/api.go:58-61; A33/A34).
 
         ``limit`` bounds the rows collected per query — the non-streamed
         response is a driver-side materialization by construction; large
         reads should negotiate STREAMED_XOR_CHUNKS
-        (:meth:`remote_read_frames`) instead.
+        (:meth:`remote_read_frames`) instead. ``decompressed=True`` means
+        ``body`` is the raw protobuf (the HTTP layer already paid the
+        snappy decode for response-type negotiation — don't pay it twice).
         """
         from squirreldb_spark import codec
 
+        buf = body if decompressed else codec.snappy_decompress(body)
         results: list[list[codec.TimeSeries]] = []
-        for q in codec.decode_remote_read_body(body):
+        for q in codec.decode_read_request(buf):
             rows = (
                 self._read_query_slice(q).orderBy("_lbl", "ts")
                 .limit(limit).collect()
@@ -467,6 +471,8 @@ class PromAPI:
         body: bytes,
         frame_bytes: int = 1 << 20,
         samples_per_chunk: int = 120,
+        *,
+        decompressed: bool = False,
     ):
         """/api/v1/read STREAMED_XOR_CHUNKS response: yields framed
         ``ChunkedReadResponse`` messages, each at most ~``frame_bytes``
@@ -483,7 +489,8 @@ class PromAPI:
 
         from squirreldb_spark import codec
 
-        for qi, q in enumerate(codec.decode_remote_read_body(body)):
+        buf = body if decompressed else codec.snappy_decompress(body)
+        for qi, q in enumerate(codec.decode_read_request(buf)):
             it = (
                 self._read_query_slice(q).orderBy("_lbl", "ts")
                 .toLocalIterator()

@@ -253,6 +253,8 @@ def decode_read_request(buf: bytes) -> list[Query]:
                         name = mv.decode()
                     elif mfn == 3 and mw == 2:
                         value = mv.decode()
+                if not 0 <= op_i < len(_MATCH_OPS):
+                    raise ValueError(f"unknown matcher type {op_i}")
                 q.matchers.append((_MATCH_OPS[op_i], name, value))
         out.append(q)
     return out
@@ -674,6 +676,11 @@ def decode_write_request_v2(buf: bytes) -> list[TimeSeries]:
         if len(refs) % 2:
             raise ValueError("odd labels_refs length")
         for i in range(0, len(refs), 2):
+            if refs[i] >= len(symbols) or refs[i + 1] >= len(symbols):
+                raise ValueError(
+                    f"labels_ref {max(refs[i], refs[i + 1])} out of range "
+                    f"for symbol table of {len(symbols)}"
+                )
             ts.labels[symbols[refs[i]]] = symbols[refs[i + 1]]
         out.append(ts)
     return out

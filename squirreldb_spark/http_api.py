@@ -54,8 +54,23 @@ _WRITE_SCHEMA = "labels map<string,string>, ts long, value double, ttl_s long"
 
 
 def _parse_time_s(raw: str) -> int:
-    """Prometheus API times are float epoch seconds -> epoch ms."""
-    return int(float(raw) * 1000)
+    """Prometheus API times: float epoch seconds OR RFC3339 -> epoch ms
+    (the upstream API accepts both forms)."""
+    try:
+        return int(float(raw) * 1000)
+    except (TypeError, ValueError):
+        import datetime
+
+        dt = datetime.datetime.fromisoformat(raw.replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=datetime.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+
+def _now_ms() -> int:
+    import time
+
+    return int(time.time() * 1000)
 
 
 #: canonical sorted-labels JSON — the interning key the debug dumps and
@@ -261,7 +276,13 @@ class PromHTTPServer:
         raw = p("timeout")
         if raw is None:
             return self.query_timeout_ms
-        ms = int(float(raw) * 1000)
+        try:
+            ms = int(float(raw) * 1000)
+        except ValueError:
+            # Prometheus accepts duration strings ("30s", "1m30s")
+            from squirreldb_spark.promql.parser import duration_ms
+
+            ms = duration_ms(raw)
         if self.query_timeout_ms is not None:
             ms = min(ms, self.query_timeout_ms)
         return ms
@@ -346,15 +367,24 @@ class PromHTTPServer:
             if path == "/api/v1/read":
                 # response-type negotiation (prompb ReadRequest
                 # accepted_response_types; reference api/api.go:58-61):
-                # a client accepting STREAMED_XOR_CHUNKS gets framed
-                # ChunkedReadResponse messages with bounded server
-                # memory; otherwise the single SAMPLES ReadResponse
-                accepted = codec.decode_read_request_accepted_types(
-                    codec.snappy_decompress(body)
+                # the FIRST supported entry wins, per the prompb
+                # negotiation contract (upstream NegotiateResponseType) —
+                # a client listing [SAMPLES, STREAMED] prefers SAMPLES.
+                # The body is decompressed ONCE and handed raw to the
+                # chosen decoder.
+                raw = codec.snappy_decompress(body)
+                accepted = codec.decode_read_request_accepted_types(raw)
+                supported = (
+                    codec.READ_SAMPLES, codec.READ_STREAMED_XOR_CHUNKS
                 )
-                if codec.READ_STREAMED_XOR_CHUNKS in accepted:
+                choice = next(
+                    (t for t in accepted if t in supported),
+                    codec.READ_SAMPLES,
+                )
+                if choice == codec.READ_STREAMED_XOR_CHUNKS:
                     frames = self._api().remote_read_frames(
-                        body, frame_bytes=self.read_frame_bytes
+                        raw, frame_bytes=self.read_frame_bytes,
+                        decompressed=True,
                     )
                     # pull the FIRST frame before committing the 200:
                     # planning/matcher errors surface here and must go
@@ -384,7 +414,7 @@ class PromHTTPServer:
                         # mid-stream chunk error)
                         handler.close_connection = True
                     return
-                out = self._api().remote_read(body)
+                out = self._api().remote_read(raw, decompressed=True)
                 self._send_bytes(handler, 200, out)
                 return
             if path == "/api/v1/query_range":
@@ -410,7 +440,10 @@ class PromHTTPServer:
             if path == "/api/v1/query":
                 opts = self._opts(handler)
                 self._capture_query(p("query"))
-                t = _parse_time_s(p("time"))
+                # `time` is optional and defaults to current server time
+                # (upstream API semantics)
+                traw = p("time")
+                t = _now_ms() if traw is None else _parse_time_s(traw)
 
                 def run_instant():
                     df = self._api().query(p("query"), t, opts=opts)
@@ -425,12 +458,18 @@ class PromHTTPServer:
                 return
             if path == "/api/v1/series":
                 opts = self._opts(handler)
-                df = self._api().series(
-                    p("match[]", "{}"),
-                    _parse_time_s(p("start", "0")),
-                    _parse_time_s(p("end", "32503680000")),
-                    opts=opts,
-                )
+                # match[] is REPEATED with union semantics (upstream API)
+                start = _parse_time_s(p("start", "0"))
+                end = _parse_time_s(p("end", "32503680000"))
+                api = self._api()
+                dfs = [
+                    api.series(mq, start, end, opts=opts)
+                    for mq in params.get("match[]", ["{}"])
+                ]
+                df = dfs[0]
+                for other in dfs[1:]:
+                    df = df.unionByName(other)
+                df = df.distinct()
                 rows = df.limit(10_000).collect()
                 if "series" in df.columns:
                     data = [json.loads(r["series"]) for r in rows]
@@ -628,12 +667,16 @@ class PromHTTPServer:
                 return
             if path == "/debug/index_dump_by_labels":
                 # matcher-restricted dump (reference indexDumpByLabels):
-                # match[] is a PromQL selector, same as /api/v1/series
-                df = self._api().series(
-                    p("match[]", "{}"),
-                    _parse_time_s(p("start", "0")),
-                    _parse_time_s(p("end", "32503680000")),
-                )
+                # match[] is a PromQL selector, same union semantics as
+                # /api/v1/series
+                api = self._api()
+                lo = _parse_time_s(p("start", "0"))
+                hi = _parse_time_s(p("end", "32503680000"))
+                df = None
+                for mq in params.get("match[]", ["{}"]):
+                    part = api.series(mq, lo, hi)
+                    df = part if df is None else df.unionByName(part)
+                df = df.distinct()
                 rows = df.limit(10_000).collect()
                 sjs = [
                     r["series"] if "series" in df.columns

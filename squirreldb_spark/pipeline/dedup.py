@@ -52,7 +52,6 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as strings ('w1 w2 w3')."""
-    t = tokens(text_col)
     return F.expr(
         f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split({text_col}, ' '), i, {n})))"
@@ -429,12 +428,13 @@ def connected_components(
     # when it isn't, the pointer-jumping passes below shrink-wrap it.
     # The count is free-ish: the checkpoint above already materialized.
     if local_max_edges and pairs.count() <= local_max_edges:
-        rows = pairs.select(
-            F.col(a_col).cast("long"), F.col(b_col).cast("long")
-        ).collect()
-        parent: dict[int, int] = {}
+        # ids are taken AS-IS (no cast): the distributed path and the
+        # recursive-CTE oracle both support non-numeric ids, and a long
+        # cast would NULL them out silently
+        rows = pairs.select(F.col(a_col), F.col(b_col)).collect()
+        parent: dict = {}
 
-        def find(x: int) -> int:
+        def find(x):
             root = x
             while parent[root] != root:
                 root = parent[root]
@@ -452,8 +452,9 @@ def connected_components(
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
         out = [(n, find(n)) for n in parent]
+        id_type = dict(pairs.dtypes)[a_col]
         return pairs.sparkSession.createDataFrame(
-            out, "node long, cluster_id long"
+            out, f"node {id_type}, cluster_id {id_type}"
         )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))

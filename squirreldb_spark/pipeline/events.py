@@ -249,7 +249,11 @@ def asof_join(
     )
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ats", "_side")
+        # _aval as the final key: several right rows at the SAME ts must
+        # resolve deterministically (last() over arbitrary shuffle order
+        # would flip run to run); highest value wins, mirroring the
+        # max-collapse a caller would otherwise pre-apply
+        .orderBy("_ats", "_side", F.asc_nulls_first("_aval"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = tagged_r.unionByName(tagged_l).select(

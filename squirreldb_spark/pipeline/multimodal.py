@@ -204,8 +204,11 @@ vals AS (
            AS bytes
   FROM win)
 SELECT doc_id, win_idx, wl::BIGINT AS n_bytes,
-       round(list_sum(bytes) / wl, 6) AS mean_byte,
-       list_max(bytes) AS peak_byte
+       -- empty window (empty payload): -1 sentinels, matching the
+       -- Python featurizer, never NULL/division-by-zero
+       CASE WHEN wl = 0 THEN -1.0
+            ELSE round(list_sum(bytes) / wl, 6) END AS mean_byte,
+       CASE WHEN wl = 0 THEN -1 ELSE list_max(bytes) END AS peak_byte
 FROM vals
 """
 
@@ -242,10 +245,18 @@ FROM hx, f
 
 SQL_EXTRACT_FEATURES = """
 SELECT doc_id,
-       strlen(text) AS byte_len,
+       octet_length(encode(text)) AS byte_len,
        md5(text) AS checksum,
-       ord(substr(text, 1, 1)) AS head_byte,
-       ord(substr(text, strlen(text), 1)) AS tail_byte
+       -- raw UTF-8 BYTES via the hex string (ord() would give Unicode
+       -- codepoints, diverging from the Python byte featurizer on
+       -- non-ASCII text); empty payloads yield -1 on both sides
+       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+            ELSE ('0x' || substr(hex(encode(text)), 1, 2))::BIGINT END
+         AS head_byte,
+       CASE WHEN octet_length(encode(text)) = 0 THEN -1
+            ELSE ('0x' || substr(hex(encode(text)),
+                                 2 * octet_length(encode(text)) - 1, 2))::BIGINT
+            END AS tail_byte
 FROM documents
 """
 

@@ -331,3 +331,32 @@ def test_label_sanitization_is_ascii_only():
     assert codec._sanitize_label("日本語") == "___"
     assert codec._sanitize_label("0始まり") == "_0___"
     assert codec._sanitize_label("ok_name9") == "ok_name9"
+
+
+def test_prw2_out_of_range_symbol_ref_raises_valueerror():
+    """Regression: a labels_ref past the symbol table raised a bare
+    IndexError; malformed input must fail with the codec's ValueError."""
+    from squirreldb_spark import codec
+
+    import pytest as _pt
+
+    # craft a v2 message whose labels_refs point beyond the symbol table
+    sym = b"\x22\x00"  # field 4 (symbols): empty string at index 0
+    # field 5 (timeseries) -> field 1 (labels_refs, packed): [9, 9]
+    ts_body = b"\x0a\x02\x09\x09"
+    msg = sym + b"\x2a" + bytes([len(ts_body)]) + ts_body
+    with _pt.raises(ValueError, match="out of range"):
+        codec.decode_write_request_v2(msg)
+
+
+def test_read_request_unknown_matcher_type_raises_valueerror():
+    from squirreldb_spark import codec
+
+    # Query (field 1) containing a matcher (field 3) with type enum 9
+    matcher = b"\x08\x09\x12\x01x\x1a\x01y"  # type=9, name=x, value=y
+    q = b"\x1a" + bytes([len(matcher)]) + matcher
+    msg = b"\x0a" + bytes([len(q)]) + q
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown matcher type"):
+        codec.decode_read_request(msg)

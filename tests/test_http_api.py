@@ -10,6 +10,7 @@ remote_write client, then reads the same samples back through
 from __future__ import annotations
 
 import json
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -662,3 +663,71 @@ def test_streamed_read_planning_error_yields_json_not_corrupt_stream(spark):
         assert out["status"] == "error" and out["errorType"] == "bad_data"
     finally:
         srv.stop()
+
+
+def test_remote_read_negotiation_prefers_first_accepted(base, written):
+    """Regression: a client listing [SAMPLES, STREAMED] prefers SAMPLES;
+    the server must honor the ORDER, not just membership."""
+    body = codec.encode_read_request(
+        [codec.Query(
+            start_timestamp_ms=0, end_timestamp_ms=1_000_000,
+            matchers=[("=", "__name__", "http_requests_total")],
+        )],
+        accepted_response_types=[
+            codec.READ_SAMPLES, codec.READ_STREAMED_XOR_CHUNKS
+        ],
+    )
+    req = urllib.request.Request(
+        f"{base}/api/v1/read",
+        data=codec.snappy_compress(body), method="POST",
+        headers={"Content-Encoding": "snappy",
+                 "Content-Type": "application/x-protobuf",
+                 "X-SquirrelDB-Tenant": "t0"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 200
+        # the plain (non-streamed) protobuf response
+        assert resp.headers["Content-Type"] == "application/x-protobuf"
+        raw = resp.read()
+    results = codec.decode_read_response(codec.snappy_decompress(raw))
+    assert results and results[0]
+
+
+def test_instant_query_defaults_time_to_now(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query?query=http_requests_total",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    # valid per the upstream API (time optional); samples are ancient so
+    # the result is empty, but the request must succeed
+    assert status == 200 and out["status"] == "success"
+
+
+def test_series_union_of_repeated_match_params(base, written):
+    status, out = _get(
+        f"{base}/api/v1/series?match[]="
+        + urllib.parse.quote('http_requests_total{inst="a"}')
+        + "&match[]=" + urllib.parse.quote('http_requests_total{inst="b"}'),
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200
+    insts = sorted(e["inst"] for e in out["data"])
+    assert insts == ["a", "b"]
+
+
+def test_rfc3339_timestamps_accepted(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query_range?query=http_requests_total"
+        "&start=1970-01-01T00:00:00Z&end=1970-01-01T00:02:10Z&step=60",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200 and out["status"] == "success"
+    assert out["data"]["result"]
+
+
+def test_timeout_accepts_duration_string(base, written):
+    status, out = _get(
+        f"{base}/api/v1/query?query=http_requests_total&time=130&timeout=30s",
+        {"X-SquirrelDB-Tenant": "t0"},
+    )
+    assert status == 200 and out["status"] == "success"

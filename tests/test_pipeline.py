@@ -694,3 +694,34 @@ def test_pii_counts_match_redactions_on_cascade(spark):
     assert r.n_email == 1
     assert r.n_ipv4 == 0
     assert r.n_pii == 1
+
+
+def test_connected_components_local_path_preserves_string_ids(spark):
+    """Regression: the driver-local fast path cast ids to long, silently
+    NULLing non-numeric ids the distributed path handles fine."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    got = {r.node: r.cluster_id
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_asof_join_deterministic_on_equal_ts_right_rows(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    left = spark.createDataFrame(
+        [(1, 100, 5_000)], "user_id long, event_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 1_000, 1.0), (1, 1_000, 9.0), (1, 1_000, 4.0)],
+        "user_id long, ts long, v double",
+    ).repartition(4)
+    outs = set()
+    for _ in range(3):
+        r = pev.asof_join(
+            left, right, on=["user_id"], right_value="v", out_col="v"
+        ).collect()[0]
+        outs.add(r.v)
+    # ties resolve to the HIGHEST right value, every run
+    assert outs == {9.0}
