@@ -885,3 +885,65 @@ SELECT CAST(count(*) AS BIGINT) AS n_terms,
          AS r2
 FROM pts
 """
+
+
+def tfidf_keywords(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by tf-idf
+    (tf = in-doc count, idf = ln(N / document frequency)) — the classic
+    summarization/labeling signal a corpus pipeline attaches to every
+    training document.
+
+    Plan shape at 100 TB: per-(doc, term) counts key by ``doc_id`` (the
+    explode is narrow); document frequency is one vocabulary-sized
+    aggregation whose result joins back BY TERM (auto-broadcast while
+    the vocab fits, hash join on the model's own keys beyond); N is a
+    one-row aggregate broadcast. The final ranking windows per document
+    — the skew unit is one document's distinct terms, bounded by doc
+    length, so no sharded two-phase pass is needed.
+    """
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def sql_tfidf_keywords(k: int = 3) -> str:
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+             FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, round(tf * ln(n_docs / df::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term), n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term) AS rank
+  FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -2657,6 +2657,12 @@ def q_doc_winnowing_matches(spark, sf_dir):
     return pdedup.winnowing_matches(_docs(spark, sf_dir))
 
 
+def q_doc_tfidf_keywords(spark, sf_dir):
+    """Per-document top-3 tf-idf keywords — the classic labeling signal
+    (pipeline/text.py tfidf_keywords)."""
+    return ptext.tfidf_keywords(_docs(spark, sf_dir))
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -3010,6 +3016,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_winnowing_matches": QueryDef(
         q_doc_winnowing_matches, pdedup.sql_winnowing_matches()
     ),
+    # per-doc top-k tf-idf keywords
+    "doc_tfidf_keywords": QueryDef(
+        q_doc_tfidf_keywords, ptext.sql_tfidf_keywords()
+    ),
 }
 
 
@@ -3036,6 +3046,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_session_paths",
     "doc_containment",
     "doc_winnowing_matches",
+    "doc_tfidf_keywords",
     "doc_pii_scrub",
     "doc_token_entropy",
     "doc_dup_spans",

@@ -725,3 +725,18 @@ def test_asof_join_deterministic_on_equal_ts_right_rows(spark):
         outs.add(r.v)
     # ties resolve to the HIGHEST right value, every run
     assert outs == {9.0}
+
+
+def test_tfidf_keywords_rank_rare_terms_highest(spark):
+    rows = [
+        (1, "common common rare1 rare1 rare1"),
+        (2, "common common other"),
+        (3, "common filler words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r for r in text.tfidf_keywords(df, k=1).collect()]
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in every doc -> idf 0; doc 1's top keyword is its
+    # rare repeated term
+    assert top[1] == "rare1"
+    assert top[2] == "other"
