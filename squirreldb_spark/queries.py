@@ -2657,6 +2657,45 @@ def q_doc_winnowing_matches(spark, sf_dir):
     return pdedup.winnowing_matches(_docs(spark, sf_dir))
 
 
+def q_api_series(spark, sf_dir):
+    """/api/v1/series through PromAPI: distinct label sets matching a
+    selector inside explicit [start, end] bounds (the reference's
+    early-exit "series" scan, tsdb/read.go:392-396)."""
+    from squirreldb_spark.api import PromAPI
+
+    api = PromAPI(_pts(spark, sf_dir), label_cols=tuple(KEYS),
+                  name_label="event_type", lookback_ms=LOOKBACK_MS)
+    return api.series(
+        'purchase{user_id=~"1.*"}', BOUND_START_MS, BOUND_END_MS
+    )
+
+
+def q_api_label_values(spark, sf_dir):
+    """/api/v1/label/<name>/values through PromAPI: sorted distinct
+    values of a label (A22)."""
+    from squirreldb_spark.api import PromAPI
+
+    api = PromAPI(_pts(spark, sf_dir), label_cols=tuple(KEYS),
+                  name_label="event_type", lookback_ms=LOOKBACK_MS)
+    return api.label_values("__name__")
+
+
+SQL_API_SERIES = f"""
+WITH pts AS ({_PTS})
+SELECT DISTINCT user_id, event_type
+FROM pts
+WHERE event_type = 'purchase'
+  AND CAST(user_id AS VARCHAR) ~ '^(?:1.*)$'
+  AND ts >= {{lo}} AND ts <= {{hi}}
+"""
+
+
+SQL_API_LABEL_VALUES = f"""
+WITH pts AS ({_PTS})
+SELECT DISTINCT event_type AS value FROM pts
+"""
+
+
 def q_doc_tfidf_keywords(spark, sf_dir):
     """Per-document top-3 tf-idf keywords — the classic labeling signal
     (pipeline/text.py tfidf_keywords)."""
@@ -3020,6 +3059,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_tfidf_keywords": QueryDef(
         q_doc_tfidf_keywords, ptext.sql_tfidf_keywords()
     ),
+    # /api/v1/series with matchers + bounds
+    "api_series": QueryDef(
+        q_api_series,
+        SQL_API_SERIES.format(lo=BOUND_START_MS, hi=BOUND_END_MS),
+    ),
+    # /api/v1/label/<name>/values (A22)
+    "api_label_values": QueryDef(q_api_label_values, SQL_API_LABEL_VALUES),
 }
 
 
@@ -3047,6 +3093,8 @@ _VERIFY_FIRST: list[str] = [
     "doc_containment",
     "doc_winnowing_matches",
     "doc_tfidf_keywords",
+    "api_series",
+    "api_label_values",
     "doc_pii_scrub",
     "doc_token_entropy",
     "doc_dup_spans",
