@@ -419,3 +419,14 @@ def test_containment_restricted_to_candidates(spark, sf_dir):
     plan must contain the banded equi-join, never a cartesian pairing."""
     plan = plan_of(CATALOG["doc_containment"].fn(spark, sf_dir))
     assert_no_theta_joins(plan, "doc_containment")
+
+
+def test_tfidf_df_join_broadcasts_at_test_scale(spark, sf_dir):
+    """The document-frequency model joins back BY TERM — broadcast at
+    this scale, and never a theta/cartesian pairing."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.tfidf_keywords(docs))
+    assert "BroadcastHashJoin" in plan, plan[:900]
+    assert_no_theta_joins(plan, "tfidf_keywords")

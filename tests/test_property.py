@@ -329,3 +329,21 @@ def test_pq_codes_match_python_reference(spark, vecs):
             err += best[2]
         assert got[i].codes_csv == ",".join(str(c) for c in codes)
         assert got[i].mse == round(err / dim, 6)
+
+
+# --------------------------------------------------- parser string escapes
+
+
+@settings(max_examples=200, deadline=None)
+@given(value=st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+    max_size=30,
+))
+def test_matcher_string_escape_roundtrip(value):
+    """Any label value, Go-escaped into a quoted literal, must parse back
+    to the original string (the upstream strconv.Quote contract)."""
+    from squirreldb_spark.promql.parser import parse
+
+    quoted = '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    sel = parse("m{x=" + quoted + "}")
+    assert sel.matchers[0].value == value
