@@ -166,6 +166,8 @@ def main() -> None:
     # A production cluster reads hot storage/OS cache; cold-disk IO is a
     # property of the box, not of the query plans this tracks.
     for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
+        if not os.path.isfile(f):
+            continue  # directory-style parquet datasets
         with open(f, "rb") as fh:
             while fh.read(1 << 24):
                 pass
@@ -173,25 +175,20 @@ def main() -> None:
     # Two timed repetitions per query, report the faster (steady state):
     # a single sample conflates GC pauses and stage-scheduling jitter with
     # plan cost, which is what burned the round-2 comparison.
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            df = CATALOG[name].fn(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+    def time_best_of(names: list[str], reps: int = 2) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            best = float("inf")
+            for _ in range(reps):
+                df = CATALOG[name].fn(spark, SF_DIR)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
+        return out
 
-    secondary: dict[str, float] = {}
-    for name in SECONDARY_QUERIES:
-        best = float("inf")
-        for _ in range(2):
-            df = CATALOG[name].fn(spark, SF_DIR)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        secondary[name] = round(best, 3)
+    timings = time_best_of(BENCH_QUERIES)
+    secondary = time_best_of(SECONDARY_QUERIES)
 
     iterative: dict[str, float] = {}
     for name in ITERATIVE_QUERIES:
@@ -206,7 +203,11 @@ def main() -> None:
 
     ingest = ingest_bench(spark)
 
-    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_raw)
+    except ValueError:
+        sf = None  # non-sfN directory name: still print the timings
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -215,7 +216,7 @@ def main() -> None:
         "secondary": secondary,
         "iterative": iterative,
         "ingest": ingest,
-        "sf": float(sf) if sf else None,
+        "sf": sf,
     }
     print(json.dumps(out))
 

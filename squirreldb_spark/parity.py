@@ -50,7 +50,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, tol: float = 0.0) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+    """Return a list of mismatch descriptions (empty = match).
+
+    ``tol`` is positional row-wise only: normalization sorts each frame
+    independently, so values differing within tolerance can land in
+    different row orders and report spurious diffs — which is why every
+    catalog oracle rounds on BOTH sides and the gate runs at tol=0
+    (hash-exact), matching the driver. Treat tol>0 as a debugging aid,
+    not a correctness mode.
+    """
     issues: list[str] = []
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if list(a.columns) != list(b.columns):
@@ -61,7 +69,9 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, tol: float = 0.0) -
         av, bv = a[c], b[c]
         if av.dtype.kind == "f":
             both_nan = av.isna() & bv.isna()
-            close = ((av - bv).abs() <= tol) | both_nan
+            # (av == bv) first: equal INFINITIES subtract to NaN, which
+            # would fail the tolerance test on identical values
+            close = (av == bv) | ((av - bv).abs() <= tol) | both_nan
             if not close.all():
                 bad = (~close).idxmax()
                 issues.append(

@@ -24,6 +24,7 @@ def dedup_points(
     keys: Sequence[str],
     ts_col: str = "ts",
     tiebreak: str | None = None,
+    value_col: str = "value",
 ) -> DataFrame:
     """Keep one row per (series, ts).
 
@@ -31,14 +32,16 @@ def dedup_points(
     ``tiebreak`` column (e.g. an ingest sequence number) we keep the row
     with the highest tiebreak, preferring non-NaN values (NaN sorts last).
     A single row_number window — one shuffle on the series keys.
+    ``value_col`` names the measure column (the signature is otherwise
+    fully parameterized, so the measure must be too).
     """
     keys = list(keys)
     # NaN sorts ABOVE all doubles in Spark, so a bare desc() would let a
     # NaN duplicate beat a real value — the non-NaN-survives rule
     # (reference types/metric.go) needs the explicit NaN demotion in both
     # branches.
-    nan_last = F.when(F.isnan("value"), 1).otherwise(0).asc()
-    order = [nan_last, F.desc("value")] if tiebreak is None else [
+    nan_last = F.when(F.isnan(value_col), 1).otherwise(0).asc()
+    order = [nan_last, F.desc(value_col)] if tiebreak is None else [
         nan_last,
         F.desc(tiebreak),
     ]
@@ -83,9 +86,14 @@ def label_values(series_dim: DataFrame, column: str) -> DataFrame:
 
 
 def check_series_limit(series_dim: DataFrame, max_series: int) -> None:
-    """A25: abort if the matcher resolved to too many series."""
+    """A25: abort if the matcher resolved to too many series.
+
+    ``max_series`` falsy = unlimited (the reference's default) — return
+    before launching any Spark job."""
+    if not max_series:
+        return
     n = series_dim.limit(max_series + 1).count()
-    if max_series and n > max_series:
+    if n > max_series:
         raise RuntimeError(f"max_evaluated_series exceeded: {n} > {max_series}")
 
 

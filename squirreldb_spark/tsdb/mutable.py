@@ -169,10 +169,26 @@ def enrich(
     ]
     if not rows:
         return result.withColumn(mutable_name, F.lit(None).cast("string"))
+    assoc_names = {r.associated_name for r in rows}
+    if len(assoc_names) > 1:
+        # one mutable name must rewrite onto ONE concrete label (the
+        # reference's mutable_label_names table keys (tenant, name) ->
+        # one associated name); silently joining on rows[0]'s column
+        # would mis-enrich the rest
+        raise ValueError(
+            f"mutable label {mutable_name!r} maps to multiple associated "
+            f"names {sorted(assoc_names)} for tenant {tenant!r}"
+        )
     col = rows[0].associated_name
-    pairs = [
-        (av, r.mutable_value) for r in rows for av in r.associated_values
-    ]
+    # one mutable value per concrete value (smallest wins, deterministic):
+    # a concrete value bound to several mutable values would otherwise
+    # FAN OUT every matching result row through the join, double-counting
+    # downstream aggregations — enrichment must preserve row counts
+    by_assoc: dict[str, str] = {}
+    for r in sorted(rows, key=lambda r: r.mutable_value):
+        for av in r.associated_values:
+            by_assoc.setdefault(av, r.mutable_value)
+    pairs = list(by_assoc.items())
     lookup = result.sparkSession.createDataFrame(
         pairs, f"associated_value string, {mutable_name} string"
     )

@@ -117,3 +117,64 @@ def test_label_replace_literal_dollar_and_groups(spark):
     vec = spark.createDataFrame(rows, "src string, step_ts long, value double")
     out = fns.label_replace(vec, "dst", "x_$1_$", "src", "(a)").collect()
     assert out[0].dst == "x_a_$"
+
+
+def test_enrich_preserves_row_count_on_multi_bound_values(spark):
+    """Regression: a concrete value bound to TWO mutable values fanned
+    result rows out through the enrichment join, double-counting any
+    downstream aggregate. One deterministic (smallest) value wins."""
+    from squirreldb_spark.tsdb import mutable as mut
+
+    mapping = spark.createDataFrame(
+        [
+            ("t1", "group", "g1", "host", ["server1"]),
+            ("t1", "group", "g2", "host", ["server1", "server2"]),
+        ],
+        mut.MAPPING_SCHEMA,
+    )
+    result = spark.createDataFrame(
+        [("server1", 1.0), ("server2", 2.0)], "host string, value double"
+    )
+    out = mut.enrich(result, mapping, "t1", "group").collect()
+    assert len(out) == 2  # NOT 3: no fan-out
+    got = {r.host: r.group for r in out}
+    assert got == {"server1": "g1", "server2": "g2"}
+
+
+def test_enrich_rejects_conflicting_associated_names(spark):
+    from squirreldb_spark.tsdb import mutable as mut
+
+    mapping = spark.createDataFrame(
+        [
+            ("t1", "group", "g1", "host", ["a"]),
+            ("t1", "group", "g2", "instance", ["b"]),
+        ],
+        mut.MAPPING_SCHEMA,
+    )
+    result = spark.createDataFrame([("a", 1.0)], "host string, value double")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="multiple associated names"):
+        mut.enrich(result, mapping, "t1", "group")
+
+
+def test_parity_compare_accepts_equal_infinities():
+    import pandas as pd
+
+    from squirreldb_spark.parity import compare
+
+    a = pd.DataFrame({"v": [float("inf"), 1.0, float("-inf")]})
+    b = pd.DataFrame({"v": [float("inf"), 1.0, float("-inf")]})
+    assert compare(a, b) == []
+
+
+def test_dedup_points_custom_value_column(spark):
+    from squirreldb_spark.tsdb import maintenance
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 10, 7.0), (1, 20, 1.0)],
+        "sid long, ts long, avg double",
+    )
+    out = maintenance.dedup_points(df, ["sid"], value_col="avg").collect()
+    got = {(r.sid, r.ts): r.avg for r in out}
+    assert got == {(1, 10): 7.0, (1, 20): 1.0}
