@@ -217,9 +217,15 @@ class PromAPI:
                 behind, ahead, anchors = time_window(
                     parse(promql), self.lookback_ms
                 )
+                # An @-anchored selector reads its whole window around
+                # the anchor, not around [start,end] — widen by the
+                # expression's OWN pre-anchor window (behind/ahead as
+                # computed above), so e.g. rate(m[30d] @ t) with t
+                # outside the query range still budgets the 30d it scans.
+                behind_expr, ahead_expr = behind, ahead
                 for a in anchors:
-                    behind = max(behind, start_ms - (a - self.lookback_ms))
-                    ahead = max(ahead, a - end_ms)
+                    behind = max(behind, start_ms - (a - behind_expr))
+                    ahead = max(ahead, (a + ahead_expr) - end_ms)
             except Exception:
                 # unparseable here -> engine raises the real error later;
                 # guard conservatively on the default slice

@@ -78,6 +78,19 @@ def _now_ms() -> int:
 _SERIES_JSON = "to_json(map_from_entries(array_sort(map_entries(labels))))"
 
 
+def _canonical_series_json(labels: dict) -> str:
+    """The driver-side replay of ``_SERIES_JSON``'s
+    ``to_json(map<string,string>)`` canonical form: sorted keys, compact
+    separators, every value STRINGIFIED (a long label column would
+    otherwise print unquoted and give the same series a different 60-bit
+    id across /debug/index_dump and /debug/index_dump_by_labels), null
+    (absent) labels dropped like a labels map never holds them."""
+    return json.dumps(
+        {k: str(v) for k, v in labels.items() if v is not None},
+        sort_keys=True, separators=(",", ":"),
+    )
+
+
 def _dump_csv(series_jsons) -> bytes:
     """CSV lines ``series_id,labels_json`` (reference IndexDumper.Dump
     shape); the id is the engine's 60-bit md5-prefix content hash of the
@@ -680,11 +693,7 @@ class PromHTTPServer:
                 rows = df.limit(10_000).collect()
                 sjs = [
                     r["series"] if "series" in df.columns
-                    # compact separators: must match _SERIES_JSON's
-                    # to_json output or the md5 ids diverge between dumps
-                    else json.dumps(
-                        r.asDict(), sort_keys=True, separators=(",", ":")
-                    )
+                    else _canonical_series_json(r.asDict())
                     for r in rows
                 ]
                 self._send_bytes(

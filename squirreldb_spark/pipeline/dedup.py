@@ -389,6 +389,33 @@ FROM per_bit GROUP BY doc_id
 LOCAL_CC_MAX_EDGES = 2_000_000
 
 
+def _local_union_find(a_vals: list, b_vals: list) -> list[tuple]:
+    """Driver-side union-find over an edge list of plain scalars;
+    returns ``[(node, cluster_id)]`` with ``cluster_id`` the smallest
+    member (union by min — matching the distributed pointer-jumping
+    path and the recursive-CTE SQL oracle).  Kept free of Spark types:
+    the caller hands it two ``tolist()`` columns, so peak driver memory
+    is the values themselves plus the parent dict."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(a_vals, b_vals):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -428,30 +455,16 @@ def connected_components(
     # when it isn't, the pointer-jumping passes below shrink-wrap it.
     # The count is free-ish: the checkpoint above already materialized.
     if local_max_edges and pairs.count() <= local_max_edges:
-        # ids are taken AS-IS (no cast): the distributed path and the
-        # recursive-CTE oracle both support non-numeric ids, and a long
-        # cast would NULL them out silently
-        rows = pairs.select(F.col(a_col), F.col(b_col)).collect()
-        parent: dict = {}
-
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in rows:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min so cluster_id is the smallest member,
-                # matching the distributed path and the SQL oracle
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo
-        out = [(n, find(n)) for n in parent]
+        # Arrow transfer (toPandas), not collect(): Row objects cost
+        # ~10x the raw values (round-4 verdict); two pandas columns of
+        # 2M longs are ~32 MB and the union-find runs on plain scalars.
+        # ids are taken AS-IS (no long cast): the distributed path and
+        # the recursive-CTE oracle both support non-numeric ids, and a
+        # cast would NULL them out silently.
+        pdf = pairs.select(F.col(a_col), F.col(b_col)).toPandas()
+        out = _local_union_find(
+            pdf[a_col].tolist(), pdf[b_col].tolist()
+        )
         id_type = dict(pairs.dtypes)[a_col]
         return pairs.sparkSession.createDataFrame(
             out, f"node {id_type}, cluster_id {id_type}"

@@ -388,19 +388,26 @@ def sql_hopping_counts(
     length_ms: int = HOP_LENGTH_MS, slide_ms: int = HOP_SLIDE_MS
 ) -> str:
     """Replays :func:`hopping_counts`: each event belongs to the
-    ``length/slide`` epoch-aligned window starts covering its timestamp
-    (Spark's ``window()`` alignment, reproduced arithmetically)."""
-    nwin = length_ms // slide_ms
+    epoch-aligned window starts covering its timestamp (Spark's
+    ``window()`` alignment, reproduced arithmetically).  When
+    ``length % slide != 0`` Spark emits ``ceil(length/slide)`` window
+    instances per row, with the earliest one possibly NOT covering the
+    event — so the fanout uses ceil and a coverage guard (the guard is
+    a no-op for divisible params: the earliest of ``length//slide``
+    aligned starts always covers)."""
+    nwin = -(-length_ms // slide_ms)  # ceil
     return f"""
 WITH e AS (SELECT epoch_ms(ts) AS m, event_type, value FROM events),
-w AS (SELECT event_type, value,
+w AS (SELECT event_type, value, m,
              (m // {slide_ms}) * {slide_ms}
                - unnest(range(0, {nwin})) * {slide_ms} AS window_start_ms
       FROM e)
 SELECT window_start_ms, event_type,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS sum_value
-FROM w GROUP BY 1, 2
+FROM w
+WHERE window_start_ms + {length_ms} > m
+GROUP BY 1, 2
 """
 
 

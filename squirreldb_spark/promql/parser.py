@@ -72,10 +72,25 @@ _STRING_ESCAPES = {
 }
 
 
+#: exact digit counts per escape kind, as Go strconv.Unquote requires:
+#: \xHH (2 hex), \uHHHH (4), \UHHHHHHHH (8), \OOO (exactly 3 octal)
+_HEX_ESCAPE_RE = {
+    "x": re.compile(r"[0-9a-fA-F]{2}"),
+    "u": re.compile(r"[0-9a-fA-F]{4}"),
+    "U": re.compile(r"[0-9a-fA-F]{8}"),
+}
+_OCTAL_ESCAPE_RE = re.compile(r"[0-7]{3}")
+
+
 def unquote(tok: str) -> str:
     """Strip quotes AND process Go escape sequences (upstream strutil):
     ``"1\\\\.5"`` denotes the four characters ``1\\.5`` — without this,
-    regex matchers containing backslashes silently match nothing."""
+    regex matchers containing backslashes silently match nothing.
+
+    Strictness matches Go ``strconv.Unquote`` (what the upstream lexer
+    calls): exact digit counts per escape kind, octal values capped at
+    ``\\377``, ``\\U`` capped at U+10FFFF excluding surrogates — every
+    violation is a ``ParseError``, never a bare ``ValueError``."""
     body = tok[1:-1]
     if "\\" not in body:
         return body
@@ -88,22 +103,42 @@ def unquote(tok: str) -> str:
             i += 1
             continue
         i += 1
+        if i >= len(body):
+            raise ParseError("trailing backslash in string literal")
         e = body[i]
         if e in _STRING_ESCAPES:
             out.append(_STRING_ESCAPES[e])
             i += 1
-        elif e == "x":
-            out.append(chr(int(body[i + 1:i + 3], 16)))
-            i += 3
-        elif e == "u":
-            out.append(chr(int(body[i + 1:i + 5], 16)))
-            i += 5
-        elif e == "U":
-            out.append(chr(int(body[i + 1:i + 9], 16)))
-            i += 9
-        elif e.isdigit():
-            out.append(chr(int(body[i:i + 3], 8)))
-            i += 3
+        elif e in _HEX_ESCAPE_RE:
+            m = _HEX_ESCAPE_RE[e].match(body, i + 1)
+            if not m:
+                raise ParseError(
+                    f"invalid \\{e} escape in string literal: expected "
+                    f"{len(_HEX_ESCAPE_RE[e].pattern) - 6} hex digits"
+                )
+            cp = int(m.group(), 16)
+            if e == "U" and (cp > 0x10FFFF or 0xD800 <= cp <= 0xDFFF):
+                raise ParseError(
+                    f"invalid \\U escape in string literal: U+{cp:X} is "
+                    "not a valid Unicode code point"
+                )
+            out.append(chr(cp))
+            i = m.end()
+        elif "0" <= e <= "7":
+            m = _OCTAL_ESCAPE_RE.match(body, i)
+            if not m:
+                raise ParseError(
+                    "invalid octal escape in string literal: expected "
+                    "exactly 3 octal digits"
+                )
+            cp = int(m.group(), 8)
+            if cp > 0o377:
+                raise ParseError(
+                    f"invalid octal escape \\{m.group()} in string "
+                    "literal: value exceeds \\377"
+                )
+            out.append(chr(cp))
+            i = m.end()
         else:
             raise ParseError(f"invalid escape \\{e} in string literal")
     return "".join(out)

@@ -3070,91 +3070,81 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
-# insertion order.  Round-4 rotation policy: (1) entries never through
-# the gate (new this round — including the ten added late in the round:
-# bigram LM, Zipf, winnowing + matches, hopping windows, PQ, pHash
-# video near-dup, ANN recall, session paths, containment), (2) entries
-# whose code changed this round while carrying an older attestation
-# (sharded packing changed VALUES; IVF/sort/mutable changed plans or
-# shared paths), (3) the r1-era rows (the oldest signal; the late
-# additions push the tail of this group past #50 — they rotate next
-# round), (4) the r2-era promql_* rows.  Every entry is still locally
-# re-verified per round by tests/test_oracle_parity.py.
+# insertion order.  Round-5 rotation policy (VERDICT r4 "Next round" #1):
+# every round-4 window row is freshly green, so the window now leads with
+# the stale-attestation backlog — (1) the 42 r2-era rows (the promql_*
+# family first: they share the planner path that has changed most since
+# their last driver signal), then (2) the 14 r1-era rows (oldest signal;
+# the 8 highest-traffic ones fit this round's 50-row window, the last 6
+# rotate in round 6).  Code changed in round 5 (phash vectorization, CC
+# Arrow finish, token-budget auto-shard default, hopping-oracle ceil) is
+# value-identical by construction and carries a round-4 driver signal
+# plus the per-round local oracle-parity gate
+# (tests/test_oracle_parity.py re-verifies all entries every round).
 _VERIFY_FIRST: list[str] = [
-    # --- (1) never driver-verified (new in round 4) ---
-    "doc_bigram_logprob",
-    "doc_zipf_stats",
-    "doc_winnowing",
-    "ev_hopping_counts",
-    "emb_pq_codes",
-    "mm_video_neardup",
-    "emb_ann_recall",
-    "ev_session_paths",
-    "doc_containment",
-    "doc_winnowing_matches",
-    "doc_tfidf_keywords",
-    "api_series",
-    "api_label_values",
-    "doc_pii_scrub",
-    "doc_token_entropy",
-    "doc_dup_spans",
-    "ev_sessionize",
-    "ev_funnel",
-    "ev_retention_cohorts",
-    "ev_asof_join",
-    "emb_scalar_quantize",
-    "emb_diversity_sample",
-    "mm_frame_dedup",
-    "ev_props_stats",
-    "ts_limitk",
-    "ts_limit_ratio",
-    "doc_sample_budget_sharded",
-    "doc_decontaminate",
-    "doc_mix_weights",
-    # --- (2) code changed in round 4 ---
-    "doc_pack_sequences",     # sharded cumsum: pack ids CHANGED
-    "doc_sample_budget",      # shared token_budget_sample refactor
-    "emb_ivf_centroids",      # literal-centroid fold in training
-    "emb_ann_ivf",            # serving argmax plan rewrite (r2-era row)
-    "promql_sort",            # sort_by_label missing-label semantics
-    "ts_mutable_labels",      # resolve_values via row cache
-    # --- (3) r1-era attestations (oldest hard signal) ---
-    "ts_sum_over_time",
-    "ts_min_over_time",
-    "ts_max_over_time",
-    "ts_present_over_time",
-    "ts_stdvar_over_time",
-    "ts_count_over_time",
-    "ts_last_over_time",
-    "ts_stddev_over_time",
-    "ts_idelta",
-    "ts_resets",
-    "ts_changes",
-    "ts_agg_stddev_by",
-    "ts_binop_gt_filter",
-    "ts_set_unless",
-    "ts_set_or",
-    "ts_retention",
-    "ts_series_interning",
-    "ts_label_values",
-    "ts_tenant_filter",
+    # --- (1) r2-era attestations: promql_* planner family first ---
+    "promql_rate_sum",
+    "promql_selector_matchers",
+    "promql_binop_sub",
+    "promql_binop_modpow",
+    "promql_cmp_filter",
+    "promql_clamp_arith",
+    "promql_agg_group",
+    "promql_topk",
+    "promql_bottomk_without",
+    "promql_group_left",
+    "promql_group_right",
+    "promql_offset",
+    "promql_at_modifier",
+    "promql_subquery",
+    "promql_time_timestamp",
+    "promql_absent_over_time",
+    "promql_map_labels",
+    "promql_preagg_route",
+    # --- (1 cont.) r2-era: API layer over the same planner ---
+    "api_query_range",
+    "api_bounded_scan",
+    "api_preagg_stitch",
+    # --- (1 cont.) r2-era: TSDB function surface ---
+    "ts_histogram_quantile",
+    "ts_holt_winters",
+    "ts_deriv",
+    "ts_predict_linear",
+    "ts_label_replace",
+    "ts_label_join",
+    "ts_absent",
+    "ts_date_functions",
+    "ts_export_pivot",
+    "ts_import_roundtrip",
+    "ts_index_verify",
+    # --- (1 cont.) r2-era: pipeline + relational ---
+    "tpch_q1_pricing_summary",
+    "doc_bpe_tokens",
+    "doc_simhash",
+    "doc_minhash_lsh_pairs",
+    "emb_cosine_knn",
+    "emb_ann_lsh",
+    "emb_neardup_pairs",
+    "mm_extract_features",
+    "mm_resize_images",
+    "mm_sample_frames",
+    # --- (2) r1-era attestations (oldest hard signal; bench headliners
+    # and shared-dedup-path rows first) ---
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
-    "doc_text_stats",
-    "doc_lang_id",
-    "doc_fingerprint",
     "doc_exact_dedup",
-    "doc_ngram_jaccard",
     "doc_minhash_signatures",
-    # --- (4) r2-era promql_* (post-__name__-drop planner); the rest of
-    # this family rotates in next round — the 11 brand-new entries above
-    # displaced most of it from the 50-row window (entries past #50 in
-    # this list simply fall outside this round's gate) ---
-    "promql_rate_sum",
-    "promql_selector_matchers",
-    "promql_binop_sub",
+    "doc_fingerprint",
+    "doc_lang_id",
+    # --- entries below fall past the 50-row window: round-6 backlog ---
+    "doc_text_stats",
+    "doc_ngram_jaccard",
+    "ts_retention",
+    "ts_series_interning",
+    "ts_label_values",
+    "ts_tenant_filter",
 ]
 
 

@@ -319,3 +319,24 @@ def test_sample_budget_sees_long_range_selector(spark):
         capped.query("rate(cpu[23h])", time_ms=24 * H)
     # a narrow selector over the same store stays under budget
     assert capped.query("rate(cpu[2h])", time_ms=24 * H).count() >= 0
+
+
+def test_sample_budget_sees_at_anchored_selector_window(spark):
+    """ADVICE r4: the budget guard widened @-anchored selectors by the
+    default lookback only, so ``rate(m[23h] @ t)`` with ``t`` outside
+    [start, end] under-counted ~23h of scanned samples.  The widening
+    must use the expression's OWN window."""
+    rows = [("a", "cpu", h * H, float(h)) for h in range(1, 25)]
+    pts = spark.createDataFrame(
+        rows, "host string, name string, ts long, value double"
+    )
+    capped = PromAPI(pts, label_cols=("host", "name"), name_label="name",
+                     lookback_ms=1, max_samples=5)
+    # query far in the future, anchored back at 24h: the selector scans
+    # the 23 samples in (1h, 24h] regardless of the query time
+    with pytest.raises(LimitExceeded, match="max_samples"):
+        capped.query(f"rate(cpu[23h] @ {24 * 3600})", time_ms=48 * H)
+    # same anchor, narrow window: under budget
+    assert capped.query(
+        f"rate(cpu[2h] @ {24 * 3600})", time_ms=48 * H
+    ).count() >= 0

@@ -731,3 +731,23 @@ def test_timeout_accepts_duration_string(base, written):
         {"X-SquirrelDB-Tenant": "t0"},
     )
     assert status == 200 and out["status"] == "success"
+
+
+def test_canonical_series_json_matches_spark_to_json(spark):
+    """ADVICE r4: the /debug/index_dump_by_labels fallback must emit the
+    SAME canonical labels JSON as _SERIES_JSON's to_json(map) — values
+    stringified (longs quoted), keys sorted, compact separators, null
+    labels dropped — so the 60-bit ids agree across the two dumps."""
+    from pyspark.sql import functions as F
+
+    from squirreldb_spark.http_api import _SERIES_JSON, _canonical_series_json
+
+    df = spark.createDataFrame(
+        [({"job": "api", "shard": "7", "inst": "a"},)], "labels map<string,string>"
+    )
+    want = df.select(F.expr(_SERIES_JSON).alias("s")).collect()[0]["s"]
+    # column-store row shape: a long-typed label and a NULL label
+    got = _canonical_series_json(
+        {"job": "api", "shard": 7, "inst": "a", "extra": None}
+    )
+    assert got == want

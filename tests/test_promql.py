@@ -762,3 +762,36 @@ def test_label_replace_literal_dollar_template(engine):
     got = {r.host: r.cost for r in out if r.step_ts == 20_000}
     assert got["a"] == "price_$"
     assert got["b"] == ""
+
+
+class TestStringEscapeStrictness:
+    """ADVICE r4: unquote must reject what Go strconv.Unquote rejects —
+    wrong digit counts, octal > \\377, unicode digits, bad code points —
+    with ParseError, never a bare ValueError from int()."""
+
+    def test_valid_escapes_round_trip(self):
+        from squirreldb_spark.promql.parser import unquote
+
+        assert unquote(r'"\101\x42C\U00000044"') == "ABCD"
+        assert unquote(r'"\n\t\\\""') == '\n\t\\"'
+
+    @pytest.mark.parametrize("lit", [
+        r'"\777"',      # octal value 511 > 255
+        r'"\400"',      # octal value 256 > 255
+        r'"\8"',        # 8 is not an octal digit
+        r'"\07"',       # short octal (2 digits)
+        '"\\٣٣0"',  # non-ASCII unicode digits (Arabic-Indic)
+        r'"\x4"',       # short hex
+        r'"\xZZ"',      # non-hex
+        r'"\u12"',      # short \u
+        r'"\U0001"',    # short \U
+        r'"\UFFFFFFFF"',  # beyond U+10FFFF
+        r'"\UD800DC00"',  # hex form is 8 digits but > 10FFFF anyway
+        r'"\U0000D800"',  # surrogate
+        r'"a\"',        # trailing backslash inside the body
+    ])
+    def test_invalid_escapes_raise_parse_error(self, lit):
+        from squirreldb_spark.promql.parser import unquote
+
+        with pytest.raises(ParseError):
+            unquote(lit)
