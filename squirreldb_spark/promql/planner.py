@@ -74,14 +74,27 @@ _OVER_TIME_FNS = {
     for fn in ("avg", "min", "max", "sum", "count", "last", "stddev", "stdvar", "present")
 }
 
+def _go_log(base_fn):
+    """Go math.Log* semantics for Spark's log family, which NULLs
+    non-positive input: negative -> NaN, zero -> -Inf (a NaN input
+    falls through both predicates to base_fn, which keeps it NaN)."""
+    def wrapped(c):
+        return (
+            F.when(c < 0, F.lit(float("nan")))
+            .when(c == 0, F.lit(float("-inf")))
+            .otherwise(base_fn(c))
+        )
+    return wrapped
+
+
 _SCALAR_FNS: dict[str, object] = {
     "abs": F.abs,
     "ceil": F.ceil,
     "floor": F.floor,
     "exp": F.exp,
-    "ln": F.log,
-    "log2": F.log2,
-    "log10": F.log10,
+    "ln": _go_log(F.log),
+    "log2": _go_log(F.log2),
+    "log10": _go_log(F.log10),
     "sqrt": F.sqrt,
     "sgn": F.signum,
     # trigonometric family (Prometheus 2.31+)
@@ -805,10 +818,14 @@ class PromQLEngine:
                     "atanh": math.atanh, "deg": math.degrees,
                     "rad": math.radians,
                 }[name]
+                if name in ("ln", "log2", "log10") and vec == 0:
+                    return float("-inf")  # Go math.Log(0); Python raises
                 try:
                     return float(py(vec))
                 except ValueError:
-                    return float("nan")
+                    return float("nan")  # Go: NaN outside the domain
+                except OverflowError:
+                    return float("inf")  # Go math.Exp overflow -> +Inf
             fn = _SCALAR_FNS[name]
             return self._drop_name(
                 Vec(vec.df.withColumn("value", fn(F.col("value"))), vec.labels)
@@ -1106,8 +1123,25 @@ class PromQLEngine:
             return Vec(df, labels)
 
         if node.op == "count_values":
-            df = agg_ops.count_values(vec.df, by=by, label=str(node.param))
-            return finish(df, by + (str(node.param),))
+            lbl = str(node.param)
+            # Prometheus label values are STRINGS: upstream formats the
+            # sample value with strconv.FormatFloat(v, 'f', -1, 64)
+            # (promql count_values), so 2.0 becomes label "2", 0.5 stays
+            # "0.5".  Formatted BEFORE the count so the grouping key IS
+            # the label (and so a label named "value" can't collide with
+            # the count output column).  Integral doubles take the
+            # bigint path; huge magnitudes fall back to Spark's cast
+            # (may use an exponent — out of 'f' spec but out of label
+            # range in practice too).
+            v = F.col("value")
+            fmt = F.when(
+                (v == v.cast("bigint")) & (F.abs(v) < 9.2e18),
+                v.cast("bigint").cast("string"),
+            ).otherwise(v.cast("string"))
+            df = agg_ops.count_values(
+                vec.df.withColumn("value", fmt), by=by, label=lbl
+            )
+            return finish(df, by + (lbl,))
         if node.op == "quantile":
             df = agg_ops.aggregate(vec.df, by, "quantile", quantile=float(node.param))
             return finish(df, by)

@@ -19,8 +19,10 @@ from squirreldb_spark.promql import PromQLEngine
 M = 60_000
 
 
-@pytest.fixture(scope="module")
-def ceng(spark):
+def fixture_rows() -> list[tuple]:
+    """The compliance fixture data, exposed as a function so the
+    value-golden tier (test_compliance_values.py) can evaluate the same
+    points independently of Spark."""
     rows = []
     for i, inst in enumerate(("i1", "i2")):
         for j, typ in enumerate(("free", "used")):
@@ -36,13 +38,23 @@ def ceng(spark):
             rows.append((inst, "", "demo_batch_last_success_timestamp_seconds",
                          ts, float(ts // 1000 - 30)))
             rows.append((inst, "", "demo_disk_usage_bytes", ts, 1000.0 + t * 5))
+    return rows
+
+
+def make_compliance_engine(spark) -> PromQLEngine:
     pts = spark.createDataFrame(
-        rows, "instance string, type string, name string, ts long, value double"
+        fixture_rows(),
+        "instance string, type string, name string, ts long, value double",
     )
     return PromQLEngine(
         pts, label_cols=("instance", "type", "name"), name_label="name",
         step_ms=30_000, lookback_ms=60_000,
     )
+
+
+@pytest.fixture(scope="module")
+def ceng(spark):
+    return make_compliance_engine(spark)
 
 
 # ------------------------------------------------------------------- corpus

@@ -833,3 +833,36 @@ def test_local_cc_finish_uses_arrow_not_rows(spark):
     assert local == dist == {
         (1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20),
     }
+
+
+def test_token_budget_auto_shard_default(spark, docs):
+    """VERDICT r4 #6: n_shards defaults to "auto" — small strata resolve
+    to 1 shard (byte-identical to the unsharded sampler, keeping the
+    static oracle valid), while a mega-stratum splits deterministically
+    so no single task sorts it."""
+    auto = text.token_budget_sample(docs)
+    explicit = text.token_budget_sample(docs, n_shards=1)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # adversarial fixture: ONE stratum whose text mass exceeds the
+    # threshold -> auto must pick >1 shard
+    big = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("web").alias("source"),
+        F.concat_ws(" ", F.array_repeat(F.lit("tok"), 100)).alias("text"),
+    )
+    n = text._resolve_auto_shards(big, "text", auto_shard_bytes=10_000)
+    assert n > 1
+    sharded = text.token_budget_sample(big, budget=4000, auto_shard_bytes=10_000)
+    unsharded = text.token_budget_sample(big, budget=4000, n_shards=1)
+    # sharded pick differs (budget sliced per shard) but stays
+    # deterministic and within the global budget
+    assert sharded.agg(F.sum("n_tokens")).collect()[0][0] <= 4000
+    assert sorted(map(tuple, sharded.collect())) == sorted(
+        map(tuple, text.token_budget_sample(
+            big, budget=4000, auto_shard_bytes=10_000
+        ).collect())
+    )
+    assert unsharded.count() > 0
