@@ -762,3 +762,117 @@ def test_values_subquery_offset(ceng):
         if inner:
             want[(t,)] = max(inner)
     assert_vals(res(ceng, q), want, q)
+
+
+# ------------------------------------- set operations (and/unless/or)
+
+
+def test_values_set_operations(ceng):
+    mem_free = {
+        (i, ty, t): inst_val(s, t)
+        for (i, ty), s in MEM.items() if ty == "free"
+        for t in GRID
+    }
+    mem_all = {
+        (i, ty, t): inst_val(s, t)
+        for (i, ty), s in MEM.items()
+        for t in GRID
+    }
+    # and: lhs elements whose full label set (name excluded from
+    # matching) exists on the rhs — cpu shares every (instance, type)
+    q = ('demo_memory_usage_bytes{instance="i1"} and '
+         'demo_cpu_usage_seconds_total')
+    want = {k: v for k, v in mem_all.items() if k[0] == "i1"}
+    assert_vals(res(ceng, q, "instance", "type"), want, q)
+    # unless: num_cpus label sets (type="") match no memory series
+    q = "demo_memory_usage_bytes unless demo_num_cpus"
+    assert_vals(res(ceng, q, "instance", "type"), mem_all, q)
+    # or: lhs plus rhs elements with label sets absent from lhs
+    q = 'demo_memory_usage_bytes{type="free"} or demo_memory_usage_bytes'
+    assert_vals(res(ceng, q, "instance", "type"), mem_all, q)
+    assert set(mem_free) < set(mem_all)  # the or genuinely added rows
+
+
+def test_values_at_absolute_timestamp(ceng):
+    # @ pins the selector at an absolute unix time (seconds)
+    q = "demo_memory_usage_bytes @ 60"
+    want = {
+        (i, ty, t): inst_val(s, 60_000)
+        for (i, ty), s in MEM.items()
+        for t in GRID
+    }
+    assert_vals(res(ceng, q, "instance", "type"), want, q)
+
+
+# --------------------------------- histogram_quantile with real buckets
+
+
+def _bucket_counts(i: int, t: int) -> dict[str, float]:
+    """Cumulative bucket counts for instance index i at sample index t."""
+    return {
+        "0.1": (10 + t) * (i + 1.0),
+        "0.5": (20 + 2 * t) * (i + 1.0),
+        "1": (30 + 3 * t) * (i + 1.0),
+        "+Inf": (40 + 4 * t) * (i + 1.0),
+    }
+
+
+@pytest.fixture(scope="module")
+def heng(spark):
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = []
+    for i, inst in enumerate(("i1", "i2")):
+        for t in range(13):
+            for le, c in _bucket_counts(i, t).items():
+                rows.append((inst, le, "demo_latency_bucket", t * 10_000, c))
+    pts = spark.createDataFrame(
+        rows, "instance string, le string, name string, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=("instance", "le", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+
+
+def _bucket_quantile(q: float, buckets: list[tuple[float, float]]) -> float:
+    """promql/quantile.go bucketQuantile: linear interpolation inside the
+    containing bucket, lowest bucket interpolates from 0 when its upper
+    bound is positive, q landing in +Inf returns the highest finite le."""
+    buckets = sorted(buckets)
+    if not math.isinf(buckets[-1][0]):
+        return float("nan")
+    total = buckets[-1][1]
+    rank = q * total
+    b = 0
+    while buckets[b][1] < rank:
+        b += 1
+    if math.isinf(buckets[b][0]):  # falls in +Inf
+        return buckets[-2][0]
+    if b == 0:
+        bucket_start = 0.0 if buckets[0][0] > 0 else buckets[0][0]
+        prev_count = 0.0
+    else:
+        bucket_start = buckets[b - 1][0]
+        prev_count = buckets[b - 1][1]
+    bucket_end = buckets[b][0]
+    count = buckets[b][1]
+    return bucket_start + (bucket_end - bucket_start) * (
+        (rank - prev_count) / (count - prev_count)
+    )
+
+
+def test_values_histogram_quantile_buckets(heng):
+    for q in (0.5, 0.9):
+        promql = f"histogram_quantile({q}, demo_latency_bucket)"
+        rows = heng.query_range(promql).collect()
+        got = {(r.instance, r.step_ts): r.value for r in rows}
+        want = {}
+        for i, inst in enumerate(("i1", "i2")):
+            for t in GRID:
+                counts = _bucket_counts(i, t // 10_000)
+                buckets = [(float(le), c) for le, c in counts.items()]
+                want[(inst, t)] = _bucket_quantile(q, buckets)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], rel=1e-9), (promql, k)
