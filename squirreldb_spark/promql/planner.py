@@ -1134,10 +1134,15 @@ class PromQLEngine:
             # (may use an exponent — out of 'f' spec but out of label
             # range in practice too).
             v = F.col("value")
-            fmt = F.when(
-                (v == v.cast("bigint")) & (F.abs(v) < 9.2e18),
-                v.cast("bigint").cast("string"),
-            ).otherwise(v.cast("string"))
+            # try_cast, not cast: ANSI mode (the session default) throws
+            # CAST_OVERFLOW on Inf/NaN inside the comparison otherwise
+            fmt = (
+                F.when(v == float("inf"), F.lit("+Inf"))     # Go FormatFloat
+                .when(v == float("-inf"), F.lit("-Inf"))
+                .when(v == v.try_cast("bigint"),
+                      v.try_cast("bigint").cast("string"))
+                .otherwise(v.cast("string"))                 # NaN -> "NaN"
+            )
             df = agg_ops.count_values(
                 vec.df.withColumn("value", fmt), by=by, label=lbl
             )

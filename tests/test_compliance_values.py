@@ -876,3 +876,28 @@ def test_values_histogram_quantile_buckets(heng):
         assert set(got) == set(want)
         for k in want:
             assert got[k] == pytest.approx(want[k], rel=1e-9), (promql, k)
+
+
+def test_values_count_values_special_floats(spark):
+    """count_values must label-format Inf/NaN the way Go FormatFloat
+    does ("+Inf"/"-Inf"/"NaN") and must not trip ANSI cast overflow."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ("i1", "m", 0, float("inf")),
+        ("i2", "m", 0, float("-inf")),
+        ("i3", "m", 0, float("nan")),
+        ("i4", "m", 0, 2.0),
+        ("i5", "m", 0, 0.5),
+    ]
+    pts = spark.createDataFrame(
+        rows, "instance string, name string, ts long, value double"
+    )
+    eng = PromQLEngine(
+        pts, label_cols=("instance", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+    out = eng.query_range('count_values("lbl", m)').collect()
+    got = {r.lbl: r.value for r in out}
+    assert got == {"+Inf": 1.0, "-Inf": 1.0, "NaN": 1.0, "2": 1.0,
+                   "0.5": 1.0}
