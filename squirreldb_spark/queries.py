@@ -75,11 +75,13 @@ def _extrapolated_sql(
 ) -> str:
     """Oracle mirror of range_fns.extrapolated (Prometheus extrapolatedRate)."""
     rv = "last_val - first_val + reset_corr" if is_counter else "last_val - first_val"
+    # upstream extrapolatedRate order: the zero-crossing clamp applies to
+    # the RAW duration-to-start, BEFORE the threshold rewrite
     zero_clamp = (
-        "CASE WHEN rv > 0 AND first_val >= 0 AND sampled * (first_val / rv) < ds1"
-        " THEN sampled * (first_val / rv) ELSE ds1 END"
+        "CASE WHEN rv > 0 AND first_val >= 0 AND sampled * (first_val / rv) < dur_start0"
+        " THEN sampled * (first_val / rv) ELSE dur_start0 END"
         if is_counter
-        else "ds1"
+        else "dur_start0"
     )
     rate_div = f" / {range_ms / 1000.0!r}" if is_rate else ""
     return f"""
@@ -103,12 +105,12 @@ calc AS (
          (first_ts - (step_ts - {range_ms})) / 1000.0 AS dur_start0,
          (step_ts - last_ts) / 1000.0 AS dur_end0
   FROM agg),
-calc2 AS (
+calc2 AS (SELECT *, {zero_clamp} AS ds1 FROM calc),
+calc3 AS (
   SELECT *,
-         CASE WHEN dur_start0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_start0 END AS ds1,
+         CASE WHEN ds1 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE ds1 END AS ds2,
          CASE WHEN dur_end0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_end0 END AS de1
-  FROM calc),
-calc3 AS (SELECT *, {zero_clamp} AS ds2 FROM calc2)
+  FROM calc2)
 SELECT user_id, event_type, step_ts,
        {"round(" if rounded else "("}rv * ((sampled + ds2 + de1) / sampled){rate_div}{", 6)" if rounded else ")"} AS value
 FROM calc3
@@ -3082,6 +3084,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # plus the per-round local oracle-parity gate
 # (tests/test_oracle_parity.py re-verifies all entries every round).
 _VERIFY_FIRST: list[str] = [
+    # --- (0) VALUES changed in round 5: the extrapolation zero-clamp now
+    # applies before the threshold rewrite (upstream order; caught by the
+    # independent-evaluator goldens) — these need fresh attestation ---
+    "ts_rate",
+    "ts_increase",
+    "ts_preagg_route_rate",
     # --- (1) r2-era attestations: promql_* planner family first ---
     "promql_rate_sum",
     "promql_selector_matchers",

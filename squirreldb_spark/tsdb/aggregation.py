@@ -25,7 +25,15 @@ from pyspark.sql import functions as F
 _SIMPLE = {
     "sum": lambda c: F.sum(c),
     "min": lambda c: F.min(c),
-    "max": lambda c: F.max(c),
+    # upstream max skips NaN unless every value is NaN (engine.go
+    # aggregation: ``if group.floatValue < s.F || math.IsNaN(...)``);
+    # Spark's plain max would return NaN whenever ONE series is NaN.
+    # min needs no wrapper: Spark orders NaN above every number, so min
+    # already picks the smallest non-NaN (all-NaN still yields NaN).
+    "max": lambda c: F.coalesce(
+        F.max(F.when(~F.isnan(c), F.col(c) if isinstance(c, str) else c)),
+        F.max(c),
+    ),
     "avg": lambda c: F.avg(c),
     "count": lambda c: F.count(c).cast("double"),
     "stddev": lambda c: F.stddev_pop(c),
@@ -191,9 +199,14 @@ def topk(
     hash-compare oracle).
     """
     by = list(by)
-    order = [F.asc("value") if bottom else F.desc("value")] + [
-        F.asc(c) for c in series_keys
-    ]
+    # NaN ranks LAST for both directions (upstream aggregationK evicts a
+    # NaN heap head for any non-NaN sample: topk ranks NaN below every
+    # number, bottomk above) — Spark's desc ordering would otherwise put
+    # NaN first in topk. NaN series still fill slots when fewer than k
+    # non-NaN series exist.
+    order = [F.asc(F.isnan(F.col("value")))] + [
+        F.asc("value") if bottom else F.desc("value")
+    ] + [F.asc(c) for c in series_keys]
     return two_phase_topk(
         vec, [*by, "step_ts"], order, k, shard_cols=series_keys
     )

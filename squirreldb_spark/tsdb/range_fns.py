@@ -91,10 +91,13 @@ def extrapolated(
     dur_end = (F.col("step_ts") - F.col("last_ts")) / F.lit(1000.0)
     threshold = avg_spacing * F.lit(1.1)
 
-    dur_start = F.when(dur_start >= threshold, avg_spacing / F.lit(2.0)).otherwise(dur_start)
     if is_counter:
         # counter cannot go below zero: clamp start extrapolation at the
-        # implied zero crossing (upstream extrapolatedRate)
+        # implied zero crossing. Upstream applies this to the RAW
+        # duration-to-start, BEFORE the threshold rewrite below
+        # (extrapolatedRate: durationToZero check precedes
+        # extrapolationThreshold) — a dur_zero between avg/2 and the raw
+        # head gap must win over the half-spacing fallback.
         dur_zero = F.when(
             (result_value > 0) & (F.col("first_val") >= 0),
             sampled * (F.col("first_val") / result_value),
@@ -102,6 +105,7 @@ def extrapolated(
         dur_start = F.when(
             dur_zero.isNotNull() & (dur_zero < dur_start), dur_zero
         ).otherwise(dur_start)
+    dur_start = F.when(dur_start >= threshold, avg_spacing / F.lit(2.0)).otherwise(dur_start)
     dur_end = F.when(dur_end >= threshold, avg_spacing / F.lit(2.0)).otherwise(dur_end)
 
     factor = (sampled + dur_start + dur_end) / sampled
@@ -150,10 +154,21 @@ def instantaneous(
     return agg.select(*keys, "step_ts", value.alias(out))
 
 
+def _nan_skipping_max(c):
+    """Upstream max semantics (aggrOverTime/aggregation: ``acc = v if
+    v > acc || IsNaN(acc)``): NaN is skipped unless EVERY value is NaN.
+    Spark's ordering puts NaN above all numbers, so a plain max would
+    return NaN whenever one sample is NaN; min needs no wrapper — the
+    same Spark ordering makes min pick the smallest non-NaN (and all-NaN
+    groups still yield NaN)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.coalesce(F.max(F.when(~F.isnan(c), c)), F.max(c))
+
+
 _OVER_TIME = {
     "avg": lambda c: F.avg(c),
     "min": lambda c: F.min(c),
-    "max": lambda c: F.max(c),
+    "max": _nan_skipping_max,
     "sum": lambda c: F.sum(c),
     "count": lambda c: F.count(c).cast("double"),
     "last": lambda c: F.max_by(c, "ts"),
@@ -231,7 +246,15 @@ def resets_changes(
     keys = list(keys)
     win = _windowed(points, keys, step_ms, range_ms, grid=grid)
     if fn == "resets":
-        flag = F.when(F.col("value") < F.col("prev_value"), 1).otherwise(0)
+        # upstream funcResets uses a plain float < — any NaN operand
+        # compares false, so NaN transitions never count. Spark orders
+        # NaN ABOVE every number (x < NaN is true), so a NaN
+        # predecessor must be masked explicitly.
+        flag = F.when(
+            (F.col("value") < F.col("prev_value"))
+            & ~F.isnan(F.col("prev_value")),
+            1,
+        ).otherwise(0)
     else:
         flag = F.when(
             F.col("prev_value").isNotNull() & (F.col("value") != F.col("prev_value")), 1

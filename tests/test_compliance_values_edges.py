@@ -1,0 +1,269 @@
+"""Edge-fixture VALUES tier: NaN, counter resets, and irregular gaps.
+
+The main-fixture tier (test_compliance_values.py) covers the template
+families on clean data; this file drives the same independent evaluator
+over the inputs where engines and Prometheus historically diverge:
+
+- NaN samples: Spark's ordering treats NaN as the LARGEST double, while
+  upstream max/min aggregation and *_over_time skip NaN unless the whole
+  group is NaN (the ``|| math.IsNaN(acc)`` pattern in
+  promql/functions.go aggrOverTime and engine.go aggregation), and
+  topk/bottomk rank NaN below/above every number (the
+  ``math.IsNaN(heap[0].F) && !math.IsNaN(s.F)`` eviction in
+  engine.go aggregationK).
+- Counter resets and a non-zero first sample: the zero-crossing clamp in
+  extrapolatedRate applies to the RAW duration-to-start, before the
+  extrapolation-threshold rewrite.
+- Irregular sampling: head/tail gaps beyond 1.1x the average spacing
+  trigger the half-spacing extrapolation on each side independently.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from test_compliance_values import assert_vals, extrapolated, res, window
+
+from squirreldb_spark.promql import PromQLEngine
+
+GRID = [0, 30_000, 60_000, 90_000, 120_000]
+
+#: (instance, ts, value) triples for metric edge_counter — counter with a
+#: reset at 60s and a NON-ZERO first value (exercises the zero-crossing
+#: clamp: dur_zero lands between avg_spacing/2 and the raw head gap)
+COUNTER_ROWS = [
+    ("c1", ts, v)
+    for ts, v in [
+        (30_000, 40.0), (40_000, 44.0), (50_000, 48.0),
+        (60_000, 2.0),   # reset
+        (70_000, 6.0), (80_000, 10.0), (90_000, 14.0),
+        (100_000, 18.0), (110_000, 22.0), (120_000, 26.0),
+    ]
+] + [
+    # c2 discriminates the clamp ORDER: at t=120s the window (60s,120s]
+    # holds 80/90/100s -> raw head gap 20s >= threshold 11s, and
+    # dur_zero = 20 * (3/6) = 10s sits strictly between the half-spacing
+    # fallback (5s) and the raw gap — upstream clamps FIRST (keeps 10s),
+    # a threshold-first implementation would keep 5s
+    ("c2", 80_000, 3.0), ("c2", 90_000, 6.0), ("c2", 100_000, 9.0),
+]
+
+#: gappy gauge: head gap AND tail gap inside a 60s window at t=120s
+GAPPY_ROWS = [
+    ("g1", ts, v)
+    for ts, v in [
+        (0, 1.0), (10_000, 2.0), (20_000, 3.0),
+        (85_000, 9.5), (95_000, 10.5), (100_000, 11.0),
+    ]
+] + [
+    # g2 anchors the data extent so the evaluation grid (data-derived,
+    # grid.py) reaches 120s — where g1's window has BOTH a 25s head gap
+    # and a 20s tail gap past the 1.1x-spacing threshold
+    ("g2", 0, 0.0), ("g2", 120_000, 0.0),
+]
+
+#: NaN-bearing series: n1 mixes NaN with numbers, n2 is all-NaN, n3 clean
+NAN_ROWS = (
+    [("n1", ts, v) for ts, v in [
+        (0, 5.0), (10_000, float("nan")), (20_000, 3.0),
+        (30_000, float("nan")), (40_000, 7.0),
+    ]]
+    + [("n2", ts, float("nan")) for ts in range(0, 50_000, 10_000)]
+    # n3 runs to 120s so the data-derived grid covers every step; n1/n2
+    # go stale (lookback 60s) after t=100s
+    + [("n3", ts, 4.0) for ts in range(0, 130_000, 10_000)]
+)
+
+
+def _mk_engine(spark, name: str, rows):
+    pts = spark.createDataFrame(
+        [(i, name, ts, v) for i, ts, v in rows],
+        "instance string, name string, ts long, value double",
+    )
+    return PromQLEngine(
+        pts, label_cols=("instance", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+
+
+def _samples(rows, inst):
+    return sorted((ts, v) for i, ts, v in rows if i == inst)
+
+
+# ------------------------------------------------- extrapolation edges
+
+
+def test_values_rate_zero_clamp_before_threshold(spark):
+    """rate() with a head gap and a non-zero first value: upstream
+    clamps duration-to-start at the zero crossing BEFORE the
+    extrapolation-threshold rewrite (promql/functions.go
+    extrapolatedRate), so dur_zero in (avg/2, raw_gap) must win."""
+    eng = _mk_engine(spark, "edge_counter", COUNTER_ROWS)
+    s = _samples(COUNTER_ROWS, "c1")
+    s2 = _samples(COUNTER_ROWS, "c2")
+    for kind in ("rate", "increase"):
+        q = f"{kind}(edge_counter[1m])"
+        want = {}
+        for inst, ss in (("c1", s), ("c2", s2)):
+            for t in GRID:
+                v = extrapolated(window(ss, t, 60_000), 60_000, t, kind)
+                if v is not None:
+                    want[(inst, t)] = v
+        assert_vals(res(eng, q, "instance"), want, q)
+    # the reset is genuinely exercised
+    w = window(s, 90_000, 60_000)
+    assert any(b < a for (_, a), (_, b) in zip(w, w[1:]))
+    # ...and c2's t=120s window really discriminates the clamp order
+    w2 = window(s2, 120_000, 60_000)
+    assert [ts for ts, _ in w2] == [80_000, 90_000, 100_000]
+
+
+def test_values_gappy_extrapolation_both_ends(spark):
+    """Head and tail gaps beyond 1.1x avg spacing each fall back to
+    half-spacing extrapolation independently."""
+    eng = _mk_engine(spark, "edge_gauge", GAPPY_ROWS)
+    s = _samples(GAPPY_ROWS, "g1")
+    q = "delta(edge_gauge[1m])"
+    want = {}
+    for t in GRID:
+        v = extrapolated(window(s, t, 60_000), 60_000, t, "delta")
+        if v is not None:
+            want[("g1", t)] = v
+    assert_vals(res(eng, q, "instance"), want, q)
+    # the t=120s window really has both a head gap (85s-60s) and a tail
+    # gap (120s-100s) beyond threshold
+    w = window(s, 120_000, 60_000)
+    assert w[0][0] == 85_000 and w[-1][0] == 100_000
+
+
+def test_values_resets_changes_on_reset_fixture(spark):
+    eng = _mk_engine(spark, "edge_counter", COUNTER_ROWS)
+    want_r, want_c = {}, {}
+    for inst in ("c1", "c2"):
+        s = _samples(COUNTER_ROWS, inst)
+        for t in GRID:
+            w = window(s, t, 60_000)
+            if not w:
+                continue
+            want_r[(inst, t)] = sum(
+                1.0 for (_, a), (_, b) in zip(w, w[1:]) if b < a
+            )
+            want_c[(inst, t)] = sum(
+                1.0 for (_, a), (_, b) in zip(w, w[1:]) if b != a
+            )
+    assert_vals(res(eng, "resets(edge_counter[1m])", "instance"), want_r)
+    assert_vals(res(eng, "changes(edge_counter[1m])", "instance"), want_c)
+
+
+def test_values_resets_ignore_nan_transitions(spark):
+    """Upstream funcResets is a plain float < per adjacent pair: NaN on
+    either side compares false, so NaN transitions never count. Spark's
+    ordering (x < NaN is true) would otherwise count every NaN->number
+    step as a reset."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    got = res(eng, "resets(edge_nan[1m])", "instance")
+    # n1 holds NaN<->number flips but no adjacent numeric drop; n2 is
+    # all NaN; n3 is constant -> every window of every series: 0 resets
+    assert got and all(v == 0.0 for v in got.values()), got
+
+
+# --------------------------------------------------------- NaN edges
+
+
+def _nan_vec(t):
+    """Instant values of the three NaN-fixture series at step t."""
+    out = {}
+    for inst in ("n1", "n2", "n3"):
+        s = _samples(NAN_ROWS, inst)
+        cand = [v for ts, v in s if t - 60_000 < ts <= t]
+        if cand:
+            out[inst] = cand[-1]
+    return out
+
+
+def _p_max(vals):
+    """Upstream max: skip NaN unless every value is NaN."""
+    m = vals[0]
+    for v in vals:
+        if v > m or math.isnan(m):
+            m = v
+    return m
+
+
+def _p_min(vals):
+    m = vals[0]
+    for v in vals:
+        if v < m or math.isnan(m):
+            m = v
+    return m
+
+
+def test_values_max_min_agg_skip_nan(spark):
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    for op, fn in (("max", _p_max), ("min", _p_min)):
+        q = f"{op}(edge_nan)"
+        want = {}
+        for t in GRID:
+            vec = list(_nan_vec(t).values())
+            if vec:
+                want[(t,)] = fn(vec)
+        assert_vals(res(eng, q), want, q)
+
+
+def test_values_max_min_over_time_skip_nan(spark):
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    for op, fn in (("max", _p_max), ("min", _p_min)):
+        q = f"{op}_over_time(edge_nan[1m])"
+        want = {}
+        for inst in ("n1", "n2", "n3"):
+            s = _samples(NAN_ROWS, inst)
+            for t in GRID:
+                w = [v for _, v in window(s, t, 60_000)]
+                if w:
+                    want[(inst, t)] = fn(w)
+        assert_vals(res(eng, q, "instance"), want, q)
+
+
+def test_values_sum_avg_over_time_propagate_nan(spark):
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    for op in ("sum", "avg"):
+        q = f"{op}_over_time(edge_nan[1m])"
+        got = res(eng, q, "instance")
+        # n1 windows containing a NaN -> NaN; n3 clean -> finite
+        assert math.isnan(got[("n1", 30_000)])
+        assert not math.isnan(got[("n3", 30_000)])
+
+
+def test_values_topk_bottomk_rank_nan_last(spark):
+    """topk: NaN ranks below every number (only fills when fewer than k
+    non-NaN series exist); bottomk: NaN ranks above every number."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    # at t=30s: n1=NaN (last sample at 30s is NaN), n2=NaN, n3=4.0
+    vec = _nan_vec(30_000)
+    assert math.isnan(vec["n1"]) and math.isnan(vec["n2"])
+    assert vec["n3"] == 4.0
+    for op in ("topk", "bottomk"):
+        rows = eng.query_range(f"{op}(1, edge_nan)").collect()
+        picked = {r.step_ts: r.instance for r in rows}
+        # the single pick at 30s must be the non-NaN series
+        assert picked[30_000] == "n3", (op, picked)
+        # k=2: the second slot fills with a NaN series
+        rows2 = eng.query_range(f"{op}(2, edge_nan)").collect()
+        at30 = sorted(r.instance for r in rows2 if r.step_ts == 30_000)
+        assert "n3" in at30 and len(at30) == 2
+
+
+def test_values_changes_nan_to_nan_is_not_a_change(spark):
+    """Spark's NaN equality (NaN = NaN is true) matches upstream here:
+    NaN->NaN does not count, NaN<->number does."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    got = res(eng, "changes(edge_nan[1m])", "instance")
+    # n2 is all-NaN: zero changes in every window
+    for t in GRID:
+        if ("n2", t) in got:
+            assert got[("n2", t)] == 0.0
+    # n1 over the LEFT-OPEN (0,60s] window: ts=0 is excluded, leaving
+    # NaN, 3, NaN, 7 -> 3 in-window transitions, all counted
+    assert got[("n1", 60_000)] == 3.0
