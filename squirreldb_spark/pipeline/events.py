@@ -474,3 +474,68 @@ ranked AS (
   FROM counts)
 SELECT path, n_sessions, rank FROM ranked WHERE rank <= {k}
 """
+
+
+_DAY_MS = 86_400_000
+
+
+def anomaly_mad(
+    events: DataFrame, k: float = 3.0, day_ms: int = _DAY_MS
+) -> DataFrame:
+    """Robust per-type anomaly flags over daily event volumes.
+
+    For each event_type, computes the exact median and the median
+    absolute deviation (MAD) of its daily counts, and flags days where
+    ``|n - median| > k * MAD`` — the standard robust outlier rule
+    (Leys et al. 2013): unlike mean/stddev, one anomalous day cannot
+    inflate its own threshold.
+
+    Scale shape: the day-bucket aggregation does the data-volume
+    reduction (map-side combine on (event_type, day)); everything after
+    operates on ~days x types rows, so the two grouped exact percentiles
+    and the join-backs are negligible at any event volume. Median/MAD are
+    rounded to 6 dp before the flag comparison so both engines decide
+    identically.
+    """
+    daily = events.groupBy(
+        "event_type", (F.col("ts") / day_ms).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    med = daily.groupBy("event_type").agg(
+        F.round(F.percentile("n_events", 0.5), 6).alias("med")
+    )
+    j = daily.join(F.broadcast(med), "event_type")
+    mad = j.groupBy("event_type").agg(
+        F.round(F.percentile(F.abs(F.col("n_events") - F.col("med")), 0.5), 6).alias(
+            "mad"
+        )
+    )
+    return (
+        j.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            (F.col("day") * day_ms).cast("long").alias("day_ms"),
+            F.col("n_events").cast("long").alias("n_events"),
+            "med",
+            "mad",
+            (F.abs(F.col("n_events") - F.col("med")) > F.lit(k) * F.col("mad")).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+def sql_anomaly_mad(k: float = 3.0, day_ms: int = _DAY_MS) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // {day_ms} AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+med AS (SELECT event_type, round(median(n_events), 6) AS med
+        FROM daily GROUP BY 1),
+j AS (SELECT d.*, m.med FROM daily d JOIN med m USING (event_type)),
+mad AS (SELECT event_type, round(median(abs(n_events - med)), 6) AS mad
+        FROM j GROUP BY 1)
+SELECT j.event_type, CAST(j.day * {day_ms} AS BIGINT) AS day_ms,
+       CAST(j.n_events AS BIGINT) AS n_events, j.med, a.mad,
+       abs(j.n_events - j.med) > {k} * a.mad AS is_anomaly
+FROM j JOIN mad a USING (event_type)
+"""

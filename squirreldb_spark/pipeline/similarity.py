@@ -1048,3 +1048,69 @@ LEFT JOIN ({sql_ann_ivf(k, n_queries)}) a
   ON e.q_id = a.q_id AND e.c_id = a.c_id
 GROUP BY 1
 """
+
+
+def matryoshka_recall(
+    emb: DataFrame,
+    d_keep: int = 16,
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of truncated-dimension (Matryoshka-style) cosine search
+    against full-dimension exact search (Kusupati et al. 2022: nested
+    representations let a prefix of the vector serve as a cheap coarse
+    index). Cosine is scale-invariant, so prefix truncation needs no
+    re-normalization — the ranking uses the truncated norms implicitly.
+
+    Plan: two brute-force broadcast top-k scans (the existing
+    ``cosine_knn`` plan, one over ``slice(v, 1, d_keep)``) joined on
+    (q_id, c_id) — both rankings are config-sized (k x n_queries rows),
+    so the join and the per-query count are trivial at any corpus scale;
+    the scans stay the dominant, embarrassingly-parallel cost.
+    """
+    exact = cosine_knn(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    trunc = emb.select(
+        F.col(id_col), F.expr(f"slice({vec_col}, 1, {d_keep})").alias("_tv")
+    )
+    approx = cosine_knn(trunc, k=k, n_queries=n_queries, id_col=id_col, vec_col="_tv")
+    return (
+        exact.select("q_id", "c_id")
+        .join(approx.select("q_id", "c_id", F.lit(1).alias("_hit")),
+              ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
+def sql_cosine_knn_prefix(d_keep: int, k: int = 5, n_queries: int = 5) -> str:
+    """sql_cosine_knn over the first ``d_keep`` dimensions only."""
+    return f"""
+WITH base AS (SELECT vec_id, (embedding::DOUBLE[])[1:{d_keep}] AS v
+              FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv FROM base),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c, q WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def sql_matryoshka_recall(d_keep: int = 16, k: int = 5, n_queries: int = 5) -> str:
+    return f"""
+SELECT e.q_id,
+       count(a.c_id)::BIGINT AS n_hits,
+       round(count(a.c_id) / {k}.0, 6) AS recall
+FROM ({sql_cosine_knn(k, n_queries)}) e
+LEFT JOIN ({sql_cosine_knn_prefix(d_keep, k, n_queries)}) a
+  ON e.q_id = a.q_id AND e.c_id = a.c_id
+GROUP BY 1
+"""

@@ -979,3 +979,248 @@ ranked AS (
 SELECT doc_id, term, tfidf, CAST(rank AS BIGINT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------------------------- sliding-window chunking
+
+
+def chunk_sliding(
+    docs: DataFrame, text_col: str = "text", window: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping token-window chunking for training/RAG sequence prep.
+
+    Every document becomes ``ceil((n - window) / stride) + 1`` chunks of at
+    most ``window`` whitespace tokens, consecutive chunks overlapping by
+    ``window - stride`` tokens (the standard long-document strategy so no
+    token span is lost at a chunk boundary). Chunk identity is the shared
+    60-bit content hash so downstream exact dedup can run at chunk
+    granularity.
+
+    Scale shape: pure per-row array expressions (``sequence`` +
+    ``transform`` + ``posexplode``) — a narrow map with zero shuffle; the
+    fan-out multiplies rows ~``n/stride``-fold inside the scan, which AQE
+    re-splits downstream. Integer-only chunk-count arithmetic keeps both
+    engines bit-identical.
+    """
+    toks = f"split({text_col}, ' ')"
+    n = f"size({toks})"
+    n_chunks = (
+        f"(case when {n} <= {window} then 1"
+        f" else ({n} - {window} + {stride - 1}) div {stride} + 1 end)"
+    )
+    chunks = (
+        f"transform(sequence(0, {n_chunks} - 1),"
+        f" i -> array_join(slice({toks}, i * {stride} + 1, {window}), ' '))"
+    )
+    out = docs.select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk"))
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr("size(split(chunk, ' '))").cast("long").alias("n_chunk_tokens"),
+        F.expr(
+            "cast(conv(substring(md5(cast(chunk as binary)), 1, 15), 16, 10) as bigint)"
+        ).alias("chunk_hash"),
+    )
+
+
+def sql_chunk_sliding(window: int = 64, stride: int = 48) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+nch AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= {window} THEN 1
+              ELSE (len(t) - {window} + {stride - 1}) // {stride} + 1 END AS n_chunks
+  FROM toks),
+ch AS (
+  SELECT doc_id, i - 1 AS chunk_id,
+         array_to_string(t[(i - 1) * {stride} + 1 : (i - 1) * {stride} + {window}],
+                         ' ') AS chunk
+  FROM nch, unnest(generate_series(1, n_chunks)) AS g(i))
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       len(string_split(chunk, ' '))::BIGINT AS n_chunk_tokens,
+       ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+FROM ch
+"""
+
+
+# --------------------------------------------- deterministic corpus split
+
+
+def split_assign(
+    docs: DataFrame,
+    text_col: str = "text",
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> DataFrame:
+    """Deterministic content-hashed train/val/test assignment.
+
+    The bucket is the first 32 bits of md5(text) mod 100, so the split is
+    (a) reproducible with no RNG state, (b) stable under re-partitioning
+    and re-ingestion, and (c) leakage-resistant: byte-identical duplicates
+    always land in the same split, so exact-dup train/test contamination
+    is structurally impossible (near-dups are handled by
+    ``decontaminate``). A narrow map, zero shuffle at any scale.
+    """
+    bucket = F.expr(
+        f"cast(conv(substring(md5(cast({text_col} as binary)), 1, 8), 16, 10)"
+        " as bigint) % 100"
+    )
+    cut_val = pct_train + pct_val
+    return docs.select(
+        "doc_id",
+        "lang",
+        bucket.alias("bucket"),
+        F.when(bucket < pct_train, F.lit("train"))
+        .when(bucket < cut_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sql_split_assign(pct_train: int = 90, pct_val: int = 5) -> str:
+    return f"""
+SELECT doc_id, lang,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 AS bucket,
+       CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100 < {pct_train}
+              THEN 'train'
+            WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+                 < {pct_train + pct_val} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+# --------------------------------------------- linear quality classifier
+
+
+#: fixed logistic-regression weights for the transparent quality model:
+#: (intercept, ln(n_tokens), avg_token_len, uniq_ratio, stop_ratio,
+#: digit_ratio). Hand-set to CCNet/FineWeb-style priors: longer docs with
+#: diverse vocabulary and common stopwords score up; digit-heavy docs down.
+QUALITY_LR_WEIGHTS = (-2.0, 0.35, 0.12, 2.2, 3.0, -4.0)
+
+
+def quality_logreg(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic model over the
+    cheap per-document signals (the "classifier" stage of a CCNet-style
+    pipeline, with transparent literal weights instead of an opaque
+    binary). Features are rounded to 6 dp before the dot product so both
+    engines run the identical arithmetic; zero shuffle.
+    """
+    w0, w_len, w_avg, w_uniq, w_stop, w_dig = QUALITY_LR_WEIGHTS
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(text_col)
+    f_len = F.round(F.log(n_tok.cast("double")), 6)
+    f_avg = F.round((n_chars - (n_tok - F.lit(1))) / n_tok, 6)
+    f_uniq = F.round(F.size(F.array_distinct(t)) / n_tok, 6)
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    f_stop = F.round(
+        F.size(F.array_intersect(F.array_distinct(t), F.array(*[F.lit(s) for s in stops])))
+        / F.lit(len(stops)),
+        6,
+    )
+    f_dig = F.round(
+        F.length(F.regexp_replace(F.col(text_col), "[^0-9]", "")) / n_chars, 6
+    )
+    score = F.round(
+        F.lit(w0)
+        + F.lit(w_len) * f_len
+        + F.lit(w_avg) * f_avg
+        + F.lit(w_uniq) * f_uniq
+        + F.lit(w_stop) * f_stop
+        + F.lit(w_dig) * f_dig,
+        6,
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6)
+    return docs.select(
+        "doc_id",
+        score.alias("qscore"),
+        prob.alias("qprob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def sql_quality_logreg() -> str:
+    w0, w_len, w_avg, w_uniq, w_stop, w_dig = QUALITY_LR_WEIGHTS
+    stops = sorted({w for ws in STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{s}'" for s in stops)
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+         round(ln(len(string_split(text, ' '))::DOUBLE), 6) AS f_len,
+         round((length(text) - (len(string_split(text, ' ')) - 1))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS f_avg,
+         round(len(list_distinct(string_split(text, ' ')))
+               / len(string_split(text, ' '))::DOUBLE, 6) AS f_uniq,
+         round(len(list_intersect(list_distinct(string_split(text, ' ')),
+                                  [{stop_list}])) / {len(stops)}.0, 6) AS f_stop,
+         round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               / length(text)::DOUBLE, 6) AS f_dig
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         round({w0} + {w_len} * f_len + {w_avg} * f_avg + {w_uniq} * f_uniq
+               + {w_stop} * f_stop + {w_dig} * f_dig, 6) AS qscore
+  FROM f)
+SELECT doc_id, qscore,
+       round(1.0 / (1.0 + exp(-qscore)), 6) AS qprob,
+       round(1.0 / (1.0 + exp(-qscore)), 6) >= 0.5 AS keep
+FROM s
+"""
+
+
+# ----------------------------------------------- shingle novelty scoring
+
+
+def novelty(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document novel-shingle fraction in doc_id order.
+
+    A document's novelty is the fraction of its distinct word n-grams
+    whose first corpus occurrence (min doc_id) is this document — the
+    redundancy-growth curve data curation uses to decide when more of a
+    source stops adding information (Muennighoff et al. 2023 repetition
+    scaling).
+
+    Scale shape: explode to (doc_id, shingle) once, then two natural-key
+    aggregations — min(doc_id) per shingle (shingle-keyed exchange) and
+    counts per doc (doc-keyed) — joined back on doc_id. No self-join, no
+    window over the corpus; skew on hot shingles is bounded by the
+    map-side partial min/count combine.
+    """
+    from squirreldb_spark.pipeline.dedup import shingles
+
+    pairs = docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(text_col, n))).alias("sh")
+    )
+    first = pairs.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    novel = first.groupBy("first_doc").agg(F.count("*").alias("n_novel"))
+    totals = pairs.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(novel, totals.doc_id == novel.first_doc, "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_shingles"), 6))
+    )
+
+
+def sql_novelty(n: int = 3) -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(t) - {n - 1}, 1)),
+           i -> array_to_string(t[i : i + {n - 1}], ' ')))) AS sh
+  FROM toks),
+first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY sh),
+novel AS (SELECT first_doc, count(*) AS n_novel FROM first GROUP BY first_doc),
+totals AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id)
+SELECT t.doc_id, t.n_shingles,
+       coalesce(n.n_novel, 0) AS n_novel,
+       round(coalesce(n.n_novel, 0) / t.n_shingles::DOUBLE, 6) AS novelty
+FROM totals t LEFT JOIN novel n ON t.doc_id = n.first_doc
+"""

@@ -2704,6 +2704,46 @@ def q_doc_tfidf_keywords(spark, sf_dir):
     return ptext.tfidf_keywords(_docs(spark, sf_dir))
 
 
+def q_doc_chunk_sliding(spark, sf_dir):
+    """Overlapping 64-token / stride-48 chunking with per-chunk content
+    hashes for training/RAG sequence prep (pipeline/text.py
+    chunk_sliding)."""
+    return ptext.chunk_sliding(_docs(spark, sf_dir))
+
+
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic content-hashed 90/5/5 train/val/test assignment —
+    RNG-free and exact-dup-leakage-proof (pipeline/text.py
+    split_assign)."""
+    return ptext.split_assign(_docs(spark, sf_dir))
+
+
+def q_doc_quality_logreg(spark, sf_dir):
+    """Fixed-weight logistic quality model over cheap per-doc signals
+    (the CCNet-style classifier stage; pipeline/text.py
+    quality_logreg)."""
+    return ptext.quality_logreg(_docs(spark, sf_dir))
+
+
+def q_doc_novelty(spark, sf_dir):
+    """Per-document novel-shingle fraction in doc_id order — the corpus
+    redundancy-growth curve (pipeline/text.py novelty)."""
+    return ptext.novelty(_docs(spark, sf_dir))
+
+
+def q_emb_matryoshka_recall(spark, sf_dir):
+    """Recall@5 of 16-dim Matryoshka-prefix cosine search vs the full
+    64-dim exact ranking (pipeline/similarity.py matryoshka_recall)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.matryoshka_recall(emb)
+
+
+def q_ev_anomaly_mad(spark, sf_dir):
+    """Median/MAD robust anomaly flags over per-type daily event volumes
+    (pipeline/events.py anomaly_mad)."""
+    return pevents.anomaly_mad(_events(spark, sf_dir))
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -3068,6 +3108,20 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # /api/v1/label/<name>/values (A22)
     "api_label_values": QueryDef(q_api_label_values, SQL_API_LABEL_VALUES),
+    # sliding token-window chunking (training/RAG sequence prep)
+    "doc_chunk_sliding": QueryDef(q_doc_chunk_sliding, ptext.sql_chunk_sliding()),
+    # deterministic content-hashed train/val/test split
+    "doc_split_assign": QueryDef(q_doc_split_assign, ptext.sql_split_assign()),
+    # fixed-weight logistic quality classifier
+    "doc_quality_logreg": QueryDef(q_doc_quality_logreg, ptext.sql_quality_logreg()),
+    # novel-shingle fraction per doc (redundancy-growth curve)
+    "doc_novelty": QueryDef(q_doc_novelty, ptext.sql_novelty()),
+    # Matryoshka-prefix recall@k vs full-dim exact search
+    "emb_matryoshka_recall": QueryDef(
+        q_emb_matryoshka_recall, psim.sql_matryoshka_recall()
+    ),
+    # median/MAD robust daily-volume anomaly flags
+    "ev_anomaly_mad": QueryDef(q_ev_anomaly_mad, pevents.sql_anomaly_mad()),
 }
 
 

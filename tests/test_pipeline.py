@@ -866,3 +866,102 @@ def test_token_budget_auto_shard_default(spark, docs):
         ).collect())
     )
     assert unsharded.count() > 0
+
+
+# ----------------------------------------------------- round-5 operators
+
+
+def test_chunk_sliding_covers_every_token_with_overlap(spark):
+    # 120 tokens, window 64, stride 48 -> 2 chunks: [1..64], [49..112]?
+    # no: n=120 > 64 -> (120-64+47)//48+1 = 3 chunks; last = [97..120]
+    toks = [f"t{i}" for i in range(120)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    out = sorted(
+        text.chunk_sliding(df).collect(), key=lambda r: r.chunk_id
+    )
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert [r.n_chunk_tokens for r in out] == [64, 64, 24]
+    # reconstruct coverage: chunk i spans tokens [i*48, i*48+64)
+    covered = set()
+    for r in out:
+        covered |= set(range(r.chunk_id * 48, min(r.chunk_id * 48 + 64, 120)))
+    assert covered == set(range(120))
+
+
+def test_chunk_sliding_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(7, "a b c")], "doc_id long, text string")
+    out = text.chunk_sliding(df).collect()
+    assert len(out) == 1 and out[0].n_chunk_tokens == 3
+    # the single chunk's hash is the hash of the whole text
+    exp = int(hashlib.md5(b"a b c").hexdigest()[:15], 16)
+    assert out[0].chunk_hash == exp
+
+
+def test_split_assign_deterministic_and_dup_safe(spark):
+    rows = [(1, "same text", "en"), (2, "same text", "en"), (3, "other", "de")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: (r.bucket, r.split) for r in text.split_assign(df).collect()}
+    # byte-identical duplicates always share bucket AND split
+    assert out[1] == out[2]
+    for b, s in out.values():
+        assert 0 <= b < 100
+        assert s == ("train" if b < 90 else "val" if b < 95 else "test")
+
+
+def test_quality_logreg_prob_bounds_and_threshold(docs):
+    out = text.quality_logreg(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.0 <= r.qprob <= 1.0
+        assert r.keep == (r.qprob >= 0.5)
+
+
+def test_novelty_first_doc_fully_novel_and_counts_conserve(spark):
+    rows = [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text.novelty(df).collect()}
+    # doc 1 owns every one of its shingles; its exact dup owns none
+    assert out[1].novelty == 1.0
+    assert out[2].novelty == 0.0 and out[2].n_novel == 0
+    assert out[3].novelty == 1.0
+    # every distinct shingle is owned exactly once
+    assert sum(r.n_novel for r in out.values()) == 3 + 3  # two distinct docs
+    assert all(r.n_novel <= r.n_shingles for r in out.values())
+
+
+def test_matryoshka_full_prefix_is_perfect_recall(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    # keeping every dimension must reproduce the exact ranking
+    out = similarity.matryoshka_recall(emb, d_keep=64).collect()
+    assert len(out) == 5
+    assert all(r.recall == 1.0 for r in out)
+    # a short prefix is a valid (possibly lossy) ranking: recall in [0,1]
+    short = similarity.matryoshka_recall(emb, d_keep=8).collect()
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= 5 for r in short)
+
+
+def test_anomaly_mad_flags_injected_spike(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    day = 86_400_000
+    rows = []
+    eid = 0
+    for d in range(11):
+        n = 500 if d == 5 else 10  # one 50x spike day
+        for i in range(n):
+            eid += 1
+            rows.append((eid, 1, "view", d * day + i, 1.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    )
+    out = {r.day_ms // day: r for r in pev.anomaly_mad(df).collect()}
+    assert out[5].is_anomaly and not any(
+        out[d].is_anomaly for d in range(11) if d != 5
+    )
+    # constant series: MAD = 0 and nothing flags
+    flat = spark.createDataFrame(
+        [(i, 1, "view", (i % 7) * day, 1.0) for i in range(70)],
+        "event_id long, user_id long, event_type string, ts long, value double",
+    )
+    res = pev.anomaly_mad(flat).collect()
+    assert all(not r.is_anomaly and r.mad == 0.0 for r in res)
