@@ -75,6 +75,11 @@ SECONDARY_QUERIES = [
     "emb_pq_codes",
     "emb_diversity_sample",
     "mm_video_neardup",
+    "doc_chunk_sliding",
+    "doc_novelty",
+    "doc_quality_logreg",
+    "emb_matryoshka_recall",
+    "ev_anomaly_mad",
 ]
 
 

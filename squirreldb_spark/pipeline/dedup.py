@@ -842,3 +842,50 @@ FROM capped a JOIN capped b USING (fingerprint)
 WHERE a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= {min_shared}
 """
+
+
+def incremental_exact_dedup(
+    new_docs: DataFrame,
+    seen_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup a new ingest batch against an existing corpus.
+
+    The crawl-refresh shape: content hashes already in the seen corpus
+    are dropped by an anti-join, then within-batch duplicates collapse to
+    their lowest id. Output one row per surviving distinct content:
+    ``(content_hash, keep_id, n_batch_dups)``.
+
+    Scale shape: both sides reduce to bare 60-bit hashes before any
+    exchange (the seen side additionally to DISTINCT hashes), so the
+    anti-join shuffles longs, not text; with the corpus maintained as a
+    hash-bucketed table the anti-join is co-located and shuffle-free.
+    The within-batch collapse groups on the anti-join's own key, so AQE
+    reuses its partitioning.
+    """
+    h = _h60_sql_expr(text_col)
+    seen_h = seen_docs.select(F.expr(h).alias("content_hash")).distinct()
+    batch = new_docs.select(F.col(id_col), F.expr(h).alias("content_hash"))
+    fresh = batch.join(seen_h, "content_hash", "left_anti")
+    return fresh.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_batch_dups"),
+    )
+
+
+def sql_incremental_exact_dedup(split_id: int) -> str:
+    """Oracle over the catalog's split: doc_id < split_id = seen corpus,
+    the rest = new batch."""
+    h = _h60_duck('text')
+    return f"""
+WITH seen AS (SELECT DISTINCT {h} AS content_hash FROM documents
+              WHERE doc_id < {split_id}),
+batch AS (SELECT doc_id, {h} AS content_hash FROM documents
+          WHERE doc_id >= {split_id}),
+fresh AS (SELECT * FROM batch
+          WHERE content_hash NOT IN (SELECT content_hash FROM seen))
+SELECT content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_batch_dups
+FROM fresh GROUP BY content_hash
+"""

@@ -539,3 +539,82 @@ SELECT j.event_type, CAST(j.day * {day_ms} AS BIGINT) AS day_ms,
        abs(j.n_events - j.med) > {k} * a.mad AS is_anomaly
 FROM j JOIN mad a USING (event_type)
 """
+
+
+def cooccurrence(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Session-level event-type co-occurrence with Jaccard affinity.
+
+    For every unordered type pair (a < b): the number of sessions
+    containing both, each type's session count, and Jaccard =
+    both / (n_a + n_b - both) — the co-visitation statistic behind
+    item-item recommendation and "users who X also Y" analyses.
+
+    Scale shape: sessions come from the shared lag-flag-cumsum pass (one
+    user_id shuffle); each session collapses to its SORTED DISTINCT type
+    set, so pair expansion is an in-row array HOF over a set bounded by
+    the type vocabulary — there is NO self-join of the event table, and
+    the pair aggregation inputs are |sessions| x O(|types|^2) tiny rows.
+    """
+    numbered = _numbered_sessions(events, gap_ms, carry=("event_type",))
+    sess = numbered.groupBy("user_id", "session_seq").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sess.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types)),"
+                " y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    both = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_both")
+    )
+    totals = sess.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_sess")
+    )
+    ta = totals.select(F.col("t").alias("type_a"), F.col("n_sess").alias("n_a"))
+    tb = totals.select(F.col("t").alias("type_b"), F.col("n_sess").alias("n_b"))
+    return (
+        both.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b",
+            F.round(
+                F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_cooccurrence(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, event_type,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+st AS (SELECT DISTINCT user_id, session_seq, event_type FROM numbered),
+both_c AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM st a JOIN st b
+    ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2),
+totals AS (SELECT event_type AS t, count(*) AS n_sess FROM st GROUP BY 1)
+SELECT c.type_a, c.type_b, c.n_both, ta.n_sess AS n_a, tb.n_sess AS n_b,
+       round(c.n_both / (ta.n_sess + tb.n_sess - c.n_both)::DOUBLE, 6) AS jaccard
+FROM both_c c
+JOIN totals ta ON ta.t = c.type_a
+JOIN totals tb ON tb.t = c.type_b
+"""

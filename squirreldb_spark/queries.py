@@ -2744,6 +2744,28 @@ def q_ev_anomaly_mad(spark, sf_dir):
     return pevents.anomaly_mad(_events(spark, sf_dir))
 
 
+#: incremental-dedup catalog split: doc_id < 250 plays the already-ingested
+#: corpus, the rest the new crawl batch
+INC_DEDUP_SPLIT_ID = 250
+
+
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Dedup a new ingest batch against the existing corpus: hash-only
+    anti-join + within-batch collapse (pipeline/dedup.py
+    incremental_exact_dedup)."""
+    docs = _docs(spark, sf_dir)
+    return pdedup.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= INC_DEDUP_SPLIT_ID),
+        docs.filter(F.col("doc_id") < INC_DEDUP_SPLIT_ID),
+    )
+
+
+def q_ev_cooccurrence(spark, sf_dir):
+    """Session-level event-type co-occurrence with Jaccard affinity
+    (pipeline/events.py cooccurrence)."""
+    return pevents.cooccurrence(_events(spark, sf_dir))
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -3122,6 +3144,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # median/MAD robust daily-volume anomaly flags
     "ev_anomaly_mad": QueryDef(q_ev_anomaly_mad, pevents.sql_anomaly_mad()),
+    # new-batch-vs-corpus incremental exact dedup
+    "doc_incremental_dedup": QueryDef(
+        q_doc_incremental_dedup,
+        pdedup.sql_incremental_exact_dedup(INC_DEDUP_SPLIT_ID),
+    ),
+    # session-level type co-occurrence / Jaccard affinity
+    "ev_cooccurrence": QueryDef(q_ev_cooccurrence, pevents.sql_cooccurrence()),
 }
 
 

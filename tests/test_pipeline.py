@@ -965,3 +965,36 @@ def test_anomaly_mad_flags_injected_spike(spark):
     )
     res = pev.anomaly_mad(flat).collect()
     assert all(not r.is_anomaly and r.mad == 0.0 for r in res)
+
+
+def test_incremental_dedup_drops_seen_and_collapses_batch(spark):
+    seen = spark.createDataFrame(
+        [(1, "old doc"), (2, "shared doc")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, "shared doc"), (11, "fresh doc"), (12, "fresh doc"), (13, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.keep_id: r.n_batch_dups
+           for r in dedup.incremental_exact_dedup(new, seen).collect()}
+    # the seen hash is gone; fresh dups collapse to min id with count
+    assert out == {11: 2, 13: 1}
+
+
+def test_cooccurrence_jaccard_hand_example(spark):
+    # user 1: one session with {view, click}; user 2: one session {view}
+    rows = [
+        (1, 1, "view", 0, 1.0),
+        (2, 1, "click", 1_000, 1.0),
+        (3, 2, "view", 0, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    )
+    from squirreldb_spark.pipeline import events as pev
+
+    out = pev.cooccurrence(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b, r.n_both, r.n_a, r.n_b) == ("click", "view", 1, 1, 2)
+    assert r.jaccard == 0.5  # 1 / (1 + 2 - 1)

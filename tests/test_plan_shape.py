@@ -460,3 +460,64 @@ def test_token_budget_auto_shards_mega_stratum(spark):
     # and the sampler really fans the stratum across shards
     n_shards = text._resolve_auto_shards(big, "text", auto_shard_bytes=5_000)
     assert n_shards > 1
+
+
+def test_chunk_sliding_is_zero_shuffle(spark, sf_dir):
+    """Chunking is a pure in-scan array fanout — any Exchange or Join
+    here means the narrow-map claim in docs/SCALE.md regressed."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.chunk_sliding(docs))
+    assert "Exchange" not in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+
+
+def test_split_assign_and_quality_logreg_zero_shuffle(spark, sf_dir):
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    for fn in (ptext.split_assign, ptext.quality_logreg):
+        plan = plan_of(fn(docs))
+        assert "Exchange" not in plan, (fn.__name__, plan[:800])
+        assert "Join" not in plan, (fn.__name__, plan[:800])
+
+
+def test_novelty_has_no_self_join_on_corpus(spark, sf_dir):
+    """Novelty is two natural-key aggregations + one doc-keyed join-back;
+    a SortMergeJoin of two full shingle explodes (the naive self-join
+    formulation) would be quadratic in hot shingles at scale."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.novelty(docs))
+    assert_no_theta_joins(plan, "novelty")
+    # exactly one join: the config-sized novel-count join-back on doc_id
+    n_joins = sum(
+        1 for ln in plan.splitlines()
+        if "Join" in ln and "BroadcastExchange" not in ln
+    )
+    assert n_joins <= 1, plan[:1200]
+    # the explode itself must not be re-computed per aggregation branch:
+    # both aggs hang off one Generate
+    assert plan.count("Generate explode") <= 2, plan[:1200]
+
+
+def test_matryoshka_prefix_scan_stays_broadcast(spark, sf_dir):
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    plan = plan_of(psim.matryoshka_recall(emb))
+    assert_no_theta_joins(plan, "matryoshka_recall")
+
+
+def test_anomaly_mad_reduces_before_percentiles(spark, sf_dir):
+    """The day-bucket groupBy must be the FIRST exchange (the 100 TB ->
+    KB reduction); med/mad join-backs broadcast."""
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.anomaly_mad(ev))
+    assert_no_theta_joins(plan, "anomaly_mad")
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, plan[:1200]
