@@ -618,3 +618,62 @@ FROM both_c c
 JOIN totals ta ON ta.t = c.type_a
 JOIN totals tb ON tb.t = c.type_b
 """
+
+
+def markov_transitions(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """First-order Markov transition matrix over within-session event
+    sequences: for every (from_type, to_type) the transition count and
+    the conditional probability P(to | from).
+
+    Scale shape: the session numbering and the lead() both run under the
+    SAME user_id window partitioning (one exchange); transition pairs
+    then reduce through a map-side-combined groupBy to a |types|^2
+    matrix, and the per-from normalization is a window over that tiny
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    numbered = _numbered_sessions(events, gap_ms, carry=("event_type",))
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    trans = (
+        numbered.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(wf), 6).alias("p"),
+    )
+
+
+def sql_markov_transitions(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS to_type
+  FROM numbered),
+counts AS (SELECT from_type, to_type, count(*) AS n FROM trans
+           WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       round(n / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
+FROM counts
+"""

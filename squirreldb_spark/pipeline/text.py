@@ -1224,3 +1224,82 @@ SELECT t.doc_id, t.n_shingles,
        round(coalesce(n.n_novel, 0) / t.n_shingles::DOUBLE, 6) AS novelty
 FROM totals t LEFT JOIN novel n ON t.doc_id = n.first_doc
 """
+
+
+# ------------------------------------------------ mixture-weighted sample
+
+
+def mixture_sample(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the temperature mixture: deterministic per-source
+    hash sampling at the rates :func:`mix_temperature_weights` implies.
+
+    Each (lang, source) gets token budget ``budget_frac * lang_tokens *
+    weight``; its sampling rate is that budget over its own token count
+    (clamped to 1). A document is kept when its content-hash uniform
+    ``u32 / 2^32`` falls below the 6-dp-rounded rate — so the sample is
+    reproducible, repartition-stable, and consistent with
+    ``split_assign``'s leakage guarantee (identical texts sample
+    identically).
+
+    Scale shape: the rates table is dashboard-sized and broadcast; the
+    corpus pass is a narrow map + one broadcast hash join — no shuffle
+    of document text anywhere.
+    """
+    from pyspark.sql import Window
+
+    weights = mix_temperature_weights(docs, alpha, text_col)
+    w = Window.partitionBy("lang")
+    rates = weights.select(
+        "lang",
+        "source",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.sum("tokens").over(w)
+                * F.col("sample_weight")
+                / F.col("tokens"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        f"cast(conv(substring(md5(cast({text_col} as binary)), 1, 8), 16, 10)"
+        " as bigint) / 4294967296.0"
+    )
+    return (
+        docs.join(F.broadcast(rates), ["lang", "source"])
+        .select(
+            "doc_id", "lang", "source", "rate",
+            (F.expr(u) < F.col("rate")).alias("keep"),
+        )
+    )
+
+
+def sql_mixture_sample(alpha: float = 0.5, budget_frac: float = 0.5) -> str:
+    return f"""
+WITH agg AS (
+  SELECT lang, source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY 1, 2),
+wts AS (
+  SELECT lang, source, tokens,
+         round(pow(tokens, {alpha})
+               / sum(pow(tokens, {alpha})) OVER (PARTITION BY lang), 6)
+           AS sample_weight
+  FROM agg),
+rates AS (
+  SELECT lang, source,
+         round(least(1.0, {budget_frac} * sum(tokens) OVER (PARTITION BY lang)
+                          * sample_weight / tokens), 6) AS rate
+  FROM wts)
+SELECT d.doc_id, d.lang, d.source, r.rate,
+       (('0x' || substr(md5(d.text), 1, 8))::BIGINT / 4294967296.0) < r.rate
+         AS keep
+FROM documents d JOIN rates r USING (lang, source)
+"""

@@ -2766,6 +2766,19 @@ def q_ev_cooccurrence(spark, sf_dir):
     return pevents.cooccurrence(_events(spark, sf_dir))
 
 
+def q_doc_mixture_sample(spark, sf_dir):
+    """Deterministic hash sampling at the temperature-mixture rates —
+    materializes the mix_temperature_weights plan (pipeline/text.py
+    mixture_sample)."""
+    return ptext.mixture_sample(_docs(spark, sf_dir))
+
+
+def q_ev_markov_transitions(spark, sf_dir):
+    """Within-session first-order Markov transition matrix with
+    conditional probabilities (pipeline/events.py markov_transitions)."""
+    return pevents.markov_transitions(_events(spark, sf_dir))
+
+
 def q_mm_video_neardup(spark, sf_dir):
     """Video-level near-dup by frame voting: banded pHash LSH over
     sampled frames, hamming-verified, >= 2 matching frames per doc pair
@@ -3151,6 +3164,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # session-level type co-occurrence / Jaccard affinity
     "ev_cooccurrence": QueryDef(q_ev_cooccurrence, pevents.sql_cooccurrence()),
+    # materialized temperature-mixture sample (deterministic hash pick)
+    "doc_mixture_sample": QueryDef(q_doc_mixture_sample, ptext.sql_mixture_sample()),
+    # within-session Markov transition matrix
+    "ev_markov_transitions": QueryDef(
+        q_ev_markov_transitions, pevents.sql_markov_transitions()
+    ),
 }
 
 

@@ -998,3 +998,46 @@ def test_cooccurrence_jaccard_hand_example(spark):
     r = out[0]
     assert (r.type_a, r.type_b, r.n_both, r.n_a, r.n_b) == ("click", "view", 1, 1, 2)
     assert r.jaccard == 0.5  # 1 / (1 + 2 - 1)
+
+
+def test_mixture_sample_rates_and_determinism(spark, docs):
+    out = text.mixture_sample(docs).toPandas()
+    # rates are valid probabilities, constant within (lang, source)
+    assert ((out.rate > 0) & (out.rate <= 1.0)).all()
+    assert (out.groupby(["lang", "source"]).rate.nunique() == 1).all()
+    # achieved fraction tracks the rate per source (hash-uniform pick)
+    ach = out.groupby(["lang", "source"]).agg(
+        rate=("rate", "first"), frac=("keep", "mean"), n=("keep", "size")
+    )
+    big = ach[ach.n >= 30]
+    assert ((big.frac - big.rate).abs() < 0.25).all()
+    # rerun is byte-identical (no RNG state)
+    again = text.mixture_sample(docs).toPandas()
+    assert out.sort_values("doc_id").keep.tolist() == \
+        again.sort_values("doc_id").keep.tolist()
+
+
+def test_markov_transitions_rows_and_probabilities(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    # one user, one session: view -> click -> view -> purchase
+    rows = [
+        (1, 1, "view", 0, 1.0),
+        (2, 1, "click", 1_000, 1.0),
+        (3, 1, "view", 2_000, 1.0),
+        (4, 1, "purchase", 3_000, 1.0),
+        # second session (after the gap): view -> view
+        (5, 1, "view", 10**10, 1.0),
+        (6, 1, "view", 10**10 + 1_000, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts long, value double"
+    )
+    out = {(r.from_type, r.to_type): (r.n, r.p)
+           for r in pev.markov_transitions(df).collect()}
+    # session boundary breaks the purchase -> view chain
+    assert ("purchase", "view") not in out
+    assert out[("view", "click")] == (1, 0.333333)
+    assert out[("view", "purchase")] == (1, 0.333333)
+    assert out[("view", "view")] == (1, 0.333333)
+    assert out[("click", "view")] == (1, 1.0)
