@@ -187,6 +187,29 @@ FROM rs GROUP BY 1, 2, 3
 """
 
 
+def _duck_prom_quantile(vals: str, q: float) -> str:
+    """DuckDB restatement of aggregation.prom_quantile_expr — the same
+    NaN-first ordering and ``lo*(1-w) + hi*w`` arithmetic as
+    promql/quantile.go, so both engines are formula-identical
+    bit-for-bit (quantile_cont's ``lo + (hi-lo)*w`` can differ in the
+    last ulp and flip a 6-dp rounding)."""
+    srt = f"list_sort(list_filter({vals}, x -> NOT isnan(x)))"
+    n = f"len({vals})"
+    k = f"({n} - len({srt}))"
+    rank = f"({q!r} * ({n} - 1))"
+    w = f"({rank} - floor({rank}))"
+    li = f"CAST(floor({rank}) AS INT)"
+    ui = f"CAST(least(CAST({n} - 1 AS DOUBLE), floor({rank}) + 1) AS INT)"
+
+    def at(idx: str) -> str:
+        return (
+            f"CASE WHEN {idx} < {k} THEN 'NaN'::DOUBLE"
+            f" ELSE ({srt})[{idx} - {k} + 1] END"
+        )
+
+    return f"({at(li)} * (1 - {w}) + {at(ui)} * {w})"
+
+
 def q_range_quantile(spark, sf_dir):
     df = range_fns.over_time(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "quantile", quantile=0.9
@@ -195,10 +218,12 @@ def q_range_quantile(spark, sf_dir):
 
 
 SQL_RANGE_QUANTILE = f"""
-WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()}
+WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
+g AS (SELECT user_id, event_type, step_ts, list(value) AS vals
+      FROM rs GROUP BY 1, 2, 3)
 SELECT user_id, event_type, step_ts,
-       round(quantile_cont(value, 0.9)::DOUBLE, 6) AS value
-FROM rs GROUP BY 1, 2, 3
+       round({_duck_prom_quantile('vals', 0.9)}, 6) AS value
+FROM g
 """
 
 
@@ -211,16 +236,15 @@ def q_range_mad(spark, sf_dir):
 
 SQL_RANGE_MAD = f"""
 WITH pts AS ({_PTS}), {_grid_sql()}, {_rs_sql()},
-med AS (
-  SELECT user_id, event_type, step_ts,
-         quantile_cont(value, 0.5) AS med
-  FROM rs GROUP BY 1, 2, 3)
-SELECT r.user_id, r.event_type, r.step_ts,
-       round(quantile_cont(abs(r.value - m.med), 0.5)::DOUBLE, 6) AS value
-FROM rs r
-JOIN med m ON r.user_id = m.user_id AND r.event_type = m.event_type
-          AND r.step_ts = m.step_ts
-GROUP BY 1, 2, 3
+g AS (SELECT user_id, event_type, step_ts, list(value) AS vals
+      FROM rs GROUP BY 1, 2, 3),
+m AS (SELECT user_id, event_type, step_ts, vals,
+             {_duck_prom_quantile('vals', 0.5)} AS med
+      FROM g)
+SELECT user_id, event_type, step_ts,
+       round({_duck_prom_quantile('list_transform(vals, x -> abs(x - med))', 0.5)},
+             6) AS value
+FROM m
 """
 
 
@@ -356,9 +380,10 @@ def q_agg_quantile_by(spark, sf_dir):
 
 
 SQL_AGG_QUANTILE_BY = _INST_SQL + (
-    "SELECT event_type, step_ts, round(quantile_cont(value, 0.5)::DOUBLE, 6) AS value"
-    " FROM inst GROUP BY 1, 2"
-)
+    ", g AS (SELECT event_type, step_ts, list(value) AS vals"
+    " FROM inst GROUP BY 1, 2)\n"
+    f"SELECT event_type, step_ts, round({{q}}, 6) AS value FROM g"
+).format(q=_duck_prom_quantile("vals", 0.5))
 
 
 def q_topk(spark, sf_dir):
@@ -3192,6 +3217,12 @@ _VERIFY_FIRST: list[str] = [
     "ts_rate",
     "ts_increase",
     "ts_preagg_route_rate",
+    # --- (0 cont.) quantile family rewritten round 5: upstream NaN-first
+    # ordering + lo*(1-w)+hi*w arithmetic (prom_quantile_expr), oracles
+    # rewritten formula-identical ---
+    "ts_quantile_over_time",
+    "ts_mad_over_time",
+    "ts_agg_quantile_by",
     # --- (1) r2-era attestations: promql_* planner family first ---
     "promql_rate_sum",
     "promql_selector_matchers",

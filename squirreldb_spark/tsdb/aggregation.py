@@ -42,6 +42,47 @@ _SIMPLE = {
 }
 
 
+def prom_quantile_expr(vals: str, q: float) -> str:
+    """Upstream quantile over a collected value array, exactly as
+    promql/quantile.go computes it: NaN sorts FIRST
+    (vectorByValueHeap.Less returns true for NaN), the rank is
+    ``q * (n - 1)`` and the result is ``lo*(1-w) + hi*w`` — so a NaN
+    adjacent to the rank position propagates into the result, and
+    q outside [0, 1] yields ±Inf. Spark's built-in ``percentile``
+    instead sorts NaN ABOVE +Inf and would put the NaNs at the wrong
+    end of every window.
+
+    Implementation: drop the NaNs, native-sort the remainder, and treat
+    the k dropped NaNs as occupying the first k sorted slots. The
+    sorted array is bound once via a one-element ``transform`` so the
+    sort runs once per group.
+    """
+    if q != q:  # NaN q
+        return "CAST('NaN' AS DOUBLE)"
+    if q < 0:
+        return "CAST('-Infinity' AS DOUBLE)"
+    if q > 1:
+        return "CAST('Infinity' AS DOUBLE)"
+    n = f"size({vals})"
+    rank = f"({q!r}D * ({n} - 1))"
+    w = f"({rank} - floor({rank}))"
+    li = f"CAST(floor({rank}) AS INT)"
+    ui = f"CAST(least(CAST({n} - 1 AS DOUBLE), floor({rank}) + 1D) AS INT)"
+
+    def at(idx: str) -> str:
+        # index < k (the NaN prefix) -> NaN, else the sorted non-NaN
+        return (
+            f"IF({idx} < {n} - size(_s), CAST('NaN' AS DOUBLE),"
+            f" element_at(_s, {idx} - ({n} - size(_s)) + 1))"
+        )
+
+    return (
+        f"element_at(transform(array(array_sort(filter({vals},"
+        f" x -> NOT isnan(x)))), _s ->"
+        f" {at(li)} * (1D - {w}) + {at(ui)} * {w}), 1)"
+    )
+
+
 def aggregate(
     vec: DataFrame,
     by: Sequence[str],
@@ -53,9 +94,14 @@ def aggregate(
     by = list(by)
     if fn == "quantile":
         assert quantile is not None
-        expr = F.expr(f"percentile(value, {quantile!r})")
-    else:
-        expr = _SIMPLE[fn]("value")
+        g = vec.groupBy(*by, "step_ts").agg(
+            F.collect_list("value").alias("_vals")
+        )
+        return g.select(
+            *by, "step_ts",
+            F.expr(prom_quantile_expr("_vals", quantile)).alias(out),
+        )
+    expr = _SIMPLE[fn]("value")
     return vec.groupBy(*by, "step_ts").agg(expr.alias(out))
 
 

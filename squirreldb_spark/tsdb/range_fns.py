@@ -198,9 +198,16 @@ def over_time(
     rs = range_select(points, keys, step_ms, range_ms, grid=grid)
     if fn == "quantile":
         assert quantile is not None
-        expr = F.expr(f"percentile(value, {quantile!r})")
-    else:
-        expr = _OVER_TIME[fn]("value")
+        from squirreldb_spark.tsdb.aggregation import prom_quantile_expr
+
+        g = rs.groupBy(*keys, "step_ts").agg(
+            F.collect_list("value").alias("_vals")
+        )
+        return g.select(
+            *keys, "step_ts",
+            F.expr(prom_quantile_expr("_vals", quantile)).alias(out),
+        )
+    expr = _OVER_TIME[fn]("value")
     return rs.groupBy(*keys, "step_ts").agg(expr.alias(out))
 
 
@@ -215,21 +222,23 @@ def mad_over_time(
     """``mad_over_time(m[range])`` (Prometheus experimental): median
     absolute deviation around the window median.
 
-    Two exact-percentile aggregations: the per-step median table is
-    (series x steps)-sized — far smaller than the range rows — so it
-    broadcasts back onto the range vector (observed plan: broadcast
-    join, zero sort-merge joins) and the deviations aggregate on the
-    same (series, step) key.
+    ONE aggregation: the window's values collect once per (series,
+    step); the median, the deviation array and the deviation median are
+    then in-row array math (upstream's NaN-first quantile both times,
+    aggregation.prom_quantile_expr) — no second shuffle and no
+    median-table join-back at all.
     """
+    from squirreldb_spark.tsdb.aggregation import prom_quantile_expr
+
     keys = list(keys)
     rs = range_select(points, keys, step_ms, range_ms, grid=grid)
-    med = rs.groupBy(*keys, "step_ts").agg(
-        F.expr("percentile(value, 0.5)").alias("_med")
+    g = rs.groupBy(*keys, "step_ts").agg(
+        F.collect_list("value").alias("_vals")
     )
-    return (
-        rs.join(med, [*keys, "step_ts"])
-        .groupBy(*keys, "step_ts")
-        .agg(F.expr("percentile(abs(value - _med), 0.5)").alias(out))
+    g = g.withColumn("_med", F.expr(prom_quantile_expr("_vals", 0.5)))
+    dev = "transform(_vals, x -> abs(x - _med))"
+    return g.select(
+        *keys, "step_ts", F.expr(prom_quantile_expr(dev, 0.5)).alias(out)
     )
 
 

@@ -78,14 +78,15 @@ def pstdvar(vals):
 
 
 def pquantile(q, vals):
-    """promql/quantile.go: linear interpolation at rank q*(n-1)."""
+    """promql/quantile.go: linear interpolation at rank q*(n-1).
+    NaN sorts FIRST (vectorByValueHeap.Less returns true for NaN)."""
     if not vals:
         return float("nan")
     if q < 0:
         return float("-inf")
     if q > 1:
         return float("inf")
-    s = sorted(vals)
+    s = sorted(vals, key=lambda v: (0 if math.isnan(v) else 1, v))
     n = len(s)
     rank = q * (n - 1)
     lo = int(math.floor(rank))

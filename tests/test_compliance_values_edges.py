@@ -267,3 +267,72 @@ def test_values_changes_nan_to_nan_is_not_a_change(spark):
     # n1 over the LEFT-OPEN (0,60s] window: ts=0 is excluded, leaving
     # NaN, 3, NaN, 7 -> 3 in-window transitions, all counted
     assert got[("n1", 60_000)] == 3.0
+
+
+def test_values_quantile_over_time_nan_sorts_first(spark):
+    """promql/quantile.go sorts NaN FIRST (vectorByValueHeap.Less is
+    true for NaN) and interpolates lo*(1-w) + hi*w — so low phi touches
+    the NaN prefix (-> NaN result) while high phi over the same window
+    is a clean number. Spark's percentile puts NaN at the HIGH end,
+    which would invert this; the engine must not use it."""
+    from test_compliance_values import pquantile
+
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    for phi in (0.0, 0.1, 0.5, 0.9, 1.0):
+        q = f"quantile_over_time({phi}, edge_nan[1m])"
+        want = {}
+        for inst in ("n1", "n2", "n3"):
+            s = _samples(NAN_ROWS, inst)
+            for t in GRID:
+                w = [v for _, v in window(s, t, 60_000)]
+                if w:
+                    want[(inst, t)] = pquantile(phi, w)
+        got = res(eng, q, "instance")
+        assert_vals(got, want, q)
+    # sanity on the discriminating shape: n1 window at 60s (left-open)
+    # holds [NaN, 3, NaN, 7] -> sorted NaN,NaN,3,7; phi=0 -> NaN,
+    # phi=1 -> 7, phi=0.5 (rank 1.5, between the 2nd NaN and 3) -> NaN
+    w = [v for _, v in window(_samples(NAN_ROWS, "n1"), 60_000, 60_000)]
+    assert math.isnan(pquantile(0.0, w)) and pquantile(1.0, w) == 7.0
+    assert math.isnan(pquantile(0.5, w))
+    got_hi = res(eng, "quantile_over_time(1, edge_nan[1m])", "instance")
+    assert got_hi[("n1", 60_000)] == 7.0
+    got_mid = res(eng, "quantile_over_time(0.5, edge_nan[1m])", "instance")
+    assert math.isnan(got_mid[("n1", 60_000)])
+
+
+def test_values_quantile_agg_nan_and_out_of_range_phi(spark):
+    from test_compliance_values import pquantile
+
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    # vector at 30s is {n1: NaN, n2: NaN, n3: 4.0}
+    for phi in (0.25, 0.75):
+        got = res(eng, f"quantile({phi}, edge_nan)")
+        want = {}
+        for t in GRID:
+            vec = list(_nan_vec(t).values())
+            if vec:
+                want[(t,)] = pquantile(phi, vec)
+        assert_vals(got, want, f"quantile({phi}, ...)")
+    # phi outside [0,1] -> +/-Inf for every populated step (upstream
+    # returns the infinity with a warning annotation)
+    lo = res(eng, "quantile(-0.5, edge_nan)")
+    hi = res(eng, "quantile(1.5, edge_nan)")
+    assert all(v == -math.inf for v in lo.values()) and lo
+    assert all(v == math.inf for v in hi.values()) and hi
+
+
+def test_values_mad_over_time_nan_first_median(spark):
+    from test_compliance_values import pquantile
+
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    got = res(eng, "mad_over_time(edge_nan[1m])", "instance")
+    want = {}
+    for inst in ("n1", "n2", "n3"):
+        s = _samples(NAN_ROWS, inst)
+        for t in GRID:
+            w = [v for _, v in window(s, t, 60_000)]
+            if w:
+                med = pquantile(0.5, w)
+                want[(inst, t)] = pquantile(0.5, [abs(v - med) for v in w])
+    assert_vals(got, want, "mad_over_time")
