@@ -95,7 +95,8 @@ agg AS (
   SELECT user_id, event_type, step_ts, count(*) AS n,
          min(ts) AS first_ts, max(ts) AS last_ts,
          arg_min(value, ts) AS first_val, arg_max(value, ts) AS last_val,
-         coalesce(sum(CASE WHEN value < prev_value THEN prev_value END), 0.0) AS reset_corr
+         coalesce(sum(CASE WHEN value < prev_value AND NOT isnan(prev_value)
+                           THEN prev_value END), 0.0) AS reset_corr
   FROM win GROUP BY 1, 2, 3 HAVING count(*) >= 2),
 calc AS (
   SELECT user_id, event_type, step_ts, first_val,
@@ -310,7 +311,8 @@ agg AS (
          max(ts) AS last_ts, min(ts) AS prev_ts
   FROM win WHERE rn <= 2 GROUP BY 1, 2, 3 HAVING count(*) >= 2)
 SELECT user_id, event_type, step_ts,
-       round((CASE WHEN last_val < prev_val THEN last_val ELSE last_val - prev_val END)
+       round((CASE WHEN last_val < prev_val AND NOT isnan(prev_val)
+                   THEN last_val ELSE last_val - prev_val END)
              / ((last_ts - prev_ts) / 1000.0), 6) AS value
 FROM agg
 """

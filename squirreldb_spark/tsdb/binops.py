@@ -28,7 +28,11 @@ def _ieee_div(l, r):
     """
     return F.when(
         r == 0,
-        F.when(l > 0, F.lit(float("inf")))
+        # the NaN guard must come first: Spark orders NaN above every
+        # double, so `NaN > 0` is TRUE and would return +Inf where Go's
+        # NaN/0 is NaN
+        F.when(F.isnan(l), F.lit(float("nan")))
+        .when(l > 0, F.lit(float("inf")))
         .when(l < 0, F.lit(float("-inf")))
         .otherwise(F.lit(float("nan"))),
     ).otherwise(l / r)
@@ -39,13 +43,28 @@ def _ieee_mod(l, r):
     return F.when(r == 0, F.lit(float("nan"))).otherwise(l % r)
 
 
+def _go_pow(l, r):
+    """Go math.Pow's IEEE-754-2008 special cases that the JVM's
+    Math.pow (and hence Spark's pow) gets differently: Pow(1, y) = 1
+    for ANY y including NaN, and Pow(-1, ±Inf) = 1 — Java returns NaN
+    for both ("if |base| is 1 and the exponent is infinite, the result
+    is NaN"). Pow(x, ±0) = 1 agrees on both platforms but is kept
+    explicit so the branch order is self-evident."""
+    return (
+        F.when(l == 1.0, F.lit(1.0))
+        .when(r == 0.0, F.lit(1.0))
+        .when((l == -1.0) & (~F.isnan(r)) & (F.abs(r) == float("inf")), F.lit(1.0))
+        .otherwise(F.pow(l, r))
+    )
+
+
 _ARITH = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
     "/": _ieee_div,
     "%": _ieee_mod,                   # fmod on doubles, like PromQL
-    "^": lambda l, r: F.pow(l, r),
+    "^": _go_pow,
     "atan2": lambda l, r: F.atan2(l, r),  # Prometheus 2.31+ binop
 }
 

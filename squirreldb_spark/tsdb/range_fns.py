@@ -72,7 +72,17 @@ def extrapolated(
         F.min_by("value", "ts").alias("first_val"),
         F.max_by("value", "ts").alias("last_val"),
         F.coalesce(
-            F.sum(F.when(F.col("value") < F.col("prev_value"), F.col("prev_value"))),
+            # upstream reset detection is a plain float `<` — NaN
+            # operands never compare true. Spark orders NaN above every
+            # number (value < NaN is TRUE), so a NaN predecessor must be
+            # masked or it would count as a reset and poison the sum.
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("prev_value"))
+                    & ~F.isnan(F.col("prev_value")),
+                    F.col("prev_value"),
+                )
+            ),
             F.lit(0.0),
         ).alias("reset_corr"),
         # >= 2 samples AND a nonzero time spread: duplicate-timestamp
@@ -145,8 +155,14 @@ def instantaneous(
         F.col("prev_ts").isNotNull() & (F.col("prev_ts") < F.col("last_ts"))
     )
     if is_rate:
+        # counter-reset test is upstream's plain float `<`: a NaN
+        # predecessor never resets (last < NaN is TRUE under Spark's
+        # NaN-is-largest ordering, so it needs the explicit mask); the
+        # unmasked subtraction then propagates NaN exactly like Go
         diff = F.when(
-            F.col("last_val") < F.col("prev_val"), F.col("last_val")
+            (F.col("last_val") < F.col("prev_val"))
+            & ~F.isnan(F.col("prev_val")),
+            F.col("last_val"),
         ).otherwise(F.col("last_val") - F.col("prev_val"))
         value = diff / ((F.col("last_ts") - F.col("prev_ts")) / F.lit(1000.0))
     else:

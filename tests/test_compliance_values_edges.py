@@ -336,3 +336,84 @@ def test_values_mad_over_time_nan_first_median(spark):
                 med = pquantile(0.5, w)
                 want[(inst, t)] = pquantile(0.5, [abs(v - med) for v in w])
     assert_vals(got, want, "mad_over_time")
+
+
+def test_values_rate_increase_nan_windows(spark):
+    """NaN samples in a counter window: upstream's plain float reset
+    test never fires on NaN (value < NaN and NaN < value are both
+    false in Go), and the first/last subtraction propagates NaN.
+    Spark's NaN-is-largest ordering would instead count every
+    number->NaN transition as a reset and add a NaN correction."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    for kind in ("rate", "increase"):
+        got = res(eng, f"{kind}(edge_nan[1m])", "instance")
+        want = {}
+        for inst in ("n1", "n2", "n3"):
+            s = _samples(NAN_ROWS, inst)
+            for t in GRID:
+                w = window(s, t, 60_000)
+                v = extrapolated(w, 60_000, t, kind)
+                if v is not None:
+                    want[(inst, t)] = v
+        assert_vals(got, want, kind)
+        # the discriminating windows really are NaN (not a number from
+        # a bogus reset correction)
+        assert math.isnan(got[("n1", 30_000)])
+        assert not math.isnan(got[("n3", 30_000)])
+
+
+def test_values_irate_nan_predecessor_is_not_a_reset(spark):
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    got = res(eng, "irate(edge_nan[1m])", "instance")
+    want = {}
+    for inst in ("n1", "n2", "n3"):
+        s = _samples(NAN_ROWS, inst)
+        for t in GRID:
+            w = window(s, t, 60_000)
+            if len(w) < 2:
+                continue
+            (pt, pv), (lt, lv) = w[-2], w[-1]
+            diff = lv if (lv < pv) else lv - pv  # Go float <: NaN never
+            want[(inst, t)] = diff / ((lt - pt) / 1000)
+    assert_vals(got, want, "irate")
+    # the discriminating shape is t=60s: the window's last two samples
+    # are (30s NaN, 40s 7.0) — upstream's "7 < NaN" is FALSE (no
+    # reset), so the result is (7 - NaN)/10s = NaN; a Spark-ordered
+    # comparison would call it a reset and emit 0.7
+    s1 = _samples(NAN_ROWS, "n1")
+    w = window(s1, 60_000, 60_000)
+    assert math.isnan(w[-2][1]) and w[-1][1] == 7.0
+    assert math.isnan(got[("n1", 60_000)])
+
+
+def test_values_pow_go_special_cases(spark):
+    """Go math.Pow: 1^y = 1 for ANY y (NaN, ±Inf) and (-1)^±Inf = 1;
+    the JVM's Math.pow returns NaN for both families."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    # 1 ^ NaN: n2 is all-NaN, result must still be 1 everywhere
+    got = res(eng, "1 ^ edge_nan", "instance")
+    for (inst, t), v in got.items():
+        assert v == 1.0, (inst, t, v)
+    # x ^ 0 = 1 even for NaN bases (agrees on both platforms)
+    got0 = res(eng, "edge_nan ^ 0", "instance")
+    assert got0 and all(v == 1.0 for v in got0.values())
+    # (-1) ^ +Inf = 1 (edge_nan / 0 is +Inf for n3's finite positives,
+    # NaN for NaN bases -> (-1)^NaN stays NaN on both platforms)
+    gotm = res(eng, "(edge_nan * 0 - 1) ^ (edge_nan / 0)", "instance")
+    for t in GRID:
+        if (("n3", t)) in gotm:
+            assert gotm[("n3", t)] == 1.0
+        if (("n2", t)) in gotm:
+            assert math.isnan(gotm[("n2", t)])
+
+
+def test_values_nan_div_zero_is_nan(spark):
+    """Go: NaN / 0 = NaN; the naive ANSI-safe CASE (l > 0 -> +Inf)
+    returns +Inf under Spark's NaN-is-largest ordering."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    got = res(eng, "edge_nan / 0", "instance")
+    for t in GRID:
+        if ("n2", t) in got:
+            assert math.isnan(got[("n2", t)])
+        if ("n3", t) in got:
+            assert got[("n3", t)] == math.inf
