@@ -833,7 +833,18 @@ class PromQLEngine:
         if name == "round":
             vec = self._eval(node.args[0])
             nearest = self._eval(node.args[1]) if len(node.args) > 1 else 1.0
-            value = F.round(F.col("value") / F.lit(nearest)) * F.lit(nearest)
+            # upstream funcRound: floor(v * (1/nearest) + 0.5) / (1/nearest)
+            # — halves round toward +Inf (round(-2.5) = -2). Spark's
+            # F.round is HALF_UP away from zero (-2.5 -> -3), and its
+            # floor() returns BIGINT (NaN -> 0, huge values overflow),
+            # so the double floor is spelled as x - pmod(x, 1) with
+            # NaN/Inf passed through untouched.
+            inv = 1.0 / float(nearest)
+            v = F.col("value")
+            shifted = v * F.lit(inv) + F.lit(0.5)
+            value = F.when(
+                F.isnan(v) | (F.abs(v) == float("inf")), v
+            ).otherwise((shifted - F.pmod(shifted, F.lit(1.0))) / F.lit(inv))
             return self._drop_name(
                 Vec(vec.df.withColumn("value", value), vec.labels)
             )
@@ -846,6 +857,19 @@ class PromQLEngine:
                 v = F.least(v, F.lit(float(self._eval(node.args[2]))))
             if name == "clamp_max":
                 v = F.least(v, F.lit(float(self._eval(node.args[1]))))
+            # Go Max/Min propagate NaN, Spark's least() picks the
+            # smallest non-NaN (NaN orders largest) — a NaN sample must
+            # stay NaN through the clamp
+            v = F.when(F.isnan(F.col("value")), F.col("value")).otherwise(v)
+            if name == "clamp":
+                lo = float(self._eval(node.args[1]))
+                hi = float(self._eval(node.args[2]))
+                if lo != lo or hi != hi:  # NaN bound -> all values NaN
+                    v = F.lit(float("nan"))
+                elif lo > hi:  # upstream: empty vector, not NaN
+                    return self._drop_name(
+                        Vec(vec.df.filter(F.lit(False)), vec.labels)
+                    )
             return self._drop_name(
                 Vec(vec.df.withColumn("value", v), vec.labels)
             )

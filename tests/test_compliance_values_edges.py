@@ -417,3 +417,42 @@ def test_values_nan_div_zero_is_nan(spark):
             assert math.isnan(got[("n2", t)])
         if ("n3", t) in got:
             assert got[("n3", t)] == math.inf
+
+
+def test_values_round_halves_toward_plus_inf(spark):
+    """funcRound is floor(v/r + 0.5)*r: halves round toward +Inf
+    (round(-2.5) = -2, round(2.5) = 3). Spark's HALF_UP rounds away
+    from zero (-2.5 -> -3) and must not be used."""
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    # n3 is constant 4.0 -> 4*0.625 - 5 = -2.5; round() -> -2.0
+    got = res(eng, "round(edge_nan * 0.625 - 5)", "instance")
+    for t in GRID:
+        if ("n3", t) in got:
+            assert got[("n3", t)] == -2.0, got[("n3", t)]
+        if ("n2", t) in got:  # NaN passes through floor
+            assert math.isnan(got[("n2", t)])
+    # positive half: 4*0.625 = 2.5 -> 3.0; and to-nearest 0.5: floor
+    # semantics at 4*0.3125 - 1.375 = -0.125 -> round(..., 0.5) = -0.0
+    got2 = res(eng, "round(edge_nan * 0.625)", "instance")
+    assert all(v == 3.0 for (i, t), v in got2.items() if i == "n3")
+    got3 = res(eng, "round(edge_nan * 0.3125 - 1.375, 0.5)", "instance")
+    assert all(v == 0.0 for (i, t), v in got3.items() if i == "n3")
+
+
+def test_values_clamp_nan_and_inverted_bounds(spark):
+    eng = _mk_engine(spark, "edge_nan", NAN_ROWS)
+    # NaN sample stays NaN through every clamp (Go Max/Min propagate;
+    # Spark least() would return the bound)
+    for q, n3_want in (("clamp(edge_nan, 1, 3)", 3.0),
+                       ("clamp_max(edge_nan, 3)", 3.0),
+                       ("clamp_min(edge_nan, 1)", 4.0)):
+        got = res(eng, q, "instance")
+        for t in GRID:
+            if ("n2", t) in got:
+                assert math.isnan(got[("n2", t)]), (q, t)
+        # the clean series (constant 4.0) clamps numerically
+        for t in GRID:
+            if ("n3", t) in got:
+                assert got[("n3", t)] == n3_want, (q, got[("n3", t)])
+    # min > max -> EMPTY vector (not NaN): functions.md special case
+    assert res(eng, "clamp(edge_nan, 3, 1)", "instance") == {}
