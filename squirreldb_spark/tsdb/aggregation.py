@@ -22,6 +22,33 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+def upstream_avg(c) -> "F.Column":
+    """Upstream avg semantics (funcAvgOverTime / engine.go avg): the
+    incremental-Kahan mean never overflows on FINITE inputs — the mean
+    of two 1.7e308 samples is 1.7e308, not +Inf. A plain sum/count
+    overflows, so: take the cheap distributive avg unless it came out
+    ±Inf without any ±Inf input, and in that case rescale by 2^-64
+    (exact for the huge doubles that caused the overflow — power-of-two
+    scaling loses no bits on normal values) and scale back. NaN inputs
+    and genuine ±Inf inputs take the plain-avg branch, whose
+    NaN/±Inf propagation already matches the upstream loop.
+
+    Fully distributive — three combiner-friendly aggregates, no
+    collect, no second pass — at the cost of matching upstream to ~1
+    ulp rather than bit-for-bit (upstream's own result depends on its
+    sequential Kahan order anyway).
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    plain = F.avg(c)
+    any_inf = F.max((F.abs(c) == float("inf")).cast("int")) == 1
+    rescaled = F.avg(c * F.lit(2.0 ** -64)) * F.lit(2.0 ** 64)
+    return (
+        F.when(F.abs(plain) != float("inf"), plain)  # finite or NaN
+        .when(any_inf, plain)
+        .otherwise(rescaled)
+    )
+
+
 _SIMPLE = {
     "sum": lambda c: F.sum(c),
     "min": lambda c: F.min(c),
@@ -34,7 +61,7 @@ _SIMPLE = {
         F.max(F.when(~F.isnan(c), F.col(c) if isinstance(c, str) else c)),
         F.max(c),
     ),
-    "avg": lambda c: F.avg(c),
+    "avg": upstream_avg,
     "count": lambda c: F.count(c).cast("double"),
     "stddev": lambda c: F.stddev_pop(c),
     "stdvar": lambda c: F.var_pop(c),

@@ -20,6 +20,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from squirreldb_spark.tsdb.aggregation import upstream_avg as _upstream_avg
 from squirreldb_spark.tsdb.selectors import range_select
 
 
@@ -182,7 +183,7 @@ def _nan_skipping_max(c):
 
 
 _OVER_TIME = {
-    "avg": lambda c: F.avg(c),
+    "avg": _upstream_avg,
     "min": lambda c: F.min(c),
     "max": _nan_skipping_max,
     "sum": lambda c: F.sum(c),

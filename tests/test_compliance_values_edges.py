@@ -456,3 +456,37 @@ def test_values_clamp_nan_and_inverted_bounds(spark):
                 assert got[("n3", t)] == n3_want, (q, got[("n3", t)])
     # min > max -> EMPTY vector (not NaN): functions.md special case
     assert res(eng, "clamp(edge_nan, 3, 1)", "instance") == {}
+
+
+#: huge-value series: finite doubles whose plain sum overflows
+HUGE_ROWS = (
+    [("h1", ts, 1.6e308) for ts in range(0, 50_000, 10_000)]
+    + [("h2", ts, v) for ts, v in [
+        (0, 1.6e308), (10_000, float("inf")), (20_000, 1.0)]]
+    + [("h3", ts, 4.0) for ts in range(0, 130_000, 10_000)]
+)
+
+
+def test_values_avg_does_not_overflow_on_finite_inputs(spark):
+    """funcAvgOverTime / engine.go avg use an incremental Kahan mean:
+    the mean of five 1.6e308 samples is 1.6e308, never +Inf. A plain
+    sum/count overflows; a genuine +Inf input must still yield +Inf."""
+    eng = _mk_engine(spark, "edge_huge", HUGE_ROWS)
+    got = res(eng, "avg_over_time(edge_huge[1m])", "instance")
+    for t in GRID:
+        if ("h1", t) in got:
+            assert got[("h1", t)] == pytest.approx(1.6e308, rel=1e-9), got[("h1", t)]
+        if ("h2", t) in got:
+            w = [v for _, v in window(_samples(HUGE_ROWS, "h2"), t, 60_000)]
+            if any(math.isinf(v) for v in w):
+                assert got[("h2", t)] == math.inf  # real Inf input wins
+            else:
+                assert got[("h2", t)] == pytest.approx(w[0], rel=1e-9)
+        if ("h3", t) in got:
+            assert got[("h3", t)] == 4.0
+    # cross-series avg: h3's 4.0 can't rescue the overflow — but the
+    # group (h1, h3) at t=30s has finite inputs only, so finite mean
+    got_agg = res(eng, 'avg(edge_huge{instance=~"h1|h3"})')
+    for t in (0, 30_000):
+        if (t,) in got_agg:
+            assert got_agg[(t,)] == pytest.approx(8e307, rel=1e-9), got_agg[(t,)]
