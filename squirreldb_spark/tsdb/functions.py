@@ -40,19 +40,38 @@ def histogram_quantile(
     ``vec``: (group_keys..., step_ts, le_col DOUBLE (inf for +Inf), value =
     cumulative count). Returns (group_keys..., step_ts, out).
 
-    Algorithm (upstream histogramQuantile): rank = q * total; locate the
-    first bucket whose cumulative count >= rank; linear-interpolate between
-    the bucket's bounds; the +Inf bucket answers with the highest finite le.
+    Algorithm (upstream bucketQuantile, promql/quantile.go): enforce
+    bucket-count monotonicity (running max — scrape races can produce
+    dips), rank = q * total, locate the first bucket whose cumulative
+    count >= rank and linear-interpolate between its bounds. Special
+    cases, all upstream: phi NaN/<0/>1 -> NaN/-Inf/+Inf per series; no
+    +Inf bucket or fewer than two buckets or an empty histogram -> NaN;
+    rank in the +Inf bucket -> highest finite le; the lowest bucket
+    interpolates from 0 only when its upper bound is positive, else
+    returns the bound itself.
     """
     keys = list(group_keys) + ["step_ts"]
-    w = Window.partitionBy(*keys).orderBy(F.col(le_col))
+    if q != q or q < 0 or q > 1:
+        const = float("nan") if q != q else (float("-inf") if q < 0 else float("inf"))
+        return (
+            vec.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .select(*keys, F.lit(const).alias(out))
+        )
+    wg = Window.partitionBy(*keys)
+    w = wg.orderBy(F.col(le_col))
+    mono = F.max("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
     enriched = (
-        vec.withColumn("prev_le", F.lag(le_col).over(w))
+        vec.withColumn("value", mono)  # ensureMonotonic: clamp dips
+        .withColumn("prev_le", F.lag(le_col).over(w))
         .withColumn("prev_count", F.lag("value").over(w))
-        .withColumn("total", F.max("value").over(Window.partitionBy(*keys)))
+        .withColumn("total", F.max("value").over(wg))
         .withColumn("max_finite_le",
                     F.max(F.when(~F.col(le_col).isin(float("inf")), F.col(le_col)))
-                    .over(Window.partitionBy(*keys)))
+                    .over(wg))
+        .withColumn("has_inf",
+                    F.max((F.col(le_col) == float("inf")).cast("int")).over(wg) == 1)
+        .withColumn("n_buckets", F.count(F.lit(1)).over(wg))
     )
     rank = F.lit(q) * F.col("total")
     # first bucket reaching the rank
@@ -70,9 +89,14 @@ def histogram_quantile(
     interp = F.when(
         bucket_n == 0, F.lit(float("nan"))
     ).otherwise(lower + (F.col(le_col) - lower) * (rank - prev_c) / bucket_n)
-    value = F.when(
-        F.col(le_col) == float("inf"), F.col("max_finite_le")
-    ).otherwise(interp)
+    value = (
+        # not a conformant histogram: no +Inf bucket, or only +Inf
+        F.when(~F.col("has_inf") | (F.col("n_buckets") < 2), F.lit(float("nan")))
+        .when(F.col(le_col) == float("inf"), F.col("max_finite_le"))
+        # lowest bucket with a non-positive bound: no zero anchor below it
+        .when(F.col("prev_le").isNull() & (F.col(le_col) <= 0), F.col(le_col))
+        .otherwise(interp)
+    )
     return hit.select(*keys, value.alias(out))
 
 

@@ -839,11 +839,25 @@ def heng(spark):
 def _bucket_quantile(q: float, buckets: list[tuple[float, float]]) -> float:
     """promql/quantile.go bucketQuantile: linear interpolation inside the
     containing bucket, lowest bucket interpolates from 0 when its upper
-    bound is positive, q landing in +Inf returns the highest finite le."""
+    bound is positive, q landing in +Inf returns the highest finite le.
+    Counts are clamped monotonic first (ensureMonotonic); phi outside
+    [0,1] -> ±Inf; <2 buckets or an empty histogram -> NaN."""
+    if math.isnan(q):
+        return float("nan")
+    if q < 0:
+        return float("-inf")
+    if q > 1:
+        return float("inf")
     buckets = sorted(buckets)
     if not math.isinf(buckets[-1][0]):
         return float("nan")
+    run = float("-inf")
+    buckets = [(le, run := max(run, c)) for le, c in buckets]
+    if len(buckets) < 2:
+        return float("nan")
     total = buckets[-1][1]
+    if total == 0:
+        return float("nan")
     rank = q * total
     b = 0
     while buckets[b][1] < rank:

@@ -490,3 +490,59 @@ def test_values_avg_does_not_overflow_on_finite_inputs(spark):
     for t in (0, 30_000):
         if (t,) in got_agg:
             assert got_agg[(t,)] == pytest.approx(8e307, rel=1e-9), got_agg[(t,)]
+
+
+def _heng_from(spark, rows):
+    pts = spark.createDataFrame(
+        rows, "instance string, le string, name string, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=("instance", "le", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+
+
+def test_values_histogram_quantile_edge_buckets(spark):
+    """bucketQuantile edge branches: non-monotonic counts are clamped to
+    the running max (scrape-race dips), a histogram with no +Inf bucket
+    or a single bucket is NaN, a non-positive lowest bound returns the
+    bound itself (no zero anchor below), and phi outside [0,1] is
+    ±Inf."""
+    from test_compliance_values import _bucket_quantile
+
+    def mk(inst, counts):
+        return [(inst, le, "edge_hist", t, c)
+                for t in (0, 30_000) for le, c in counts]
+
+    dip = [("0.1", 10.0), ("0.5", 8.0), ("1", 20.0), ("+Inf", 20.0)]
+    noinf = [("0.1", 10.0), ("1", 20.0)]
+    solo = [("+Inf", 20.0)]
+    neg = [("-1", 5.0), ("1", 10.0), ("+Inf", 10.0)]
+    rows = mk("dip", dip) + mk("noinf", noinf) + mk("solo", solo) + mk("neg", neg)
+    eng = _heng_from(spark, rows)
+
+    got = res(eng, "histogram_quantile(0.5, edge_hist)", "instance")
+    fixtures = {"dip": dip, "noinf": noinf, "solo": solo, "neg": neg}
+    for inst, counts in fixtures.items():
+        want = _bucket_quantile(
+            0.5, [(float(le.replace("+Inf", "inf")), c) for le, c in counts]
+        )
+        for t in (0, 30_000):
+            g = got[(inst, t)]
+            if math.isnan(want):
+                assert g is None or math.isnan(g), (inst, g)
+            else:
+                assert g == pytest.approx(want, rel=1e-9), (inst, g, want)
+    # the dip really exercises the clamp: rank 10 lands in the clamped
+    # (0.5, 10] bucket whose width is zero counts -> upstream continues
+    # to the next bucket... verify against the checker's exact value
+    assert not math.isnan(got[("dip", 0)])
+    # phi outside [0, 1]
+    hi = res(eng, "histogram_quantile(1.5, edge_hist)", "instance")
+    lo = res(eng, "histogram_quantile(-1, edge_hist)", "instance")
+    assert hi and all(v == math.inf for v in hi.values())
+    assert lo and all(v == -math.inf for v in lo.values())
+    # NaN branches really hit
+    assert math.isnan(got[("noinf", 0)]) and math.isnan(got[("solo", 0)])
+    # negative lowest bound: rank 5 -> first bucket -> returns -1.0
+    assert got[("neg", 0)] == -1.0
