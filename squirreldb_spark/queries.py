@@ -2040,6 +2040,32 @@ FROM inst GROUP BY 1, 2
 """
 
 
+def q_api_instant_query(spark, sf_dir):
+    """The /api/v1/query (instant) path: a single-step range query at an
+    explicit evaluation time through PromAPI (api.py query)."""
+    from squirreldb_spark.api import PromAPI
+
+    api = PromAPI(_pts(spark, sf_dir), label_cols=tuple(KEYS),
+                  name_label="event_type", lookback_ms=LOOKBACK_MS)
+    out = api.query("sum by (event_type) (view)", API_START_MS)
+    return _round(out, {"value": 6})
+
+
+SQL_API_INSTANT_QUERY = f"""
+WITH pts AS ({_PTS}),
+inst AS (
+  SELECT user_id, arg_max(value, ts) AS v
+  FROM pts
+  WHERE event_type = 'view'
+    AND ts > {API_START_MS} - {LOOKBACK_MS} AND ts <= {API_START_MS}
+  GROUP BY user_id)
+SELECT 'view' AS event_type, CAST({API_START_MS} AS BIGINT) AS step_ts,
+       round(sum(v), 6) AS value
+FROM inst
+HAVING count(*) > 0
+"""
+
+
 SQL_API_QUERY_RANGE = f"""
 WITH pts AS (SELECT user_id, event_type, epoch_ms(ts) AS ts, value
              FROM events WHERE user_id % 2 = 0),
@@ -3196,6 +3222,16 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # within-session Markov transition matrix
     "ev_markov_transitions": QueryDef(
         q_ev_markov_transitions, pevents.sql_markov_transitions()
+    ),
+    # /api/v1/query (instant) through the API layer
+    "api_instant_query": QueryDef(q_api_instant_query, SQL_API_INSTANT_QUERY),
+    # Prometheus 3.x spelling of holt_winters through the full parser;
+    # the function drops __name__ (= event_type here), so the oracle is
+    # the holt_winters recurrence restricted to the selected metric
+    "promql_double_exp_smoothing": QueryDef(
+        _promql("double_exponential_smoothing(purchase[14d], 0.5, 0.3)"),
+        f"SELECT user_id, step_ts, value FROM ({_holt_winters_sql(0.5, 0.3)}) _h"
+        " WHERE event_type = 'purchase'",
     ),
 }
 
