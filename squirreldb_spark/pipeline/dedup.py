@@ -889,3 +889,62 @@ SELECT content_hash, min(doc_id) AS keep_id,
        count(*) AS n_batch_dups
 FROM fresh GROUP BY content_hash
 """
+
+
+def minhash_accuracy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator self-evaluation: for every LSH candidate pair, the
+    MinHash-estimated Jaccard against the EXACT n-gram Jaccard and the
+    absolute error — the calibration check a dedup deployment runs
+    before trusting its K/bands/threshold configuration.
+
+    Scale shape: the expensive parts are the existing catalog plans
+    (signatures + banded candidates); the exact Jaccard runs only on
+    the candidate PAIR list (join-back of two text columns + in-row
+    array HOFs) — never an all-pairs scan.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    est = minhash_estimated_similarity(
+        sig, lsh_candidate_pairs(sig, id_col, num_hashes), id_col,
+        num_hashes,
+    )
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    pairs = est.join(ta, "id_a").join(tb, "id_b")
+    exact = ngram_jaccard_pairs(pairs, n=shingle_n)
+    return exact.select(
+        "id_a", "id_b", "est_jaccard", "jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("jaccard")), 6).alias("abs_err"),
+    )
+
+
+def sql_minhash_accuracy(
+    num_hashes: int = NUM_HASHES, bands: int = BANDS, shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    exact = f"""
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2)"""
+    return f"""
+WITH est AS ({sql_minhash_lsh_pairs(num_hashes, bands, shingle_n, max_bucket)}),
+{exact.lstrip()}
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       round(len(list_intersect(sa.s, sb.s))
+             / len(list_distinct(sa.s || sb.s))::DOUBLE, 6) AS jaccard,
+       round(abs(e.est_jaccard
+                 - round(len(list_intersect(sa.s, sb.s))
+                         / len(list_distinct(sa.s || sb.s))::DOUBLE, 6)), 6)
+         AS abs_err
+FROM est e
+JOIN shl sa ON sa.doc_id = e.id_a
+JOIN shl sb ON sb.doc_id = e.id_b
+"""

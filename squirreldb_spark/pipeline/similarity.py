@@ -94,6 +94,8 @@ def cosine_knn(
 
 def bucket_expr(vec: str, planes: list[list[float]]) -> str:
     """LSH bucket id: sum of sign bits against each hyperplane (Spark SQL)."""
+    if not planes:  # zero planes = a single bucket = exact search
+        return "0"
     bits = []
     for j, p in enumerate(planes):
         arr = "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
@@ -1111,6 +1113,49 @@ SELECT e.q_id,
        round(count(a.c_id) / {k}.0, 6) AS recall
 FROM ({sql_cosine_knn(k, n_queries)}) e
 LEFT JOIN ({sql_cosine_knn_prefix(d_keep, k, n_queries)}) a
+  ON e.q_id = a.q_id AND e.c_id = a.c_id
+GROUP BY 1
+"""
+
+
+def ann_lsh_recall(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of the hyperplane-LSH index against exact cosine top-k —
+    the same self-evaluation as :func:`ann_recall` for the second ANN
+    family (single-bucket probe, so recall is bounded by how many true
+    neighbours share the query's bucket)."""
+    exact = cosine_knn(emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col)
+    approx = ann_lsh(
+        emb, k=k, n_queries=n_queries, n_planes=n_planes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("q_id", "c_id", F.lit(1).alias("_hit"))
+    return (
+        exact.select("q_id", "c_id")
+        .join(approx, ["q_id", "c_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.count("_hit").cast("long").alias("n_hits"),
+            F.round(F.count("_hit") / F.lit(k), 6).alias("recall"),
+        )
+    )
+
+
+def sql_ann_lsh_recall(
+    k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = 64
+) -> str:
+    return f"""
+SELECT e.q_id,
+       count(a.c_id)::BIGINT AS n_hits,
+       round(count(a.c_id) / {k}.0, 6) AS recall
+FROM ({sql_cosine_knn(k, n_queries)}) e
+LEFT JOIN ({sql_ann_lsh(k, n_queries, n_planes, dim)}) a
   ON e.q_id = a.q_id AND e.c_id = a.c_id
 GROUP BY 1
 """

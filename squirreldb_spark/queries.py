@@ -2826,6 +2826,20 @@ def q_doc_mixture_sample(spark, sf_dir):
     return ptext.mixture_sample(_docs(spark, sf_dir))
 
 
+def q_doc_minhash_accuracy(spark, sf_dir):
+    """MinHash estimator calibration on LSH candidates: estimated vs
+    exact n-gram Jaccard with absolute error (pipeline/dedup.py
+    minhash_accuracy)."""
+    return pdedup.minhash_accuracy(_docs(spark, sf_dir))
+
+
+def q_emb_ann_lsh_recall(spark, sf_dir):
+    """Recall@5 of hyperplane-LSH ANN vs exact cosine top-k
+    (pipeline/similarity.py ann_lsh_recall)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_lsh_recall(emb)
+
+
 def q_ev_markov_transitions(spark, sf_dir):
     """Within-session first-order Markov transition matrix with
     conditional probabilities (pipeline/events.py markov_transitions)."""
@@ -3223,6 +3237,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_markov_transitions": QueryDef(
         q_ev_markov_transitions, pevents.sql_markov_transitions()
     ),
+    # MinHash estimator calibration (est vs exact Jaccard on candidates)
+    "doc_minhash_accuracy": QueryDef(
+        q_doc_minhash_accuracy, pdedup.sql_minhash_accuracy()
+    ),
+    # hyperplane-LSH ANN recall self-evaluation
+    "emb_ann_lsh_recall": QueryDef(q_emb_ann_lsh_recall, psim.sql_ann_lsh_recall()),
     # /api/v1/query (instant) through the API layer
     "api_instant_query": QueryDef(q_api_instant_query, SQL_API_INSTANT_QUERY),
     # Prometheus 3.x spelling of holt_winters through the full parser;

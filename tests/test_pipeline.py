@@ -1041,3 +1041,25 @@ def test_markov_transitions_rows_and_probabilities(spark):
     assert out[("view", "purchase")] == (1, 0.333333)
     assert out[("view", "view")] == (1, 0.333333)
     assert out[("click", "view")] == (1, 1.0)
+
+
+def test_minhash_accuracy_near_dup_has_low_error(spark, docs):
+    out = dedup.minhash_accuracy(docs).collect()
+    assert len(out) > 0
+    by_pair = {(r.id_a, r.id_b): r for r in out}
+    # the injected near-dup pair estimates close to its exact jaccard
+    r = by_pair[(474, 498)]
+    assert r.jaccard > 0.9 and r.abs_err <= 0.2
+    for r in out:
+        assert 0.0 <= r.est_jaccard <= 1.0 and 0.0 <= r.jaccard <= 1.0
+        assert abs(abs(r.est_jaccard - r.jaccard) - r.abs_err) < 1e-9
+
+
+def test_ann_lsh_recall_bounds(spark, sf_dir):
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_lsh_recall(emb).collect()
+    assert len(out) == 5
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= 5 for r in out)
+    # zero hyperplanes = one bucket = exact search: recall must be 1
+    exact = similarity.ann_lsh_recall(emb, n_planes=0).collect()
+    assert all(r.recall == 1.0 for r in exact)
