@@ -127,3 +127,91 @@ def verify_index(
         .unionByName(_count(dim_series, "n_series"))
         .unionByName(_count(points, "n_points"))
     )
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    partition_col: str | None = "date",
+    target_bytes: int = 128 * 1024 * 1024,
+    sort_cols: tuple[str, ...] = ("user_id", "event_type", "ts"),
+) -> dict:
+    """Small-file compaction for the streaming raw store (A9's layout).
+
+    Streaming micro-batches append one parquet file per trigger per date
+    partition; after a day the store is thousands of KB-sized files
+    whose open/footer overhead dominates scans. The reference gets
+    compaction for free from Cassandra (SURVEY §1.5 n/a list); the
+    Parquet layout needs this maintenance pass.
+
+    ONE job compacts every partition: the table is range-repartitioned
+    on (partition, series, ts) into ``ceil(total_bytes/target_bytes)``
+    output tasks, each producing a contiguous sorted slice — so each
+    task writes into (almost always) a single partition directory, file
+    counts land proportional to partition volume, and rows inside every
+    file are in the read path's (series, ts) merge order. The rewrite
+    goes to a temp dir and swaps in atomically per partition directory
+    (local FS os.replace; on object stores swap via the table format's
+    commit protocol instead).
+
+    Returns ``{"files_before", "files_after", "bytes", "n_tasks"}``.
+    """
+    import math
+    import os
+    import shutil
+
+    def _scan(root: str) -> tuple[int, int]:
+        files = bytes_ = 0
+        for dirpath, _dirs, names in os.walk(root):
+            if "_compact_tmp" in dirpath:
+                continue
+            for n in names:
+                if n.endswith(".parquet"):
+                    files += 1
+                    bytes_ += os.path.getsize(os.path.join(dirpath, n))
+        return files, bytes_
+
+    files_before, total_bytes = _scan(path)
+    n_tasks = max(1, math.ceil(total_bytes / target_bytes))
+    df = spark.read.parquet(path)
+    range_cols = ([partition_col] if partition_col else []) + [
+        c for c in sort_cols if c in df.columns
+    ]
+    out = (
+        df.repartitionByRange(n_tasks, *[F.col(c) for c in range_cols])
+        .sortWithinPartitions(*range_cols)
+    )
+    tmp = os.path.join(path, "_compact_tmp")
+    writer = out.write.mode("overwrite")
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(tmp)
+
+    # atomic-per-directory swap on the local FS
+    if partition_col:
+        for entry in os.listdir(tmp):
+            if not entry.startswith(f"{partition_col}="):
+                continue
+            src, dst = os.path.join(tmp, entry), os.path.join(path, entry)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(src, dst)
+        shutil.rmtree(tmp)
+    else:
+        for entry in os.listdir(path):
+            full = os.path.join(path, entry)
+            if entry != "_compact_tmp" and (
+                entry.endswith(".parquet") or entry.startswith("_SUCCESS")
+            ):
+                os.remove(full) if os.path.isfile(full) else shutil.rmtree(full)
+        for entry in os.listdir(tmp):
+            os.replace(os.path.join(tmp, entry), os.path.join(path, entry))
+        shutil.rmtree(tmp)
+
+    files_after, _ = _scan(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+        "n_tasks": n_tasks,
+    }

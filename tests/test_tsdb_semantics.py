@@ -241,3 +241,63 @@ def test_retention_per_row_ttl(spark):
         df, now_ms=1_001_000, ttl_seconds=1_000, ttl_col="ttl_s"
     )
     assert {r.value for r in kept.collect()} == {1.0, 3.0}
+
+
+def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
+    """A9 maintenance: small-file compaction rewrites a fragmented
+    partitioned store into ~target-sized sorted files with identical
+    contents."""
+    import os
+
+    from squirreldb_spark.tsdb.maintenance import compact_partitions
+
+    path = str(tmp_path / "raw")
+    rows = [
+        (i % 7, ["view", "click"][i % 2], 1_700_000_000_000 + i * 1_000,
+         float(i), f"2024-01-{(i % 3) + 1:02d}")
+        for i in range(3_000)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, value double, date string"
+    )
+    # simulate micro-batch fragmentation: many tiny files per partition
+    df.repartition(40).write.partitionBy("date").parquet(path)
+    before = spark.read.parquet(path)
+    rows_before = sorted(map(tuple, before.collect()))
+
+    stats = compact_partitions(spark, path, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] > 100  # 40 tasks x 3 partitions
+    assert stats["files_after"] <= 3 * stats["n_tasks"] + 2
+    assert stats["files_after"] < stats["files_before"] / 10
+
+    after = spark.read.parquet(path)
+    assert sorted(map(tuple, after.collect())) == rows_before
+    # partition directory structure intact, no temp residue
+    entries = os.listdir(path)
+    assert not any("_compact_tmp" in e for e in entries)
+    assert sum(e.startswith("date=") for e in entries) == 3
+    # rows inside each compacted file are in (series, ts) read order
+    one_part = os.path.join(path, "date=2024-01-01")
+    f = [e for e in os.listdir(one_part) if e.endswith(".parquet")][0]
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(one_part, f)).to_pandas()
+    key = list(zip(t.user_id, t.event_type, t.ts))
+    assert key == sorted(key)
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    from squirreldb_spark.tsdb.maintenance import compact_partitions
+
+    path = str(tmp_path / "flat")
+    df = spark.range(2_000).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") * 1_000).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    df.repartition(30).write.parquet(path)
+    rows_before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    stats = compact_partitions(spark, path, partition_col=None)
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
