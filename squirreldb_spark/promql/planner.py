@@ -912,6 +912,17 @@ class PromQLEngine:
             keys = mat.labels if mat.labels is not None else self.label_cols
             sf = float(self._eval(node.args[1]))
             tf = float(self._eval(node.args[2]))
+            # upstream funcDoubleExponentialSmoothing rejects factors
+            # outside the open interval (invalid params are a query
+            # error, not NaN results)
+            if not 0 < sf < 1:
+                raise ValueError(
+                    f"invalid smoothing factor. Expected: 0 < sf < 1, got: {sf}"
+                )
+            if not 0 < tf < 1:
+                raise ValueError(
+                    f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
+                )
             df = fns.holt_winters(mat.points, keys, self.step_ms,
                                   mat.range_ms, sf=sf, tf=tf, grid=self.grid)
             return self._drop_name(Vec(df, keys))

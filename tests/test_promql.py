@@ -795,3 +795,13 @@ class TestStringEscapeStrictness:
 
         with pytest.raises(ParseError):
             unquote(lit)
+
+
+def test_holt_winters_rejects_out_of_range_factors(engine):
+    import pytest as _pt
+
+    for bad in ("holt_winters(cpu[30s], 0, 0.3)",
+                "holt_winters(cpu[30s], 1, 0.3)",
+                "double_exponential_smoothing(cpu[30s], 0.5, 1.5)"):
+        with _pt.raises(ValueError, match="factor"):
+            engine.query_range(bad)
