@@ -1159,6 +1159,11 @@ class PromQLEngine:
 
         if node.op == "count_values":
             lbl = str(node.param)
+            import re as _re
+
+            # upstream: "invalid label name" is a query error
+            if not _re.match(r"^[a-zA-Z_][a-zA-Z0-9_]*$", lbl):
+                raise ValueError(f"invalid label name {lbl!r}")
             # Prometheus label values are STRINGS: upstream formats the
             # sample value with strconv.FormatFloat(v, 'f', -1, 64)
             # (promql count_values), so 2.0 becomes label "2", 0.5 stays

@@ -805,3 +805,10 @@ def test_holt_winters_rejects_out_of_range_factors(engine):
                 "double_exponential_smoothing(cpu[30s], 0.5, 1.5)"):
         with _pt.raises(ValueError, match="factor"):
             engine.query_range(bad)
+
+
+def test_count_values_rejects_invalid_label_name(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="invalid label name"):
+        engine.query_range('count_values("0bad", cpu)')
