@@ -542,3 +542,59 @@ SELECT a_doc, b_doc,
        min(hamming) AS min_hamming
 FROM fp GROUP BY 1, 2 HAVING count(*) >= {min_frames}
 """
+
+
+#: hamming distance above which two consecutive frames are a scene cut
+SCENE_CUT_HAM = 8
+
+
+def scene_changes(
+    binary_table: DataFrame,
+    n_frames: int = 4,
+    frame_len: int = 16,
+    cut_ham: int = SCENE_CUT_HAM,
+) -> DataFrame:
+    """Shot-boundary detection over sampled frames: a transition whose
+    consecutive-frame pHash hamming distance exceeds ``cut_ham`` is a
+    scene cut — the standard cheap shot detector (pairwise perceptual
+    distance thresholding) used to pick keyframes for captioning or to
+    segment videos before training-clip extraction.
+
+    Output: one row per frame transition ``(doc_id, frame_idx, hamming,
+    is_cut)`` with frame_idx the LATER frame.
+
+    Scale shape: the pHash stub is the existing zero-shuffle
+    numpy-vectorized mapInPandas; after it each video is ``n_frames``
+    longs, so the lag window shuffles tiny rows on doc_id — frame bytes
+    never move. Real decode swaps in behind the same plumbing
+    (decode_stub).
+    """
+    from pyspark.sql import Window
+
+    ph = frame_phashes(binary_table, n_frames, frame_len)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("phash").over(w)
+    out = ph.withColumn("_prev", prev).filter(F.col("_prev").isNotNull())
+    hamming = F.expr("bit_count(phash ^ _prev)").cast("long")
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        hamming.alias("hamming"),
+        (hamming > cut_ham).alias("is_cut"),
+    )
+
+
+def sql_scene_changes(
+    n_frames: int = 4, frame_len: int = 16, cut_ham: int = SCENE_CUT_HAM
+) -> str:
+    return f"""
+WITH ph AS ({sql_frame_phashes(n_frames, frame_len)}),
+tr AS (
+  SELECT doc_id, frame_idx, phash,
+         lag(phash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+  FROM ph)
+SELECT doc_id, frame_idx,
+       bit_count(xor(phash, prev))::BIGINT AS hamming,
+       bit_count(xor(phash, prev)) > {cut_ham} AS is_cut
+FROM tr WHERE prev IS NOT NULL
+"""

@@ -2854,6 +2854,13 @@ def q_mm_video_neardup(spark, sf_dir):
     return pmm.video_neardup(pmm.as_binary_table(docs))
 
 
+def q_mm_scene_changes(spark, sf_dir):
+    """Shot-boundary detection: consecutive-frame pHash hamming above
+    threshold = scene cut (pipeline/multimodal.py scene_changes)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pmm.scene_changes(pmm.as_binary_table(docs))
+
+
 # ---------------------------------------------------------------- catalog
 
 
@@ -3237,6 +3244,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_markov_transitions": QueryDef(
         q_ev_markov_transitions, pevents.sql_markov_transitions()
     ),
+    # shot-boundary detection from consecutive-frame pHash distance
+    "mm_scene_changes": QueryDef(q_mm_scene_changes, pmm.sql_scene_changes()),
     # MinHash estimator calibration (est vs exact Jaccard on candidates)
     "doc_minhash_accuracy": QueryDef(
         q_doc_minhash_accuracy, pdedup.sql_minhash_accuracy()

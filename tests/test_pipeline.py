@@ -1063,3 +1063,19 @@ def test_ann_lsh_recall_bounds(spark, sf_dir):
     # zero hyperplanes = one bucket = exact search: recall must be 1
     exact = similarity.ann_lsh_recall(emb, n_planes=0).collect()
     assert all(r.recall == 1.0 for r in exact)
+
+
+def test_scene_changes_flags_constructed_cut(spark):
+    # two frames identical, third wildly different -> exactly one cut
+    frame = bytes([10] * 8 + [200] * 8)   # phash: upper half set
+    contrast = bytes([200, 10] * 8)       # phash: alternating pairs
+    payload = frame + frame + contrast + frame
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    out = sorted(
+        multimodal.scene_changes(df, n_frames=4, frame_len=16).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in out] == [1, 2, 3]
+    assert out[0].hamming == 0 and not out[0].is_cut     # frame0 == frame1
+    assert out[1].is_cut and out[2].is_cut               # into and out of the contrast frame
+    assert all(r.hamming >= 0 for r in out)
