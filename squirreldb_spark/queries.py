@@ -3267,16 +3267,18 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
 # insertion order.  Round-5 rotation policy (VERDICT r4 "Next round" #1):
-# every round-4 window row is freshly green, so the window now leads with
-# the stale-attestation backlog — (1) the 42 r2-era rows (the promql_*
-# family first: they share the planner path that has changed most since
-# their last driver signal), then (2) the 14 r1-era rows (oldest signal;
-# the 8 highest-traffic ones fit this round's 50-row window, the last 6
-# rotate in round 6).  Code changed in round 5 (phash vectorization, CC
-# Arrow finish, token-budget auto-shard default, hopping-oracle ceil) is
-# value-identical by construction and carries a round-4 driver signal
-# plus the per-round local oracle-parity gate
-# (tests/test_oracle_parity.py re-verifies all entries every round).
+# every round-4 window row is freshly green, so the window leads with
+# (0) the six rows whose VALUES changed this round (extrapolation clamp
+# order; the upstream NaN-first quantile rewrite), then (1) the 42
+# r2-era rows (the promql_* family first: they share the planner path
+# that has changed most since their last driver signal), then (2) the
+# 14 r1-era rows — the first ~50 fit this round's window, the remainder
+# (plus the 18 new round-5 entries, appended at the catalog tail)
+# rotate in round 6.  Round-5 semantics fixes that are value-identical
+# on the NaN/Inf-free catalog fixtures (avg overflow, irate/rate NaN
+# masks, pow/div/round/clamp/histogram edge branches) are covered every
+# round by the local oracle-parity gate (tests/test_oracle_parity.py)
+# and by the value-golden tiers against the independent evaluator.
 _VERIFY_FIRST: list[str] = [
     # --- (0) VALUES changed in round 5: the extrapolation zero-clamp now
     # applies before the threshold rewrite (upstream order; caught by the
