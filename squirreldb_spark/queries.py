@@ -75,13 +75,14 @@ def _extrapolated_sql(
 ) -> str:
     """Oracle mirror of range_fns.extrapolated (Prometheus extrapolatedRate)."""
     rv = "last_val - first_val + reset_corr" if is_counter else "last_val - first_val"
-    # upstream extrapolatedRate order: the zero-crossing clamp applies to
-    # the RAW duration-to-start, BEFORE the threshold rewrite
+    # upstream extrapolatedRate order (prometheus v0.307.x): the
+    # threshold rewrite applies FIRST, then the zero-crossing clamp
+    # takes min(durationToStart, durationToZero)
     zero_clamp = (
-        "CASE WHEN rv > 0 AND first_val >= 0 AND sampled * (first_val / rv) < dur_start0"
-        " THEN sampled * (first_val / rv) ELSE dur_start0 END"
+        "CASE WHEN rv > 0 AND first_val >= 0 AND sampled * (first_val / rv) < ds1"
+        " THEN sampled * (first_val / rv) ELSE ds1 END"
         if is_counter
-        else "dur_start0"
+        else "ds1"
     )
     rate_div = f" / {range_ms / 1000.0!r}" if is_rate else ""
     return f"""
@@ -106,12 +107,12 @@ calc AS (
          (first_ts - (step_ts - {range_ms})) / 1000.0 AS dur_start0,
          (step_ts - last_ts) / 1000.0 AS dur_end0
   FROM agg),
-calc2 AS (SELECT *, {zero_clamp} AS ds1 FROM calc),
-calc3 AS (
+calc2 AS (
   SELECT *,
-         CASE WHEN ds1 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE ds1 END AS ds2,
+         CASE WHEN dur_start0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_start0 END AS ds1,
          CASE WHEN dur_end0 >= avg_sp * 1.1 THEN avg_sp / 2.0 ELSE dur_end0 END AS de1
-  FROM calc2)
+  FROM calc),
+calc3 AS (SELECT *, {zero_clamp} AS ds2 FROM calc2)
 SELECT user_id, event_type, step_ts,
        {"round(" if rounded else "("}rv * ((sampled + ds2 + de1) / sampled){rate_div}{", 6)" if rounded else ")"} AS value
 FROM calc3

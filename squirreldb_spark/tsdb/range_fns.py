@@ -102,13 +102,15 @@ def extrapolated(
     dur_end = (F.col("step_ts") - F.col("last_ts")) / F.lit(1000.0)
     threshold = avg_spacing * F.lit(1.1)
 
+    dur_start = F.when(
+        dur_start >= threshold, avg_spacing / F.lit(2.0)
+    ).otherwise(dur_start)
     if is_counter:
         # counter cannot go below zero: clamp start extrapolation at the
-        # implied zero crossing. Upstream applies this to the RAW
-        # duration-to-start, BEFORE the threshold rewrite below
-        # (extrapolatedRate: durationToZero check precedes
-        # extrapolationThreshold) — a dur_zero between avg/2 and the raw
-        # head gap must win over the half-spacing fallback.
+        # implied zero crossing. Upstream (prometheus v0.307.x
+        # extrapolatedRate) applies the threshold rewrite FIRST, then
+        # takes min(durationToStart, durationToZero) — so a dur_zero
+        # above the half-spacing fallback never widens the window back.
         dur_zero = F.when(
             (result_value > 0) & (F.col("first_val") >= 0),
             sampled * (F.col("first_val") / result_value),
@@ -116,7 +118,6 @@ def extrapolated(
         dur_start = F.when(
             dur_zero.isNotNull() & (dur_zero < dur_start), dur_zero
         ).otherwise(dur_start)
-    dur_start = F.when(dur_start >= threshold, avg_spacing / F.lit(2.0)).otherwise(dur_start)
     dur_end = F.when(dur_end >= threshold, avg_spacing / F.lit(2.0)).otherwise(dur_end)
 
     factor = (sampled + dur_start + dur_end) / sampled

@@ -111,14 +111,18 @@ def extrapolated(w, rng_ms, t, kind):
     dur_end = (t - lt) / 1000
     sampled = (lt - ft) / 1000
     avg_between = sampled / (len(w) - 1)
+    # prometheus v0.307.x order: threshold rewrite first, then the
+    # zero-crossing clamp takes min(durationToStart, durationToZero)
+    thresh = avg_between * 1.1
+    if dur_start >= thresh:
+        dur_start = avg_between / 2
     if kind in ("rate", "increase") and result > 0 and fv >= 0:
         dur_zero = sampled * (fv / result)
         if dur_zero < dur_start:
             dur_start = dur_zero
-    thresh = avg_between * 1.1
-    extrap = sampled
-    extrap += dur_start if dur_start < thresh else avg_between / 2
-    extrap += dur_end if dur_end < thresh else avg_between / 2
+    if dur_end >= thresh:
+        dur_end = avg_between / 2
+    extrap = sampled + dur_start + dur_end
     factor = extrap / sampled
     if kind == "rate":
         factor /= rng_ms / 1000

@@ -32,7 +32,7 @@ GRID = [0, 30_000, 60_000, 90_000, 120_000]
 
 #: (instance, ts, value) triples for metric edge_counter — counter with a
 #: reset at 60s and a NON-ZERO first value (exercises the zero-crossing
-#: clamp: dur_zero lands between avg_spacing/2 and the raw head gap)
+#: clamp against the threshold rewrite)
 COUNTER_ROWS = [
     ("c1", ts, v)
     for ts, v in [
@@ -45,8 +45,9 @@ COUNTER_ROWS = [
     # c2 discriminates the clamp ORDER: at t=120s the window (60s,120s]
     # holds 80/90/100s -> raw head gap 20s >= threshold 11s, and
     # dur_zero = 20 * (3/6) = 10s sits strictly between the half-spacing
-    # fallback (5s) and the raw gap — upstream clamps FIRST (keeps 10s),
-    # a threshold-first implementation would keep 5s
+    # fallback (5s) and the raw gap — upstream (prometheus v0.307.x)
+    # rewrites to the 5s fallback FIRST and the clamp is then a no-op
+    # (min with a larger dur_zero); the pre-2.50 order would keep 10s
     ("c2", 80_000, 3.0), ("c2", 90_000, 6.0), ("c2", 100_000, 9.0),
 ]
 
@@ -95,11 +96,12 @@ def _samples(rows, inst):
 # ------------------------------------------------- extrapolation edges
 
 
-def test_values_rate_zero_clamp_before_threshold(spark):
+def test_values_rate_zero_clamp_order(spark):
     """rate() with a head gap and a non-zero first value: upstream
-    clamps duration-to-start at the zero crossing BEFORE the
-    extrapolation-threshold rewrite (promql/functions.go
-    extrapolatedRate), so dur_zero in (avg/2, raw_gap) must win."""
+    (prometheus v0.307.x extrapolatedRate) applies the
+    extrapolation-threshold rewrite FIRST, then clamps with
+    min(durationToStart, durationToZero) — a dur_zero above the
+    half-spacing fallback never widens the window back."""
     eng = _mk_engine(spark, "edge_counter", COUNTER_ROWS)
     s = _samples(COUNTER_ROWS, "c1")
     s2 = _samples(COUNTER_ROWS, "c2")

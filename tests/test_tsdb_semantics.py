@@ -75,15 +75,15 @@ def hand_rate(samples, range_s, t_end_s, is_counter=True, is_rate=True):
     avg_sp = sampled / (len(ts) - 1)
     dur_start = ts[0] - (t_end_s - range_s)
     dur_end = t_end_s - ts[-1]
-    # upstream order: zero-crossing clamp on the RAW duration-to-start,
-    # THEN the extrapolation-threshold rewrite on both ends
+    # upstream order (prometheus v0.307.x): threshold rewrite FIRST,
+    # then the zero-crossing clamp takes min(dur_start, dur_zero)
+    thr = avg_sp * 1.1
+    if dur_start >= thr:
+        dur_start = avg_sp / 2
     if is_counter and rv > 0 and vs[0] >= 0:
         dz = sampled * (vs[0] / rv)
         if dz < dur_start:
             dur_start = dz
-    thr = avg_sp * 1.1
-    if dur_start >= thr:
-        dur_start = avg_sp / 2
     if dur_end >= thr:
         dur_end = avg_sp / 2
     factor = (sampled + dur_start + dur_end) / sampled
