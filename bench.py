@@ -80,6 +80,7 @@ SECONDARY_QUERIES = [
     "doc_quality_logreg",
     "emb_matryoshka_recall",
     "ev_anomaly_mad",
+    "emb_ann_ivfpq",
 ]
 
 

@@ -950,38 +950,36 @@ _DUCK_L2 = (
 )
 
 
-def sql_pq_codes(
-    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
-    iters: int = 1, train_mod: int = 4,
-) -> str:
-    """Replays :func:`train_pq` + :func:`pq_codes` (same seeds, sample,
-    6-dp rounding, lowest-code tie-break) with unrolled per-iteration
-    CTEs over all subspaces at once."""
+def _pq_train_ctes(
+    m: int, ks: int, cent_base: int, dim: int, iters: int, train_mod: int
+) -> tuple[str, str]:
+    """The unrolled PQ Lloyd-iteration CTE fragment (shared by the
+    encode oracle and the IVF-PQ serving oracle). Assumes a ``base``
+    CTE (vec_id, v DOUBLE[]) is already in scope; defines ``subs``,
+    ``cb0..cbN``. Returns (fragment_sql, final_codebook_cte)."""
     sd = dim // m
     it_ctes = []
     prev = "cb0"
     for i in range(iters):
         d = _DUCK_L2.format(a="subs.sub", b="c.cent")
         it_ctes.append(f"""
-a{i} AS (
+pqa{i} AS (
   SELECT subs.vec_id, subs.s, subs.sub, c.code, round({d}, 6) AS dr
   FROM subs JOIN {prev} c USING (s)
   WHERE subs.vec_id % {train_mod} = 0),
-asg{i} AS (
+pqasg{i} AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr, code)
          AS rk
-    FROM a{i}) WHERE rk = 1),
+    FROM pqa{i}) WHERE rk = 1),
 cb{i + 1} AS (
   SELECT s, code, list(c ORDER BY pos) AS cent FROM (
     SELECT s, code, gs.i AS pos, round(avg(sub[gs.i]), 6) AS c
-    FROM asg{i} CROSS JOIN generate_series(1, {sd}) gs(i)
+    FROM pqasg{i} CROSS JOIN generate_series(1, {sd}) gs(i)
     GROUP BY 1, 2, 3)
   GROUP BY 1, 2)""")
         prev = f"cb{i + 1}"
-    d_enc = _DUCK_L2.format(a="subs.sub", b="c.cent")
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    frag = f"""
 subs AS (
   SELECT vec_id, gs.s,
          list_slice(v, gs.s * {sd} + 1, gs.s * {sd} + {sd}) AS sub
@@ -989,7 +987,22 @@ subs AS (
 cb0 AS (
   SELECT s, vec_id - {cent_base} AS code, sub AS cent
   FROM subs WHERE vec_id >= {cent_base} AND vec_id < {cent_base + ks}),
-{','.join(it_ctes)},
+{','.join(it_ctes)}"""
+    return frag, prev
+
+
+def sql_pq_codes(
+    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
+    iters: int = 1, train_mod: int = 4,
+) -> str:
+    """Replays :func:`train_pq` + :func:`pq_codes` (same seeds, sample,
+    6-dp rounding, lowest-code tie-break) with unrolled per-iteration
+    CTEs over all subspaces at once."""
+    frag, prev = _pq_train_ctes(m, ks, cent_base, dim, iters, train_mod)
+    d_enc = _DUCK_L2.format(a="subs.sub", b="c.cent")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{frag},
 enc AS (
   SELECT subs.vec_id, subs.s, c.code, {d_enc} AS d, round({d_enc}, 6) AS dr
   FROM subs JOIN {prev} c USING (s)),
@@ -1002,6 +1015,179 @@ SELECT vec_id,
        string_agg(code::VARCHAR, ',' ORDER BY s) AS codes_csv,
        round(sum(d) / {dim}, 6) AS mse
 FROM best GROUP BY vec_id
+"""
+
+
+def _pq_lut_expr(codebook, sub: str) -> str:
+    """``map<int, double>`` of code -> 6-dp-rounded L2² distance of
+    ``sub`` against every (literal) sub-centroid — the per-query ADC
+    lookup table, computed once on the (tiny) probe side."""
+    entries = []
+    for code, cent in sorted(codebook, key=lambda e: e[0]):
+        arr = ", ".join(f"{float(x)!r}D" for x in cent)
+        entries.append(
+            f"named_struct('code', {int(code)}, 'cent', array({arr}))"
+        )
+    d = _L2.format(a=sub, b="e.cent")
+    return (
+        f"map_from_entries(transform(array({', '.join(entries)}), "
+        f"e -> struct(e.code, round({d}, 6))))"
+    )
+
+
+def ann_ivfpq(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    n_cells: int = 8,
+    cent_base: int = 100,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+    kmeans_iters: int = 2,
+    pq_iters: int = 1,
+    train_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    codebooks=None,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN serve path (Jégou et al. 2011): coarse IVF cells plus
+    asymmetric distance computation (ADC) over PQ codes — the index
+    shape production ANN systems (FAISS IVFPQ) run at corpus scale.
+
+    100 TB shape: the corpus side is encoded *inside the scan* — cell
+    (literal-centroid argmax fold) and the ``m`` PQ codes (literal-
+    codebook argmin folds), ZERO exchange — and carries ONLY
+    ``(id, cell, m codes)`` into the join: a few bytes/row instead of
+    the raw vector (the compression is the point — at 100 TB the raw
+    vectors never move). The probe side (n_queries x nprobe rows)
+    precomputes per-subspace ADC lookup tables as literal-codebook maps
+    and is explicitly broadcast; the candidate distance is ``m`` map
+    lookups + a sum, and the only exchanges in the plan are the two
+    top-k windows (two_phase_topk). Reference analogue: the PromQL
+    engine has no ANN — this extends the pipeline family
+    (SURVEY.md 'beyond the reference' charter).
+    """
+    if centroids is None:
+        centroids = train_ivf(
+            emb, n_cells=n_cells, cent_base=cent_base, id_col=id_col,
+            vec_col=vec_col, kmeans_iters=kmeans_iters,
+            train_mod=train_mod, cache_key=cache_key,
+        )
+    if codebooks is None:
+        codebooks = train_pq(
+            emb, m=m, ks=ks, cent_base=cent_base, dim=dim, iters=pq_iters,
+            train_mod=train_mod, id_col=id_col, vec_col=vec_col,
+            cache_key=cache_key,
+        )
+    sd = dim // m
+    scores = _centroid_scores_expr(centroids)
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_vn", F.expr(_vnorm_expr("v")))
+    code_cols = []
+    for s in range(m):
+        sub = f"slice(v, {s * sd + 1}, {sd})"
+        best = _ARGMIN_STRUCT.format(scores=_pq_scores_expr(codebooks[s], sub))
+        code_cols.append(F.expr(f"({best}).code").alias(f"code{s}"))
+    cells = base.select(
+        F.col(id_col).alias("c_id"),
+        F.expr(_ARGMAX_CELL.format(scores=scores)).alias("cell"),
+        *code_cols,
+    )
+    lut_cols = [
+        F.expr(
+            _pq_lut_expr(codebooks[s], f"slice(v, {s * sd + 1}, {sd})")
+        ).alias(f"lut{s}")
+        for s in range(m)
+    ]
+    probes = (
+        base.filter(F.col(id_col) < n_queries)
+        .withColumn(
+            "pc",
+            F.explode(
+                F.expr(f"slice({_SORTED_SCORES.format(scores=scores)}, 1, {nprobe})")
+            ),
+        )
+        .select(
+            F.col(id_col).alias("q_id"), F.col("pc.cell").alias("cell"),
+            *lut_cols,
+        )
+    )
+    j = cells.join(F.broadcast(probes), on="cell").filter(
+        F.col("c_id") != F.col("q_id")
+    )
+    adc = " + ".join(f"element_at(lut{s}, code{s})" for s in range(m))
+    scored = j.withColumn("adc", F.expr(f"round({adc}, 6)"))
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    return two_phase_topk(
+        scored,
+        ["q_id"],
+        [F.asc("adc"), F.asc("c_id")],
+        k,
+        shard_cols=["c_id"],
+        n_shards=16,
+        rank_col="rank",
+    ).select("q_id", "c_id", "adc", "rank")
+
+
+def sql_ann_ivfpq(
+    k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
+    nprobe: int = 2, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64,
+    kmeans_iters: int = 2, pq_iters: int = 1, train_mod: int = 4,
+) -> str:
+    """Replays IVF training + PQ training + encode + ADC search: same
+    seeds, sample, 6-dp rounding, and tie-breaks as :func:`ann_ivfpq`.
+    The ADC sum joins one (codes, qlut) pair per subspace so the
+    addition order is left-to-right, bit-identical to the engine's
+    ``lut0[c0] + lut1[c1] + ...``."""
+    ivf_ctes, cents = _ivf_train_ctes(
+        n_cells, cent_base, kmeans_iters, dim, train_mod
+    )
+    pq_frag, cb = _pq_train_ctes(m, ks, cent_base, dim, pq_iters, train_mod)
+    d_enc = _DUCK_L2.format(a="subs.sub", b="c.cent")
+    code_joins = "\n  ".join(
+        f"JOIN codes c{s} ON c{s}.vec_id = cells.c_id AND c{s}.s = {s}\n"
+        f"  JOIN qlut l{s} ON l{s}.q_id = p.q_id AND l{s}.s = {s} "
+        f"AND l{s}.code = c{s}.code"
+        for s in range(m)
+    )
+    adc = " + ".join(f"l{s}.d" for s in range(m))
+    return f"""{ivf_ctes},
+{pq_frag},
+cbm AS MATERIALIZED (SELECT * FROM {cb}),
+ac AS (
+  SELECT base.vec_id, base.v, c.cell, {_duck_cos('base.v', 'c.cent')} AS ccos
+  FROM base, {cents} c),
+assigned AS MATERIALIZED (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
+  FROM ac),
+cells AS (SELECT vec_id AS c_id, cell FROM assigned WHERE crank = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM assigned
+           WHERE vec_id < {n_queries} AND crank <= {nprobe}),
+enc AS (
+  SELECT subs.vec_id, subs.s, c.code, round({d_enc}, 6) AS dr
+  FROM subs JOIN cbm c USING (s)),
+codes AS MATERIALIZED (
+  SELECT vec_id, s, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr, code) AS rk
+    FROM enc) WHERE rk = 1),
+qlut AS MATERIALIZED (
+  SELECT subs.vec_id AS q_id, subs.s, c.code, round({d_enc}, 6) AS d
+  FROM subs JOIN cbm c USING (s) WHERE subs.vec_id < {n_queries}),
+scored AS (
+  SELECT p.q_id, cells.c_id, round({adc}, 6) AS adc
+  FROM probes p JOIN cells USING (cell)
+  {code_joins}
+  WHERE cells.c_id != p.q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, adc, rank FROM ranked WHERE rank <= {k}
 """
 
 

@@ -2677,6 +2677,17 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_emb_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ADC search: both index halves train once per corpus
+    (memoized on sf_dir) and serve as literal folds; the candidate side
+    of the probe join carries only (id, cell, m codes)
+    (pipeline/similarity.py ann_ivfpq)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_ivfpq(emb, cache_key=sf_dir).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def q_emb_ann_recall(spark, sf_dir):
     """Recall@5 of the IVF index vs exact cosine top-5, per query — the
     ANN self-evaluation (pipeline/similarity.py ann_recall); both
@@ -3189,6 +3200,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # product quantization: train/serve codes + reconstruction MSE
     "emb_pq_codes": QueryDef(q_emb_pq_codes, psim.sql_pq_codes()),
+    # IVF-PQ ADC search: coarse cells + per-query lookup tables over
+    # PQ codes — the corpus side carries only (id, cell, codes)
+    "emb_ann_ivfpq": QueryDef(q_emb_ann_ivfpq, psim.sql_ann_ivfpq()),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()

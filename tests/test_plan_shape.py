@@ -204,6 +204,25 @@ def test_ivf_assignment_is_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivfpq_encode_is_map_side(spark, sf_dir):
+    """IVF-PQ ADC serve: cell assignment AND the m PQ codes must be
+    literal folds inside the corpus scan, the probe/LUT side must
+    broadcast, and the only hash exchanges allowed are the two top-k
+    windows — the corpus's raw vectors never shuffle (they are dropped
+    before the join; only (id, cell, codes) move)."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["emb_ann_ivfpq"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, f"expected the 2 top-k exchanges, saw {keys}"
+    assert all("q_id" in k for k in keys), keys
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pack_sequences_cumsum_is_sharded(spark, sf_dir):
     """The packing cumsum must partition by (lang, content-derived shard),
     never by lang alone — one task per language serializes the dominant
