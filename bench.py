@@ -81,6 +81,8 @@ SECONDARY_QUERIES = [
     "emb_matryoshka_recall",
     "ev_anomaly_mad",
     "emb_ann_ivfpq",
+    "doc_segment_dedup",
+    "emb_range_search",
 ]
 
 

@@ -948,3 +948,102 @@ FROM est e
 JOIN shl sa ON sa.doc_id = e.id_a
 JOIN shl sb ON sb.doc_id = e.id_b
 """
+
+
+# ------------------------------------------- global segment (line) dedup
+
+#: words per dedup segment — the "line" unit of C4/RefinedWeb-style
+#: corpus-global dedup (the synthetic corpus has no newlines, so the
+#: unit is a fixed word window; on real data the splitter is '\n')
+SEGMENT_WORDS = 10
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_words: int = SEGMENT_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global segment dedup (C4 §2.2 / RefinedWeb line dedup):
+    split every document into fixed ``seg_words``-word segments, keep
+    only the FIRST occurrence of every distinct segment across the whole
+    corpus (ordered by (doc_id, position) — deterministic), and
+    reassemble the surviving text per document.
+
+    Scale shape: two inherent shuffles and nothing more — the
+    first-occurrence window keys on the segment text itself (the same
+    key the shuffle would hash anyway; no pre-hashing step that would
+    need a collision-correctness argument), then the reassembly groups
+    by doc id. Both are map-side combinable only in the trivial sense,
+    but neither ever holds more than one segment group / one document
+    per task — no skew beyond a boilerplate segment, whose group is
+    still one row per occurrence, window-ranked, never joined. At
+    100 TB this is exactly the C4 recipe: shuffle segments once, window,
+    shuffle back.
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy(id_col, "pos")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = ranked.withColumn("keep", F.col("rn") == 1)
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("n_dropped"),
+        F.nullif(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "seg"))
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+    return out.select(
+        id_col,
+        F.col("n_segments").cast("long"),
+        F.col("n_dropped").cast("long"),
+        "kept_text",
+    )
+
+
+def sql_segment_dedup(seg_words: int = SEGMENT_WORDS) -> str:
+    """Replays :func:`segment_dedup`: same segmentation, same
+    (doc_id, pos) first-occurrence order."""
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+segs AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(words, pos * {seg_words} + 1,
+                                    pos * {seg_words} + {seg_words}), ' ') AS seg
+  FROM (SELECT doc_id, words,
+               unnest(generate_series(0,
+                 cast(ceil(len(words) / {seg_words}.0) AS INT) - 1)) AS pos
+        FROM docs)),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn
+  FROM segs)
+SELECT doc_id,
+       count(*)::BIGINT AS n_segments,
+       coalesce(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END), 0)::BIGINT AS n_dropped,
+       string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS kept_text
+FROM ranked GROUP BY doc_id
+"""

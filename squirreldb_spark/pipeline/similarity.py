@@ -1345,3 +1345,45 @@ LEFT JOIN ({sql_ann_lsh(k, n_queries, n_planes, dim)}) a
   ON e.q_id = a.q_id AND e.c_id = a.c_id
 GROUP BY 1
 """
+
+
+# ------------------------------------------------------- radius search
+
+def range_search(
+    emb: DataFrame,
+    threshold: float = 0.2,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search: every corpus vector within cosine >=
+    ``threshold`` of each query — the fixed-radius companion to top-k
+    (FAISS ``range_search``). Brute-force baseline: broadcast the query
+    set against the corpus scan, one pass, no shuffle at all (the output
+    needs no ranking, so unlike kNN there is no top-k window). The
+    scale path for corpus x corpus radius search is the bucketed
+    :func:`embedding_neardup_pairs`."""
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    return scored.filter(F.col("cosine") >= threshold).select(
+        "q_id", "c_id", "cosine"
+    )
+
+
+def sql_range_search(threshold: float = 0.2, n_queries: int = 5) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv FROM base),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c, q WHERE c_id != q_id)
+SELECT q_id, c_id, cosine FROM scored WHERE cosine >= {threshold}
+"""

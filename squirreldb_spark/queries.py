@@ -2677,6 +2677,21 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_emb_range_search(spark, sf_dir):
+    """Fixed-radius cosine search for the first 5 query vectors —
+    broadcast query set, single corpus pass, zero shuffle
+    (pipeline/similarity.py range_search)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.range_search(emb)
+
+
+def q_doc_segment_dedup(spark, sf_dir):
+    """Corpus-global segment (line) dedup, C4 §2.2-style: keep the first
+    occurrence of every 10-word segment across the whole corpus and
+    reassemble documents (pipeline/dedup.py segment_dedup)."""
+    return pdedup.segment_dedup(_docs(spark, sf_dir))
+
+
 def q_emb_ann_ivfpq(spark, sf_dir):
     """IVF-PQ ADC search: both index halves train once per corpus
     (memoized on sf_dir) and serve as literal folds; the candidate side
@@ -3203,6 +3218,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # IVF-PQ ADC search: coarse cells + per-query lookup tables over
     # PQ codes — the corpus side carries only (id, cell, codes)
     "emb_ann_ivfpq": QueryDef(q_emb_ann_ivfpq, psim.sql_ann_ivfpq()),
+    # corpus-global segment (line) dedup, C4-style first-occurrence keep
+    "doc_segment_dedup": QueryDef(
+        q_doc_segment_dedup, pdedup.sql_segment_dedup()
+    ),
+    # fixed-radius cosine search (broadcast queries, zero shuffle)
+    "emb_range_search": QueryDef(
+        q_emb_range_search, _neg0(psim.sql_range_search(), ["cosine"])
+    ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()

@@ -223,6 +223,24 @@ def test_ivfpq_encode_is_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_segment_dedup_two_shuffles(spark, sf_dir):
+    """Corpus-global segment dedup is exactly the C4 two-shuffle recipe:
+    one exchange on the segment key (first-occurrence window), one on
+    the doc id (reassembly) — anything more means an avoidable join or
+    a re-shuffle crept in."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["doc_segment_dedup"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, f"expected 2 exchanges (seg window, doc agg): {keys}"
+    assert any("seg" in k for k in keys), keys
+    assert any("doc_id" in k for k in keys), keys
+
+
 def test_pack_sequences_cumsum_is_sharded(spark, sf_dir):
     """The packing cumsum must partition by (lang, content-derived shard),
     never by lang alone — one task per language serializes the dominant
