@@ -83,6 +83,7 @@ SECONDARY_QUERIES = [
     "emb_ann_ivfpq",
     "doc_segment_dedup",
     "emb_range_search",
+    "emb_mmr_rerank",
 ]
 
 

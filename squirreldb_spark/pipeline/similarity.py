@@ -1387,3 +1387,121 @@ scored AS (
   FROM c, q WHERE c_id != q_id)
 SELECT q_id, c_id, cosine FROM scored WHERE cosine >= {threshold}
 """
+
+
+# --------------------------------------------------- MMR diversity rerank
+
+def mmr_rerank(
+    emb: DataFrame,
+    k: int = 5,
+    n_candidates: int = 20,
+    lam: float = 0.5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` of the top-``n_candidates`` neighbours,
+    each step maximising ``lam * rel(q, d) - (1 - lam) * max_{s in
+    selected} sim(d, s)`` — the diversity-aware selection every
+    retrieval/curation pipeline runs on top of raw kNN.
+
+    Scale shape: candidate generation is the existing exact top-C plan;
+    the candidate x candidate similarity matrix is C² rows PER QUERY
+    (config-sized — C=20 -> 400), computed JVM-side and 6-dp-rounded so
+    both engines agree bit-for-bit; only the inherently-sequential
+    greedy loop runs in Python — an Arrow ``applyInPandas`` over one
+    tiny group per query. The corpus is touched exactly once (inside
+    the top-C scan); nothing quadratic in the corpus ever forms.
+    The raw score ``lam*rel - (1-lam)*maxsim`` is compared UNROUNDED on
+    both engines (same operand order on the same rounded inputs), with
+    the candidate id as tie-break; only the emitted score is rounded.
+    """
+    import pandas as pd
+
+    cand = cosine_knn(
+        emb, k=n_candidates, n_queries=n_queries, id_col=id_col,
+        vec_col=vec_col,
+    ).select("q_id", "c_id", F.col("cosine").alias("rel"))
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    a = cand.join(
+        base.select(F.col(id_col).alias("c_id"), F.col("v").alias("av")), "c_id"
+    )
+    b = cand.select(
+        F.col("q_id"), F.col("c_id").alias("b_id")
+    ).join(base.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv")), "b_id")
+    pairs = with_cosine(a.join(b, "q_id"), "av", "bv", out="sim").select(
+        "q_id", "c_id", "rel", "b_id", F.round(F.col("sim"), 6).alias("sim")
+    )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = int(pdf["q_id"].iloc[0])
+        rel = dict(
+            pdf[["c_id", "rel"]].drop_duplicates("c_id").itertuples(
+                index=False, name=None
+            )
+        )
+        sim = {(r.c_id, r.b_id): r.sim for r in pdf.itertuples(index=False)}
+        selected: list[int] = []
+        out = []
+        while len(selected) < min(k, len(rel)):
+            best_id, best_score = None, None
+            for c in sorted(rel):
+                if c in selected:
+                    continue
+                maxsim = max(
+                    (sim.get((c, s), 0.0) for s in selected), default=0.0
+                )
+                score = lam * rel[c] - (1.0 - lam) * maxsim
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            selected.append(best_id)
+            out.append((q, len(selected), best_id, best_score))
+        return pd.DataFrame(
+            out, columns=["q_id", "rank", "c_id", "mmr_score"]
+        )
+
+    picked = pairs.groupBy("q_id").applyInPandas(
+        _greedy, "q_id long, rank long, c_id long, mmr_score double"
+    )
+    return picked.withColumn("mmr_score", F.round(F.col("mmr_score"), 6))
+
+
+def sql_mmr_rerank(
+    k: int = 5, n_candidates: int = 20, lam: float = 0.5, n_queries: int = 5
+) -> str:
+    """Recursive-CTE replay of the greedy MMR loop: identical rounded
+    inputs, identical unrounded score arithmetic, identical
+    (score desc, c_id asc) pick order."""
+    return f"""
+WITH RECURSIVE
+base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand0 AS ({sql_cosine_knn(n_candidates, n_queries)}),
+cand AS (SELECT q_id, c_id, cosine AS rel FROM cand0),
+sims AS MATERIALIZED (
+  SELECT a.q_id, a.c_id, b.c_id AS b_id,
+         round({_duck_cos('av.v', 'bv.v')}, 6) AS sim
+  FROM cand a JOIN cand b USING (q_id)
+  JOIN base av ON av.vec_id = a.c_id
+  JOIN base bv ON bv.vec_id = b.c_id),
+sel(q_id, rank, c_id, mmr_score, selected) AS (
+  (SELECT q_id, 1, c_id, {lam!r} * rel, [c_id] FROM (
+     SELECT *, row_number() OVER (PARTITION BY q_id
+                                  ORDER BY {lam!r} * rel DESC, c_id) AS rn
+     FROM cand) WHERE rn = 1)
+  UNION ALL
+  SELECT s.q_id, s.rank + 1, x.c_id, x.score, list_append(s.selected, x.c_id)
+  FROM sel s, LATERAL (
+    SELECT c.c_id,
+           {lam!r} * c.rel - {1.0 - lam!r} * coalesce(
+             (SELECT max(si.sim) FROM sims si
+              WHERE si.q_id = s.q_id AND si.c_id = c.c_id
+                AND list_contains(s.selected, si.b_id)), 0.0) AS score
+    FROM cand c
+    WHERE c.q_id = s.q_id AND NOT list_contains(s.selected, c.c_id)
+    ORDER BY score DESC, c.c_id
+    LIMIT 1) x
+  WHERE s.rank < {k})
+SELECT q_id, rank::BIGINT AS rank, c_id, round(mmr_score, 6) AS mmr_score
+FROM sel
+"""

@@ -2677,6 +2677,15 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_emb_mmr_rerank(spark, sf_dir):
+    """Greedy maximal-marginal-relevance diversity re-rank of the exact
+    top-20 candidates, k=5, lambda=0.5 (pipeline/similarity.py
+    mmr_rerank); the sequential loop runs per-query in one Arrow batch
+    over config-sized candidate groups."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.mmr_rerank(emb)
+
+
 def q_emb_range_search(spark, sf_dir):
     """Fixed-radius cosine search for the first 5 query vectors —
     broadcast query set, single corpus pass, zero shuffle
@@ -3225,6 +3234,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # fixed-radius cosine search (broadcast queries, zero shuffle)
     "emb_range_search": QueryDef(
         q_emb_range_search, _neg0(psim.sql_range_search(), ["cosine"])
+    ),
+    # greedy MMR diversity re-rank over exact top-C candidates
+    "emb_mmr_rerank": QueryDef(
+        q_emb_mmr_rerank, _neg0(psim.sql_mmr_rerank(), ["mmr_score"])
     ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
