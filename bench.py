@@ -84,6 +84,7 @@ SECONDARY_QUERIES = [
     "doc_segment_dedup",
     "emb_range_search",
     "emb_mmr_rerank",
+    "doc_dsir_weights",
 ]
 
 

@@ -1303,3 +1303,103 @@ SELECT d.doc_id, d.lang, d.source, r.rate,
          AS keep
 FROM documents d JOIN rates r USING (lang, source)
 """
+
+
+# --------------------------------------------- DSIR importance weighting
+
+#: hashed-feature buckets for DSIR (Xie et al. 2023 use 10^4..10^6 at
+#: web scale; the bucket count only bounds the broadcast table size)
+DSIR_BUCKETS = 256
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = DSIR_BUCKETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+    score every document by the log-likelihood ratio of its hashed
+    unigram features under the TARGET distribution (here: the
+    ``target_lang`` slice, standing in for a quality corpus) vs the RAW
+    corpus distribution, add-1 smoothed. ``selected`` marks docs more
+    target-like than raw (log ratio > 0) — the deterministic analogue
+    of DSIR's importance resampling step.
+
+    Scale shape: features are md5-hashed into ``n_buckets`` buckets
+    (the same 60-bit hash both engines share), so the two distribution
+    aggregates reduce the token stream to at most ``n_buckets`` rows
+    each — map-side combined — and the per-bucket log-ratio table is
+    config-sized and broadcast back over the token stream; the only
+    other shuffle is the per-document sum. No global sort: selection is
+    a threshold on the ratio, not a corpus-wide rank (at 100 TB the
+    resampling quantile comes from a sampled sketch, not a sort).
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    b = n_buckets
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(text_col)).alias("term")
+    ).withColumn("bucket", F.expr(f"{_h60_sql_expr('term')} % {b}"))
+    raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_raw"))
+    tgt = (
+        tok.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_tgt"))
+    )
+    totals = raw.agg(F.sum("n_raw").alias("raw_tot")).crossJoin(
+        tgt.agg(F.sum("n_tgt").alias("tgt_tot"))
+    )
+    ratios = (
+        raw.join(tgt, "bucket", "left")
+        .na.fill({"n_tgt": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                F.log(F.col("n_tgt") + 1)
+                - F.log(F.col("tgt_tot") + b)
+                - (F.log(F.col("n_raw") + 1) - F.log(F.col("raw_tot") + b)),
+                6,
+            ).alias("lr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("lr"), 6).alias("log_ratio"),
+        )
+        .withColumn("selected", F.col("log_ratio") > 0)
+    )
+
+
+def sql_dsir_weights(
+    target_lang: str = "en", n_buckets: int = DSIR_BUCKETS
+) -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    b = n_buckets
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+  FROM documents),
+tokb AS (SELECT doc_id, lang, {_h60_duck('term')} % {b} AS bucket FROM tok),
+raw AS (SELECT bucket, count(*)::BIGINT AS n_raw FROM tokb GROUP BY 1),
+tgt AS (SELECT bucket, count(*)::BIGINT AS n_tgt FROM tokb
+        WHERE lang = '{target_lang}' GROUP BY 1),
+totals AS (
+  SELECT (SELECT sum(n_raw)::BIGINT FROM raw) AS raw_tot,
+         (SELECT sum(n_tgt)::BIGINT FROM tgt) AS tgt_tot),
+ratios AS (
+  SELECT raw.bucket,
+         round(ln(coalesce(n_tgt, 0) + 1) - ln(tgt_tot + {b})
+               - (ln(n_raw + 1) - ln(raw_tot + {b})), 6) AS lr
+  FROM raw LEFT JOIN tgt USING (bucket), totals)
+SELECT doc_id, count(*)::BIGINT AS n_tokens,
+       round(sum(lr), 6) AS log_ratio,
+       round(sum(lr), 6) > 0 AS selected
+FROM tokb JOIN ratios USING (bucket)
+GROUP BY doc_id
+"""

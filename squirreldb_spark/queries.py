@@ -2677,6 +2677,13 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights: hashed-unigram log-likelihood ratio of
+    the target (lang='en') vs raw corpus distribution, add-1 smoothed
+    (pipeline/text.py dsir_weights)."""
+    return ptext.dsir_weights(_docs(spark, sf_dir))
+
+
 def q_emb_mmr_rerank(spark, sf_dir):
     """Greedy maximal-marginal-relevance diversity re-rank of the exact
     top-20 candidates, k=5, lambda=0.5 (pipeline/similarity.py
@@ -3238,6 +3245,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # greedy MMR diversity re-rank over exact top-C candidates
     "emb_mmr_rerank": QueryDef(
         q_emb_mmr_rerank, _neg0(psim.sql_mmr_rerank(), ["mmr_score"])
+    ),
+    # DSIR importance weights (hashed-unigram target/raw log ratio)
+    "doc_dsir_weights": QueryDef(
+        q_doc_dsir_weights, _neg0(ptext.sql_dsir_weights(), ["log_ratio"])
     ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
