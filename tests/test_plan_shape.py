@@ -223,6 +223,39 @@ def test_ivfpq_encode_is_map_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_range_search_zero_exchange(spark, sf_dir):
+    """Fixed-radius search needs no ranking, so the whole plan is one
+    corpus pass with a broadcast query side: zero hash exchanges."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["emb_range_search"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys == [], f"radius search must not shuffle: {keys}"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR's per-bucket log-ratio table is config-sized and must come
+    back over the token stream via a broadcast join; the token stream
+    itself shuffles only for the bucket aggregates and the final
+    per-document sum — never on the raw term."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["doc_dsir_weights"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "BroadcastHashJoin" in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("bucket" in k or "doc_id" in k for k in keys), keys
+    assert sum("doc_id" in k for k in keys) == 1, keys
+
+
 def test_segment_dedup_two_shuffles(spark, sf_dir):
     """Corpus-global segment dedup is exactly the C4 two-shuffle recipe:
     one exchange on the segment key (first-occurrence window), one on
