@@ -71,7 +71,8 @@ _RANGE_FNS = {
 _INSTANT_RANGE = {"irate": True, "idelta": False}
 _OVER_TIME_FNS = {
     f"{fn}_over_time": fn
-    for fn in ("avg", "min", "max", "sum", "count", "last", "stddev", "stdvar", "present")
+    for fn in ("avg", "min", "max", "sum", "count", "last", "stddev", "stdvar",
+               "present", "ts_of_max", "ts_of_min", "ts_of_last")
 }
 
 def _go_log(base_fn):

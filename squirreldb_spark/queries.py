@@ -2943,6 +2943,25 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "ts_last_over_time": QueryDef(
         _q_over_time("last"), _sql_over_time("arg_max(value, ts)")
     ),
+    # experimental ts_of_* trio (prometheus v3.5+; ties -> latest ts,
+    # NaN skipped, all-NaN falls back to the last sample's ts)
+    "ts_of_max_over_time": QueryDef(
+        _q_over_time("ts_of_max"),
+        _sql_over_time(
+            "coalesce((max(CASE WHEN NOT isnan(value) THEN {'v': value, 'ts': ts} END)).ts,"
+            " max(ts)) / 1000.0"
+        ),
+    ),
+    "ts_of_min_over_time": QueryDef(
+        _q_over_time("ts_of_min"),
+        _sql_over_time(
+            "coalesce(-(min(CASE WHEN NOT isnan(value) THEN {'v': value, 'nts': -ts} END)).nts,"
+            " max(ts)) / 1000.0"
+        ),
+    ),
+    "ts_of_last_over_time": QueryDef(
+        _q_over_time("ts_of_last"), _sql_over_time("max(ts) / 1000.0")
+    ),
     "ts_stddev_over_time": QueryDef(
         _q_over_time("stddev"), _sql_over_time("coalesce(stddev_pop(value), 0.0)")
     ),

@@ -183,6 +183,29 @@ def _nan_skipping_max(c):
     return F.coalesce(F.max(F.when(~F.isnan(c), c)), F.max(c))
 
 
+def _ts_of_max(c):
+    """``ts_of_max_over_time`` (experimental, prometheus v3.5+): the
+    timestamp (seconds) of the window's maximum — ties resolve to the
+    LATEST occurrence (upstream scans forward with ``>=``), NaN samples
+    are skipped like ``max_over_time``; an all-NaN window falls back to
+    the last sample's timestamp."""
+    c = F.col(c) if isinstance(c, str) else c
+    picked = F.max(
+        F.when(~F.isnan(c), F.struct(c.alias("v"), F.col("ts").alias("ts")))
+    )
+    return F.coalesce(picked["ts"], F.max("ts")) / F.lit(1000.0)
+
+
+def _ts_of_min(c):
+    """``ts_of_min_over_time``: timestamp of the minimum, ties to the
+    LATEST occurrence (lexicographic min over (value, -ts))."""
+    c = F.col(c) if isinstance(c, str) else c
+    picked = F.min(
+        F.when(~F.isnan(c), F.struct(c.alias("v"), (-F.col("ts")).alias("nts")))
+    )
+    return F.coalesce(-picked["nts"], F.max("ts")) / F.lit(1000.0)
+
+
 _OVER_TIME = {
     "avg": _upstream_avg,
     "min": lambda c: F.min(c),
@@ -193,6 +216,11 @@ _OVER_TIME = {
     "stddev": lambda c: F.stddev_pop(c),
     "stdvar": lambda c: F.var_pop(c),
     "present": lambda c: F.lit(1.0),
+    # experimental trio (prometheus v3.5+, --enable-feature
+    # promql-experimental-functions — present in the pinned v3.7 engine)
+    "ts_of_max": _ts_of_max,
+    "ts_of_min": _ts_of_min,
+    "ts_of_last": lambda c: F.max("ts") / F.lit(1000.0),
 }
 
 

@@ -301,3 +301,32 @@ def test_compact_unpartitioned_table(spark, tmp_path):
     stats = compact_partitions(spark, path, partition_col=None)
     assert stats["files_after"] < stats["files_before"]
     assert sorted(map(tuple, spark.read.parquet(path).collect())) == rows_before
+
+
+def test_ts_of_over_time_tie_and_nan(spark):
+    """ts_of_{max,min,last}_over_time (experimental, prometheus v3.5+):
+    ties resolve to the LATEST occurrence, NaN samples are skipped, and
+    the result is the sample timestamp in SECONDS."""
+    from squirreldb_spark.tsdb import range_fns
+
+    rows = [
+        # max 9.0 occurs at 20s and 40s -> ts_of_max = 40; min 1.0 at
+        # 10s and 30s -> ts_of_min = 30; NaN at 50s is skipped by both
+        # but IS the newest sample -> ts_of_last = 50
+        ("u", "m", 10_000, 1.0),
+        ("u", "m", 20_000, 9.0),
+        ("u", "m", 30_000, 1.0),
+        ("u", "m", 40_000, 9.0),
+        ("u", "m", 50_000, float("nan")),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts long, value double"
+    )
+    got = {}
+    for fn in ("ts_of_max", "ts_of_min", "ts_of_last"):
+        out = range_fns.over_time(
+            df, ["user_id", "event_type"], step_ms=50_000, range_ms=50_000,
+            fn=fn,
+        ).collect()
+        got[fn] = {r.step_ts: r.value for r in out}[50_000]
+    assert got == {"ts_of_max": 40.0, "ts_of_min": 30.0, "ts_of_last": 50.0}
