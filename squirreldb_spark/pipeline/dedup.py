@@ -1047,3 +1047,40 @@ SELECT doc_id,
        string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE rn = 1) AS kept_text
 FROM ranked GROUP BY doc_id
 """
+
+
+def segment_dedup_stream(
+    docs: DataFrame,
+    seg_words: int = SEGMENT_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`segment_dedup`: explode the incoming
+    documents into fixed-word segments and drop every segment already
+    seen within the watermark (``dropDuplicatesWithinWatermark`` keyed
+    on the segment), emitting the surviving ``(doc_id, pos, seg)``
+    stream. State is bounded by (segment throughput x watermark), not
+    the corpus; a duplicate arriving after the watermark re-admits —
+    the same documented trade as :func:`dedup_document_stream`.
+    Reassembly into documents is a downstream batch step (the batch
+    operator's second shuffle): an append-mode stream cannot close a
+    document group without a watermark on the doc id itself.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(words) / F.lit(seg_words)).cast("int")
+    segs = docs.select(
+        F.col(id_col), F.col(time_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_seg - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * seg_words + 1, seg_words), " "
+                ),
+            )
+        ).alias("pos", "seg"),
+    )
+    return segs.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        ["seg"]
+    )

@@ -436,3 +436,36 @@ def test_streaming_ratio_zero_rhs_bucket_yields_inf_not_crash(spark, tmpdir):
     key = (1, t0 // h)
     assert key in got
     assert got[key].r_sum == 0.0 and math.isinf(got[key].ratio)
+
+
+def test_streaming_segment_dedup_bounded_state(spark, tmpdir):
+    """pipeline.dedup.segment_dedup_stream: a segment repeated across
+    documents inside the watermark survives exactly once."""
+    from squirreldb_spark.pipeline.dedup import segment_dedup_stream
+
+    src = f"{tmpdir}/seg_src"
+    boiler = "a b c d e f g h i j"            # one exact 10-word segment
+    rows = [
+        (1, boiler + " k l m", 1_000),         # segs: boiler, "k l m"
+        (2, boiler + " x y z", 2_000),         # boiler dup; "x y z" new
+        (3, "p q r", 3_000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts long")
+    df = df.withColumn("event_time", F.timestamp_millis(F.col("ts")))
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    out_dir, ckpt = f"{tmpdir}/seg_out", f"{tmpdir}/seg_ckpt"
+    q = (
+        segment_dedup_stream(stream, watermark="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir).collect()
+    segs = sorted(r.seg for r in got)
+    assert segs.count(boiler) == 1              # dedup across documents
+    assert set(segs) == {boiler, "k l m", "x y z", "p q r"}
