@@ -91,6 +91,68 @@ def _canonical_series_json(labels: dict) -> str:
     )
 
 
+#: Prometheus config the reference reports on /status/config: it passes
+#: ``config.DefaultConfig`` to v1.NewAPI (api/api.go:138, "Only used to
+#: read the external labels"), so the endpoint serves the upstream
+#: defaults, not a loaded file. Mirror the recognizable default keys.
+_DEFAULT_CONFIG_YAML = (
+    "global:\n"
+    "  scrape_interval: 1m\n"
+    "  scrape_timeout: 10s\n"
+    "  evaluation_interval: 1m\n"
+)
+
+#: The reference mounts the WHOLE upstream web/api/v1 router with mock
+#: retrievers (api/api.go:131-201, api/mock.go): scrape/rule/alertmanager
+#: state is empty, exemplars and runtime/TSDB stats return
+#: errNotImplemented. Mirror each route's exact status + body shape so a
+#: client migrating from the reference sees identical responses.
+_NOT_IMPLEMENTED = (
+    500,
+    {"status": "error", "errorType": "internal", "error": "not implemented"},
+)
+_MOCKED_V1_ROUTES: dict[str, tuple[int, dict]] = {
+    # &v1.PrometheusVersion{} -> zero-valued build info (api/api.go:186)
+    "/api/v1/status/buildinfo": (200, {
+        "status": "success",
+        "data": {"version": "", "revision": "", "branch": "",
+                 "buildUser": "", "buildDate": "", "goVersion": ""},
+    }),
+    # nil flagsMap (api/api.go:145-146) marshals to null
+    "/api/v1/status/flags": (200, {"status": "success", "data": None}),
+    "/api/v1/status/config": (200, {
+        "status": "success", "data": {"yaml": _DEFAULT_CONFIG_YAML},
+    }),
+    # runtimeInfoFunc / mockTSDBAdminStat.{Stats,WALReplayStatus} all
+    # return errNotImplemented (api/api.go:136, api/mock.go:87-95)
+    "/api/v1/status/runtimeinfo": _NOT_IMPLEMENTED,
+    "/api/v1/status/tsdb": _NOT_IMPLEMENTED,
+    "/api/v1/status/walreplay": _NOT_IMPLEMENTED,
+    # mockTargetRetriever: nil active/dropped maps (api/mock.go:56-63)
+    "/api/v1/targets": (200, {
+        "status": "success",
+        "data": {"activeTargets": [], "droppedTargets": [],
+                 "droppedTargetCounts": None},
+    }),
+    "/api/v1/targets/metadata": (200, {"status": "success", "data": []}),
+    "/api/v1/metadata": (200, {"status": "success", "data": {}}),
+    # mockScrapePoolRetriever.ScrapePools() nil (api/mock.go:49-53)
+    "/api/v1/scrape_pools": (200, {
+        "status": "success", "data": {"scrapePools": None},
+    }),
+    # mockRulesRetriever: no groups / no alerting rules (api/mock.go:99-103)
+    "/api/v1/rules": (200, {"status": "success", "data": {"groups": []}}),
+    "/api/v1/alerts": (200, {"status": "success", "data": {"alerts": []}}),
+    # mockAlertmanagerRetriever: nil urls (api/mock.go:65-69)
+    "/api/v1/alertmanagers": (200, {
+        "status": "success",
+        "data": {"activeAlertmanagers": [], "droppedAlertmanagers": []},
+    }),
+    # mockExemplarQueryable.ExemplarQuerier errors (api/mock.go:36-40)
+    "/api/v1/query_exemplars": _NOT_IMPLEMENTED,
+}
+
+
 def _dump_csv(series_jsons) -> bytes:
     """CSV lines ``series_id,labels_json`` (reference IndexDumper.Dump
     shape); the id is the engine's 60-bit md5-prefix content hash of the
@@ -508,6 +570,31 @@ class PromHTTPServer:
                     {"status": "success",
                      "data": [r["value"] for r in rows]},
                 )
+                return
+            if path == "/api/v1/format_query":
+                # upstream web/api/v1 formatQuery (mounted by the
+                # reference via v1.NewAPI, api/api.go:163): parse +
+                # prettify; parse failures are bad_data like /query
+                from squirreldb_spark.promql.prettier import format_query
+
+                q = p("query")
+                if q is None:
+                    self._send_json(
+                        handler, 400,
+                        {"status": "error", "errorType": "bad_data",
+                         "error": 'invalid parameter "query": '
+                                  "unknown position: parse error: "
+                                  "no expression found in input"},
+                    )
+                    return
+                self._send_json(
+                    handler, 200,
+                    {"status": "success", "data": format_query(q)},
+                )
+                return
+            if path in _MOCKED_V1_ROUTES:
+                code, payload = _MOCKED_V1_ROUTES[path]
+                self._send_json(handler, code, payload)
                 return
             if path in ("/mutable/names", "/mutable/values"):
                 self._mutable_route(handler, path, body)

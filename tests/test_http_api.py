@@ -751,3 +751,47 @@ def test_canonical_series_json_matches_spark_to_json(spark):
         {"job": "api", "shard": 7, "inst": "a", "extra": None}
     )
     assert got == want
+
+
+def test_format_query_endpoint(base):
+    """Upstream formatQuery (mounted by the reference via v1.NewAPI):
+    success with the prettified string; missing query -> bad_data."""
+    q = urllib.parse.quote("sum by(job)  ( rate( m[5m] ) )")
+    code, body = _get(f"{base}/api/v1/format_query?query={q}")
+    assert code == 200 and body["status"] == "success"
+    assert body["data"] == "sum by (job) (rate(m[5m]))"
+    code, body = _get(f"{base}/api/v1/format_query")
+    assert code == 400 and body["errorType"] == "bad_data"
+    # a parse error is bad_data too
+    bad = urllib.parse.quote("sum by (")
+    code, body = _get(f"{base}/api/v1/format_query?query={bad}")
+    assert code == 400 and body["errorType"] == "bad_data"
+
+
+def test_mocked_v1_surface_matches_reference(base):
+    """The reference mounts the whole upstream v1 router with mock
+    retrievers (api/api.go:131-201, api/mock.go): empty scrape/rule/
+    alertmanager state, errNotImplemented for exemplars and runtime/TSDB
+    stats. Every route must answer with that exact shape, not 404."""
+    ok = {
+        "/api/v1/status/buildinfo": lambda d: d["data"]["version"] == "",
+        "/api/v1/status/flags": lambda d: d["data"] is None,
+        "/api/v1/status/config": lambda d: "scrape_interval" in d["data"]["yaml"],
+        "/api/v1/targets": lambda d: d["data"]["activeTargets"] == [],
+        "/api/v1/targets/metadata": lambda d: d["data"] == [],
+        "/api/v1/metadata": lambda d: d["data"] == {},
+        "/api/v1/scrape_pools": lambda d: d["data"]["scrapePools"] is None,
+        "/api/v1/rules": lambda d: d["data"]["groups"] == [],
+        "/api/v1/alerts": lambda d: d["data"]["alerts"] == [],
+        "/api/v1/alertmanagers": lambda d: d["data"]["activeAlertmanagers"] == [],
+    }
+    for path, check in ok.items():
+        code, body = _get(base + path)
+        assert code == 200 and body["status"] == "success", (path, body)
+        assert check(body), (path, body)
+    for path in ("/api/v1/status/runtimeinfo", "/api/v1/status/tsdb",
+                 "/api/v1/status/walreplay", "/api/v1/query_exemplars"):
+        code, body = _get(base + path)
+        assert code == 500, (path, code)
+        assert body == {"status": "error", "errorType": "internal",
+                        "error": "not implemented"}, (path, body)

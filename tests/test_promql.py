@@ -812,3 +812,59 @@ def test_count_values_rejects_invalid_label_name(engine):
 
     with _pt.raises(ValueError, match="invalid label name"):
         engine.query_range('count_values("0bad", cpu)')
+
+
+# ---------------------------------------------------------------- prettier
+
+
+def test_format_query_goldens():
+    """Formatter contract (upstream promql/parser/prettier.go): short
+    expressions stay single-line in canonical String() form; the
+    documented divergence is that redundant user parens normalize away
+    while every precedence-REQUIRED paren survives."""
+    from squirreldb_spark.promql.prettier import format_query
+
+    cases = {
+        'rate(http_requests_total{job="api",code=~"5.."}[5m])':
+            'rate(http_requests_total{job="api", code=~"5.."}[5m])',
+        "sum by(job)(rate(m[5m]))": "sum by (job) (rate(m[5m]))",
+        "sum without(instance)(m)": "sum without (instance) (m)",
+        "topk(5, m)": "topk(5, m)",
+        'count_values("ver", build_info)': 'count_values("ver", build_info)',
+        "a + b * c": "a + b * c",
+        "(a + b) * c": "(a + b) * c",
+        "a - (b - c)": "a - (b - c)",
+        "a - b - c": "a - b - c",
+        "(a - b) - c": "a - b - c",        # redundant paren normalized
+        "a ^ b ^ c": "a ^ b ^ c",          # right-assoc: no parens
+        "(a ^ b) ^ c": "(a ^ b) ^ c",      # left-grouped power keeps them
+        "sum(a) > bool 0": "sum(a) > bool 0",
+        "a / on(x) group_left(y) b": "a / on (x) group_left (y) b",
+        "m[1h:10s] offset 5m": "m[1h:10s] offset 5m",
+        "m offset 90s": "m offset 1m30s",
+        "foo @ 1609746000": "foo @ 1609746000.000",
+        "-(a + b)": "-(a + b)",
+    }
+    for src, want in cases.items():
+        assert format_query(src) == want, src
+
+
+def test_format_query_splits_long_expressions():
+    """Nodes whose one-line form exceeds 100 chars split with two-space
+    indents: aggregations/calls open a paren block, binary operators put
+    the operator on its own line between indented operands."""
+    from squirreldb_spark.promql.prettier import format_query
+
+    long_sel = (
+        'really_long_metric_name_for_line_splitting_test'
+        '{label_one="value_one", label_two="value_two"}'
+    )
+    out = format_query(f"avg(rate({long_sel}[5m])) + avg(rate(n[5m]))")
+    lines = out.splitlines()
+    assert lines[0] == "  avg("
+    assert lines[1] == "    rate("
+    assert "+" in [ln.strip() for ln in lines]
+    assert lines[-1] == "  avg(rate(n[5m]))"
+    # formatting is a fixed point modulo whitespace
+    from squirreldb_spark.promql.prettier import format_query as fq
+    assert fq(" ".join(out.split())) == out
