@@ -592,6 +592,26 @@ class PromHTTPServer:
                     {"status": "success", "data": format_query(q)},
                 )
                 return
+            if path == "/api/v1/parse_query":
+                # upstream parse_query (v3.4+): translated AST JSON
+                # (web/api/v1/translate_ast.go shape)
+                from squirreldb_spark.promql.ast_json import parse_query_json
+
+                q = p("query")
+                if q is None:
+                    self._send_json(
+                        handler, 400,
+                        {"status": "error", "errorType": "bad_data",
+                         "error": 'invalid parameter "query": '
+                                  "unknown position: parse error: "
+                                  "no expression found in input"},
+                    )
+                    return
+                self._send_json(
+                    handler, 200,
+                    {"status": "success", "data": parse_query_json(q)},
+                )
+                return
             if path in _MOCKED_V1_ROUTES:
                 code, payload = _MOCKED_V1_ROUTES[path]
                 self._send_json(handler, code, payload)

@@ -795,3 +795,31 @@ def test_mocked_v1_surface_matches_reference(base):
         assert code == 500, (path, code)
         assert body == {"status": "error", "errorType": "internal",
                         "error": "not implemented"}, (path, body)
+
+
+def test_parse_query_endpoint(base):
+    """parse_query (v3.4+): translated AST JSON in the upstream
+    translate_ast.go shape."""
+    q = urllib.parse.quote('sum by (job) (rate(m{env="prod"}[5m])) / scalar(n)')
+    code, body = _get(f"{base}/api/v1/parse_query?query={q}")
+    assert code == 200 and body["status"] == "success"
+    d = body["data"]
+    assert d["type"] == "binaryExpr" and d["op"] == "/"
+    assert d["matching"] is None                      # scalar rhs
+    agg = d["lhs"]
+    assert agg["type"] == "aggregation" and agg["grouping"] == ["job"]
+    call = agg["expr"]
+    assert call["func"] == {"name": "rate", "argTypes": ["matrix"],
+                            "variadic": 0, "returnType": "vector"}
+    sel = call["args"][0]
+    assert sel["type"] == "matrixSelector" and sel["range"] == 300000
+    assert {"name": "__name__", "type": "=", "value": "m"} in sel["matchers"]
+    assert {"name": "env", "type": "=", "value": "prod"} in sel["matchers"]
+    # vector-vector default matching is one-to-one
+    q2 = urllib.parse.quote("a + b")
+    _, body2 = _get(f"{base}/api/v1/parse_query?query={q2}")
+    assert body2["data"]["matching"] == {
+        "card": "one-to-one", "labels": [], "on": False, "include": [],
+    }
+    code, body3 = _get(f"{base}/api/v1/parse_query?query=sum%20by%20(")
+    assert code == 400 and body3["errorType"] == "bad_data"
