@@ -347,3 +347,82 @@ def test_matcher_string_escape_roundtrip(value):
     quoted = '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
     sel = parse("m{x=" + quoted + "}")
     assert sel.matchers[0].value == value
+
+
+# ---------------------------------------------- pipeline op invariants
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+    min_size=1, max_size=35,
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_words, min_size=1, max_size=8))
+def test_segment_dedup_global_uniqueness(spark, texts):
+    """Invariant of C4-style segment dedup: across ALL kept_texts, every
+    distinct segment of the corpus appears exactly once, and per doc
+    n_segments = ceil(words/seg)."""
+    from squirreldb_spark.pipeline.dedup import segment_dedup
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_dedup(docs, seg_words=3).collect()}
+    all_segs = []
+    for i, ws in enumerate(rows):
+        words = ws[1].split(" ")
+        segs = [" ".join(words[j:j + 3]) for j in range(0, len(words), 3)]
+        assert out[i].n_segments == len(segs)
+        all_segs.extend(segs)
+    kept_concat = []
+    for r in out.values():
+        if r.kept_text:
+            # kept_text is space-joined segments; count segments by the
+            # dropped bookkeeping instead of re-splitting ambiguously
+            kept_concat.append(r.n_segments - r.n_dropped)
+        else:
+            assert r.n_dropped == r.n_segments
+            kept_concat.append(0)
+    assert sum(kept_concat) == len(set(all_segs))
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_words, min_size=2, max_size=6))
+def test_dsir_weights_reference(spark, texts):
+    """dsir_weights equals a direct Python replay of the hashed-unigram
+    log-likelihood ratio on random corpora (langs alternate en/fr)."""
+    import hashlib as _hl
+    import math
+
+    from squirreldb_spark.pipeline.text import DSIR_BUCKETS, dsir_weights
+
+    rows = [(i, " ".join(ws), "en" if i % 2 == 0 else "fr")
+            for i, ws in enumerate(texts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r.log_ratio for r in dsir_weights(docs).collect()}
+
+    b = DSIR_BUCKETS
+
+    def bucket(w):
+        return int(_hl.md5(w.encode()).hexdigest()[:15], 16) % b
+
+    raw, tgt = {}, {}
+    for _, text, lang in rows:
+        for w in text.split(" "):
+            k = bucket(w)
+            raw[k] = raw.get(k, 0) + 1
+            if lang == "en":
+                tgt[k] = tgt.get(k, 0) + 1
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    lr = {
+        k: round(
+            math.log(tgt.get(k, 0) + 1) - math.log(tgt_tot + b)
+            - (math.log(raw[k] + 1) - math.log(raw_tot + b)), 6)
+        for k in raw
+    }
+    for i, text, _ in rows:
+        want = round(sum(lr[bucket(w)] for w in text.split(" ")), 6)
+        assert got[i] == pytest.approx(want, abs=2e-6), (i, got[i], want)
