@@ -1403,3 +1403,56 @@ SELECT doc_id, count(*)::BIGINT AS n_tokens,
 FROM tokb JOIN ratios USING (bucket)
 GROUP BY doc_id
 """
+
+
+# ------------------------------------------- near-dup split leakage audit
+
+def split_leakage(
+    docs: DataFrame,
+    min_est_jaccard: float = 0.5,
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> DataFrame:
+    """Train/test contamination audit: near-duplicate pairs (MinHash-LSH
+    candidates at ``est_jaccard >= min_est_jaccard``) whose members landed
+    in DIFFERENT splits. The content-hashed split makes exact-dup leakage
+    structurally impossible (split_assign), but near-dups hash apart —
+    this is the check every eval pipeline runs before trusting held-out
+    numbers.
+
+    Scale shape: the pair list (LSH-bounded) joins the split table twice
+    on the doc id — the splits are a projection of the corpus (zero
+    shuffle themselves), and the audit's cost is the candidate
+    generation it shares with the dedup path. Output one row per leaking
+    pair, ordered columns for the hash compare.
+    """
+    from squirreldb_spark.pipeline import dedup as _dedup
+
+    sig = _dedup.minhash_signatures(docs)
+    pairs = _dedup.minhash_estimated_similarity(
+        sig, _dedup.lsh_candidate_pairs(sig)
+    ).filter(F.col("est_jaccard") >= min_est_jaccard)
+    splits = split_assign(docs, pct_train=pct_train, pct_val=pct_val)
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a").join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "est_jaccard", "split_a", "split_b")
+    )
+
+
+def sql_split_leakage(
+    min_est_jaccard: float = 0.5, pct_train: int = 90, pct_val: int = 5
+) -> str:
+    from squirreldb_spark.pipeline.dedup import sql_minhash_lsh_pairs
+
+    return f"""
+WITH pairs AS ({sql_minhash_lsh_pairs()}),
+splits AS ({sql_split_assign(pct_train, pct_val)})
+SELECT p.id_a, p.id_b, p.est_jaccard, a.split AS split_a, b.split AS split_b
+FROM pairs p
+JOIN splits a ON a.doc_id = p.id_a
+JOIN splits b ON b.doc_id = p.id_b
+WHERE p.est_jaccard >= {min_est_jaccard} AND a.split != b.split
+"""

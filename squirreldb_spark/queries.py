@@ -2677,6 +2677,13 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_doc_split_leakage(spark, sf_dir):
+    """Near-dup train/test leakage audit: LSH candidate pairs above the
+    similarity floor whose members hashed into different splits
+    (pipeline/text.py split_leakage)."""
+    return ptext.split_leakage(_docs(spark, sf_dir), min_est_jaccard=0.3)
+
+
 def q_doc_dsir_weights(spark, sf_dir):
     """DSIR importance weights: hashed-unigram log-likelihood ratio of
     the target (lang='en') vs raw corpus distribution, add-1 smoothed
@@ -3268,6 +3275,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # DSIR importance weights (hashed-unigram target/raw log ratio)
     "doc_dsir_weights": QueryDef(
         q_doc_dsir_weights, _neg0(ptext.sql_dsir_weights(), ["log_ratio"])
+    ),
+    # near-dup split leakage audit (pairs that crossed split boundaries)
+    "doc_split_leakage": QueryDef(
+        q_doc_split_leakage, ptext.sql_split_leakage(min_est_jaccard=0.3)
     ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
