@@ -85,6 +85,7 @@ SECONDARY_QUERIES = [
     "emb_range_search",
     "emb_mmr_rerank",
     "doc_dsir_weights",
+    "ev_hll_distinct",
 ]
 
 

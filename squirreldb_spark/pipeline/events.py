@@ -677,3 +677,119 @@ SELECT from_type, to_type, n,
        round(n / sum(n) OVER (PARTITION BY from_type)::DOUBLE, 6) AS p
 FROM counts
 """
+
+
+# ------------------------------------------------ HyperLogLog sketch
+
+#: HLL registers (p=6 -> m=64 buckets); alpha_64 from the HLL paper
+HLL_M = 64
+_HLL_ALPHA = 0.709
+#: hash payload bits below the bucket prefix (60-bit md5 hash - 6)
+_HLL_WBITS = 54
+
+
+def hll_distinct(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count per ``key_col``, with the
+    exact count and relative error alongside (the sketch self-eval, like
+    ann_recall for ANN).
+
+    Why not ``approx_count_distinct``: Spark's HLL++ is engine-internal
+    and irreproducible in an oracle. This is the textbook HLL (Flajolet
+    et al. 2007) on the shared 60-bit md5 hash — bucket = top 6 bits,
+    rank = leading-zeros-in-54-bit-payload + 1 — so DuckDB replays it
+    bit-for-bit. The register harmonic sum is computed in EXACT integer
+    arithmetic (sum of 2^(54 - M_j), max 64 * 2^54 < 2^61) so no
+    floating-point summation order can split the engines.
+
+    Scale shape: the sketch is the point — registers are a
+    (key x 64)-row aggregate with map-side combine, so the distinct
+    count costs a fixed-size state per key instead of the exact path's
+    full (key, id) shuffle; merging partial sketches is the same max.
+    The exact count here exists only as the self-eval baseline.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    h = _h60_sql_expr(f"cast({id_col} as string)")
+    m, wbits = HLL_M, _HLL_WBITS
+    # rank: 1 + leading zeros of the 54-bit payload; all-zero payload
+    # saturates at wbits + 1 (the HLL convention for w = 0)
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    regs = (
+        events.select(F.col(key_col), F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+                      F.expr(rank).alias("rank"))
+        .groupBy(key_col, "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    per_key = regs.groupBy(key_col).agg(
+        F.sum(F.expr(f"cast(pow(2, {wbits} - r) as bigint)")).alias("s_int"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
+    # empty buckets contribute 2^wbits each to the integer harmonic sum
+    s_full = F.col("s_int") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << wbits)
+    raw = F.lit(_HLL_ALPHA * m * m * float(1 << wbits)) / s_full
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    exact = events.groupBy(key_col).agg(
+        F.countDistinct(id_col).alias("exact_distinct")
+    )
+    out = per_key.join(exact, key_col).select(
+        key_col,
+        F.round(est, 6).alias("hll_estimate"),
+        F.col("exact_distinct").cast("long"),
+    )
+    return out.withColumn(
+        "rel_err",
+        F.round(F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"), 6),
+    )
+
+
+def sql_hll_distinct() -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    m, wbits = HLL_M, _HLL_WBITS
+    h = _h60_duck("user_id::VARCHAR")
+    return f"""
+WITH ev AS (SELECT event_type, user_id, {h} AS h FROM events),
+ranked AS (
+  SELECT event_type, h // {1 << wbits} AS bucket,
+         CASE WHEN (h % {1 << wbits}) = 0 THEN {wbits + 1}
+              ELSE {wbits} - cast(floor(log2(h % {1 << wbits})) AS INT) END AS rank
+  FROM ev),
+regs AS (
+  SELECT event_type, bucket, max(rank) AS r FROM ranked GROUP BY 1, 2),
+per_key AS (
+  SELECT event_type,
+         sum(cast(pow(2, {wbits} - r) AS BIGINT))::BIGINT AS s_int,
+         count(*)::BIGINT AS n_regs
+  FROM regs GROUP BY 1),
+calc AS (
+  SELECT event_type,
+         ({m} - n_regs)::DOUBLE AS zeros,
+         s_int + ({m} - n_regs) * {1 << wbits} AS s_full
+  FROM per_key),
+est AS (
+  SELECT event_type,
+         CASE WHEN ({_HLL_ALPHA * m * m * float(1 << wbits)!r} / s_full)
+                   <= {2.5 * m} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros)
+              ELSE {_HLL_ALPHA * m * m * float(1 << wbits)!r} / s_full
+         END AS e
+  FROM calc),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT est.event_type, round(e, 6) AS hll_estimate, exact_distinct,
+       round(abs(round(e, 6) - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM est JOIN exact USING (event_type)
+"""

@@ -2677,6 +2677,13 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_ev_hll_distinct(spark, sf_dir):
+    """Deterministic HyperLogLog distinct users per event type, with the
+    exact count + relative error as the sketch self-eval
+    (pipeline/events.py hll_distinct)."""
+    return pevents.hll_distinct(_events(spark, sf_dir))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup train/test leakage audit: LSH candidate pairs above the
     similarity floor whose members hashed into different splits
@@ -3280,6 +3287,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_split_leakage": QueryDef(
         q_doc_split_leakage, ptext.sql_split_leakage(min_est_jaccard=0.3)
     ),
+    # deterministic HLL distinct sketch + exact self-eval
+    "ev_hll_distinct": QueryDef(q_ev_hll_distinct, pevents.sql_hll_distinct()),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()
