@@ -86,6 +86,7 @@ SECONDARY_QUERIES = [
     "emb_mmr_rerank",
     "doc_dsir_weights",
     "ev_hll_distinct",
+    "doc_cm_heavyhitters",
 ]
 
 

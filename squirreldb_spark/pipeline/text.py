@@ -1456,3 +1456,105 @@ JOIN splits a ON a.doc_id = p.id_a
 JOIN splits b ON b.doc_id = p.id_b
 WHERE p.est_jaccard >= {min_est_jaccard} AND a.split != b.split
 """
+
+
+# ---------------------------------------------- count-min heavy hitters
+
+CM_DEPTH = 3
+CM_WIDTH = 128
+
+
+def cm_heavyhitters(
+    docs: DataFrame,
+    k: int = 20,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch term frequencies (Cormode & Muthukrishnan 2005)
+    with the exact counts as self-eval: the top-``k`` exact terms, their
+    CM estimate (min over ``depth`` salted hash rows), and the
+    overestimate. CM guarantees est >= exact; the gap measures the
+    sketch's collision noise at this width.
+
+    Scale shape: the sketch is a fixed (depth x width)-cell aggregate
+    with map-side combine — at 100 TB it replaces the full term shuffle
+    with constant-size state per partition, merged by addition. The
+    exact wordcount here exists only as the evaluation baseline; the
+    top-k is TakeOrdered (no global sort materialization). All hashes
+    are the shared md5 60-bit prefix, so the DuckDB oracle replays every
+    cell exactly.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    tok = docs.select(F.explode(tokens(text_col)).alias("term"))
+    rows = tok.select(
+        "term",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(
+                    f"{_h60_sql_expr(f'''concat('cm{s}#', term)''')} % {width}"
+                ).alias("bucket"),
+            )
+            for s in range(depth)
+        ])).alias("sb"),
+    ).select("term", F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
+    sketch = rows.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(k)
+    probes = top.select(
+        "term", "exact_count",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).alias("s"),
+                F.expr(
+                    f"{_h60_sql_expr(f'''concat('cm{s}#', term)''')} % {width}"
+                ).alias("bucket"),
+            )
+            for s in range(depth)
+        ])).alias("sb"),
+    ).select("term", "exact_count", F.col("sb.s").alias("s"),
+             F.col("sb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["s", "bucket"])
+        .groupBy("term", "exact_count")
+        .agg(F.min("cell").alias("cm_estimate"))
+    )
+    return est.select(
+        "term",
+        F.col("exact_count").cast("long"),
+        F.col("cm_estimate").cast("long"),
+        (F.col("cm_estimate") - F.col("exact_count"))
+        .cast("long").alias("overestimate"),
+    )
+
+
+def sql_cm_heavyhitters(
+    k: int = 20, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    def bucket(s):
+        return f"{_h60_duck(f'''('cm{s}#' || term)''')} % {width}"
+
+    salted = "\nUNION ALL ".join(
+        f"SELECT term, {s} AS s, {bucket(s)} AS bucket FROM tok"
+        for s in range(depth)
+    )
+    probe = "\nUNION ALL ".join(
+        f"SELECT term, exact_count, {s} AS s, {bucket(s)} AS bucket FROM top"
+        for s in range(depth)
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+salted AS ({salted}),
+sketch AS (SELECT s, bucket, count(*)::BIGINT AS cell FROM salted GROUP BY 1, 2),
+exact AS (SELECT term, count(*)::BIGINT AS exact_count FROM tok GROUP BY 1),
+top AS (SELECT * FROM exact ORDER BY exact_count DESC, term LIMIT {k}),
+probes AS ({probe})
+SELECT p.term, p.exact_count, min(cell)::BIGINT AS cm_estimate,
+       (min(cell) - p.exact_count)::BIGINT AS overestimate
+FROM probes p JOIN sketch USING (s, bucket)
+GROUP BY 1, 2
+"""

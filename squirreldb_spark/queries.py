@@ -2677,6 +2677,13 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_doc_cm_heavyhitters(spark, sf_dir):
+    """Count-min sketch term estimates for the exact top-20 terms, with
+    the guaranteed-nonnegative overestimate as the self-eval
+    (pipeline/text.py cm_heavyhitters)."""
+    return ptext.cm_heavyhitters(_docs(spark, sf_dir))
+
+
 def q_ev_hll_distinct(spark, sf_dir):
     """Deterministic HyperLogLog distinct users per event type, with the
     exact count + relative error as the sketch self-eval
@@ -3289,6 +3296,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # deterministic HLL distinct sketch + exact self-eval
     "ev_hll_distinct": QueryDef(q_ev_hll_distinct, pevents.sql_hll_distinct()),
+    # count-min sketch heavy hitters + overestimate self-eval
+    "doc_cm_heavyhitters": QueryDef(
+        q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()
+    ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()
