@@ -68,6 +68,23 @@ def _topk_per_query(
     ).select("q_id", "c_id", *carry, "cosine", "rank")
 
 
+def _brute_scored(
+    emb: DataFrame, n_queries: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Shared brute-force prologue (kNN + radius search): broadcast the
+    first ``n_queries`` vectors against the corpus scan and 6-dp-round
+    the cosine so ranking/thresholding is engine-independent."""
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    return with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+
+
 def cosine_knn(
     emb: DataFrame,
     k: int = 5,
@@ -80,15 +97,7 @@ def cosine_knn(
     Rank on the 6-dp-rounded score with an id tie-break so the result is
     engine-independent (raw float ordering is not).
     """
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
-    q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
-    )
-    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
-    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
-    scored = with_cosine(j, "qv", "cv").withColumn(
-        "cosine", F.round(F.col("cosine"), 6)
-    )
+    scored = _brute_scored(emb, n_queries, id_col, vec_col)
     return _topk_per_query(scored, k, carry=[])
 
 
@@ -420,14 +429,20 @@ def _duck_cos(a: str, b: str) -> str:
     return f"round(({dot}) / (sqrt({na}) * sqrt({nb})), 6)"
 
 
-def sql_cosine_knn(k: int = 5, n_queries: int = 5) -> str:
+def _sql_brute_scored(n_queries: int) -> str:
+    """Oracle twin of :func:`_brute_scored` — the base/q/c/scored CTE
+    chain shared by the kNN and radius-search oracles."""
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
 c AS (SELECT vec_id AS c_id, v AS cv FROM base),
 scored AS (
   SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
-  FROM c, q WHERE c_id != q_id),
+  FROM c, q WHERE c_id != q_id)"""
+
+
+def sql_cosine_knn(k: int = 5, n_queries: int = 5) -> str:
+    return f"""{_sql_brute_scored(n_queries)},
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
   FROM scored)
@@ -806,21 +821,29 @@ _PQ_CODEBOOKS: dict[tuple, list] = {}
 _L2 = "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)"
 
 
-def _pq_scores_expr(codebook, sub: str) -> str:
-    """``array<struct<d:double, dr:double, code:int>>`` of the L2²
-    distance of ``sub`` against every (literal) sub-centroid of one
-    subspace — ``dr`` 6-dp-rounded for the engine-independent argmin,
-    ``d`` raw for the MSE. Literal-codebook fold inside the scan, the
-    same zero-exchange shape as the IVF cell assignment."""
+def _pq_entries_expr(codebook) -> str:
+    """The literal codebook as ``array<struct<code:int, cent:array>>``,
+    sorted by code — the ONE serialization both the encode fold and the
+    ADC lookup tables build on (parity-critical with the DuckDB oracle:
+    sort key, float repr, struct shape)."""
     entries = []
     for code, cent in sorted(codebook, key=lambda e: e[0]):
         arr = ", ".join(f"{float(x)!r}D" for x in cent)
         entries.append(
             f"named_struct('code', {int(code)}, 'cent', array({arr}))"
         )
+    return f"array({', '.join(entries)})"
+
+
+def _pq_scores_expr(codebook, sub: str) -> str:
+    """``array<struct<d:double, dr:double, code:int>>`` of the L2²
+    distance of ``sub`` against every (literal) sub-centroid of one
+    subspace — ``dr`` 6-dp-rounded for the engine-independent argmin,
+    ``d`` raw for the MSE. Literal-codebook fold inside the scan, the
+    same zero-exchange shape as the IVF cell assignment."""
     d = _L2.format(a=sub, b="e.cent")
     return (
-        f"transform(array({', '.join(entries)}), "
+        f"transform({_pq_entries_expr(codebook)}, "
         f"e -> named_struct('d', {d}, 'dr', round({d}, 6), 'code', e.code))"
     )
 
@@ -1021,16 +1044,11 @@ FROM best GROUP BY vec_id
 def _pq_lut_expr(codebook, sub: str) -> str:
     """``map<int, double>`` of code -> 6-dp-rounded L2² distance of
     ``sub`` against every (literal) sub-centroid — the per-query ADC
-    lookup table, computed once on the (tiny) probe side."""
-    entries = []
-    for code, cent in sorted(codebook, key=lambda e: e[0]):
-        arr = ", ".join(f"{float(x)!r}D" for x in cent)
-        entries.append(
-            f"named_struct('code', {int(code)}, 'cent', array({arr}))"
-        )
+    lookup table, computed once on the (tiny) probe side, off the SAME
+    codebook serialization the encode fold uses (:func:`_pq_entries_expr`)."""
     d = _L2.format(a=sub, b="e.cent")
     return (
-        f"map_from_entries(transform(array({', '.join(entries)}), "
+        f"map_from_entries(transform({_pq_entries_expr(codebook)}, "
         f"e -> struct(e.code, round({d}, 6))))"
     )
 
@@ -1363,28 +1381,14 @@ def range_search(
     needs no ranking, so unlike kNN there is no top-k window). The
     scale path for corpus x corpus radius search is the bucketed
     :func:`embedding_neardup_pairs`."""
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
-    q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
-    )
-    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
-    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
-    scored = with_cosine(j, "qv", "cv").withColumn(
-        "cosine", F.round(F.col("cosine"), 6)
-    )
+    scored = _brute_scored(emb, n_queries, id_col, vec_col)
     return scored.filter(F.col("cosine") >= threshold).select(
         "q_id", "c_id", "cosine"
     )
 
 
 def sql_range_search(threshold: float = 0.2, n_queries: int = 5) -> str:
-    return f"""
-WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
-c AS (SELECT vec_id AS c_id, v AS cv FROM base),
-scored AS (
-  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
-  FROM c, q WHERE c_id != q_id)
+    return f"""{_sql_brute_scored(n_queries)}
 SELECT q_id, c_id, cosine FROM scored WHERE cosine >= {threshold}
 """
 

@@ -1464,6 +1464,23 @@ CM_DEPTH = 3
 CM_WIDTH = 128
 
 
+def _cm_buckets_expr(depth: int, width: int):
+    """``array<struct<s, bucket>>`` of the term's salted md5 buckets —
+    the ONE expression both the sketch build and the top-k probes use
+    (a divergent copy would silently desync probe buckets from cells)."""
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    return F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
+            F.expr(
+                f"{_h60_sql_expr(f'''concat('cm{s}#', term)''')} % {width}"
+            ).alias("bucket"),
+        )
+        for s in range(depth)
+    ])
+
+
 def cm_heavyhitters(
     docs: DataFrame,
     k: int = 20,
@@ -1485,35 +1502,16 @@ def cm_heavyhitters(
     are the shared md5 60-bit prefix, so the DuckDB oracle replays every
     cell exactly.
     """
-    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
-
     tok = docs.select(F.explode(tokens(text_col)).alias("term"))
     rows = tok.select(
-        "term",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.expr(
-                    f"{_h60_sql_expr(f'''concat('cm{s}#', term)''')} % {width}"
-                ).alias("bucket"),
-            )
-            for s in range(depth)
-        ])).alias("sb"),
+        "term", F.explode(_cm_buckets_expr(depth, width)).alias("sb")
     ).select("term", F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
     sketch = rows.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cell"))
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
     top = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(k)
     probes = top.select(
         "term", "exact_count",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(s).alias("s"),
-                F.expr(
-                    f"{_h60_sql_expr(f'''concat('cm{s}#', term)''')} % {width}"
-                ).alias("bucket"),
-            )
-            for s in range(depth)
-        ])).alias("sb"),
+        F.explode(_cm_buckets_expr(depth, width)).alias("sb"),
     ).select("term", "exact_count", F.col("sb.s").alias("s"),
              F.col("sb.bucket").alias("bucket"))
     est = (

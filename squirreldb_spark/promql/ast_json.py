@@ -45,7 +45,8 @@ _reg([f"{f}_over_time" for f in
       ("avg", "min", "max", "sum", "count", "last", "present", "stddev",
        "stdvar", "mad", "ts_of_max", "ts_of_min", "ts_of_last")], [M])
 _reg(["quantile_over_time"], [S, M])
-_reg(["histogram_quantile", "histogram_fraction"], [S, V])
+_reg(["histogram_quantile"], [S, V])
+_reg(["histogram_fraction"], [S, S, V])
 _reg(["clamp"], [V, S, S])
 _reg(["clamp_max", "clamp_min"], [V, S])
 _reg(["round"], [V, S], variadic=1)

@@ -117,7 +117,12 @@ def _needs_parens(child, parent_prec: int, right: bool) -> bool:
     """Minimal-paren rule: a binary child needs parens when it binds
     looser than its parent, or at equal precedence on the side the
     associativity does not cover ('^' is right-associative, every other
-    operator is left-associative)."""
+    operator is left-associative). A unary child needs parens only on
+    the LHS of '^' — unary binds looser than the power operator
+    (upstream: ``-1 ^ 2 == -(1 ^ 2)``) but tighter than everything
+    else."""
+    if isinstance(child, Unary):
+        return parent_prec == _PREC["^"] and not right
     if not isinstance(child, BinaryOp):
         return False
     p = _PREC[child.op]
@@ -127,6 +132,14 @@ def _needs_parens(child, parent_prec: int, right: bool) -> bool:
         power = parent_prec == _PREC["^"]
         return (right and not power) or (not right and power)
     return False
+
+
+def _subquery_inner(node) -> tuple[str, bool]:
+    """One-line inner of ``expr[range:step]`` with the parens PromQL
+    requires around a non-atomic inner (our AST lowered them away)."""
+    wrap = isinstance(node, (BinaryOp, Unary))
+    s = to_promql(node)
+    return (f"({s})" if wrap else s), wrap
 
 
 def _child(node, parent_prec: int, right: bool = False) -> str:
@@ -157,8 +170,9 @@ def to_promql(node) -> str:
         )
     if isinstance(node, Subquery):
         step = _duration(node.step_ms) if node.step_ms else ""
+        inner, _ = _subquery_inner(node.inner)
         return (
-            to_promql(node.inner)
+            inner
             + f"[{_duration(node.range_ms)}:{step}]"
             + _offset(node.offset_ms)
         )
@@ -249,13 +263,23 @@ def pretty(node, level: int = 0) -> str:
         return s + _indent(level) + ")"
     if isinstance(node, Subquery):
         step = _duration(node.step_ms) if node.step_ms else ""
+        _, wrap = _subquery_inner(node.inner)
+        inner = (
+            _wrap_parens(node.inner, level) if wrap
+            else pretty(node.inner, level)
+        )
         return (
-            pretty(node.inner, level)
+            inner
             + f"[{_duration(node.range_ms)}:{step}]"
             + _offset(node.offset_ms)
         )
     if isinstance(node, Unary):
-        return _indent(level) + node.op + "\n" + pretty(node.expr, level + 1)
+        inner = (
+            _wrap_parens(node.expr, level + 1)
+            if isinstance(node.expr, BinaryOp)
+            else pretty(node.expr, level + 1)
+        )
+        return _indent(level) + node.op + "\n" + inner
     # selectors/literals never exceed the budget in practice, but long
     # matcher sets can: print inline regardless (upstream leaf behavior)
     return _indent(level) + to_promql(node)

@@ -868,3 +868,29 @@ def test_format_query_splits_long_expressions():
     # formatting is a fixed point modulo whitespace
     from squirreldb_spark.promql.prettier import format_query as fq
     assert fq(" ".join(out.split())) == out
+
+
+def test_format_query_paren_reinsertion_edges():
+    """Review regressions: parens our AST lowered away must re-appear
+    wherever the canonical form needs them — subquery inners, unary on
+    the LHS of '^', and the multiline unary/subquery branches."""
+    from squirreldb_spark.promql.parser import parse
+    from squirreldb_spark.promql.prettier import format_query
+
+    cases = {
+        "(a + b)[5m:1m]": "(a + b)[5m:1m]",
+        "(-a) ^ b": "(-a) ^ b",
+        "a ^ -b": "a ^ -b",
+        "-a * b": "-a * b",
+        "rate(m[5m])[30m:5m]": "rate(m[5m])[30m:5m]",
+    }
+    for src, want in cases.items():
+        out = format_query(src)
+        assert out == want, (src, out)
+    # multiline branches: semantic round-trip after whitespace collapse
+    long_sum = "(" + " + ".join(
+        f'really_long_metric_name_number_{i}{{env="prod"}}' for i in range(3)
+    ) + ")"
+    for src in (f"-{long_sum}", f"{long_sum}[30m:5m]"):
+        out = format_query(src)
+        assert parse(" ".join(out.split())) == parse(src), src
