@@ -87,6 +87,7 @@ SECONDARY_QUERIES = [
     "doc_dsir_weights",
     "ev_hll_distinct",
     "doc_cm_heavyhitters",
+    "doc_curation_verdict",
 ]
 
 

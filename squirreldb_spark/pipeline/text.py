@@ -1556,3 +1556,74 @@ SELECT p.term, p.exact_count, min(cell)::BIGINT AS cm_estimate,
 FROM probes p JOIN sketch USING (s, bucket)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------------------ curation verdict pass
+
+def curation_verdict(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The end-to-end keep/drop pass a curation pipeline runs before
+    tokenization: Gopher quality rules (:func:`quality_filter`),
+    exact-duplicate elimination (keep the min-id representative), the
+    language-vs-declared-lang consistency check (:func:`lang_scores`),
+    and the PII count carried as a signal. ``reasons_csv`` lists every
+    failed check in fixed order; ``keep`` is their conjunction.
+
+    Scale shape: quality/lang/PII are narrow maps fused into the same
+    scan; the only shuffles are exact dedup's hash groupBy and its
+    join back on the content hash — the verdict composes the existing
+    operators' plans rather than adding new ones.
+    """
+    from squirreldb_spark.pipeline.dedup import exact_dedup
+
+    q = quality_filter(docs, text_col).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    lang = lang_scores(docs, text_col).select("doc_id", "lang_guess")
+    pii = pii_scrub(docs, text_col).select("doc_id", "n_pii")
+    reps = exact_dedup(docs, text_col).select("content_hash", "rep_id")
+    hashed = docs.select(
+        "doc_id", "lang",
+        F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+    )
+    j = (
+        hashed.join(reps, "content_hash")
+        .join(q, "doc_id").join(lang, "doc_id").join(pii, "doc_id")
+    )
+    is_dup = F.col("doc_id") != F.col("rep_id")
+    lang_mismatch = F.col("lang_guess") != F.col("lang")
+    reasons = F.concat_ws(
+        ",",
+        F.when(~F.col("q_keep"), F.lit("quality")),
+        F.when(is_dup, F.lit("duplicate")),
+        F.when(lang_mismatch, F.lit("lang_mismatch")),
+    )
+    return j.select(
+        "doc_id",
+        (F.col("q_keep") & ~is_dup & ~lang_mismatch).alias("keep"),
+        reasons.alias("reasons_csv"),
+        F.col("n_pii").cast("long"),
+    )
+
+
+def sql_curation_verdict() -> str:
+    return f"""
+WITH q AS ({sql_quality_filter()}),
+l AS ({sql_lang_scores()}),
+p AS ({sql_pii_scrub()}),
+reps AS (SELECT md5(text) AS content_hash, min(doc_id) AS rep_id
+         FROM documents GROUP BY 1),
+hashed AS (SELECT doc_id, lang, md5(text) AS content_hash FROM documents)
+SELECT h.doc_id,
+       (q.keep AND h.doc_id = reps.rep_id AND l.lang_guess = h.lang) AS keep,
+       concat_ws(',',
+         CASE WHEN NOT q.keep THEN 'quality' END,
+         CASE WHEN h.doc_id != reps.rep_id THEN 'duplicate' END,
+         CASE WHEN l.lang_guess != h.lang THEN 'lang_mismatch' END
+       ) AS reasons_csv,
+       p.n_pii::BIGINT AS n_pii
+FROM hashed h
+JOIN reps USING (content_hash)
+JOIN q ON q.doc_id = h.doc_id
+JOIN l ON l.doc_id = h.doc_id
+JOIN p ON p.doc_id = h.doc_id
+"""

@@ -2677,6 +2677,13 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_doc_curation_verdict(spark, sf_dir):
+    """End-to-end keep/drop verdict composing quality rules, exact-dup
+    representative election, language consistency, and the PII signal
+    (pipeline/text.py curation_verdict)."""
+    return ptext.curation_verdict(_docs(spark, sf_dir))
+
+
 def q_doc_cm_heavyhitters(spark, sf_dir):
     """Count-min sketch term estimates for the exact top-20 terms, with
     the guaranteed-nonnegative overestimate as the self-eval
@@ -3299,6 +3306,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # count-min sketch heavy hitters + overestimate self-eval
     "doc_cm_heavyhitters": QueryDef(
         q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()
+    ),
+    # composed curation keep/drop verdict with per-check reasons
+    "doc_curation_verdict": QueryDef(
+        q_doc_curation_verdict, ptext.sql_curation_verdict()
     ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
