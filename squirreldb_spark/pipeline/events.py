@@ -793,3 +793,67 @@ SELECT est.event_type, round(e, 6) AS hll_estimate, exact_distinct,
        round(abs(round(e, 6) - exact_distinct) / exact_distinct, 6) AS rel_err
 FROM est JOIN exact USING (event_type)
 """
+
+
+# ---------------------------------------------- last-touch attribution
+
+def attribution(events: DataFrame, tolerance_ms: int = 30 * 60_000) -> DataFrame:
+    """Last-touch attribution: every purchase credits the most recent
+    non-purchase event by the same user within ``tolerance_ms`` (the
+    classic marketing-analytics rollup); purchases with no source in
+    the window report ``direct``.
+
+    Reuses the as-of kernel (:func:`asof_join` — union-tag + one
+    key shuffle, never a range join); the rollup is a single groupBy on
+    the attributed source. The match-then-tolerance order matters and
+    is preserved on both engines: the LATEST source is chosen first and
+    only then nullified if it is older than the tolerance.
+    """
+    ev = events.select("user_id", "event_id", "event_type",
+                       F.col("ts"), "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    sources = ev.filter(F.col("event_type") != "purchase").select(
+        "user_id", "ts", "event_type"
+    )
+    att = asof_join(
+        purchases, sources, on=["user_id"], right_value="event_type",
+        out_col="src_type", tolerance_ms=tolerance_ms,
+    )
+    return (
+        att.groupBy(
+            F.coalesce(F.col("src_type"), F.lit("direct")).alias("src_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+def sql_attribution(tolerance_ms: int = 30 * 60_000) -> str:
+    """Replays :func:`attribution`: per purchase, rank sources by
+    (ts desc, event_type desc) — the kernel's latest-then-highest tie
+    rule — then apply the tolerance to the chosen match only."""
+    return f"""
+WITH ev AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts, value
+            FROM events),
+p AS (SELECT user_id, event_id, ts, value FROM ev
+      WHERE event_type = 'purchase'),
+src AS (SELECT user_id, ts, event_type FROM ev
+        WHERE event_type != 'purchase'),
+cand AS (
+  SELECT p.event_id, s.event_type AS src_type, s.ts AS sts, p.ts AS pts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY s.ts DESC, s.event_type DESC) AS rn
+  FROM p JOIN src s ON s.user_id = p.user_id AND s.ts <= p.ts),
+att AS (
+  SELECT p.event_id, p.value,
+         coalesce(CASE WHEN c.pts - c.sts <= {tolerance_ms}
+                       THEN c.src_type END, 'direct') AS src_type
+  FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c USING (event_id))
+SELECT src_type, count(*)::BIGINT AS n_purchases,
+       round(sum(value), 2) AS total_value
+FROM att GROUP BY 1
+"""

@@ -2677,6 +2677,12 @@ def q_emb_pq_codes(spark, sf_dir):
     return psim.pq_codes(emb, cache_key=sf_dir)
 
 
+def q_ev_attribution(spark, sf_dir):
+    """Last-touch purchase attribution rollup over the as-of kernel
+    (pipeline/events.py attribution)."""
+    return pevents.attribution(_events(spark, sf_dir))
+
+
 def q_doc_curation_verdict(spark, sf_dir):
     """End-to-end keep/drop verdict composing quality rules, exact-dup
     representative election, language consistency, and the PII signal
@@ -3311,6 +3317,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_curation_verdict": QueryDef(
         q_doc_curation_verdict, ptext.sql_curation_verdict()
     ),
+    # last-touch attribution rollup over the as-of kernel
+    "ev_attribution": QueryDef(q_ev_attribution, pevents.sql_attribution()),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()
