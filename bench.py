@@ -88,6 +88,7 @@ SECONDARY_QUERIES = [
     "ev_hll_distinct",
     "doc_cm_heavyhitters",
     "doc_curation_verdict",
+    "ev_attribution",
 ]
 
 

@@ -3404,16 +3404,23 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # r2-era rows (the promql_* family first: they share the planner path
 # that has changed most since their last driver signal), then (2) the
 # 14 r1-era rows — the first ~50 fit this round's window, the remainder
-# (plus the 18 new round-5 entries, appended at the catalog tail)
+# (plus the 31 new round-5 entries, appended at the catalog tail)
 # rotate in round 6.  Round-5 semantics fixes that are value-identical
 # on the NaN/Inf-free catalog fixtures (avg overflow, irate/rate NaN
 # masks, pow/div/round/clamp/histogram edge branches) are covered every
 # round by the local oracle-parity gate (tests/test_oracle_parity.py)
 # and by the value-golden tiers against the independent evaluator.
+# Late-round-5 note: the extrapolation clamp order was corrected AGAIN
+# (threshold-first, matching the pinned v0.307.x — the earlier reorder
+# was validated against an evaluator that encoded the same wrong order);
+# the (0) rows below still lead the window and re-attest the final
+# semantics.  Every round-5 entry was additionally hash-verified against
+# its oracle at sf0.01 under a vanilla driver-style session at build
+# time (not just the sf0.001 parity gate).
 _VERIFY_FIRST: list[str] = [
-    # --- (0) VALUES changed in round 5: the extrapolation zero-clamp now
-    # applies before the threshold rewrite (upstream order; caught by the
-    # independent-evaluator goldens) — these need fresh attestation ---
+    # --- (0) VALUES changed in round 5: the extrapolation clamp order
+    # (final: threshold rewrite first, then the zero-crossing min —
+    # prometheus v0.307.x) — these need fresh attestation ---
     "ts_rate",
     "ts_increase",
     "ts_preagg_route_rate",
