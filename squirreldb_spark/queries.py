@@ -2100,6 +2100,23 @@ def _promql(q: str):
     return run
 
 
+def q_promql_double_exp_smoothing(spark, sf_dir):
+    """PromQL via parser+planner:
+    `double_exponential_smoothing(purchase[14d], 0.5, 0.3)`.
+
+    Rounds with the smoothing family's boundary-safe convention
+    (floor(x*1e6 + 0.5)/1e6, see q_holt_winters): dyadic sf/tf land many
+    smoothed values exactly on .5 decimal boundaries, where the generic
+    F.round (shortest-decimal-string HALF_UP) and DuckDB's
+    binary-double rounding disagree — 11 rows flipped at sf0.01."""
+    df = _engine(spark, sf_dir).query_range(
+        "double_exponential_smoothing(purchase[14d], 0.5, 0.3)"
+    )
+    return df.withColumn(
+        "value", F.floor(F.col("value") * 1e6 + F.lit(0.5)) / F.lit(1e6)
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Within-document repetition ratios (the Gopher-style quality
     filters): duplicate-token fraction and duplicate n-gram fraction for
@@ -3389,7 +3406,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # the function drops __name__ (= event_type here), so the oracle is
     # the holt_winters recurrence restricted to the selected metric
     "promql_double_exp_smoothing": QueryDef(
-        _promql("double_exponential_smoothing(purchase[14d], 0.5, 0.3)"),
+        q_promql_double_exp_smoothing,
         f"SELECT user_id, step_ts, value FROM ({_holt_winters_sql(0.5, 0.3)}) _h"
         " WHERE event_type = 'purchase'",
     ),
