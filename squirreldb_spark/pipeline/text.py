@@ -57,20 +57,31 @@ def lang_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Score per language = number of *distinct* stopwords present; the guess
     takes the max score with a lexicographic tie-break (deterministic).
     """
+    score_cols = _lang_score_cols(text_col)
+    out = docs.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in score_cols.items()])
+    return out.withColumn(
+        "lang_guess", _lang_guess_fold({l: F.col(f"score_{l}") for l in STOPWORDS})
+    )
+
+
+def _lang_score_cols(text_col: str):
     t = F.array_distinct(tokens(text_col))
-    score_cols = {
+    return {
         lang: F.size(F.array_intersect(t, F.array(*[F.lit(w) for w in words])))
         for lang, words in STOPWORDS.items()
     }
-    out = docs.select("doc_id", *[c.alias(f"score_{lang}") for lang, c in score_cols.items()])
-    # max-score with 'lang asc' tie-break, as a fold over the sorted langs
+
+
+def _lang_guess_fold(scores):
+    """Max-score with 'lang asc' tie-break, as a fold over sorted langs
+    (one definition for the standalone operator and fused passes)."""
     guess = F.lit(None).cast("string")
     best = F.lit(-1)
     for lang in sorted(STOPWORDS):
-        cur = F.col(f"score_{lang}")
+        cur = scores[lang]
         guess = F.when(cur > best, F.lit(lang)).otherwise(guess)
         best = F.when(cur > best, cur).otherwise(best)
-    return out.withColumn("lang_guess", guess)
+    return guess
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -84,23 +95,16 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
 QUALITY_STOPWORDS = ["the", "a", "of", "and", "in"]
 
 
-def quality_filter(
-    docs: DataFrame,
-    text_col: str = "text",
+def _quality_signal_cols(
+    text_col: str,
     min_tokens: int = 40,
     max_tokens: int = 100_000,
     min_avg_len: float = 3.0,
     max_avg_len: float = 12.0,
     min_uniq_ratio: float = 0.3,
-) -> DataFrame:
-    """Gopher-style composite quality rules (Rae et al. 2021, A1.1) as a
-    single keep/drop decision: token-count bounds, mean-token-length
-    bounds, type-token-ratio floor, and a required common stopword.
-
-    Pure column expressions — a narrow map, no shuffle; the decision is
-    computed on the 6-dp-rounded signals so the threshold comparisons are
-    engine-exact (the DuckDB oracle rounds identically).
-    """
+):
+    """The Gopher signal/keep COLUMNS (one definition, used by the
+    standalone operator and fused passes like curation_verdict)."""
     t = tokens(text_col)
     n_tok = F.size(t)
     n_chars = F.length(text_col)
@@ -122,6 +126,30 @@ def quality_filter(
         & (avg_len <= max_avg_len)
         & (uniq_ratio >= min_uniq_ratio)
         & has_stop
+    )
+    return n_tok, avg_len, uniq_ratio, has_stop, keep
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 40,
+    max_tokens: int = 100_000,
+    min_avg_len: float = 3.0,
+    max_avg_len: float = 12.0,
+    min_uniq_ratio: float = 0.3,
+) -> DataFrame:
+    """Gopher-style composite quality rules (Rae et al. 2021, A1.1) as a
+    single keep/drop decision: token-count bounds, mean-token-length
+    bounds, type-token-ratio floor, and a required common stopword.
+
+    Pure column expressions — a narrow map, no shuffle; the decision is
+    computed on the 6-dp-rounded signals so the threshold comparisons are
+    engine-exact (the DuckDB oracle rounds identically).
+    """
+    n_tok, avg_len, uniq_ratio, has_stop, keep = _quality_signal_cols(
+        text_col, min_tokens, max_tokens, min_avg_len, max_avg_len,
+        min_uniq_ratio,
     )
     return docs.select(
         "doc_id",
@@ -704,6 +732,23 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
+def _pii_cols(text_col: str):
+    """(per-category counts, total, cleaned text) COLUMNS — counts run
+    on the progressively cleaned text (one definition for the standalone
+    scrub and fused passes)."""
+    clean = F.col(text_col)
+    counts = []
+    total = None
+    for name, pat, repl in PII_PATTERNS:
+        c = F.size(
+            F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
+        ).cast("long")
+        counts.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+        clean = F.regexp_replace(clean, pat, repl)
+    return counts, total, clean
+
+
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII detection + redaction: emails, IPv4 addresses, phone numbers.
 
@@ -720,16 +765,7 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # text its replace pass sees — so a span an earlier pass consumed
     # (the IPv4-shaped host inside an email) is never double-counted and
     # n_pii always equals the number of redactions.
-    clean = F.col(text_col)
-    counts = []
-    total = None
-    for name, pat, repl in PII_PATTERNS:
-        c = F.size(
-            F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
-        ).cast("long")
-        counts.append(c.alias(f"n_{name}"))
-        total = c if total is None else total + c
-        clean = F.regexp_replace(clean, pat, repl)
+    counts, total, clean = _pii_cols(text_col)
     return docs.select(
         "doc_id",
         *counts,
@@ -1575,20 +1611,23 @@ def curation_verdict(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from squirreldb_spark.pipeline.dedup import exact_dedup
 
-    q = quality_filter(docs, text_col).select(
-        "doc_id", F.col("keep").alias("q_keep")
-    )
-    lang = lang_scores(docs, text_col).select("doc_id", "lang_guess")
-    pii = pii_scrub(docs, text_col).select("doc_id", "n_pii")
-    reps = exact_dedup(docs, text_col).select("content_hash", "rep_id")
-    hashed = docs.select(
+    # all three narrow-map signals are COLUMNS of one projection over a
+    # single corpus scan (the shared column builders the standalone
+    # operators also use) — never joins of the operator outputs, which
+    # would re-scan the corpus per signal and broadcast corpus-sized
+    # join sides. The only join is dedup's representative table, the
+    # one inherently aggregated input.
+    _, _, _, _, q_keep = _quality_signal_cols(text_col)
+    _, n_pii, _ = _pii_cols(text_col)
+    signals = docs.select(
         "doc_id", "lang",
         F.md5(F.col(text_col).cast("binary")).alias("content_hash"),
+        q_keep.alias("q_keep"),
+        _lang_guess_fold(_lang_score_cols(text_col)).alias("lang_guess"),
+        n_pii.alias("n_pii"),
     )
-    j = (
-        hashed.join(reps, "content_hash")
-        .join(q, "doc_id").join(lang, "doc_id").join(pii, "doc_id")
-    )
+    reps = exact_dedup(docs, text_col).select("content_hash", "rep_id")
+    j = signals.join(reps, "content_hash")
     is_dup = F.col("doc_id") != F.col("rep_id")
     lang_mismatch = F.col("lang_guess") != F.col("lang")
     reasons = F.concat_ws(

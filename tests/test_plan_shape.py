@@ -256,6 +256,24 @@ def test_dsir_ratio_table_broadcasts(spark, sf_dir):
     assert sum("doc_id" in k for k in keys) == 1, keys
 
 
+def test_curation_verdict_fuses_signals(spark, sf_dir):
+    """The verdict's narrow-map signals (quality, lang guess, PII) must
+    be columns of ONE corpus projection — composing the standalone
+    operators via joins re-scans the corpus per signal and broadcasts
+    corpus-sized join sides. Allowed: two scans (signals + dedup input)
+    and only the dedup aggregate's content_hash exchange."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(CATALOG["doc_curation_verdict"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert plan.count("FileScan parquet") == 2, plan.count("FileScan parquet")
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert all("content_hash" in k for k in keys), keys
+
+
 def test_segment_dedup_two_shuffles(spark, sf_dir):
     """Corpus-global segment dedup is exactly the C4 two-shuffle recipe:
     one exchange on the segment key (first-occurrence window), one on
