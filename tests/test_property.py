@@ -426,3 +426,81 @@ def test_dsir_weights_reference(spark, texts):
     for i, text, _ in rows:
         want = round(sum(lr[bucket(w)] for w in text.split(" ")), 6)
         assert got[i] == pytest.approx(want, abs=2e-6), (i, got[i], want)
+
+
+# ------------------------------------------------- formatter round-trip
+
+
+def _ast_strategy():
+    from squirreldb_spark.promql import ast as A
+
+    names = st.sampled_from(["m", "metric_a", "http_requests_total"])
+    labels = st.sampled_from(["job", "env", "instance"])
+    vector = st.builds(
+        A.VectorSelector,
+        name=names,
+        matchers=st.lists(
+            st.builds(
+                A.Matcher,
+                name=labels,
+                op=st.sampled_from(["=", "!=", "=~", "!~"]),
+                value=st.sampled_from(["prod", "a.*", "x\"y", ""]),
+            ),
+            max_size=2,
+        ).map(tuple),
+        offset_ms=st.sampled_from([0, 60_000, 5_400_000]),
+        at_ms=st.sampled_from([None, "start", "end", 1_600_000_000_000]),
+    )
+    matrix = st.builds(
+        A.MatrixSelector, inner=vector,
+        range_ms=st.sampled_from([60_000, 300_000]),
+    )
+    number = st.builds(A.NumberLiteral, value=st.sampled_from([1.0, 0.5, 42.0]))
+
+    def compound(children):
+        from squirreldb_spark.promql import ast as A
+
+        return st.one_of(
+            st.builds(
+                A.BinaryOp,
+                op=st.sampled_from(["+", "-", "*", "/", "^", "and", "or",
+                                    "unless", ">", "<="]),
+                lhs=children, rhs=children,
+            ),
+            st.builds(A.Unary, op=st.sampled_from(["-", "+"]), expr=children),
+            st.builds(
+                A.Aggregation,
+                op=st.sampled_from(["sum", "max", "avg"]),
+                expr=children,
+                grouping=st.sampled_from([(), ("job",), ("job", "env")]),
+                without=st.booleans(),
+            ),
+            st.builds(
+                A.FunctionCall,
+                name=st.just("rate"),
+                args=matrix.map(lambda mt: (mt,)),
+            ),
+            st.builds(
+                A.FunctionCall,
+                name=st.just("abs"),
+                args=children.map(lambda c: (c,)),
+            ),
+        )
+
+    return st.recursive(st.one_of(vector, number), compound, max_leaves=8)
+
+
+@settings(max_examples=300, deadline=None)
+@given(node=_ast_strategy())
+def test_format_query_roundtrips_semantics(node):
+    """For ANY expressible AST: serialize -> parse must reproduce the
+    AST exactly (single-line), and the multiline pretty form must parse
+    back to the same AST after whitespace collapse. This is the
+    invariant the three review-found paren bugs violated."""
+    from squirreldb_spark.promql.parser import parse
+    from squirreldb_spark.promql.prettier import pretty, to_promql
+
+    one_line = to_promql(node)
+    assert parse(one_line) == node, one_line
+    multi = pretty(node, 0)
+    assert parse(" ".join(multi.split())) == node, multi
