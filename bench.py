@@ -89,6 +89,7 @@ SECONDARY_QUERIES = [
     "doc_cm_heavyhitters",
     "doc_curation_verdict",
     "ev_attribution",
+    "emb_ann_ivfpq_refine",
 ]
 
 

@@ -1509,3 +1509,55 @@ sel(q_id, rank, c_id, mmr_score, selected) AS (
 SELECT q_id, rank::BIGINT AS rank, c_id, round(mmr_score, 6) AS mmr_score
 FROM sel
 """
+
+
+def ann_ivfpq_refine(
+    emb: DataFrame,
+    k: int = 5,
+    refine_c: int = 15,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """IVF-PQ with exact refinement (FAISS ``IndexRefineFlat``): ADC
+    retrieves ``refine_c`` candidates per query from the compressed
+    corpus, then ONLY those candidate ids fetch their raw vectors for an
+    exact cosine re-rank down to ``k``.
+
+    The scale point completes the IVFPQ story: the full corpus is
+    touched only through its (id, cell, codes) encoding; raw vectors are
+    read for refine_c x n_queries rows — an id equi-join against the
+    corpus that prunes to a config-sized result before any exact math
+    runs. Ranking is (cosine desc, id) like every exact path.
+    """
+    cand = ann_ivfpq(
+        emb, k=refine_c, n_queries=n_queries, id_col=id_col,
+        vec_col=vec_col, cache_key=cache_key, **ivfpq_kwargs,
+    ).select("q_id", "c_id")
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    qv = base.select(F.col(id_col).alias("q_id"), F.col("v").alias("qv"))
+    cv = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    j = cand.join(cv, "c_id").join(F.broadcast(qv.filter(F.col("q_id") < n_queries)), "q_id")
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    return _topk_per_query(scored, k, carry=[])
+
+
+def sql_ann_ivfpq_refine(
+    k: int = 5, refine_c: int = 15, n_queries: int = 5, **ivfpq_kwargs
+) -> str:
+    return f"""
+WITH cand AS (SELECT q_id, c_id FROM ({sql_ann_ivfpq(k=refine_c, n_queries=n_queries, **ivfpq_kwargs)}) _a),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+scored AS (
+  SELECT cand.q_id, cand.c_id, {_duck_cos('qv.v', 'cv.v')} AS cosine
+  FROM cand JOIN vecs cv ON cv.vec_id = cand.c_id
+            JOIN vecs qv ON qv.vec_id = cand.q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
+"""

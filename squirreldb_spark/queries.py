@@ -2752,6 +2752,16 @@ def q_emb_range_search(spark, sf_dir):
     return psim.range_search(emb)
 
 
+def q_emb_ann_ivfpq_refine(spark, sf_dir):
+    """IVF-PQ ADC retrieval of 15 candidates + exact cosine re-rank to
+    top-5 — the compressed-retrieve / exact-refine two-phase serve
+    (pipeline/similarity.py ann_ivfpq_refine)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ann_ivfpq_refine(emb, cache_key=sf_dir).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
 def q_doc_segment_dedup(spark, sf_dir):
     """Corpus-global segment (line) dedup, C4 §2.2-style: keep the first
     occurrence of every 10-word segment across the whole corpus and
@@ -3336,6 +3346,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # last-touch attribution rollup over the as-of kernel
     "ev_attribution": QueryDef(q_ev_attribution, pevents.sql_attribution()),
+    # IVF-PQ ADC retrieve + exact refine two-phase serve
+    "emb_ann_ivfpq_refine": QueryDef(
+        q_emb_ann_ivfpq_refine, _neg0(psim.sql_ann_ivfpq_refine(), ["cosine"])
+    ),
     # video-level near-dup via banded pHash frame voting
     "mm_video_neardup": QueryDef(
         q_mm_video_neardup, pmm.sql_video_neardup()
