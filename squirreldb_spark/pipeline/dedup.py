@@ -1084,3 +1084,153 @@ def segment_dedup_stream(
     return segs.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         ["seg"]
     )
+
+
+# ------------------------------------------- Bloom-filter batch membership
+
+BLOOM_WORDS = 32_768       # 32768 x 32-bit words = 2^20 bits
+_BLOOM_WORD_BITS = 32
+BLOOM_BITS = BLOOM_WORDS * _BLOOM_WORD_BITS
+BLOOM_K = 4                # double-hashing h1 + i*h2 (Kirsch-Mitzenmacher)
+BLOOM_SHINGLE_N = 4
+
+
+def bloom_membership(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = BLOOM_SHINGLE_N,
+) -> DataFrame:
+    """Batch-vs-corpus shingle membership through a Bloom filter, with the
+    exact join as the self-eval (the ann_recall pattern).
+
+    The corpus half (even ids) builds a 2^20-bit Bloom filter of its word
+    ``n``-gram shingles; the batch half (odd ids) probes its own distinct
+    shingles. Output per batch document: ``n_probes`` (distinct shingles),
+    ``bloom_hits`` (all K bits set), ``exact_hits`` (shingle really in the
+    corpus), ``false_pos`` (= bloom - exact; a Bloom filter has no false
+    negatives, which the oracle hash-check re-proves every run). This is
+    the sketch twin of :func:`~squirreldb_spark.pipeline.text.decontaminate`
+    / :func:`segment_dedup`: the same membership question those answer
+    with a join, answered with constant-size mergeable state.
+
+    Scale shape — the reason the operator exists at 100 TB: screening a
+    NEW BATCH against an already-ingested corpus must not shuffle the
+    corpus. The filter build is a map-side-combining ``bit_or`` groupBy
+    whose result is at most 32 768 (word, bits) rows (~256 KiB) —
+    duplicate shingles need no dedup first because ``bit_or`` is
+    idempotent, so the corpus is read once and moved never. Probing is a
+    broadcast hash join of the batch's (word, mask) probes against the
+    sketch. The exact join computed alongside is the *self-eval baseline
+    only* — production runs it solely on the bloom-positive survivors
+    (n_batch x FPR rows), which is the entire saving.
+
+    Deterministic: K positions by double hashing two domain-separated
+    60-bit md5 prefixes (stride forced odd), so DuckDB replays every
+    register bit-for-bit. Hash family: Kirsch & Mitzenmacher 2006 —
+    two hashes simulate K with no loss in the false-positive bound.
+    """
+    words = f"split({text_col}, ' ')"
+    grams = (
+        f"case when size({words}) >= {n} then "
+        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))) "
+        f"else array() end"
+    )
+    h1 = _h60_sql_expr("sh")
+    h2 = f"({_h60_sql_expr(chr(39) + 'bloom:' + chr(39) + ' || sh')} | 1)"
+    pos_arr = (
+        "array(" + ", ".join(f"(({h1}) + {i} * ({h2})) % {BLOOM_BITS}"
+                             for i in range(BLOOM_K)) + ")"
+    )
+
+    def _shingled(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col), F.explode(F.expr(grams)).alias("sh")
+        )
+
+    corpus_sh = _shingled(docs.filter(F.col(id_col) % 2 == 0))
+    batch_sh = _shingled(docs.filter(F.col(id_col) % 2 == 1))
+
+    sketch = (
+        corpus_sh.select(F.explode(F.expr(pos_arr)).alias("p"))
+        .select(
+            F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            F.expr(
+                f"cast(shiftleft(1, cast(p % {_BLOOM_WORD_BITS} as int)) as bigint)"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    probe = (
+        batch_sh.select(id_col, "sh", F.explode(F.expr(pos_arr)).alias("p"))
+        .select(
+            id_col, "sh",
+            F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            F.expr(
+                f"cast(shiftleft(1, cast(p % {_BLOOM_WORD_BITS} as int)) as bigint)"
+            ).alias("mask"),
+        )
+        .join(F.broadcast(sketch), "word", "left")
+        .groupBy(id_col, "sh")
+        .agg(
+            F.expr("bool_and((coalesce(bits, 0L) & mask) = mask)").alias("hit")
+        )
+    )
+    exact = (
+        batch_sh.join(
+            corpus_sh.select("sh").distinct(), "sh", "left_semi"
+        ).select(id_col, "sh", F.lit(True).alias("in_corpus"))
+    )
+    return (
+        probe.join(exact, [id_col, "sh"], "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("hit").cast("long")).alias("bloom_hits"),
+            F.sum(F.coalesce("in_corpus", F.lit(False)).cast("long")).alias(
+                "exact_hits"
+            ),
+        )
+        .withColumn("false_pos", F.col("bloom_hits") - F.col("exact_hits"))
+    )
+
+
+def sql_bloom_membership(n: int = BLOOM_SHINGLE_N) -> str:
+    h1 = _h60_duck("sh")
+    h2 = f"({_h60_duck(chr(39) + 'bloom:' + chr(39) + ' || sh')} | 1)"
+    pos = ", ".join(
+        f"(({h1}) + {i} * {h2}) % {BLOOM_BITS}" for i in range(BLOOM_K)
+    )
+    mask = f"(1::BIGINT << (p % {_BLOOM_WORD_BITS})::INT)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{n - 1}], ' ') AS sh
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {n - 1})) AS i)
+  WHERE len(t) >= {n}),
+cpos AS (
+  SELECT unnest([{pos}]) AS p FROM grams WHERE doc_id % 2 = 0),
+sketch AS (
+  SELECT (p // {_BLOOM_WORD_BITS})::INT AS word, bit_or({mask}) AS bits
+  FROM cpos GROUP BY 1),
+bpos AS (
+  SELECT doc_id, sh, unnest([{pos}]) AS p FROM grams WHERE doc_id % 2 = 1),
+probe AS (
+  SELECT b.doc_id, b.sh,
+         bool_and((coalesce(s.bits, 0) & {mask}) = {mask}) AS hit
+  FROM bpos b LEFT JOIN sketch s ON s.word = (b.p // {_BLOOM_WORD_BITS})::INT
+  GROUP BY 1, 2),
+corpus_sh AS (SELECT DISTINCT sh FROM grams WHERE doc_id % 2 = 0),
+scored AS (
+  SELECT p.doc_id, p.hit, (c.sh IS NOT NULL) AS in_corpus
+  FROM probe p LEFT JOIN corpus_sh c USING (sh))
+SELECT doc_id, count(*)::BIGINT AS n_probes,
+       sum(hit::INT)::BIGINT AS bloom_hits,
+       sum(in_corpus::INT)::BIGINT AS exact_hits,
+       (sum(hit::INT) - sum(in_corpus::INT))::BIGINT AS false_pos
+FROM scored GROUP BY 1
+"""

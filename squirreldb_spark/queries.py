@@ -2780,6 +2780,14 @@ def q_emb_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_doc_bloom_membership(spark, sf_dir):
+    """Bloom-filter screening of the odd-id batch against the even-id
+    corpus's 4-gram shingles, with the exact membership join as the
+    self-eval — the sketch twin of decontaminate/segment_dedup
+    (pipeline/dedup.py bloom_membership)."""
+    return pdedup.bloom_membership(_docs(spark, sf_dir))
+
+
 def q_emb_ann_recall(spark, sf_dir):
     """Recall@5 of the IVF index vs exact cosine top-5, per query — the
     ANN self-evaluation (pipeline/similarity.py ann_recall); both
@@ -3423,6 +3431,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
         q_promql_double_exp_smoothing,
         f"SELECT user_id, step_ts, value FROM ({_holt_winters_sql(0.5, 0.3)}) _h"
         " WHERE event_type = 'purchase'",
+    ),
+    # Bloom-filter batch-vs-corpus shingle membership + exact self-eval
+    "doc_bloom_membership": QueryDef(
+        q_doc_bloom_membership, pdedup.sql_bloom_membership()
     ),
 }
 

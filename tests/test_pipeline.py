@@ -1079,3 +1079,24 @@ def test_scene_changes_flags_constructed_cut(spark):
     assert out[0].hamming == 0 and not out[0].is_cut     # frame0 == frame1
     assert out[1].is_cut and out[2].is_cut               # into and out of the contrast frame
     assert all(r.hamming >= 0 for r in out)
+
+
+def test_bloom_membership_no_false_negatives_and_fp_accounting(spark, docs):
+    out = dedup.bloom_membership(docs).toPandas()
+    # probes exist and every exact member is bloom-positive (the defining
+    # Bloom property: zero false negatives)
+    assert (out["n_probes"] > 0).all()
+    assert (out["bloom_hits"] >= out["exact_hits"]).all()
+    assert (out["false_pos"] == out["bloom_hits"] - out["exact_hits"]).all()
+    # shingle sharing is real in the fixture: some probes are members
+    assert out["exact_hits"].sum() > 0
+    # only odd (batch) ids are reported
+    assert (out["doc_id"] % 2 == 1).all()
+
+
+def test_bloom_sketch_is_bounded_and_probe_join_broadcasts(spark, docs):
+    # the physical plan must broadcast the sketch side of the probe join:
+    # the corpus aggregate is at most BLOOM_WORDS rows, never a shuffle
+    # partner for the batch
+    plan = dedup.bloom_membership(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
