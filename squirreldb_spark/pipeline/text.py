@@ -1666,3 +1666,93 @@ JOIN q ON q.doc_id = h.doc_id
 JOIN l ON l.doc_id = h.doc_id
 JOIN p ON p.doc_id = h.doc_id
 """
+
+
+# --------------------------------------- deterministic priority sampling
+
+PRIORITY_SAMPLE_K = 40
+_PS_SCALE = 1 << 40  # priorities in units of 2^40 (exact in a double)
+
+
+def priority_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    k: int = PRIORITY_SAMPLE_K,
+) -> DataFrame:
+    """Weighted sampling without replacement by *priority sampling*
+    (Duffield, Lund & Thorup, JACM 2007): priority q_i = w_i / u_i with
+    u_i hash-uniform in (0, 1]; keep the k largest priorities. The
+    threshold tau = (k+1)-th priority yields the unbiased subset-sum
+    estimator w-hat_i = max(w_i, tau) emitted alongside.
+
+    Determinism across engines is the design constraint here: the A-ES
+    scheme (u^(1/w)) needs ``ln``/``pow``, whose last-ulp rounding is
+    library-specific and could flip the boundary pick between Spark and
+    the oracle. Priorities instead are ``(w * 2^40) / (h40 + 1)`` — both
+    operands are integers below 2^53 (weights bounded by the document
+    length column, h40 is a 40-bit md5 prefix), so the conversion is
+    exact and the single IEEE division is correctly rounded identically
+    in every conforming engine. No transcendental touches the sort key.
+
+    Scale shape: the top-(k+1) is ``orderBy().limit()`` — Spark plans
+    TakeOrderedAndProject (per-partition partial top-k, driver merge of
+    k+1-row heaps), never a global sort. The rank/threshold window then
+    runs on k+1 rows. One narrow pass over the corpus; nothing shuffles.
+    """
+    from pyspark.sql import Window
+
+    h40 = (
+        "cast(conv(substring(md5(cast(concat('ps:', cast("
+        f"{id_col} as string)) as binary)), 1, 10), 16, 10) as bigint)"
+    )
+    q = (
+        f"cast({weight_col} * {_PS_SCALE} as double) / "
+        f"cast(({h40}) + 1 as double)"
+    )
+    top = (
+        docs.select(
+            F.col(id_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            F.expr(q).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), id_col)
+        .limit(k + 1)
+    )
+    w_rank = Window.orderBy(F.desc("priority"), id_col)
+    w_all = Window.partitionBy()
+    ranked = top.withColumn("rnk", F.row_number().over(w_rank)).withColumn(
+        "tau",
+        F.when(
+            F.count(F.lit(1)).over(w_all) == k + 1,
+            F.min("priority").over(w_all),
+        ).otherwise(F.lit(0.0)),
+    )
+    return ranked.filter(F.col("rnk") <= k).select(
+        id_col,
+        "weight",
+        F.round("priority", 6).alias("priority"),
+        F.round(F.greatest(F.col("weight").cast("double"), F.col("tau")), 6).alias(
+            "est_weight"
+        ),
+    )
+
+
+def sql_priority_sample(k: int = PRIORITY_SAMPLE_K) -> str:
+    h40 = "('0x' || substr(md5('ps:' || doc_id::VARCHAR), 1, 10))::BIGINT"
+    return f"""
+WITH pri AS (
+  SELECT doc_id, n_chars::BIGINT AS weight,
+         (n_chars * {_PS_SCALE})::DOUBLE / ({h40} + 1)::DOUBLE AS priority
+  FROM documents),
+top AS (
+  SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT {k + 1}),
+thr AS (
+  SELECT CASE WHEN count(*) = {k + 1} THEN min(priority) ELSE 0.0 END AS tau
+  FROM top),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk FROM top)
+SELECT doc_id, weight, round(priority, 6) AS priority,
+       round(greatest(weight::DOUBLE, tau), 6) AS est_weight
+FROM ranked, thr WHERE rnk <= {k}
+"""

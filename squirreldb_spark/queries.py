@@ -2788,6 +2788,15 @@ def q_doc_bloom_membership(spark, sf_dir):
     return pdedup.bloom_membership(_docs(spark, sf_dir))
 
 
+def q_doc_priority_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement via priority
+    sampling (Duffield-Lund-Thorup): top-k of w/u priorities with the
+    (k+1)-th-priority threshold estimator; the sort key is a single
+    exact IEEE division, no transcendental (pipeline/text.py
+    priority_sample)."""
+    return ptext.priority_sample(_docs(spark, sf_dir))
+
+
 def q_emb_ann_recall(spark, sf_dir):
     """Recall@5 of the IVF index vs exact cosine top-5, per query — the
     ANN self-evaluation (pipeline/similarity.py ann_recall); both
@@ -3435,6 +3444,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # Bloom-filter batch-vs-corpus shingle membership + exact self-eval
     "doc_bloom_membership": QueryDef(
         q_doc_bloom_membership, pdedup.sql_bloom_membership()
+    ),
+    # weighted sampling w/o replacement: priority sampling + threshold estimator
+    "doc_priority_sample": QueryDef(
+        q_doc_priority_sample, ptext.sql_priority_sample()
     ),
 }
 

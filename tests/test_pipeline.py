@@ -1100,3 +1100,17 @@ def test_bloom_sketch_is_bounded_and_probe_join_broadcasts(spark, docs):
     # partner for the batch
     plan = dedup.bloom_membership(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_priority_sample_estimator_and_plan(spark, docs):
+    out = text.priority_sample(docs, k=40).toPandas()
+    assert len(out) == 40
+    # threshold estimator: est_weight = max(weight, tau) >= weight
+    assert (out["est_weight"] >= out["weight"]).all()
+    # the subset-sum estimator should land near the true total weight
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    est = out["est_weight"].sum()
+    assert abs(est - total) / total < 0.5
+    # top-k must plan as TakeOrdered, never a global sort of the corpus
+    plan = text.priority_sample(docs, k=40)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
