@@ -272,28 +272,41 @@ def main() -> None:
         sf = float(sf_raw)
     except ValueError:
         sf = None  # non-sfN directory name: still print the timings
-    out = {
-        "metric": "headline_queries_total_wall",
-        # frozen basis (best-of-first-2, warm cache, 48g) — comparable
-        # to BENCH_r03/r04
-        "value": round(sum(timings.values()), 3),
-        # new-basis number printed alongside per the frozen-basis rule:
-        # median-of-3 per query, summed
-        "value_median": round(sum(t_median.values()), 3),
-        "unit": "sec",
-        "queries": timings,
+    detail = {
         "queries_median": t_median,
         "queries_samples": t_samples,
         "queries_rel_spread": t_spread,
-        "secondary": secondary,
         "secondary_median": s_median,
         "secondary_samples": s_samples,
         "secondary_rel_spread": s_spread,
-        "iterative": iterative,
-        "ingest": ingest,
+        "ingest_runs_sec": ingest.pop("runs_sec"),
+        "ingest_rel_spread": ingest.pop("rel_spread"),
         "buff_cache_gb_cold": buff_cache_cold,
         "buff_cache_gb_pre": buff_cache_pre,
         "buff_cache_gb_post": _buff_cache_gb(),
+    }
+    # Round-5's single enriched line outgrew the driver's tail capture
+    # (BENCH_r05 parsed: null).  The samples/median/spread detail now goes
+    # to bench_detail.json AND a preceding line; the FINAL printed line is
+    # the compact headline object the driver parses (VERDICT r5 #2).  The
+    # headline numbers keep the frozen basis (best-of-first-2, warm cache,
+    # 48g) — comparable to BENCH_r03/r04; value_median (median-of-3 per
+    # query, summed) is printed alongside per the frozen-basis rule.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"), "w"
+    ) as fh:
+        json.dump(detail, fh)
+    print(json.dumps({"detail": detail}))
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "value_median": round(sum(t_median.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "secondary": secondary,
+        "iterative": iterative,
+        "ingest": ingest,
         "sf": sf,
     }
     print(json.dumps(out))

@@ -1156,8 +1156,13 @@ def bloom_membership(
         corpus_sh.select(F.explode(F.expr(pos_arr)).alias("p"))
         .select(
             F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            # one is widened to BIGINT before the shift: shiftleft on a
+            # 32-bit literal overflows at bit 31 and the cast would then
+            # sign-extend to 0xFFFFFFFF80000000, diverging from DuckDB's
+            # 1::BIGINT << 31 (round-5 advisor finding)
             F.expr(
-                f"cast(shiftleft(1, cast(p % {_BLOOM_WORD_BITS} as int)) as bigint)"
+                f"shiftleft(cast(1 as bigint), "
+                f"cast(p % {_BLOOM_WORD_BITS} as int))"
             ).alias("mask"),
         )
         .groupBy("word")
@@ -1168,8 +1173,13 @@ def bloom_membership(
         .select(
             id_col, "sh",
             F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            # one is widened to BIGINT before the shift: shiftleft on a
+            # 32-bit literal overflows at bit 31 and the cast would then
+            # sign-extend to 0xFFFFFFFF80000000, diverging from DuckDB's
+            # 1::BIGINT << 31 (round-5 advisor finding)
             F.expr(
-                f"cast(shiftleft(1, cast(p % {_BLOOM_WORD_BITS} as int)) as bigint)"
+                f"shiftleft(cast(1 as bigint), "
+                f"cast(p % {_BLOOM_WORD_BITS} as int))"
             ).alias("mask"),
         )
         .join(F.broadcast(sketch), "word", "left")

@@ -1689,11 +1689,14 @@ def priority_sample(
     Determinism across engines is the design constraint here: the A-ES
     scheme (u^(1/w)) needs ``ln``/``pow``, whose last-ulp rounding is
     library-specific and could flip the boundary pick between Spark and
-    the oracle. Priorities instead are ``(w * 2^40) / (h40 + 1)`` — both
-    operands are integers below 2^53 (weights bounded by the document
-    length column, h40 is a 40-bit md5 prefix), so the conversion is
-    exact and the single IEEE division is correctly rounded identically
-    in every conforming engine. No transcendental touches the sort key.
+    the oracle. Priorities instead are ``(double(w) * 2^40) / (h40 + 1)``
+    with the weight cast to double BEFORE the multiply, so there is no
+    integer-overflow path (a BIGINT product would silently wrap in Spark
+    for w > 2^23 while DuckDB raises — the round-5 advisor finding). The
+    product is exact in a double whenever w <= 2^13; for longer documents
+    both engines perform the identical correctly-rounded IEEE multiply
+    and divide, so the sort key stays bit-identical either way. No
+    transcendental touches the sort key.
 
     Scale shape: the top-(k+1) is ``orderBy().limit()`` — Spark plans
     TakeOrderedAndProject (per-partition partial top-k, driver merge of
@@ -1707,7 +1710,7 @@ def priority_sample(
         f"{id_col} as string)) as binary)), 1, 10), 16, 10) as bigint)"
     )
     q = (
-        f"cast({weight_col} * {_PS_SCALE} as double) / "
+        f"(cast({weight_col} as double) * {_PS_SCALE}) / "
         f"cast(({h40}) + 1 as double)"
     )
     top = (
@@ -1743,7 +1746,7 @@ def sql_priority_sample(k: int = PRIORITY_SAMPLE_K) -> str:
     return f"""
 WITH pri AS (
   SELECT doc_id, n_chars::BIGINT AS weight,
-         (n_chars * {_PS_SCALE})::DOUBLE / ({h40} + 1)::DOUBLE AS priority
+         (n_chars::DOUBLE * {_PS_SCALE}) / ({h40} + 1)::DOUBLE AS priority
   FROM documents),
 top AS (
   SELECT * FROM pri ORDER BY priority DESC, doc_id LIMIT {k + 1}),

