@@ -2769,6 +2769,14 @@ def q_doc_segment_dedup(spark, sf_dir):
     return pdedup.segment_dedup(_docs(spark, sf_dir))
 
 
+def q_doc_segment_dedup_hashkey(spark, sf_dir):
+    """Hash-keyed twin of segment dedup: the first-occurrence window
+    shuffles xxhash64(seg) (24 B/row) instead of the segment text, and
+    the text crosses the wire exactly once — verified against the SAME
+    exact oracle (pipeline/dedup.py segment_dedup_hashkey)."""
+    return pdedup.segment_dedup_hashkey(_docs(spark, sf_dir))
+
+
 def q_emb_ann_ivfpq(spark, sf_dir):
     """IVF-PQ ADC search: both index halves train once per corpus
     (memoized on sf_dir) and serve as literal folds; the candidate side
@@ -3334,6 +3342,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # corpus-global segment (line) dedup, C4-style first-occurrence keep
     "doc_segment_dedup": QueryDef(
         q_doc_segment_dedup, pdedup.sql_segment_dedup()
+    ),
+    # hash-keyed variant, same exact oracle (collision-free by check)
+    "doc_segment_dedup_hashkey": QueryDef(
+        q_doc_segment_dedup_hashkey, pdedup.sql_segment_dedup()
     ),
     # fixed-radius cosine search (broadcast queries, zero shuffle)
     "emb_range_search": QueryDef(

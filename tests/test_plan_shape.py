@@ -292,6 +292,34 @@ def test_segment_dedup_two_shuffles(spark, sf_dir):
     assert any("doc_id" in k for k in keys), keys
 
 
+def test_segment_dedup_hashkey_text_moves_once(spark, sf_dir):
+    """The hash-keyed variant's defining property: the first-occurrence
+    window shuffles on xxhash64(seg), the per-doc verdict rows are the
+    only other narrow exchange, and the TEXT crosses the wire exactly
+    once — on the doc-table side of the verdict join. Auto-broadcast is
+    disabled so the join shape is the 100 TB one (SMJ), not a test-scale
+    broadcast."""
+    import re
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(CATALOG["doc_segment_dedup_hashkey"].fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 3, f"expected 3 exchanges (h window, verdicts, text): {keys}"
+    # the window keys on the 64-bit hash, never the segment text
+    assert sum(1 for k in keys if re.search(r"\bh#", k)) == 1, keys
+    assert sum(1 for k in keys if "doc_id" in k) == 2, keys
+    assert not any("seg" in k or "text" in k for k in keys), keys
+    # xxhash64 must be computed BELOW the window exchange (map-side)
+    assert "xxhash64" in plan
+    assert "SortMergeJoin" in plan
+
+
 def test_pack_sequences_cumsum_is_sharded(spark, sf_dir):
     """The packing cumsum must partition by (lang, content-derived shard),
     never by lang alone — one task per language serializes the dominant

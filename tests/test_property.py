@@ -361,15 +361,20 @@ _words = st.lists(
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(texts=st.lists(_words, min_size=1, max_size=8))
-def test_segment_dedup_global_uniqueness(spark, texts):
+@pytest.mark.parametrize("impl", ["textkey", "hashkey"])
+def test_segment_dedup_global_uniqueness(spark, impl, texts):
     """Invariant of C4-style segment dedup: across ALL kept_texts, every
     distinct segment of the corpus appears exactly once, and per doc
-    n_segments = ceil(words/seg)."""
-    from squirreldb_spark.pipeline.dedup import segment_dedup
+    n_segments = ceil(words/seg). Runs against both the text-keyed
+    operator and its hash-keyed shuffle-optimized twin."""
+    from squirreldb_spark.pipeline.dedup import (
+        segment_dedup, segment_dedup_hashkey,
+    )
 
+    fn = segment_dedup if impl == "textkey" else segment_dedup_hashkey
     rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {r.doc_id: r for r in segment_dedup(docs, seg_words=3).collect()}
+    out = {r.doc_id: r for r in fn(docs, seg_words=3).collect()}
     all_segs = []
     for i, ws in enumerate(rows):
         words = ws[1].split(" ")
