@@ -1189,6 +1189,7 @@ def bloom_membership(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = BLOOM_SHINGLE_N,
+    self_eval: bool = True,
 ) -> DataFrame:
     """Batch-vs-corpus shingle membership through a Bloom filter, with the
     exact join as the self-eval (the ann_recall pattern).
@@ -1218,6 +1219,14 @@ def bloom_membership(
     60-bit md5 prefixes (stride forced odd), so DuckDB replays every
     register bit-for-bit. Hash family: Kirsch & Mitzenmacher 2006 —
     two hashes simulate K with no loss in the false-positive bound.
+
+    ``self_eval=False`` is the production path (VERDICT r5 #4): the
+    exact corpus-vs-batch semi-join — the shuffle the Bloom filter
+    exists to avoid — is skipped, so the corpus contributes ONLY the
+    broadcast-sized bit_or sketch; output is
+    ``(doc_id, n_probes, bloom_hits)``. The catalog entry keeps
+    ``self_eval=True`` so the driver's oracle re-proves the
+    zero-false-negative property every round.
     """
     words = f"split({text_col}, ' ')"
     grams = (
@@ -1277,6 +1286,11 @@ def bloom_membership(
             F.expr("bool_and((coalesce(bits, 0L) & mask) = mask)").alias("hit")
         )
     )
+    if not self_eval:
+        return probe.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("hit").cast("long")).alias("bloom_hits"),
+        )
     exact = (
         batch_sh.join(
             corpus_sh.select("sh").distinct(), "sh", "left_semi"

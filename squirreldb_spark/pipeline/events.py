@@ -692,10 +692,18 @@ def hll_distinct(
     events: DataFrame,
     key_col: str = "event_type",
     id_col: str = "user_id",
+    self_eval: bool = True,
 ) -> DataFrame:
     """Deterministic HyperLogLog distinct-count per ``key_col``, with the
     exact count and relative error alongside (the sketch self-eval, like
     ann_recall for ANN).
+
+    ``self_eval=False`` is the production path (VERDICT r5 #4): the
+    exact ``countDistinct`` baseline — the full (key, id) shuffle the
+    sketch exists to avoid — is skipped entirely, leaving only the
+    fixed-64-registers-per-key aggregate; output is
+    ``(key, hll_estimate)``. The catalog entry keeps ``self_eval=True``
+    so the driver's oracle re-proves the estimator every round.
 
     Why not ``approx_count_distinct``: Spark's HLL++ is engine-internal
     and irreproducible in an oracle. This is the textbook HLL (Flajolet
@@ -739,6 +747,10 @@ def hll_distinct(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
+    if not self_eval:
+        return per_key.select(
+            key_col, F.round(est, 6).alias("hll_estimate")
+        )
     exact = events.groupBy(key_col).agg(
         F.countDistinct(id_col).alias("exact_distinct")
     )

@@ -1523,6 +1523,8 @@ def cm_heavyhitters(
     depth: int = CM_DEPTH,
     width: int = CM_WIDTH,
     text_col: str = "text",
+    self_eval: bool = True,
+    query_terms: list[str] | None = None,
 ) -> DataFrame:
     """Count-min sketch term frequencies (Cormode & Muthukrishnan 2005)
     with the exact counts as self-eval: the top-``k`` exact terms, their
@@ -1537,12 +1539,37 @@ def cm_heavyhitters(
     top-k is TakeOrdered (no global sort materialization). All hashes
     are the shared md5 60-bit prefix, so the DuckDB oracle replays every
     cell exactly.
+
+    ``self_eval=False`` is the production path (VERDICT r5 #4): point
+    queries against the sketch for caller-supplied ``query_terms`` —
+    the exact wordcount (the full term shuffle the sketch replaces) is
+    never built, so the corpus contributes only the fixed
+    (depth x width)-cell aggregate; output is ``(term, cm_estimate)``.
+    The catalog entry keeps ``self_eval=True`` so the driver's oracle
+    re-proves the estimator (and its est >= exact guarantee) per round.
     """
     tok = docs.select(F.explode(tokens(text_col)).alias("term"))
     rows = tok.select(
         "term", F.explode(_cm_buckets_expr(depth, width)).alias("sb")
     ).select("term", F.col("sb.s").alias("s"), F.col("sb.bucket").alias("bucket"))
     sketch = rows.groupBy("s", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+    if not self_eval:
+        if not query_terms:
+            raise ValueError("self_eval=False requires query_terms")
+        spark = docs.sparkSession
+        top = spark.createDataFrame(
+            [(t,) for t in query_terms], "term string"
+        )
+        probes = top.select(
+            "term", F.explode(_cm_buckets_expr(depth, width)).alias("sb")
+        ).select("term", F.col("sb.s").alias("s"),
+                 F.col("sb.bucket").alias("bucket"))
+        return (
+            probes.join(F.broadcast(sketch), ["s", "bucket"], "left")
+            .groupBy("term")
+            .agg(F.min(F.coalesce("cell", F.lit(0))).alias("cm_estimate"))
+            .select("term", F.col("cm_estimate").cast("long"))
+        )
     exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
     top = exact.orderBy(F.desc("exact_count"), F.asc("term")).limit(k)
     probes = top.select(

@@ -548,3 +548,92 @@ def test_values_histogram_quantile_edge_buckets(spark):
     assert math.isnan(got[("noinf", 0)]) and math.isnan(got[("solo", 0)])
     # negative lowest bound: rank 5 -> first bucket -> returns -1.0
     assert got[("neg", 0)] == -1.0
+
+
+# --------------------------- experimental 3.x tier (VERDICT r5 #5)
+
+#: edge_tie: repeated extrema + NaN mixtures for the ts_of_* tie rules.
+#: i1 has the max (9.0) at BOTH 10s and 20s and the min (1.0) at both
+#: 30s and 40s; i2 mixes NaN around a single number; i3 is all-NaN.
+TIE_ROWS = (
+    [("i1", ts, v) for ts, v in [
+        (10_000, 5.0), (20_000, 9.0), (30_000, 9.0),
+        (40_000, 1.0), (50_000, 1.0), (60_000, 3.0),
+    ]]
+    + [("i2", ts, v) for ts, v in [
+        (10_000, float("nan")), (20_000, 7.0), (30_000, float("nan")),
+    ]]
+    + [("i3", ts, float("nan")) for ts in (10_000, 20_000)]
+    # anchor so the data-derived grid reaches 120s
+    + [("zz", 0, 0.0), ("zz", 120_000, 0.0)]
+)
+
+
+def _ts_of_ref(w, kind):
+    """Reference replay of upstream funcTsOf{Max,Min,Last}OverTime:
+    forward scan with >= / <= (ties resolve to the LATEST occurrence),
+    NaN skipped unless the whole window is NaN (falls back to the last
+    sample's timestamp)."""
+    if not w:
+        return None
+    if kind == "last":
+        return w[-1][0] / 1000.0
+    best_ts, best_v = None, None
+    for ts, v in w:
+        if math.isnan(v):
+            continue
+        if (best_v is None
+                or (kind == "max" and v >= best_v)
+                or (kind == "min" and v <= best_v)):
+            best_ts, best_v = ts, v
+    return (best_ts if best_ts is not None else w[-1][0]) / 1000.0
+
+
+def test_values_ts_of_over_time_tie_and_nan_rules(spark):
+    """ts_of_{max,min,last}_over_time: ties resolve to the LATEST
+    occurrence, NaN samples are skipped like max_over_time, and an
+    all-NaN window yields the last sample's timestamp."""
+    eng = _mk_engine(spark, "edge_tie", TIE_ROWS)
+    insts = ("i1", "i2", "i3", "zz")
+    for kind in ("max", "min", "last"):
+        q = f"ts_of_{kind}_over_time(edge_tie[1m])"
+        want = {}
+        for inst in insts:
+            s = _samples(TIE_ROWS, inst)
+            for t in GRID:
+                v = _ts_of_ref(window(s, t, 60_000), kind)
+                if v is not None:
+                    want[(inst, t)] = v
+        assert_vals(res(eng, q, "instance"), want, q)
+    # the fixtures really exercise each rule at t=60s
+    w1 = window(_samples(TIE_ROWS, "i1"), 60_000, 60_000)
+    assert _ts_of_ref(w1, "max") == 30.0   # tie 20s/30s -> latest
+    assert _ts_of_ref(w1, "min") == 50.0   # tie 40s/50s -> latest
+    w3 = window(_samples(TIE_ROWS, "i3"), 60_000, 60_000)
+    assert _ts_of_ref(w3, "max") == 20.0   # all-NaN -> last sample ts
+
+
+def test_values_double_exponential_smoothing_factor_validation(spark):
+    """double_exponential_smoothing / holt_winters: factors outside the
+    OPEN interval (0, 1) are a query error (upstream
+    funcDoubleExponentialSmoothing), never NaN results; both spellings
+    share the validation and produce identical values on valid factors."""
+    eng = _mk_engine(spark, "edge_tie", TIE_ROWS)
+    ok_a = res(eng, "double_exponential_smoothing(edge_tie[1m], 0.5, 0.3)",
+               "instance")
+    ok_b = res(eng, "holt_winters(edge_tie[1m], 0.5, 0.3)", "instance")
+    assert ok_a and set(ok_a) == set(ok_b)
+    for k, v in ok_a.items():
+        w = ok_b[k]
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            assert w is None or math.isnan(w), (k, v, w)
+        else:
+            assert v == w, (k, v, w)
+    for sf, tf, msg in [
+        (0.0, 0.3, "smoothing"), (1.0, 0.3, "smoothing"),
+        (-0.5, 0.3, "smoothing"), (0.5, 0.0, "trend"),
+        (0.5, 1.0, "trend"), (0.5, 1.5, "trend"),
+    ]:
+        q = f"double_exponential_smoothing(edge_tie[1m], {sf}, {tf})"
+        with pytest.raises(ValueError, match=f"invalid {msg} factor"):
+            eng.query_range(q).collect()

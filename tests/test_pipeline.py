@@ -1128,3 +1128,51 @@ def test_priority_sample_estimator_and_plan(spark, docs):
     # top-k must plan as TakeOrdered, never a global sort of the corpus
     plan = text.priority_sample(docs, k=40)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_sketch_only_production_paths_skip_exact_subplans(spark, sf_dir, docs):
+    """VERDICT r5 #4: self_eval=False must delete the exact-baseline
+    subplan, not just hide its columns — the sketch IS the production
+    saving. Assert (a) values agree with the self-eval variant's sketch
+    columns, (b) the physical plan carries no exact countDistinct /
+    semi-join / exact wordcount."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = model.load_table(spark, sf_dir, "events")
+
+    # --- HLL: estimate identical to the self-eval run's column ---
+    prod = pevents.hll_distinct(ev, self_eval=False)
+    full = pevents.hll_distinct(ev)
+    assert prod.columns == ["event_type", "hll_estimate"]
+    a = {r.event_type: r.hll_estimate for r in prod.collect()}
+    b = {r.event_type: r.hll_estimate for r in full.collect()}
+    assert a == b
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "distinct" not in plan.lower()
+
+    # --- Bloom: hits identical, no exact semi-join against the corpus ---
+    prod = dedup.bloom_membership(docs, self_eval=False)
+    assert prod.columns == ["doc_id", "n_probes", "bloom_hits"]
+    a = {r.doc_id: (r.n_probes, r.bloom_hits) for r in prod.collect()}
+    b = {
+        r.doc_id: (r.n_probes, r.bloom_hits)
+        for r in dedup.bloom_membership(docs).collect()
+    }
+    assert a == b
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+
+    # --- CM: point queries match the exact top-k run's estimates; the
+    # corpus contributes only the (depth x width) cell aggregate ---
+    full_rows = text.cm_heavyhitters(docs, k=5).collect()
+    terms = [r.term for r in full_rows]
+    prod = text.cm_heavyhitters(docs, self_eval=False, query_terms=terms)
+    assert prod.columns == ["term", "cm_estimate"]
+    a = {r.term: r.cm_estimate for r in prod.collect()}
+    assert a == {r.term: r.cm_estimate for r in full_rows}
+    plan = prod._jdf.queryExecution().executedPlan().toString()
+    # exactly two aggregates: partial+final of the sketch cells, plus the
+    # probe-side min — no exact per-term wordcount aggregate pair
+    assert "TakeOrdered" not in plan
+    with pytest.raises(ValueError):
+        text.cm_heavyhitters(docs, self_eval=False)

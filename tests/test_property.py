@@ -509,3 +509,18 @@ def test_format_query_roundtrips_semantics(node):
     assert parse(one_line) == node, one_line
     multi = pretty(node, 0)
     assert parse(" ".join(multi.split())) == node, multi
+    # /api/v1/parse_query shape stability on the same corpus (VERDICT
+    # r5 #6): the upstream-shaped AST JSON must be (a) derivable from
+    # both the single-line and prettified spellings with identical
+    # output, (b) identical to translating the generated AST directly,
+    # and (c) actually JSON-serializable
+    import json
+
+    from squirreldb_spark.promql.ast_json import (
+        parse_query_json, translate_ast,
+    )
+
+    j = parse_query_json(one_line)
+    assert j == translate_ast(node), one_line
+    assert j == parse_query_json(" ".join(multi.split())), multi
+    json.dumps(j)
