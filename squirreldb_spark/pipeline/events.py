@@ -193,6 +193,134 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     )
 
 
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) user segmentation — the
+    classic marketing-analytics reduction (Hughes 1994): per user, days
+    since last event, event count, and value sum, each scored 1-5 by
+    corpus quintile, concatenated into the familiar ``rfm`` code
+    (555 = best).
+
+    Quintile boundaries are EXACT order statistics computed scale-first:
+    a groupBy collapses each metric to its DISTINCT values with counts
+    (distinct days/counts/rounded-cents are orders of magnitude smaller
+    than the user table), one window over that tiny (value, n) list
+    builds the cumulative, and the four boundaries per metric reduce to
+    a single 12-number row broadcast back over the user table — no
+    global sort or ntile window over users, no interpolation (type-1
+    quantiles: boundary = smallest value whose cumulative count reaches
+    ``ceil(k*N/5)``), so both engines agree bit-for-bit. Value ties
+    share a bucket (deterministic, unlike ``ntile``'s arbitrary tie
+    split).
+    """
+    # recency is measured against the corpus max ts — a one-row agg
+    # broadcast back over the user table
+    now = events.agg(F.max("ts").alias("now_ts"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(now))
+        .select(
+            "user_id",
+            ((F.col("now_ts") - F.col("last_ts")) / _DAY_MS)
+            .cast("long").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def boundaries(df: DataFrame, col: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        n_total = f"_N_{col}"
+        dist = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = dist.withColumn("cum", F.sum("n").over(w)).crossJoin(
+            F.broadcast(df.agg(F.count(F.lit(1)).alias(n_total)))
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.ceil(F.col(n_total) * k / 5),
+                        F.col(col),
+                    )
+                ).alias(f"{col}_b{k}")
+                for k in (1, 2, 3, 4)
+            ]
+        )
+
+    b = (
+        boundaries(per_user, "recency_days")
+        .crossJoin(boundaries(per_user, "frequency"))
+        .crossJoin(boundaries(per_user, "monetary"))
+    )
+
+    def score(col: str) -> F.Column:
+        s = F.lit(1)
+        for k in (1, 2, 3, 4):
+            s = s + (F.col(col) > F.col(f"{col}_b{k}")).cast("int")
+        return s
+
+    scored = per_user.crossJoin(F.broadcast(b)).select(
+        "user_id", "recency_days", "frequency", "monetary",
+        # LOW recency_days = recent = good: invert the quintile
+        (F.lit(6) - score("recency_days")).cast("long").alias("r_score"),
+        score("frequency").cast("long").alias("f_score"),
+        score("monetary").cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score"))
+        .cast("long"),
+    )
+
+
+def sql_rfm_segments() -> str:
+    def bounds(col: str) -> str:
+        return f"""
+{col}_dist AS (
+  SELECT {col} AS v, count(*) AS n FROM per_user GROUP BY 1),
+{col}_cum AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS cum FROM {col}_dist),
+{col}_b AS (
+  SELECT {', '.join(
+      f"min(CASE WHEN cum >= ceil(N * {k} / 5.0) THEN v END) AS {col}_b{k}"
+      for k in (1, 2, 3, 4))}
+  FROM {col}_cum, nn)"""
+
+    def score(col: str) -> str:
+        return "(1 + " + " + ".join(
+            f"CASE WHEN {col} > {col}_b{k} THEN 1 ELSE 0 END"
+            for k in (1, 2, 3, 4)
+        ) + ")"
+
+    return f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+now_ts AS (SELECT max(ts) AS now_ts FROM ev),
+per_user AS (
+  SELECT user_id,
+         ((SELECT now_ts FROM now_ts) - max(ts)) // {_DAY_MS} AS recency_days,
+         count(*)::BIGINT AS frequency,
+         round(sum(value), 2) AS monetary
+  FROM ev GROUP BY 1),
+nn AS (SELECT count(*) AS N FROM per_user),
+{bounds('recency_days')},
+{bounds('frequency')},
+{bounds('monetary')}
+SELECT user_id, recency_days, frequency, monetary,
+       (6 - {score('recency_days')})::BIGINT AS r_score,
+       {score('frequency')}::BIGINT AS f_score,
+       {score('monetary')}::BIGINT AS m_score,
+       ((6 - {score('recency_days')}) * 100 + {score('frequency')} * 10
+        + {score('monetary')})::BIGINT AS rfm
+FROM per_user, recency_days_b, frequency_b, monetary_b
+"""
+
+
 def sql_retention_cohorts() -> str:
     return f"""
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),

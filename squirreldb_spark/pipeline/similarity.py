@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -717,6 +717,149 @@ SELECT vec_id,
               pow(v[i] - (lo[i] + codes[i] * (hi[i] - lo[i]) / {SQ_LEVELS}), 2)
               END)) / {dim}, 6) AS mse
 FROM coded
+"""
+
+
+# --------------------------------------- binary quantization + Hamming
+
+BQ_WORD_BITS = 32
+
+
+def binary_code_expr(vec: str, dim: int) -> str:
+    """1-bit-per-dimension sign code (bit set when component > 0),
+    packed into ``ceil(dim/32)`` bigint words of 32 bits each — 32-bit
+    words, not 64, because a ``1 << 63`` is an overflow error in DuckDB
+    and a silent sign-bit wrap in Spark; capping shifts at 31 keeps both
+    engines positive and bit-identical (same lesson as the round-5
+    Bloom-mask advisor finding)."""
+    nw = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    return (
+        f"transform(sequence(0, {nw - 1}), w ->"
+        f" aggregate(sequence(1, {BQ_WORD_BITS}), 0L, (acc, b) ->"
+        f" CASE WHEN w * {BQ_WORD_BITS} + b <= size({vec})"
+        f" AND element_at({vec}, w * {BQ_WORD_BITS} + b) > 0"
+        f" THEN acc | shiftleft(cast(1 as bigint), b - 1)"
+        f" ELSE acc END))"
+    )
+
+
+_HAMMING = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> bit_count(x ^ y)), 0,"
+    " (acc, n) -> acc + n)"
+)
+
+
+def binary_hamming_knn(
+    emb: DataFrame,
+    k: int = 5,
+    n_queries: int = 5,
+    rescore_mult: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary quantization + Hamming retrieval + exact cosine re-rank —
+    the 1-bit serve path (32x smaller than float32; the standard
+    "BQ + rescoring" recipe in production vector stores). Each vector
+    becomes a sign bit per dimension; candidates are the per-query
+    ``rescore_mult * k`` nearest by Hamming distance (popcount of XOR,
+    pure integer ops); the final ``k`` come from exact cosine over that
+    tiny candidate set. Sign-bit Hamming estimates angular distance
+    (Charikar STOC 2002 — same guarantee family as SimHash).
+
+    Scale shape: the corpus carries only (id, 2x bigint code) into the
+    Hamming stage — the encode is a narrow map in the scan, queries
+    broadcast, and the two-phase top-k kernel keeps any task from
+    sorting one query's full corpus. The float vectors ride ONLY the
+    candidate rows (bounded at shards x mult x k per query) into the
+    re-rank, whose window ranks mult*k rows per query. At 100 TB the
+    Hamming scan reads ~16 B/row where exact cosine reads 512 B/row.
+    """
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("code", F.expr(binary_code_expr("v", dim)))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+        F.col("code").alias("qcode"),
+    )
+    c = base.select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "code"
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .withColumn(
+            "hamming", F.expr(_HAMMING.format(a="qcode", b="code"))
+        )
+    )
+    cand = two_phase_topk(
+        scored.select("q_id", "c_id", "hamming", "qv", "cv"),
+        ["q_id"],
+        [F.asc("hamming"), F.asc("c_id")],
+        rescore_mult * k,
+        shard_cols=["c_id"],
+    )
+    rescored = with_cosine(cand, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", "c_id",
+            F.col("hamming").cast("long").alias("hamming"),
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def duck_binary_code(vec: str, dim: int) -> str:
+    nw = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    return (
+        f"list_transform(generate_series(0, {nw - 1}), w ->"
+        f" list_reduce(list_prepend(0::BIGINT,"
+        f" list_transform(generate_series(1, {BQ_WORD_BITS}), b ->"
+        f" CASE WHEN w * {BQ_WORD_BITS} + b <= len({vec})"
+        f" AND {vec}[w * {BQ_WORD_BITS} + b] > 0"
+        f" THEN (1::BIGINT << (b - 1)) ELSE 0::BIGINT END)),"
+        f" (acc, c) -> acc | c))"
+    )
+
+
+def sql_binary_hamming_knn(
+    k: int = 5, n_queries: int = 5, rescore_mult: int = 4, dim: int = 64
+) -> str:
+    nw = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
+    hamming = (
+        f"list_sum(list_transform(generate_series(1, {nw}),"
+        f" i -> bit_count(xor(qcode[i], code[i]))::BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         {duck_binary_code('embedding', dim)} AS code
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, code AS qcode
+      FROM base WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv, code FROM base),
+scored AS (
+  SELECT q_id, c_id, qv, cv, {hamming} AS hamming
+  FROM c, q WHERE c_id != q_id),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY hamming, c_id) AS hrank
+  FROM scored QUALIFY hrank <= {rescore_mult * k}),
+rescored AS (
+  SELECT q_id, c_id, hamming, {_duck_cos('qv', 'cv')} AS cosine
+  FROM cand)
+SELECT q_id, c_id, hamming::BIGINT AS hamming, cosine,
+       row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, c_id) AS rank
+FROM rescored QUALIFY rank <= {k}
 """
 
 

@@ -1079,6 +1079,88 @@ FROM ch
 """
 
 
+# ------------------------------------------ content-defined chunking
+
+CDC_DIVISOR = 16
+
+
+def cdc_chunks(
+    docs: DataFrame,
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking (Rabin/gear-style, as in LBFS, Muthitacharoen
+    et al. SOSP 2001, and every dedup store since): a word is a chunk
+    BOUNDARY when its 60-bit content hash ``% divisor == 0``, so chunk
+    edges move with the content — insert one word early in a document
+    and every downstream sliding-window chunk changes, but CDC chunks
+    realign after the next boundary. That is the property that makes
+    chunk-hash dedup robust to edits, which fixed ``chunk_sliding``
+    windows are not; expected chunk length is ``divisor`` words.
+
+    Scale shape: pure per-row array algebra — boundary positions via
+    ``filter(sequence(1, n))``, spans from zipping cut positions, one
+    ``posexplode``. ZERO shuffle; the corpus is chunked inside the scan
+    and AQE re-splits the fan-out downstream. No min/max chunk clamps
+    here (they'd need a sequential fold); a production variant forces a
+    cut at ``k * divisor`` words by post-splitting long spans — the
+    boundary rule itself is what the oracle replays bit-for-bit.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    toks = f"split({text_col}, ' ')"
+    n = f"size({toks})"
+    h = _h60_sql_expr(f"element_at({toks}, i)")
+    cuts = f"filter(sequence(1, {n}), i -> ({h}) % {divisor} = 0)"
+    spans = (
+        f"filter(arrays_zip("
+        f"  concat(array(1), transform({cuts}, c -> c + 1)),"
+        f"  concat({cuts}, array({n}))),"
+        f" s -> s['0'] <= s['1'])"
+    )
+    chunks = (
+        f"transform({spans},"
+        f" s -> array_join(slice({toks}, s['0'], s['1'] - s['0'] + 1), ' '))"
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk")
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.expr("size(split(chunk, ' '))").cast("long").alias("n_words"),
+        F.expr(_h60_sql_expr("chunk")).alias("chunk_hash"),
+    )
+
+
+def sql_cdc_chunks(divisor: int = CDC_DIVISOR) -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+cut AS (
+  SELECT doc_id, t,
+         list_filter(generate_series(1, len(t)),
+                     i -> {_h60_duck('t[i]')} % {divisor} = 0) AS cuts
+  FROM toks),
+spans AS (
+  SELECT doc_id, t,
+         list_concat([1], list_transform(cuts, c -> c + 1)) AS starts,
+         list_concat(cuts, [len(t)]) AS ends
+  FROM cut),
+ch AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_id,
+         array_to_string(t[starts[k]:ends[k]], ' ') AS chunk,
+         ends[k] - starts[k] + 1 AS n_words
+  FROM spans, unnest(generate_series(1, len(starts))) AS g(k)
+  WHERE starts[k] <= ends[k])
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, n_words::BIGINT AS n_words,
+       {_h60_duck('chunk')} AS chunk_hash
+FROM ch
+"""
+
+
 # --------------------------------------------- deterministic corpus split
 
 

@@ -2312,6 +2312,14 @@ def q_emb_scalar_quantize(spark, sf_dir):
     return psim.scalar_quantize(model.load_table(spark, sf_dir, "embeddings"))
 
 
+def q_emb_binary_hamming(spark, sf_dir):
+    """1-bit binary quantization + Hamming candidate retrieval + exact
+    cosine re-rank (BQ + rescoring): the corpus carries 2 bigint code
+    words into the Hamming stage, floats ride only the mult*k candidate
+    rows (pipeline/similarity.py binary_hamming_knn)."""
+    return psim.binary_hamming_knn(model.load_table(spark, sf_dir, "embeddings"))
+
+
 def q_doc_pii_scrub(spark, sf_dir):
     """PII detection + redaction (emails/IPv4/phones -> typed
     placeholders) with a fingerprint of the scrubbed text — zero-shuffle
@@ -2356,6 +2364,13 @@ def q_ev_retention_cohorts(spark, sf_dir):
     """Weekly retention cohort matrix (pipeline/events.py
     retention_cohorts)."""
     return pevents.retention_cohorts(_events(spark, sf_dir))
+
+
+def q_ev_rfm_segments(spark, sf_dir):
+    """RFM user segmentation with exact type-1 quintile boundaries
+    computed over distinct metric values and broadcast back — no
+    user-table sort or ntile (pipeline/events.py rfm_segments)."""
+    return pevents.rfm_segments(_events(spark, sf_dir))
 
 
 #: as-of join tolerance: a purchase attributes to a view <= 3 days old
@@ -2893,6 +2908,14 @@ def q_doc_chunk_sliding(spark, sf_dir):
     return ptext.chunk_sliding(_docs(spark, sf_dir))
 
 
+def q_doc_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: chunk boundaries where the word's 60-bit
+    hash % 16 == 0, so chunk-hash dedup realigns across edits — zero
+    shuffle, pure array algebra in the scan (pipeline/text.py
+    cdc_chunks)."""
+    return ptext.cdc_chunks(_docs(spark, sf_dir))
+
+
 def q_doc_split_assign(spark, sf_dir):
     """Deterministic content-hashed 90/5/5 train/val/test assignment —
     RNG-free and exact-dup-leakage-proof (pipeline/text.py
@@ -3304,6 +3327,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_retention_cohorts": QueryDef(
         q_ev_retention_cohorts, pevents.sql_retention_cohorts()
     ),
+    # RFM segmentation (broadcast type-1 quintile boundaries)
+    "ev_rfm_segments": QueryDef(
+        q_ev_rfm_segments, pevents.sql_rfm_segments()
+    ),
     # as-of join (vs DuckDB native ASOF JOIN as the oracle)
     "ev_asof_join": QueryDef(
         q_ev_asof_join, pevents.sql_asof_purchase_view(ASOF_TOL_MS)
@@ -3311,6 +3338,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # int8 scalar quantization (codes + reconstruction MSE)
     "emb_scalar_quantize": QueryDef(
         q_emb_scalar_quantize, psim.sql_scalar_quantize()
+    ),
+    # 1-bit binary quantization + Hamming retrieve + exact rescoring
+    "emb_binary_hamming": QueryDef(
+        q_emb_binary_hamming, psim.sql_binary_hamming_knn()
     ),
     # per-IVF-cell representatives (coreset/diversity sampling)
     "emb_diversity_sample": QueryDef(
@@ -3410,6 +3441,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "api_label_values": QueryDef(q_api_label_values, SQL_API_LABEL_VALUES),
     # sliding token-window chunking (training/RAG sequence prep)
     "doc_chunk_sliding": QueryDef(q_doc_chunk_sliding, ptext.sql_chunk_sliding()),
+    "doc_cdc_chunks": QueryDef(q_doc_cdc_chunks, ptext.sql_cdc_chunks()),
     # deterministic content-hashed train/val/test split
     "doc_split_assign": QueryDef(q_doc_split_assign, ptext.sql_split_assign()),
     # fixed-weight logistic quality classifier

@@ -1176,3 +1176,81 @@ def test_sketch_only_production_paths_skip_exact_subplans(spark, sf_dir, docs):
     assert "TakeOrdered" not in plan
     with pytest.raises(ValueError):
         text.cm_heavyhitters(docs, self_eval=False)
+
+
+def test_cdc_chunks_realign_after_edit(spark):
+    """The CDC property: prepending one word changes the first chunk but
+    the chunk-hash stream REALIGNS at the next content boundary, so most
+    chunk hashes survive the edit — unlike fixed sliding windows, where
+    one early insertion shifts every window."""
+    base = " ".join(f"word{i}" for i in range(400))
+    df = spark.createDataFrame(
+        [(1, base), (2, "inserted " + base)], "doc_id long, text string"
+    )
+    out = text.cdc_chunks(df).collect()
+    h1 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 1]
+    h2 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 2]
+    shared = set(h1) & set(h2)
+    # all but the first chunk of doc 1 realign (the insertion is absorbed
+    # by the first boundary)
+    assert len(shared) >= len(h1) - 1 > 0
+    # expected chunk length ~ divisor
+    n_words = [r.n_words for r in out]
+    assert 1 <= sum(n_words) / len(n_words) <= 3 * text.CDC_DIVISOR
+    # chunks partition the document exactly (no word lost or repeated)
+    assert sum(r.n_words for r in out if r.doc_id == 1) == 400
+    assert sum(r.n_words for r in out if r.doc_id == 2) == 401
+
+
+def test_binary_hamming_knn_rescoring_and_plan(spark, sf_dir):
+    """BQ + rescoring: reported cosines are exact (match brute-force for
+    the same pairs), candidates come from Hamming order, and the corpus
+    side of the Hamming stage is a broadcast-joined narrow scan (no
+    corpus shuffle before candidate selection)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    out = similarity.binary_hamming_knn(emb, k=5, n_queries=3).collect()
+    assert len(out) == 15
+    brute = {
+        (r.q_id, r.c_id): r.cosine
+        for r in similarity.cosine_knn(emb, k=50, n_queries=3).collect()
+    }
+    hits = 0
+    for r in out:
+        assert 0 <= r.hamming <= 64
+        if (r.q_id, r.c_id) in brute:
+            assert abs(brute[(r.q_id, r.c_id)] - r.cosine) < 1e-9
+            hits += 1
+    # sign-bit Hamming is a real angular-distance proxy: most of the
+    # rescored top-5 appears in the exact top-50
+    assert hits >= 8
+    plan = (
+        similarity.binary_hamming_knn(emb, k=5, n_queries=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_rfm_segments_quintiles_and_plan(spark, sf_dir):
+    """RFM scores: each score in 1..5, the bottom bucket is never empty,
+    recency inverts (most-recent user scores r=5), and the plan contains
+    no ntile/global-rank window over the user table — boundaries come
+    from the tiny distinct-value cumulative, broadcast back."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = model.load_table(spark, sf_dir, "events")
+    out = pevents.rfm_segments(ev).toPandas()
+    assert len(out) == ev.select("user_id").distinct().count()
+    for c in ("r_score", "f_score", "m_score"):
+        assert out[c].between(1, 5).all()
+        # type-1 quintiles: the bottom bucket holds >= ~20% minus ties
+        assert (out[c] == 1).sum() > 0
+    assert (out["rfm"] == out["r_score"] * 100 + out["f_score"] * 10
+            + out["m_score"]).all()
+    # the user with the most recent last event scores r=5
+    best = out.loc[out["recency_days"].idxmin()]
+    assert best["r_score"] == 5
+    plan = (
+        pevents.rfm_segments(ev)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ntile" not in plan.lower()
