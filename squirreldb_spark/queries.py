@@ -3503,12 +3503,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # (0) the 31 round-5 entries that have never had a driver row (the newest
 # code: sketches, IVF-PQ, MMR, DSIR, segment dedup, the experimental
 # PromQL tier), then (1) the 12 r1-era rows (the oldest hard signal),
-# then (2) seven r3-era TSDB hot-path rows (bench headliners + the
-# pre-agg/stitch family that shares the downsample kernel) to fill the
-# 50-row window.  After this round every catalog entry has a driver-green
-# row and no attestation predates round 3.  Standing ratchet rule
-# (VERDICT r5 #7): any round that edits shared planner/kernel code
-# re-queues that code's dependents at the head of this list.
+# then (2) the four operators NEW this round (CDC chunking, binary-
+# Hamming ANN, RFM segmentation, hash-keyed segment dedup), then (3)
+# three r3-era TSDB hot-path bench headliners to fill the 50-row
+# window.  After this round every catalog entry has a driver-green row
+# and no attestation predates round 3.  Standing ratchet rule (VERDICT
+# r5 #7): any round that edits shared planner/kernel code re-queues
+# that code's dependents at the head of this list.
 _VERIFY_FIRST: list[str] = [
     # --- (0) round-5 entries, never driver-attested: sketch/serving tier ---
     "emb_ann_ivfpq",
@@ -3558,15 +3559,15 @@ _VERIFY_FIRST: list[str] = [
     "ts_series_interning",
     "ts_label_values",
     "ts_tenant_filter",
-    # --- (2) r3-era TSDB hot paths: bench headliners + the downsample/
-    # pre-agg kernel family (fills the window to 50) ---
+    # --- (2) new round-6 operators: first driver attestation ---
+    "doc_cdc_chunks",
+    "emb_binary_hamming",
+    "ev_rfm_segments",
+    "doc_segment_dedup_hashkey",
+    # --- (3) r3-era TSDB hot paths: bench headliners (fills to 50) ---
     "ts_downsample_5m",
     "ts_instant_selector",
-    "ts_agg_sum_by",
-    "ts_topk",
-    "ts_preagg_route_avg",
     "ts_stitch_preagg_raw",
-    "ts_dedup_points",
 ]
 
 
