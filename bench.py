@@ -90,6 +90,11 @@ SECONDARY_QUERIES = [
     "doc_curation_verdict",
     "ev_attribution",
     "emb_ann_ivfpq_refine",
+    # round-6 additions
+    "doc_segment_dedup_hashkey",
+    "doc_cdc_chunks",
+    "emb_binary_hamming",
+    "ev_rfm_segments",
 ]
 
 

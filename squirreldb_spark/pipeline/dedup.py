@@ -1175,13 +1175,124 @@ def segment_dedup_stream(
     )
 
 
-# ------------------------------------------- Bloom-filter batch membership
+# --------------------------------------------- Bloom screen (batch+stream)
 
 BLOOM_WORDS = 32_768       # 32768 x 32-bit words = 2^20 bits
 _BLOOM_WORD_BITS = 32
 BLOOM_BITS = BLOOM_WORDS * _BLOOM_WORD_BITS
 BLOOM_K = 4                # double-hashing h1 + i*h2 (Kirsch-Mitzenmacher)
 BLOOM_SHINGLE_N = 4
+
+
+def _shingle_expr(text_col: str, n: int) -> str:
+    """Distinct word ``n``-gram shingles of a document (Spark SQL)."""
+    words = f"split({text_col}, ' ')"
+    return (
+        f"case when size({words}) >= {n} then "
+        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}),"
+        f" i -> concat_ws(' ', slice({words}, i, {n})))) "
+        f"else array() end"
+    )
+
+
+def _bloom_pos_arr() -> str:
+    """K Bloom positions for column ``sh`` by Kirsch-Mitzenmacher double
+    hashing of two domain-separated 60-bit md5 prefixes (stride forced
+    odd)."""
+    h1 = _h60_sql_expr("sh")
+    h2 = f"({_h60_sql_expr(chr(39) + 'bloom:' + chr(39) + ' || sh')} | 1)"
+    return (
+        "array(" + ", ".join(f"(({h1}) + {i} * ({h2})) % {BLOOM_BITS}"
+                             for i in range(BLOOM_K)) + ")"
+    )
+
+
+def _bloom_mask_expr() -> str:
+    """Single-bit mask for position column ``p``. The one is widened to
+    BIGINT before the shift: shiftleft on a 32-bit literal overflows at
+    bit 31 and the cast would then sign-extend to 0xFFFFFFFF80000000,
+    diverging from DuckDB's 1::BIGINT << 31 (round-5 advisor finding)."""
+    return (
+        f"shiftleft(cast(1 as bigint), "
+        f"cast(p % {_BLOOM_WORD_BITS} as int))"
+    )
+
+
+def build_bloom_sketch(
+    corpus: DataFrame, text_col: str = "text", n: int = BLOOM_SHINGLE_N
+) -> DataFrame:
+    """The corpus half of the Bloom screen as a standalone builder: a
+    map-side-combining ``bit_or`` groupBy whose result is at most
+    BLOOM_WORDS (word, bits) rows (~256 KiB) — the corpus is read once
+    and moved never; duplicate shingles need no dedup first because
+    ``bit_or`` is idempotent. Persist the result as a tiny table and
+    hand it to :func:`bloom_membership` runs or the streaming screen
+    (:func:`bloom_screen_stream`)."""
+    return (
+        corpus.select(F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"))
+        .select(F.explode(F.expr(_bloom_pos_arr())).alias("p"))
+        .select(
+            F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            F.expr(_bloom_mask_expr()).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_screen_stream(
+    stream: DataFrame,
+    corpus_sketch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "event_time",
+    n: int = 4,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`bloom_membership`'s production path:
+    screen an UNBOUNDED document stream against a batch-built corpus
+    Bloom sketch (:func:`build_bloom_sketch`). The sketch is the static
+    side of a stream-static join (re-planned per micro-batch, so a
+    refreshed sketch table is picked up on the next trigger); the
+    output is one row per (document, distinct shingle) with its
+    bloom-positive verdict. Per-document rollup is a downstream batch
+    step — the same trade as :func:`segment_dedup_stream`: emitting at
+    shingle granularity keeps this to ONE watermarked aggregation
+    (Spark refuses chained stream aggregations in append mode), and
+    the screen itself carries no cross-batch state beyond it.
+
+    Scale shape matches the batch operator: the sketch is <= 32 768
+    rows (~256 KiB, broadcast), the stream side explodes to (doc,
+    shingle, probe) narrow maps, and state is bounded by (shingle
+    throughput x watermark).
+    """
+    probe = (
+        stream.select(
+            F.col(id_col),
+            F.col(time_col),
+            F.explode(F.expr(_shingle_expr(text_col, n))).alias("sh"),
+        )
+        .select(
+            id_col, time_col, "sh",
+            F.explode(F.expr(_bloom_pos_arr())).alias("p"),
+        )
+        .select(
+            id_col, time_col, "sh",
+            F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
+            F.expr(_bloom_mask_expr()).alias("mask"),
+        )
+        .join(F.broadcast(corpus_sketch), "word", "left")
+    )
+    return (
+        probe.withWatermark(time_col, watermark)
+        .groupBy(id_col, time_col, "sh")
+        .agg(
+            F.expr("bool_and((coalesce(bits, 0L) & mask) = mask)").alias("hit")
+        )
+    )
+
+
+# ------------------------------------------- Bloom-filter batch membership
 
 
 def bloom_membership(
@@ -1228,19 +1339,8 @@ def bloom_membership(
     ``self_eval=True`` so the driver's oracle re-proves the
     zero-false-negative property every round.
     """
-    words = f"split({text_col}, ' ')"
-    grams = (
-        f"case when size({words}) >= {n} then "
-        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({words}, i, {n})))) "
-        f"else array() end"
-    )
-    h1 = _h60_sql_expr("sh")
-    h2 = f"({_h60_sql_expr(chr(39) + 'bloom:' + chr(39) + ' || sh')} | 1)"
-    pos_arr = (
-        "array(" + ", ".join(f"(({h1}) + {i} * ({h2})) % {BLOOM_BITS}"
-                             for i in range(BLOOM_K)) + ")"
-    )
+    grams = _shingle_expr(text_col, n)
+    pos_arr = _bloom_pos_arr()
 
     def _shingled(df: DataFrame) -> DataFrame:
         return df.select(
@@ -1250,35 +1350,15 @@ def bloom_membership(
     corpus_sh = _shingled(docs.filter(F.col(id_col) % 2 == 0))
     batch_sh = _shingled(docs.filter(F.col(id_col) % 2 == 1))
 
-    sketch = (
-        corpus_sh.select(F.explode(F.expr(pos_arr)).alias("p"))
-        .select(
-            F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
-            # one is widened to BIGINT before the shift: shiftleft on a
-            # 32-bit literal overflows at bit 31 and the cast would then
-            # sign-extend to 0xFFFFFFFF80000000, diverging from DuckDB's
-            # 1::BIGINT << 31 (round-5 advisor finding)
-            F.expr(
-                f"shiftleft(cast(1 as bigint), "
-                f"cast(p % {_BLOOM_WORD_BITS} as int))"
-            ).alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.expr("bit_or(mask)").alias("bits"))
+    sketch = build_bloom_sketch(
+        docs.filter(F.col(id_col) % 2 == 0), text_col=text_col, n=n
     )
     probe = (
         batch_sh.select(id_col, "sh", F.explode(F.expr(pos_arr)).alias("p"))
         .select(
             id_col, "sh",
             F.expr(f"cast(p div {_BLOOM_WORD_BITS} as int)").alias("word"),
-            # one is widened to BIGINT before the shift: shiftleft on a
-            # 32-bit literal overflows at bit 31 and the cast would then
-            # sign-extend to 0xFFFFFFFF80000000, diverging from DuckDB's
-            # 1::BIGINT << 31 (round-5 advisor finding)
-            F.expr(
-                f"shiftleft(cast(1 as bigint), "
-                f"cast(p % {_BLOOM_WORD_BITS} as int))"
-            ).alias("mask"),
+            F.expr(_bloom_mask_expr()).alias("mask"),
         )
         .join(F.broadcast(sketch), "word", "left")
         .groupBy(id_col, "sh")
