@@ -770,10 +770,15 @@ def binary_hamming_knn(
     Scale shape: the corpus carries only (id, 2x bigint code) into the
     Hamming stage — the encode is a narrow map in the scan, queries
     broadcast, and the two-phase top-k kernel keeps any task from
-    sorting one query's full corpus. The float vectors ride ONLY the
-    candidate rows (bounded at shards x mult x k per query) into the
-    re-rank, whose window ranks mult*k rows per query. At 100 TB the
-    Hamming scan reads ~16 B/row where exact cosine reads 512 B/row.
+    sorting one query's full corpus. The candidate-selection exchange
+    carries ONLY ``(q_id, c_id, hamming)`` (~24 B/row) — the float
+    vectors never ride a shuffle: the bounded winner set (at most
+    shards x mult x k rows per query) is broadcast back onto the corpus
+    scan to pick up ``cv``, and ``qv`` comes from the broadcast query
+    set, so exact cosine touches floats only on candidate rows. At
+    100 TB the Hamming scan reads ~16 B/row where exact cosine reads
+    512 B/row (plan-pinned: test_plan_shape.py asserts no vector column
+    crosses a shuffle Exchange).
     """
     from squirreldb_spark.tsdb.aggregation import two_phase_topk
 
@@ -781,27 +786,33 @@ def binary_hamming_knn(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
     ).withColumn("code", F.expr(binary_code_expr("v", dim)))
     q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
-        F.col("code").alias("qcode"),
+        F.col(id_col).alias("q_id"), F.col("code").alias("qcode")
     )
-    c = base.select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "code"
-    )
+    c = base.select(F.col(id_col).alias("c_id"), "code")
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("c_id") != F.col("q_id"))
-        .withColumn(
-            "hamming", F.expr(_HAMMING.format(a="qcode", b="code"))
+        .select(
+            "q_id", "c_id",
+            F.expr(_HAMMING.format(a="qcode", b="code")).alias("hamming"),
         )
     )
     cand = two_phase_topk(
-        scored.select("q_id", "c_id", "hamming", "qv", "cv"),
+        scored,
         ["q_id"],
         [F.asc("hamming"), F.asc("c_id")],
         rescore_mult * k,
         shard_cols=["c_id"],
     )
-    rescored = with_cosine(cand, "qv", "cv").withColumn(
+    qv = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    cv = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    with_vecs = (
+        cv.join(F.broadcast(cand), "c_id")
+        .join(F.broadcast(qv), "q_id")
+    )
+    rescored = with_cosine(with_vecs, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))

@@ -637,3 +637,55 @@ def test_anomaly_mad_reduces_before_percentiles(spark, sf_dir):
     assert_no_theta_joins(plan, "anomaly_mad")
     assert "BroadcastHashJoin" in plan, plan[:1200]
     assert "SortMergeJoin" not in plan, plan[:1200]
+
+
+# ----------------------- vectors must never ride a shuffle (round 7)
+
+def shuffle_exchange_outputs(df):
+    """Output schema of every *shuffle* Exchange in the executed plan
+    (BroadcastExchange excluded — broadcasting a bounded query/candidate
+    set IS the intended way floats move; AQE initial plan included).
+    An Exchange's output equals its input, so this is exactly the set of
+    columns that crosses the wire in that shuffle."""
+    found = []
+
+    def walk(node):
+        name = node.nodeName()
+        if name == "Exchange":
+            found.append([
+                (node.output().apply(i).name(),
+                 node.output().apply(i).dataType().simpleString())
+                for i in range(node.output().size())
+            ])
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return found
+
+
+def assert_no_vector_crosses_shuffle(df, name: str) -> None:
+    """The round-6 lesson (binary_hamming_knn shipped full float vectors
+    through its phase-1 top-k exchange): 'a broadcast join exists' does
+    not bound shuffle WIDTH. This asserts the property directly — no
+    array<double>/array<float> column appears in any shuffle Exchange's
+    schema, so at production dims (~512 B/vector) every exchange stays
+    ~tens of bytes per row."""
+    for cols in shuffle_exchange_outputs(df):
+        bad = [c for c, t in cols if t in ("array<double>", "array<float>")]
+        assert not bad, (
+            f"{name}: vector column(s) {bad} ride a shuffle Exchange "
+            f"carrying {cols}"
+        )
+
+
+@pytest.mark.parametrize("name", [
+    "emb_binary_hamming", "emb_cosine_knn", "emb_ann_ivf", "emb_ann_ivfpq",
+    "emb_ann_ivfpq_refine", "emb_ann_lsh", "emb_range_search",
+    "emb_mmr_rerank", "emb_semantic_dedup", "emb_neardup_pairs",
+    "emb_diversity_sample", "emb_matryoshka_recall",
+])
+def test_no_vector_column_below_any_shuffle_exchange(spark, sf_dir, name):
+    assert_no_vector_crosses_shuffle(CATALOG[name].fn(spark, sf_dir), name)
