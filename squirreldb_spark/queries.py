@@ -3497,77 +3497,63 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
-# insertion order.  Round-6 rotation policy (VERDICT r5 "Next round" #1):
-# all 153 previously-windowed rows are green across five rounds with zero
-# driver failures, so this window clears the ENTIRE attestation backlog:
-# (0) the 31 round-5 entries that have never had a driver row (the newest
-# code: sketches, IVF-PQ, MMR, DSIR, segment dedup, the experimental
-# PromQL tier), then (1) the 12 r1-era rows (the oldest hard signal),
-# then (2) the four operators NEW this round (CDC chunking, binary-
-# Hamming ANN, RFM segmentation, hash-keyed segment dedup), then (3)
-# three r3-era TSDB hot-path bench headliners to fill the 50-row
-# window.  After this round every catalog entry has a driver-green row
-# and no attestation predates round 3.  Standing ratchet rule (VERDICT
-# r5 #7): any round that edits shared planner/kernel code re-queues
-# that code's dependents at the head of this list.
+# insertion order.  Round-7 rotation policy (VERDICT r6 "Next round" #2):
+# the cross-round union is 188/188 green and nothing predates round 3,
+# so this window retires the ENTIRE r3 attestation tail (38 rows) in one
+# pass: (0) the seven r3-era rows whose KERNELS were rewritten after r3
+# (ts_topk predates the r4 two-phase top-k rewrite; the agg/set/range
+# family predates later kernel touches) — the hard signal lags the code
+# most there; then (1) the 16 r3-era TPC-H rows; then (2) the remaining
+# r3-era doc/emb/mm rows; then (3) operators whose kernels CHANGED or
+# are NEW this round (standing ratchet rule, VERDICT r5 #7 / r6 #6:
+# binary_hamming_knn was restructured round 7 — floats no longer cross
+# the phase-1 exchange — so its row re-queues even though it was green
+# in r6).  After this round no attestation predates round 4.
 _VERIFY_FIRST: list[str] = [
-    # --- (0) round-5 entries, never driver-attested: sketch/serving tier ---
-    "emb_ann_ivfpq",
-    "emb_ann_ivfpq_refine",
-    "emb_range_search",
-    "emb_mmr_rerank",
-    "emb_ann_lsh_recall",
-    "emb_matryoshka_recall",
-    "ev_hll_distinct",
-    "doc_cm_heavyhitters",
-    "doc_bloom_membership",
-    "doc_priority_sample",
-    # --- (0 cont.) dedup / curation tier ---
-    "doc_segment_dedup",
-    "doc_incremental_dedup",
-    "doc_minhash_accuracy",
-    "doc_dsir_weights",
-    "doc_mixture_sample",
-    "doc_split_assign",
-    "doc_split_leakage",
-    "doc_curation_verdict",
-    "doc_chunk_sliding",
-    "doc_quality_logreg",
-    "doc_novelty",
-    # --- (0 cont.) events / multimodal tier ---
-    "ev_attribution",
-    "ev_markov_transitions",
-    "ev_cooccurrence",
-    "ev_anomaly_mad",
-    "mm_scene_changes",
-    # --- (0 cont.) experimental PromQL tier (3.x features) ---
-    "promql_double_exp_smoothing",
-    "ts_of_max_over_time",
-    "ts_of_min_over_time",
-    "ts_of_last_over_time",
-    "api_instant_query",
-    # --- (1) r1-era attestations (oldest hard signal) ---
-    "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
-    "doc_exact_dedup",
-    "doc_minhash_signatures",
-    "doc_fingerprint",
-    "doc_lang_id",
-    "doc_text_stats",
-    "doc_ngram_jaccard",
-    "ts_retention",
-    "ts_series_interning",
-    "ts_label_values",
-    "ts_tenant_filter",
-    # --- (2) new round-6 operators: first driver attestation ---
-    "doc_cdc_chunks",
+    # --- (0) r3-era rows whose kernels changed after r3 ---
+    "ts_topk",
+    "ts_agg_sum_by",
+    "ts_count_values",
+    "ts_set_and",
+    "ts_delta",
+    "ts_irate",
+    "ts_preagg_route_avg",
+    # --- (0 cont.) rest of the r3-era TSDB family ---
+    "ts_avg_over_time",
+    "ts_binop_ratio",
+    "ts_dedup_points",
+    # --- (1) r3-era TPC-H rows ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_shipments",
+    "tpch_q13_order_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_excess_shippers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
+    # --- (2) remaining r3-era doc/emb/mm rows ---
+    "doc_dedup_clusters",
+    "doc_dedup_keep_list",
+    "doc_dup_ngrams",
+    "doc_hybrid_neardup",
+    "doc_quality_filter",
+    "doc_repetition",
+    "doc_source_stats",
+    "doc_top_terms",
+    "doc_unigram_logprob",
+    "emb_semantic_dedup",
+    "mm_audio_windows",
+    # --- (3) kernels changed or new in round 7 (ratchet rule) ---
     "emb_binary_hamming",
-    "ev_rfm_segments",
-    "doc_segment_dedup_hashkey",
-    # --- (3) r3-era TSDB hot paths: bench headliners (fills to 50) ---
-    "ts_downsample_5m",
-    "ts_instant_selector",
-    "ts_stitch_preagg_raw",
 ]
 
 
