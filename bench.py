@@ -95,6 +95,8 @@ SECONDARY_QUERIES = [
     "doc_cdc_chunks",
     "emb_binary_hamming",
     "ev_rfm_segments",
+    # round-7 additions
+    "doc_cdc_chunks_fast",
 ]
 
 

@@ -1133,6 +1133,106 @@ def cdc_chunks(
     )
 
 
+def cdc_chunks_fast(
+    docs: DataFrame,
+    text_col: str = "text",
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """``cdc_chunks`` with the boundary rule and chunk hash on Spark's
+    native ``xxhash64`` instead of the md5-hex ``_h60`` fold — same LBFS
+    content-defined-chunking semantics (a word is a boundary when
+    ``pmod(xxhash64(word), divisor) == 0``; expected chunk length
+    ``divisor`` words; chunk edges realign after edits), different hash
+    family.  The round-6 verdict measured the md5 boundary rule at ~17x
+    the cost of the same-shaped ``chunk_sliding`` — the md5 path hex-
+    formats a 32-char string per WORD and re-parses 15 chars of it via
+    ``conv``; ``xxhash64`` is a native codegen'd expression with zero
+    string allocation, so at 100 TB the boundary scan does arithmetic
+    only.  Plan shape is identical: pure array algebra, zero exchanges.
+
+    The DuckDB oracle replays the exact bit pattern through a SQL
+    transcription of XXH64 (``duck_xxh64.xxh64_ctes``), so this variant
+    is hash-verified end-to-end just like the md5 one — and the 64-bit
+    agreement doubles as a cross-engine canary for Spark's hash
+    stability across versions.
+
+    Beyond the hash swap, the plan is restaged so every expensive
+    expression evaluates ONCE: higher-order-function lambdas are
+    interpreted (no whole-stage codegen), and the original composition
+    referenced the per-word boundary scan twice (span starts + span
+    ends), re-running it per reference — Catalyst's CollapseProject
+    deliberately keeps a non-cheap expression referenced more than once
+    in its own projection, so staging ``cuts`` as a column halves the
+    boundary work.  Spans then explode BEFORE chunk-string assembly, so
+    the slice/join/hash per chunk runs as row-level codegen'd
+    expressions instead of inside an interpreted array lambda, and
+    ``n_words`` is span arithmetic, not a re-split of the chunk text.
+    Still zero exchanges.
+    """
+    toks = f"split({text_col}, ' ')"
+    cuts = (
+        f"filter(sequence(1, size(t)),"
+        f" i -> pmod(xxhash64(element_at(t, i)), {divisor}) = 0)"
+    )
+    spans = (
+        "filter(arrays_zip("
+        "  concat(array(1), transform(c, x -> x + 1)),"
+        "  concat(c, array(size(t)))),"
+        " s -> s['0'] <= s['1'])"
+    )
+    return (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .withColumn("c", F.expr(cuts))
+        .select("doc_id", "t", F.posexplode(F.expr(spans)).alias("chunk_id", "s"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("s")["1"] - F.col("s")["0"] + 1)
+            .cast("long")
+            .alias("n_words"),
+            F.xxhash64(
+                F.expr("array_join(slice(t, s['0'], s['1'] - s['0'] + 1), ' ')")
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+def sql_cdc_chunks_fast(divisor: int = CDC_DIVISOR) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_ctes
+
+    word_hash = xxh64_ctes("words", "w", "wx_", ["doc_id", "pos"])
+    chunk_hash = xxh64_ctes("ch", "chunk", "cx_",
+                            ["doc_id", "chunk_id", "n_words"])
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (
+  SELECT doc_id, k AS pos, t[k] AS w
+  FROM toks, unnest(generate_series(1, len(t))) AS g(k)),{word_hash},
+cuts AS (
+  SELECT doc_id,
+         list(pos ORDER BY pos)
+           FILTER (WHERE ((wx_h % {divisor}) + {divisor}) % {divisor} = 0)
+           AS cuts
+  FROM wx_sf GROUP BY doc_id),
+spans AS (
+  SELECT t.doc_id, t.t,
+         list_concat([1], list_transform(coalesce(c.cuts, []), c -> c + 1))
+           AS starts,
+         list_concat(coalesce(c.cuts, []), [len(t.t)]) AS ends
+  FROM toks t LEFT JOIN cuts c USING (doc_id)),
+ch AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY k) - 1 AS chunk_id,
+         array_to_string(t[starts[k]:ends[k]], ' ') AS chunk,
+         ends[k] - starts[k] + 1 AS n_words
+  FROM spans, unnest(generate_series(1, len(starts))) AS g(k)
+  WHERE starts[k] <= ends[k]),{chunk_hash}
+SELECT doc_id, chunk_id::BIGINT AS chunk_id, n_words::BIGINT AS n_words,
+       cx_h AS chunk_hash
+FROM cx_sf
+"""
+
+
 def sql_cdc_chunks(divisor: int = CDC_DIVISOR) -> str:
     from squirreldb_spark.pipeline.dedup import _h60_duck
 

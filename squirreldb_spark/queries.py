@@ -2916,6 +2916,15 @@ def q_doc_cdc_chunks(spark, sf_dir):
     return ptext.cdc_chunks(_docs(spark, sf_dir))
 
 
+def q_doc_cdc_chunks_fast(spark, sf_dir):
+    """CDC chunking with the boundary rule on native xxhash64 instead of
+    the md5-hex fold — same LBFS semantics, zero string allocation in
+    the boundary scan; the DuckDB oracle replays XXH64 bit-for-bit via
+    a SQL transcription of the public spec (pipeline/text.py
+    cdc_chunks_fast, pipeline/duck_xxh64.py)."""
+    return ptext.cdc_chunks_fast(_docs(spark, sf_dir))
+
+
 def q_doc_split_assign(spark, sf_dir):
     """Deterministic content-hashed 90/5/5 train/val/test assignment —
     RNG-free and exact-dup-leakage-proof (pipeline/text.py
@@ -3442,6 +3451,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     # sliding token-window chunking (training/RAG sequence prep)
     "doc_chunk_sliding": QueryDef(q_doc_chunk_sliding, ptext.sql_chunk_sliding()),
     "doc_cdc_chunks": QueryDef(q_doc_cdc_chunks, ptext.sql_cdc_chunks()),
+    "doc_cdc_chunks_fast": QueryDef(
+        q_doc_cdc_chunks_fast, ptext.sql_cdc_chunks_fast()
+    ),
     # deterministic content-hashed train/val/test split
     "doc_split_assign": QueryDef(q_doc_split_assign, ptext.sql_split_assign()),
     # fixed-weight logistic quality classifier
@@ -3554,6 +3566,7 @@ _VERIFY_FIRST: list[str] = [
     "mm_audio_windows",
     # --- (3) kernels changed or new in round 7 (ratchet rule) ---
     "emb_binary_hamming",
+    "doc_cdc_chunks_fast",
 ]
 
 

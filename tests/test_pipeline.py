@@ -1178,16 +1178,19 @@ def test_sketch_only_production_paths_skip_exact_subplans(spark, sf_dir, docs):
         text.cm_heavyhitters(docs, self_eval=False)
 
 
-def test_cdc_chunks_realign_after_edit(spark):
+@pytest.mark.parametrize("variant", ["cdc_chunks", "cdc_chunks_fast"])
+def test_cdc_chunks_realign_after_edit(spark, variant):
     """The CDC property: prepending one word changes the first chunk but
     the chunk-hash stream REALIGNS at the next content boundary, so most
     chunk hashes survive the edit — unlike fixed sliding windows, where
-    one early insertion shifts every window."""
+    one early insertion shifts every window.  Holds for both hash
+    families (md5-fold and xxhash64) since it is a property of
+    content-derived boundaries, not of the hash."""
     base = " ".join(f"word{i}" for i in range(400))
     df = spark.createDataFrame(
         [(1, base), (2, "inserted " + base)], "doc_id long, text string"
     )
-    out = text.cdc_chunks(df).collect()
+    out = getattr(text, variant)(df).collect()
     h1 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 1]
     h2 = [r.chunk_hash for r in sorted(out, key=lambda r: (r.doc_id, r.chunk_id)) if r.doc_id == 2]
     shared = set(h1) & set(h2)

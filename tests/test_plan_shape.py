@@ -689,3 +689,29 @@ def assert_no_vector_crosses_shuffle(df, name: str) -> None:
 ])
 def test_no_vector_column_below_any_shuffle_exchange(spark, sf_dir, name):
     assert_no_vector_crosses_shuffle(CATALOG[name].fn(spark, sf_dir), name)
+
+
+@pytest.mark.parametrize("variant", ["cdc_chunks", "cdc_chunks_fast"])
+def test_cdc_chunking_zero_exchange(spark, sf_dir, variant):
+    """Both CDC variants chunk the corpus entirely inside the scan —
+    no Exchange anywhere in the plan (the boundary rule, span algebra,
+    explode and chunk hash are all per-row)."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(getattr(ptext, variant)(docs))
+    assert "Exchange" not in plan, plan[:800]
+
+
+def test_cdc_fast_boundary_scan_evaluated_once(spark, sf_dir):
+    """The round-7 restage: the interpreted per-word boundary HOF must
+    appear in its own projection (CollapseProject keeps non-cheap
+    expressions referenced twice staged), so the word scan runs once per
+    document: exactly one ArrayFilter over the token sequence, and
+    exactly two xxhash64 sites total (boundary rule + chunk hash)."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.cdc_chunks_fast(docs))
+    assert plan.count("filter(sequence") == 1, plan[:1500]
+    assert plan.count("xxhash64") == 2, plan[:1500]
