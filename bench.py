@@ -97,6 +97,9 @@ SECONDARY_QUERIES = [
     "ev_rfm_segments",
     # round-7 additions
     "doc_cdc_chunks_fast",
+    "ev_hll_rollup",
+    "ev_sample_quantiles",
+    "doc_domain_cap",
 ]
 
 

@@ -136,6 +136,38 @@ def _utf8_bytes(col: str) -> str:
     )
 
 
+def xxh64_long_sql(expr: str) -> str:
+    """``xxhash64(bigint)`` as one DuckDB expression — Spark hashes a
+    LongType as its 8 little-endian bytes (the value itself as u64,
+    two's-complement for negatives), which collapses XXH64 to the n=8
+    fast path: no stripes, one 8-byte word, no 4-byte/byte tails.  Used
+    by operators that draw deterministic priorities from id columns
+    (domain caps, hash-sampling) so the oracle replays the same
+    pseudo-random order.  Every intermediate is let-bound (see module
+    docstring: DuckDB re-evaluates duplicated subtrees)."""
+    u = (
+        f"CAST(((({expr})::HUGEINT % {M64}::HUGEINT + {M64}::HUGEINT)"
+        f" % {M64}::HUGEINT) AS UBIGINT)"
+    )
+    h0 = (H_SMALL + 8) % M64
+    k1 = _xmul(_xrotl(_xmul(u, P2), 31), P1)
+    h1 = _xadd(
+        _xmul(_xrotl(_xxor(f"{h0}::UBIGINT", k1), 27), P1),
+        f"{P4}::UBIGINT",
+    )
+    av1 = _let(h1, lambda v: _xmul(_xxor(v, f"({v} >> 33)"), P2))
+    av2 = _let(av1, lambda v: _xmul(_xxor(v, f"({v} >> 29)"), P3))
+    return _let(
+        av2,
+        lambda v: (
+            f"CAST(CASE WHEN xor({v}, ({v} >> 32))"
+            f" >= 9223372036854775808::UBIGINT"
+            f" THEN xor({v}, ({v} >> 32))::HUGEINT - {M64}::HUGEINT"
+            f" ELSE xor({v}, ({v} >> 32))::HUGEINT END AS BIGINT)"
+        ),
+    )
+
+
 def xxh64_ctes(src: str, col: str, p: str, carry: list[str]) -> str:
     """Return a CTE-chain fragment (to splice after ``WITH``) computing
     ``XXH64(utf8({col}), 42)`` over every row of CTE/table ``src`` as a

@@ -997,3 +997,272 @@ SELECT src_type, count(*)::BIGINT AS n_purchases,
        round(sum(value), 2) AS total_value
 FROM att GROUP BY 1
 """
+
+
+# ------------------------------------- HLL register rollup (hour -> day)
+
+def hll_rollup(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    self_eval: bool = True,
+) -> DataFrame:
+    """Daily distinct-user estimates by MERGING hourly HLL registers —
+    the mergeability demonstration that makes sketches the 100 TB
+    answer to rollup hierarchies.  Hourly registers aggregate once per
+    (key, day, hour, bucket); the day estimate is a ``max`` over the
+    hour registers, NOT a rescan of raw events — and the self-eval
+    carries ``sum_hourly_distinct`` alongside to show why the naive
+    alternative is wrong: summing per-hour distinct counts overcounts
+    every user active in more than one hour, while register max-merge
+    is exactly the sketch a single day-level pass would have built.
+
+    Scale shape: raw events reduce map-side to fixed 64-registers-per-
+    (key, hour); every coarser grain (day here; week/month the same way)
+    is an algebraic re-aggregation of stored sketch state — the pattern
+    the TSDB's pre-aggregation tier applies to sums, extended to
+    distinct counts, which plain pre-aggregation cannot roll up.  The
+    exact path (full (key, day, id) shuffle) exists only under
+    ``self_eval`` as the driver-checked baseline.
+
+    Hash/estimator details are shared with ``hll_distinct`` (same
+    60-bit hash, Flajolet small-range correction, exact integer
+    harmonic sum) so the DuckDB oracle replays bit-for-bit.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    h = _h60_sql_expr(f"cast({id_col} as string)")
+    m, wbits = HLL_M, _HLL_WBITS
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
+    hour = (F.col("ts") / F.lit(3_600_000)).cast("long")
+    hour_regs = (
+        events.select(
+            F.col(key_col),
+            day.alias("day"),
+            hour.alias("hour"),
+            F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy(key_col, "day", "hour", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    day_regs = hour_regs.groupBy(key_col, "day", "bucket").agg(
+        F.max("r").alias("r")
+    )
+    per_day = day_regs.groupBy(key_col, "day").agg(
+        F.sum(F.expr(f"cast(pow(2, {wbits} - r) as bigint)")).alias("s_int"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
+    s_full = F.col("s_int") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << wbits)
+    raw = F.lit(_HLL_ALPHA * m * m * float(1 << wbits)) / s_full
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    if not self_eval:
+        return per_day.select(
+            key_col, "day", F.round(est, 6).alias("hll_estimate")
+        )
+    exact = (
+        events.select(F.col(key_col), day.alias("day"), F.col(id_col))
+        .groupBy(key_col, "day")
+        .agg(F.countDistinct(id_col).alias("exact_distinct"))
+    )
+    hourly_exact = (
+        events.select(
+            F.col(key_col), day.alias("day"), hour.alias("hour"), F.col(id_col)
+        )
+        .groupBy(key_col, "day", "hour")
+        .agg(F.countDistinct(id_col).alias("hd"))
+        .groupBy(key_col, "day")
+        .agg(F.sum("hd").alias("sum_hourly_distinct"))
+    )
+    return (
+        per_day.join(exact, [key_col, "day"])
+        .join(hourly_exact, [key_col, "day"])
+        .select(
+            key_col,
+            "day",
+            F.round(est, 6).alias("hll_estimate"),
+            F.col("exact_distinct").cast("long"),
+            F.col("sum_hourly_distinct").cast("long"),
+            F.round(
+                F.abs(F.round(est, 6) - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def sql_hll_rollup() -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    m, wbits = HLL_M, _HLL_WBITS
+    h = _h60_duck("user_id::VARCHAR")
+    alpha = _HLL_ALPHA * m * m * float(1 << wbits)
+    return f"""
+WITH ev AS (SELECT event_type, user_id,
+                   epoch_ms(ts) // 86400000 AS day,
+                   epoch_ms(ts) // 3600000 AS hour,
+                   {h} AS h FROM events),
+ranked AS (
+  SELECT event_type, day, hour, h // {1 << wbits} AS bucket,
+         CASE WHEN (h % {1 << wbits}) = 0 THEN {wbits + 1}
+              ELSE {wbits} - cast(floor(log2(h % {1 << wbits})) AS INT) END
+           AS rank
+  FROM ev),
+hour_regs AS (
+  SELECT event_type, day, hour, bucket, max(rank) AS r
+  FROM ranked GROUP BY 1, 2, 3, 4),
+day_regs AS (
+  SELECT event_type, day, bucket, max(r) AS r
+  FROM hour_regs GROUP BY 1, 2, 3),
+per_day AS (
+  SELECT event_type, day,
+         sum(cast(pow(2, {wbits} - r) AS BIGINT))::BIGINT AS s_int,
+         count(*)::BIGINT AS n_regs
+  FROM day_regs GROUP BY 1, 2),
+calc AS (
+  SELECT event_type, day,
+         ({m} - n_regs)::DOUBLE AS zeros,
+         s_int + ({m} - n_regs) * {1 << wbits} AS s_full
+  FROM per_day),
+est AS (
+  SELECT event_type, day,
+         CASE WHEN ({alpha!r} / s_full) <= {2.5 * m} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros)
+              ELSE {alpha!r} / s_full
+         END AS e
+  FROM calc),
+exact AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         count(DISTINCT user_id)::BIGINT AS exact_distinct
+  FROM events GROUP BY 1, 2),
+hourly AS (
+  SELECT event_type, day, sum(hd)::BIGINT AS sum_hourly_distinct
+  FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+               epoch_ms(ts) // 3600000 AS hour,
+               count(DISTINCT user_id) AS hd
+        FROM events GROUP BY 1, 2, 3) GROUP BY 1, 2)
+SELECT est.event_type, est.day::BIGINT AS day, round(e, 6) AS hll_estimate,
+       exact_distinct, sum_hourly_distinct,
+       round(abs(round(e, 6) - exact_distinct) / exact_distinct, 6) AS rel_err
+FROM est
+JOIN exact USING (event_type, day)
+JOIN hourly USING (event_type, day)
+"""
+
+
+# ------------------------------- hash-sampled grouped order statistics
+
+QUANTILE_SAMPLE_RATE = 4
+QUANTILE_QS = (0.5, 0.95, 0.99)
+
+
+def hash_sample_quantiles(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    rate: int = QUANTILE_SAMPLE_RATE,
+    qs: tuple = QUANTILE_QS,
+    self_eval: bool = True,
+) -> DataFrame:
+    """Grouped p50/p95/p99 from a DETERMINISTIC hash sample: a row is
+    sampled iff ``pmod(xxhash64(id), rate) == 0`` (an exactly-1/rate
+    Bernoulli-by-hash sample — mergeable: the union of two partitions'
+    samples IS the sample of their union, and re-runs are reproducible
+    with no seed plumbing), then each quantile is the exact type-1
+    order statistic ``k = ceil(q*n)`` over the sample.  No
+    percentile_approx (engine-internal, irreproducible — same reason
+    hll_distinct avoids approx_count_distinct); the oracle replays the
+    identical sample via the XXH64 transcription and the identical
+    order statistic, so the result is hash-exact, not tolerance-checked.
+
+    Scale shape: the sample cuts the sort shuffle by ``rate`` before it
+    happens (the filter is in the scan); ranking within (key) uses one
+    window over sampled rows only.  The self-eval joins the same order
+    statistics computed on the FULL data — the path production skips —
+    plus the absolute error per (key, q).
+    """
+    pri = f"pmod(xxhash64({id_col}), {rate})"
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+
+    def order_stats(df: DataFrame, out: str) -> DataFrame:
+        # n via count() OVER the same partitioning as the ranking window:
+        # shares the one per-key exchange instead of adding a groupBy +
+        # join-back (the oracle SQL uses the identical shape)
+        w = Window.partitionBy(key_col).orderBy(F.col(value_col), F.col(id_col))
+        wn = Window.partitionBy(key_col)
+        hits = (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("n", F.count(F.lit(1)).over(wn))
+            .select(key_col, value_col, "rn", "n", F.explode(qarr).alias("q"))
+            .filter(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        )
+        return hits.select(
+            key_col,
+            "q",
+            F.col(value_col).alias(out),
+            F.col("n").cast("long").alias(f"n_{out}"),
+        )
+
+    sample = events.filter(F.expr(f"{pri} = 0"))
+    s_stats = order_stats(sample, "sample_q")
+    if not self_eval:
+        return s_stats
+    e_stats = order_stats(events, "exact_q")
+    return (
+        s_stats.join(e_stats, [key_col, "q"])
+        .select(
+            key_col,
+            "q",
+            "sample_q",
+            "exact_q",
+            "n_sample_q",
+            F.col("n_exact_q").alias("n_total"),
+            F.round(F.abs(F.col("sample_q") - F.col("exact_q")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+def sql_hash_sample_quantiles(
+    rate: int = QUANTILE_SAMPLE_RATE, qs: tuple = QUANTILE_QS
+) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_long_sql
+
+    hmod = f"((({xxh64_long_sql('event_id')}) % {rate}) + {rate}) % {rate}"
+    qvals = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+WITH qs(q) AS (VALUES {qvals}),
+samp AS (SELECT event_type, value, event_id FROM events WHERE {hmod} = 0),
+s_ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM samp),
+s_stats AS (
+  SELECT event_type, q, value AS sample_q, n::BIGINT AS n_sample_q
+  FROM s_ranked, qs WHERE rn = ceil(q * n)),
+e_ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events),
+e_stats AS (
+  SELECT event_type, q, value AS exact_q, n::BIGINT AS n_total
+  FROM e_ranked, qs WHERE rn = ceil(q * n))
+SELECT event_type, q, sample_q, exact_q, n_sample_q, n_total,
+       round(abs(sample_q - exact_q), 6) AS abs_err
+FROM s_stats JOIN e_stats USING (event_type, q)
+"""

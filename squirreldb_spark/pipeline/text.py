@@ -1968,3 +1968,68 @@ SELECT doc_id, weight, round(priority, 6) AS priority,
        round(greatest(weight::DOUBLE, tau), 6) AS est_weight
 FROM ranked, thr WHERE rnk <= {k}
 """
+
+
+# ------------------------------------------- per-domain frequency cap
+
+DOMAIN_CAP = 15
+
+
+def domain_cap(
+    docs: DataFrame,
+    cap: int = DOMAIN_CAP,
+    id_col: str = "doc_id",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Per-domain frequency cap, the pretraining-corpus staple (CCNet /
+    RefinedWeb / Gopher all bound any single site's share): keep at most
+    ``cap`` documents per domain, chosen by DETERMINISTIC hash priority
+    ``xxhash64(doc_id)`` — a reproducible uniform draw with no seed
+    plumbing, stable across re-runs and cluster sizes, and the same
+    pseudo-random order the DuckDB oracle replays through the XXH64
+    transcription (pipeline/duck_xxh64.py).
+
+    Scale shape: the web is Zipfian — a handful of domains hold a huge
+    share of a 100 TB crawl, so a plain per-domain ``row_number`` window
+    would hand one task an entire mega-domain's sort.  This routes
+    through the shared ``two_phase_topk`` kernel (tsdb/aggregation.py)
+    sharding on ``doc_id``: each shard ranks its own slice and emits at
+    most ``cap`` rows, the merge window ranks only ``shards x cap``
+    survivors per domain — no task ever sorts a whole domain.
+    """
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    prio = docs.select(
+        F.col(domain_col), F.col(id_col), F.xxhash64(F.col(id_col)).alias("priority")
+    )
+    kept = two_phase_topk(
+        prio,
+        [domain_col],
+        [F.asc("priority"), F.asc(id_col)],
+        cap,
+        shard_cols=[id_col],
+        rank_col="keep_rank",
+    )
+    return kept.select(
+        domain_col,
+        id_col,
+        "priority",
+        F.col("keep_rank").cast("long").alias("keep_rank"),
+    )
+
+
+def sql_domain_cap(cap: int = DOMAIN_CAP) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_long_sql
+
+    return f"""
+WITH prio AS (
+  SELECT source, doc_id, {xxh64_long_sql('doc_id')} AS priority
+  FROM documents),
+ranked AS (
+  SELECT source, doc_id, priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority, doc_id) AS keep_rank
+  FROM prio)
+SELECT source, doc_id, priority, keep_rank::BIGINT AS keep_rank
+FROM ranked WHERE keep_rank <= {cap}
+"""

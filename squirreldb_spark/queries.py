@@ -2736,6 +2736,31 @@ def q_ev_hll_distinct(spark, sf_dir):
     return pevents.hll_distinct(_events(spark, sf_dir))
 
 
+def q_ev_hll_rollup(spark, sf_dir):
+    """Daily distinct users per event type by max-merging hourly HLL
+    registers — sketch mergeability as a rollup hierarchy, with the
+    exact daily count AND the naive sum-of-hourly-distincts overcount
+    as self-eval (pipeline/events.py hll_rollup)."""
+    return pevents.hll_rollup(_events(spark, sf_dir))
+
+
+def q_ev_sample_quantiles(spark, sf_dir):
+    """Grouped p50/p95/p99 as exact type-1 order statistics over a
+    deterministic 1-in-4 xxhash64 sample, with the full-data order
+    statistics + absolute error as self-eval; the oracle replays the
+    identical sample through the XXH64 SQL transcription
+    (pipeline/events.py hash_sample_quantiles)."""
+    return pevents.hash_sample_quantiles(_events(spark, sf_dir))
+
+
+def q_doc_domain_cap(spark, sf_dir):
+    """Per-domain document cap by deterministic xxhash64 priority —
+    CCNet/RefinedWeb-style source balancing via the sharded two-phase
+    top-k kernel, no task sorts a whole mega-domain (pipeline/text.py
+    domain_cap)."""
+    return ptext.domain_cap(_docs(spark, sf_dir))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup train/test leakage audit: LSH candidate pairs above the
     similarity floor whose members hashed into different splits
@@ -3405,6 +3430,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # deterministic HLL distinct sketch + exact self-eval
     "ev_hll_distinct": QueryDef(q_ev_hll_distinct, pevents.sql_hll_distinct()),
+    "ev_hll_rollup": QueryDef(q_ev_hll_rollup, pevents.sql_hll_rollup()),
+    "ev_sample_quantiles": QueryDef(
+        q_ev_sample_quantiles, pevents.sql_hash_sample_quantiles()
+    ),
+    "doc_domain_cap": QueryDef(q_doc_domain_cap, ptext.sql_domain_cap()),
     # count-min sketch heavy hitters + overestimate self-eval
     "doc_cm_heavyhitters": QueryDef(
         q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()
@@ -3567,6 +3597,9 @@ _VERIFY_FIRST: list[str] = [
     # --- (3) kernels changed or new in round 7 (ratchet rule) ---
     "emb_binary_hamming",
     "doc_cdc_chunks_fast",
+    "ev_hll_rollup",
+    "ev_sample_quantiles",
+    "doc_domain_cap",
 ]
 
 

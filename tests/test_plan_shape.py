@@ -715,3 +715,48 @@ def test_cdc_fast_boundary_scan_evaluated_once(spark, sf_dir):
     plan = plan_of(ptext.cdc_chunks_fast(docs))
     assert plan.count("filter(sequence") == 1, plan[:1500]
     assert plan.count("xxhash64") == 2, plan[:1500]
+
+
+def test_domain_cap_shards_before_merge(spark, sf_dir):
+    """Zipf guard: the per-domain ranking must go through the two-phase
+    kernel — first window keyed (source, _shard), merge window keyed
+    (source) over at most shards x cap survivors."""
+    import re
+
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.domain_cap(docs))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert any("_shard" in k and "source" in k for k in keys), keys
+    assert_no_theta_joins(plan, "domain_cap")
+
+
+def test_hll_rollup_production_exchanges_are_register_sized(spark, sf_dir):
+    """self_eval=False: every exchange is keyed on register/group columns
+    (partial aggregation upstream), and the raw (key, id) distinct
+    shuffle never appears."""
+    import re
+
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.hll_rollup(ev, self_eval=False))
+    assert "Expand" not in plan
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert keys and all("user_id" not in k for k in keys), keys
+
+
+def test_sample_quantiles_production_single_key_exchange(spark, sf_dir):
+    """self_eval=False: the hash-sample filter runs in the scan stage, so
+    only the sampled ~1/rate rows reach the single event_type ranking
+    exchange; the full-data ranking path exists only under self-eval."""
+    import re
+
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.hash_sample_quantiles(ev, self_eval=False))
+    n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_hash == 1, plan[:1200]
+    assert "xxhash64" in plan  # the sample predicate is in the plan, pre-shuffle
