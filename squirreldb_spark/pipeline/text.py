@@ -1105,31 +1105,44 @@ def cdc_chunks(
     here (they'd need a sequential fold); a production variant forces a
     cut at ``k * divisor`` words by post-splitting long spans — the
     boundary rule itself is what the oracle replays bit-for-bit.
+
+    Round 7: shares the staged plan shape introduced for
+    ``cdc_chunks_fast`` — the per-word boundary HOF is its own column
+    (evaluated once, not once per span-side reference), spans explode
+    before chunk assembly, and ``n_words`` is span arithmetic.  Output
+    values are unchanged (same md5 boundary rule and chunk hash), so
+    the frozen oracle and bench identity are preserved; only the plan
+    got cheaper.
     """
     from squirreldb_spark.pipeline.dedup import _h60_sql_expr
 
     toks = f"split({text_col}, ' ')"
-    n = f"size({toks})"
-    h = _h60_sql_expr(f"element_at({toks}, i)")
-    cuts = f"filter(sequence(1, {n}), i -> ({h}) % {divisor} = 0)"
+    h = _h60_sql_expr("element_at(t, i)")
+    cuts = f"filter(sequence(1, size(t)), i -> ({h}) % {divisor} = 0)"
     spans = (
-        f"filter(arrays_zip("
-        f"  concat(array(1), transform({cuts}, c -> c + 1)),"
-        f"  concat({cuts}, array({n}))),"
-        f" s -> s['0'] <= s['1'])"
+        "filter(arrays_zip("
+        "  concat(array(1), transform(c, x -> x + 1)),"
+        "  concat(c, array(size(t)))),"
+        " s -> s['0'] <= s['1'])"
     )
-    chunks = (
-        f"transform({spans},"
-        f" s -> array_join(slice({toks}, s['0'], s['1'] - s['0'] + 1), ' '))"
-    )
-    out = docs.select(
-        "doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk")
-    )
-    return out.select(
-        "doc_id",
-        F.col("chunk_id").cast("long").alias("chunk_id"),
-        F.expr("size(split(chunk, ' '))").cast("long").alias("n_words"),
-        F.expr(_h60_sql_expr("chunk")).alias("chunk_hash"),
+    return (
+        docs.select("doc_id", F.expr(toks).alias("t"))
+        .withColumn("c", F.expr(cuts))
+        .select(
+            "doc_id", "t", F.posexplode(F.expr(spans)).alias("chunk_id", "s")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("s")["1"] - F.col("s")["0"] + 1)
+            .cast("long")
+            .alias("n_words"),
+            F.expr(
+                _h60_sql_expr(
+                    "array_join(slice(t, s['0'], s['1'] - s['0'] + 1), ' ')"
+                )
+            ).alias("chunk_hash"),
+        )
     )
 
 
