@@ -100,6 +100,9 @@ SECONDARY_QUERIES = [
     "ev_hll_rollup",
     "ev_sample_quantiles",
     "doc_domain_cap",
+    "ev_hll_setops",
+    "doc_canonical_dedup",
+    "ev_decayed_counts",
 ]
 
 

@@ -1266,3 +1266,267 @@ SELECT event_type, q, sample_q, exact_q, n_sample_q, n_total,
        round(abs(sample_q - exact_q), 6) AS abs_err
 FROM s_stats JOIN e_stats USING (event_type, q)
 """
+
+
+# ------------------------------- HLL set algebra (union / intersection)
+
+def hll_setops(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    self_eval: bool = True,
+) -> DataFrame:
+    """Distinct-user UNION and INTERSECTION estimates for every pair of
+    event types, from per-type HLL registers alone: union is the
+    bucketwise register ``max`` (exactly the sketch of the unioned
+    stream), intersection is inclusion-exclusion
+    ``|A| + |B| - |A∪B|`` clamped at zero.  This is the set algebra
+    sketches buy that exact distinct counts cannot give post-hoc: at
+    100 TB the per-type registers (64 numbers each) answer every
+    pairwise overlap question without touching raw events again,
+    while the exact path must re-shuffle (type, id) pairs per question.
+
+    Registers are DENSE here (all ``m`` buckets, rank 0 = empty) so the
+    pairwise merge is a plain equi-join on bucket with no outer-join
+    edge cases; the estimate treats rank 0 as the empty-bucket
+    ``2^wbits`` harmonic term, which is algebraically identical to the
+    sparse form used by ``hll_distinct``.
+
+    Scale shape: registers reduce map-side to (|types| x 64) rows; the
+    pair join and estimates run on that sketch table only.  The exact
+    baseline (distinct (type, id) self-joined on id) exists only under
+    ``self_eval``.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    h = _h60_sql_expr(f"cast({id_col} as string)")
+    m, wbits = HLL_M, _HLL_WBITS
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    sparse = (
+        events.select(
+            F.col(key_col).alias("k"),
+            F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy("k", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    buckets = (
+        events.select(F.col(key_col).alias("k"))
+        .distinct()
+        .select("k", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("bucket"))
+    )
+    dense = (
+        buckets.join(sparse, ["k", "bucket"], "left")
+        .select("k", "bucket", F.coalesce(F.col("r"), F.lit(0)).alias("r"))
+    )
+
+    def estimate(group_cols, reg_col):
+        s_full = F.sum(F.expr(f"cast(pow(2, {wbits} - {reg_col}) as bigint)"))
+        zeros = F.sum(F.when(F.col(reg_col) == 0, 1).otherwise(0)).cast(
+            "double"
+        )
+        return s_full.alias("s_full"), zeros.alias("zeros")
+
+    def finish(df):
+        raw = F.lit(_HLL_ALPHA * m * m * float(1 << wbits)) / F.col("s_full")
+        return F.when(
+            (raw <= 2.5 * m) & (F.col("zeros") > 0),
+            F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("zeros")),
+        ).otherwise(raw)
+
+    singles = dense.groupBy("k").agg(*estimate(["k"], "r"))
+    singles = singles.select("k", finish(singles).alias("est"))
+    a = dense.select(
+        F.col("k").alias("type_a"), "bucket", F.col("r").alias("ra")
+    )
+    b = dense.select(
+        F.col("k").alias("type_b"), "bucket", F.col("r").alias("rb")
+    )
+    merged = (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .withColumn("r", F.greatest("ra", "rb"))
+    )
+    unions = merged.groupBy("type_a", "type_b").agg(
+        *estimate(["type_a", "type_b"], "r")
+    )
+    unions = unions.select("type_a", "type_b", finish(unions).alias("est_union"))
+    ea = singles.select(F.col("k").alias("type_a"), F.col("est").alias("est_a"))
+    eb = singles.select(F.col("k").alias("type_b"), F.col("est").alias("est_b"))
+    out = (
+        unions.join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .withColumn(
+            "est_inter",
+            F.greatest(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0.0)
+            ),
+        )
+    )
+    est_cols = [
+        F.round(F.col("est_a"), 6).alias("est_a"),
+        F.round(F.col("est_b"), 6).alias("est_b"),
+        F.round(F.col("est_union"), 6).alias("est_union"),
+        F.round(F.col("est_inter"), 6).alias("est_inter"),
+    ]
+    if not self_eval:
+        return out.select("type_a", "type_b", *est_cols)
+    su = events.select(F.col(key_col).alias("k"), F.col(id_col).alias("i")).distinct()
+    ia = su.select(F.col("k").alias("type_a"), "i")
+    ib = su.select(F.col("k").alias("type_b"), "i")
+    inter = (
+        ia.join(ib, "i")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    na = su.groupBy(F.col("k").alias("type_a")).agg(F.count(F.lit(1)).alias("n_a"))
+    nb = su.groupBy(F.col("k").alias("type_b")).agg(F.count(F.lit(1)).alias("n_b"))
+    exact = (
+        inter.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a", "type_b",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_inter")).alias(
+                "exact_union"
+            ),
+            "exact_inter",
+        )
+    )
+    return (
+        out.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a", "type_b", *est_cols,
+            F.col("exact_union").cast("long"),
+            F.col("exact_inter").cast("long"),
+        )
+    )
+
+
+def sql_hll_setops() -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    m, wbits = HLL_M, _HLL_WBITS
+    h = _h60_duck("user_id::VARCHAR")
+    alpha = _HLL_ALPHA * m * m * float(1 << wbits)
+    est = (
+        f"CASE WHEN ({alpha!r} / s_full) <= {2.5 * m} AND zeros > 0"
+        f" THEN {float(m)!r} * ln({float(m)!r} / zeros)"
+        f" ELSE {alpha!r} / s_full END"
+    )
+    return f"""
+WITH ev AS (SELECT event_type AS k, user_id, {h} AS h FROM events),
+sparse AS (
+  SELECT k, h // {1 << wbits} AS bucket,
+         max(CASE WHEN (h % {1 << wbits}) = 0 THEN {wbits + 1}
+              ELSE {wbits} - cast(floor(log2(h % {1 << wbits})) AS INT) END)
+           AS r
+  FROM ev GROUP BY 1, 2),
+dense AS (
+  SELECT tg.k, tg.bucket, coalesce(s.r, 0) AS r
+  FROM (SELECT t.k, g.bucket
+        FROM (SELECT DISTINCT k FROM ev) t
+        CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS bucket) g)
+       tg
+  LEFT JOIN sparse s ON s.k = tg.k AND s.bucket = tg.bucket),
+singles AS (
+  SELECT k,
+         sum(cast(pow(2, {wbits} - r) AS BIGINT))::BIGINT AS s_full,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros
+  FROM dense GROUP BY 1),
+sest AS (SELECT k, {est} AS est FROM singles),
+merged AS (
+  SELECT a.k AS type_a, b.k AS type_b, a.bucket,
+         greatest(a.r, b.r) AS r
+  FROM dense a JOIN dense b ON a.bucket = b.bucket AND a.k < b.k),
+unions AS (
+  SELECT type_a, type_b,
+         sum(cast(pow(2, {wbits} - r) AS BIGINT))::BIGINT AS s_full,
+         sum(CASE WHEN r = 0 THEN 1 ELSE 0 END)::DOUBLE AS zeros
+  FROM merged GROUP BY 1, 2),
+uest AS (SELECT type_a, type_b, {est} AS est_union FROM unions),
+ests AS (
+  SELECT u.type_a, u.type_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+         greatest(ea.est + eb.est - u.est_union, 0.0) AS est_inter
+  FROM uest u
+  JOIN sest ea ON ea.k = u.type_a
+  JOIN sest eb ON eb.k = u.type_b),
+su AS (SELECT DISTINCT event_type AS k, user_id AS i FROM events),
+inter AS (
+  SELECT a.k AS type_a, b.k AS type_b, count(*)::BIGINT AS exact_inter
+  FROM su a JOIN su b ON a.i = b.i AND a.k < b.k GROUP BY 1, 2),
+nper AS (SELECT k, count(*)::BIGINT AS n FROM su GROUP BY 1)
+SELECT e.type_a, e.type_b,
+       round(est_a, 6) AS est_a, round(est_b, 6) AS est_b,
+       round(est_union, 6) AS est_union, round(est_inter, 6) AS est_inter,
+       (na.n + nb.n - i.exact_inter)::BIGINT AS exact_union,
+       i.exact_inter
+FROM ests e
+JOIN inter i USING (type_a, type_b)
+JOIN nper na ON na.k = e.type_a
+JOIN nper nb ON nb.k = e.type_b
+"""
+
+
+# --------------------------------------- exponentially-decayed counters
+
+DECAY_HALFLIFE_MS = 7 * 86_400_000
+
+
+def decayed_counts(
+    events: DataFrame,
+    key_col: str = "event_type",
+    value_col: str = "value",
+    halflife_ms: int = DECAY_HALFLIFE_MS,
+) -> DataFrame:
+    """Exponentially time-decayed count and value sum per key, referenced
+    to the corpus max timestamp: each event contributes
+    ``0.5 ^ ((ref - ts) / halflife)``.  The freshness-weighted activity
+    measure behind trending/ranking features — and, unlike a sliding
+    window recount, ALGEBRAICALLY mergeable: partial decayed sums taken
+    against a common reference combine by addition, and advancing the
+    reference by ``d`` just multiplies the total by ``0.5^(d/halflife)``
+    — so at 100 TB yesterday's decayed totals update from today's
+    partition alone, no rescan.
+
+    Scale shape: the reference is one max() broadcast back; the decayed
+    terms are scan-side arithmetic feeding a map-side-combined groupBy —
+    one sketch-sized exchange, no window, no self-join.
+    """
+    ref = events.agg(F.max("ts").alias("ref_ts"))
+    w = F.pow(
+        F.lit(0.5),
+        (F.col("ref_ts") - F.col("ts")).cast("double") / F.lit(float(halflife_ms)),
+    )
+    return (
+        events.select(key_col, "ts", value_col)
+        .crossJoin(F.broadcast(ref))
+        .withColumn("w", w)
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("w"), 6).alias("decayed_count"),
+            F.round(F.sum(F.col("w") * F.col(value_col)), 6).alias(
+                "decayed_value"
+            ),
+        )
+        .select(key_col, F.col("n").cast("long"), "decayed_count",
+                "decayed_value")
+    )
+
+
+def sql_decayed_counts(halflife_ms: int = DECAY_HALFLIFE_MS) -> str:
+    return f"""
+WITH ev AS (SELECT event_type, epoch_ms(ts) AS ts, value FROM events),
+ref AS (SELECT max(ts) AS ref_ts FROM ev)
+SELECT event_type, count(*)::BIGINT AS n,
+       round(sum(pow(0.5, (ref_ts - ts)::DOUBLE / {float(halflife_ms)!r})), 6)
+         AS decayed_count,
+       round(sum(pow(0.5, (ref_ts - ts)::DOUBLE / {float(halflife_ms)!r})
+                 * value), 6) AS decayed_value
+FROM ev, ref GROUP BY event_type
+"""

@@ -2046,3 +2046,72 @@ ranked AS (
 SELECT source, doc_id, priority, keep_rank::BIGINT AS keep_rank
 FROM ranked WHERE keep_rank <= {cap}
 """
+
+
+# ------------------------------------------ canonicalized exact dedup
+
+CANON_EXPR = (
+    "trim(regexp_replace(regexp_replace(lower({t}), '[^a-z0-9 ]', ' '),"
+    " ' +', ' '))"
+)
+
+
+def canonical_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup AFTER text canonicalization (lowercase, punctuation
+    and symbols to spaces, whitespace collapse, trim) — the C4/CCNet
+    preprocessing that makes 'Hello, World!' and 'hello world' the same
+    document.  Raw exact dedup misses trivially-reformatted copies; full
+    near-dup (MinHash) pays signature cost for them.  Canonical dedup is
+    the cheap middle tier: one narrow map + one hash groupBy.
+
+    Output per cluster: the representative (min doc_id), the cluster
+    size, and ``n_variants`` — how many DISTINCT raw texts collapsed
+    into the cluster (n_variants > 1 is exactly the catch that plain
+    exact dedup missed).
+
+    Scale shape: canonicalization is regex work in the scan;
+    ``xxhash64`` of the canonical text is the shuffle key (8 B + group
+    columns per row, the text itself never moves); map-side combine
+    applies to all three aggregates.  The DuckDB oracle replays the
+    same canonicalization (identical regex semantics over this ASCII
+    class) and the same hash via the XXH64 transcription.
+    """
+    canon = CANON_EXPR.format(t=text_col)
+    return (
+        docs.select(
+            "doc_id",
+            F.xxhash64(F.expr(canon)).alias("canon_hash"),
+            F.xxhash64(F.col(text_col)).alias("raw_hash"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.countDistinct("raw_hash").alias("n_variants"),
+        )
+        .select(
+            "rep_id",
+            F.col("n_dups").cast("long"),
+            F.col("n_variants").cast("long"),
+        )
+    )
+
+
+def sql_canonical_dedup() -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_ctes
+
+    # DuckDB regexp_replace needs the 'g' flag (Spark replaces globally);
+    # the raw-hash CTE renames the carried text column to rh_w
+    canon_duck = (
+        "trim(regexp_replace(regexp_replace(lower(rh_w),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    chash = xxh64_ctes("c0", "cx", "ch_", ["doc_id", "rhx"])
+    rhash = xxh64_ctes("documents", "text", "rh_", ["doc_id"])
+    return f"""
+WITH {rhash.lstrip()},
+c0 AS (SELECT doc_id, rh_h AS rhx, {canon_duck} AS cx FROM rh_sf),{chash}
+SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups,
+       count(DISTINCT rhx)::BIGINT AS n_variants
+FROM ch_sf GROUP BY ch_h
+"""

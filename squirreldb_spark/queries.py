@@ -2761,6 +2761,30 @@ def q_doc_domain_cap(spark, sf_dir):
     return ptext.domain_cap(_docs(spark, sf_dir))
 
 
+def q_ev_hll_setops(spark, sf_dir):
+    """Pairwise distinct-user union/intersection estimates from per-type
+    HLL registers alone (bucketwise max + inclusion-exclusion), with
+    exact set sizes as self-eval — the post-hoc set algebra sketches
+    buy that exact counts cannot (pipeline/events.py hll_setops)."""
+    return pevents.hll_setops(_events(spark, sf_dir))
+
+
+def q_doc_canonical_dedup(spark, sf_dir):
+    """Exact dedup after C4-style canonicalization (lowercase, strip
+    punctuation, collapse whitespace), keyed on xxhash64 of the
+    canonical text so raw text never shuffles; n_variants counts raw
+    texts per cluster (pipeline/text.py canonical_dedup)."""
+    return ptext.canonical_dedup(_docs(spark, sf_dir))
+
+
+def q_ev_decayed_counts(spark, sf_dir):
+    """Exponentially time-decayed count and value sum per event type
+    (half-life 7 days, referenced to the corpus max ts) — mergeable
+    freshness-weighted activity, one map-side-combined exchange
+    (pipeline/events.py decayed_counts)."""
+    return pevents.decayed_counts(_events(spark, sf_dir))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup train/test leakage audit: LSH candidate pairs above the
     similarity floor whose members hashed into different splits
@@ -3435,6 +3459,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
         q_ev_sample_quantiles, pevents.sql_hash_sample_quantiles()
     ),
     "doc_domain_cap": QueryDef(q_doc_domain_cap, ptext.sql_domain_cap()),
+    "ev_hll_setops": QueryDef(q_ev_hll_setops, pevents.sql_hll_setops()),
+    "doc_canonical_dedup": QueryDef(
+        q_doc_canonical_dedup, ptext.sql_canonical_dedup()
+    ),
+    "ev_decayed_counts": QueryDef(
+        q_ev_decayed_counts, pevents.sql_decayed_counts()
+    ),
     # count-min sketch heavy hitters + overestimate self-eval
     "doc_cm_heavyhitters": QueryDef(
         q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()
@@ -3600,6 +3631,9 @@ _VERIFY_FIRST: list[str] = [
     "ev_hll_rollup",
     "ev_sample_quantiles",
     "doc_domain_cap",
+    "ev_hll_setops",
+    "doc_canonical_dedup",
+    "ev_decayed_counts",
 ]
 
 

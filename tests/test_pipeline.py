@@ -1350,3 +1350,61 @@ def test_domain_cap_binds_and_is_deterministic(spark, sf_dir):
     assert sorted(map(tuple, out)) == sorted(
         map(tuple, ptext.domain_cap(docs, cap=7).collect())
     )
+
+
+def test_hll_setops_union_matches_merged_stream_and_bounds(spark, sf_dir):
+    """Register max-merge must equal the sketch of the concatenated
+    stream (that IS mergeability), inclusion-exclusion stays nonnegative,
+    and the exact columns satisfy |A u B| = |A| + |B| - |A n B|."""
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    out = pev.hll_setops(ev).collect()
+    assert out
+    r0 = out[0]
+    both = ev.filter(F.col("event_type").isin([r0.type_a, r0.type_b]))
+    # single-key HLL over the unioned stream: collapse the type label
+    direct = pev.hll_distinct(
+        both.withColumn("event_type", F.lit("either"))
+    ).collect()[0]
+    assert abs(direct.hll_estimate - r0.est_union) < 1e-6
+    for r in out:
+        assert r.type_a < r.type_b
+        assert r.est_inter >= 0.0
+        assert r.est_union <= round(r.est_a + r.est_b, 4) + 1e-6
+        # exact identity holds by construction; estimates track it
+        if r.exact_inter >= 30:
+            assert abs(r.est_inter - r.exact_inter) / r.exact_inter < 0.8
+
+
+def test_canonical_dedup_collapses_formatting_variants(spark):
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello world"),
+            (3, "  HELLO   world.  "),
+            (4, "entirely different document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.rep_id: r for r in ptext.canonical_dedup(df).collect()}
+    assert set(out) == {1, 4}
+    assert out[1].n_dups == 3 and out[1].n_variants == 3
+    assert out[4].n_dups == 1 and out[4].n_variants == 1
+
+
+def test_decayed_counts_halflife_semantics(spark):
+    from squirreldb_spark.pipeline import events as pev
+
+    hl = 1000
+    df = spark.createDataFrame(
+        [(1, 2000, 10.0, "a"), (2, 1000, 4.0, "a"), (3, 0, 8.0, "a")],
+        "event_id long, ts long, value double, event_type string",
+    )
+    r = pev.decayed_counts(df, halflife_ms=hl).collect()[0]
+    # weights: 1.0 (at ref), 0.5 (one halflife), 0.25 (two)
+    assert r.n == 3
+    assert abs(r.decayed_count - 1.75) < 1e-9
+    assert abs(r.decayed_value - (10.0 + 2.0 + 2.0)) < 1e-9

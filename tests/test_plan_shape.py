@@ -760,3 +760,40 @@ def test_sample_quantiles_production_single_key_exchange(spark, sf_dir):
     n_hash = len(re.findall(r"Exchange hashpartitioning", plan))
     assert n_hash == 1, plan[:1200]
     assert "xxhash64" in plan  # the sample predicate is in the plan, pre-shuffle
+
+
+def test_canonical_dedup_text_never_shuffles(spark, sf_dir):
+    """The dedup key is xxhash64(canonical_text): both hashes compute in
+    the scan stage and only 8-byte keys cross the exchange — no string
+    column in any shuffle's schema."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    for cols in shuffle_exchange_outputs(ptext.canonical_dedup(docs)):
+        assert all(t != "string" for _, t in cols), cols
+
+
+def test_decayed_counts_single_combiner_exchange(spark, sf_dir):
+    import re
+
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.decayed_counts(ev))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1200]
+    assert "BroadcastExchange" in plan  # the one-row reference timestamp
+
+
+def test_hll_setops_production_raw_ids_stay_out_of_exchanges(spark, sf_dir):
+    """self_eval=False: the only exchange touching event-sized data is
+    the (key, bucket) register aggregate — user_id never crosses a
+    shuffle (the hash folds in the scan)."""
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    prod = pev.hll_setops(ev, self_eval=False)
+    assert prod.columns == [
+        "type_a", "type_b", "est_a", "est_b", "est_union", "est_inter"
+    ]
+    for cols in shuffle_exchange_outputs(prod):
+        assert all(c != "user_id" for c, _ in cols), cols
