@@ -103,6 +103,8 @@ SECONDARY_QUERIES = [
     "ev_hll_setops",
     "doc_canonical_dedup",
     "ev_decayed_counts",
+    "doc_vocab_coverage",
+    "doc_bm25_topk",
 ]
 
 

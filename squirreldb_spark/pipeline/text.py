@@ -2115,3 +2115,244 @@ SELECT min(doc_id)::BIGINT AS rep_id, count(*)::BIGINT AS n_dups,
        count(DISTINCT rhx)::BIGINT AS n_variants
 FROM ch_sf GROUP BY ch_h
 """
+
+
+# ------------------------------------------ vocabulary coverage curve
+
+COVERAGE_TARGETS = (0.5, 0.9, 0.95, 0.99)
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    targets: tuple = COVERAGE_TARGETS,
+) -> DataFrame:
+    """Minimal vocabulary size covering p% of the corpus token mass, for
+    each coverage target — the tokenizer-design / OOV-budget curve
+    (how many types a word-level vocab needs before <unk> drops below
+    1-p).  Exact greedy answer: take terms in descending frequency;
+    within a frequency class terms are interchangeable, so the minimal
+    vocab may split a class: ``v = vocab_above + ceil(missing_mass /
+    class_count)``.
+
+    Scale shape: the corpus reduces through the word-count exchange
+    (map-side combine) to the vocabulary, which immediately collapses
+    to the FREQUENCY-OF-FREQUENCY table — one row per distinct count
+    value (hundreds of rows even at web scale, by Zipf), the same
+    distinct-value-cumulative trick as ev_rfm_segments: the
+    unpartitioned cumulative window runs over that tiny table, never
+    over the vocabulary, and certainly never over tokens.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    fof = counts.groupBy("n").agg(F.count(F.lit(1)).alias("n_terms"))
+    w = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # totals as full-frame sums over the SAME (single-partition, tiny)
+    # window — not a separate aggregate, which would re-derive the
+    # frequency table from a second corpus scan
+    wa = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = fof.select(
+        "n",
+        "n_terms",
+        F.sum(F.col("n") * F.col("n_terms")).over(w).alias("cum_tokens"),
+        F.sum("n_terms").over(w).alias("cum_vocab"),
+        F.sum(F.col("n") * F.col("n_terms")).over(wa).alias("total_tokens"),
+        F.sum("n_terms").over(wa).alias("total_vocab"),
+    )
+    tgt = F.explode(F.array(*[F.lit(float(p)) for p in targets])).alias(
+        "coverage"
+    )
+    hit = (
+        cum.select("*", tgt)
+        .withColumn("need", F.col("coverage") * F.col("total_tokens"))
+        .filter(
+            (F.col("cum_tokens") >= F.col("need"))
+            & (F.col("cum_tokens") - F.col("n") * F.col("n_terms")
+               < F.col("need"))
+        )
+    )
+    return hit.select(
+        "coverage",
+        (
+            F.col("cum_vocab") - F.col("n_terms")
+            + F.ceil(
+                (F.col("need")
+                 - (F.col("cum_tokens") - F.col("n") * F.col("n_terms")))
+                / F.col("n")
+            )
+        ).cast("long").alias("vocab_size"),
+        F.col("n").cast("long").alias("cutoff_count"),
+        F.col("total_tokens").cast("long"),
+        F.col("total_vocab").cast("long"),
+    )
+
+
+def sql_vocab_coverage(targets: tuple = COVERAGE_TARGETS) -> str:
+    tvals = ", ".join(f"({float(p)!r})" for p in targets)
+    return f"""
+WITH t AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+c AS (SELECT term, count(*) AS n FROM t GROUP BY 1),
+fof AS (SELECT n, count(*) AS n_terms FROM c GROUP BY 1),
+cum AS (
+  SELECT n, n_terms,
+         sum(n * n_terms) OVER (ORDER BY n DESC
+                                ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+         sum(n_terms) OVER (ORDER BY n DESC
+                            ROWS UNBOUNDED PRECEDING) AS cum_vocab
+  FROM fof),
+tot AS (SELECT sum(n * n_terms) AS total_tokens, sum(n_terms) AS total_vocab
+        FROM fof),
+tgt(coverage) AS (VALUES {tvals}),
+hit AS (
+  SELECT coverage, n, n_terms, cum_tokens, cum_vocab,
+         total_tokens, total_vocab,
+         coverage * total_tokens AS need
+  FROM cum, tot, tgt
+  WHERE cum_tokens >= coverage * total_tokens
+    AND cum_tokens - n * n_terms < coverage * total_tokens)
+SELECT coverage,
+       (cum_vocab - n_terms
+        + ceil((need - (cum_tokens - n * n_terms)) / n))::BIGINT
+         AS vocab_size,
+       n::BIGINT AS cutoff_count,
+       total_tokens::BIGINT AS total_tokens,
+       total_vocab::BIGINT AS total_vocab
+FROM hit
+"""
+
+
+# --------------------------------------------------- BM25 ranked search
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_N_QUERY_TERMS = 3
+
+
+def bm25_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = BM25_TOPK,
+    n_query_terms: int = BM25_N_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck Jones; the Lucene idf
+    variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``) for a deterministic
+    query — the ``n_query_terms`` highest-document-frequency terms
+    (ties by term) — returning the top-``k`` documents by score.  The
+    lexical-search counterpart of the embedding ANN family: same
+    serve-path shape, sparse instead of dense.
+
+    Scale shape: the query-term statistics (df, idf) are a
+    ``n_query_terms``-row broadcast; per-doc term frequencies come from
+    one explode filtered by the broadcast semi-join BEFORE the tf
+    groupBy, so only matching (doc, term) rows shuffle; doc length
+    rides the exploded rows (an int, not the text); the final ranking
+    is TakeOrderedAndProject, never a global sort.
+    """
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    terms = docs.select(
+        "doc_id",
+        F.size(tokens(text_col)).alias("dl"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    df_tab = (
+        terms.select("term", "doc_id")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    qt = (
+        df_tab.orderBy(F.desc("df"), F.asc("term"))
+        .limit(n_query_terms)
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .drop("n")
+    )
+    avg_dl = docs.select(
+        F.avg(F.size(tokens(text_col))).alias("avg_dl")
+    )
+    tf = (
+        terms.join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.first("dl").alias("dl"),
+            F.first("idf").alias("idf"),
+        )
+    )
+    scored = (
+        tf.crossJoin(F.broadcast(avg_dl))
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count(F.lit(1)).alias("n_matched"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "bm25", F.col("n_matched").cast("long"))
+    )
+
+
+def sql_bm25_topk(
+    k: int = BM25_TOPK,
+    n_query_terms: int = BM25_N_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    return f"""
+WITH ex AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents),
+n_docs AS (SELECT count(*)::DOUBLE AS n FROM documents),
+df_tab AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1),
+qt AS (
+  SELECT term, df,
+         ln(1.0 + (n - df + 0.5) / (df + 0.5)) AS idf
+  FROM df_tab, n_docs
+  ORDER BY df DESC, term ASC LIMIT {n_query_terms}),
+avg_dl AS (
+  SELECT avg(len(string_split(text, ' '))) AS adl FROM documents),
+tf AS (
+  SELECT ex.doc_id, ex.term, count(*) AS tf,
+         min(ex.dl) AS dl, min(qt.idf) AS idf
+  FROM ex JOIN qt USING (term)
+  GROUP BY 1, 2),
+scored AS (
+  SELECT doc_id,
+         round(sum(idf * (tf * ({k1} + 1))
+                   / (tf + {k1} * (1 - {b} + {b} * dl / adl))), 6) AS bm25,
+         count(*)::BIGINT AS n_matched
+  FROM tf, avg_dl GROUP BY doc_id)
+SELECT doc_id, bm25, n_matched
+FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
+"""

@@ -2785,6 +2785,22 @@ def q_ev_decayed_counts(spark, sf_dir):
     return pevents.decayed_counts(_events(spark, sf_dir))
 
 
+def q_doc_vocab_coverage(spark, sf_dir):
+    """Minimal vocabulary size covering 50/90/95/99% of token mass —
+    exact greedy answer from the frequency-of-frequency cumulative
+    (one row per distinct count value; the vocabulary itself never
+    sorts) (pipeline/text.py vocab_coverage)."""
+    return ptext.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (Lucene idf variant) for the three
+    highest-df terms: broadcast query stats, semi-join before the tf
+    groupBy, TakeOrdered top-10 — the sparse lexical twin of the
+    embedding ANN serve path (pipeline/text.py bm25_topk)."""
+    return ptext.bm25_topk(_docs(spark, sf_dir))
+
+
 def q_doc_split_leakage(spark, sf_dir):
     """Near-dup train/test leakage audit: LSH candidate pairs above the
     similarity floor whose members hashed into different splits
@@ -3466,6 +3482,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_decayed_counts": QueryDef(
         q_ev_decayed_counts, pevents.sql_decayed_counts()
     ),
+    "doc_vocab_coverage": QueryDef(
+        q_doc_vocab_coverage, ptext.sql_vocab_coverage()
+    ),
+    "doc_bm25_topk": QueryDef(q_doc_bm25_topk, ptext.sql_bm25_topk()),
     # count-min sketch heavy hitters + overestimate self-eval
     "doc_cm_heavyhitters": QueryDef(
         q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()
@@ -3634,6 +3654,8 @@ _VERIFY_FIRST: list[str] = [
     "ev_hll_setops",
     "doc_canonical_dedup",
     "ev_decayed_counts",
+    "doc_vocab_coverage",
+    "doc_bm25_topk",
 ]
 
 

@@ -1408,3 +1408,50 @@ def test_decayed_counts_halflife_semantics(spark):
     assert r.n == 3
     assert abs(r.decayed_count - 1.75) < 1e-9
     assert abs(r.decayed_value - (10.0 + 2.0 + 2.0)) < 1e-9
+
+
+def test_vocab_coverage_exact_greedy_on_known_distribution(spark):
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id long, text string"
+    )
+    out = {r.coverage: r for r in
+           ptext.vocab_coverage(df, targets=(0.5, 0.9, 1.0)).collect()}
+    # 8 tokens: a=4, b=2, c=1, d=1
+    assert out[0.5].vocab_size == 1 and out[0.5].cutoff_count == 4
+    assert out[0.9].vocab_size == 4  # 7.2 tokens needs a+b+c+d
+    assert out[1.0].vocab_size == 4
+    assert all(r.total_tokens == 8 and r.total_vocab == 4
+               for r in out.values())
+
+
+def test_vocab_coverage_monotone_on_corpus(spark, sf_dir):
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    rows = sorted(ptext.vocab_coverage(docs).collect(),
+                  key=lambda r: r.coverage)
+    sizes = [r.vocab_size for r in rows]
+    cuts = [r.cutoff_count for r in rows]
+    assert sizes == sorted(sizes)
+    assert cuts == sorted(cuts, reverse=True)
+    assert 0 < sizes[0] <= sizes[-1] <= rows[0].total_vocab
+
+
+def test_bm25_scoring_semantics(spark):
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana pear"),   # tf(apple)=2
+            (2, "apple banana pear plum"),    # tf(apple)=1, same length
+            (3, "kiwi mango grape fig"),      # no query terms
+        ],
+        "doc_id long, text string",
+    )
+    # query = 3 highest-df terms = apple, banana, pear (df=2 each > others)
+    out = {r.doc_id: r for r in ptext.bm25_topk(df, k=5).collect()}
+    assert 3 not in out              # doc without query terms never scores
+    assert out[1].n_matched == 3 and out[2].n_matched == 3
+    assert out[1].bm25 > out[2].bm25  # extra tf wins at equal length

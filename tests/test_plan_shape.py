@@ -797,3 +797,26 @@ def test_hll_setops_production_raw_ids_stay_out_of_exchanges(spark, sf_dir):
     ]
     for cols in shuffle_exchange_outputs(prod):
         assert all(c != "user_id" for c, _ in cols), cols
+
+
+def test_vocab_coverage_window_runs_on_freq_of_freq(spark, sf_dir):
+    """The cumulative window must consume the frequency-of-frequency
+    table only: exactly two hash exchanges (term count, fof regroup) —
+    the vocabulary is never globally sorted, tokens never windowed."""
+    import re
+
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.vocab_coverage(docs))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan[:1500]
+
+
+def test_bm25_takeordered_and_broadcast_query(spark, sf_dir):
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    plan = plan_of(ptext.bm25_topk(docs))
+    assert "TakeOrdered" in plan, plan[:1200]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
