@@ -105,6 +105,7 @@ SECONDARY_QUERIES = [
     "ev_decayed_counts",
     "doc_vocab_coverage",
     "doc_bm25_topk",
+    "mm_audio_matches",
 ]
 
 

@@ -598,3 +598,144 @@ SELECT doc_id, frame_idx,
        bit_count(xor(phash, prev)) > {cut_ham} AS is_cut
 FROM tr WHERE prev IS NOT NULL
 """
+
+
+# ------------------------------- audio fingerprint (constellation pairs)
+
+FP_N_WINDOWS = 16
+FP_WIN_LEN = 16
+FP_FANOUT = 3
+FP_MIN_SHARED = 25
+FP_MAX_BUCKET = 1000
+
+
+def audio_fingerprints(
+    binary_table: DataFrame,
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+) -> DataFrame:
+    """Shazam-style constellation fingerprints (Wang, ISMIR 2003): per
+    evenly spaced window take the PEAK byte (the spectral-peak stand-in
+    — real code peaks an FFT bin; the Arrow contract is identical), then
+    hash landmark PAIRS ``(peak[w], peak[w+dt], dt)`` for ``dt`` in
+    ``1..fanout``.  Pair hashes survive local corruption: a damaged
+    window kills only the few landmarks touching it, while the rest of
+    the constellation still matches — the property that makes
+    fingerprint sets robust where whole-stream hashes are not.
+
+    The fingerprint is the EXACT packed integer
+    ``peak_a * 65536 + peak_b * 16 + dt`` (no lossy hash needed at
+    8-bit peaks) — integer-identical in the DuckDB oracle.
+
+    Scale shape: one Arrow ``mapInPandas`` pass emits
+    ``(n_windows - 1) * fanout``-ish rows per doc with zero shuffle;
+    dedup inside the batch keeps the output a set.
+    """
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                peaks = []
+                for w in range(n_windows):
+                    start = (w * n) // n_windows
+                    win = payload[start : start + win_len]
+                    peaks.append(max(win) if win else -1)
+                seen = set()
+                for w in range(n_windows):
+                    if peaks[w] < 0:
+                        continue
+                    for dt in range(1, fanout + 1):
+                        if w + dt >= n_windows or peaks[w + dt] < 0:
+                            continue
+                        fp = peaks[w] * 65536 + peaks[w + dt] * 16 + dt
+                        if fp not in seen:
+                            seen.add(fp)
+                            rows["doc_id"].append(doc_id)
+                            rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return binary_table.mapInPandas(fps, schema="doc_id long, fp long")
+
+
+def audio_matches(
+    binary_table: DataFrame,
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+    min_shared: int = FP_MIN_SHARED,
+    max_bucket: int = FP_MAX_BUCKET,
+) -> DataFrame:
+    """Audio near-duplicate candidates: document pairs sharing at least
+    ``min_shared`` constellation fingerprints.  The match is a self-join
+    on the fingerprint value — the inverted-index lookup a fingerprint
+    store serves — with the same hot-bucket cap as banded LSH
+    (``lsh_candidate_pairs``): a fingerprint carried by more than
+    ``max_bucket`` docs (silence, boilerplate tones) is dropped before
+    pair enumeration, bounding the join fan-out; real matches still pair
+    through their rarer landmarks.
+
+    Scale shape: fingerprints are ~45 longs per doc; the join shuffles
+    16 B rows keyed on fp with the cap co-partitioned on the same key;
+    pair counts reduce with map-side combine.
+    """
+    fps = audio_fingerprints(binary_table, n_windows, win_len, fanout)
+    if max_bucket is not None:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
+        fps = fps.join(
+            counts.filter(F.col("_n") <= max_bucket).select("fp"), "fp"
+        )
+    a = fps.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    b = fps.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b", F.col("n_shared").cast("long"))
+    )
+
+
+def sql_audio_matches(
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+    min_shared: int = FP_MIN_SHARED,
+    max_bucket: int = FP_MAX_BUCKET,
+) -> str:
+    return f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+w AS (SELECT unnest(generate_series(0, {n_windows - 1})) AS win_idx),
+peaks AS (
+  SELECT doc_id, win_idx,
+         CASE WHEN least({win_len}, n - (win_idx * n) // {n_windows}) = 0
+              THEN -1
+              ELSE list_max(list_transform(
+                generate_series(1, least({win_len},
+                                         n - (win_idx * n) // {n_windows})),
+                i -> ('0x' || substr(h,
+                       2 * ((win_idx * n) // {n_windows} + i - 1) + 1,
+                       2))::BIGINT))
+         END AS peak
+  FROM hx, w),
+fps AS (
+  SELECT DISTINCT a.doc_id,
+         a.peak * 65536 + b.peak * 16 + (b.win_idx - a.win_idx) AS fp
+  FROM peaks a
+  JOIN peaks b
+    ON a.doc_id = b.doc_id
+   AND b.win_idx BETWEEN a.win_idx + 1 AND a.win_idx + {fanout}
+  WHERE a.peak >= 0 AND b.peak >= 0),
+keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_bucket}),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= {min_shared}
+"""

@@ -915,6 +915,14 @@ def q_mm_audio(spark, sf_dir):
     return pmm.sample_audio_windows(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+def q_mm_audio_matches(spark, sf_dir):
+    """Shazam-style constellation matching: packed landmark-pair
+    fingerprints from the Arrow peak pass, hot-fingerprint cap, then an
+    inverted-index self-join — pairs sharing >= 8 landmarks
+    (pipeline/multimodal.py audio_matches)."""
+    return pmm.audio_matches(pmm.as_binary_table(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------- long-tail PromQL functions
 
 from squirreldb_spark.tsdb import functions as fns  # noqa: E402
@@ -3224,6 +3232,7 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     ),
     "mm_sample_frames": QueryDef(q_mm_frames, pmm.sql_sample_frames()),
     "mm_audio_windows": QueryDef(q_mm_audio, pmm.sql_sample_audio_windows()),
+    "mm_audio_matches": QueryDef(q_mm_audio_matches, pmm.sql_audio_matches()),
     # long-tail PromQL functions + mutable labels + export
     "ts_histogram_quantile": QueryDef(q_histogram_quantile, SQL_HISTOGRAM_QUANTILE),
     "ts_deriv": QueryDef(q_deriv, _neg0(_linreg_sql(None))),
@@ -3656,6 +3665,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_decayed_counts",
     "doc_vocab_coverage",
     "doc_bm25_topk",
+    "mm_audio_matches",
 ]
 
 

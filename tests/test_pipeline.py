@@ -1455,3 +1455,48 @@ def test_bm25_scoring_semantics(spark):
     assert 3 not in out              # doc without query terms never scores
     assert out[1].n_matched == 3 and out[2].n_matched == 3
     assert out[1].bm25 > out[2].bm25  # extra tf wins at equal length
+
+
+def test_audio_fingerprint_robust_to_local_corruption(spark):
+    """The constellation property: corrupting ONE window of a copy kills
+    only the landmarks touching it — the pair still shares most
+    fingerprints, while an unrelated stream shares almost none."""
+    # non-periodic stream so every window has a distinct peak (a periodic
+    # payload collapses the whole constellation to a handful of repeated
+    # landmarks, which set-dedup then merges)
+    base = bytes((i * 53 + 7) % 251 for i in range(256))
+    corrupt = bytearray(base)
+    for i in range(32, 48):               # stomp one 16-byte window
+        corrupt[i] = 0
+    other = bytes((i * 37 + 11) % 256 for i in range(256))
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(corrupt)), (3, other)],
+        "doc_id long, payload binary",
+    )
+    out = {(r.id_a, r.id_b): r.n_shared
+           for r in multimodal.audio_matches(df, min_shared=1).collect()}
+    assert out[(1, 2)] >= 30              # copy survives the corruption
+    assert out.get((1, 3), 0) < out[(1, 2)] // 3
+    # fingerprint sets are bounded: (n_windows-1)*fanout upper bound
+    fps = multimodal.audio_fingerprints(df).collect()
+    per = {}
+    for r in fps:
+        per.setdefault(r.doc_id, set()).add(r.fp)
+    assert all(0 < len(s) <= 45 for s in per.values())
+    assert all(len(s) == len([r for r in fps if r.doc_id == d])
+               for d, s in per.items())  # emitted as a set, no dup rows
+
+
+def test_audio_matches_hot_fingerprint_cap(spark):
+    """A fingerprint carried by every doc (silence) must be dropped
+    before pair enumeration when it exceeds the cap."""
+    silent = bytes(256)                   # all-zero payload
+    df = spark.createDataFrame(
+        [(i, silent) for i in range(60)], "doc_id long, payload binary"
+    )
+    out = multimodal.audio_matches(df, min_shared=1, max_bucket=50).collect()
+    assert out == []                      # every landmark bucket is hot
+    uncapped = multimodal.audio_matches(
+        df, min_shared=1, max_bucket=None
+    ).count()
+    assert uncapped == 60 * 59 // 2
