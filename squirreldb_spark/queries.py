@@ -3666,6 +3666,8 @@ _VERIFY_FIRST: list[str] = [
     "doc_vocab_coverage",
     "doc_bm25_topk",
     "mm_audio_matches",
+    # --- (4) oldest remaining attestation (r4) fills slot 50 ---
+    "api_label_values",
 ]
 
 

@@ -71,3 +71,61 @@ def test_duck_xxh64_length_sweep(spark, n):
         .first()
     )
     assert duck == sp
+
+
+# ----------------------------- randomized cross-engine equality (fuzz)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# printable-ish unicode minus surrogates (invalid in UTF-8) — covers
+# ASCII, Latin-1, CJK, and astral-plane codepoints
+_chars = st.characters(
+    min_codepoint=1,
+    max_codepoint=0x10FFFF,
+    blacklist_categories=("Cs",),
+)
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(strings=st.lists(st.text(_chars, max_size=80), min_size=1,
+                        max_size=20))
+def test_duck_xxh64_fuzz_matches_spark(spark, strings):
+    """Random unicode strings: the DuckDB XXH64 transcription and
+    Spark's native xxhash64 must agree on every one — the randomized
+    twin of the deterministic length-class sweep above."""
+    sdf = spark.createDataFrame([(s,) for s in strings], ["s"])
+    sp = [
+        r.h for r in sdf.select(F.xxhash64("s").alias("h")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)",
+                    list(enumerate(strings)))
+    duck = [
+        h for _, h in con.execute(
+            "WITH" + xxh64_ctes("t", "s", "x_", ["i"])
+            + " SELECT i, x_h FROM x_sf ORDER BY i"
+        ).fetchall()
+    ]
+    # Spark's collect preserves createDataFrame order for a local list,
+    # and the DuckDB side orders by the threaded-through index
+    assert duck == sp
+
+
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                     min_size=1, max_size=30))
+def test_duck_xxh64_long_fuzz_matches_spark(spark, vals):
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_long_sql
+
+    sdf = spark.createDataFrame([(v,) for v in vals], "x long")
+    sp = [r.h for r in sdf.select(F.xxhash64("x").alias("h")).collect()]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    duck = [h for _, h in con.execute(
+        f"SELECT i, {xxh64_long_sql('x')} FROM t ORDER BY i").fetchall()]
+    assert duck == sp
