@@ -683,9 +683,18 @@ def audio_matches(
     """
     fps = audio_fingerprints(binary_table, n_windows, win_len, fanout)
     if max_bucket is not None:
-        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_n"))
-        fps = fps.join(
-            counts.filter(F.col("_n") <= max_bucket).select("fp"), "fp"
+        # window count over the join's own shuffle key (the
+        # lsh_candidate_pairs shape): one exchange, no count-side join,
+        # and the downstream self-join's two identical branches collapse
+        # into a ReusedExchange instead of running the Arrow fingerprint
+        # pass per branch
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
         )
     a = fps.select(F.col("fp"), F.col("doc_id").alias("id_a"))
     b = fps.select(F.col("fp"), F.col("doc_id").alias("id_b"))
