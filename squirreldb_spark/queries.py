@@ -3666,8 +3666,13 @@ _VERIFY_FIRST: list[str] = [
     "doc_vocab_coverage",
     "doc_bm25_topk",
     "mm_audio_matches",
-    # --- (4) oldest remaining attestation (r4) fills slot 50 ---
-    "api_label_values",
+    # --- (4) slot 50: ratchet re-queue — the shared shingles() kernel
+    # was let-bound round 7 (value-identical, but the hard signal should
+    # follow the code); the bench-headline consumer gets the slot.  The
+    # rest of the shingle family (signatures, ngram_jaccard, winnowing,
+    # dup_spans, split_leakage) was spot-checked against the driver
+    # contract at sf0.01 this round and keeps its r4-r6 attestations.
+    "doc_minhash_lsh_pairs",
 ]
 
 
