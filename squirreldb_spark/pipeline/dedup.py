@@ -719,9 +719,14 @@ def winnowing_fingerprints(
     fingerprint (to find sharing docs) is then one exchange on a 60-bit
     key, exactly the exact-dedup cost model.
     """
+    # token array let-bound via the one-element outer transform (see
+    # shingles()): the former lambda body re-split the document per
+    # shingle index — O(words^2) string work per doc, measured 3.0 ->
+    # ~1.3 s at sf0.1.  Hash values unchanged.
     hs = (
-        f"transform(sequence(1, greatest(size(split({text_col}, ' ')) - {k - 1}, 1)),"
-        f" i -> {_h60_sql_expr(f'concat_ws(chr(32), slice(split({text_col}, chr(32)), i, {k}))')})"
+        f"flatten(transform(array(split({text_col}, ' ')), t ->"
+        f" transform(sequence(1, greatest(size(t) - {k - 1}, 1)),"
+        f" i -> {_h60_sql_expr(f'concat_ws(chr(32), slice(t, i, {k}))')})))"
     )
     fps = (
         f"array_distinct(transform("
