@@ -1530,3 +1530,29 @@ SELECT event_type, count(*)::BIGINT AS n,
                  * value), 6) AS decayed_value
 FROM ev, ref GROUP BY event_type
 """
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, group_cols: list | None = None
+) -> DataFrame:
+    """Distinct-count estimates from a stored HLL register table
+    ``(group_cols..., bucket, r)`` — the read side of register
+    persistence: batch (hll_distinct / hll_rollup) and streaming
+    (streaming_hll_registers) writers produce the same register rows,
+    and this one estimator serves them all.  Sparse form: absent
+    buckets contribute the empty-register harmonic term, identical to
+    the inline math in hll_distinct."""
+    group_cols = list(group_cols or ["event_type", "day"])
+    m, wbits = HLL_M, _HLL_WBITS
+    per = regs.groupBy(*group_cols).agg(
+        F.sum(F.expr(f"cast(pow(2, {wbits} - r) as bigint)")).alias("s_int"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    zeros = (F.lit(m) - F.col("n_regs")).cast("double")
+    s_full = F.col("s_int") + (F.lit(m) - F.col("n_regs")) * F.lit(1 << wbits)
+    raw = F.lit(_HLL_ALPHA * m * m * float(1 << wbits)) / s_full
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per.select(*group_cols, F.round(est, 6).alias("hll_estimate"))

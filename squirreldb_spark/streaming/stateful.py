@@ -231,3 +231,57 @@ def streaming_ratio(
         # not kill the streaming query under ANSI mode
         F.round(_ieee_div(F.col("l_sum"), F.col("r_sum")), 6).alias("ratio"),
     )
+
+
+# ------------------------------------------- streaming HLL registers
+
+def streaming_hll_registers(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Incremental HLL register maintenance on an event stream: the
+    per-(key, day, bucket) ``max(rank)`` is a standard watermarked
+    streaming aggregation — registers are EXACTLY the mergeable
+    fixed-size state HLL was designed around, so the stream holds 64
+    numbers per (key, day) instead of a distinct-user set, closed days
+    emit in append mode once the watermark passes, and a restart
+    resumes from checkpointed registers.  The emitted rows are the same
+    ``(key, day, bucket, r)`` shape the batch writers produce;
+    ``pipeline.events.hll_estimate_from_registers`` turns any stored
+    register slice into estimates without touching raw events — the
+    streaming twin of ``hll_rollup``'s hour->day re-aggregation story.
+
+    Uses the shared 60-bit hash + rank rule from ``hll_distinct``, so a
+    streamed register table is bit-identical to the batch one over the
+    same events (asserted in tests/test_streaming.py).
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+    from squirreldb_spark.pipeline.events import HLL_M, _HLL_WBITS
+
+    wbits = _HLL_WBITS
+    h = _h60_sql_expr(f"cast({id_col} as string)")
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    ev = stream.withColumn(
+        "event_time", F.timestamp_millis(F.col("ts"))
+    ).withWatermark("event_time", watermark)
+    return (
+        ev.groupBy(
+            F.window("event_time", "1 day").alias("w"),
+            F.col(key_col),
+            F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+        )
+        .agg(F.max(F.expr(rank)).alias("r"))
+        .select(
+            key_col,
+            (F.unix_millis(F.col("w.start")) / F.lit(86_400_000))
+            .cast("long")
+            .alias("day"),
+            "bucket",
+            "r",
+        )
+    )

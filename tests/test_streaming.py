@@ -469,3 +469,111 @@ def test_streaming_segment_dedup_bounded_state(spark, tmpdir):
     segs = sorted(r.seg for r in got)
     assert segs.count(boiler) == 1              # dedup across documents
     assert set(segs) == {boiler, "k l m", "x y z", "p q r"}
+
+
+def test_streaming_hll_registers_match_batch_and_estimate(spark, tmpdir):
+    """Registers built incrementally on the stream must be bit-identical
+    to the batch hll_rollup's day registers over the same events, and
+    the shared estimator must therefore agree exactly; only
+    watermark-closed days emit."""
+    from squirreldb_spark.pipeline import events as pev
+    from squirreldb_spark.streaming import stateful
+
+    src, out, cp = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/cp"
+    day0 = BASE_TS - BASE_TS % 86_400_000
+    rows = [
+        (i, day0 + (i % 20) * 3_600_000, i % 7, "view", 1.0, "{}")
+        for i in range(60)
+    ] + [
+        # watermark pusher two days later: closes day0 (and day0+1)
+        (999, day0 + 2 * 86_400_000 + 7_200_000, 1, "view", 1.0, "{}")
+    ]
+    _write_batch(spark, src, rows)
+    stream = ingest.read_event_stream(spark, src)
+    q = (
+        stateful.streaming_hll_registers(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    streamed = spark.read.parquet(out)
+    got = {
+        (r.event_type, r.day, r.bucket): r.r for r in streamed.collect()
+    }
+    assert got, "no closed registers emitted"
+    # the pusher's own day is still open (watermark = its time - 1 h)
+    assert all(day != day0 // 86_400_000 + 2 for (_, day, _b) in got)
+    # batch twin over the SAME closed-day events
+    batch = spark.createDataFrame(rows, ingest.EVENT_SCHEMA).filter(
+        F.col("ts") < day0 + 2 * 86_400_000
+    )
+    ev = batch.select("event_type", "ts", "user_id")
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    wbits = pev._HLL_WBITS
+    h = _h60_sql_expr("cast(user_id as string)")
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    bat = {
+        (r.event_type, r.day, r.bucket): r.r
+        for r in ev.select(
+            "event_type",
+            (F.col("ts") / 86_400_000).cast("long").alias("day"),
+            F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rank").alias("r"))
+        .collect()
+    }
+    assert got == bat
+    # the shared estimator over streamed registers == over batch registers,
+    # and it tracks the true distinct count (7 users)
+    est = pev.hll_estimate_from_registers(streamed).collect()
+    for r in est:
+        assert abs(r.hll_estimate - 7) / 7 < 0.5
+
+
+def test_streaming_hll_registers_survive_restart(spark, tmpdir):
+    """Register state checkpoints: a second run over new files resumes
+    from the same state and emits each closed day exactly once."""
+    from squirreldb_spark.streaming import stateful
+
+    src, out, cp = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/cp"
+    day0 = BASE_TS - BASE_TS % 86_400_000
+
+    def run():
+        q = (
+            stateful.streaming_hll_registers(
+                ingest.read_event_stream(spark, src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    _write_batch(spark, src, [
+        (1, day0 + 3_600_000, 5, "view", 1.0, "{}"),
+        (2, day0 + 7_200_000, 6, "view", 1.0, "{}"),
+    ])
+    run()  # nothing closes yet (no watermark pusher)
+    _write_batch(spark, src, [
+        (3, day0 + 3 * 86_400_000, 7, "view", 1.0, "{}"),  # pusher
+    ])
+    run()  # day0 closes now, built from state that includes batch-1 rows
+    regs = spark.read.parquet(out)
+    day_rows = regs.filter(F.col("day") == day0 // 86_400_000).collect()
+    assert len(day_rows) == len({r.bucket for r in day_rows})  # once each
+    # both pre-restart users are in the closed registers (2 buckets or a
+    # shared one with the max rank — either way state survived)
+    assert 1 <= len(day_rows) <= 2
