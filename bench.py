@@ -106,6 +106,8 @@ SECONDARY_QUERIES = [
     "doc_vocab_coverage",
     "doc_bm25_topk",
     "mm_audio_matches",
+    "doc_cluster_split",
+    "emb_threshold_sweep",
 ]
 
 

@@ -1715,3 +1715,78 @@ ranked AS (
   FROM scored)
 SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ------------------------------- semantic-dedup threshold calibration
+
+SWEEP_THRESHOLDS = (0.15, 0.25, 0.35, 0.45)
+
+
+def neardup_threshold_sweep(
+    emb: DataFrame,
+    thresholds: tuple = SWEEP_THRESHOLDS,
+    n_tables: int = 4,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dedup-rate calibration curve: for each candidate cosine
+    threshold, the number of near-duplicate pairs and of affected
+    documents — the evidence behind CHOOSING a semantic-dedup threshold
+    (SemDeDup-style pipelines sweep exactly this before committing a
+    cut).  Pairs come from the existing multi-table LSH candidate
+    generation at the loosest threshold; the sweep is then pure
+    aggregation over that (small) pair list — the corpus is scanned
+    once, regardless of how many thresholds are probed.
+    """
+    pairs = embedding_neardup_pairs(
+        emb,
+        threshold=min(thresholds),
+        n_tables=n_tables,
+        n_planes=n_planes,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    hits = pairs.select("a_id", "b_id", "cosine", t).filter(
+        F.col("cosine") >= F.col("threshold")
+    )
+    per = hits.groupBy("threshold").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs = (
+        hits.select(
+            "threshold",
+            F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("d"),
+        )
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
+    )
+    return per.join(docs, "threshold").select(
+        "threshold",
+        F.col("n_pairs").cast("long"),
+        F.col("n_docs_affected").cast("long"),
+    )
+
+
+def sql_neardup_threshold_sweep(thresholds: tuple = SWEEP_THRESHOLDS) -> str:
+    tvals = ", ".join(f"({float(x)!r})" for x in thresholds)
+    return f"""
+WITH pairs AS ({sql_embedding_neardup(min(thresholds))}),
+th(threshold) AS (VALUES {tvals}),
+hits AS (
+  SELECT threshold, a_id, b_id FROM pairs, th WHERE cosine >= threshold),
+per AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs FROM hits GROUP BY 1),
+docs AS (
+  SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs_affected
+  FROM (SELECT threshold, unnest([a_id, b_id]) AS d FROM hits)
+  GROUP BY 1)
+SELECT threshold, n_pairs, n_docs_affected
+FROM per JOIN docs USING (threshold)
+"""

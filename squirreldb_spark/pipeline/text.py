@@ -2356,3 +2356,51 @@ scored AS (
 SELECT doc_id, bm25, n_matched
 FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {k}
 """
+
+
+def cluster_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment keyed on the CANONICAL text hash — one
+    tier stronger than ``split_assign``'s exact-dup guarantee: every
+    member of a canonicalization cluster (case / punctuation /
+    whitespace variants, the ``canonical_dedup`` equivalence) shares the
+    bucket, so trivially-reformatted copies cannot straddle splits
+    either.  Still RNG-free, repartition-stable, and ZERO shuffle — the
+    cluster key is content-derived, so no grouping is needed to agree on
+    it.  (True near-dup leakage remains ``split_leakage``'s audit; this
+    closes the canonicalization tier structurally.)
+    """
+    canon = CANON_EXPR.format(t=text_col)
+    bucket = F.pmod(F.xxhash64(F.expr(canon)), F.lit(100))
+    cut_val = pct_train + pct_val
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < pct_train, F.lit("train"))
+        .when(bucket < cut_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sql_cluster_split(pct_train: int = 90, pct_val: int = 5) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_ctes
+
+    canon_duck = (
+        "trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    )
+    chain = xxh64_ctes("c0", "cx", "cs_", ["doc_id"])
+    return f"""
+WITH c0 AS (SELECT doc_id, {canon_duck} AS cx FROM documents),{chain}
+SELECT doc_id,
+       ((cs_h % 100) + 100) % 100 AS bucket,
+       CASE WHEN ((cs_h % 100) + 100) % 100 < {pct_train} THEN 'train'
+            WHEN ((cs_h % 100) + 100) % 100 < {pct_train + pct_val}
+            THEN 'val' ELSE 'test' END AS split
+FROM cs_sf
+"""

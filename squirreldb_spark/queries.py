@@ -2801,6 +2801,23 @@ def q_doc_vocab_coverage(spark, sf_dir):
     return ptext.vocab_coverage(_docs(spark, sf_dir))
 
 
+def q_doc_cluster_split(spark, sf_dir):
+    """Train/val/test split keyed on the canonical-text hash so case/
+    punctuation/whitespace variants cannot straddle splits — zero
+    shuffle, RNG-free (pipeline/text.py cluster_split)."""
+    return ptext.cluster_split(_docs(spark, sf_dir))
+
+
+def q_emb_threshold_sweep(spark, sf_dir):
+    """Semantic-dedup threshold calibration: near-dup pair and affected-
+    doc counts at 0.3/0.5/0.7/0.9 cosine, from one pass of the LSH
+    candidate generator (pipeline/similarity.py
+    neardup_threshold_sweep)."""
+    return psim.neardup_threshold_sweep(
+        model.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_doc_bm25_topk(spark, sf_dir):
     """BM25 ranked retrieval (Lucene idf variant) for the three
     highest-df terms: broadcast query stats, semi-join before the tf
@@ -3495,6 +3512,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
         q_doc_vocab_coverage, ptext.sql_vocab_coverage()
     ),
     "doc_bm25_topk": QueryDef(q_doc_bm25_topk, ptext.sql_bm25_topk()),
+    "doc_cluster_split": QueryDef(
+        q_doc_cluster_split, ptext.sql_cluster_split()
+    ),
+    "emb_threshold_sweep": QueryDef(
+        q_emb_threshold_sweep, psim.sql_neardup_threshold_sweep()
+    ),
     # count-min sketch heavy hitters + overestimate self-eval
     "doc_cm_heavyhitters": QueryDef(
         q_doc_cm_heavyhitters, ptext.sql_cm_heavyhitters()

@@ -1500,3 +1500,38 @@ def test_audio_matches_hot_fingerprint_cap(spark):
         df, min_shared=1, max_bucket=None
     ).count()
     assert uncapped == 60 * 59 // 2
+
+
+def test_cluster_split_variants_share_split_and_zero_shuffle(spark, sf_dir):
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = spark.createDataFrame(
+        [(i, f"Unique Document {i}!") for i in range(200)]
+        + [(900, "Hello, World!"), (901, "hello world"),
+           (902, "  HELLO   world.  ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ptext.cluster_split(df).collect()}
+    # canonicalization variants always co-assign
+    assert out[900].split == out[901].split == out[902].split
+    assert out[900].bucket == out[901].bucket == out[902].bucket
+    splits = [r.split for r in out.values()]
+    assert splits.count("train") > splits.count("val")
+    plan = ptext.cluster_split(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:600]
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    rows = sorted(psim.neardup_threshold_sweep(emb).collect(),
+                  key=lambda r: r.threshold)
+    assert rows, "sweep empty at every threshold"
+    pairs = [r.n_pairs for r in rows]
+    docs_ = [r.n_docs_affected for r in rows]
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs_ == sorted(docs_, reverse=True)
+    for r in rows:
+        # a pair affects at most 2 docs
+        assert r.n_docs_affected <= 2 * r.n_pairs
