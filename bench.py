@@ -108,6 +108,7 @@ SECONDARY_QUERIES = [
     "mm_audio_matches",
     "doc_cluster_split",
     "emb_threshold_sweep",
+    "ev_hll_sliding",
 ]
 
 

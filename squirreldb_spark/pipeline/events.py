@@ -1556,3 +1556,159 @@ def hll_estimate_from_registers(
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
     ).otherwise(raw)
     return per.select(*group_cols, F.round(est, 6).alias("hll_estimate"))
+
+
+HLL_SLIDING_DAYS = 7
+
+
+def hll_sliding(
+    events: DataFrame,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+    window_days: int = HLL_SLIDING_DAYS,
+    self_eval: bool = True,
+) -> DataFrame:
+    """Sliding ``window_days``-day distinct users per key, ending at each
+    day — the third register-algebra grain after hll_rollup (hierarchy)
+    and hll_setops (set algebra): a daily register table re-merges into
+    ANY trailing window by bucketwise max, so the classic
+    "7-day uniques, daily" dashboard costs |days| x 64 register rows
+    re-aggregated per window instead of a re-count of raw events per
+    window end — the recount is quadratic in window length at 100 TB,
+    the register merge is linear in days.
+
+    Each day's registers fan out to the ``window_days`` window-ends they
+    belong to (a sequence explode on the register table, NOT on events),
+    then max-merge per (key, window_end, bucket).  Only window-ends with
+    a full ``window_days`` history emit, so every row means the same
+    thing.  Self-eval joins the exact trailing-window distinct count —
+    the per-window (key, id) re-shuffle production skips.
+    """
+    from squirreldb_spark.pipeline.dedup import _h60_sql_expr
+
+    h = _h60_sql_expr(f"cast({id_col} as string)")
+    m, wbits = HLL_M, _HLL_WBITS
+    rank = (
+        f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
+        f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
+    )
+    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
+    day_regs = (
+        events.select(
+            F.col(key_col), day.alias("day"),
+            F.expr(f"{h} div {1 << wbits}").alias("bucket"),
+            F.expr(rank).alias("rank"),
+        )
+        .groupBy(key_col, "day", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    bounds = day_regs.groupBy(key_col).agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    win_regs = (
+        day_regs.join(F.broadcast(bounds), key_col)
+        .select(
+            key_col, "bucket", "r", "d0",
+            F.explode(
+                F.expr(f"sequence(day, day + {window_days - 1})")
+            ).alias("window_end"),
+        )
+        # full-history windows only
+        .filter(F.col("window_end") >= F.col("d0") + window_days - 1)
+        .join(
+            F.broadcast(bounds.select(key_col, "d1")), key_col
+        )
+        .filter(F.col("window_end") <= F.col("d1"))
+        .groupBy(key_col, "window_end", "bucket")
+        .agg(F.max("r").alias("r"))
+    )
+    est = hll_estimate_from_registers(win_regs, [key_col, "window_end"])
+    if not self_eval:
+        return est
+    ev_days = events.select(
+        F.col(key_col), day.alias("day"), F.col(id_col).alias("i")
+    ).distinct()
+    ends = win_regs.select(key_col, "window_end").distinct()
+    exact = (
+        ev_days.join(F.broadcast(ends), key_col)
+        .filter(
+            (F.col("day") <= F.col("window_end"))
+            & (F.col("day") > F.col("window_end") - window_days)
+        )
+        .select(key_col, "window_end", "i")
+        .distinct()
+        .groupBy(key_col, "window_end")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, [key_col, "window_end"])
+        .select(
+            key_col,
+            "window_end",
+            "hll_estimate",
+            F.col("exact_distinct").cast("long"),
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+        )
+    )
+
+
+def sql_hll_sliding(window_days: int = HLL_SLIDING_DAYS) -> str:
+    from squirreldb_spark.pipeline.dedup import _h60_duck
+
+    m, wbits = HLL_M, _HLL_WBITS
+    h = _h60_duck("user_id::VARCHAR")
+    alpha = _HLL_ALPHA * m * m * float(1 << wbits)
+    return f"""
+WITH ev AS (SELECT event_type, user_id,
+                   epoch_ms(ts) // 86400000 AS day, {h} AS h FROM events),
+day_regs AS (
+  SELECT event_type, day, h // {1 << wbits} AS bucket,
+         max(CASE WHEN (h % {1 << wbits}) = 0 THEN {wbits + 1}
+              ELSE {wbits} - cast(floor(log2(h % {1 << wbits})) AS INT) END)
+           AS r
+  FROM ev GROUP BY 1, 2, 3),
+bounds AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+           FROM day_regs GROUP BY 1),
+win_regs AS (
+  SELECT dr.event_type, g.window_end, dr.bucket, max(dr.r) AS r
+  FROM day_regs dr
+  JOIN bounds b USING (event_type),
+       unnest(generate_series(dr.day, dr.day + {window_days - 1}))
+         AS g(window_end)
+  WHERE g.window_end >= b.d0 + {window_days - 1}
+    AND g.window_end <= b.d1
+  GROUP BY 1, 2, 3),
+per AS (
+  SELECT event_type, window_end,
+         sum(cast(pow(2, {wbits} - r) AS BIGINT))::BIGINT AS s_int,
+         count(*)::BIGINT AS n_regs
+  FROM win_regs GROUP BY 1, 2),
+calc AS (
+  SELECT event_type, window_end, ({m} - n_regs)::DOUBLE AS zeros,
+         s_int + ({m} - n_regs) * {1 << wbits} AS s_full
+  FROM per),
+est AS (
+  SELECT event_type, window_end,
+         CASE WHEN ({alpha!r} / s_full) <= {2.5 * m} AND zeros > 0
+              THEN {float(m)!r} * ln({float(m)!r} / zeros)
+              ELSE {alpha!r} / s_full END AS e
+  FROM calc),
+ends AS (SELECT DISTINCT event_type, window_end FROM win_regs),
+exact AS (
+  SELECT e.event_type, en.window_end,
+         count(DISTINCT e.user_id)::BIGINT AS exact_distinct
+  FROM (SELECT DISTINCT event_type, user_id,
+               epoch_ms(ts) // 86400000 AS day FROM events) e
+  JOIN ends en ON en.event_type = e.event_type
+   AND e.day <= en.window_end AND e.day > en.window_end - {window_days}
+  GROUP BY 1, 2)
+SELECT est.event_type, est.window_end::BIGINT AS window_end,
+       round(e, 6) AS hll_estimate, exact_distinct,
+       round(abs(round(e, 6) - exact_distinct) / exact_distinct, 6)
+         AS rel_err
+FROM est JOIN exact USING (event_type, window_end)
+"""

@@ -2785,6 +2785,15 @@ def q_doc_canonical_dedup(spark, sf_dir):
     return ptext.canonical_dedup(_docs(spark, sf_dir))
 
 
+def q_ev_hll_sliding(spark, sf_dir):
+    """Trailing-7-day distinct users per event type at each day, by
+    re-merging daily HLL registers into every window they belong to —
+    linear in days where the recount is quadratic in window length;
+    exact trailing count + rel_err as self-eval (pipeline/events.py
+    hll_sliding)."""
+    return pevents.hll_sliding(_events(spark, sf_dir))
+
+
 def q_ev_decayed_counts(spark, sf_dir):
     """Exponentially time-decayed count and value sum per event type
     (half-life 7 days, referenced to the corpus max ts) — mergeable
@@ -3502,6 +3511,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     "doc_domain_cap": QueryDef(q_doc_domain_cap, ptext.sql_domain_cap()),
     "ev_hll_setops": QueryDef(q_ev_hll_setops, pevents.sql_hll_setops()),
+    "ev_hll_sliding": QueryDef(q_ev_hll_sliding, pevents.sql_hll_sliding()),
     "doc_canonical_dedup": QueryDef(
         q_doc_canonical_dedup, ptext.sql_canonical_dedup()
     ),

@@ -1535,3 +1535,43 @@ def test_threshold_sweep_monotone(spark, sf_dir):
     for r in rows:
         # a pair affects at most 2 docs
         assert r.n_docs_affected <= 2 * r.n_pairs
+
+
+def test_hll_sliding_merge_equals_direct_window(spark, sf_dir):
+    """Register re-merge must equal the sketch built directly over the
+    trailing slice (max over 7 daily maxes = max over the window), and
+    only full-history window ends emit."""
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    out = pev.hll_sliding(ev).collect()
+    assert out
+    r0 = out[0]
+    lo = (r0.window_end - 6) * 86_400_000
+    hi = (r0.window_end + 1) * 86_400_000
+    sliced = ev.filter(
+        (F.col("event_type") == r0.event_type)
+        & (F.col("ts") >= lo) & (F.col("ts") < hi)
+    )
+    direct = pev.hll_distinct(sliced).collect()[0]
+    assert abs(direct.hll_estimate - r0.hll_estimate) < 1e-6
+    # full-history rule: no window end earlier than first_day + 6
+    first_day = ev.agg(
+        (F.min("ts") / 86_400_000).cast("long")
+    ).collect()[0][0]
+    assert all(r.window_end >= first_day + 6 for r in out)
+    for r in out:
+        if r.exact_distinct >= 30:
+            assert r.rel_err < 0.35
+
+
+def test_hll_sliding_production_no_raw_id_shuffle(spark, sf_dir):
+    from tests.test_plan_shape import shuffle_exchange_outputs
+
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    prod = pev.hll_sliding(ev, self_eval=False)
+    assert prod.columns == ["event_type", "window_end", "hll_estimate"]
+    for cols in shuffle_exchange_outputs(prod):
+        assert all(c != "user_id" for c, _ in cols), cols
