@@ -1202,13 +1202,22 @@ BLOOM_SHINGLE_N = 4
 
 
 def _shingle_expr(text_col: str, n: int) -> str:
-    """Distinct word ``n``-gram shingles of a document (Spark SQL)."""
-    words = f"split({text_col}, ' ')"
+    """Distinct word ``n``-gram shingles of a document (Spark SQL).
+
+    The word array is LET-BOUND via the one-element outer ``transform``
+    idiom (:func:`shingles`): the former body
+    ``slice(split(text), i, n)`` re-split the whole document once per
+    shingle index inside the interpreted HOF lambda — O(words^2) string
+    work per document on the Bloom-membership path. Binding ``w`` once
+    makes the scan O(words); shingle strings (and therefore every Bloom
+    position downstream) are unchanged.
+    """
     return (
-        f"case when size({words}) >= {n} then "
-        f"array_distinct(transform(sequence(1, size({words}) - {n - 1}),"
-        f" i -> concat_ws(' ', slice({words}, i, {n})))) "
-        f"else array() end"
+        f"flatten(transform(array(split({text_col}, ' ')), w ->"
+        f" case when size(w) >= {n} then "
+        f"array_distinct(transform(sequence(1, size(w) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(w, i, {n})))) "
+        f"else array() end))"
     )
 
 

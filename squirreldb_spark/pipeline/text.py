@@ -1037,16 +1037,24 @@ def chunk_sliding(
     fan-out multiplies rows ~``n/stride``-fold inside the scan, which AQE
     re-splits downstream. Integer-only chunk-count arithmetic keeps both
     engines bit-identical.
+
+    The token array is LET-BOUND via the one-element outer ``transform``
+    idiom (see :func:`squirreldb_spark.pipeline.dedup.shingles`):
+    interpreted HOF lambdas have no common-subexpression elimination, so
+    the former ``slice(split(text), ...)`` body re-split the whole
+    document once per chunk index — O(words^2/stride) string work per
+    document, which dominates the scan on multi-KB documents at scale.
+    Binding ``t = split(text)`` once makes the scan O(words); chunk
+    strings, counts and hashes are unchanged (verified 0-row diff).
     """
-    toks = f"split({text_col}, ' ')"
-    n = f"size({toks})"
     n_chunks = (
-        f"(case when {n} <= {window} then 1"
-        f" else ({n} - {window} + {stride - 1}) div {stride} + 1 end)"
+        f"(case when size(t) <= {window} then 1"
+        f" else (size(t) - {window} + {stride - 1}) div {stride} + 1 end)"
     )
     chunks = (
-        f"transform(sequence(0, {n_chunks} - 1),"
-        f" i -> array_join(slice({toks}, i * {stride} + 1, {window}), ' '))"
+        f"flatten(transform(array(split({text_col}, ' ')), t ->"
+        f" transform(sequence(0, {n_chunks} - 1),"
+        f" i -> array_join(slice(t, i * {stride} + 1, {window}), ' '))))"
     )
     out = docs.select("doc_id", F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk"))
     return out.select(

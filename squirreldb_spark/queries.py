@@ -918,8 +918,8 @@ def q_mm_audio(spark, sf_dir):
 def q_mm_audio_matches(spark, sf_dir):
     """Shazam-style constellation matching: packed landmark-pair
     fingerprints from the Arrow peak pass, hot-fingerprint cap, then an
-    inverted-index self-join — pairs sharing >= 8 landmarks
-    (pipeline/multimodal.py audio_matches)."""
+    inverted-index self-join — pairs sharing >= FP_MIN_SHARED (25)
+    landmarks (pipeline/multimodal.py audio_matches)."""
     return pmm.audio_matches(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
@@ -2819,8 +2819,10 @@ def q_doc_cluster_split(spark, sf_dir):
 
 def q_emb_threshold_sweep(spark, sf_dir):
     """Semantic-dedup threshold calibration: near-dup pair and affected-
-    doc counts at 0.3/0.5/0.7/0.9 cosine, from one pass of the LSH
-    candidate generator (pipeline/similarity.py
+    doc counts at each cosine threshold in
+    ``similarity.SWEEP_THRESHOLDS`` (0.15/0.25/0.35/0.45 — chosen to
+    bracket the synthetic corpus's similarity mass), from one pass of
+    the LSH candidate generator (pipeline/similarity.py
     neardup_threshold_sweep)."""
     return psim.neardup_threshold_sweep(
         model.load_table(spark, sf_dir, "embeddings")
