@@ -405,14 +405,23 @@ def decontaminate(
     # a doc shorter than n tokens has no n-grams: sequence(0, size-n)
     # would count DOWN for size < n and feed slice() a 0 start (runtime
     # error), so clamp to an empty gram list — matching the oracle's
-    # WHERE len(t) >= n guard
-    grams = F.when(
-        F.size(tokens(text_col)) >= n,
+    # WHERE len(t) >= n guard.  The token array is LET-BOUND via the
+    # one-element outer transform idiom (dedup.shingles): the former
+    # body sliced tokens(text) directly, re-splitting the document once
+    # per gram index — O(words^2) interpreted-HOF work the round-8 plan
+    # lint caught here.  Gram strings are unchanged.
+    grams = F.flatten(
         F.transform(
-            F.sequence(F.lit(0), F.size(tokens(text_col)) - n),
-            lambda i: F.array_join(F.slice(tokens(text_col), i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+            F.array(tokens(text_col)),
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - n),
+                    lambda i: F.array_join(F.slice(t, i + 1, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
     bench = (
         docs.filter(F.col("doc_id") % bench_mod == 0)
         .select(F.explode(grams).alias("gram"))

@@ -2129,14 +2129,21 @@ def q_doc_repetition(spark, sf_dir):
     """Within-document repetition ratios (the Gopher-style quality
     filters): duplicate-token fraction and duplicate n-gram fraction for
     n in {2, 3}. Pure array higher-order expressions — a narrow map over
-    the corpus scan, no shuffle, no Python."""
+    the corpus scan, no shuffle, no Python.
+
+    The n-gram lambdas LET-BIND the token array via the one-element
+    outer ``transform`` idiom (``pipeline.dedup.shingles``): the former
+    body sliced ``split(text)`` directly, re-splitting the document once
+    per gram index — the O(words^2) interpreted-HOF bug class the
+    round-8 plan lint caught here. Gram strings are unchanged."""
     docs = model.load_table(spark, sf_dir, "documents")
     toks = "split(text, ' ')"
 
     def ngrams(n: int) -> str:
         return (
-            f"transform(sequence(1, greatest(size({toks}) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice({toks}, i, {n})))"
+            f"flatten(transform(array({toks}), t ->"
+            f" transform(sequence(1, greatest(size(t) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(t, i, {n})))))"
         )
 
     def dup_frac(arr: str) -> str:

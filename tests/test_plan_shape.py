@@ -820,3 +820,58 @@ def test_bm25_takeordered_and_broadcast_query(spark, sf_dir):
     assert "TakeOrdered" in plan, plan[:1200]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- HOF lambda let-binding lint -------------------------------------------
+#
+# Interpreted higher-order-function lambdas have no common-subexpression
+# elimination: an O(len) expression over a RAW input column inside a lambda
+# body is re-evaluated once per element, turning an O(n) scan into O(n^2)
+# per document (the round-7 headline bug class, found at 9 call sites:
+# shingles, winnowing, chunk_sliding, Bloom _shingle_expr, ...).  The fix
+# is the one-element-transform let-binding idiom (dedup.shingles).  This
+# lint generalizes the eradication claim: in the ANALYZED plan of every
+# catalog query, no `lambdafunction` body may apply an O(len) string/hash
+# function to a non-lambda attribute reference.  Let-bound plans only ever
+# apply these to `lambda` variables.
+
+_OFFENDING_IN_LAMBDA = __import__("re").compile(
+    r"\b(?:split|md5|sha1|sha2|crc32|xxhash64|sentences|lower|upper|"
+    r"translate|reverse|regexp_replace|regexp_extract_all|regexp_count|"
+    r"levenshtein|soundex)\(\s*(?!lambda\b)([a-zA-Z_]\w*#\d+)"
+)
+
+
+def _lambda_spans(plan: str):
+    """Balanced-paren spans of every top-level lambdafunction(...) call."""
+    spans, i, n = [], 0, len(plan)
+    needle = "lambdafunction("
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            return spans
+        depth, k = 1, j + len(needle)
+        while k < n and depth:
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+            k += 1
+        spans.append(plan[j:k])
+        i = k  # top-level only: nested lambdas are inside this span
+
+
+def test_no_catalog_lambda_reevaluates_scan_width_expr(spark, sf_dir):
+    """Every catalog query's analyzed plan: lambda bodies must not call an
+    O(len) string/hash function on a raw (non-lambda) attribute."""
+    bad = []
+    for name, qd in CATALOG.items():
+        plan = qd.fn(spark, sf_dir)._jdf.queryExecution().analyzed().toString()
+        for span in _lambda_spans(plan):
+            m = _OFFENDING_IN_LAMBDA.search(span)
+            if m:
+                bad.append((name, m.group(0), span[:160]))
+                break
+    assert not bad, "O(len) expr on raw column inside HOF lambda:\n" + "\n".join(
+        f"  {n}: {hit}  ...  {ctx}" for n, hit, ctx in bad
+    )
