@@ -1575,3 +1575,21 @@ def test_hll_sliding_production_no_raw_id_shuffle(spark, sf_dir):
     assert prod.columns == ["event_type", "window_end", "hll_estimate"]
     for cols in shuffle_exchange_outputs(prod):
         assert all(c != "user_id" for c, _ in cols), cols
+
+
+def test_readme_catalog_count_matches():
+    """README's 'the operator catalog: N queries' line is generated
+    truth, not hand-written: it must equal len(CATALOG) (VERDICT r7 #5 —
+    the count drifted 198 vs 201 when late-round additions missed the
+    doc)."""
+    import re
+    from pathlib import Path
+
+    from squirreldb_spark.queries import CATALOG
+
+    readme = (Path(__file__).resolve().parents[1] / "README.md").read_text()
+    m = re.search(r"the operator catalog: (\d+) queries", readme)
+    assert m, "README catalog-count line missing"
+    assert int(m.group(1)) == len(CATALOG), (
+        f"README says {m.group(1)} queries, CATALOG has {len(CATALOG)}"
+    )
