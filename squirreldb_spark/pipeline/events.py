@@ -1733,3 +1733,130 @@ SELECT est.event_type, est.window_end::BIGINT AS window_end,
          AS rel_err
 FROM est JOIN exact USING (event_type, window_end)
 """
+
+
+# --------------------------------------------- peak concurrency
+
+def peak_concurrency(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Peak concurrent sessions per day — the load-profile question a
+    capacity planner asks of an event stream ("how many users were on
+    at the worst moment of each day?").
+
+    Classic endpoint-sweep: every session (gap-based, :func:`sessionize`)
+    emits ``+1`` at its start and ``-1`` at ``end + 1`` (active through
+    its last event, inclusive); concurrency at time t is the running sum
+    of deltas up to t, and the daily peak is the max of that step
+    function within the day.
+
+    Distributed shape — the naive sweep is a SINGLE global ordered
+    window, which serializes the corpus through one task.  Instead the
+    prefix splits two-level, the standard parallel-prefix-sum
+    decomposition:
+
+    1. deltas are NETTED per (day, t) first (a groupBy, map-side
+       combinable), which also removes every ordering-tie ambiguity —
+       a start and an end at the same millisecond cancel before any
+       running sum sees them;
+    2. the running sum within each day runs partitioned BY day (window
+       over ``(day) order by t`` — parallel across days, one day's
+       distinct-timestamp list per task);
+    3. the carry INTO each day is the running sum of per-day net totals
+       — a table with one row per day, windowed globally; date
+       cardinality (36 500 rows per century), never the corpus;
+    4. ``peak = carry + greatest(0, max(within-day running))`` — the
+       ``greatest(0, ...)`` accounts for the step function's value
+       carried in at midnight (a day whose deltas only dip keeps its
+       carried-in concurrency as the peak).
+
+    A session spanning k days contributes its +1/-1 only at its two
+    endpoint days; days it fully covers see it through the carry —
+    linear in sessions, not in session-days.  Output covers days with
+    at least one endpoint (a fully-covered silent day has constant
+    concurrency = its carry and no row; documented, oracle identical).
+    """
+    from pyspark.sql import Window
+
+    DAY = 86_400_000
+    sess = sessionize(events, gap_ms)
+    deltas = sess.select(
+        F.col("session_start").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sess.select((F.col("session_end") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    net = (
+        deltas.withColumn("day", (F.col("t") / DAY).cast("long"))
+        .groupBy("day", "t")
+        .agg(F.sum("d").alias("net"), F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("starts"))
+    )
+    w_day = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = net.withColumn("running", F.sum("net").over(w_day))
+    per_day = run.groupBy("day").agg(
+        F.max("running").alias("max_within"),
+        F.sum("net").alias("day_net"),
+        F.sum("starts").alias("n_started"),
+    )
+    w_carry = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_day.withColumn(
+            "carry", F.coalesce(F.sum("day_net").over(w_carry), F.lit(0))
+        )
+        .select(
+            F.col("day").cast("long"),
+            (F.col("carry") + F.greatest(F.lit(0), F.col("max_within")))
+            .cast("long")
+            .alias("peak_concurrent"),
+            F.col("n_started").cast("long").alias("n_sessions_started"),
+        )
+    )
+
+
+def sql_peak_concurrency(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN ts - lag(ts) OVER w > {gap_ms} THEN 1 ELSE 0 END AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, ts,
+         -- same (ts, event_id) tie-break as the flag window (the
+         -- sql_sessionize rule): equal-ts events must not renumber
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+sess AS (
+  SELECT min(ts) AS session_start, max(ts) AS session_end
+  FROM numbered GROUP BY user_id, session_seq),
+deltas AS (
+  SELECT session_start AS t, 1 AS d FROM sess
+  UNION ALL
+  SELECT session_end + 1 AS t, -1 AS d FROM sess),
+net AS (
+  SELECT t // 86400000 AS day, t, sum(d) AS net,
+         sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS starts
+  FROM deltas GROUP BY 1, 2),
+run AS (
+  SELECT day, t, net, starts,
+         sum(net) OVER (PARTITION BY day ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS running
+  FROM net),
+per_day AS (
+  SELECT day, max(running) AS max_within, sum(net) AS day_net,
+         sum(starts) AS n_started
+  FROM run GROUP BY day)
+SELECT day::BIGINT AS day,
+       (coalesce(sum(day_net) OVER (ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0)
+        + greatest(0, max_within))::BIGINT AS peak_concurrent,
+       n_started::BIGINT AS n_sessions_started
+FROM per_day
+"""

@@ -796,3 +796,171 @@ FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2
 HAVING count(*) >= {min_shared}
 """
+
+
+def audio_fingerprints_indexed(
+    binary_table: DataFrame,
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+) -> DataFrame:
+    """:func:`audio_fingerprints` keeping the ANCHOR window index: rows
+    ``(doc_id, w, fp)``, dedup per (doc_id, w, fp).  The time-aware twin
+    the alignment verifier needs — matching fingerprints only count as a
+    true match when their anchor-time DIFFERENCES agree (Wang, ISMIR
+    2003 §2.3: the scatterplot diagonal)."""
+
+    def fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "w": [], "fp": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                peaks = []
+                for w in range(n_windows):
+                    start = (w * n) // n_windows
+                    win = payload[start : start + win_len]
+                    peaks.append(max(win) if win else -1)
+                seen = set()
+                for w in range(n_windows):
+                    if peaks[w] < 0:
+                        continue
+                    for dt in range(1, fanout + 1):
+                        if w + dt >= n_windows or peaks[w + dt] < 0:
+                            continue
+                        fp = peaks[w] * 65536 + peaks[w + dt] * 16 + dt
+                        if (w, fp) not in seen:
+                            seen.add((w, fp))
+                            rows["doc_id"].append(doc_id)
+                            rows["w"].append(w)
+                            rows["fp"].append(fp)
+            yield pd.DataFrame(rows)
+
+    return binary_table.mapInPandas(fps, schema="doc_id long, w int, fp long")
+
+
+def audio_align(
+    binary_table: DataFrame,
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+    min_shared: int = FP_MIN_SHARED,
+    max_bucket: int = FP_MAX_BUCKET,
+) -> DataFrame:
+    """Offset-histogram alignment for audio match candidates — the
+    verification half of the Shazam pipeline (Wang, ISMIR 2003 §2.3):
+    two streams truly match when their shared landmarks agree on ONE
+    time offset, so for every candidate pair we histogram the anchor-
+    window difference ``w_a - w_b`` over all co-occurring fingerprints
+    and report the winning diagonal.
+
+    ``aligned_landmarks`` is the histogram mode (ties broken toward the
+    smallest offset — deterministic); a pair of genuine copies puts
+    nearly all its shared landmarks on one offset, while a coincidental
+    fingerprint collision spreads flat.  Downstream filters on
+    ``aligned_landmarks``, not ``n_shared``.
+
+    Scale shape: candidates come from :func:`audio_matches` (prefix-
+    filtered, thresholded — tiny next to the corpus); only docs that
+    appear in some candidate pair re-enter the landmark join (semi-join
+    first), so the (fp)-keyed self-join here runs on the MATCHED subset,
+    not the corpus.  The histogram is one groupBy on
+    (id_a, id_b, offset) with map-side combine; the mode is a max_by
+    struct fold, no second window.
+    """
+    pairs = audio_matches(
+        binary_table, n_windows, win_len, fanout, min_shared, max_bucket
+    )
+    fpsw = audio_fingerprints_indexed(binary_table, n_windows, win_len, fanout)
+    match_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .union(pairs.select("id_b"))
+        .distinct()
+    )
+    fpsw = fpsw.join(F.broadcast(match_docs), "doc_id")
+    a = fpsw.select(
+        F.col("fp"), F.col("doc_id").alias("id_a"), F.col("w").alias("w_a")
+    )
+    b = fpsw.select(
+        F.col("fp"), F.col("doc_id").alias("id_b"), F.col("w").alias("w_b")
+    )
+    hist = (
+        a.join(b, "fp")
+        .join(pairs, ["id_a", "id_b"])  # candidate pairs only, keeps n_shared
+        .groupBy("id_a", "id_b", "n_shared", (F.col("w_a") - F.col("w_b")).alias("offset"))
+        .agg(F.count(F.lit(1)).alias("n_at_offset"))
+    )
+    return (
+        hist.groupBy("id_a", "id_b", "n_shared")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_at_offset"), (-F.col("offset")).alias("neg_off")
+                )
+            ).alias("best")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.col("best.n_at_offset").cast("long").alias("aligned_landmarks"),
+            (-F.col("best.neg_off")).cast("long").alias("best_offset"),
+        )
+    )
+
+
+def sql_audio_align(
+    n_windows: int = FP_N_WINDOWS,
+    win_len: int = FP_WIN_LEN,
+    fanout: int = FP_FANOUT,
+    min_shared: int = FP_MIN_SHARED,
+    max_bucket: int = FP_MAX_BUCKET,
+) -> str:
+    return f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+w AS (SELECT unnest(generate_series(0, {n_windows - 1})) AS win_idx),
+peaks AS (
+  SELECT doc_id, win_idx,
+         CASE WHEN least({win_len}, n - (win_idx * n) // {n_windows}) = 0
+              THEN -1
+              ELSE list_max(list_transform(
+                generate_series(1, least({win_len},
+                                         n - (win_idx * n) // {n_windows})),
+                i -> ('0x' || substr(h,
+                       2 * ((win_idx * n) // {n_windows} + i - 1) + 1,
+                       2))::BIGINT))
+         END AS peak
+  FROM hx, w),
+fpsw AS (
+  SELECT DISTINCT a.doc_id, a.win_idx AS w,
+         a.peak * 65536 + b.peak * 16 + (b.win_idx - a.win_idx) AS fp
+  FROM peaks a
+  JOIN peaks b
+    ON a.doc_id = b.doc_id
+   AND b.win_idx BETWEEN a.win_idx + 1 AND a.win_idx + {fanout}
+  WHERE a.peak >= 0 AND b.peak >= 0),
+fps AS (SELECT DISTINCT doc_id, fp FROM fpsw),
+keep AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {max_bucket}),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_shared}),
+hist AS (
+  SELECT p.id_a, p.id_b, p.n_shared, a.w - b.w AS offs,
+         count(*) AS n_at_offset
+  FROM pairs p
+  JOIN fpsw a ON a.doc_id = p.id_a
+  JOIN fpsw b ON b.doc_id = p.id_b AND b.fp = a.fp
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_shared,
+       n_at_offset::BIGINT AS aligned_landmarks,
+       offs::BIGINT AS best_offset
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+                                   ORDER BY n_at_offset DESC, offs ASC) AS rn
+      FROM hist)
+WHERE rn = 1
+"""

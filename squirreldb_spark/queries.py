@@ -923,6 +923,16 @@ def q_mm_audio_matches(spark, sf_dir):
     return pmm.audio_matches(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
+def q_mm_audio_align(spark, sf_dir):
+    """Offset-histogram alignment of audio match candidates (the Wang
+    ISMIR'03 verification step): shared landmarks of each candidate pair
+    vote on an anchor-time offset; `aligned_landmarks` is the winning
+    diagonal's size — genuine copies concentrate on one offset,
+    coincidental collisions spread flat (pipeline/multimodal.py
+    audio_align)."""
+    return pmm.audio_align(pmm.as_binary_table(_docs(spark, sf_dir)))
+
+
 # ----------------------------------------------- long-tail PromQL functions
 
 from squirreldb_spark.tsdb import functions as fns  # noqa: E402
@@ -2369,6 +2379,15 @@ def q_ev_sessionize(spark, sf_dir):
     return pevents.sessionize(_events(spark, sf_dir))
 
 
+def q_ev_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day via the parallel endpoint sweep:
+    session +1/-1 deltas netted per (day, ms), running sum partitioned
+    BY day, cross-day carry from the one-row-per-day net table — no
+    global ordered window ever sees the corpus (pipeline/events.py
+    peak_concurrency)."""
+    return pevents.peak_concurrency(_events(spark, sf_dir))
+
+
 def q_ev_funnel(spark, sf_dir):
     """Ordered first-touch funnel view -> click -> purchase
     (pipeline/events.py funnel)."""
@@ -3268,6 +3287,7 @@ _ALL_QUERIES: dict[str, QueryDef] = {
     "mm_sample_frames": QueryDef(q_mm_frames, pmm.sql_sample_frames()),
     "mm_audio_windows": QueryDef(q_mm_audio, pmm.sql_sample_audio_windows()),
     "mm_audio_matches": QueryDef(q_mm_audio_matches, pmm.sql_audio_matches()),
+    "mm_audio_align": QueryDef(q_mm_audio_align, pmm.sql_audio_align()),
     # long-tail PromQL functions + mutable labels + export
     "ts_histogram_quantile": QueryDef(q_histogram_quantile, SQL_HISTOGRAM_QUANTILE),
     "ts_deriv": QueryDef(q_deriv, _neg0(_linreg_sql(None))),
@@ -3439,6 +3459,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_dup_spans": QueryDef(q_doc_dup_spans, pdedup.sql_duplicate_spans()),
     # gap-based sessionization of the event stream
     "ev_sessionize": QueryDef(q_ev_sessionize, pevents.sql_sessionize()),
+    "ev_peak_concurrency": QueryDef(
+        q_ev_peak_concurrency, pevents.sql_peak_concurrency()
+    ),
     # ordered first-touch funnel
     "ev_funnel": QueryDef(q_ev_funnel, pevents.sql_funnel()),
     # weekly retention cohorts

@@ -1593,3 +1593,25 @@ def test_readme_catalog_count_matches():
     assert int(m.group(1)) == len(CATALOG), (
         f"README says {m.group(1)} queries, CATALOG has {len(CATALOG)}"
     )
+
+
+def test_audio_align_copies_concentrate_on_one_offset(spark):
+    """Wang ISMIR'03 verification: a genuine copy puts (nearly) all its
+    shared landmarks on ONE anchor-time offset; identical payloads align
+    at offset 0 with every shared landmark on the diagonal."""
+    base = bytes((i * 53 + 7) % 251 for i in range(256))
+    corrupt = bytearray(base)
+    for i in range(32, 48):
+        corrupt[i] = 0
+    df = spark.createDataFrame(
+        [(1, base), (2, bytes(corrupt)), (3, base)],
+        "doc_id long, payload binary",
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in multimodal.audio_align(df, min_shared=1).collect()}
+    exact = out[(1, 3)]
+    assert exact.best_offset == 0
+    assert exact.aligned_landmarks == exact.n_shared  # all on the diagonal
+    near = out[(1, 2)]
+    assert near.best_offset == 0
+    assert near.aligned_landmarks >= 30   # corruption only trims the mode
