@@ -1455,3 +1455,181 @@ SELECT doc_id, count(*)::BIGINT AS n_probes,
        (sum(hit::INT) - sum(in_corpus::INT))::BIGINT AS false_pos
 FROM scored GROUP BY 1
 """
+
+
+# --------------------------------------------- cross-source overlap
+
+def source_overlap(
+    docs: DataFrame, n: int = 3, text_col: str = "text", key_col: str = "source"
+) -> DataFrame:
+    """Exact pairwise shingle overlap between sources: for every source
+    pair, the distinct word ``n``-gram intersection and Jaccard — the
+    corpus-composition question ("how much of source A is already in
+    source B?") a mixture designer asks before weighting sources.
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    first (one shuffle, map-side combinable), so the shingle-keyed
+    self-join that follows has bucket sizes bounded by the number of
+    SOURCES (tens), never by shingle popularity — no hot-bucket cap
+    needed, unlike document-level LSH.  Set sizes are a tiny per-source
+    table; every pair appears in the output (disjoint pairs carry
+    intersection 0 via the cross join of the size table — the
+    hll_setops completeness rule).
+    """
+    sh = (
+        docs.select(
+            F.col(key_col).alias("src"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("src").alias("source_a"), "sh")
+        .join(sh.select(F.col("src").alias("source_b"), "sh"), "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = (
+        sizes.select(F.col("src").alias("source_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("src").alias("source_b"), F.col("n_sh").alias("n_b"))
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_a").cast("long"),
+            F.col("n_b").cast("long"),
+            F.coalesce("n_inter", F.lit(0)).cast("long").alias("n_inter"),
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_source_overlap(n: int = 3) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source AS src,
+         array_to_string(t[i:i+{n - 1}], ' ') AS sh
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)),
+sizes AS (SELECT src, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.src < b.src
+  GROUP BY 1, 2)
+SELECT sa.src AS source_a, sb.src AS source_b,
+       sa.n_sh::BIGINT AS n_a, sb.n_sh::BIGINT AS n_b,
+       coalesce(i.n_inter, 0)::BIGINT AS n_inter,
+       round(coalesce(i.n_inter, 0)
+             / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.src < sb.src
+LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
+"""
+
+
+MINHASH_SRC_K = 64
+_P60 = 1 << 60
+
+
+def source_minhash_sim(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = MINHASH_SRC_K,
+    text_col: str = "text",
+    key_col: str = "source",
+) -> DataFrame:
+    """Sketch twin of :func:`source_overlap`: per-source MinHash
+    signatures (``k`` permutations) and the pairwise agreement fraction
+    as the Jaccard estimate — the mergeable fixed-size version that
+    serves the same corpus-composition report from O(sources * k) state
+    instead of the full distinct-shingle tables.
+
+    Permutations come from TWO base hashes by double hashing
+    (Kirsch & Mitzenmacher 2006, "Less hashing, same performance"):
+    ``m_i = (h1 + i * h2) mod 2^60`` — so each shingle is md5-hashed
+    twice, not ``k`` times, and each signature component is one wrapped
+    multiply-add folded into a map-side-combinable ``min`` aggregate
+    (k agg columns, zero extra rows — the shingle stream is never
+    exploded by permutation).  2^60 keeps every value positive so the
+    component-wise ``min`` agrees between Spark's signed BIGINT and the
+    oracle's HUGEINT arithmetic.
+
+    Production output is sketch-only (signatures -> agreement); the
+    expected estimator error is ~1/sqrt(k) ≈ 0.125 at k=64.  The DuckDB
+    oracle replays the identical permutations bit-for-bit, so this is
+    hash-exact like every other sketch entry, and the exact Jaccard for
+    error auditing lives in :func:`source_overlap` (its own catalog
+    row).
+    """
+    h1 = _h60_sql_expr("sh")
+    h2 = f"({_h60_sql_expr(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
+    sh = (
+        docs.select(
+            F.col(key_col).alias("src"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+        )
+        .distinct()
+        .select("src", F.expr(h1).alias("h1"), F.expr(h2).alias("h2"))
+    )
+    sig = sh.groupBy("src").agg(
+        *[
+            F.min(F.expr(f"pmod(h1 + {i}L * h2, {_P60}L)")).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    sig = sig.select("src", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+    a = sig.select(F.col("src").alias("source_a"), F.col("sig").alias("sig_a"))
+    b = sig.select(F.col("src").alias("source_b"), F.col("sig").alias("sig_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .withColumn("est_jaccard", F.round(F.col("n_agree") / k, 6))
+    )
+
+
+def sql_source_minhash_sim(n: int = 3, k: int = MINHASH_SRC_K) -> str:
+    h1 = _h60_duck("sh")
+    h2 = f"({_h60_duck(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
+    mins = ",\n         ".join(
+        f"min(((h1::HUGEINT + {i}::HUGEINT * h2::HUGEINT) % {_P60}::HUGEINT)::BIGINT)"
+        f" AS m{i}"
+        for i in range(k)
+    )
+    agree = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT source AS src,
+         array_to_string(t[i:i+{n - 1}], ' ') AS sh
+  FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)),
+hashed AS (SELECT src, {h1} AS h1, {h2} AS h2 FROM sh),
+sig AS (SELECT src, {mins}
+        FROM hashed GROUP BY src)
+SELECT a.src AS source_a, b.src AS source_b,
+       ({agree})::BIGINT AS n_agree,
+       round(({agree}) / {k}.0, 6) AS est_jaccard
+FROM sig a JOIN sig b ON a.src < b.src
+"""

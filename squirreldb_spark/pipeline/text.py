@@ -2421,3 +2421,82 @@ SELECT doc_id,
             THEN 'val' ELSE 'test' END AS split
 FROM cs_sf
 """
+
+
+def token_pmi(
+    docs: DataFrame, text_col: str = "text", min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Top-``k`` collocations by pointwise mutual information:
+    ``pmi(a,b) = ln( P(a,b) / (P(a) P(b)) )`` with ``P(a,b)`` over
+    bigram positions and ``P(a)``/``P(b)`` over token positions — the
+    classic Church & Hanks (1990) association score a corpus report uses
+    to surface multiword expressions ("new york") that unigram
+    frequency tables hide.  ``min_count`` floors the bigram count (PMI
+    is notoriously noisy on hapax pairs); ties after 6-dp rounding break
+    on (w1, w2) so the top-k set is engine-deterministic.
+
+    Scale shape: bigram extraction is the same zero-shuffle
+    zip-with-tail as :func:`bigram_logprob`; then two count
+    aggregations (bigram, unigram — both map-side combinable), the
+    corpus totals as 1-row broadcast cross-joins, a vocabulary-sized
+    join of the bigram table to the unigram table on each endpoint, and
+    a TakeOrdered top-k.  No corpus self-join, no window over the
+    vocabulary.
+    """
+    pairs = F.expr(
+        f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+        f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+        " (a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    bg = docs.select(F.explode(pairs).alias("bg")).select("bg.w1", "bg.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    cu = (
+        docs.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    nb = cb.agg(F.sum("n_pair").alias("_nb"))
+    nu = cu.agg(F.sum("n_tok").alias("_nu"))
+    return (
+        cb.filter(F.col("n_pair") >= min_count)
+        .join(cu.select(F.col("w").alias("w1"), F.col("n_tok").alias("c_a")), "w1")
+        .join(cu.select(F.col("w").alias("w2"), F.col("n_tok").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("_nb"))
+                    / ((F.col("c_a") / F.col("_nu")) * (F.col("c_b") / F.col("_nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def sql_token_pmi(min_count: int = 5, k: int = 100) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+cb AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2),
+tok AS (SELECT unnest(toks) AS w FROM t),
+cu AS (SELECT w, count(*) AS n_tok FROM tok GROUP BY 1),
+nb AS (SELECT sum(n_pair) AS _nb FROM cb),
+nu AS (SELECT sum(n_tok) AS _nu FROM cu)
+SELECT w1, w2, n_pair::BIGINT AS n_pair,
+       round(ln((n_pair / _nb) /
+                ((a.n_tok / _nu) * (b.n_tok / _nu))), 6) AS pmi
+FROM cb
+JOIN cu a ON a.w = cb.w1
+JOIN cu b ON b.w = cb.w2, nb, nu
+WHERE n_pair >= {min_count}
+ORDER BY pmi DESC, w1, w2
+LIMIT {k}
+"""

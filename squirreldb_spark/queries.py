@@ -2713,6 +2713,13 @@ def q_doc_bigram_logprob(spark, sf_dir):
     return ptext.bigram_logprob(_docs(spark, sf_dir))
 
 
+def q_doc_token_pmi(spark, sf_dir):
+    """Top-100 collocations by PMI (Church & Hanks 1990) with a
+    5-occurrence bigram floor — surfaces the multiword expressions the
+    unigram top-terms report hides (pipeline/text.py token_pmi)."""
+    return ptext.token_pmi(_docs(spark, sf_dir))
+
+
 def q_doc_zipf_stats(spark, sf_dir):
     """Corpus Zipf fit over the top-500 terms: ln(freq) ~ ln(rank)
     slope/intercept/R² — the frequency-profile sanity check for a
@@ -2959,6 +2966,22 @@ def q_ev_session_paths(spark, sf_dir):
     """Top-20 most common ordered session paths (view>click>... strings)
     — exploratory funnel discovery (pipeline/events.py session_paths)."""
     return pevents.session_paths(_events(spark, sf_dir))
+
+
+def q_doc_source_overlap(spark, sf_dir):
+    """Exact pairwise shingle Jaccard between sources — the corpus-
+    composition matrix a mixture designer reads before weighting
+    sources; bucket sizes bounded by source count, never shingle
+    popularity (pipeline/dedup.py source_overlap)."""
+    return pdedup.source_overlap(_docs(spark, sf_dir))
+
+
+def q_doc_source_minhash_sim(spark, sf_dir):
+    """Sketch twin of doc_source_overlap: per-source 64-permutation
+    MinHash signatures (double hashing, Kirsch-Mitzenmacher) and the
+    agreement-fraction Jaccard estimate from O(sources x 64) mergeable
+    state (pipeline/dedup.py source_minhash_sim)."""
+    return pdedup.source_minhash_sim(_docs(spark, sf_dir))
 
 
 def q_doc_containment(spark, sf_dir):
@@ -3496,6 +3519,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_bigram_logprob": QueryDef(
         q_doc_bigram_logprob, ptext.sql_bigram_logprob()
     ),
+    # top collocations by PMI (min-count floored, rank on rounded score)
+    "doc_token_pmi": QueryDef(q_doc_token_pmi, ptext.sql_token_pmi()),
     # corpus Zipf slope/intercept/R² over the top terms
     "doc_zipf_stats": QueryDef(q_doc_zipf_stats, ptext.sql_zipf_stats()),
     # winnowing (MOSS) fingerprint selection
@@ -3585,6 +3610,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
         q_ev_session_paths, pevents.sql_session_paths()
     ),
     # asymmetric n-gram containment on LSH candidates
+    "doc_source_overlap": QueryDef(
+        q_doc_source_overlap, pdedup.sql_source_overlap()
+    ),
+    "doc_source_minhash_sim": QueryDef(
+        q_doc_source_minhash_sim, pdedup.sql_source_minhash_sim()
+    ),
     "doc_containment": QueryDef(
         q_doc_containment, pdedup.sql_ngram_containment()
     ),
