@@ -109,6 +109,13 @@ SECONDARY_QUERIES = [
     "doc_cluster_split",
     "emb_threshold_sweep",
     "ev_hll_sliding",
+    # round-8 additions (VERDICT r8 #4: an operator outside the bench
+    # has no perf history when it regresses)
+    "ev_peak_concurrency",
+    "mm_audio_align",
+    "doc_token_pmi",
+    "doc_source_overlap",
+    "doc_source_minhash_sim",
 ]
 
 

@@ -1467,20 +1467,27 @@ def source_overlap(
     corpus-composition question ("how much of source A is already in
     source B?") a mixture designer asks before weighting sources.
 
-    Scale shape: the corpus collapses to DISTINCT (source, shingle)
-    first (one shuffle, map-side combinable), so the shingle-keyed
-    self-join that follows has bucket sizes bounded by the number of
-    SOURCES (tens), never by shingle popularity — no hot-bucket cap
-    needed, unlike document-level LSH.  Set sizes are a tiny per-source
-    table; every pair appears in the output (disjoint pairs carry
-    intersection 0 via the cross join of the size table — the
-    hll_setops completeness rule).
+    Scale shape: every shingle folds to ``xxhash64`` IN THE SCAN, so
+    the two wide exchanges (the DISTINCT collapse and the self-join)
+    carry an 8-byte key plus the short source label — never raw shingle
+    text (the repo's canonical_dedup / segment-dedup rule; plan-tested).
+    The corpus collapses to DISTINCT (source, shingle-hash) first (one
+    shuffle, map-side combinable), so the hash-keyed self-join that
+    follows has bucket sizes bounded by the number of SOURCES (tens),
+    never by shingle popularity — no hot-bucket cap needed, unlike
+    document-level LSH.  Set sizes are a tiny per-source table; every
+    pair appears in the output (disjoint pairs carry intersection 0 via
+    the cross join of the size table — the hll_setops completeness
+    rule).  The DuckDB oracle replays XXH64 bit-for-bit via the
+    checked-in SQL transcription (pipeline/duck_xxh64.py), so counts
+    match exactly even in the (2^-64-improbable) collision case.
     """
     sh = (
         docs.select(
             F.col(key_col).alias("src"),
-            F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("shs"),
         )
+        .select("src", F.xxhash64("shs").alias("sh"))
         .distinct()
     )
     sizes = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -1516,12 +1523,16 @@ def source_overlap(
 
 
 def sql_source_overlap(n: int = 3) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_ctes
+
+    shash = xxh64_ctes("shs", "shs", "so_", ["src"])
     return f"""
-WITH sh AS (
+WITH shs AS (
   SELECT DISTINCT source AS src,
-         array_to_string(t[i:i+{n - 1}], ' ') AS sh
+         array_to_string(t[i:i+{n - 1}], ' ') AS shs
   FROM (SELECT source, string_split(text, ' ') AS t FROM documents),
-       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)),{shash},
+sh AS (SELECT DISTINCT src, so_h AS sh FROM so_sf),
 sizes AS (SELECT src, count(*) AS n_sh FROM sh GROUP BY 1),
 inter AS (
   SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_inter
@@ -1539,7 +1550,19 @@ LEFT JOIN inter i ON i.source_a = sa.src AND i.source_b = sb.src
 
 
 MINHASH_SRC_K = 64
-_P60 = 1 << 60
+# 52-bit base hashes so the double-hash multiply-add stays inside BIGINT
+# under ANSI mode: h1 + 63*h2 < 64 * 2^52 = 2^58 << 2^63.  (A 60-bit base
+# overflows at i >= 8: 8 * 2^60 = 2^63.)
+_P52 = 1 << 52
+
+
+def _h52_sql_expr(expr: str) -> str:
+    """52-bit hash (Spark SQL side): first 13 md5 hex chars as BIGINT."""
+    return f"cast(conv(substring(md5(cast(({expr}) as binary)), 1, 13), 16, 10) as bigint)"
+
+
+def _h52_duck(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 13))::BIGINT"
 
 
 def source_minhash_sim(
@@ -1557,13 +1580,15 @@ def source_minhash_sim(
 
     Permutations come from TWO base hashes by double hashing
     (Kirsch & Mitzenmacher 2006, "Less hashing, same performance"):
-    ``m_i = (h1 + i * h2) mod 2^60`` — so each shingle is md5-hashed
+    ``m_i = (h1 + i * h2) mod 2^52`` — so each shingle is md5-hashed
     twice, not ``k`` times, and each signature component is one wrapped
     multiply-add folded into a map-side-combinable ``min`` aggregate
     (k agg columns, zero extra rows — the shingle stream is never
-    exploded by permutation).  2^60 keeps every value positive so the
-    component-wise ``min`` agrees between Spark's signed BIGINT and the
-    oracle's HUGEINT arithmetic.
+    exploded by permutation).  Base hashes are 52-bit (13 md5 hex
+    chars) so the intermediate ``h1 + i*h2`` peaks below 2^58 for
+    ``i < 64`` — no BIGINT overflow under Spark 4's default ANSI mode,
+    and the oracle can run the identical arithmetic in plain BIGINT
+    (no HUGEINT), making the wrap semantics trivially shared.
 
     Production output is sketch-only (signatures -> agreement); the
     expected estimator error is ~1/sqrt(k) ≈ 0.125 at k=64.  The DuckDB
@@ -1572,8 +1597,8 @@ def source_minhash_sim(
     error auditing lives in :func:`source_overlap` (its own catalog
     row).
     """
-    h1 = _h60_sql_expr("sh")
-    h2 = f"({_h60_sql_expr(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
+    h1 = _h52_sql_expr("sh")
+    h2 = f"({_h52_sql_expr(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
     sh = (
         docs.select(
             F.col(key_col).alias("src"),
@@ -1584,7 +1609,7 @@ def source_minhash_sim(
     )
     sig = sh.groupBy("src").agg(
         *[
-            F.min(F.expr(f"pmod(h1 + {i}L * h2, {_P60}L)")).alias(f"m{i}")
+            F.min(F.expr(f"pmod(h1 + {i}L * h2, {_P52}L)")).alias(f"m{i}")
             for i in range(k)
         ]
     )
@@ -1611,12 +1636,10 @@ def source_minhash_sim(
 
 
 def sql_source_minhash_sim(n: int = 3, k: int = MINHASH_SRC_K) -> str:
-    h1 = _h60_duck("sh")
-    h2 = f"({_h60_duck(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
+    h1 = _h52_duck("sh")
+    h2 = f"({_h52_duck(chr(39) + 'mh:' + chr(39) + ' || sh')} | 1)"
     mins = ",\n         ".join(
-        f"min(((h1::HUGEINT + {i}::HUGEINT * h2::HUGEINT) % {_P60}::HUGEINT)::BIGINT)"
-        f" AS m{i}"
-        for i in range(k)
+        f"min((h1 + {i} * h2) % {_P52})" f" AS m{i}" for i in range(k)
     )
     agree = " + ".join(f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(k))
     return f"""

@@ -1786,7 +1786,10 @@ def peak_concurrency(
         sess.select((F.col("session_end") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     net = (
-        deltas.withColumn("day", (F.col("t") / DAY).cast("long"))
+        # floor division, NOT double-divide-then-truncate: the oracle's
+        # `t // DAY` floors, while cast(double) truncates toward zero —
+        # the two diverge for pre-1970 timestamps.
+        deltas.withColumn("day", F.floor(F.col("t") / F.lit(DAY)).cast("long"))
         .groupBy("day", "t")
         .agg(F.sum("d").alias("net"), F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("starts"))
     )
@@ -1840,7 +1843,10 @@ deltas AS (
   UNION ALL
   SELECT session_end + 1 AS t, -1 AS d FROM sess),
 net AS (
-  SELECT t // 86400000 AS day, t, sum(d) AS net,
+  -- explicit floor (DuckDB's // truncates toward zero; Spark's twin is
+  -- F.floor(t / DAY) — both sides now floor the float64 quotient, so
+  -- pre-1970 endpoints land on the same day in both engines)
+  SELECT CAST(floor(t / 86400000) AS BIGINT) AS day, t, sum(d) AS net,
          sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS starts
   FROM deltas GROUP BY 1, 2),
 run AS (

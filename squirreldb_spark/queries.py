@@ -3695,80 +3695,87 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 
 
 # The driver's correctness gate checks the FIRST 50 catalog entries in
-# insertion order.  Round-7 rotation policy (VERDICT r6 "Next round" #2):
-# the cross-round union is 188/188 green and nothing predates round 3,
-# so this window retires the ENTIRE r3 attestation tail (38 rows) in one
-# pass: (0) the seven r3-era rows whose KERNELS were rewritten after r3
-# (ts_topk predates the r4 two-phase top-k rewrite; the agg/set/range
-# family predates later kernel touches) — the hard signal lags the code
-# most there; then (1) the 16 r3-era TPC-H rows; then (2) the remaining
-# r3-era doc/emb/mm rows; then (3) operators whose kernels CHANGED or
-# are NEW this round (standing ratchet rule, VERDICT r5 #7 / r6 #6:
-# binary_hamming_knn was restructured round 7 — floats no longer cross
-# the phase-1 exchange — so its row re-queues even though it was green
-# in r6).  After this round no attestation predates round 4.
+# insertion order.
+#
+# STANDING RATCHET RULE (VERDICT r5 #7 / r6 #6 / r8 #7 — the stated
+# mechanics): every sweep that touches a kernel must, IN THE SAME
+# COMMIT, move the touched catalog rows to the front of this list; a
+# row's driver attestation must never be older than its kernel.  Window
+# priority order: (0) never-attested entries, (1) rows whose kernels
+# changed after their newest green driver row, (2) backfill with the
+# oldest remaining attestations.
+#
+# Round-9 window (VERDICT r8 #2 — the r8 window did not rotate, so the
+# never-attested backlog grew to 8): (0) all 8 never-attested entries —
+# the five round-8 operators (source_minhash_sim after its ANSI-overflow
+# fix, source_overlap after its xxhash64-keyed rework, peak_concurrency
+# after its floor-division fix — all three kernels changed THIS round)
+# plus the r7 leftovers; (1) the 12 kernel-stale rows (r8 kernels on
+# r4/r6 attestations: chunk_sliding, bloom_membership, decontaminate,
+# both segment dedups; r7 kernels: winnowing, dup_spans, containment,
+# novelty, split_leakage, minhash_signatures, cdc_chunks); (2) 30 of the
+# 46 remaining r4-era rows, judge-named first (promql_sort,
+# ts_mutable_labels, limitk family, resets/changes).  The 16 r4 rows
+# that don't fit (ev_props_stats, doc_bigram_logprob, doc_zipf_stats,
+# ev_hopping_counts, emb_pq_codes, mm_video_neardup, emb_ann_recall,
+# ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
+# api_series, api_label_values, doc_sample_budget_sharded,
+# doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) lead
+# round 10's backfill.
 _VERIFY_FIRST: list[str] = [
-    # --- (0) r3-era rows whose kernels changed after r3 ---
-    "ts_topk",
-    "ts_agg_sum_by",
-    "ts_count_values",
-    "ts_set_and",
-    "ts_delta",
-    "ts_irate",
-    "ts_preagg_route_avg",
-    # --- (0 cont.) rest of the r3-era TSDB family ---
-    "ts_avg_over_time",
-    "ts_binop_ratio",
-    "ts_dedup_points",
-    # --- (1) r3-era TPC-H rows ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_shipments",
-    "tpch_q13_order_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_excess_shippers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    # --- (2) remaining r3-era doc/emb/mm rows ---
-    "doc_dedup_clusters",
-    "doc_dedup_keep_list",
-    "doc_dup_ngrams",
-    "doc_hybrid_neardup",
-    "doc_quality_filter",
-    "doc_repetition",
-    "doc_source_stats",
-    "doc_top_terms",
-    "doc_unigram_logprob",
-    "emb_semantic_dedup",
-    "mm_audio_windows",
-    # --- (3) kernels changed or new in round 7 (ratchet rule) ---
-    "emb_binary_hamming",
-    "doc_cdc_chunks_fast",
-    "ev_hll_rollup",
-    "ev_sample_quantiles",
-    "doc_domain_cap",
-    "ev_hll_setops",
-    "doc_canonical_dedup",
-    "ev_decayed_counts",
-    "doc_vocab_coverage",
-    "doc_bm25_topk",
-    "mm_audio_matches",
-    # --- (4) slot 50: ratchet re-queue — the shared shingles() kernel
-    # was let-bound round 7 (value-identical, but the hard signal should
-    # follow the code); the bench-headline consumer gets the slot.  The
-    # rest of the shingle family (signatures, ngram_jaccard, winnowing,
-    # dup_spans, split_leakage) was spot-checked against the driver
-    # contract at sf0.01 this round and keeps its r4-r6 attestations.
-    "doc_minhash_lsh_pairs",
+    # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
+    "doc_source_minhash_sim",
+    "doc_source_overlap",
+    "ev_peak_concurrency",
+    "mm_audio_align",
+    "doc_token_pmi",
+    "ev_hll_sliding",
+    "doc_cluster_split",
+    "emb_threshold_sweep",
+    # --- (1) kernel-changed after their newest attestation ---
+    "doc_chunk_sliding",
+    "doc_bloom_membership",
+    "doc_decontaminate",
+    "doc_segment_dedup",
+    "doc_segment_dedup_hashkey",
+    "doc_winnowing",
+    "doc_dup_spans",
+    "doc_containment",
+    "doc_novelty",
+    "doc_split_leakage",
+    "doc_minhash_signatures",
+    "doc_cdc_chunks",
+    # --- (2) oldest-attestation backfill: r4-era rows, judge-named first ---
+    "promql_sort",
+    "ts_mutable_labels",
+    "ts_limitk",
+    "ts_limit_ratio",
+    "ts_resets",
+    "ts_changes",
+    "ts_sum_over_time",
+    "ts_min_over_time",
+    "ts_max_over_time",
+    "ts_present_over_time",
+    "ts_stdvar_over_time",
+    "ts_count_over_time",
+    "ts_last_over_time",
+    "ts_stddev_over_time",
+    "ts_idelta",
+    "ts_agg_stddev_by",
+    "ts_binop_gt_filter",
+    "ts_set_unless",
+    "ts_set_or",
+    "emb_ann_ivf",
+    "emb_ivf_centroids",
+    "doc_sample_budget",
+    "doc_mix_weights",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "ev_sessionize",
+    "ev_funnel",
+    "ev_retention_cohorts",
+    "ev_asof_join",
+    "mm_frame_dedup",
 ]
 
 

@@ -875,3 +875,17 @@ def test_no_catalog_lambda_reevaluates_scan_width_expr(spark, sf_dir):
     assert not bad, "O(len) expr on raw column inside HOF lambda:\n" + "\n".join(
         f"  {n}: {hit}  ...  {ctx}" for n, hit, ctx in bad
     )
+
+
+def test_source_overlap_shingle_text_never_shuffles(spark, sf_dir):
+    """Round-8 weak item: the DISTINCT collapse and the self-join used
+    raw shingle STRINGS as their shuffle key.  The key is now
+    xxhash64(shingle), folded in the scan — the only string any shuffle
+    may carry is the short source label."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    for cols in shuffle_exchange_outputs(pdedup.source_overlap(docs)):
+        bad = [c for c, t in cols
+               if t == "string" and c not in ("src", "source_a", "source_b")]
+        assert not bad, (bad, cols)
