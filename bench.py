@@ -116,6 +116,13 @@ SECONDARY_QUERIES = [
     "doc_token_pmi",
     "doc_source_overlap",
     "doc_source_minhash_sim",
+    # round-9 additions
+    "doc_simhash_neardup",
+    "doc_simhash_accuracy",
+    "ev_bot_cadence",
+    "ev_key_skew",
+    "doc_ccnet_buckets",
+    "emb_ivf_cell_balance",
 ]
 
 

@@ -393,6 +393,131 @@ FROM per_bit GROUP BY doc_id
 """
 
 
+#: Manku block-pigeonhole config: 60 bits split into 4 contiguous
+#: 15-bit blocks detects every pair within Hamming distance 3 (3
+#: differing bits touch at most 3 blocks, so >= 1 block matches
+#: exactly) — the WWW'07 web-crawl dedup parameterization scaled from
+#: 64 to this repo's 60-bit fingerprints.
+SIMHASH_NEARDUP_BLOCKS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_NEARDUP_BLOCKS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate pairs by block pigeonhole (Manku, Jain &
+    Sarma, WWW'07 "Detecting Near-Duplicates for Web Crawling"): any
+    pair within Hamming distance ``max_hamming`` (< ``blocks``) must
+    agree EXACTLY on at least one of the ``blocks`` contiguous bit
+    blocks, so candidates come from ``blocks`` equi-joins on
+    (block_id, block_value) and the exact Hamming distance —
+    ``bit_count(xor)`` on two longs — verifies behind the filter.
+    Complements MinHash/LSH (set overlap) with the bag-of-words cosine
+    family at one long per document of index state.
+
+    Output ``(id_a, id_b, hamming, n_shared_blocks)``, ``id_a < id_b``.
+
+    Scale shape: the only wide exchange carries (id, simhash, block_id,
+    block_val) longs — ~32 B/row, fingerprint-only, never text; the
+    hot-bucket cap counts bucket sizes with a window over the join's
+    OWN shuffle key (the lsh_candidate_pairs pattern — one exchange,
+    reused by the self-join) and drops degenerate buckets (all-same
+    boilerplate blocks) before any pair is enumerated, keeping the
+    self-join's fan-out Σ bucket² bounded. The verify step is a pure
+    row expression on the joined longs — no join-back to the corpus.
+    """
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sim = simhash(docs, text_col, id_col, bits)
+    melted = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("block_id"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("block_val"),
+                )
+                for b in range(blocks)
+            ])
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("block_id", "block_val")
+        melted = (
+            melted.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket)
+            .drop("_bucket_n")
+        )
+    a = melted.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"),
+        "block_id", "block_val",
+    )
+    b = melted.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"),
+        "block_id", "block_val",
+    )
+    pairs = (
+        a.join(b, on=["block_id", "block_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sim_a", "sim_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_blocks"))
+    )
+    return (
+        pairs.withColumn(
+            "hamming",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            "id_a", "id_b", "hamming",
+            F.col("n_shared_blocks").cast("long").alias("n_shared_blocks"),
+        )
+    )
+
+
+def sql_simhash_neardup_pairs(
+    bits: int = SIMHASH_BITS,
+    blocks: int = SIMHASH_NEARDUP_BLOCKS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    width = bits // blocks
+    return f"""
+WITH sim AS ({sql_simhash(bits)}),
+melted AS (
+  SELECT doc_id, simhash, b AS block_id,
+         (simhash >> (b * {width})) & {(1 << width) - 1} AS block_val
+  FROM sim, unnest(generate_series(0, {blocks - 1})) AS g(b)),
+capped AS (
+  SELECT doc_id, simhash, block_id, block_val FROM (
+    SELECT *, count(*) OVER (PARTITION BY block_id, block_val) AS n
+    FROM melted) WHERE n <= {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.simhash AS sim_a, b.simhash AS sim_b,
+         count(*) AS n_shared_blocks
+  FROM capped a JOIN capped b
+    ON a.block_id = b.block_id AND a.block_val = b.block_val
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b,
+       bit_count(xor(sim_a, sim_b))::BIGINT AS hamming,
+       n_shared_blocks::BIGINT AS n_shared_blocks
+FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= {max_hamming}
+"""
+
+
 # --------------------------------------------------- duplicate clustering
 
 #: edge-count gate below which components finish on the driver: 2M edges
@@ -964,6 +1089,52 @@ SELECT e.id_a, e.id_b, e.est_jaccard,
 FROM est e
 JOIN shl sa ON sa.doc_id = e.id_a
 JOIN shl sb ON sb.doc_id = e.id_b
+"""
+
+
+def simhash_accuracy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimator self-evaluation for the SimHash pigeonhole family
+    (the minhash_accuracy convention): for every near-dup candidate
+    pair, the Hamming distance against the EXACT n-gram Jaccard — the
+    calibration a dedup deployment reads before trusting a Hamming
+    threshold as a similarity cut (SimHash approximates COSINE over
+    the token bag, so Jaccard quantifies what the block filter's
+    candidates actually share).
+
+    Scale shape: the expensive part is the catalog's candidate plan;
+    the exact Jaccard runs only on the candidate PAIR list (join-back
+    of two text columns + in-row array HOFs) — never an all-pairs
+    scan.
+    """
+    pairs = simhash_neardup_pairs(docs, text_col, id_col)
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    return ngram_jaccard_pairs(joined, n=shingle_n).select(
+        "id_a", "id_b", "hamming", "jaccard"
+    )
+
+
+def sql_simhash_accuracy(shingle_n: int = 3) -> str:
+    return f"""
+WITH cand AS ({sql_simhash_neardup_pairs()}),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2)
+SELECT c.id_a, c.id_b, c.hamming,
+       round(len(list_intersect(sa.s, sb.s))
+             / len(list_distinct(sa.s || sb.s))::DOUBLE, 6) AS jaccard
+FROM cand c
+JOIN shl sa ON sa.doc_id = c.id_a
+JOIN shl sb ON sb.doc_id = c.id_b
 """
 
 

@@ -1786,3 +1786,75 @@ docs AS (
 SELECT threshold, n_pairs, n_docs_affected
 FROM per JOIN docs USING (threshold)
 """
+
+
+# -------------------------------------------- IVF cell-balance report
+
+def ivf_cell_balance(
+    emb: DataFrame,
+    n_cells: int = 8,
+    cent_base: int = 100,
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF cell-occupancy balance: vectors per cell with corpus share
+    and over-uniform factor — the partition-skew diagnostic of the ANN
+    index itself (the ev_key_skew question asked of the coarse
+    quantizer): a cell at 10x uniform makes every probe that touches it
+    scan 10x the expected candidates, so this report decides whether to
+    retrain with more cells or split hot cells before serving.
+
+    Scale shape: assignment is the serving path's literal-centroid
+    argmax FOLD inside the corpus scan (zero exchange, no vector ever
+    shuffles); the only exchange is the cell-count combine
+    (n_cells-bounded), plus a 1-number broadcast total.
+    """
+    centroids = train_ivf(
+        emb, n_cells=n_cells, cent_base=cent_base, id_col=id_col,
+        vec_col=vec_col, kmeans_iters=kmeans_iters, train_mod=train_mod,
+        cache_key=cache_key,
+    )
+    scores = _centroid_scores_expr(centroids)
+    base = (
+        emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+        .withColumn("_vn", F.expr(_vnorm_expr("v")))
+        .withColumn("cell", F.expr(_ARGMAX_CELL.format(scores=scores)))
+    )
+    counts = base.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("_tot"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.round(F.col("n") / F.col("_tot"), 6).alias("share"),
+            F.round(F.col("n") * n_cells / F.col("_tot"), 6).alias(
+                "over_uniform"
+            ),
+        )
+    )
+
+
+def sql_ivf_cell_balance(
+    n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
+    dim: int = 64, train_mod: int = 4,
+) -> str:
+    ctes, prev = _ivf_train_ctes(n_cells, cent_base, kmeans_iters, dim, train_mod)
+    return f"""{ctes},
+ac AS (
+  SELECT base.vec_id, c.cell, {_duck_cos('base.v', 'c.cent')} AS ccos
+  FROM base, {prev} c),
+assigned AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell) AS crank
+    FROM ac) WHERE crank = 1),
+counts AS (SELECT cell, count(*)::BIGINT AS n_vectors FROM assigned GROUP BY 1),
+tot AS (SELECT sum(n_vectors) AS tot FROM counts)
+SELECT cell::BIGINT AS cell, n_vectors,
+       round(n_vectors / tot, 6) AS share,
+       round(n_vectors * {n_cells} / tot, 6) AS over_uniform
+FROM counts, tot
+"""

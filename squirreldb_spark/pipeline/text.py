@@ -2500,3 +2500,96 @@ WHERE n_pair >= {min_count}
 ORDER BY pmi DESC, w1, w2
 LIMIT {k}
 """
+
+
+# ------------------------------------------ CCNet perplexity bucketing
+
+def ccnet_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style LM-quality bucket assignment (Wenzek et al., LREC
+    2020): within each language, documents split into head / middle /
+    tail by terciles of their LM score (here the catalog's unigram
+    ``avg_neg_logprob`` — lower = closer to the corpus distribution =
+    head).  Training pipelines keep head+middle and drop or re-weight
+    tail; the cut must be PER LANGUAGE because perplexity scales are
+    not comparable across languages.
+
+    Output ``(doc_id, lang, avg_neg_logprob, bucket)``.
+
+    Scale shape: the per-doc score is :func:`unigram_logprob`'s plan
+    (vocab reduce + broadcast score-back); lang joins back on the
+    doc-id key (doc-cardinality exchange — joining lang through the
+    token explode would instead carry it per TOKEN row).  Tercile
+    boundaries are exact type-1 order statistics via the
+    distinct-value-cumulative pattern (rfm_segments): distinct
+    (lang, score) counts, one window over that reduced list, a
+    lang-cardinality boundary table broadcast back.  No ntile, no
+    global sort over documents; ties share a bucket deterministically
+    (scores are pre-rounded to 6 dp).
+    """
+    from pyspark.sql import Window
+
+    score = unigram_logprob(docs, text_col).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    dist = score.groupBy("lang", "avg_neg_logprob").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("lang").orderBy("avg_neg_logprob").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    # per-lang totals come from dist (sum of value counts), NOT a third
+    # aggregation of score — one fewer replication of the scoring
+    # subtree; the remaining two (dist branch + output branch) share
+    # their exchanges via Spark's ReuseExchange rule
+    tots = dist.groupBy("lang").agg(F.sum("n").alias("_N"))
+    cum = dist.withColumn("cum", F.sum("n").over(w)).join(
+        F.broadcast(tots), "lang"
+    )
+    bounds = cum.groupBy("lang").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum") >= F.ceil(F.col("_N") * t / 3),
+                    F.col("avg_neg_logprob"),
+                )
+            ).alias(f"b{t}")
+            for t in (1, 2)
+        ]
+    )
+    return score.join(F.broadcast(bounds), "lang").select(
+        "doc_id",
+        "lang",
+        "avg_neg_logprob",
+        F.when(F.col("avg_neg_logprob") <= F.col("b1"), "head")
+        .when(F.col("avg_neg_logprob") <= F.col("b2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+
+
+def sql_ccnet_buckets() -> str:
+    return f"""
+WITH score0 AS ({sql_unigram_logprob()}),
+score AS (
+  SELECT s.doc_id, d.lang, s.avg_neg_logprob
+  FROM score0 s JOIN documents d USING (doc_id)),
+dist AS (
+  SELECT lang, avg_neg_logprob, count(*) AS n FROM score GROUP BY 1, 2),
+tots AS (SELECT lang, sum(n) AS N FROM dist GROUP BY 1),
+cum AS (
+  SELECT d.lang, d.avg_neg_logprob,
+         sum(d.n) OVER (PARTITION BY d.lang ORDER BY d.avg_neg_logprob
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         t.N
+  FROM dist d JOIN tots t USING (lang)),
+bounds AS (
+  SELECT lang,
+         min(CASE WHEN cum >= ceil(N * 1 / 3.0) THEN avg_neg_logprob END) AS b1,
+         min(CASE WHEN cum >= ceil(N * 2 / 3.0) THEN avg_neg_logprob END) AS b2
+  FROM cum GROUP BY lang)
+SELECT s.doc_id, s.lang, s.avg_neg_logprob,
+       CASE WHEN s.avg_neg_logprob <= b.b1 THEN 'head'
+            WHEN s.avg_neg_logprob <= b.b2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM score s JOIN bounds b USING (lang)
+"""

@@ -2984,6 +2984,50 @@ def q_doc_source_minhash_sim(spark, sf_dir):
     return pdedup.source_minhash_sim(_docs(spark, sf_dir))
 
 
+def q_ev_key_skew(spark, sf_dir):
+    """Heavy-key skew profile: top-20 keys by count with absolute /
+    cumulative corpus share and over-uniform factor — the pre-join
+    salting diagnostic (pipeline/events.py key_skew)."""
+    return pevents.key_skew(_events(spark, sf_dir))
+
+
+def q_doc_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail LM-quality bucketing: per-language exact
+    terciles of the unigram avg_neg_logprob via the distinct-value-
+    cumulative order statistic (pipeline/text.py ccnet_buckets)."""
+    return ptext.ccnet_buckets(_docs(spark, sf_dir))
+
+
+def q_emb_ivf_cell_balance(spark, sf_dir):
+    """IVF cell-occupancy skew report: full-corpus assignment by the
+    serving path's in-scan argmax fold, n_cells-bounded count combine
+    (pipeline/similarity.py ivf_cell_balance)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ivf_cell_balance(emb, cache_key=sf_dir)
+
+
+def q_doc_simhash_accuracy(spark, sf_dir):
+    """SimHash calibration twin (minhash_accuracy convention): Hamming
+    distance vs exact n-gram Jaccard on the pigeonhole candidates only
+    (pipeline/dedup.py simhash_accuracy)."""
+    return pdedup.simhash_accuracy(_docs(spark, sf_dir))
+
+
+def q_ev_bot_cadence(spark, sf_dir):
+    """Per-user inter-event cadence profile + scheduler-regularity bot
+    flag (gap coefficient of variation under one user-window pass;
+    pipeline/events.py bot_cadence)."""
+    return pevents.bot_cadence(_events(spark, sf_dir))
+
+
+def q_doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-dup pairs by Manku WWW'07 block pigeonhole: 4
+    equi-joins on 15-bit fingerprint blocks catch every pair within
+    Hamming distance 3; exact bit_count(xor) verifies behind the
+    filter (pipeline/dedup.py simhash_neardup_pairs)."""
+    return pdedup.simhash_neardup_pairs(_docs(spark, sf_dir))
+
+
 def q_doc_containment(spark, sf_dir):
     """Asymmetric n-gram containment on the LSH candidate pairs: detects
     sub-document duplication (one doc embedded in another) that
@@ -3616,6 +3660,24 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_source_minhash_sim": QueryDef(
         q_doc_source_minhash_sim, pdedup.sql_source_minhash_sim()
     ),
+    # SimHash near-dup candidate pairs (Manku block pigeonhole + exact verify)
+    "doc_simhash_neardup": QueryDef(
+        q_doc_simhash_neardup, pdedup.sql_simhash_neardup_pairs()
+    ),
+    # cadence-regularity bot flagging (inter-event gap cv per user)
+    "ev_bot_cadence": QueryDef(q_ev_bot_cadence, pevents.sql_bot_cadence()),
+    # heavy-key skew profile (the pre-join salting diagnostic)
+    "ev_key_skew": QueryDef(q_ev_key_skew, pevents.sql_key_skew()),
+    # CCNet per-language head/middle/tail perplexity buckets
+    "doc_ccnet_buckets": QueryDef(q_doc_ccnet_buckets, ptext.sql_ccnet_buckets()),
+    # IVF cell-occupancy skew report (the ANN index's own key_skew)
+    "emb_ivf_cell_balance": QueryDef(
+        q_emb_ivf_cell_balance, psim.sql_ivf_cell_balance()
+    ),
+    # SimHash pigeonhole calibration (hamming vs exact Jaccard on candidates)
+    "doc_simhash_accuracy": QueryDef(
+        q_doc_simhash_accuracy, pdedup.sql_simhash_accuracy()
+    ),
     "doc_containment": QueryDef(
         q_doc_containment, pdedup.sql_ngram_containment()
     ),
@@ -3720,9 +3782,19 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_hopping_counts, emb_pq_codes, mm_video_neardup, emb_ann_recall,
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
-# doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) lead
-# round 10's backfill.
+# doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
+# the six r4 rows displaced by this round's new operators (ev_funnel,
+# ev_retention_cohorts, ev_asof_join, mm_frame_dedup, doc_pii_scrub,
+# ev_sessionize) lead round 10's backfill.
 _VERIFY_FIRST: list[str] = [
+    # --- (0a) NEW this round (ratchet rule: new kernels enter the
+    # window in the commit that adds them) ---
+    "doc_simhash_neardup",
+    "doc_simhash_accuracy",
+    "ev_bot_cadence",
+    "ev_key_skew",
+    "doc_ccnet_buckets",
+    "emb_ivf_cell_balance",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3770,12 +3842,6 @@ _VERIFY_FIRST: list[str] = [
     "doc_sample_budget",
     "doc_mix_weights",
     "doc_pack_sequences",
-    "doc_pii_scrub",
-    "ev_sessionize",
-    "ev_funnel",
-    "ev_retention_cohorts",
-    "ev_asof_join",
-    "mm_frame_dedup",
 ]
 
 

@@ -1702,3 +1702,106 @@ def test_token_pmi_surfaces_known_collocation(spark):
     assert ny.n_pair == 5 and ny.pmi > 0
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+# ---------------- round-9 operators: executing smoke tests
+
+def test_simhash_neardup_finds_exact_dups_and_orders_pairs(spark):
+    """Identical texts share all 4 blocks at Hamming 0; an unrelated
+    doc must not pair with them within distance 3."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in dedup.simhash_neardup_pairs(docs).collect()}
+    dup = out[(1, 2)]
+    assert dup.hamming == 0 and dup.n_shared_blocks == 4
+    assert (1, 3) not in out and (2, 3) not in out
+
+
+def test_bot_cadence_flags_timer_not_bursty(spark):
+    """A metronome user (constant gap, cv=0) with >= min_events is
+    flagged; a bursty user with the same volume is not; a 1-event user
+    has NULL gap stats and is never flagged."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(1, i, 1000 * i) for i in range(25)]                # cv = 0
+    bursty = [0, 1, 2, 3, 1000, 1001, 1002, 2000, 9000, 9001,
+              20000, 20001, 20002, 50000, 50001, 90000, 90001,
+              150000, 150001, 150002, 300000, 300001, 500000,
+              500001, 700000]
+    rows += [(2, 100 + i, t) for i, t in enumerate(bursty)]
+    rows += [(3, 999, 42)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = {r.user_id: r for r in pevents.bot_cadence(ev).collect()}
+    assert out[1].is_bot and out[1].gap_cv == 0.0
+    assert not out[2].is_bot and out[2].gap_cv > 1
+    assert out[3].gap_cv is None and not out[3].is_bot
+
+
+def test_key_skew_shares_and_ranks(spark):
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(1, i, 0) for i in range(70)] + [(2, 100 + i, 0) for i in range(20)] \
+        + [(3, 200 + i, 0) for i in range(10)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = pevents.key_skew(ev, k=2).collect()
+    assert [(r.rank, r.user_id, r.n_events) for r in out] == [(1, 1, 70), (2, 2, 20)]
+    assert abs(out[0].share - 0.7) < 1e-9
+    assert abs(out[1].cum_share - 0.9) < 1e-9
+    assert abs(out[0].over_uniform - 2.1) < 1e-9  # 0.7 * 3 keys
+
+
+def test_ccnet_buckets_tercile_assignment_per_lang(spark):
+    """6 docs in one lang split 2/2/2 by score terciles; bucket borders
+    are type-1 order statistics (<= boundary joins the lower bucket)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa aa", "en"),     # most typical -> lowest neg logprob
+            (2, "aa aa aa bb", "en"),
+            (3, "aa aa bb cc", "en"),
+            (4, "aa bb cc dd", "en"),
+            (5, "bb cc dd ee", "en"),
+            (6, "dd ee ff gg", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.doc_id: r for r in text.ccnet_buckets(docs).collect()}
+    assert len(out) == 6
+    buckets = [out[i].bucket for i in range(1, 7)]
+    assert buckets.count("head") == 2
+    assert buckets.count("middle") == 2
+    assert buckets.count("tail") == 2
+    scores = [out[i].avg_neg_logprob for i in range(1, 7)]
+    assert scores == sorted(scores)  # docs 1..6 ordered by typicality
+    assert buckets == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_simhash_accuracy_exact_dup_scores_jaccard_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_accuracy(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.hamming, r.jaccard) == (1, 2, 0, 1.0)
+
+
+def test_ivf_cell_balance_counts_cover_corpus(spark, sf_dir):
+    out = similarity.ivf_cell_balance(
+        model.load_table(spark, sf_dir, "embeddings")
+    ).collect()
+    assert sum(r.n_vectors for r in out) == \
+        model.load_table(spark, sf_dir, "embeddings").count()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert abs(r.over_uniform - r.share * 8) < 1e-5

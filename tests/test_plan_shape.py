@@ -889,3 +889,36 @@ def test_source_overlap_shingle_text_never_shuffles(spark, sf_dir):
         bad = [c for c, t in cols
                if t == "string" and c not in ("src", "source_a", "source_b")]
         assert not bad, (bad, cols)
+
+
+def test_simhash_neardup_fingerprints_only_in_shuffles(spark, sf_dir):
+    """Candidate generation shuffles (id, simhash, block) longs only —
+    document text never crosses an exchange (the fingerprint folds in
+    the scan's Arrow pass)."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    for cols in shuffle_exchange_outputs(pdedup.simhash_neardup_pairs(docs)):
+        assert all(t != "string" for _, t in cols), cols
+
+
+def test_bot_cadence_single_user_exchange(spark, sf_dir):
+    """The lag window and the gap aggregation share ONE user_id
+    partitioning — events are exchanged exactly once."""
+    from squirreldb_spark.pipeline import events as pev
+
+    import re
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.bot_cadence(ev))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:1200]
+
+
+def test_key_skew_takeordered_no_global_sort(spark, sf_dir):
+    """Top-k comes from a distributed TakeOrdered; the only global Sort
+    allowed is inside the post-limit k-row window."""
+    from squirreldb_spark.pipeline import events as pev
+
+    ev = model.load_table(spark, sf_dir, "events")
+    plan = plan_of(pev.key_skew(ev))
+    assert "TakeOrderedAndProject" in plan, plan[:1200]
