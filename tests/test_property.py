@@ -524,3 +524,43 @@ def test_format_query_roundtrips_semantics(node):
     assert j == translate_ast(node), one_line
     assert j == parse_query_json(" ".join(multi.split())), multi
     json.dumps(j)
+
+
+# ------------------------------------- SimHash pigeonhole completeness
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcdefghij"), min_size=3, max_size=12),
+        min_size=2, max_size=8,
+    ),
+)
+def test_simhash_pigeonhole_completeness_property(spark, corpus):
+    """The Manku block-pigeonhole guarantee: with an uncapped bucket
+    join, EVERY pair whose simhash Hamming distance is <= 3 appears in
+    simhash_neardup_pairs' output — verified against a local all-pairs
+    recount of the operator's own fingerprints."""
+    from squirreldb_spark.pipeline.dedup import (
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    expected = set()
+    ids = sorted(sims)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sims[a] ^ sims[b]).count("1")
+            if h <= 3:
+                expected.add((a, b, h))
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(docs, max_bucket=None).collect()
+    }
+    assert got == expected
