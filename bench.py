@@ -60,6 +60,8 @@ BENCH_QUERIES = [
 ITERATIVE_QUERIES = [
     "doc_dedup_clusters",
     "emb_semantic_dedup",
+    # round 9: reruns the CC DAG, so it benches with the iterative block
+    "doc_dedup_savings",
 ]
 
 #: round-4 operator families, tracked OUTSIDE the frozen headline set so
@@ -123,6 +125,7 @@ SECONDARY_QUERIES = [
     "ev_key_skew",
     "doc_ccnet_buckets",
     "emb_ivf_cell_balance",
+    "ev_funnel_timing",
 ]
 
 

@@ -704,6 +704,55 @@ FROM comp
 """
 
 
+def dedup_savings(
+    members: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """The dedup business case, by cluster size: how many duplicate
+    groups of each size exist, and how many documents / characters a
+    keep-one-representative policy removes — the report that decides
+    whether near-dedup is worth its cluster pass (char counts stand in
+    for bytes/tokens on the synthetic corpus).
+
+    ``members`` is :func:`cluster_members` output (clustered docs only);
+    ``docs`` supplies the size column.  Scale shape: one doc-id-keyed
+    join (members are the DAG's own output, doc-cardinality at worst),
+    then a combinable groupBy over cluster_size — cardinality bounded
+    by the largest duplicate group.
+    """
+    joined = members.join(docs.select(id_col, chars_col), id_col)
+    return joined.groupBy("cluster_size").agg(
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("is_canonical"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removable"),
+        F.sum(F.when(~F.col("is_canonical"), F.col(chars_col)).otherwise(0))
+        .cast("long")
+        .alias("chars_removable"),
+    )
+
+
+def sql_dedup_savings(members_sql: str) -> str:
+    """Oracle over any cluster-members query (``doc_id, cluster_id,
+    cluster_size, is_canonical``)."""
+    return f"""
+WITH members AS ({members_sql}),
+joined AS (
+  SELECT m.cluster_size, m.cluster_id, m.is_canonical, d.n_chars
+  FROM members m JOIN documents d USING (doc_id))
+SELECT cluster_size,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN is_canonical THEN 0 ELSE 1 END)::BIGINT AS n_removable,
+       sum(CASE WHEN is_canonical THEN 0 ELSE n_chars END)::BIGINT
+         AS chars_removable
+FROM joined GROUP BY 1
+"""
+
+
 def dedup_document_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -2005,3 +2005,118 @@ SELECT row_number() OVER (ORDER BY n DESC, user_id)::BIGINT AS rank,
        round(n * nkeys / tot, 6) AS over_uniform
 FROM top, tot
 """
+
+
+# -------------------------------------------- funnel conversion timing
+
+def funnel_timing(
+    events: DataFrame, stages: tuple[str, ...] = FUNNEL_STAGES
+) -> DataFrame:
+    """Time-to-convert distribution per funnel transition: for users who
+    reached stage k (first-touch semantics identical to :func:`funnel`),
+    the latency ``t_k - t_(k-1)`` summarized as mean / exact median /
+    exact p90 — the "WHERE does the funnel stall" question that the
+    stage counts alone cannot answer.
+
+    Scale shape: the per-stage frames are the funnel's own user-keyed
+    reductions (every join keys user_id, co-located); latencies reduce
+    to DISTINCT (transition, dt) counts, so the quantiles are exact
+    type-1 order statistics over that reduced table (the rfm_segments
+    pattern — no ntile, no global sort over users), with a
+    transition-cardinality totals table broadcast back.
+    """
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frames = [cur]
+    for stage in stages[1:]:
+        prev = frames[-1].select("user_id", F.col("t").alias("_pt"))
+        frames.append(
+            events.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col("_pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+    trans = None
+    for k in range(1, len(stages)):
+        prev = frames[k - 1].select("user_id", F.col("t").alias("_pt"))
+        t = (
+            frames[k]
+            .join(prev, "user_id")
+            .select(
+                F.lit(k).cast("long").alias("stage_idx"),
+                F.lit(stages[k]).alias("stage"),
+                (F.col("t") - F.col("_pt")).alias("dt"),
+            )
+        )
+        trans = t if trans is None else trans.unionByName(t)
+    dist = trans.groupBy("stage_idx", "stage", "dt").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tots = dist.groupBy("stage_idx").agg(F.sum("n").alias("_N"))
+    w = Window.partitionBy("stage_idx").orderBy("dt").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("n").over(w)).join(
+        F.broadcast(tots), "stage_idx"
+    )
+    return (
+        cum.groupBy("stage_idx", "stage")
+        .agg(
+            F.first("_N").cast("long").alias("n_users"),
+            F.round(F.sum(F.col("dt") * F.col("n")) / F.first("_N"), 6).alias(
+                "mean_ms"
+            ),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("_N") * 0.5), F.col("dt"))
+            ).cast("long").alias("p50_ms"),
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.col("_N") * 0.9), F.col("dt"))
+            ).cast("long").alias("p90_ms"),
+        )
+        .orderBy("stage_idx")
+    )
+
+
+def sql_funnel_timing(stages: tuple[str, ...] = FUNNEL_STAGES) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM ev"
+        f" WHERE event_type = '{stages[0]}' GROUP BY 1)"
+    ]
+    for k, stage in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM ev e"
+            f" JOIN s{k - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{stage}' AND e.ts > p.t GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {k}::BIGINT AS stage_idx, '{stages[k]}' AS stage,"
+        f" c.t - p.t AS dt FROM s{k + 1} c JOIN s{k} p USING (user_id)"
+        for k in range(1, len(stages))
+    ]
+    trans = "\nUNION ALL\n".join(selects)
+    return (
+        "WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),\n"
+        + ",\n".join(ctes)
+        + f""",
+trans AS ({trans}),
+dist AS (SELECT stage_idx, stage, dt, count(*) AS n FROM trans GROUP BY 1, 2, 3),
+-- DuckDB identifiers are case-insensitive: the total must NOT be named
+-- "N" or it collides with the per-value count "n" downstream
+tots AS (SELECT stage_idx, sum(n) AS n_total FROM dist GROUP BY 1),
+cum AS (
+  SELECT d.stage_idx, d.stage, d.dt, d.n, t.n_total,
+         sum(d.n) OVER (PARTITION BY d.stage_idx ORDER BY d.dt
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dist d JOIN tots t USING (stage_idx))
+SELECT stage_idx, stage,
+       CAST(max(n_total) AS BIGINT) AS n_users,
+       round(sum(dt * n) / max(n_total), 6) AS mean_ms,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.5) THEN dt END) AS BIGINT) AS p50_ms,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.9) THEN dt END) AS BIGINT) AS p90_ms
+FROM cum GROUP BY 1, 2
+"""
+    )

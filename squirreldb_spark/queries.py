@@ -2998,6 +2998,28 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     return ptext.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_doc_dedup_savings(spark, sf_dir):
+    """Dedup business case by cluster size: groups / docs / characters
+    a keep-one-representative policy removes, over the catalog's own
+    cluster DAG (pipeline/dedup.py dedup_savings)."""
+    docs = _docs(spark, sf_dir)
+    sig = pdedup.minhash_signatures(docs)
+    pairs = pdedup.minhash_estimated_similarity(
+        sig, pdedup.lsh_candidate_pairs(sig)
+    )
+    cc = pdedup.connected_components(
+        pairs.filter(F.col("est_jaccard") >= DUP_EST_JACCARD)
+    )
+    return pdedup.dedup_savings(pdedup.cluster_members(cc, "doc_id"), docs)
+
+
+def q_ev_funnel_timing(spark, sf_dir):
+    """Time-to-convert per funnel transition: exact type-1 median/p90
+    latency over the funnel's own user-keyed reductions
+    (pipeline/events.py funnel_timing)."""
+    return pevents.funnel_timing(_events(spark, sf_dir))
+
+
 def q_emb_ivf_cell_balance(spark, sf_dir):
     """IVF cell-occupancy skew report: full-corpus assignment by the
     serving path's in-scan argmax fold, n_cells-bounded count combine
@@ -3678,6 +3700,18 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_simhash_accuracy": QueryDef(
         q_doc_simhash_accuracy, pdedup.sql_simhash_accuracy()
     ),
+    # funnel conversion-latency distribution (exact type-1 p50/p90)
+    "ev_funnel_timing": QueryDef(q_ev_funnel_timing, pevents.sql_funnel_timing()),
+    # dedup savings report over the cluster DAG's output
+    "doc_dedup_savings": QueryDef(
+        q_doc_dedup_savings,
+        pdedup.sql_dedup_savings(
+            pdedup.sql_cc_clusters(
+                pdedup.sql_minhash_lsh_pairs(),
+                where=f"WHERE est_jaccard >= {DUP_EST_JACCARD}",
+            )
+        ),
+    ),
     "doc_containment": QueryDef(
         q_doc_containment, pdedup.sql_ngram_containment()
     ),
@@ -3783,9 +3817,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
 # doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the six r4 rows displaced by this round's new operators (ev_funnel,
+# the eight r4 rows displaced by this round's new operators (ev_funnel,
 # ev_retention_cohorts, ev_asof_join, mm_frame_dedup, doc_pii_scrub,
-# ev_sessionize) lead round 10's backfill.
+# ev_sessionize, doc_mix_weights, doc_pack_sequences) lead round 10's
+# backfill.
 _VERIFY_FIRST: list[str] = [
     # --- (0a) NEW this round (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
@@ -3795,6 +3830,8 @@ _VERIFY_FIRST: list[str] = [
     "ev_key_skew",
     "doc_ccnet_buckets",
     "emb_ivf_cell_balance",
+    "ev_funnel_timing",
+    "doc_dedup_savings",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3840,8 +3877,6 @@ _VERIFY_FIRST: list[str] = [
     "emb_ann_ivf",
     "emb_ivf_centroids",
     "doc_sample_budget",
-    "doc_mix_weights",
-    "doc_pack_sequences",
 ]
 
 

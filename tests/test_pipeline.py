@@ -1805,3 +1805,42 @@ def test_ivf_cell_balance_counts_cover_corpus(spark, sf_dir):
     assert abs(sum(r.share for r in out) - 1.0) < 1e-4
     for r in out:
         assert abs(r.over_uniform - r.share * 8) < 1e-5
+
+
+def test_funnel_timing_exact_latency_stats(spark):
+    """Two users convert view->click at 100 and 300 ms; one goes on to
+    purchase 1000 ms later. p50 is type-1 (smallest value reaching
+    ceil(N/2)), never interpolated."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [
+        (1, 1, 0, "view"), (1, 2, 100, "click"), (1, 3, 1100, "purchase"),
+        (2, 4, 0, "view"), (2, 5, 300, "click"),
+        (3, 6, 50, "click"),            # click w/o view: not in funnel
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.stage_idx: r for r in pevents.funnel_timing(ev).collect()}
+    c = out[1]
+    assert (c.n_users, c.p50_ms, c.p90_ms) == (2, 100, 300)
+    assert abs(c.mean_ms - 200.0) < 1e-9
+    p = out[2]
+    assert (p.n_users, p.p50_ms, p.mean_ms) == (1, 1000, 1000.0)
+
+
+def test_dedup_savings_counts_non_canonical_chars(spark):
+    members = spark.createDataFrame(
+        [
+            (10, 10, 2, True), (11, 10, 2, False),
+            (20, 20, 3, True), (21, 20, 3, False), (22, 20, 3, False),
+        ],
+        "doc_id long, cluster_id long, cluster_size long, is_canonical boolean",
+    )
+    docs = spark.createDataFrame(
+        [(10, 100), (11, 110), (20, 200), (21, 210), (22, 220)],
+        "doc_id long, n_chars long",
+    )
+    out = {r.cluster_size: r for r in dedup.dedup_savings(members, docs).collect()}
+    assert (out[2].n_clusters, out[2].n_removable, out[2].chars_removable) == (1, 1, 110)
+    assert (out[3].n_clusters, out[3].n_removable, out[3].chars_removable) == (1, 2, 430)
