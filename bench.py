@@ -126,6 +126,10 @@ SECONDARY_QUERIES = [
     "doc_ccnet_buckets",
     "emb_ivf_cell_balance",
     "ev_funnel_timing",
+    "ev_stickiness",
+    "doc_length_quantiles",
+    "emb_qc",
+    "doc_dup_source_attribution",
 ]
 
 

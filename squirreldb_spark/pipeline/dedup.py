@@ -753,6 +753,55 @@ FROM joined GROUP BY 1
 """
 
 
+def dup_source_attribution(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "source",
+) -> DataFrame:
+    """Where near-duplication comes from: the LSH near-dup pair list
+    attributed to source pairs — within-source duplication (templating,
+    re-crawls) needs a different fix than cross-source duplication
+    (mirrors, syndication), so the report groups pair counts by the
+    unordered (source, source) combination with a ``within_source``
+    flag.
+
+    ``pairs`` is any ``(id_a, id_b)`` near-dup list (the catalog feeds
+    the estimated-Jaccard-gated LSH pairs).  Scale shape: two id-keyed
+    joins against the (id, source) projection — the pair list is the
+    gated LSH output, orders of magnitude below the corpus — then a
+    combinable groupBy over source pairs (sources², tiny).
+    """
+    sa = docs.select(F.col(id_col).alias("id_a"), F.col(src_col).alias("_sa"))
+    sb = docs.select(F.col(id_col).alias("id_b"), F.col(src_col).alias("_sb"))
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    return (
+        joined.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn("within_source", F.col("source_a") == F.col("source_b"))
+    )
+
+
+def sql_dup_source_attribution(pairs_sql: str, where: str = "") -> str:
+    """Oracle over any pair-list query emitting ``(id_a, id_b)``."""
+    return f"""
+WITH pairs AS (SELECT id_a, id_b FROM ({pairs_sql}) _p {where}),
+joined AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b)
+SELECT source_a, source_b, count(*)::BIGINT AS n_pairs,
+       source_a = source_b AS within_source
+FROM joined GROUP BY 1, 2
+"""
+
+
 def dedup_document_stream(
     docs: DataFrame,
     text_col: str = "text",

@@ -2120,3 +2120,65 @@ SELECT stage_idx, stage,
 FROM cum GROUP BY 1, 2
 """
     )
+
+
+# ------------------------------------------------ engagement stickiness
+
+def stickiness(events: DataFrame) -> DataFrame:
+    """DAU/MAU engagement stickiness per 30-day epoch bucket ("month"):
+    monthly active users, the average daily-active count over the days
+    the bucket has traffic, and their ratio — the standard
+    product-health metric (a ratio near 1 means the actives come every
+    day; near 1/30 means once a month).  Fixed buckets, not trailing
+    windows, so the whole report derives from ONE distinct-(user, day)
+    reduction — the exact trailing-window version is deliberately the
+    HLL register job (`ev_hll_sliding`), because exact trailing
+    distincts re-count every user day x window times.
+
+    Scale shape: one DISTINCT (user, day) collapse (map-side
+    combinable), a per-day count and a per-month distinct-user count
+    over its output, joined on month (month-cardinality table).
+    """
+    ud = events.select(
+        F.col("user_id"),
+        F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long").alias("day"),
+    ).distinct()
+    ud = ud.withColumn("month", F.floor(F.col("day") / 30).cast("long"))
+    dau = ud.groupBy("month", "day").agg(F.count(F.lit(1)).alias("dau"))
+    per_month_dau = dau.groupBy("month").agg(
+        F.round(F.avg("dau"), 6).alias("avg_dau"),
+        F.count(F.lit(1)).cast("long").alias("active_days"),
+    )
+    mau = ud.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        per_month_dau.join(mau, "month")
+        .select(
+            "month",
+            "active_days",
+            "avg_dau",
+            "mau",
+            F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def sql_stickiness() -> str:
+    return f"""
+WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
+ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(ts / {_DAY_MS}) AS BIGINT) AS day
+  FROM ev),
+ud2 AS (SELECT user_id, day, CAST(floor(day / 30) AS BIGINT) AS month FROM ud),
+dau AS (SELECT month, day, count(*) AS dau FROM ud2 GROUP BY 1, 2),
+pm AS (SELECT month, round(avg(dau), 6) AS avg_dau,
+              count(*)::BIGINT AS active_days
+       FROM dau GROUP BY 1),
+mau AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau
+        FROM ud2 GROUP BY 1)
+SELECT month, active_days, avg_dau, mau,
+       round(avg_dau / mau, 6) AS stickiness
+FROM pm JOIN mau USING (month)
+"""

@@ -1858,3 +1858,62 @@ SELECT cell::BIGINT AS cell, n_vectors,
        round(n_vectors * {n_cells} / tot, 6) AS over_uniform
 FROM counts, tot
 """
+
+
+# -------------------------------------------------- embedding QC stats
+
+def embedding_qc(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-table quality control per label partition: vector
+    count, dimensionality check (distinct dims seen), L2-norm mean/min/
+    max, and zero-vector count — the sanity gate an indexing job runs
+    BEFORE building ANN structures (a single zero vector makes cosine
+    undefined; mixed dims break every dot-product kernel; collapsed
+    norms flag an encoder bug).
+
+    Scale shape: norms fold in the scan (same left-fold ``aggregate``
+    arithmetic as the serving kernels, 6-dp rounded); one combinable
+    groupBy on the label; no vector ever crosses an exchange.
+    """
+    base = emb.select(
+        F.col(label_col).alias("label"),
+        F.size(vec_col).alias("dim"),
+        F.round(F.expr(_vnorm_expr(_to_double(vec_col))), 6).alias("nrm"),
+    )
+    return base.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("dim").cast("long").alias("n_distinct_dims"),
+        F.min("dim").cast("long").alias("dim"),
+        F.round(F.avg("nrm"), 6).alias("norm_mean"),
+        F.min("nrm").alias("norm_min"),
+        F.max("nrm").alias("norm_max"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_zero_vectors"),
+    )
+
+
+def sql_embedding_qc(dim: int = 64) -> str:
+    nrm = (
+        "round(sqrt(list_reduce(list_transform(v, x -> x * x),"
+        " (a, b) -> a + b)), 6)"
+    )
+    return f"""
+WITH base AS (
+  SELECT label, len(embedding) AS dim,
+         {nrm} AS nrm
+  FROM (SELECT label, embedding::DOUBLE[] AS v, embedding FROM embeddings))
+SELECT label,
+       count(*)::BIGINT AS n_vectors,
+       count(DISTINCT dim)::BIGINT AS n_distinct_dims,
+       CAST(min(dim) AS BIGINT) AS dim,
+       round(avg(nrm), 6) AS norm_mean,
+       min(nrm) AS norm_min,
+       max(nrm) AS norm_max,
+       sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vectors
+FROM base GROUP BY 1
+"""

@@ -2593,3 +2593,67 @@ SELECT s.doc_id, s.lang, s.avg_neg_logprob,
             ELSE 'tail' END AS bucket
 FROM score s JOIN bounds b USING (lang)
 """
+
+
+# ----------------------------------------- per-source length profile
+
+def length_quantiles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source document-length profile: exact type-1 p10/p50/p90
+    token counts plus mean — the data-card table every corpus release
+    publishes, and the first thing a packing/truncation plan reads
+    (p90 decides the sequence length; p10 flags a fragment problem).
+
+    Scale shape: token counts are a narrow in-scan map; the corpus
+    collapses to DISTINCT (source, n_tokens) counts before the order
+    statistic (the rfm/ccnet cumulative pattern), so the window runs
+    over the reduced value list, never over documents; a
+    source-cardinality totals table joins back in-aggregate.
+    """
+    from pyspark.sql import Window
+
+    n = docs.select(
+        "source", F.size(tokens(text_col)).cast("long").alias("n_tokens")
+    )
+    dist = n.groupBy("source", "n_tokens").agg(F.count(F.lit(1)).alias("n"))
+    tots = dist.groupBy("source").agg(F.sum("n").alias("n_total"))
+    w = Window.partitionBy("source").orderBy("n_tokens").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("n").over(w)).join(
+        F.broadcast(tots), "source"
+    )
+
+    def _q(q: float) -> Column:
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n_total") * q), F.col("n_tokens"))
+        ).cast("long")
+
+    return cum.groupBy("source").agg(
+        F.first("n_total").cast("long").alias("n_docs"),
+        F.round(F.sum(F.col("n_tokens") * F.col("n")) / F.first("n_total"), 6)
+        .alias("mean_tokens"),
+        _q(0.1).alias("p10_tokens"),
+        _q(0.5).alias("p50_tokens"),
+        _q(0.9).alias("p90_tokens"),
+    )
+
+
+def sql_length_quantiles() -> str:
+    return """
+WITH n AS (SELECT source, len(string_split(text, ' '))::BIGINT AS n_tokens
+           FROM documents),
+dist AS (SELECT source, n_tokens, count(*) AS n FROM n GROUP BY 1, 2),
+tots AS (SELECT source, sum(n) AS n_total FROM dist GROUP BY 1),
+cum AS (
+  SELECT d.source, d.n_tokens, d.n, t.n_total,
+         sum(d.n) OVER (PARTITION BY d.source ORDER BY d.n_tokens
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dist d JOIN tots t USING (source))
+SELECT source,
+       CAST(max(n_total) AS BIGINT) AS n_docs,
+       round(sum(n_tokens * n) / max(n_total), 6) AS mean_tokens,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.1) THEN n_tokens END) AS BIGINT) AS p10_tokens,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.5) THEN n_tokens END) AS BIGINT) AS p50_tokens,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.9) THEN n_tokens END) AS BIGINT) AS p90_tokens
+FROM cum GROUP BY 1
+"""

@@ -2998,6 +2998,39 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     return ptext.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_ev_stickiness(spark, sf_dir):
+    """DAU/MAU stickiness per 30-day bucket from ONE distinct
+    (user, day) reduction (pipeline/events.py stickiness)."""
+    return pevents.stickiness(_events(spark, sf_dir))
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-source token-length profile: exact type-1 p10/p50/p90 +
+    mean over the distinct-value cumulative (pipeline/text.py
+    length_quantiles)."""
+    return ptext.length_quantiles(_docs(spark, sf_dir))
+
+
+def q_emb_qc(spark, sf_dir):
+    """Embedding-table QC per label: counts, dim check, L2-norm
+    stats, zero-vector count — in-scan folds, no vector below any
+    exchange (pipeline/similarity.py embedding_qc)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.embedding_qc(emb)
+
+
+def q_doc_dup_source_attribution(spark, sf_dir):
+    """Near-dup pair counts attributed to unordered source pairs with
+    a within-source flag (pipeline/dedup.py dup_source_attribution,
+    over the estimated-Jaccard-gated LSH pairs)."""
+    docs = _docs(spark, sf_dir)
+    sig = pdedup.minhash_signatures(docs)
+    pairs = pdedup.minhash_estimated_similarity(
+        sig, pdedup.lsh_candidate_pairs(sig)
+    ).filter(F.col("est_jaccard") >= DUP_EST_JACCARD)
+    return pdedup.dup_source_attribution(pairs, docs)
+
+
 def q_doc_dedup_savings(spark, sf_dir):
     """Dedup business case by cluster size: groups / docs / characters
     a keep-one-representative policy removes, over the catalog's own
@@ -3702,6 +3735,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # funnel conversion-latency distribution (exact type-1 p50/p90)
     "ev_funnel_timing": QueryDef(q_ev_funnel_timing, pevents.sql_funnel_timing()),
+    # DAU/MAU stickiness per 30-day bucket
+    "ev_stickiness": QueryDef(q_ev_stickiness, pevents.sql_stickiness()),
+    # per-source exact length percentiles (data-card table)
+    "doc_length_quantiles": QueryDef(
+        q_doc_length_quantiles, ptext.sql_length_quantiles()
+    ),
+    # embedding-table QC gate (norms / dims / zero vectors per label)
+    "emb_qc": QueryDef(q_emb_qc, psim.sql_embedding_qc()),
+    # near-dup attribution to source pairs (within vs cross source)
+    "doc_dup_source_attribution": QueryDef(
+        q_doc_dup_source_attribution,
+        pdedup.sql_dup_source_attribution(
+            pdedup.sql_minhash_lsh_pairs(),
+            where=f"WHERE est_jaccard >= {DUP_EST_JACCARD}",
+        ),
+    ),
     # dedup savings report over the cluster DAG's output
     "doc_dedup_savings": QueryDef(
         q_doc_dedup_savings,
@@ -3817,10 +3866,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
 # doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the eight r4 rows displaced by this round's new operators (ev_funnel,
-# ev_retention_cohorts, ev_asof_join, mm_frame_dedup, doc_pii_scrub,
-# ev_sessionize, doc_mix_weights, doc_pack_sequences) lead round 10's
-# backfill.
+# the thirteen r4 rows displaced by this round's new operators
+# (ev_funnel, ev_retention_cohorts, ev_asof_join, mm_frame_dedup,
+# doc_pii_scrub, ev_sessionize, doc_mix_weights, doc_pack_sequences,
+# emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or) lead
+# round 10's backfill.
 _VERIFY_FIRST: list[str] = [
     # --- (0a) NEW this round (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
@@ -3832,6 +3882,10 @@ _VERIFY_FIRST: list[str] = [
     "emb_ivf_cell_balance",
     "ev_funnel_timing",
     "doc_dedup_savings",
+    "ev_stickiness",
+    "doc_length_quantiles",
+    "emb_qc",
+    "doc_dup_source_attribution",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3873,10 +3927,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_agg_stddev_by",
     "ts_binop_gt_filter",
     "ts_set_unless",
-    "ts_set_or",
-    "emb_ann_ivf",
-    "emb_ivf_centroids",
-    "doc_sample_budget",
 ]
 
 

@@ -1844,3 +1844,58 @@ def test_dedup_savings_counts_non_canonical_chars(spark):
     out = {r.cluster_size: r for r in dedup.dedup_savings(members, docs).collect()}
     assert (out[2].n_clusters, out[2].n_removable, out[2].chars_removable) == (1, 1, 110)
     assert (out[3].n_clusters, out[3].n_removable, out[3].chars_removable) == (1, 2, 430)
+
+
+def test_stickiness_daily_vs_monthly_actives(spark):
+    """3 users in one 30-day bucket: u1 active 2 days, u2+u3 one day
+    each -> active_days=2, avg_dau=2.0, mau=3, stickiness=2/3."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(1, 1, 0), (1, 2, D), (2, 3, 10), (3, 4, D + 10)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = pevents.stickiness(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.active_days, r.avg_dau, r.mau) == (2, 2.0, 3)
+    assert abs(r.stickiness - 0.666667) < 1e-6
+
+
+def test_length_quantiles_type1_order_statistics(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(["w"] * n)) for i, n in
+         enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])],
+        "doc_id long, source string, text string",
+    )
+    r = text.length_quantiles(docs).collect()[0]
+    assert (r.n_docs, r.p10_tokens, r.p50_tokens, r.p90_tokens) == (10, 1, 5, 9)
+    assert abs(r.mean_tokens - 5.5) < 1e-9
+
+
+def test_embedding_qc_flags_zero_vectors_and_mixed_dims(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0], 0),
+            (2, [0.0, 0.0], 0),
+            (3, [1.0, 0.0, 0.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in similarity.embedding_qc(emb).collect()}
+    assert out[0].n_vectors == 2 and out[0].n_zero_vectors == 1
+    assert out[0].norm_max == 5.0 and out[0].norm_min == 0.0
+    assert out[1].dim == 3 and out[1].n_distinct_dims == 1
+
+
+def test_dup_source_attribution_orders_and_flags(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (4, "x"), (5, "x"), (6, "y")],
+        "doc_id long, source string",
+    )
+    out = {(r.source_a, r.source_b): r
+           for r in dedup.dup_source_attribution(pairs, docs).collect()}
+    assert out[("x", "x")].n_pairs == 1 and out[("x", "x")].within_source
+    assert out[("x", "y")].n_pairs == 2 and not out[("x", "y")].within_source
