@@ -922,3 +922,24 @@ def test_key_skew_takeordered_no_global_sort(spark, sf_dir):
     ev = model.load_table(spark, sf_dir, "events")
     plan = plan_of(pev.key_skew(ev))
     assert "TakeOrderedAndProject" in plan, plan[:1200]
+
+
+def test_embedding_qc_no_vector_crosses_shuffle(spark, sf_dir):
+    """The QC gate folds norms in the scan: only label + numeric
+    partials cross its (two-phase distinct-dim) exchanges."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    assert_no_vector_crosses_shuffle(psim.embedding_qc(emb), "emb_qc")
+
+
+def test_length_quantiles_window_runs_on_reduced_values(spark, sf_dir):
+    """The order-statistic window partitions by source over the
+    DISTINCT (source, n_tokens) table — no document row enters a Sort:
+    every exchange carries at most (source, n_tokens, count) width."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    for cols in shuffle_exchange_outputs(ptext.length_quantiles(docs)):
+        names = [c for c, _ in cols]
+        assert "text" not in names, cols
