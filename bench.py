@@ -130,6 +130,9 @@ SECONDARY_QUERIES = [
     "doc_length_quantiles",
     "emb_qc",
     "doc_dup_source_attribution",
+    "ev_anomaly_seasonal",
+    "doc_boilerplate_prefixes",
+    "doc_corpus_growth",
 ]
 
 

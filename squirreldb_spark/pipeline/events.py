@@ -2182,3 +2182,68 @@ SELECT month, active_days, avg_dau, mau,
        round(avg_dau / mau, 6) AS stickiness
 FROM pm JOIN mau USING (month)
 """
+
+
+# ------------------------------------- seasonality-adjusted anomalies
+
+def anomaly_seasonal(
+    events: DataFrame, k: float = 3.0, day_ms: int = _DAY_MS
+) -> DataFrame:
+    """Weekday-adjusted robust anomaly flags: like :func:`anomaly_mad`
+    but the median/MAD baseline is computed PER (event_type, weekday) —
+    a Sunday is judged against Sundays, so weekly seasonality (the
+    dominant cycle in product traffic) stops masquerading as anomaly
+    and real weekend incidents stop hiding under the weekday median.
+    Weekday is the epoch-day modulo 7 (deterministic, calendar-free;
+    day 0 = Thursday 1970-01-01, documented rather than localized).
+
+    Scale shape: identical to anomaly_mad — the (type, day) combine
+    does the volume reduction; the percentiles run over ~days x types
+    rows grouped one level finer, and both baselines broadcast back.
+    """
+    daily = events.groupBy(
+        "event_type", (F.col("ts") / day_ms).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("dow", F.pmod(F.col("day"), F.lit(7)).cast("long"))
+    med = daily.groupBy("event_type", "dow").agg(
+        F.round(F.percentile("n_events", 0.5), 6).alias("med")
+    )
+    j = daily.join(F.broadcast(med), ["event_type", "dow"])
+    mad = j.groupBy("event_type", "dow").agg(
+        F.round(
+            F.percentile(F.abs(F.col("n_events") - F.col("med")), 0.5), 6
+        ).alias("mad")
+    )
+    return (
+        j.join(F.broadcast(mad), ["event_type", "dow"])
+        .select(
+            "event_type",
+            (F.col("day") * day_ms).cast("long").alias("day_ms"),
+            "dow",
+            F.col("n_events").cast("long").alias("n_events"),
+            "med",
+            "mad",
+            (
+                F.abs(F.col("n_events") - F.col("med")) > F.lit(k) * F.col("mad")
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def sql_anomaly_seasonal(k: float = 3.0, day_ms: int = _DAY_MS) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // {day_ms} AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2),
+daily2 AS (SELECT *, ((day % 7) + 7) % 7 AS dow FROM daily),
+med AS (SELECT event_type, dow, round(median(n_events), 6) AS med
+        FROM daily2 GROUP BY 1, 2),
+j AS (SELECT d.*, m.med FROM daily2 d JOIN med m USING (event_type, dow)),
+mad AS (SELECT event_type, dow, round(median(abs(n_events - med)), 6) AS mad
+        FROM j GROUP BY 1, 2)
+SELECT j.event_type, CAST(j.day * {day_ms} AS BIGINT) AS day_ms,
+       CAST(j.dow AS BIGINT) AS dow,
+       CAST(j.n_events AS BIGINT) AS n_events, j.med, a.mad,
+       abs(j.n_events - j.med) > {k} * a.mad AS is_anomaly
+FROM j JOIN mad a USING (event_type, dow)
+"""

@@ -2657,3 +2657,131 @@ SELECT source,
        CAST(min(CASE WHEN cum >= ceil(n_total * 0.9) THEN n_tokens END) AS BIGINT) AS p90_tokens
 FROM cum GROUP BY 1
 """
+
+
+# ------------------------------------------ boilerplate prefix groups
+
+def boilerplate_prefixes(
+    docs: DataFrame, k: int = 5, min_docs: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Template detection by shared document openings: groups of
+    documents whose first ``k`` words are identical (crawl boilerplate,
+    scraper headers, form letters — the C4 observation that repeated
+    openings mark machine-generated or templated text).  Groups with at
+    least ``min_docs`` members are reported with their document count
+    and distinct-source spread (a prefix spanning many sources is
+    syndicated boilerplate; one source, a site template).
+
+    Scale shape: the prefix is a BOUNDED key (k words of the opening,
+    ~tens of bytes — the count_values class, not the unbounded-shingle
+    class), so one map-side-combinable groupBy carries it directly;
+    output cardinality is bounded by the number of distinct openings
+    above the floor.
+    """
+    prefix = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, k)
+    ).alias("prefix")
+    return (
+        docs.select(prefix, "source")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def sql_boilerplate_prefixes(k: int = 5, min_docs: int = 3) -> str:
+    return f"""
+WITH p AS (
+  SELECT array_to_string((string_split(text, ' '))[1:{k}], ' ') AS prefix,
+         source
+  FROM documents)
+SELECT prefix, count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources
+FROM p GROUP BY 1 HAVING count(*) >= {min_docs}
+"""
+
+
+# ------------------------------------------------- corpus growth curve
+
+def corpus_growth(
+    docs: DataFrame, n: int = 3, buckets: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Corpus growth (Heaps-law) curve: the corpus in ``buckets``
+    ingest-order slices (by doc_id), and per slice the number of
+    distinct word n-grams seen for the FIRST time — the
+    diminishing-returns report ("how much NEW content did the last
+    crawl add?") that decides whether to keep crawling a source.
+
+    Scale shape: shingles fold to xxhash64 in the scan (the
+    source_overlap rule — no shingle string crosses an exchange); each
+    distinct shingle reduces to its min doc_id (one combinable
+    groupBy), the bucket index is a broadcast max-id scalar, and the
+    cumulative runs over the ``buckets``-row result.  The DuckDB
+    oracle replays XXH64 bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from squirreldb_spark.pipeline.dedup import shingles
+
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shs"),
+    ).select("doc_id", F.xxhash64("shs").alias("h"))
+    first = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    mx = docs.agg((F.max("doc_id") + 1).alias("_mx"))
+    bucketed = first.crossJoin(F.broadcast(mx)).select(
+        F.least(
+            F.floor(F.col("first_doc") * buckets / F.col("_mx")),
+            F.lit(buckets - 1),
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_shingles")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = per.agg(F.sum("n_new_shingles").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("cum_new", F.sum("n_new_shingles").over(w).cast("long"))
+        .select(
+            "bucket",
+            "n_new_shingles",
+            "cum_new",
+            F.round(F.col("cum_new") / F.col("_tot"), 6).alias("cum_frac"),
+        )
+    )
+
+
+def sql_corpus_growth(n: int = 3, buckets: int = 10) -> str:
+    from squirreldb_spark.pipeline.duck_xxh64 import xxh64_ctes
+
+    shash = xxh64_ctes("shs", "shs", "cg_", ["doc_id"])
+    return f"""
+WITH shs AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[i:i+{n - 1}], ' ') AS shs
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i)),{shash},
+first AS (SELECT cg_h AS h, min(doc_id) AS first_doc FROM cg_sf GROUP BY 1),
+mx AS (SELECT max(doc_id) + 1 AS mx FROM documents),
+bucketed AS (
+  SELECT least(CAST(floor(first_doc * {buckets} / mx) AS BIGINT),
+               {buckets - 1}) AS bucket
+  FROM first, mx),
+per AS (SELECT bucket, count(*)::BIGINT AS n_new_shingles
+        FROM bucketed GROUP BY 1),
+tot AS (SELECT sum(n_new_shingles) AS tot FROM per)
+SELECT bucket, n_new_shingles,
+       CAST(sum(n_new_shingles) OVER (ORDER BY bucket
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_new,
+       round(sum(n_new_shingles) OVER (ORDER BY bucket
+                                       ROWS UNBOUNDED PRECEDING) / tot, 6)
+         AS cum_frac
+FROM per, tot
+"""

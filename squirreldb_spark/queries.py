@@ -2998,6 +2998,27 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     return ptext.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_ev_anomaly_seasonal(spark, sf_dir):
+    """Weekday-adjusted robust anomaly flags: per-(type, weekday)
+    median/MAD baselines so weekly seasonality is not flagged
+    (pipeline/events.py anomaly_seasonal)."""
+    return pevents.anomaly_seasonal(_events(spark, sf_dir))
+
+
+def q_doc_boilerplate_prefixes(spark, sf_dir):
+    """Template detection: shared first-k-words opening groups with
+    doc counts and source spread (pipeline/text.py
+    boilerplate_prefixes)."""
+    return ptext.boilerplate_prefixes(_docs(spark, sf_dir))
+
+
+def q_doc_corpus_growth(spark, sf_dir):
+    """Heaps-law corpus growth curve: first-seen distinct n-grams per
+    ingest-order decile, xxhash64-keyed (pipeline/text.py
+    corpus_growth)."""
+    return ptext.corpus_growth(_docs(spark, sf_dir))
+
+
 def q_ev_stickiness(spark, sf_dir):
     """DAU/MAU stickiness per 30-day bucket from ONE distinct
     (user, day) reduction (pipeline/events.py stickiness)."""
@@ -3735,6 +3756,18 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # funnel conversion-latency distribution (exact type-1 p50/p90)
     "ev_funnel_timing": QueryDef(q_ev_funnel_timing, pevents.sql_funnel_timing()),
+    # weekday-adjusted robust anomaly flags
+    "ev_anomaly_seasonal": QueryDef(
+        q_ev_anomaly_seasonal, pevents.sql_anomaly_seasonal()
+    ),
+    # shared-opening template groups
+    "doc_boilerplate_prefixes": QueryDef(
+        q_doc_boilerplate_prefixes, ptext.sql_boilerplate_prefixes()
+    ),
+    # Heaps-law corpus growth curve (first-seen n-grams per decile)
+    "doc_corpus_growth": QueryDef(
+        q_doc_corpus_growth, ptext.sql_corpus_growth()
+    ),
     # DAU/MAU stickiness per 30-day bucket
     "ev_stickiness": QueryDef(q_ev_stickiness, pevents.sql_stickiness()),
     # per-source exact length percentiles (data-card table)
@@ -3866,11 +3899,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
 # doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the thirteen r4 rows displaced by this round's new operators
+# the sixteen r4 rows displaced by this round's new operators
 # (ev_funnel, ev_retention_cohorts, ev_asof_join, mm_frame_dedup,
 # doc_pii_scrub, ev_sessionize, doc_mix_weights, doc_pack_sequences,
-# emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or) lead
-# round 10's backfill.
+# emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or,
+# ts_agg_stddev_by, ts_binop_gt_filter, ts_set_unless) lead round 10's
+# backfill.
 _VERIFY_FIRST: list[str] = [
     # --- (0a) NEW this round (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
@@ -3886,6 +3920,9 @@ _VERIFY_FIRST: list[str] = [
     "doc_length_quantiles",
     "emb_qc",
     "doc_dup_source_attribution",
+    "ev_anomaly_seasonal",
+    "doc_boilerplate_prefixes",
+    "doc_corpus_growth",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3924,9 +3961,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_last_over_time",
     "ts_stddev_over_time",
     "ts_idelta",
-    "ts_agg_stddev_by",
-    "ts_binop_gt_filter",
-    "ts_set_unless",
 ]
 
 

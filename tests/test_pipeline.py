@@ -1899,3 +1899,60 @@ def test_dup_source_attribution_orders_and_flags(spark):
            for r in dedup.dup_source_attribution(pairs, docs).collect()}
     assert out[("x", "x")].n_pairs == 1 and out[("x", "x")].within_source
     assert out[("x", "y")].n_pairs == 2 and not out[("x", "y")].within_source
+
+
+def test_anomaly_seasonal_weekday_baseline_not_fooled(spark):
+    """Weekly pattern: Sundays (dow determined by epoch-day % 7) always
+    10 events, other days always 100 — NO anomaly under the weekday
+    baseline (MAD=0 per weekday, deviation 0); one real spike day IS
+    flagged within its own weekday group."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = []
+    eid = 0
+    for day in range(28):
+        n = 10 if day % 7 == 3 else 100
+        if day == 24:          # spike on a non-"sunday" day
+            n = 1000
+        for i in range(n):
+            rows.append((1, eid, day * D + i))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long") \
+        .withColumn("event_type", F.lit("view"))
+    out = {r.day_ms // D: r for r in pevents.anomaly_seasonal(ev).collect()}
+    flagged = [d for d, r in out.items() if r.is_anomaly]
+    assert flagged == [24]
+    assert not out[3].is_anomaly and out[3].n_events == 10
+
+
+def test_boilerplate_prefixes_groups_shared_openings(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "terms of service for site a body one", "x"),
+            (2, "terms of service for site b body two", "y"),
+            (3, "terms of service for site c body xyz", "x"),
+            (4, "a unique document opening here", "x"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = text.boilerplate_prefixes(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.prefix == "terms of service for site"
+    assert (r.n_docs, r.n_sources) == (3, 2)
+
+
+def test_corpus_growth_monotone_and_complete(spark):
+    """First bucket sees all its shingles as new; cum_frac ends at 1;
+    a doc repeating earlier content adds zero new shingles."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i} common tail words here") for i in range(9)]
+        + [(9, "w0 w0 common tail words here")],     # pure repeat of doc 0
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in text.corpus_growth(docs).collect()}
+    assert 9 not in rows          # the repeat doc contributes nothing new
+    assert rows[max(rows)].cum_frac == 1.0
+    cums = [rows[b].cum_new for b in sorted(rows)]
+    assert cums == sorted(cums)
