@@ -60,8 +60,9 @@ BENCH_QUERIES = [
 ITERATIVE_QUERIES = [
     "doc_dedup_clusters",
     "emb_semantic_dedup",
-    # round 9: reruns the CC DAG, so it benches with the iterative block
+    # round 9: these rerun the CC DAG, so they bench with the iterative block
     "doc_dedup_savings",
+    "mm_audio_dedup_clusters",
 ]
 
 #: round-4 operator families, tracked OUTSIDE the frozen headline set so
@@ -133,6 +134,7 @@ SECONDARY_QUERIES = [
     "ev_anomaly_seasonal",
     "doc_boilerplate_prefixes",
     "doc_corpus_growth",
+    "ev_session_duration_stats",
 ]
 
 

@@ -2247,3 +2247,73 @@ SELECT j.event_type, CAST(j.day * {day_ms} AS BIGINT) AS day_ms,
        abs(j.n_events - j.med) > {k} * a.mad AS is_anomaly
 FROM j JOIN mad a USING (event_type, dow)
 """
+
+
+# --------------------------------------------- session length profile
+
+def session_duration_stats(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Session-length distribution: one row of corpus-level session
+    statistics — count, mean duration, exact type-1 p50/p90, and the
+    single-event-session fraction (bounce rate) — the first table any
+    engagement dashboard shows.
+
+    Scale shape: sessions come from the shared lag-flag-cumsum pass;
+    durations collapse to DISTINCT (duration, count) before the order
+    statistic (the rfm cumulative pattern), so the only unpartitioned
+    window runs over the reduced duration-value list, never sessions.
+    """
+    from pyspark.sql import Window
+
+    sess = sessionize(events, gap_ms).select(
+        "duration_ms", (F.col("n_events") == 1).alias("bounce")
+    )
+    dist = sess.groupBy("duration_ms").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("bounce"), 1).otherwise(0)).alias("nb"),
+    )
+    w = Window.orderBy("duration_ms").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("n").over(w)).crossJoin(
+        F.broadcast(dist.agg(F.sum("n").alias("n_total")))
+    )
+    return cum.agg(
+        F.first("n_total").cast("long").alias("n_sessions"),
+        F.round(
+            F.sum(F.col("duration_ms") * F.col("n")) / F.first("n_total"), 6
+        ).alias("mean_ms"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n_total") * 0.5),
+                   F.col("duration_ms"))
+        ).cast("long").alias("p50_ms"),
+        F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("n_total") * 0.9),
+                   F.col("duration_ms"))
+        ).cast("long").alias("p90_ms"),
+        F.round(F.sum("nb") / F.first("n_total"), 6).alias("bounce_rate"),
+    )
+
+
+def sql_session_duration_stats(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH sess AS ({sql_sessionize(gap_ms)}),
+d AS (SELECT duration_ms, (n_events = 1) AS bounce FROM sess),
+dist AS (SELECT duration_ms, count(*) AS n,
+                sum(CASE WHEN bounce THEN 1 ELSE 0 END) AS nb
+         FROM d GROUP BY 1),
+tot AS (SELECT sum(n) AS n_total FROM dist),
+cum AS (SELECT dist.*, tot.n_total,
+               sum(n) OVER (ORDER BY duration_ms
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dist, tot)
+SELECT CAST(max(n_total) AS BIGINT) AS n_sessions,
+       round(sum(duration_ms * n) / max(n_total), 6) AS mean_ms,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.5) THEN duration_ms END)
+            AS BIGINT) AS p50_ms,
+       CAST(min(CASE WHEN cum >= ceil(n_total * 0.9) THEN duration_ms END)
+            AS BIGINT) AS p90_ms,
+       round(sum(nb) / max(n_total), 6) AS bounce_rate
+FROM cum
+"""

@@ -2998,6 +2998,25 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     return ptext.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_mm_audio_dedup_clusters(spark, sf_dir):
+    """Audio near-dup DECISION step: connected components over the
+    prefix-filtered constellation matches, decorated with cluster size
+    and canonical flag — the same cluster machinery the text dedup DAG
+    uses, completing the multimodal family to the keep/drop point
+    (pipeline/dedup.py connected_components over
+    pipeline/multimodal.py audio_matches)."""
+    matches = pmm.audio_matches(pmm.as_binary_table(_docs(spark, sf_dir)))
+    cc = pdedup.connected_components(matches)
+    return pdedup.cluster_members(cc, "doc_id")
+
+
+def q_ev_session_duration_stats(spark, sf_dir):
+    """Session-length distribution: exact type-1 p50/p90 duration +
+    mean and counts from the sessionize reduction
+    (pipeline/events.py session_duration_stats)."""
+    return pevents.session_duration_stats(_events(spark, sf_dir))
+
+
 def q_ev_anomaly_seasonal(spark, sf_dir):
     """Weekday-adjusted robust anomaly flags: per-(type, weekday)
     median/MAD baselines so weekly seasonality is not flagged
@@ -3756,6 +3775,15 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # funnel conversion-latency distribution (exact type-1 p50/p90)
     "ev_funnel_timing": QueryDef(q_ev_funnel_timing, pevents.sql_funnel_timing()),
+    # audio near-dup clusters (CC over constellation matches)
+    "mm_audio_dedup_clusters": QueryDef(
+        q_mm_audio_dedup_clusters,
+        pdedup.sql_cc_clusters(pmm.sql_audio_matches()),
+    ),
+    # session-length distribution (exact type-1 p50/p90 + bounce rate)
+    "ev_session_duration_stats": QueryDef(
+        q_ev_session_duration_stats, pevents.sql_session_duration_stats()
+    ),
     # weekday-adjusted robust anomaly flags
     "ev_anomaly_seasonal": QueryDef(
         q_ev_anomaly_seasonal, pevents.sql_anomaly_seasonal()
@@ -3899,12 +3927,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
 # doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the sixteen r4 rows displaced by this round's new operators
+# the eighteen r4 rows displaced by this round's new operators
 # (ev_funnel, ev_retention_cohorts, ev_asof_join, mm_frame_dedup,
 # doc_pii_scrub, ev_sessionize, doc_mix_weights, doc_pack_sequences,
 # emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or,
-# ts_agg_stddev_by, ts_binop_gt_filter, ts_set_unless) lead round 10's
-# backfill.
+# ts_agg_stddev_by, ts_binop_gt_filter, ts_set_unless,
+# ts_stddev_over_time, ts_idelta) lead round 10's backfill.
 _VERIFY_FIRST: list[str] = [
     # --- (0a) NEW this round (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
@@ -3923,6 +3951,8 @@ _VERIFY_FIRST: list[str] = [
     "ev_anomaly_seasonal",
     "doc_boilerplate_prefixes",
     "doc_corpus_growth",
+    "mm_audio_dedup_clusters",
+    "ev_session_duration_stats",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3959,8 +3989,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_stdvar_over_time",
     "ts_count_over_time",
     "ts_last_over_time",
-    "ts_stddev_over_time",
-    "ts_idelta",
 ]
 
 

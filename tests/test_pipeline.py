@@ -1956,3 +1956,38 @@ def test_corpus_growth_monotone_and_complete(spark):
     assert rows[max(rows)].cum_frac == 1.0
     cums = [rows[b].cum_new for b in sorted(rows)]
     assert cums == sorted(cums)
+
+
+def test_audio_dedup_clusters_group_identical_payloads(spark):
+    """Three identical audio payloads + one distinct must cluster the
+    copies under the smallest doc_id and leave the outsider out."""
+    base = bytes((i * 53 + 7) % 251 for i in range(256))
+    other = bytes((i * 97 + 11) % 251 for i in range(256))
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, base), (4, other)],
+        "doc_id long, payload binary",
+    )
+    matches = multimodal.audio_matches(df, min_shared=10)
+    cc = dedup.connected_components(matches)
+    out = {r.doc_id: r for r in dedup.cluster_members(cc, "doc_id").collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(r.cluster_id == 1 and r.cluster_size == 3 for r in out.values())
+    assert out[1].is_canonical and not out[2].is_canonical
+
+
+def test_session_duration_stats_exact(spark):
+    """Sessions of 0 (bounce), 100 and 900 ms: p50=100 (type-1 over 3),
+    p90=900, bounce_rate=1/3."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    G = 1_800_000
+    rows = [
+        (1, 1, 0),                       # bounce session
+        (2, 2, 0), (2, 3, 100),          # 100 ms
+        (3, 4, 0), (3, 5, 900),          # 900 ms
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    r = pevents.session_duration_stats(ev, gap_ms=G).collect()[0]
+    assert (r.n_sessions, r.p50_ms, r.p90_ms) == (3, 100, 900)
+    assert abs(r.bounce_rate - 1 / 3) < 1e-6
+    assert abs(r.mean_ms - 1000 / 3) < 1e-3
