@@ -564,3 +564,138 @@ def test_simhash_pigeonhole_completeness_property(spark, corpus):
         for r in simhash_neardup_pairs(docs, max_bucket=None).collect()
     }
     assert got == expected
+
+
+# --------------------------- peak-concurrency endpoint-sweep reference
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sessions=st.lists(
+        st.tuples(
+            st.integers(min_value=-2, max_value=2),      # start day offset
+            st.integers(min_value=0, max_value=200_000_000),  # start ms in day
+            st.integers(min_value=0, max_value=250_000_000),  # duration ms
+        ),
+        min_size=1, max_size=12,
+    ),
+)
+def test_peak_concurrency_matches_brute_force(spark, sessions):
+    """The two-level parallel prefix sum (per-day netting + running
+    window + one-row-per-day carry) must equal a brute-force sweep over
+    every endpoint, including multi-day spans, pre-1970 days, and
+    same-millisecond start/end cancellation."""
+    from squirreldb_spark.pipeline.events import peak_concurrency
+
+    DAY = 86_400_000
+    GAP = 1_800_000
+    rows, eid = [], 0
+    ivals = []
+    for d, s, dur in sessions:
+        t0 = d * DAY + s
+        # one session = two events GAP-joined only if dur <= GAP; force
+        # single sessions by emitting events every GAP/2 across dur
+        ts = t0
+        pts = [t0]
+        while ts + GAP // 2 <= t0 + dur:
+            ts += GAP // 2
+            pts.append(ts)
+        uid = eid  # unique user per session -> sessions are exact
+        for t in pts:
+            rows.append((uid, eid, t))
+            eid += 1
+        ivals.append((pts[0], pts[-1]))
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    got = {r.day: (r.peak_concurrent, r.n_sessions_started)
+           for r in peak_concurrency(ev).collect()}
+
+    # brute force: sweep the +1/-1 deltas in time order, track per-day max
+    deltas = {}
+    for a, b in ivals:
+        deltas[a] = deltas.get(a, 0) + 1
+        deltas[b + 1] = deltas.get(b + 1, 0) - 1
+    run = 0
+    day_max = {}
+    for t in sorted(deltas):
+        run += deltas[t]
+        d = t // DAY  # python floor division == the operator's F.floor
+        day_max[d] = max(day_max.get(d, run), run)
+    starts = {}
+    for a, _ in ivals:
+        starts[a // DAY] = starts.get(a // DAY, 0) + 1
+    # carry: a day with endpoints whose max never exceeds the carried-in
+    # level keeps the carry (greatest(0, max_within) + carry)
+    expect = {}
+    carry = 0
+    for d in sorted(day_max):
+        expect[d] = (max(day_max[d], carry), starts.get(d, 0))
+        # recompute carry = running level at end of day d
+        lvl = 0
+        for t in sorted(deltas):
+            if t <= (d + 1) * DAY - 1:
+                lvl += deltas[t]
+        carry = lvl
+    assert got == expect
+
+
+# ------------------------------- funnel-timing first-touch reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),            # user
+            st.sampled_from(["view", "click", "purchase"]),
+            st.integers(min_value=0, max_value=50),           # ts
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_funnel_timing_matches_first_touch_reference(spark, events):
+    """funnel_timing's latencies must equal a direct first-touch
+    simulation: t_k = first event of stage k strictly after t_(k-1);
+    p50/p90 are type-1 order statistics over the latency multiset."""
+    import math
+
+    from squirreldb_spark.pipeline.events import funnel_timing
+
+    rows = [(u, i, t, s) for i, (u, s, t) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    got = {r.stage_idx: r for r in funnel_timing(ev).collect()}
+
+    stages = ("view", "click", "purchase")
+    by_user = {}
+    for u, eid, t, s in rows:
+        by_user.setdefault(u, []).append((t, eid, s))
+    lat = {1: [], 2: []}
+    for u, evs in by_user.items():
+        evs.sort()
+        prev_t = None
+        t_prev_stage = None
+        for k, stage in enumerate(stages):
+            cand = [t for t, _, s in evs
+                    if s == stage and (k == 0 or (t_prev_stage is not None
+                                                  and t > t_prev_stage))]
+            if not cand:
+                t_prev_stage = None
+                break
+            t_k = min(cand)
+            if k > 0:
+                lat[k].append(t_k - t_prev_stage)
+            t_prev_stage = t_k
+    for k in (1, 2):
+        xs = sorted(lat[k])
+        if not xs:
+            assert k not in got
+            continue
+        n = len(xs)
+        p50 = xs[math.ceil(0.5 * n) - 1]
+        p90 = xs[math.ceil(0.9 * n) - 1]
+        r = got[k]
+        assert (r.n_users, r.p50_ms, r.p90_ms) == (n, p50, p90), (k, xs, r)
+        assert abs(r.mean_ms - round(sum(xs) / n, 6)) < 1e-9
