@@ -1991,3 +1991,17 @@ def test_session_duration_stats_exact(spark):
     assert (r.n_sessions, r.p50_ms, r.p90_ms) == (3, 100, 900)
     assert abs(r.bounce_rate - 1 / 3) < 1e-6
     assert abs(r.mean_ms - 1000 / 3) < 1e-3
+
+
+def test_catalog_doc_lists_every_entry():
+    """docs/CATALOG.md is generated truth (tools/gen_catalog_doc.py):
+    every catalog key must appear, and its stated entry count must equal
+    len(CATALOG) — same anti-drift rule as the README count."""
+    from pathlib import Path
+
+    from squirreldb_spark.queries import CATALOG
+
+    doc = (Path(__file__).resolve().parents[1] / "docs" / "CATALOG.md").read_text()
+    missing = [n for n in CATALOG if f"`{n}`" not in doc]
+    assert not missing, missing
+    assert f"{len(CATALOG)} entries" in doc
