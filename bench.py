@@ -135,6 +135,8 @@ SECONDARY_QUERIES = [
     "doc_boilerplate_prefixes",
     "doc_corpus_growth",
     "ev_session_duration_stats",
+    "doc_source_sketch_accuracy",
+    "emb_ivf_nprobe_sweep",
 ]
 
 

@@ -1925,3 +1925,45 @@ SELECT a.src AS source_a, b.src AS source_b,
        round(({agree}) / {k}.0, 6) AS est_jaccard
 FROM sig a JOIN sig b ON a.src < b.src
 """
+
+
+def source_sketch_accuracy(
+    docs: DataFrame, n: int = 3, k: int = MINHASH_SRC_K
+) -> DataFrame:
+    """Estimator self-evaluation for the cross-source MinHash sketch
+    (the minhash_accuracy convention): for every source pair, the
+    sketch's agreement-fraction estimate against the EXACT shingle
+    Jaccard and the absolute error — expected ~1/sqrt(k) ≈ 0.125 at
+    k=64, and the evidence a mixture designer reads before trusting
+    the O(sources·k) sketch over the full distinct-shingle tables.
+
+    Scale shape: both inputs are the catalog's own plans
+    (:func:`source_minhash_sim`, :func:`source_overlap`); the join is
+    sources² rows.
+    """
+    est = source_minhash_sim(docs, n=n, k=k).select(
+        "source_a", "source_b", "est_jaccard"
+    )
+    exact = source_overlap(docs, n=n).select(
+        "source_a", "source_b", F.col("jaccard").alias("exact_jaccard")
+    )
+    return est.join(exact, ["source_a", "source_b"]).select(
+        "source_a",
+        "source_b",
+        "est_jaccard",
+        "exact_jaccard",
+        F.round(F.abs(F.col("est_jaccard") - F.col("exact_jaccard")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
+def sql_source_sketch_accuracy(n: int = 3, k: int = MINHASH_SRC_K) -> str:
+    return f"""
+WITH est AS ({sql_source_minhash_sim(n, k)}),
+exact AS ({sql_source_overlap(n)})
+SELECT e.source_a, e.source_b, e.est_jaccard,
+       x.jaccard AS exact_jaccard,
+       round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
+FROM est e JOIN exact x USING (source_a, source_b)
+"""

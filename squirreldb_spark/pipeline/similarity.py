@@ -1917,3 +1917,69 @@ SELECT label,
        sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_vectors
 FROM base GROUP BY 1
 """
+
+
+# --------------------------------------------- IVF nprobe tuning sweep
+
+def ivf_nprobe_sweep(
+    emb: DataFrame,
+    probes: tuple = (1, 2, 4),
+    k: int = 5,
+    n_queries: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Recall-vs-nprobe tuning curve: overall recall@k of the IVF index
+    against exact cosine top-k for each probe count — the table every
+    IVF deployment reads to pick nprobe (the knob that trades scan
+    fraction ~nprobe/n_cells for recall).  Completes the calibration
+    family (ann_recall is one point of this curve).
+
+    Scale shape: the exact ranking is computed once; each probe level
+    reuses the SAME memoized centroids (one training pass) and differs
+    only in its broadcast probe set, so the sweep costs |probes| serving
+    scans — never |probes| trainings; every per-level result is a
+    config-sized (k x n_queries) table and the final union is
+    |probes| rows.
+    """
+    exact = cosine_knn(
+        emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "c_id")
+    out = None
+    for p in probes:
+        approx = ann_ivf(
+            emb, k=k, n_queries=n_queries, nprobe=p, id_col=id_col,
+            vec_col=vec_col, cache_key=cache_key,
+        ).select("q_id", "c_id", F.lit(1).alias("_hit"))
+        rec = (
+            exact.join(approx, ["q_id", "c_id"], "left")
+            .agg(
+                F.count("_hit").cast("long").alias("n_hits"),
+                F.round(F.count("_hit") / F.count(F.lit(1)), 6).alias("recall"),
+            )
+            .select(F.lit(p).cast("long").alias("nprobe"), "n_hits", "recall")
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def sql_ivf_nprobe_sweep(
+    probes: tuple = (1, 2, 4), k: int = 5, n_queries: int = 5,
+    n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
+    dim: int = 64, train_mod: int = 4,
+) -> str:
+    parts = []
+    for p in probes:
+        parts.append(f"""
+SELECT {p}::BIGINT AS nprobe,
+       count(a.c_id)::BIGINT AS n_hits,
+       round(count(a.c_id) / count(*), 6) AS recall
+FROM exact e LEFT JOIN ({sql_ann_ivf(k, n_queries, n_cells, cent_base, p,
+                                     kmeans_iters, dim, train_mod)}) a
+  ON e.q_id = a.q_id AND e.c_id = a.c_id""")
+    joined = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH exact AS (SELECT q_id, c_id FROM ({sql_cosine_knn(k, n_queries)}) _e)
+{joined}
+"""

@@ -2998,6 +2998,21 @@ def q_doc_ccnet_buckets(spark, sf_dir):
     return ptext.ccnet_buckets(_docs(spark, sf_dir))
 
 
+def q_doc_source_sketch_accuracy(spark, sf_dir):
+    """Cross-source MinHash sketch calibration: agreement-fraction
+    estimate vs EXACT shingle Jaccard per source pair, abs error
+    (pipeline/dedup.py source_sketch_accuracy)."""
+    return pdedup.source_sketch_accuracy(_docs(spark, sf_dir))
+
+
+def q_emb_ivf_nprobe_sweep(spark, sf_dir):
+    """Recall-vs-nprobe IVF tuning curve: one training pass (memoized
+    centroids), one serving scan per probe level
+    (pipeline/similarity.py ivf_nprobe_sweep)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ivf_nprobe_sweep(emb, cache_key=sf_dir)
+
+
 def q_mm_audio_dedup_clusters(spark, sf_dir):
     """Audio near-dup DECISION step: connected components over the
     prefix-filtered constellation matches, decorated with cluster size
@@ -3775,6 +3790,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # funnel conversion-latency distribution (exact type-1 p50/p90)
     "ev_funnel_timing": QueryDef(q_ev_funnel_timing, pevents.sql_funnel_timing()),
+    # cross-source sketch calibration (est vs exact Jaccard per pair)
+    "doc_source_sketch_accuracy": QueryDef(
+        q_doc_source_sketch_accuracy, pdedup.sql_source_sketch_accuracy()
+    ),
+    # IVF recall-vs-nprobe tuning curve
+    "emb_ivf_nprobe_sweep": QueryDef(
+        q_emb_ivf_nprobe_sweep, psim.sql_ivf_nprobe_sweep()
+    ),
     # audio near-dup clusters (CC over constellation matches)
     "mm_audio_dedup_clusters": QueryDef(
         q_mm_audio_dedup_clusters,
@@ -3927,12 +3950,13 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
 # api_series, api_label_values, doc_sample_budget_sharded,
 # doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the eighteen r4 rows displaced by this round's new operators
+# the twenty r4 rows displaced by this round's new operators
 # (ev_funnel, ev_retention_cohorts, ev_asof_join, mm_frame_dedup,
 # doc_pii_scrub, ev_sessionize, doc_mix_weights, doc_pack_sequences,
 # emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or,
 # ts_agg_stddev_by, ts_binop_gt_filter, ts_set_unless,
-# ts_stddev_over_time, ts_idelta) lead round 10's backfill.
+# ts_stddev_over_time, ts_idelta, ts_count_over_time,
+# ts_last_over_time) lead round 10's backfill.
 _VERIFY_FIRST: list[str] = [
     # --- (0a) NEW this round (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
@@ -3953,6 +3977,8 @@ _VERIFY_FIRST: list[str] = [
     "doc_corpus_growth",
     "mm_audio_dedup_clusters",
     "ev_session_duration_stats",
+    "doc_source_sketch_accuracy",
+    "emb_ivf_nprobe_sweep",
     # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
     "doc_source_minhash_sim",
     "doc_source_overlap",
@@ -3987,8 +4013,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_max_over_time",
     "ts_present_over_time",
     "ts_stdvar_over_time",
-    "ts_count_over_time",
-    "ts_last_over_time",
 ]
 
 

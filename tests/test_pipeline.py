@@ -2005,3 +2005,23 @@ def test_catalog_doc_lists_every_entry():
     missing = [n for n in CATALOG if f"`{n}`" not in doc]
     assert not missing, missing
     assert f"{len(CATALOG)} entries" in doc
+
+
+def test_source_sketch_accuracy_identical_sources_zero_error(spark):
+    out = {(r.source_a, r.source_b): r
+           for r in dedup.source_sketch_accuracy(_src_docs(spark)).collect()}
+    ac = out[("sA", "sC")]      # identical shingle sets
+    assert (ac.est_jaccard, ac.exact_jaccard, ac.abs_err) == (1.0, 1.0, 0.0)
+    ab = out[("sA", "sB")]
+    assert ab.abs_err == round(abs(ab.est_jaccard - ab.exact_jaccard), 6)
+
+
+def test_ivf_nprobe_sweep_recall_monotone(spark, sf_dir):
+    """Recall@k can only grow with more probed cells; nprobe = n_cells
+    (8) must equal brute force (recall 1.0)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    out = {r.nprobe: r for r in
+           similarity.ivf_nprobe_sweep(emb, probes=(1, 2, 4, 8)).collect()}
+    recs = [out[p].recall for p in (1, 2, 4, 8)]
+    assert recs == sorted(recs)
+    assert out[8].recall == 1.0
