@@ -699,3 +699,73 @@ def test_funnel_timing_matches_first_touch_reference(spark, events):
         r = got[k]
         assert (r.n_users, r.p50_ms, r.p90_ms) == (n, p50, p90), (k, xs, r)
         assert abs(r.mean_ms - round(sum(xs) / n, 6)) < 1e-9
+
+
+# ------------------------------------ corpus-growth first-seen reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    corpus=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=8),
+        min_size=1, max_size=10,
+    ),
+)
+def test_corpus_growth_matches_first_seen_reference(spark, corpus):
+    """Bucketed first-seen n-gram counts must equal a direct scan in
+    doc_id order over the SAME shingle definition (padded trigrams for
+    short docs, per-doc distinct)."""
+    from squirreldb_spark.pipeline.text import corpus_growth
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    got = {r.bucket: r.n_new_shingles
+           for r in corpus_growth(docs, buckets=10).collect()}
+
+    seen, per_doc_new = set(), {}
+    for i, ws in enumerate(corpus):
+        sh = {" ".join(ws[j:j + 3]) for j in range(max(len(ws) - 2, 1))}
+        per_doc_new[i] = len(sh - seen)
+        seen |= sh
+    mx = len(corpus)
+    expect = {}
+    for i, n in per_doc_new.items():
+        if n:
+            b = min(i * 10 // mx, 9)
+            expect[b] = expect.get(b, 0) + n
+    assert got == expect
+
+
+# ---------------------------------------- bot-cadence cv reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=10_000),
+                  min_size=1, max_size=30),
+)
+def test_bot_cadence_cv_matches_numpy_reference(spark, gaps):
+    """gap_cv must equal round(std_pop/mean, 6) over the inter-event
+    gaps of the (ts, event_id)-ordered stream."""
+    import numpy as np
+
+    from squirreldb_spark.pipeline.events import bot_cadence
+
+    ts = [0]
+    for g in gaps:
+        ts.append(ts[-1] + g)
+    rows = [(1, i, t) for i, t in enumerate(ts)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    r = bot_cadence(ev).collect()[0]
+    mean = round(float(np.mean(gaps)), 6)
+    assert r.mean_gap_ms == mean
+    if mean > 0:
+        # cv is computed from the 6-dp-rounded sd and mean (engine rule)
+        sd = round(float(np.std(gaps)), 6)
+        assert r.gap_cv == round(sd / mean, 6)
+    else:
+        assert r.gap_cv is None
