@@ -150,6 +150,7 @@ def _round(df: DataFrame, cols: dict[str, int]) -> DataFrame:
 
 
 def q_downsample(spark, sf_dir):
+    """A13: the 5-minute min/max/avg/count pre-aggregation job (tsdb/downsample.py)."""
     ds = downsample.downsample(_pts(spark, sf_dir), KEYS, RES_MS)
     return _round(
         ds.select(
@@ -171,6 +172,7 @@ FROM pts GROUP BY 1, 2, 3
 
 
 def q_instant(spark, sf_dir):
+    """Instant vector selector with 5m lookback + staleness-marker semantics; one window pass per series (tsdb/selectors.py)."""
     return _round(_instant(spark, sf_dir), {"value": 6})
 
 
@@ -178,6 +180,7 @@ SQL_INSTANT = _INST_SQL + "SELECT user_id, event_type, step_ts, round(value, 6) 
 
 
 def q_range_avg(spark, sf_dir):
+    """PromQL avg_over_time over the bucketed range-selector join (tsdb/range_fns.py)."""
     df = range_fns.over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "avg")
     return _round(df, {"value": 6})
 
@@ -213,6 +216,7 @@ def _duck_prom_quantile(vals: str, q: float) -> str:
 
 
 def q_range_quantile(spark, sf_dir):
+    """PromQL quantile_over_time with upstream-exact interpolation — collected-array quantile, never percentile_approx (tsdb/range_fns.py)."""
     df = range_fns.over_time(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "quantile", quantile=0.9
     )
@@ -255,6 +259,10 @@ def _q_over_time(fn: str):
         df = range_fns.over_time(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, fn)
         return _round(df, {"value": 6})
 
+    run.__doc__ = (
+        f"PromQL {fn}_over_time over the bucketed range-selector join"
+        " (tsdb/range_fns.py over_time)."
+    )
     return run
 
 
@@ -267,6 +275,7 @@ FROM rs GROUP BY 1, 2, 3
 
 
 def q_rate(spark, sf_dir):
+    """PromQL rate(): upstream extrapolatedRate math with counter-reset correction and boundary clamps (tsdb/range_fns.py)."""
     df = range_fns.extrapolated(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=True
     )
@@ -274,6 +283,7 @@ def q_rate(spark, sf_dir):
 
 
 def q_increase(spark, sf_dir):
+    """PromQL increase(): extrapolated counter delta per window (tsdb/range_fns.py)."""
     df = range_fns.extrapolated(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=True, is_rate=False
     )
@@ -281,6 +291,7 @@ def q_increase(spark, sf_dir):
 
 
 def q_delta(spark, sf_dir):
+    """PromQL delta(): extrapolated gauge difference per window (tsdb/range_fns.py)."""
     df = range_fns.extrapolated(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_counter=False, is_rate=False
     )
@@ -288,6 +299,7 @@ def q_delta(spark, sf_dir):
 
 
 def q_irate(spark, sf_dir):
+    """PromQL irate(): last-two-samples instantaneous rate with (ts, insert-order) tie-break (tsdb/range_fns.py)."""
     df = range_fns.instantaneous(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_rate=True
     )
@@ -295,6 +307,7 @@ def q_irate(spark, sf_dir):
 
 
 def q_idelta(spark, sf_dir):
+    """PromQL idelta(): last-two-samples difference (tsdb/range_fns.py)."""
     df = range_fns.instantaneous(
         _pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, is_rate=False
     )
@@ -333,10 +346,12 @@ FROM agg
 
 
 def q_resets(spark, sf_dir):
+    """PromQL resets(): counter-reset count per range window, NaN-safe (tsdb/range_fns.py)."""
     return range_fns.resets_changes(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "resets")
 
 
 def q_changes(spark, sf_dir):
+    """PromQL changes(): value-change count per range window, NaN-safe (tsdb/range_fns.py)."""
     return range_fns.resets_changes(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, "changes")
 
 
@@ -358,6 +373,7 @@ SQL_CHANGES = _resets_changes_sql(
 
 
 def q_agg_sum_by(spark, sf_dir):
+    """PromQL sum by(label): grouped aggregation over the instant vector (tsdb/aggregation.py)."""
     df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "sum")
     return _round(df, {"value": 6})
 
@@ -368,6 +384,7 @@ SQL_AGG_SUM_BY = _INST_SQL + (
 
 
 def q_agg_stddev_by(spark, sf_dir):
+    """PromQL stddev by(label): population stddev grouped aggregation (tsdb/aggregation.py)."""
     df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "stddev")
     return _round(df, {"value": 6})
 
@@ -378,6 +395,7 @@ SQL_AGG_STDDEV_BY = _INST_SQL + (
 
 
 def q_agg_quantile_by(spark, sf_dir):
+    """PromQL quantile by(label) with upstream quantile.go semantics, exact (tsdb/aggregation.py)."""
     df = agg_ops.aggregate(_instant(spark, sf_dir), ["event_type"], "quantile", quantile=0.5)
     return _round(df, {"value": 6})
 
@@ -390,6 +408,7 @@ SQL_AGG_QUANTILE_BY = _INST_SQL + (
 
 
 def q_topk(spark, sf_dir):
+    """PromQL topk(): two-phase sharded per-step top-k — no global sort (tsdb/aggregation.py)."""
     vec = _instant(spark, sf_dir)
     df = agg_ops.topk(vec, by=["event_type"], series_keys=["user_id"], k=2)
     return _round(df, {"value": 6})
@@ -445,6 +464,7 @@ FROM keyed WHERE {agg_ops._hex_fraction_expr('lrk')} < 0.7
 
 
 def q_count_values(spark, sf_dir):
+    """PromQL count_values(): series count per distinct sample value (tsdb/aggregation.py)."""
     vec = _instant(spark, sf_dir).withColumn(
         "value", F.floor(F.col("value") / F.lit(100.0)) * F.lit(100.0)
     )
@@ -480,6 +500,7 @@ le AS (
 
 
 def q_binop_ratio(spark, sf_dir):
+    """Vector / vector arithmetic with on(...) label matching, Go division semantics (tsdb/binops.py)."""
     left = _purchase_vec(spark, sf_dir)
     total = agg_ops.aggregate(_instant(spark, sf_dir), ["user_id"], "sum")
     df = binops.arith(left, total, on=["user_id"], op="/")
@@ -494,6 +515,7 @@ FROM lp JOIN tot ON lp.user_id = tot.user_id AND lp.step_ts = tot.step_ts
 
 
 def q_binop_gt(spark, sf_dir):
+    """Vector > vector comparison filter: drops non-matching samples (tsdb/binops.py)."""
     df = binops.compare(
         _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op=">"
     )
@@ -508,6 +530,7 @@ WHERE lp.value > le.value
 
 
 def q_set_and(spark, sf_dir):
+    """PromQL and: intersection on matching label signatures (tsdb/binops.py)."""
     df = binops.set_op(
         _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="and"
     )
@@ -515,6 +538,7 @@ def q_set_and(spark, sf_dir):
 
 
 def q_set_unless(spark, sf_dir):
+    """PromQL unless: left side minus signature matches (tsdb/binops.py)."""
     df = binops.set_op(
         _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="unless"
     )
@@ -522,6 +546,7 @@ def q_set_unless(spark, sf_dir):
 
 
 def q_set_or(spark, sf_dir):
+    """PromQL or: union with left-side precedence per signature (tsdb/binops.py)."""
     df = binops.set_op(
         _purchase_vec(spark, sf_dir), _error_vec(spark, sf_dir), on=["user_id"], op="or"
     )
@@ -619,6 +644,7 @@ SELECT user_id, event_type, ts, round(value * 2, 6) AS value FROM pts
 
 
 def q_retention(spark, sf_dir):
+    """A37 TTL retention sweep, incl. the per-write TTL column (tsdb/maintenance.py)."""
     pts = maintenance.apply_retention(_pts(spark, sf_dir), RETENTION_NOW_MS, RETENTION_TTL_S)
     return pts.groupBy(*KEYS).agg(F.count(F.lit(1)).alias("cnt"))
 
@@ -631,6 +657,7 @@ WHERE ts >= {RETENTION_NOW_MS - RETENTION_TTL_S * 1000} GROUP BY 1, 2
 
 
 def q_interning(spark, sf_dir):
+    """A4 series interning: 60-bit content-hash IDs computed map-side, lock-free (model.py)."""
     return model.series_dim(spark, sf_dir)
 
 
@@ -646,6 +673,7 @@ FROM dim
 
 
 def q_label_values(spark, sf_dir):
+    """A22 LabelValues: distinct values of one label across the corpus (tsdb/maintenance.py)."""
     dim = model.series_dim(spark, sf_dir)
     return maintenance.label_values(dim, "event_type")
 
@@ -675,6 +703,7 @@ GROUP BY 1, 2, 3
 
 
 def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary report: grouped lineitem aggregates with pushed date filter."""
     li = model.load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= Q1_CUTOFF_MS
     )
@@ -708,6 +737,7 @@ GROUP BY 1, 2
 
 
 def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: 3-way join with broadcast dims + top-k by revenue."""
     cust = model.load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -737,6 +767,7 @@ GROUP BY 1, 2
 
 
 def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local supplier volume: 6-way join, region filter pruned into the dim scans."""
     t = {n: model.load_table(spark, sf_dir, n) for n in
          ("customer", "orders", "lineitem", "supplier", "nation", "region")}
     j = (
@@ -779,6 +810,7 @@ def _docs(spark, sf_dir):
 
 
 def q_doc_stats(spark, sf_dir):
+    """Per-document length/token/lexical-diversity statistics — a narrow map, zero shuffle (pipeline/text.py doc_stats)."""
     df = ptext.doc_stats(_docs(spark, sf_dir))
     for c in ("n_chars_calc", "n_tokens", "n_uniq_tokens", "n_bpe_ish_tokens"):
         df = df.withColumn(c, F.col(c).cast("long"))
@@ -799,6 +831,7 @@ FROM t
 
 
 def q_doc_langid(spark, sf_dir):
+    """Character-n-gram language-ID heuristic scored per document (pipeline/text.py)."""
     df = ptext.lang_scores(_docs(spark, sf_dir))
     for lang in ptext.STOPWORDS:
         df = df.withColumn(f"score_{lang}", F.col(f"score_{lang}").cast("long"))
@@ -806,6 +839,7 @@ def q_doc_langid(spark, sf_dir):
 
 
 def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint in the scan, zero shuffle (pipeline/text.py)."""
     return ptext.fingerprint(_docs(spark, sf_dir))
 
 
@@ -816,6 +850,7 @@ FROM documents
 
 
 def q_doc_exact_dedup(spark, sf_dir):
+    """Exact dedup groups: content hash -> representative + duplicate count (pipeline/dedup.py exact_dedup)."""
     return pdedup.exact_dedup(_docs(spark, sf_dir))
 
 
@@ -826,6 +861,7 @@ FROM documents GROUP BY 1
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
+    """Exact word-n-gram Jaccard on LSH candidate pairs via in-row array HOFs (pipeline/dedup.py ngram_jaccard_pairs)."""
     docs = _docs(spark, sf_dir)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
@@ -847,10 +883,12 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 
 
 def q_doc_minhash(spark, sf_dir):
+    """MinHash signatures: K permutation minima in ONE shuffle — one md5 per shingle + K linear permutations (pipeline/dedup.py minhash_signatures)."""
     return pdedup.minhash_signatures(_docs(spark, sf_dir))
 
 
 def q_doc_minhash_lsh(spark, sf_dir):
+    """Banded-LSH candidate pairs with the hot-bucket cap counted on the join's own shuffle key (pipeline/dedup.py lsh_candidate_pairs)."""
     # the signature relation feeds four plan branches (both self-join
     # sides + both estimate joins); AQE's ReusedExchange dedupes the
     # identical shuffle subtrees, so an explicit cache() only hurts
@@ -862,15 +900,18 @@ def q_doc_minhash_lsh(spark, sf_dir):
 
 
 def q_doc_simhash(spark, sf_dir):
+    """SimHash fingerprints: 60 bit-sums folded in an Arrow-batched pandas pass, zero shuffle (pipeline/dedup.py simhash)."""
     return pdedup.simhash(_docs(spark, sf_dir))
 
 
 def q_emb_cosine_knn(spark, sf_dir):
+    """Brute-force cosine top-k: JVM-side dot products against a broadcast query set (pipeline/similarity.py cosine_knn)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
     return psim.cosine_knn(emb).withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_emb_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN: literal plane folds in the scan (pipeline/similarity.py ann_lsh)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
     return psim.ann_lsh(emb).withColumn("rank", F.col("rank").cast("long"))
 
@@ -886,15 +927,18 @@ def q_emb_ann_ivf(spark, sf_dir):
 
 
 def q_emb_neardup(spark, sf_dir):
+    """Multi-table LSH near-duplicate pairs above a cosine threshold, hot-bucket capped (pipeline/similarity.py embedding_neardup_pairs)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
     return psim.embedding_neardup_pairs(emb)
 
 
 def q_mm_extract(spark, sf_dir):
+    """Binary-payload feature extraction via Arrow mapInPandas; decode stubbed, plumbing real (pipeline/multimodal.py)."""
     return pmm.extract_features(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
 def q_mm_resize(spark, sf_dir):
+    """Image-resize plumbing over binary payloads in Arrow batches; decode stubbed (pipeline/multimodal.py)."""
     out = pmm.resize_images(pmm.as_binary_table(_docs(spark, sf_dir)))
     # hash compare is textual: stringify the pixel array identically on
     # both sides (the operator itself keeps the real array<long>)
@@ -906,6 +950,7 @@ def q_mm_resize(spark, sf_dir):
 
 
 def q_mm_frames(spark, sf_dir):
+    """Deterministic frame sampling from video payloads in Arrow batches; decode stubbed (pipeline/multimodal.py)."""
     return pmm.sample_frames(pmm.as_binary_table(_docs(spark, sf_dir)))
 
 
@@ -982,11 +1027,13 @@ FROM hit WHERE rn = 1
 
 
 def q_deriv(spark, sf_dir):
+    """PromQL deriv(): per-window least-squares slope with upstream intercept-time centering (tsdb/functions.py)."""
     df = fns.linreg(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS)
     return _round(df, {"value": 6})
 
 
 def q_predict_linear(spark, sf_dir):
+    """PromQL predict_linear(): least-squares extrapolation t seconds ahead (tsdb/functions.py)."""
     df = fns.linreg(_pts(spark, sf_dir), KEYS, STEP_MS, RANGE_MS, predict_s=3600.0)
     return _round(df, {"value": 6})
 
@@ -1032,6 +1079,7 @@ WHERE NOT EXISTS (SELECT 1 FROM vec v WHERE v.step_ts = g.step_ts)
 
 
 def q_date_fns(spark, sf_dir):
+    """PromQL date functions (minute/hour/day_of_week/...) over sample timestamps (tsdb/functions.py)."""
     grid = data_grid(_pts(spark, sf_dir), STEP_MS)
     return fns.date_parts(grid)
 
@@ -1053,6 +1101,7 @@ FROM t
 
 
 def q_label_replace(spark, sf_dir):
+    """PromQL label_replace(): regex capture-group label rewrite (tsdb/functions.py)."""
     vec = _instant(spark, sf_dir)
     out = fns.label_replace(vec, "kind", "$1", "event_type", "(p.*|e.*)")
     return _round(out, {"value": 6})
@@ -1068,6 +1117,7 @@ FROM inst
 
 
 def q_label_join(spark, sf_dir):
+    """PromQL label_join(): concatenate source labels into a destination label (tsdb/functions.py)."""
     vec = _instant(spark, sf_dir)
     out = fns.label_join(vec, "series_key", "-", ["user_id", "event_type"])
     return _round(out, {"value": 6})
