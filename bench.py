@@ -338,6 +338,8 @@ def main() -> None:
         "secondary_samples": s_samples,
         "secondary_rel_spread": s_spread,
         "iterative_samples": i_samples,
+        "secondary": secondary,
+        "iterative": iterative,
         "ingest_runs_sec": ingest.pop("runs_sec"),
         "ingest_rel_spread": ingest.pop("rel_spread"),
         "buff_cache_gb_cold": buff_cache_cold,
@@ -357,18 +359,28 @@ def main() -> None:
     ) as fh:
         json.dump(detail, fh)
     print(json.dumps({"detail": detail}))
+    # VERDICT r9 #1: the r5 tail-capture bug regrew — `secondary` (65+
+    # entries) and `iterative` rode the final line past the driver's
+    # 2000-char capture, so BENCH_r09 parsed null.  The final line now
+    # carries ONLY the headline + per-query dict + ingest + sf; the
+    # secondary/iterative detail lives in bench_detail.json and the
+    # preceding {"detail": ...} line.  The assertion makes catalog
+    # growth a loud failure instead of a silent driver-record loss.
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "value_median": round(sum(t_median.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "secondary": secondary,
-        "iterative": iterative,
         "ingest": ingest,
         "sf": sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    assert len(line) < 1800, (
+        f"final bench line is {len(line)} chars; the driver tail-captures"
+        " 2000 — move detail off the final line (see bench_detail.json)"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

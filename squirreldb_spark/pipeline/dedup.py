@@ -423,6 +423,15 @@ def simhash_neardup_pairs(
 
     Output ``(id_a, id_b, hamming, n_shared_blocks)``, ``id_a < id_b``.
 
+    The pigeonhole completeness guarantee (every pair within
+    ``max_hamming`` is emitted) holds only with ``max_bucket=None``:
+    the default cap drops blocks shared by more than ``max_bucket``
+    documents before pairing, so a true near-dup pair whose only
+    agreeing blocks are hot (all-same boilerplate bits) is silently
+    skipped — capped runs trade recall on hot blocks for a bounded
+    Σ bucket² join fan-out, the same contract as
+    :func:`lsh_candidate_pairs`.
+
     Scale shape: the only wide exchange carries (id, simhash, block_id,
     block_val) longs — ~32 B/row, fingerprint-only, never text; the
     hot-bucket cap counts bucket sizes with a window over the join's

@@ -175,10 +175,10 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     rollup. The cohort matrix itself is tiny (weeks x weeks).
     """
     first = events.groupBy("user_id").agg(
-        (F.min("ts") / _WEEK_MS).cast("long").alias("cohort_week")
+        F.floor(F.min("ts") / _WEEK_MS).alias("cohort_week")
     )
     active = events.select(
-        "user_id", (F.col("ts") / _WEEK_MS).cast("long").alias("week")
+        "user_id", F.floor(F.col("ts") / _WEEK_MS).alias("week")
     )
     return (
         active.join(first, "user_id")
@@ -324,10 +324,12 @@ FROM per_user, recency_days_b, frequency_b, monetary_b
 def sql_retention_cohorts() -> str:
     return f"""
 WITH ev AS (SELECT user_id, epoch_ms(ts) AS ts FROM events),
-first AS (SELECT user_id, (min(ts) // {_WEEK_MS}) AS cohort_week
+first AS (SELECT user_id,
+                 CAST(floor(min(ts) / {_WEEK_MS}) AS BIGINT) AS cohort_week
           FROM ev GROUP BY 1),
 weeks AS (SELECT DISTINCT e.user_id, f.cohort_week,
-                 (e.ts // {_WEEK_MS}) - f.cohort_week AS week_offset
+                 CAST(floor(e.ts / {_WEEK_MS}) AS BIGINT) - f.cohort_week
+                   AS week_offset
           FROM ev e JOIN first f ON e.user_id = f.user_id)
 SELECT cohort_week, week_offset, count(*)::BIGINT AS n_users
 FROM weeks GROUP BY 1, 2
@@ -626,7 +628,7 @@ def anomaly_mad(
     identically.
     """
     daily = events.groupBy(
-        "event_type", (F.col("ts") / day_ms).cast("long").alias("day")
+        "event_type", F.floor(F.col("ts") / day_ms).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     med = daily.groupBy("event_type").agg(
         F.round(F.percentile("n_events", 0.5), 6).alias("med")
@@ -655,7 +657,8 @@ def anomaly_mad(
 def sql_anomaly_mad(k: float = 3.0, day_ms: int = _DAY_MS) -> str:
     return f"""
 WITH daily AS (
-  SELECT event_type, epoch_ms(ts) // {day_ms} AS day, count(*) AS n_events
+  SELECT event_type, CAST(floor(epoch_ms(ts) / {day_ms}) AS BIGINT) AS day,
+         count(*) AS n_events
   FROM events GROUP BY 1, 2),
 med AS (SELECT event_type, round(median(n_events), 6) AS med
         FROM daily GROUP BY 1),
@@ -1037,8 +1040,8 @@ def hll_rollup(
         f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
         f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
     )
-    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
-    hour = (F.col("ts") / F.lit(3_600_000)).cast("long")
+    day = F.floor(F.col("ts") / F.lit(86_400_000))
+    hour = F.floor(F.col("ts") / F.lit(3_600_000))
     hour_regs = (
         events.select(
             F.col(key_col),
@@ -1108,8 +1111,8 @@ def sql_hll_rollup() -> str:
     alpha = _HLL_ALPHA * m * m * float(1 << wbits)
     return f"""
 WITH ev AS (SELECT event_type, user_id,
-                   epoch_ms(ts) // 86400000 AS day,
-                   epoch_ms(ts) // 3600000 AS hour,
+                   CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+                   CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour,
                    {h} AS h FROM events),
 ranked AS (
   SELECT event_type, day, hour, h // {1 << wbits} AS bucket,
@@ -1141,13 +1144,14 @@ est AS (
          END AS e
   FROM calc),
 exact AS (
-  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+  SELECT event_type, CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
          count(DISTINCT user_id)::BIGINT AS exact_distinct
   FROM events GROUP BY 1, 2),
 hourly AS (
   SELECT event_type, day, sum(hd)::BIGINT AS sum_hourly_distinct
-  FROM (SELECT event_type, epoch_ms(ts) // 86400000 AS day,
-               epoch_ms(ts) // 3600000 AS hour,
+  FROM (SELECT event_type,
+               CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+               CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS hour,
                count(DISTINCT user_id) AS hd
         FROM events GROUP BY 1, 2, 3) GROUP BY 1, 2)
 SELECT est.event_type, est.day::BIGINT AS day, round(e, 6) AS hll_estimate,
@@ -1613,7 +1617,7 @@ def hll_sliding(
         f"CASE WHEN ({h} % {1 << wbits}) = 0 THEN {wbits + 1} "
         f"ELSE {wbits} - cast(floor(log2({h} % {1 << wbits})) as int) END"
     )
-    day = (F.col("ts") / F.lit(86_400_000)).cast("long")
+    day = F.floor(F.col("ts") / F.lit(86_400_000))
     day_regs = (
         events.select(
             F.col(key_col), day.alias("day"),
@@ -1685,7 +1689,8 @@ def sql_hll_sliding(window_days: int = HLL_SLIDING_DAYS) -> str:
     alpha = _HLL_ALPHA * m * m * float(1 << wbits)
     return f"""
 WITH ev AS (SELECT event_type, user_id,
-                   epoch_ms(ts) // 86400000 AS day, {h} AS h FROM events),
+                   CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day,
+                   {h} AS h FROM events),
 day_regs AS (
   SELECT event_type, day, h // {1 << wbits} AS bucket,
          max(CASE WHEN (h % {1 << wbits}) = 0 THEN {wbits + 1}
@@ -1723,7 +1728,8 @@ exact AS (
   SELECT e.event_type, en.window_end,
          count(DISTINCT e.user_id)::BIGINT AS exact_distinct
   FROM (SELECT DISTINCT event_type, user_id,
-               epoch_ms(ts) // 86400000 AS day FROM events) e
+               CAST(floor(epoch_ms(ts) / 86400000) AS BIGINT) AS day
+        FROM events) e
   JOIN ends en ON en.event_type = e.event_type
    AND e.day <= en.window_end AND e.day > en.window_end - {window_days}
   GROUP BY 1, 2)
@@ -1786,9 +1792,11 @@ def peak_concurrency(
         sess.select((F.col("session_end") + 1).alias("t"), F.lit(-1).alias("d"))
     )
     net = (
-        # floor division, NOT double-divide-then-truncate: the oracle's
-        # `t // DAY` floors, while cast(double) truncates toward zero —
-        # the two diverge for pre-1970 timestamps.
+        # floor division, NOT double-divide-then-truncate: DuckDB's `//`
+        # (like cast-to-long) truncates toward zero, so the oracle spells
+        # it CAST(floor(t / DAY) AS BIGINT) — both engines previously
+        # truncated, diverging from the intended floor semantics for
+        # pre-1970 endpoints; now both floor the float64 quotient.
         deltas.withColumn("day", F.floor(F.col("t") / F.lit(DAY)).cast("long"))
         .groupBy("day", "t")
         .agg(F.sum("d").alias("net"), F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("starts"))
@@ -2202,7 +2210,7 @@ def anomaly_seasonal(
     rows grouped one level finer, and both baselines broadcast back.
     """
     daily = events.groupBy(
-        "event_type", (F.col("ts") / day_ms).cast("long").alias("day")
+        "event_type", F.floor(F.col("ts") / day_ms).alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     daily = daily.withColumn("dow", F.pmod(F.col("day"), F.lit(7)).cast("long"))
     med = daily.groupBy("event_type", "dow").agg(
@@ -2233,7 +2241,8 @@ def anomaly_seasonal(
 def sql_anomaly_seasonal(k: float = 3.0, day_ms: int = _DAY_MS) -> str:
     return f"""
 WITH daily AS (
-  SELECT event_type, epoch_ms(ts) // {day_ms} AS day, count(*) AS n_events
+  SELECT event_type, CAST(floor(epoch_ms(ts) / {day_ms}) AS BIGINT) AS day,
+         count(*) AS n_events
   FROM events GROUP BY 1, 2),
 daily2 AS (SELECT *, ((day % 7) + 7) % 7 AS dow FROM daily),
 med AS (SELECT event_type, dow, round(median(n_events), 6) AS med

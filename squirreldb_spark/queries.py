@@ -3984,85 +3984,57 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # changed after their newest green driver row, (2) backfill with the
 # oldest remaining attestations.
 #
-# Round-9 window (VERDICT r8 #2 — the r8 window did not rotate, so the
-# never-attested backlog grew to 8): (0) all 8 never-attested entries —
-# the five round-8 operators (source_minhash_sim after its ANSI-overflow
-# fix, source_overlap after its xxhash64-keyed rework, peak_concurrency
-# after its floor-division fix — all three kernels changed THIS round)
-# plus the r7 leftovers; (1) the 12 kernel-stale rows (r8 kernels on
-# r4/r6 attestations: chunk_sliding, bloom_membership, decontaminate,
-# both segment dedups; r7 kernels: winnowing, dup_spans, containment,
-# novelty, split_leakage, minhash_signatures, cdc_chunks); (2) 30 of the
-# 46 remaining r4-era rows, judge-named first (promql_sort,
-# ts_mutable_labels, limitk family, resets/changes).  The 16 r4 rows
-# that don't fit (ev_props_stats, doc_bigram_logprob, doc_zipf_stats,
-# ev_hopping_counts, emb_pq_codes, mm_video_neardup, emb_ann_recall,
-# ev_session_paths, doc_winnowing_matches, doc_tfidf_keywords,
-# api_series, api_label_values, doc_sample_budget_sharded,
-# doc_token_entropy, emb_scalar_quantize, emb_diversity_sample) plus
-# the twenty r4 rows displaced by this round's new operators
-# (ev_funnel, ev_retention_cohorts, ev_asof_join, mm_frame_dedup,
-# doc_pii_scrub, ev_sessionize, doc_mix_weights, doc_pack_sequences,
-# emb_ann_ivf, emb_ivf_centroids, doc_sample_budget, ts_set_or,
-# ts_agg_stddev_by, ts_binop_gt_filter, ts_set_unless,
-# ts_stddev_over_time, ts_idelta, ts_count_over_time,
-# ts_last_over_time) lead round 10's backfill.
+# Round-10 window (VERDICT r9 #2 — finish the freshness ratchet): (0)
+# the five kernels touched THIS round by the truncate-vs-floor
+# day-bucket fix (anomaly_mad, anomaly_seasonal, retention_cohorts,
+# hll_rollup, hll_sliding — Spark F.floor + oracle CAST(floor(...))
+# in lockstep, guarded by the new source lint in test_plan_shape.py),
+# plus any new round-10 kernels (ratchet rule: new kernels enter the
+# window in the commit that adds them); (2) the full 36-row r4-era
+# backfill queue the r9 verdict named — after this window no catalog
+# row's newest attestation predates r5.
 _VERIFY_FIRST: list[str] = [
-    # --- (0a) NEW this round (ratchet rule: new kernels enter the
-    # window in the commit that adds them) ---
-    "doc_simhash_neardup",
-    "doc_simhash_accuracy",
-    "ev_bot_cadence",
-    "ev_key_skew",
-    "doc_ccnet_buckets",
-    "emb_ivf_cell_balance",
-    "ev_funnel_timing",
-    "doc_dedup_savings",
-    "ev_stickiness",
-    "doc_length_quantiles",
-    "emb_qc",
-    "doc_dup_source_attribution",
+    # --- (0) kernels changed this round (floor-fix sweep) ---
+    "ev_anomaly_mad",
     "ev_anomaly_seasonal",
-    "doc_boilerplate_prefixes",
-    "doc_corpus_growth",
-    "mm_audio_dedup_clusters",
-    "ev_session_duration_stats",
-    "doc_source_sketch_accuracy",
-    "emb_ivf_nprobe_sweep",
-    # --- (0) never attested (r8 backlog; first three re-keyed/fixed r9) ---
-    "doc_source_minhash_sim",
-    "doc_source_overlap",
-    "ev_peak_concurrency",
-    "mm_audio_align",
-    "doc_token_pmi",
+    "ev_retention_cohorts",
+    "ev_hll_rollup",
     "ev_hll_sliding",
-    "doc_cluster_split",
-    "emb_threshold_sweep",
-    # --- (1) kernel-changed after their newest attestation ---
-    "doc_chunk_sliding",
-    "doc_bloom_membership",
-    "doc_decontaminate",
-    "doc_segment_dedup",
-    "doc_segment_dedup_hashkey",
-    "doc_winnowing",
-    "doc_dup_spans",
-    "doc_containment",
-    "doc_novelty",
-    "doc_split_leakage",
-    "doc_minhash_signatures",
-    "doc_cdc_chunks",
-    # --- (2) oldest-attestation backfill: r4-era rows, judge-named first ---
-    "promql_sort",
-    "ts_mutable_labels",
-    "ts_limitk",
-    "ts_limit_ratio",
-    "ts_resets",
-    "ts_changes",
-    "ts_sum_over_time",
-    "ts_min_over_time",
-    "ts_max_over_time",
-    "ts_present_over_time",
-    "ts_stdvar_over_time",
+    # --- (2) r4-era backfill, judge-named (VERDICT r9 "What's missing" #2) ---
+    "ev_props_stats",
+    "doc_bigram_logprob",
+    "doc_zipf_stats",
+    "ev_hopping_counts",
+    "emb_pq_codes",
+    "mm_video_neardup",
+    "emb_ann_recall",
+    "ev_session_paths",
+    "doc_winnowing_matches",
+    "doc_tfidf_keywords",
+    "api_series",
+    "api_label_values",
+    "doc_sample_budget_sharded",
+    "doc_token_entropy",
+    "emb_scalar_quantize",
+    "emb_diversity_sample",
+    "ev_funnel",
+    "ev_asof_join",
+    "mm_frame_dedup",
+    "doc_pii_scrub",
+    "ev_sessionize",
+    "doc_mix_weights",
+    "doc_pack_sequences",
+    "emb_ann_ivf",
+    "emb_ivf_centroids",
+    "doc_sample_budget",
+    "ts_set_or",
+    "ts_agg_stddev_by",
+    "ts_binop_gt_filter",
+    "ts_set_unless",
+    "ts_stddev_over_time",
+    "ts_idelta",
+    "ts_count_over_time",
+    "ts_last_over_time",
 ]
 
 

@@ -943,3 +943,47 @@ def test_length_quantiles_window_runs_on_reduced_values(spark, sf_dir):
     for cols in shuffle_exchange_outputs(ptext.length_quantiles(docs)):
         names = [c for c, _ in cols]
         assert "text" not in names, cols
+
+
+# --- day-bucket floor lint -------------------------------------------------
+#
+# Time-bucket convention (VERDICT r9 #3): epoch-ms -> bucket index must
+# FLOOR the quotient on both engines.  Spark's `(ts / N).cast("long")`
+# and DuckDB's `ts // N` both truncate toward zero, so pre-1970
+# timestamps collapse buckets -0.x and +0.x into one double-width
+# bucket 0 and shift derived weekday labels.  The repo idiom is
+# `F.floor(ts / N)` / `CAST(floor(ts / N) AS BIGINT)` (peak_concurrency,
+# events.py).  This source lint keeps the class from recurring in
+# pipeline code, the same way the HOF-lambda lint above froze the
+# O(n^2)-in-lambda class.  Scope is squirreldb_spark/pipeline/: the
+# tsdb/promql grid arithmetic operates on range-clamped non-negative
+# timestamps (api.py time-range clamp) where truncate == floor.
+
+_TRUNC_BUCKET_SPARK = __import__("re").compile(
+    r"/\s*(?:day_ms|hour_ms|week_ms|_DAY_MS|_HOUR_MS|_WEEK_MS|"
+    r"F\.lit\(\s*(?:86_?400_?000|3_?600_?000|604_?800_?000)\s*\))"
+    r"[\s)]*\.cast\(\s*['\"](?:long|int|bigint)['\"]\s*\)"
+)
+_TRUNC_BUCKET_SQL = __import__("re").compile(
+    r"(?:epoch_ms\(\s*\w+\s*\)|\b(?:e|f|d|ev)?\.?(?:min\(ts\)|max\(ts\)|ts))"
+    r"\s*//"
+)
+
+
+def test_pipeline_time_buckets_floor_not_truncate():
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / (
+        "squirreldb_spark/pipeline"
+    )
+    bad = []
+    for py in sorted(pkg.glob("*.py")):
+        if py.name == "duck_xxh64.py":  # byte/word arithmetic, no timestamps
+            continue
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            if _TRUNC_BUCKET_SPARK.search(line) or _TRUNC_BUCKET_SQL.search(line):
+                bad.append(f"{py.name}:{i}: {line.strip()[:120]}")
+    assert not bad, (
+        "truncate-toward-zero time bucket (use F.floor(ts / N) / "
+        "CAST(floor(ts / N) AS BIGINT)):\n" + "\n".join(bad)
+    )
