@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Empirical scaling check: time the most expensive catalog operators at
+sf0.1 vs the generated 10x sf1 and report per-operator scaling exponents.
+
+VERDICT r9 #4: SCALE.md's 100 TB claims are analytic (plan-shape tests +
+docstrings); this measures the one thing analysis can't — the actual
+sf0.1 -> sf1 wall-clock ratio. exponent = log(t_sf1 / t_sf0.1) / log(10):
+~1.0 is linear in data volume, >1 names the next perf target. (A
+sub-linear exponent is possible too: fixed per-query overhead — session,
+planning, stage scheduling — still dominates some ops at sf0.1.)
+
+Prereq: python tools/gen_scale_data.py   (writes _scale/sf1, gitignored)
+Usage:  python tools/scale_check.py      (prints one JSON line; paste the
+        table into docs/SCALE.md's "Measured scaling" section)
+
+Same measurement discipline as bench.py: 48g heap, JVM warm-up, OS
+page-cache warm for both dirs, noop-format writes, best of 2 reps with
+construction bracketed (the iterative CC ops materialize passes eagerly
+inside fn()).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+#: the five operators the r9 verdict named as most expensive, plus the
+#: round-9 simhash near-dup it asked to include
+OPS = [
+    "emb_threshold_sweep",
+    "doc_novelty",
+    "mm_video_neardup",
+    "doc_dedup_clusters",
+    "emb_semantic_dedup",
+    "doc_simhash_neardup",
+]
+
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "_scale", "sf1")
+
+
+def warm_page_cache(d: str) -> None:
+    for f in glob.glob(os.path.join(d, "*.parquet")):
+        if os.path.isfile(f):
+            with open(f, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
+
+def main() -> None:
+    from squirreldb_spark.queries import CATALOG
+    from squirreldb_spark.session import get_session
+
+    spark = get_session("squirreldb-spark-scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    for warm in ("doc_simhash", "emb_cosine_knn"):
+        CATALOG[warm].fn(spark, "/root/testdata/sf0.001").write.format(
+            "noop").mode("overwrite").save()
+    warm_page_cache(SF01)
+    warm_page_cache(SF1)
+
+    def run(name: str, sf_dir: str, reps: int = 2) -> float:
+        runs = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = CATALOG[name].fn(spark, sf_dir)  # CC ops compute here
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return round(min(runs), 3)
+
+    out = {}
+    for name in OPS:
+        t01 = run(name, SF01)
+        t1 = run(name, SF1)
+        out[name] = {
+            "sf0.1_sec": t01,
+            "sf1_sec": t1,
+            "ratio": round(t1 / t01, 2),
+            "exponent": round(math.log(t1 / t01) / math.log(10), 2),
+        }
+        print(f"# {name}: {t01}s -> {t1}s  ratio {out[name]['ratio']}"
+              f"  exponent {out[name]['exponent']}", flush=True)
+    print(json.dumps({"metric": "scale_check_sf0.1_vs_sf1", "ops": out}))
+
+
+if __name__ == "__main__":
+    main()
