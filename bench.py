@@ -137,6 +137,13 @@ SECONDARY_QUERIES = [
     "ev_session_duration_stats",
     "doc_source_sketch_accuracy",
     "emb_ivf_nprobe_sweep",
+    # round-10 additions
+    "ev_user_concentration",
+    "ev_interarrival",
+    "emb_dim_variance",
+    "emb_pq_distortion",
+    "doc_lsh_s_curve",
+    "doc_source_drift",
 ]
 
 

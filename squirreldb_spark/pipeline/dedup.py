@@ -1976,3 +1976,98 @@ SELECT e.source_a, e.source_b, e.est_jaccard,
        round(abs(e.est_jaccard - x.jaccard), 6) AS abs_err
 FROM est e JOIN exact x USING (source_a, source_b)
 """
+
+
+# ----------------------------------------- LSH band-tuning S-curve
+
+def lsh_s_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+    bucket_width: float = 0.05,
+) -> DataFrame:
+    """LSH band-tuning table: the analytic S-curve of the configured
+    (bands, rows) scheme — ``P(candidate | s) = 1 − (1 − s^r)^b``
+    (Leskovec/Rajaraman/Ullman, MMDS ch. 3) evaluated at each
+    similarity bucket's midpoint — side by side with the OBSERVED
+    candidate-pair mass per estimated-Jaccard bucket from this corpus's
+    actual LSH pass.  This is the table a dedup operator reads before
+    changing (b, r): the analytic column says where the detection
+    threshold sits (s at P = 0.5 is ``(1/b)^(1/r)``), the empirical
+    column says how much of THIS corpus's pair mass sits on each side
+    of it.
+
+    One row per bucket over the full [0, 1) grid (empty buckets kept,
+    ``n_pairs = 0``): bucket lower edge, analytic detection probability
+    at the midpoint, observed candidate pairs and their mean estimated
+    Jaccard.
+
+    Scale shape: the candidate generation is the attested
+    :func:`lsh_candidate_pairs` + :func:`minhash_estimated_similarity`
+    plan (banded equi-join, hot-bucket cap — completeness caveat as
+    there); the bucketing is a map over its output, the rollup is a
+    ≤ 1/bucket_width-group combinable aggregate, and the full grid is
+    a broadcast range join-back of ~20 rows.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket)
+    est = minhash_estimated_similarity(sig, pairs, id_col, num_hashes)
+    n_buckets = int(round(1.0 / bucket_width))
+    observed = est.groupBy(
+        F.least(
+            F.floor(F.col("est_jaccard") / bucket_width),
+            F.lit(n_buckets - 1),
+        ).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("est_jaccard"), 6).alias("mean_est_jaccard"),
+    )
+    grid = docs.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    mid = (F.col("bucket") + 0.5) * bucket_width
+    return (
+        grid.join(F.broadcast(observed), "bucket", "left")
+        .select(
+            F.round(F.col("bucket") * bucket_width, 6).alias("bucket_lo"),
+            F.round(
+                1.0 - F.pow(1.0 - F.pow(mid, F.lit(rows)), F.lit(bands)), 6
+            ).alias("analytic_detect_prob"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias(
+                "n_pairs"
+            ),
+            "mean_est_jaccard",
+        )
+    )
+
+
+def sql_lsh_s_curve(
+    num_hashes: int = NUM_HASHES, bands: int = BANDS, shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET, bucket_width: float = 0.05,
+) -> str:
+    """Replays the attested LSH pair oracle, then the bucket rollup and
+    the analytic ``1 − (1 − s^r)^b`` grid of :func:`lsh_s_curve`."""
+    rows = num_hashes // bands
+    n_buckets = int(round(1.0 / bucket_width))
+    inner = sql_minhash_lsh_pairs(num_hashes, bands, shingle_n, max_bucket)
+    return f"""
+WITH est AS ({inner}),
+observed AS (
+  SELECT least(CAST(floor(est_jaccard / {bucket_width}) AS BIGINT),
+               {n_buckets - 1}) AS bucket,
+         count(*)::BIGINT AS n_pairs,
+         round(avg(est_jaccard), 6) AS mean_est_jaccard
+  FROM est GROUP BY 1),
+grid AS (SELECT unnest(generate_series(0, {n_buckets - 1}))::BIGINT AS bucket)
+SELECT round(g.bucket * {bucket_width}, 6) AS bucket_lo,
+       round(1.0 - pow(1.0 - pow((g.bucket + 0.5) * {bucket_width}, {rows}),
+                       {bands}), 6) AS analytic_detect_prob,
+       coalesce(o.n_pairs, 0)::BIGINT AS n_pairs,
+       o.mean_est_jaccard
+FROM grid g LEFT JOIN observed o USING (bucket)
+"""

@@ -2326,3 +2326,254 @@ SELECT CAST(max(n_total) AS BIGINT) AS n_sessions,
        round(sum(nb) / max(n_total), 6) AS bounce_rate
 FROM cum
 """
+
+
+# ------------------------------------- activity concentration (Lorenz)
+
+def user_concentration(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Full-distribution activity concentration: the exact Lorenz curve
+    at its natural breakpoints plus the Gini coefficient of per-key
+    event counts.  :func:`key_skew` answers "how hot is the head"
+    (top-k); this answers "how unequal is the WHOLE distribution" — the
+    number a sampling/caping policy (domain_cap, sample_budget) is
+    calibrated against, and the standard inequality summary (Gini via
+    the rank formula ``2·Σᵢrᵢxᵢ/(n·Σx) − (n+1)/n``, ties grouped).
+
+    One output row per DISTINCT activity level ``n_events`` (ascending):
+    how many keys sit at that level, the cumulative key share and the
+    cumulative event share (the Lorenz curve point "the bottom
+    ``cum_key_share`` of keys hold ``cum_event_share`` of events"), and
+    the constant ``gini`` column.
+
+    Scale shape: one map-side-combinable count per key, then the
+    key-cardinality table collapses to DISTINCT (n_events, n_keys)
+    counts — the length_quantiles reduced-value-list pattern — so the
+    single unpartitioned window runs over distinct activity LEVELS,
+    never over keys; the Gini and the totals are one more combinable
+    aggregate over that reduced table, broadcast back as a 1-row
+    scalar.
+    """
+    per_key = events.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_events"))
+    hist = per_key.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys")
+    )
+    w = Window.orderBy("n_events").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "n_events",
+        "n_keys",
+        F.sum("n_keys").over(w).alias("cum_keys"),
+        F.sum(F.col("n_events") * F.col("n_keys")).over(w).alias("cum_events"),
+    )
+    # average rank of the tied group at this level: keys below + (c+1)/2
+    rank_sum = (
+        F.col("n_events")
+        * F.col("n_keys")
+        * (F.col("cum_keys") - F.col("n_keys") + (F.col("n_keys") + 1) / 2)
+    )
+    tot = cum.agg(
+        F.max("cum_keys").alias("_n"),
+        F.max("cum_events").alias("_s"),
+        F.sum(rank_sum).alias("_rs"),
+    ).select(
+        "_n",
+        "_s",
+        F.round(
+            2 * F.col("_rs") / (F.col("_n") * F.col("_s"))
+            - (F.col("_n") + 1) / F.col("_n"),
+            6,
+        ).alias("gini"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("n_events").cast("long").alias("n_events"),
+        "n_keys",
+        F.round(F.col("cum_keys") / F.col("_n"), 6).alias("cum_key_share"),
+        F.round(F.col("cum_events") / F.col("_s"), 6).alias("cum_event_share"),
+        "gini",
+    )
+
+
+def sql_user_concentration() -> str:
+    return """
+WITH per_key AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+hist AS (SELECT n_events, count(*)::BIGINT AS n_keys
+         FROM per_key GROUP BY 1),
+cum AS (
+  SELECT n_events, n_keys,
+         sum(n_keys) OVER (ORDER BY n_events
+                           ROWS UNBOUNDED PRECEDING) AS cum_keys,
+         sum(n_events * n_keys) OVER (ORDER BY n_events
+                                      ROWS UNBOUNDED PRECEDING) AS cum_events
+  FROM hist),
+tot AS (
+  SELECT max(cum_keys) AS n, max(cum_events) AS s,
+         round(2 * sum(n_events * n_keys
+                       * (cum_keys - n_keys + (n_keys + 1) / 2.0))
+                 / (max(cum_keys) * max(cum_events))
+               - (max(cum_keys) + 1.0) / max(cum_keys), 6) AS gini
+  FROM cum)
+SELECT n_events::BIGINT AS n_events, n_keys,
+       round(cum_keys / n, 6) AS cum_key_share,
+       round(cum_events / s, 6) AS cum_event_share,
+       gini
+FROM cum, tot
+"""
+
+
+# --------------------------------------- inter-arrival burstiness
+
+def interarrival_profile(events: DataFrame, day_ms: int = _DAY_MS) -> DataFrame:
+    """Per-event-type inter-arrival profile: exact type-1 p50/p90/p99
+    gaps, the mean, the coefficient of variation and the Goh–Barabási
+    burstiness ``B = (σ−μ)/(σ+μ)`` (−1 periodic, 0 Poisson, →1 bursty)
+    of the gaps between consecutive arrivals of each type.
+    :func:`bot_cadence` profiles per-USER cadence; this profiles the
+    per-TYPE arrival process — the number a capacity plan or anomaly
+    threshold is calibrated against.
+
+    Scale shape: a global per-type sort would funnel each type through
+    one partition, so the gaps are computed two-level (the
+    peak_concurrency day-split pattern): the lag window runs per
+    (event_type, day) — bounded partitions, (ts, event_id) tie-break —
+    and the day-boundary gaps come from a per-(type, day) min/max
+    reduction lagged over the tiny types×days table.  Gaps then
+    collapse to DISTINCT (type, gap) counts; the order statistics run
+    over that reduced list, and the moments are exact DECIMAL(38,0)
+    sums (engine-exact in any addition order) so both engines derive
+    σ/μ from identical integers.
+    """
+    ev = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("ts") / day_ms).alias("day"),
+    )
+    w_in = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    within = ev.select(
+        "event_type", (F.col("ts") - F.lag("ts").over(w_in)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    per_day = ev.groupBy("event_type", "day").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    w_d = Window.partitionBy("event_type").orderBy("day")
+    boundary = (
+        per_day.select(
+            "event_type",
+            "day",
+            "first_ts",
+            F.lag("last_ts").over(w_d).alias("prev_last"),
+        )
+        .filter(F.col("prev_last").isNotNull())
+        .select("event_type", (F.col("first_ts") - F.col("prev_last")).alias("gap"))
+    )
+    dist = (
+        within.unionAll(boundary)
+        .groupBy("event_type", "gap")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_c = Window.partitionBy("event_type").orderBy("gap").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.withColumn("cum", F.sum("n").over(w_c))
+
+    def _q(q: float) -> Column:
+        return F.min(
+            F.when(F.col("cum") >= F.ceil(F.col("_n_tot") * q), F.col("gap"))
+        ).cast("long")
+
+    dec = "decimal(38,0)"
+    agg = (
+        cum.join(
+            F.broadcast(
+                dist.groupBy("event_type").agg(F.sum("n").alias("_n_tot"))
+            ),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.first("_n_tot").cast("long").alias("n_gaps"),
+            F.sum((F.col("gap") * F.col("n")).cast(dec)).alias("_s1"),
+            F.sum(
+                (F.col("gap").cast(dec) * F.col("gap") * F.col("n")).cast(dec)
+            ).alias("_s2"),
+            _q(0.5).alias("p50_ms"),
+            _q(0.9).alias("p90_ms"),
+            _q(0.99).alias("p99_ms"),
+        )
+    )
+    mean = F.col("_s1").cast("double") / F.col("n_gaps")
+    var = F.col("_s2").cast("double") / F.col("n_gaps") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        F.round(mean, 6).alias("mean_ms"),
+        "p50_ms",
+        "p90_ms",
+        "p99_ms",
+        F.when(mean > 0, F.round(sd / mean, 6)).alias("gap_cv"),
+        F.when(sd + mean > 0, F.round((sd - mean) / (sd + mean), 6)).alias(
+            "burstiness"
+        ),
+    )
+
+
+def sql_interarrival_profile(day_ms: int = _DAY_MS) -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_type, event_id, epoch_ms(ts) AS ts,
+         CAST(floor(epoch_ms(ts) / {day_ms}) AS BIGINT) AS day
+  FROM events),
+within AS (
+  SELECT event_type,
+         ts - lag(ts) OVER (PARTITION BY event_type, day
+                            ORDER BY ts, event_id) AS gap
+  FROM ev),
+per_day AS (
+  SELECT event_type, day, min(ts) AS first_ts, max(ts) AS last_ts
+  FROM ev GROUP BY 1, 2),
+boundary AS (
+  SELECT event_type,
+         first_ts - lag(last_ts) OVER (PARTITION BY event_type
+                                       ORDER BY day) AS gap
+  FROM per_day),
+gaps AS (
+  SELECT event_type, gap FROM within WHERE gap IS NOT NULL
+  UNION ALL
+  SELECT event_type, gap FROM boundary WHERE gap IS NOT NULL),
+dist AS (SELECT event_type, gap, count(*) AS n FROM gaps GROUP BY 1, 2),
+tots AS (SELECT event_type, sum(n) AS n_tot FROM dist GROUP BY 1),
+cum AS (
+  SELECT d.event_type, d.gap, d.n, t.n_tot,
+         sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.gap
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM dist d JOIN tots t USING (event_type)),
+agg AS (
+  SELECT event_type,
+         max(n_tot)::BIGINT AS n_gaps,
+         sum((gap * n)::DECIMAL(38,0))::DECIMAL(38,0) AS s1,
+         sum((gap::DECIMAL(38,0) * gap * n))::DECIMAL(38,0) AS s2,
+         CAST(min(CASE WHEN cum >= ceil(n_tot * 0.5) THEN gap END)
+              AS BIGINT) AS p50_ms,
+         CAST(min(CASE WHEN cum >= ceil(n_tot * 0.9) THEN gap END)
+              AS BIGINT) AS p90_ms,
+         CAST(min(CASE WHEN cum >= ceil(n_tot * 0.99) THEN gap END)
+              AS BIGINT) AS p99_ms
+  FROM cum GROUP BY 1)
+SELECT event_type, n_gaps,
+       round(s1::DOUBLE / n_gaps, 6) AS mean_ms,
+       p50_ms, p90_ms, p99_ms,
+       CASE WHEN s1::DOUBLE / n_gaps > 0 THEN round(
+         sqrt(greatest(s2::DOUBLE / n_gaps
+                       - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps), 0.0))
+         / (s1::DOUBLE / n_gaps), 6) END AS gap_cv,
+       CASE WHEN sqrt(greatest(s2::DOUBLE / n_gaps
+                       - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps), 0.0))
+                 + s1::DOUBLE / n_gaps > 0 THEN round(
+         (sqrt(greatest(s2::DOUBLE / n_gaps
+                        - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps), 0.0))
+          - s1::DOUBLE / n_gaps)
+         / (sqrt(greatest(s2::DOUBLE / n_gaps
+                          - (s1::DOUBLE / n_gaps) * (s1::DOUBLE / n_gaps), 0.0))
+            + s1::DOUBLE / n_gaps), 6) END AS burstiness
+FROM agg
+"""

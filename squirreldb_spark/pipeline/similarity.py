@@ -1983,3 +1983,185 @@ FROM exact e LEFT JOIN ({sql_ann_ivf(k, n_queries, n_cells, cent_base, p,
 WITH exact AS (SELECT q_id, c_id FROM ({sql_cosine_knn(k, n_queries)}) _e)
 {joined}
 """
+
+
+# --------------------------------------- per-dimension energy profile
+
+def dim_variance(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension energy profile of the embedding table: mean,
+    population variance, each dimension's share of total variance and
+    the cumulative share in dimension order — the curve that decides a
+    Matryoshka/PCA truncation width (``emb_matryoshka_recall`` measures
+    recall AT a chosen prefix width; this is the calibration table that
+    chooses the width: truncate where ``cum_var_share`` crosses the
+    energy budget) and flags dead dimensions (variance ≈ 0).
+
+    Scale shape: the explode emits 1 narrow (dim, value) row per
+    coordinate and the per-dim aggregate is map-side combinable, so the
+    exchange carries at most dims × input-partitions partial rows —
+    never a vector; the cumulative window runs over the dims-cardinality
+    result (64 rows), and the total-variance scalar broadcasts back.
+    Moments use ``Σx`` / ``Σx²`` so both engines derive variance from
+    identically-valued sums (float32 → float64 widening is exact).
+    """
+    x = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
+    )
+    agg = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_s1"),
+        F.sum(F.col("x") * F.col("x")).alias("_s2"),
+    )
+    mean = F.col("_s1") / F.col("_n")
+    per = agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("_n").cast("long").alias("n_vectors"),
+        mean.alias("_mean"),
+        (F.col("_s2") / F.col("_n") - mean * mean).alias("_var"),
+    )
+    tot = per.agg(F.sum("_var").alias("_var_tot"))
+    w = Window.orderBy("dim").rowsBetween(Window.unboundedPreceding, 0)
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dim",
+        "n_vectors",
+        F.round("_mean", 6).alias("mean"),
+        F.round("_var", 6).alias("variance"),
+        F.round(F.col("_var") / F.col("_var_tot"), 6).alias("var_share"),
+        F.round(F.sum("_var").over(w) / F.col("_var_tot"), 6).alias(
+            "cum_var_share"
+        ),
+    )
+
+
+def sql_dim_variance() -> str:
+    return """
+WITH x AS (
+  SELECT unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)),
+agg AS (
+  SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
+  FROM x GROUP BY 1),
+per AS (
+  SELECT dim::BIGINT AS dim, n::BIGINT AS n_vectors,
+         s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS var
+  FROM agg),
+tot AS (SELECT sum(var) AS var_tot FROM per)
+SELECT dim, n_vectors,
+       round(mean, 6) AS mean,
+       round(var, 6) AS variance,
+       round(var / var_tot, 6) AS var_share,
+       round(sum(var) OVER (ORDER BY dim ROWS UNBOUNDED PRECEDING)
+             / var_tot, 6) AS cum_var_share
+FROM per, tot
+"""
+
+
+# ------------------------------------------- PQ codebook calibration
+
+def pq_distortion(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    cent_base: int = 100,
+    dim: int = 64,
+    iters: int = 1,
+    train_mod: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Per-subspace product-quantization calibration: for each of the
+    ``m`` subspaces, the code-utilization (how many of the ``ks``
+    centroids the corpus actually uses), the Shannon entropy of the
+    code distribution in bits (``log2 ks`` means the codebook's bits
+    are fully used; much lower means wasted bits — shrink ``ks`` or
+    retrain) and the per-coordinate reconstruction MSE.
+    :func:`pq_codes` reports per-VECTOR error; this is the per-CODEBOOK
+    health table that decides the (m, ks) configuration.
+
+    Scale shape: the encode is the same zero-exchange literal-codebook
+    fold as :func:`pq_codes`; the explode emits m narrow
+    (subspace, code, err) rows per vector, the (s, code) aggregate is
+    map-side combinable (≤ m·ks groups), and everything after operates
+    on that m·ks-row table — a broadcast totals join and one final
+    m-row groupBy.
+    """
+    codebooks = train_pq(
+        emb, m=m, ks=ks, cent_base=cent_base, dim=dim, iters=iters,
+        train_mod=train_mod, id_col=id_col, vec_col=vec_col,
+        cache_key=cache_key,
+    )
+    sd = dim // m
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    structs = []
+    for s in range(m):
+        sub = f"slice(v, {s * sd + 1}, {sd})"
+        best = _ARGMIN_STRUCT.format(scores=_pq_scores_expr(codebooks[s], sub))
+        structs.append(
+            f"named_struct('s', {s}, 'code', ({best}).code, 'd', ({best}).d)"
+        )
+    enc = base.select(
+        F.explode(F.expr(f"array({', '.join(structs)})")).alias("e")
+    ).select(F.col("e.s").alias("s"), F.col("e.code").alias("code"),
+             F.col("e.d").alias("d"))
+    percode = enc.groupBy("s", "code").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("d").alias("sum_d")
+    )
+    tots = percode.groupBy("s").agg(
+        F.sum("n").alias("_tot"), F.sum("sum_d").alias("_sum_d")
+    )
+    p = F.col("n") / F.col("_tot")
+    return (
+        percode.join(F.broadcast(tots), "s")
+        .groupBy("s")
+        .agg(
+            F.first("_tot").cast("long").alias("n_vectors"),
+            F.count(F.lit(1)).cast("long").alias("codes_used"),
+            F.round(F.count(F.lit(1)) / ks, 6).alias("code_utilization"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("code_entropy_bits"),
+            F.round(F.first("_sum_d") / (F.first("_tot") * sd), 6).alias(
+                "mse_per_dim"
+            ),
+        )
+        .select(
+            F.col("s").cast("long").alias("subspace"),
+            "n_vectors", "codes_used", "code_utilization",
+            "code_entropy_bits", "mse_per_dim",
+        )
+    )
+
+
+def sql_pq_distortion(
+    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
+    iters: int = 1, train_mod: int = 4,
+) -> str:
+    """Replays :func:`train_pq` + the per-subspace rollup of
+    :func:`pq_distortion` (same seeds, sample, rounding, tie-break)."""
+    frag, prev = _pq_train_ctes(m, ks, cent_base, dim, iters, train_mod)
+    d_enc = _DUCK_L2.format(a="subs.sub", b="c.cent")
+    sd = dim // m
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{frag},
+enc AS (
+  SELECT subs.vec_id, subs.s, c.code, {d_enc} AS d, round({d_enc}, 6) AS dr
+  FROM subs JOIN {prev} c USING (s)),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY dr, code)
+         AS rk
+    FROM enc) WHERE rk = 1),
+percode AS (
+  SELECT s, code, count(*) AS n, sum(d) AS sum_d FROM best GROUP BY 1, 2),
+tots AS (SELECT s, sum(n) AS tot, sum(sum_d) AS sumd FROM percode GROUP BY 1)
+SELECT p.s::BIGINT AS subspace,
+       max(t.tot)::BIGINT AS n_vectors,
+       count(*)::BIGINT AS codes_used,
+       round(count(*) / {ks}.0, 6) AS code_utilization,
+       round(-sum((p.n / t.tot) * log2(p.n / t.tot)), 6)
+         AS code_entropy_bits,
+       round(max(t.sumd) / (max(t.tot) * {sd}), 6) AS mse_per_dim
+FROM percode p JOIN tots t USING (s) GROUP BY 1
+"""

@@ -2785,3 +2785,78 @@ SELECT bucket, n_new_shingles,
          AS cum_frac
 FROM per, tot
 """
+
+
+# -------------------------------------------- per-source distribution drift
+
+def source_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source unigram distribution drift vs the whole corpus:
+    ``KL(source ‖ corpus)`` and the symmetric, bounded Jensen–Shannon
+    divergence, both in nats — the distribution-shift detector a
+    mixture designer reads NEXT TO the token counts (``doc_mix_weights``
+    says how much of each source to take; this says how DIFFERENT each
+    source's language is from the blend, i.e. which sources actually
+    add diversity and which are redundant).  KL is finite without
+    smoothing because every source word is by construction in the
+    corpus; the JS tail over corpus words ABSENT from the source
+    collapses analytically to ``ln2 · (1 − Σ_{w∈s} q_w)`` so no outer
+    join over the vocabulary is needed.
+
+    Scale shape: one (source, word) map-side-combinable count — the
+    only data-volume exchange; corpus word totals derive from a second
+    combinable groupBy over that (sources × vocab)-row table and join
+    back BROADCAST (vocab-cardinality); the divergences are one more
+    combinable per-source aggregate.
+    """
+    sw = (
+        docs.select("source", F.explode(tokens(text_col)).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stot = sw.groupBy("source").agg(F.sum("n").alias("_s_tot"))
+    corpus = sw.groupBy("w").agg(F.sum("n").alias("cn"))
+    ctot = corpus.agg(F.sum("cn").alias("_c_tot"))
+    j = (
+        sw.join(F.broadcast(corpus), "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ctot))
+    )
+    p = F.col("n") / F.col("_s_tot")          # p_s(w)
+    q = F.col("cn") / F.col("_c_tot")         # p_corpus(w)
+    m = (p + q) / 2
+    ln2 = 0.6931471805599453
+    return (
+        j.groupBy("source")
+        .agg(
+            F.first("_s_tot").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+            F.round(
+                0.5 * F.sum(p * F.log(p / m) + q * F.log(q / m))
+                + 0.5 * ln2 * (1 - F.sum(q)),
+                6,
+            ).alias("js_nats"),
+        )
+    )
+
+
+def sql_source_drift() -> str:
+    return """
+WITH sw AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+swc AS (SELECT source, w, count(*) AS n FROM sw GROUP BY 1, 2),
+stot AS (SELECT source, sum(n) AS s_tot FROM swc GROUP BY 1),
+corpus AS (SELECT w, sum(n) AS cn FROM swc GROUP BY 1),
+ctot AS (SELECT sum(cn) AS c_tot FROM corpus)
+SELECT source,
+       max(s_tot)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_distinct_words,
+       round(sum((n / s_tot) * ln((n / s_tot) / (cn / c_tot))), 6) AS kl_nats,
+       round(0.5 * sum((n / s_tot) * ln((n / s_tot)
+                         / ((n / s_tot + cn / c_tot) / 2))
+                       + (cn / c_tot) * ln((cn / c_tot)
+                         / ((n / s_tot + cn / c_tot) / 2)))
+             + 0.5 * ln(2) * (1 - sum(cn / c_tot)), 6) AS js_nats
+FROM swc JOIN stot USING (source) JOIN corpus USING (w), ctot
+GROUP BY 1
+"""

@@ -3379,6 +3379,51 @@ def q_mm_scene_changes(spark, sf_dir):
 # ---------------------------------------------------------------- catalog
 
 
+def q_ev_user_concentration(spark, sf_dir):
+    """Exact Lorenz curve at its distinct-activity-level breakpoints +
+    Gini coefficient of per-user event counts (pipeline/events.py
+    user_concentration)."""
+    return pevents.user_concentration(_events(spark, sf_dir))
+
+
+def q_ev_interarrival(spark, sf_dir):
+    """Per-event-type inter-arrival profile: exact type-1 p50/p90/p99
+    gaps, CV and Goh-Barabasi burstiness, computed two-level (per-day
+    lag + day-boundary stitch) so no type funnels through one partition
+    (pipeline/events.py interarrival_profile)."""
+    return pevents.interarrival_profile(_events(spark, sf_dir))
+
+
+def q_emb_dim_variance(spark, sf_dir):
+    """Per-dimension mean/variance/cumulative energy share of the
+    embedding table — the Matryoshka/PCA truncation calibration curve
+    (pipeline/similarity.py dim_variance)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.dim_variance(emb)
+
+
+def q_emb_pq_distortion(spark, sf_dir):
+    """Per-subspace PQ codebook health: code utilization, code-entropy
+    bits and per-coordinate reconstruction MSE (pipeline/similarity.py
+    pq_distortion); training memoized with pq_codes' cache."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.pq_distortion(emb, cache_key=sf_dir)
+
+
+def q_doc_lsh_s_curve(spark, sf_dir):
+    """LSH band-tuning table: analytic 1-(1-s^r)^b detection S-curve vs
+    the observed candidate-pair mass per estimated-Jaccard bucket
+    (pipeline/dedup.py lsh_s_curve)."""
+    return pdedup.lsh_s_curve(_docs(spark, sf_dir))
+
+
+def q_doc_source_drift(spark, sf_dir):
+    """Per-source unigram KL / Jensen-Shannon divergence vs the whole
+    corpus — the distribution-shift side of the mixture design
+    (pipeline/text.py source_drift)."""
+    return ptext.source_drift(_docs(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -3871,6 +3916,24 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # DAU/MAU stickiness per 30-day bucket
     "ev_stickiness": QueryDef(q_ev_stickiness, pevents.sql_stickiness()),
+    # Lorenz curve + Gini of per-user activity (round 10)
+    "ev_user_concentration": QueryDef(
+        q_ev_user_concentration, pevents.sql_user_concentration()
+    ),
+    # per-type inter-arrival percentiles + burstiness (round 10)
+    "ev_interarrival": QueryDef(
+        q_ev_interarrival, pevents.sql_interarrival_profile()
+    ),
+    # per-dimension embedding energy profile (round 10)
+    "emb_dim_variance": QueryDef(q_emb_dim_variance, psim.sql_dim_variance()),
+    # per-subspace PQ codebook calibration (round 10)
+    "emb_pq_distortion": QueryDef(
+        q_emb_pq_distortion, psim.sql_pq_distortion()
+    ),
+    # LSH band-tuning S-curve, analytic vs observed (round 10)
+    "doc_lsh_s_curve": QueryDef(q_doc_lsh_s_curve, pdedup.sql_lsh_s_curve()),
+    # per-source KL/JS distribution drift vs corpus (round 10)
+    "doc_source_drift": QueryDef(q_doc_source_drift, ptext.sql_source_drift()),
     # per-source exact length percentiles (data-card table)
     "doc_length_quantiles": QueryDef(
         q_doc_length_quantiles, ptext.sql_length_quantiles()
@@ -3994,6 +4057,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # backfill queue the r9 verdict named — after this window no catalog
 # row's newest attestation predates r5.
 _VERIFY_FIRST: list[str] = [
+    # --- (0a) NEW this round (ratchet rule: new kernels enter the
+    # window in the commit that adds them) ---
+    "ev_user_concentration",
+    "ev_interarrival",
+    "emb_dim_variance",
+    "emb_pq_distortion",
+    "doc_lsh_s_curve",
+    "doc_source_drift",
     # --- (0) kernels changed this round (floor-fix sweep) ---
     "ev_anomaly_mad",
     "ev_anomaly_seasonal",

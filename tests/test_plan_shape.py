@@ -987,3 +987,82 @@ def test_pipeline_time_buckets_floor_not_truncate():
         "truncate-toward-zero time bucket (use F.floor(ts / N) / "
         "CAST(floor(ts / N) AS BIGINT)):\n" + "\n".join(bad)
     )
+
+
+# --- round-10 operators ----------------------------------------------------
+
+def test_user_concentration_window_runs_on_histogram(spark, sf_dir):
+    """The unpartitioned Lorenz window must run over the DISTINCT
+    activity-level histogram, never over keys: no Window node may see
+    the key column, and no exchange carries more than histogram-width
+    rows' columns."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.user_concentration(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_user_concentration")
+    for line in plan.splitlines():
+        if "Window " in line or line.strip().startswith("Window"):
+            assert "user_id" not in line, line.strip()[:200]
+
+
+def test_interarrival_lag_window_is_day_split(spark, sf_dir):
+    """The data-volume lag window must partition by (event_type, day) —
+    the two-level split — never by event_type alone (which would funnel
+    each type through one partition at scale). Only the tiny per-day
+    boundary table may window on event_type alone."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.interarrival_profile(model.load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lag_specs = [
+        ln for ln in plan.splitlines()
+        if "lag(ts" in ln and "windowspecdefinition" in ln
+    ]
+    assert lag_specs, "no lag window found"
+    assert any("day" in ln for ln in lag_specs), lag_specs
+
+
+def test_dim_variance_no_vector_crosses_shuffle(spark, sf_dir):
+    """The per-dim moment aggregate is map-side combinable: only
+    (dim, partial) rows cross the exchange, never a vector."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    assert_no_vector_crosses_shuffle(psim.dim_variance(emb), "emb_dim_variance")
+
+
+def test_pq_distortion_no_vector_crosses_shuffle(spark, sf_dir):
+    """The encode is the pq_codes literal-codebook fold: the explode
+    emits (s, code, d) narrow rows; no vector crosses any exchange."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    assert_no_vector_crosses_shuffle(
+        psim.pq_distortion(emb, cache_key=sf_dir), "emb_pq_distortion"
+    )
+
+
+def test_lsh_s_curve_grid_join_broadcasts_and_no_text_shuffles(spark, sf_dir):
+    """The 20-row grid joins the bucket rollup broadcast; the underlying
+    LSH pass keeps its contract — document text never rides a shuffle."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.lsh_s_curve(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_lsh_s_curve")
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
+
+
+def test_source_drift_corpus_join_broadcasts(spark, sf_dir):
+    """The vocab-cardinality corpus table must broadcast back onto the
+    (source, word) counts — a sort-merge join on words would re-shuffle
+    the whole count table; and raw text never rides a shuffle."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.source_drift(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan[:1500]
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols

@@ -769,3 +769,88 @@ def test_bot_cadence_cv_matches_numpy_reference(spark, gaps):
         assert r.gap_cv == round(sd / mean, 6)
     else:
         assert r.gap_cv is None
+
+
+# ---------------------------------------- Gini / Lorenz reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=25),
+)
+def test_user_concentration_gini_matches_brute_force(spark, counts):
+    """The histogram-grouped rank-formula Gini must equal the textbook
+    sorted-vector formula 2·Σᵢrᵢxᵢ/(n·Σx) − (n+1)/n (ties carry the
+    same x, so grouped average ranks give the identical sum), and the
+    Lorenz breakpoints must match a direct cumulative."""
+    from squirreldb_spark.pipeline.events import user_concentration
+
+    rows, eid = [], 0
+    for uid, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((uid, eid, eid * 1000))
+            eid += 1
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    got = user_concentration(ev).collect()
+
+    xs = sorted(counts)
+    n, s = len(xs), sum(xs)
+    gini = round(
+        2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * s)
+        - (n + 1) / n, 6)
+    assert all(r.gini == gini for r in got)
+    # Lorenz breakpoints: one row per distinct count, ascending
+    import collections
+    hist = collections.Counter(counts)
+    cum_k = cum_e = 0
+    expect = []
+    for v in sorted(hist):
+        cum_k += hist[v]
+        cum_e += v * hist[v]
+        expect.append((v, hist[v], round(cum_k / n, 6), round(cum_e / s, 6)))
+    assert [(r.n_events, r.n_keys, r.cum_key_share, r.cum_event_share)
+            for r in sorted(got, key=lambda r: r.n_events)] == expect
+
+
+# ------------------------------- inter-arrival two-level decomposition
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    gaps=st.lists(st.integers(min_value=0, max_value=250_000_000),
+                  min_size=1, max_size=25),
+)
+def test_interarrival_profile_matches_flat_reference(spark, gaps):
+    """The (event_type, day)-split lag + day-boundary stitch must
+    reproduce exactly the flat consecutive-gap multiset: mean/cv/
+    burstiness from the same integer moments, percentiles as type-1
+    order statistics — including gaps spanning multiple days."""
+    import math as m
+
+    from squirreldb_spark.pipeline.events import interarrival_profile
+
+    ts, t = [0], 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    rows = [("a", i, x) for i, x in enumerate(ts)]
+    ev = spark.createDataFrame(rows, "event_type string, event_id long, ts long")
+    r = interarrival_profile(ev).collect()[0]
+
+    n = len(gaps)
+    s1, s2 = sum(gaps), sum(g * g for g in gaps)
+    mean = s1 / n
+    var = max(s2 / n - mean * mean, 0.0)
+    sd = m.sqrt(var)
+    assert r.n_gaps == n
+    assert r.mean_ms == round(mean, 6)
+    srt = sorted(gaps)
+    for q, fld in ((0.5, r.p50_ms), (0.9, r.p90_ms), (0.99, r.p99_ms)):
+        assert fld == srt[m.ceil(n * q) - 1]
+    if mean > 0:
+        assert r.gap_cv == round(sd / mean, 6)
+    if sd + mean > 0:
+        assert r.burstiness == round((sd - mean) / (sd + mean), 6)
