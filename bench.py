@@ -144,6 +144,10 @@ SECONDARY_QUERIES = [
     "emb_pq_distortion",
     "doc_lsh_s_curve",
     "doc_source_drift",
+    "doc_minhash_k_sweep",
+    "doc_packing_efficiency",
+    "doc_lang_confusion",
+    "ev_funnel_windowed",
 ]
 
 

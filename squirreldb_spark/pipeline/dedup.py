@@ -2071,3 +2071,138 @@ SELECT round(g.bucket * {bucket_width}, 6) AS bucket_lo,
        o.mean_est_jaccard
 FROM grid g LEFT JOIN observed o USING (bucket)
 """
+
+
+# -------------------------------------- MinHash signature-width sweep
+
+def minhash_k_sweep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ks: tuple[int, ...] = (4, 8, 12),
+    num_hashes: int = NUM_HASHES,
+    shingle_n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Signature-width calibration: MinHash estimation error (MAE /
+    RMSE / bias vs the EXACT n-gram Jaccard) at each prefix width
+    ``k ∈ ks`` of ONE ``num_hashes``-wide signature.  Because the K
+    hash family is a fixed permutation sequence, the first k components
+    ARE the k-hash signature, so the whole sweep prices the
+    accuracy-vs-state tradeoff ("would 8 hashes do?") from a single
+    signature pass — the calibration table behind the
+    :data:`NUM_HASHES` choice, complementing :func:`lsh_s_curve`
+    (which tunes the banding for a GIVEN width).
+
+    Scale shape: signatures + banded candidates are the attested
+    catalog plans; the exact Jaccard joins text back only for the
+    candidate PAIR list (minhash_accuracy's contract); the per-k
+    explode emits ``len(ks)`` narrow rows per pair and the rollup is a
+    ``len(ks)``-group combinable aggregate.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(sig, id_col, num_hashes, max_bucket=max_bucket)
+    mh = [f"mh{i}" for i in range(num_hashes)]
+    sa = sig.select(
+        F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh]
+    )
+    sb = sig.select(
+        F.col(id_col).alias("id_b"), *[F.col(c).alias(f"b_{c}") for c in mh]
+    )
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    j = ngram_jaccard_pairs(
+        cand.join(sa, "id_a").join(sb, "id_b").join(ta, "id_a").join(tb, "id_b"),
+        n=shingle_n,
+    )
+    ests = []
+    for k in ks:
+        matches = sum(
+            F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0)
+            for i in range(k)
+        )
+        ests.append(
+            F.struct(
+                F.lit(k).cast("long").alias("k"),
+                F.round(matches / F.lit(k), 6).alias("est"),
+            )
+        )
+    x = j.select(
+        "jaccard", F.explode(F.array(*ests)).alias("e")
+    ).select("jaccard", "e.k", "e.est")
+    err = F.col("est") - F.col("jaccard")
+    return x.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs(err)), 6).alias("mae"),
+        F.round(F.sqrt(F.avg(err * err)), 6).alias("rmse"),
+        F.round(F.avg(err), 6).alias("bias"),
+    )
+
+
+def sql_minhash_k_sweep(
+    ks: tuple[int, ...] = (4, 8, 12),
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    """Replays the signature/banding oracles, the exact-Jaccard join
+    of sql_minhash_accuracy, and the per-prefix-k rollup."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    melt = "\n  UNION ALL\n  ".join(band_selects)
+    est_cols = []
+    for k in ks:
+        ms = " + ".join(
+            f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+            for i in range(k)
+        )
+        est_cols.append(f"round(({ms}) / {k}.0, 6) AS est_{k}")
+    jac = (
+        "round(len(list_intersect(sha.s, shb.s))"
+        " / len(list_distinct(sha.s || shb.s))::DOUBLE, 6)"
+    )
+    per_k = "\nUNION ALL\n".join(
+        f"SELECT {k}::BIGINT AS k, count(*)::BIGINT AS n_pairs,"
+        f" round(avg(abs(est_{k} - jaccard)), 6) AS mae,"
+        f" round(sqrt(avg((est_{k} - jaccard) * (est_{k} - jaccard))), 6)"
+        f" AS rmse,"
+        f" round(avg(est_{k} - jaccard), 6) AS bias FROM j"
+        for k in ks
+    )
+    return f"""
+WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
+melt0 AS (
+  {melt}),
+melt AS (
+  SELECT * FROM melt0
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melt a JOIN melt b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2),
+j AS (
+  SELECT p.id_a, p.id_b, {jac} AS jaccard,
+         {', '.join(est_cols)}
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.id_a
+  JOIN sig sb ON sb.doc_id = p.id_b
+  JOIN shl sha ON sha.doc_id = p.id_a
+  JOIN shl shb ON shb.doc_id = p.id_b)
+{per_k}
+"""

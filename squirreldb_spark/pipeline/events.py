@@ -2577,3 +2577,109 @@ SELECT event_type, n_gaps,
             + s1::DOUBLE / n_gaps), 6) END AS burstiness
 FROM agg
 """
+
+
+# ----------------------------------------- windowed conversion funnel
+
+def funnel_windowed(
+    events: DataFrame,
+    stages: tuple[str, ...] = FUNNEL_STAGES,
+    window_ms: int = 7 * _DAY_MS,
+) -> DataFrame:
+    """Ordered first-touch funnel with a conversion window: stage k
+    counts only if its first qualifying event lands within
+    ``window_ms`` AFTER the stage k−1 conversion time (the standard
+    product-analytics convention — a purchase eight months after the
+    click is attribution noise, not conversion).  Adds the per-step and
+    from-top conversion rates :func:`funnel` leaves to the reader.
+
+    Scale shape: identical to :func:`funnel` — per-stage filtered
+    min-aggregations all keyed on ``user_id`` (co-located exchanges),
+    stage count static; the rate window runs over the stage-cardinality
+    (≤ len(stages)-row) union.
+    """
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    per_stage = [cur]
+    for stage in stages[1:]:
+        prev = per_stage[-1].select("user_id", F.col("t").alias("_pt"))
+        per_stage.append(
+            events.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col("_pt"))
+                & (F.col("ts") <= F.col("_pt") + window_ms)
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i + 1).cast("long").alias("stage_idx"),
+            F.lit(stages[i]).alias("stage"),
+            "n_users",
+        )
+        for i, df in enumerate(per_stage)
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    w = Window.orderBy("stage_idx")
+    prev_n = F.lag("n_users").over(w)
+    first_n = F.first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return out.select(
+        "stage_idx",
+        "stage",
+        "n_users",
+        F.when(prev_n > 0, F.round(F.col("n_users") / prev_n, 6)).alias(
+            "conv_from_prev"
+        ),
+        F.when(first_n > 0, F.round(F.col("n_users") / first_n, 6)).alias(
+            "conv_from_first"
+        ),
+    )
+
+
+def sql_funnel_windowed(
+    stages: tuple[str, ...] = FUNNEL_STAGES, window_ms: int = 7 * _DAY_MS
+) -> str:
+    ctes = [
+        f"s1 AS (SELECT user_id, min(ts) AS t FROM ev"
+        f" WHERE event_type = '{stages[0]}' GROUP BY 1)"
+    ]
+    for k, stage in enumerate(stages[1:], start=2):
+        ctes.append(
+            f"s{k} AS (SELECT e.user_id, min(e.ts) AS t FROM ev e"
+            f" JOIN s{k - 1} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{stage}' AND e.ts > p.t"
+            f" AND e.ts <= p.t + {window_ms} GROUP BY 1)"
+        )
+    selects = [
+        f"SELECT {i + 1}::BIGINT AS stage_idx, '{s}' AS stage,"
+        f" count(*)::BIGINT AS n_users FROM s{i + 1}"
+        for i, s in enumerate(stages)
+    ]
+    return (
+        "WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts"
+        " FROM events),\n"
+        + ",\n".join(ctes)
+        + ",\ncounts AS (\n"
+        + "\nUNION ALL\n".join(selects)
+        + ")\n"
+        + """SELECT stage_idx, stage, n_users,
+       CASE WHEN lag(n_users) OVER (ORDER BY stage_idx) > 0
+            THEN round(n_users / lag(n_users) OVER (ORDER BY stage_idx), 6)
+       END AS conv_from_prev,
+       CASE WHEN first_value(n_users) OVER (ORDER BY stage_idx
+                                            ROWS UNBOUNDED PRECEDING) > 0
+            THEN round(n_users / first_value(n_users)
+                         OVER (ORDER BY stage_idx ROWS UNBOUNDED PRECEDING),
+                       6)
+       END AS conv_from_first
+FROM counts"""
+    )

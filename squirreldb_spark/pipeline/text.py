@@ -2860,3 +2860,125 @@ SELECT source,
 FROM swc JOIN stot USING (source) JOIN corpus USING (w), ctot
 GROUP BY 1
 """
+
+
+# ------------------------------------------------ packing efficiency
+
+def packing_efficiency(
+    docs: DataFrame, context_len: int = 512, text_col: str = "text",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Packing-plan report over :func:`pack_sequences`' assignment: per
+    language, the pack count (``ceil(total_tokens / context_len)`` —
+    NOT distinct pack ids, which would miss packs fully covered by one
+    long document), the mean number of document starts per pack (the
+    attention-mask fragmentation a packed-batch trainer pays), the
+    fraction of documents that cross a pack boundary (truncation /
+    cross-example-attention candidates) and the unfilled tail of the
+    last pack.
+
+    Scale shape: the packing assignment is the attested
+    :func:`pack_sequences` plan (sharded cumsum, one exchange); this
+    rollup is one combinable language-cardinality aggregate over its
+    output.
+    """
+    packed = pack_sequences(docs, context_len, text_col, n_shards)
+    crosses = (F.col("pack_offset") + F.col("n_tokens")) > context_len
+    agg = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg(crosses.cast("double")), 6).alias("crossing_frac"),
+    )
+    n_packs = F.floor(
+        (F.col("total_tokens") + context_len - 1) / context_len
+    ).cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        F.round(F.col("n_docs") / n_packs, 6).alias("docs_per_pack"),
+        "crossing_frac",
+        F.round(
+            (n_packs * context_len - F.col("total_tokens"))
+            / F.lit(float(context_len)),
+            6,
+        ).alias("tail_waste_frac"),
+    )
+
+
+def sql_packing_efficiency(context_len: int = 512, n_shards: int = 16) -> str:
+    return f"""
+WITH packed AS ({sql_pack_sequences(context_len, n_shards)}),
+agg AS (
+  SELECT lang, count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         round(avg(CASE WHEN pack_offset + n_tokens > {context_len}
+                        THEN 1.0 ELSE 0.0 END), 6) AS crossing_frac
+  FROM packed GROUP BY 1)
+SELECT lang, n_docs, total_tokens,
+       CAST(floor((total_tokens + {context_len - 1}) / {context_len}.0)
+            AS BIGINT) AS n_packs,
+       round(n_docs / floor((total_tokens + {context_len - 1})
+                            / {context_len}.0), 6) AS docs_per_pack,
+       crossing_frac,
+       round((floor((total_tokens + {context_len - 1}) / {context_len}.0)
+              * {context_len} - total_tokens) / {context_len}.0, 6)
+         AS tail_waste_frac
+FROM agg
+"""
+
+
+# ------------------------------------------- language-ID confusion
+
+def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID confusion matrix: the stopword-overlap heuristic's
+    guess (:func:`lang_scores`) against the labeled ``lang`` column —
+    count and within-label fraction per (lang, lang_guess) cell.  The
+    calibration table that says WHERE the cheap heuristic is trustable
+    (its diagonal) before it gates a mixture or filter decision; on
+    this synthetic corpus it also documents the heuristic's known
+    blind spot (zh has no stopword list, so its row is all
+    misclassification).
+
+    Scale shape: the score fold is a narrow in-scan map (the
+    lang_scores plan); the confusion rollup is a combinable groupBy on
+    ≤ langs² keys with a broadcast per-label totals join-back.
+    """
+    scored = docs.select("doc_id", "lang", *[
+        c.alias(f"score_{lang}")
+        for lang, c in _lang_score_cols(text_col).items()
+    ])
+    scored = scored.withColumn(
+        "lang_guess",
+        _lang_guess_fold({l: F.col(f"score_{l}") for l in STOPWORDS}),
+    )
+    cells = scored.groupBy("lang", "lang_guess").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tots = cells.groupBy("lang").agg(F.sum("n_docs").alias("_tot"))
+    return (
+        cells.join(F.broadcast(tots), "lang")
+        .select(
+            "lang",
+            "lang_guess",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_tot"), 6).alias("frac_of_lang"),
+        )
+    )
+
+
+def sql_lang_confusion() -> str:
+    return f"""
+WITH scored AS ({sql_lang_scores()}),
+labeled AS (
+  SELECT s.doc_id, d.lang, s.lang_guess
+  FROM scored s JOIN documents d USING (doc_id)),
+cells AS (
+  SELECT lang, lang_guess, count(*)::BIGINT AS n_docs
+  FROM labeled GROUP BY 1, 2),
+tots AS (SELECT lang, sum(n_docs) AS tot FROM cells GROUP BY 1)
+SELECT lang, lang_guess, n_docs,
+       round(n_docs / tot, 6) AS frac_of_lang
+FROM cells JOIN tots USING (lang)
+"""

@@ -3424,6 +3424,34 @@ def q_doc_source_drift(spark, sf_dir):
     return ptext.source_drift(_docs(spark, sf_dir))
 
 
+def q_doc_minhash_k_sweep(spark, sf_dir):
+    """MinHash signature-width calibration: MAE/RMSE/bias vs exact
+    n-gram Jaccard at prefix widths k=4/8/12 of one signature pass
+    (pipeline/dedup.py minhash_k_sweep)."""
+    return pdedup.minhash_k_sweep(_docs(spark, sf_dir))
+
+
+def q_doc_packing_efficiency(spark, sf_dir):
+    """Per-language packing report over the pack_sequences assignment:
+    pack count, docs-per-pack, boundary-crossing fraction, tail waste
+    (pipeline/text.py packing_efficiency)."""
+    return ptext.packing_efficiency(_docs(spark, sf_dir))
+
+
+def q_doc_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: stopword-heuristic guess vs the
+    labeled lang column, count + within-label fraction per cell
+    (pipeline/text.py lang_confusion)."""
+    return ptext.lang_confusion(_docs(spark, sf_dir))
+
+
+def q_ev_funnel_windowed(spark, sf_dir):
+    """First-touch funnel with a 7-day conversion window per step, plus
+    per-step and from-top conversion rates (pipeline/events.py
+    funnel_windowed)."""
+    return pevents.funnel_windowed(_events(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -3934,6 +3962,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_lsh_s_curve": QueryDef(q_doc_lsh_s_curve, pdedup.sql_lsh_s_curve()),
     # per-source KL/JS distribution drift vs corpus (round 10)
     "doc_source_drift": QueryDef(q_doc_source_drift, ptext.sql_source_drift()),
+    # MinHash signature-width accuracy sweep (round 10)
+    "doc_minhash_k_sweep": QueryDef(
+        q_doc_minhash_k_sweep, pdedup.sql_minhash_k_sweep()
+    ),
+    # packing-plan efficiency report (round 10)
+    "doc_packing_efficiency": QueryDef(
+        q_doc_packing_efficiency, ptext.sql_packing_efficiency()
+    ),
+    # language-ID confusion matrix (round 10)
+    "doc_lang_confusion": QueryDef(
+        q_doc_lang_confusion, ptext.sql_lang_confusion()
+    ),
+    # windowed conversion funnel with rates (round 10)
+    "ev_funnel_windowed": QueryDef(
+        q_ev_funnel_windowed, pevents.sql_funnel_windowed()
+    ),
     # per-source exact length percentiles (data-card table)
     "doc_length_quantiles": QueryDef(
         q_doc_length_quantiles, ptext.sql_length_quantiles()
@@ -4065,6 +4109,10 @@ _VERIFY_FIRST: list[str] = [
     "emb_pq_distortion",
     "doc_lsh_s_curve",
     "doc_source_drift",
+    "doc_minhash_k_sweep",
+    "doc_packing_efficiency",
+    "doc_lang_confusion",
+    "ev_funnel_windowed",
     # --- (0) kernels changed this round (floor-fix sweep) ---
     "ev_anomaly_mad",
     "ev_anomaly_seasonal",

@@ -1066,3 +1066,46 @@ def test_source_drift_corpus_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan[:1500]
     for cols in shuffle_exchange_outputs(df):
         assert "text" not in [c for c, _ in cols], cols
+
+
+def test_minhash_k_sweep_no_theta_joins(spark, sf_dir):
+    """Candidates come from the banded equi-join; the exact-Jaccard
+    text join-back and the signature joins are all id-keyed equi-joins
+    — never a cartesian/theta shape."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.minhash_k_sweep(model.load_table(spark, sf_dir, "documents"))
+    assert_no_theta_joins(plan_of(df), "doc_minhash_k_sweep")
+
+
+def test_packing_efficiency_cumsum_stays_sharded(spark, sf_dir):
+    """The rollup must inherit pack_sequences' sharded cumsum: the
+    data-volume window partitions by (lang, shard), never lang alone."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.packing_efficiency(model.load_table(spark, sf_dir, "documents"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    specs = [ln for ln in plan.splitlines()
+             if "windowspecdefinition" in ln and "running_in_shard" in ln]
+    assert specs and all("shard" in ln for ln in specs), specs[:2]
+
+
+def test_lang_confusion_totals_broadcast(spark, sf_dir):
+    """The per-label totals join back broadcast; the score fold runs in
+    the scan, so raw text never rides a shuffle."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.lang_confusion(model.load_table(spark, sf_dir, "documents"))
+    assert "SortMergeJoin" not in plan_of(df)
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
+
+
+def test_funnel_windowed_joins_stay_user_keyed(spark, sf_dir):
+    """Same contract as the unwindowed funnel: every per-stage join keys
+    user_id (no theta shape from the window predicate — it's a filter,
+    not a join condition that degrades the join to nested-loop)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.funnel_windowed(model.load_table(spark, sf_dir, "events"))
+    assert_no_theta_joins(plan_of(df), "ev_funnel_windowed")
