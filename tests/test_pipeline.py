@@ -2025,3 +2025,180 @@ def test_ivf_nprobe_sweep_recall_monotone(spark, sf_dir):
     recs = [out[p].recall for p in (1, 2, 4, 8)]
     assert recs == sorted(recs)
     assert out[8].recall == 1.0
+
+
+# ------------------------------------------------ round-10 operators
+
+
+def test_user_concentration_uniform_gini_zero_and_skewed_positive(spark):
+    """Equal activity -> Gini 0 with one Lorenz breakpoint; a skewed
+    corpus -> known hand-computed Gini and breakpoint shares."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(u, u * 10 + i, 0) for u in range(4) for i in range(5)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = pevents.user_concentration(ev).collect()
+    assert len(out) == 1
+    assert out[0].gini == 0.0 and out[0].cum_event_share == 1.0
+
+    # counts [1, 1, 8]: gini = 2*(1+2+24)/(3*10) - 4/3 = 0.466667
+    rows = [(1, 0, 0), (2, 1, 0)] + [(3, 10 + i, 0) for i in range(8)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = sorted(pevents.user_concentration(ev).collect(),
+                 key=lambda r: r.n_events)
+    assert [r.n_events for r in out] == [1, 8]
+    assert out[0].cum_key_share == round(2 / 3, 6)
+    assert out[0].cum_event_share == 0.2
+    assert out[0].gini == round(2 * 27 / 30 - 4 / 3, 6)
+
+
+def test_interarrival_profile_known_gaps_across_days(spark):
+    """Gaps [1000, 1 day, 2000]: the day-boundary stitch recovers the
+    1-day gap exactly; type-1 percentiles over the 3-gap multiset."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    ts = [0, 1000, 1000 + DAY, 3000 + DAY]
+    ev = spark.createDataFrame(
+        [("a", i, t) for i, t in enumerate(ts)],
+        "event_type string, event_id long, ts long",
+    )
+    r = pevents.interarrival_profile(ev).collect()[0]
+    assert r.n_gaps == 3
+    assert r.p50_ms == 2000 and r.p90_ms == DAY and r.p99_ms == DAY
+    assert r.mean_ms == round((1000 + DAY + 2000) / 3, 6)
+
+
+def test_dim_variance_constant_dim_and_energy_shares(spark):
+    """A constant dimension has variance 0 / share 0; cumulative shares
+    end at 1; a known 2-value dimension matches the population formula."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 2.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.dim: r for r in psim.dim_variance(emb).collect()}
+    assert out[0].variance == 0.0 and out[0].var_share == 0.0
+    assert out[1].variance == 1.0  # pop var of {0, 2}
+    assert out[1].cum_var_share == 1.0
+
+
+def test_pq_distortion_bounds_and_counts(spark, sf_dir):
+    """Per-subspace rollup sanity on the real table: every subspace
+    covers the corpus, uses <= ks codes, entropy <= log2(ks) bits, and
+    reconstruction error is non-negative."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = psim.pq_distortion(emb, cache_key=sf_dir).collect()
+    assert len(out) == similarity.PQ_M
+    for r in out:
+        assert r.n_vectors == n
+        assert 1 <= r.codes_used <= similarity.PQ_KS
+        assert 0 <= r.code_entropy_bits <= round(
+            math.log2(similarity.PQ_KS), 6) + 1e-9
+        assert r.mse_per_dim >= 0
+
+
+def test_lsh_s_curve_analytic_monotone_and_mass_conserved(spark, docs):
+    """The analytic S-curve is monotone over the grid and ~1 at s≈1;
+    the observed pair mass sums to the LSH candidate-pair count."""
+    out = sorted(
+        (r.bucket_lo, r.analytic_detect_prob, r.n_pairs)
+        for r in dedup.lsh_s_curve(docs).collect()
+    )
+    probs = [p for _, p, _ in out]
+    assert probs == sorted(probs) and probs[-1] > 0.99
+    sig = dedup.minhash_signatures(docs)
+    n_cand = dedup.lsh_candidate_pairs(sig).count()
+    assert sum(n for _, _, n in out) == n_cand
+
+
+def test_source_drift_identical_sources_zero_divergent_positive(spark):
+    """Two identically-distributed sources have ~0 divergence from the
+    corpus; a third source with disjoint vocabulary drifts far more."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    rows = (
+        [(i, "a b c", "s1") for i in range(10)]
+        + [(100 + i, "a b c", "s2") for i in range(10)]
+        + [(200 + i, "x y z", "s3") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in ptext.source_drift(df).collect()}
+    assert out["s1"].kl_nats == out["s2"].kl_nats < 0.5
+    assert out["s3"].kl_nats > out["s1"].kl_nats
+    assert out["s3"].js_nats > out["s1"].js_nats >= 0
+
+
+def test_minhash_k_sweep_wider_signatures_cut_rmse(spark, docs):
+    """Three rows (k = 4, 8, 12); on the deterministic corpus the full
+    signature estimates no worse than the k=4 prefix (the point of the
+    sweep), and every error stat is a valid magnitude."""
+    out = {r.k: r for r in dedup.minhash_k_sweep(docs).collect()}
+    assert sorted(out) == [4, 8, 12]
+    assert all(0 <= r.mae <= 1 and 0 <= r.rmse <= 1 for r in out.values())
+    assert out[12].rmse <= out[4].rmse
+    assert len({r.n_pairs for r in out.values()}) == 1  # same pair list
+
+
+def test_packing_efficiency_hand_computed(spark):
+    """4 docs x 3 tokens at context 8 -> 12 tokens = 2 packs, 2 docs per
+    pack, exactly one boundary-crossing doc, tail waste 4/8."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    rows = [(i, "t t t", "en") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = ptext.packing_efficiency(df, context_len=8).collect()[0]
+    assert (r.n_docs, r.total_tokens, r.n_packs) == (4, 12, 2)
+    assert r.docs_per_pack == 2.0
+    assert r.crossing_frac == 0.25  # the doc straddling token 8
+    assert r.tail_waste_frac == 0.5
+
+
+def test_lang_confusion_diagonal_and_row_fractions(spark):
+    """Docs with unambiguous stopwords land on the diagonal; rows sum
+    to 1; a no-stopword lang (zh) lands off-diagonal by design."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    rows = [
+        (1, "the cat and the hat", "en"),
+        (2, "el gato y la casa", "es"),
+        (3, "mao zhuo laoshu", "zh"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = ptext.lang_confusion(df).collect()
+    cells = {(r.lang, r.lang_guess): r for r in out}
+    assert cells[("en", "en")].frac_of_lang == 1.0
+    assert cells[("es", "es")].frac_of_lang == 1.0
+    assert ("zh", "zh") not in cells  # no zh stopword list -> never guessed
+    import collections
+    sums = collections.defaultdict(float)
+    for r in out:
+        sums[r.lang] += r.frac_of_lang
+    assert all(abs(s - 1.0) < 1e-6 for s in sums.values())
+
+
+def test_funnel_windowed_expires_late_conversions(spark):
+    """User 1 converts both steps inside the window; user 2's purchase
+    lands after the window and does not count; rates follow."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    W = 1000
+    rows = [
+        (1, 0, 0, "view"), (1, 1, 100, "click"), (1, 2, 200, "purchase"),
+        (2, 3, 0, "view"), (2, 4, 100, "click"), (2, 5, 5000, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.stage_idx: r for r in
+           pevents.funnel_windowed(ev, window_ms=W).collect()}
+    assert [out[i].n_users for i in (1, 2, 3)] == [2, 2, 1]
+    assert out[2].conv_from_prev == 1.0
+    assert out[3].conv_from_prev == 0.5 and out[3].conv_from_first == 0.5
+    assert out[1].conv_from_prev is None
