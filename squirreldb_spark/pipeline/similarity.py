@@ -2028,10 +2028,16 @@ def dim_variance(
         "n_vectors",
         F.round("_mean", 6).alias("mean"),
         F.round("_var", 6).alias("variance"),
-        F.round(F.col("_var") / F.col("_var_tot"), 6).alias("var_share"),
-        F.round(F.sum("_var").over(w) / F.col("_var_tot"), 6).alias(
-            "cum_var_share"
-        ),
+        # a zero-variance corpus (every vector identical) has no energy
+        # to apportion: shares are NULL, not a division error
+        F.when(
+            F.col("_var_tot") > 0,
+            F.round(F.col("_var") / F.col("_var_tot"), 6),
+        ).alias("var_share"),
+        F.when(
+            F.col("_var_tot") > 0,
+            F.round(F.sum("_var").over(w) / F.col("_var_tot"), 6),
+        ).alias("cum_var_share"),
     )
 
 
@@ -2051,9 +2057,10 @@ tot AS (SELECT sum(var) AS var_tot FROM per)
 SELECT dim, n_vectors,
        round(mean, 6) AS mean,
        round(var, 6) AS variance,
-       round(var / var_tot, 6) AS var_share,
-       round(sum(var) OVER (ORDER BY dim ROWS UNBOUNDED PRECEDING)
-             / var_tot, 6) AS cum_var_share
+       CASE WHEN var_tot > 0 THEN round(var / var_tot, 6) END AS var_share,
+       CASE WHEN var_tot > 0 THEN
+         round(sum(var) OVER (ORDER BY dim ROWS UNBOUNDED PRECEDING)
+               / var_tot, 6) END AS cum_var_share
 FROM per, tot
 """
 

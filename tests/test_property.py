@@ -854,3 +854,133 @@ def test_interarrival_profile_matches_flat_reference(spark, gaps):
         assert r.gap_cv == round(sd / mean, 6)
     if sd + mean > 0:
         assert r.burstiness == round((sd - mean) / (sd + mean), 6)
+
+
+# ---------------------------------- windowed-funnel greedy reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    users=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["view", "click", "purchase"]),
+                      st.integers(min_value=0, max_value=5000)),
+            min_size=1, max_size=12),
+        min_size=1, max_size=6),
+)
+def test_funnel_windowed_matches_greedy_reference(spark, users):
+    """Stage counts must equal the greedy first-touch reference: stage k
+    converts at the MIN ts of its type strictly after the k-1 time and
+    within the window — per user, computed directly in Python."""
+    from squirreldb_spark.pipeline.events import funnel_windowed
+
+    W = 1000
+    stages = ("view", "click", "purchase")
+    rows, eid = [], 0
+    for uid, evs in enumerate(users):
+        for typ, t in evs:
+            rows.append((uid, eid, t, typ))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string")
+    got = {r.stage_idx: r.n_users
+           for r in funnel_windowed(ev, stages, window_ms=W).collect()}
+
+    expect = {i + 1: 0 for i in range(len(stages))}
+    for uid, evs in enumerate(users):
+        t_prev = None
+        for k, stage in enumerate(stages):
+            if k == 0:
+                cand = [t for typ, t in evs if typ == stage]
+            else:
+                cand = [t for typ, t in evs
+                        if typ == stage and t_prev < t <= t_prev + W]
+            if not cand:
+                break
+            t_prev = min(cand)
+            expect[k + 1] += 1
+    assert got == expect
+
+
+# ------------------------------------ source-drift formula reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]),
+                  st.lists(st.sampled_from(list("abcdef")),
+                           min_size=1, max_size=8)),
+        min_size=1, max_size=15),
+)
+def test_source_drift_matches_direct_formula(spark, docs):
+    """KL and JS (with the analytic absent-word tail) must match a
+    direct Counter-based computation of the same formulas."""
+    import collections
+    import math as m
+
+    from squirreldb_spark.pipeline.text import source_drift
+
+    rows = [(i, " ".join(ws), src) for i, (src, ws) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in source_drift(df).collect()}
+
+    corpus = collections.Counter()
+    per_src: dict = collections.defaultdict(collections.Counter)
+    for src, ws in docs:
+        corpus.update(ws)
+        per_src[src].update(ws)
+    c_tot = sum(corpus.values())
+    for src, cnt in per_src.items():
+        s_tot = sum(cnt.values())
+        kl = sum((n / s_tot) * m.log((n / s_tot) / (corpus[w] / c_tot))
+                 for w, n in cnt.items())
+        q_mass = sum(corpus[w] / c_tot for w in cnt)
+        js = 0.5 * sum(
+            (n / s_tot) * m.log((n / s_tot) / ((n / s_tot + corpus[w] / c_tot) / 2))
+            + (corpus[w] / c_tot) * m.log(
+                (corpus[w] / c_tot) / ((n / s_tot + corpus[w] / c_tot) / 2))
+            for w, n in cnt.items()
+        ) + 0.5 * m.log(2) * (1 - q_mass)
+        assert got[src].kl_nats == round(kl, 6), src
+        assert abs(got[src].js_nats - round(js, 6)) <= 1e-6, src
+        assert got[src].n_tokens == s_tot
+
+
+# --------------------------------- dim-variance moments reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.floats(min_value=-10, max_value=10,
+                           allow_nan=False, width=32),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=12),
+)
+def test_dim_variance_matches_moment_reference(spark, vecs):
+    """Per-dim mean/variance must equal the identical Σx/Σx² float64
+    formula over the float32-widened inputs; shares sum to ~1 when
+    total variance is positive."""
+    from squirreldb_spark.pipeline.similarity import dim_variance
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.dim: r for r in dim_variance(emb).collect()}
+    import struct
+
+    n = len(vecs)
+    f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
+    for d in range(3):
+        xs = [f32(v[d]) for v in vecs]
+        s1 = sum(xs)
+        s2 = sum(x * x for x in xs)
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        assert got[d].mean == round(mean, 6)
+        assert abs(got[d].variance - round(var, 6)) <= 1e-6
