@@ -40,6 +40,14 @@ OPS = [
     "doc_dedup_clusters",
     "emb_semantic_dedup",
     "doc_simhash_neardup",
+    # round-10 operators over the documents/embeddings tables
+    "doc_lsh_s_curve",
+    "doc_minhash_k_sweep",
+    "doc_source_drift",
+    "doc_packing_efficiency",
+    "doc_lang_confusion",
+    "emb_dim_variance",
+    "emb_pq_distortion",
 ]
 
 SF01 = "/root/testdata/sf0.1"
