@@ -4091,6 +4091,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # changed after their newest green driver row, (2) backfill with the
 # oldest remaining attestations.
 #
+# ROUND-11 QUEUE (computed at r10 close by unioning CORRECTNESS_r01-r09
+# with the r10 window): after r10 attests its 50 rows, the oldest
+# catalog attestations are 49 r5-era rows and 39 r6-era rows.  The r11
+# window should take (0) any new/changed r11 kernels, then (2) the r5
+# cohort: api_bounded_scan, api_preagg_stitch, api_query_range,
+# doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
+# emb_neardup_pairs, mm_extract_features, mm_resize_images,
+# mm_sample_frames, the 18 promql_* rows, tpch_q1/q3/q5, ts_absent,
+# ts_agg_quantile_by, ts_date_functions, ts_deriv, ts_export_pivot,
+# ts_histogram_quantile, ts_holt_winters, ts_import_roundtrip,
+# ts_increase, ts_index_verify, ts_label_join, ts_label_replace,
+# ts_mad_over_time, ts_preagg_route_rate, ts_predict_linear,
+# ts_quantile_over_time, ts_rate — filling the remainder (and r12) from
+# the r6 cohort (api_instant_query, ts_instant_selector,
+# ts_stitch_preagg_raw, doc_exact_dedup, emb_ann_ivfpq, ...).
+#
 # Round-10 window (VERDICT r9 #2 — finish the freshness ratchet): (0)
 # the five kernels touched THIS round by the truncate-vs-floor
 # day-bucket fix (anomaly_mad, anomaly_seasonal, retention_cohorts,
