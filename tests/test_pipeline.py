@@ -2202,3 +2202,31 @@ def test_funnel_windowed_expires_late_conversions(spark):
     assert out[2].conv_from_prev == 1.0
     assert out[3].conv_from_prev == 0.5 and out[3].conv_from_first == 0.5
     assert out[1].conv_from_prev is None
+
+
+def test_floor_day_buckets_pre_1970_do_not_collapse(spark):
+    """The r10 floor sweep's contract: epoch-ms -> day buckets FLOOR the
+    quotient, so ts in (-DAY, 0) lands in day -1, not in a double-width
+    day 0 (the truncate-toward-zero failure this round eliminated).
+    Pinned on anomaly_mad's and retention_cohorts' bucketing."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    # two events the day before epoch, two the day after
+    rows = [(1, 0, -1000), (1, 1, -2000), (1, 2, 1000), (1, 3, 2000)]
+    ev = spark.createDataFrame(
+        [(u, e, t, "view") for u, e, t in rows],
+        "user_id long, event_id long, ts long, event_type string",
+    )
+    days = {r.day_ms // DAY: r.n_events
+            for r in pevents.anomaly_mad(ev).collect()}
+    assert days == {-1: 2, 0: 2}
+
+    WEEK = 7 * DAY
+    # first event one week before epoch, return activity after epoch:
+    # cohort_week floors to -1, offset 0 and 1 weeks respectively
+    rows = [(7, 10, -WEEK + 5), (7, 11, 5)]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts long")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in pevents.retention_cohorts(ev).collect()}
+    assert out == {(-1, 0): 1, (-1, 1): 1}
