@@ -243,29 +243,21 @@ def ingest_bench(spark) -> dict:
     }
 
 
-def main() -> None:
+def _warm(spark, CATALOG) -> None:
+    """JVM + OS page-cache warm-up, shared by both bench processes.
+
+    JVM: run the two dominant plan shapes (windowed range-agg, exact
+    percentile) against the tiny sf0.001 data — production query services
+    are warm; cold-start JIT is not the thing this benchmark tracks.
+    Page cache: round-2 diagnosis traced first-in-list inflation (up to
+    1.9x) to cold parquet IO; a production cluster reads hot storage.
+    """
     import glob
 
-    from squirreldb_spark.queries import CATALOG
-    from squirreldb_spark.session import get_session
-
-    spark = get_session("squirreldb-spark-bench")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    buff_cache_cold = _buff_cache_gb()  # before any warming
-    # Warm the JVM once so timings measure execution, not first-run codegen:
-    # run the two dominant plan shapes (windowed range-agg, exact
-    # percentile) against the tiny sf0.001 data. Production query services
-    # are warm; cold-start JIT is not the thing this benchmark tracks.
     for warm in ("ts_rate", "ts_quantile_over_time"):
         CATALOG[warm].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
-    # Warm the OS page cache for the bench SF's parquet (round-2 diagnosis:
-    # a cold cache inflated first-in-list queries up to 1.9x; the r1-vs-r2
-    # per-query deltas reproduced as pure IO-cache state, identical plans).
-    # A production cluster reads hot storage/OS cache; cold-disk IO is a
-    # property of the box, not of the query plans this tracks.
     for f in glob.glob(os.path.join(SF_DIR, "*.parquet")):
         if not os.path.isfile(f):
             continue  # directory-style parquet datasets
@@ -273,44 +265,120 @@ def main() -> None:
             while fh.read(1 << 24):
                 pass
 
-    # Three timed repetitions per query.  The headline value per query
-    # stays the round-3/4 basis — best of the FIRST TWO reps (steady
-    # state; a single sample conflates GC pauses and stage-scheduling
-    # jitter with plan cost, which is what burned the round-2
-    # comparison) — and the round-5 additions (VERDICT r4 #3) make the
-    # noise measurable without changing that basis: every sample is
-    # printed, plus a median and a relative spread per query, so a
-    # round-over-round delta can be read against the query's own
-    # variance instead of guessed at.
-    def time_reps(
-        names: list[str], reps: int = 3
-    ) -> tuple[dict[str, float], dict[str, list[float]]]:
-        best: dict[str, float] = {}
-        samples: dict[str, list[float]] = {}
-        for name in names:
-            runs: list[float] = []
-            for _ in range(reps):
-                df = CATALOG[name].fn(spark, SF_DIR)
-                t0 = time.perf_counter()
-                df.write.format("noop").mode("overwrite").save()
-                runs.append(time.perf_counter() - t0)
-            best[name] = round(min(runs[:2]), 3)  # frozen basis
-            samples[name] = [round(s, 3) for s in runs]
-        return best, samples
 
-    def stats(samples: dict[str, list[float]]) -> tuple[dict, dict]:
-        med = {n: round(_median(s), 3) for n, s in samples.items()}
-        spread = {
-            n: round((max(s) - min(s)) / max(_median(s), 1e-9), 3)
-            for n, s in samples.items()
+def _time_reps(
+    spark, CATALOG, names: list[str], reps: int
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query: value stays the round-3/4 frozen basis — best of the
+    FIRST TWO reps (steady state; a single sample conflates GC pauses and
+    stage-scheduling jitter with plan cost, which is what burned the
+    round-2 comparison).  Every sample is recorded so median/min/spread
+    can be read against the query's own variance (VERDICT r4 #3)."""
+    best: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in names:
+        runs: list[float] = []
+        for _ in range(reps):
+            df = CATALOG[name].fn(spark, SF_DIR)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        best[name] = round(min(runs[:2]), 3)  # frozen basis
+        samples[name] = [round(s, 3) for s in runs]
+    return best, samples
+
+
+def _stats(samples: dict[str, list[float]]) -> tuple[dict, dict]:
+    med = {n: round(_median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round((max(s) - min(s)) / max(_median(s), 1e-9), 3)
+        for n, s in samples.items()
+    }
+    return med, spread
+
+
+def headline_child(out_path: str) -> None:
+    """VERDICT r10 #1: the headline block runs in a FRESH process, before
+    (and isolated from) the 76-query secondary block — run-order effects
+    inside one JVM demonstrably moved a query 6x between rounds.  Five
+    reps per query (up from 3) so a 10% round-over-round move is
+    adjudicable against per-query spread; min and median are reported
+    alongside the frozen best-of-first-2 basis."""
+    from squirreldb_spark.queries import CATALOG
+    from squirreldb_spark.session import get_session
+
+    spark = get_session("squirreldb-spark-bench-headline")
+    spark.sparkContext.setLogLevel("ERROR")
+    cache_cold = _buff_cache_gb()
+    _warm(spark, CATALOG)
+    cache_pre = _buff_cache_gb()
+    timings, samples = _time_reps(spark, CATALOG, BENCH_QUERIES, reps=5)
+    med, spread = _stats(samples)
+    with open(out_path, "w") as fh:
+        json.dump({
+            "timings": timings,
+            "samples": samples,
+            "median": med,
+            "spread": spread,
+            "min": {n: min(s) for n, s in samples.items()},
+            "buff_cache_gb_cold": cache_cold,
+            "buff_cache_gb_pre": cache_pre,
+        }, fh)
+    spark.stop()
+
+
+def _basis_delta(t_median: dict[str, float]) -> dict:
+    """Round-over-round delta vs the last committed basis in
+    docs/BENCH_HISTORY.json (VERDICT r10 #1: deltas are computed from a
+    tracked file, not remembered across verdicts)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs",
+        "BENCH_HISTORY.json")
+    try:
+        rounds = json.load(open(path))["rounds"]
+        last = sorted(rounds)[-1]
+        base = rounds[last]
+        base_total = base.get("value_median") or base["value"]
+        cur_total = round(sum(t_median.values()), 3)
+        return {
+            "basis_round": last,
+            "basis_median_sum": base_total,
+            "delta_pct": round(100 * (cur_total - base_total) / base_total, 1),
         }
-        return med, spread
+    except Exception as exc:  # missing/corrupt history: report, don't die
+        return {"basis_round": None, "error": str(exc)[:120]}
 
+
+def main() -> None:
+    import subprocess
+    import tempfile
+
+    # Phase 1: headline block in a fresh, dedicated process (see
+    # headline_child).  The child inherits SPARK_GRAFT_* env.
+    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+        headline_path = tf.name
+    subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline",
+         headline_path],
+        check=True,
+    )
+    with open(headline_path) as fh:
+        head = json.load(fh)
+    os.unlink(headline_path)
+    timings = head["timings"]
+    t_samples = head["samples"]
+    t_median, t_spread = head["median"], head["spread"]
+
+    # Phase 2: secondary + iterative + ingest in this process.
+    from squirreldb_spark.queries import CATALOG
+    from squirreldb_spark.session import get_session
+
+    spark = get_session("squirreldb-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark, CATALOG)
     buff_cache_pre = _buff_cache_gb()
-    timings, t_samples = time_reps(BENCH_QUERIES)
-    t_median, t_spread = stats(t_samples)
-    secondary, s_samples = time_reps(SECONDARY_QUERIES)
-    s_median, s_spread = stats(s_samples)
+    secondary, s_samples = _time_reps(spark, CATALOG, SECONDARY_QUERIES, 3)
+    s_median, s_spread = _stats(s_samples)
 
     iterative: dict[str, float] = {}
     i_samples: dict[str, list[float]] = {}
@@ -343,6 +411,7 @@ def main() -> None:
         sf = None  # non-sfN directory name: still print the timings
     detail = {
         "queries_median": t_median,
+        "queries_min": head["min"],
         "queries_samples": t_samples,
         "queries_rel_spread": t_spread,
         "secondary_median": s_median,
@@ -353,9 +422,11 @@ def main() -> None:
         "iterative": iterative,
         "ingest_runs_sec": ingest.pop("runs_sec"),
         "ingest_rel_spread": ingest.pop("rel_spread"),
-        "buff_cache_gb_cold": buff_cache_cold,
+        "buff_cache_gb_cold": head["buff_cache_gb_cold"],
+        "buff_cache_gb_headline_pre": head["buff_cache_gb_pre"],
         "buff_cache_gb_pre": buff_cache_pre,
         "buff_cache_gb_post": _buff_cache_gb(),
+        "basis": _basis_delta(t_median),
     }
     # Round-5's single enriched line outgrew the driver's tail capture
     # (BENCH_r05 parsed: null).  The samples/median/spread detail now goes
@@ -381,9 +452,11 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "value_median": round(sum(t_median.values()), 3),
+        "value_min": round(sum(head["min"].values()), 3),
         "unit": "sec",
         "queries": timings,
         "ingest": ingest,
+        "basis": detail["basis"],
         "sf": sf,
     }
     line = json.dumps(out)
@@ -395,4 +468,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--headline":
+        headline_child(sys.argv[2])
+    else:
+        main()
