@@ -2081,6 +2081,7 @@ def minhash_k_sweep(
     id_col: str = "doc_id",
     ks: tuple[int, ...] = (4, 8, 12),
     num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
     shingle_n: int = 3,
     max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
@@ -2101,7 +2102,11 @@ def minhash_k_sweep(
     ``len(ks)``-group combinable aggregate.
     """
     sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, max_bucket=max_bucket)
+    # ADVICE r10: `bands` threads through so a non-default banding has the
+    # same meaning on both engines (sql_minhash_k_sweep already took it)
+    cand = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands=bands, max_bucket=max_bucket
+    )
     mh = [f"mh{i}" for i in range(num_hashes)]
     sa = sig.select(
         F.col(id_col).alias("id_a"), *[F.col(c).alias(f"a_{c}") for c in mh]

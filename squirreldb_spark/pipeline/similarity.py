@@ -2003,23 +2003,33 @@ def dim_variance(
     exchange carries at most dims × input-partitions partial rows —
     never a vector; the cumulative window runs over the dims-cardinality
     result (64 rows), and the total-variance scalar broadcasts back.
-    Moments use ``Σx`` / ``Σx²`` so both engines derive variance from
-    identically-valued sums (float32 → float64 widening is exact).
+    Moments are exact DECIMAL sums of 7-dp-quantized coordinates
+    (ADVICE r10: raw float64 ``Σx``/``Σx²`` depend on addition order —
+    Spark partitioning vs DuckDB scan order — so the 6-dp hash gate sat
+    on a rounding boundary; quantizing each contribution and summing in
+    DECIMAL makes both engines derive variance from the same integers
+    in ANY order, the interarrival_profile treatment.  A 7-dp tie is
+    unreachable for binary floats — 5e-8 is not a binary fraction — so
+    the two engines' round() agree, and the ≤1e-7 per-coordinate
+    perturbation is noise three decades under the 6-dp output grid).
     """
     x = emb.select(
         F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x")
     )
+    xq = F.round(F.col("x"), 7).cast("decimal(18,7)")
     agg = x.groupBy("dim").agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum("x").alias("_s1"),
-        F.sum(F.col("x") * F.col("x")).alias("_s2"),
+        F.sum(xq).alias("_s1"),
+        F.sum(xq * xq).alias("_s2"),
     )
-    mean = F.col("_s1") / F.col("_n")
+    mean = F.col("_s1").cast("double") / F.col("_n")
     per = agg.select(
         F.col("dim").cast("long").alias("dim"),
         F.col("_n").cast("long").alias("n_vectors"),
         mean.alias("_mean"),
-        (F.col("_s2") / F.col("_n") - mean * mean).alias("_var"),
+        (F.col("_s2").cast("double") / F.col("_n") - mean * mean).alias(
+            "_var"
+        ),
     )
     tot = per.agg(F.sum("_var").alias("_var_tot"))
     w = Window.orderBy("dim").rowsBetween(Window.unboundedPreceding, 0)
@@ -2046,12 +2056,15 @@ def sql_dim_variance() -> str:
 WITH x AS (
   SELECT unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x
   FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)),
+xq AS (
+  SELECT dim, CAST(round(x, 7) AS DECIMAL(18,7)) AS xq FROM x),
 agg AS (
-  SELECT dim, count(*) AS n, sum(x) AS s1, sum(x * x) AS s2
-  FROM x GROUP BY 1),
+  SELECT dim, count(*) AS n, sum(xq) AS s1, sum(xq * xq) AS s2
+  FROM xq GROUP BY 1),
 per AS (
   SELECT dim::BIGINT AS dim, n::BIGINT AS n_vectors,
-         s1 / n AS mean, s2 / n - (s1 / n) * (s1 / n) AS var
+         s1::DOUBLE / n AS mean,
+         s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) AS var
   FROM agg),
 tot AS (SELECT sum(var) AS var_tot FROM per)
 SELECT dim, n_vectors,

@@ -2803,10 +2803,15 @@ def source_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
     join over the vocabulary is needed.
 
     Scale shape: one (source, word) map-side-combinable count — the
-    only data-volume exchange; corpus word totals derive from a second
+    data-volume exchange; corpus word totals derive from a second
     combinable groupBy over that (sources × vocab)-row table and join
-    back BROADCAST (vocab-cardinality); the divergences are one more
-    combinable per-source aggregate.
+    back SHUFFLED on ``w`` (VERDICT r10 #2: the corpus side is
+    vocab-cardinality — 10⁸–10⁹ distinct tokens on a web corpus, far
+    past any broadcast ceiling — so it must never be broadcast; the
+    re-key of the already-register-width (source, word, n) counts is
+    one bounded exchange); the per-source totals (sources-cardinality)
+    and the 1-row corpus total DO broadcast; the divergences are one
+    more combinable per-source aggregate.
     """
     sw = (
         docs.select("source", F.explode(tokens(text_col)).alias("w"))
@@ -2816,8 +2821,10 @@ def source_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
     stot = sw.groupBy("source").agg(F.sum("n").alias("_s_tot"))
     corpus = sw.groupBy("w").agg(F.sum("n").alias("cn"))
     ctot = corpus.agg(F.sum("cn").alias("_c_tot"))
+    # merge hint: pins the shuffle join even when small-SF size estimates
+    # would tempt Catalyst into broadcasting the unbounded side
     j = (
-        sw.join(F.broadcast(corpus), "w")
+        sw.join(corpus.hint("merge"), "w")
         .join(F.broadcast(stot), "source")
         .crossJoin(F.broadcast(ctot))
     )

@@ -4091,85 +4091,86 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # changed after their newest green driver row, (2) backfill with the
 # oldest remaining attestations.
 #
-# ROUND-11 QUEUE (computed at r10 close by unioning CORRECTNESS_r01-r09
-# with the r10 window): after r10 attests its 50 rows, the oldest
-# catalog attestations are 49 r5-era rows and 39 r6-era rows.  The r11
-# window should take (0) any new/changed r11 kernels, then (2) the r5
-# cohort: api_bounded_scan, api_preagg_stitch, api_query_range,
-# doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
-# emb_neardup_pairs, mm_extract_features, mm_resize_images,
-# mm_sample_frames, the 18 promql_* rows, tpch_q1/q3/q5, ts_absent,
-# ts_agg_quantile_by, ts_date_functions, ts_deriv, ts_export_pivot,
-# ts_histogram_quantile, ts_holt_winters, ts_import_roundtrip,
-# ts_increase, ts_index_verify, ts_label_join, ts_label_replace,
-# ts_mad_over_time, ts_preagg_route_rate, ts_predict_linear,
-# ts_quantile_over_time, ts_rate — filling the remainder (and r12) from
-# the r6 cohort (api_instant_query, ts_instant_selector,
-# ts_stitch_preagg_raw, doc_exact_dedup, emb_ann_ivfpq, ...).
+# ROUND-12 QUEUE (computed at r11 while rotating this window): after the
+# r11 window attests its 50 rows, the oldest remaining attestations are
+# the 4 spilled r5 rows (emb_neardup_pairs, mm_extract_features,
+# mm_resize_images, mm_sample_frames) and the 39-row r6 cohort
+# (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
+# doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
+# doc_incremental_dedup, doc_lang_id, doc_minhash_accuracy,
+# doc_mixture_sample, doc_ngram_jaccard, doc_priority_sample,
+# doc_quality_logreg, doc_split_assign, doc_text_stats, emb_ann_ivfpq,
+# emb_ann_ivfpq_refine, emb_ann_lsh_recall, emb_matryoshka_recall,
+# emb_mmr_rerank, emb_range_search, ev_attribution, ev_cooccurrence,
+# ev_hll_distinct, ev_markov_transitions, ev_rfm_segments,
+# mm_scene_changes, promql_double_exp_smoothing, tpch_q10_returned_items,
+# tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
+# ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
+# ts_retention, ts_series_interning, ts_stitch_preagg_raw,
+# ts_tenant_filter) = 43 rows; the r12 window takes (0) any new/changed
+# r12 kernels, then these 43, then starts on the r8 cohort.
 #
-# Round-10 window (VERDICT r9 #2 — finish the freshness ratchet): (0)
-# the five kernels touched THIS round by the truncate-vs-floor
-# day-bucket fix (anomaly_mad, anomaly_seasonal, retention_cohorts,
-# hll_rollup, hll_sliding — Spark F.floor + oracle CAST(floor(...))
-# in lockstep, guarded by the new source lint in test_plan_shape.py),
-# plus any new round-10 kernels (ratchet rule: new kernels enter the
-# window in the commit that adds them); (2) the full 36-row r4-era
-# backfill queue the r9 verdict named — after this window no catalog
-# row's newest attestation predates r5.
 _VERIFY_FIRST: list[str] = [
-    # --- (0a) NEW this round (ratchet rule: new kernels enter the
-    # window in the commit that adds them) ---
-    "ev_user_concentration",
-    "ev_interarrival",
-    "emb_dim_variance",
-    "emb_pq_distortion",
-    "doc_lsh_s_curve",
+    # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
+    # window of the round that touches them): the source_drift vocab-join
+    # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
+    # (VERDICT r10 #4), and the three ADVICE r10 parity hardenings ---
     "doc_source_drift",
+    "ev_interarrival",
+    "ev_user_concentration",
+    "emb_dim_variance",
     "doc_minhash_k_sweep",
-    "doc_packing_efficiency",
-    "doc_lang_confusion",
-    "ev_funnel_windowed",
-    # --- (0) kernels changed this round (floor-fix sweep) ---
-    "ev_anomaly_mad",
-    "ev_anomaly_seasonal",
-    "ev_retention_cohorts",
-    "ev_hll_rollup",
-    "ev_hll_sliding",
-    # --- (2) r4-era backfill, judge-named (VERDICT r9 "What's missing" #2) ---
-    "ev_props_stats",
-    "doc_bigram_logprob",
-    "doc_zipf_stats",
-    "ev_hopping_counts",
-    "emb_pq_codes",
-    "mm_video_neardup",
-    "emb_ann_recall",
-    "ev_session_paths",
-    "doc_winnowing_matches",
-    "doc_tfidf_keywords",
-    "api_series",
-    "api_label_values",
-    "doc_sample_budget_sharded",
-    "doc_token_entropy",
-    "emb_scalar_quantize",
-    "emb_diversity_sample",
-    "ev_funnel",
-    "ev_asof_join",
-    "mm_frame_dedup",
-    "doc_pii_scrub",
-    "ev_sessionize",
-    "doc_mix_weights",
-    "doc_pack_sequences",
-    "emb_ann_ivf",
-    "emb_ivf_centroids",
-    "doc_sample_budget",
-    "ts_set_or",
-    "ts_agg_stddev_by",
-    "ts_binop_gt_filter",
-    "ts_set_unless",
-    "ts_stddev_over_time",
-    "ts_idelta",
-    "ts_count_over_time",
-    "ts_last_over_time",
+    # --- (2) r5-era backfill: the cohort the r10 verdict queued for this
+    # window (oldest remaining attestations; the 4 unlisted r5 rows —
+    # emb_neardup_pairs, mm_extract_features, mm_resize_images,
+    # mm_sample_frames — spill to the r12 window together with
+    # the 39-row r6 cohort; new r11 kernels displace this tail in the
+    # commit that adds them) ---
+    "promql_absent_over_time",
+    "promql_agg_group",
+    "promql_at_modifier",
+    "promql_binop_modpow",
+    "promql_binop_sub",
+    "promql_bottomk_without",
+    "promql_clamp_arith",
+    "promql_cmp_filter",
+    "promql_group_left",
+    "promql_group_right",
+    "promql_map_labels",
+    "promql_offset",
+    "promql_preagg_route",
+    "promql_rate_sum",
+    "promql_selector_matchers",
+    "promql_subquery",
+    "promql_time_timestamp",
+    "promql_topk",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "api_query_range",
+    "api_bounded_scan",
+    "api_preagg_stitch",
+    "ts_rate",
+    "ts_increase",
+    "ts_histogram_quantile",
+    "ts_holt_winters",
+    "ts_quantile_over_time",
+    "ts_preagg_route_rate",
+    "ts_mad_over_time",
+    "ts_predict_linear",
+    "ts_deriv",
+    "ts_absent",
+    "ts_agg_quantile_by",
+    "ts_date_functions",
+    "ts_export_pivot",
+    "ts_import_roundtrip",
+    "ts_index_verify",
+    "ts_label_join",
+    "ts_label_replace",
+    "doc_bpe_tokens",
+    "doc_simhash",
+    "emb_ann_lsh",
+    "emb_cosine_knn",
 ]
 
 

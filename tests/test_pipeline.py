@@ -2054,10 +2054,15 @@ def test_user_concentration_uniform_gini_zero_and_skewed_positive(spark):
 
 def test_interarrival_profile_known_gaps_across_days(spark):
     """Gaps [1000, 1 day, 2000]: the day-boundary stitch recovers the
-    1-day gap exactly; type-1 percentiles over the 3-gap multiset."""
+    1-day gap; type-1 percentiles over the 3-gap multiset.  Sub-4096 ms
+    gaps are EXACT on the r11 percentile grid; the 1-day gap lands on
+    its 12-bit-mantissa floor (86 400 000 with step 2^15 → 86 376 448,
+    0.03% below — the documented ≤2^-11 relative quantization)."""
     from squirreldb_spark.pipeline import events as pevents
 
     DAY = 86_400_000
+    DAY_Q = (DAY >> (DAY.bit_length() - 12)) << (DAY.bit_length() - 12)
+    assert DAY_Q == 86_376_448
     ts = [0, 1000, 1000 + DAY, 3000 + DAY]
     ev = spark.createDataFrame(
         [("a", i, t) for i, t in enumerate(ts)],
@@ -2065,7 +2070,8 @@ def test_interarrival_profile_known_gaps_across_days(spark):
     )
     r = pevents.interarrival_profile(ev).collect()[0]
     assert r.n_gaps == 3
-    assert r.p50_ms == 2000 and r.p90_ms == DAY and r.p99_ms == DAY
+    assert r.p50_ms == 2000 and r.p90_ms == DAY_Q and r.p99_ms == DAY_Q
+    # moments stay exact on the RAW gaps
     assert r.mean_ms == round((1000 + DAY + 2000) / 3, 6)
 
 

@@ -1023,6 +1023,28 @@ def test_interarrival_lag_window_is_day_split(spark, sf_dir):
     assert any("day" in ln for ln in lag_specs), lag_specs
 
 
+def test_interarrival_percentile_window_is_grid_bounded(spark, sf_dir):
+    """VERDICT r10 #4: the cumulative percentile window must run over
+    the QUANTIZED grid rollup (order by gq — ≤~110k rows/type by
+    construction), never over raw `gap` values (unbounded distinct
+    count under continuous arrivals).  The only windows ordering by the
+    raw ts/gap stream are the (type, day)-split lags asserted above."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.interarrival_profile(model.load_table(spark, sf_dir, "events"))
+    plan = df._jdf.queryExecution().analyzed().toString()
+    cum_specs = [
+        ln for ln in plan.splitlines()
+        if "sum(n" in ln and "windowspecdefinition" in ln
+        # the unordered whole-partition _n_tot frame runs over the same
+        # bounded grid table; only ORDERED (cumulative) specs are at risk
+        and " ASC" in ln
+    ]
+    assert cum_specs, "no ordered cumulative window found"
+    for ln in cum_specs:
+        assert "gq" in ln and "gap" not in ln, ln.strip()[:200]
+
+
 def test_dim_variance_no_vector_crosses_shuffle(spark, sf_dir):
     """The per-dim moment aggregate is map-side combinable: only
     (dim, partial) rows cross the exchange, never a vector."""
@@ -1055,15 +1077,25 @@ def test_lsh_s_curve_grid_join_broadcasts_and_no_text_shuffles(spark, sf_dir):
         assert "text" not in [c for c, _ in cols], cols
 
 
-def test_source_drift_corpus_join_broadcasts(spark, sf_dir):
-    """The vocab-cardinality corpus table must broadcast back onto the
-    (source, word) counts — a sort-merge join on words would re-shuffle
-    the whole count table; and raw text never rides a shuffle."""
+def test_source_drift_corpus_join_never_broadcasts(spark, sf_dir):
+    """VERDICT r10 #2 (inverted from r10's test): the corpus table is
+    VOCAB-cardinality — 10^8-10^9 distinct tokens on a web corpus, far
+    past any broadcast ceiling — so its join back onto the (source,
+    word) counts must SHUFFLE on `w` (the counts are already
+    register-width, so the re-key is one bounded exchange), never
+    broadcast.  The bounded sides (per-source totals, 1-row corpus
+    total) still broadcast, and raw text never rides a shuffle."""
     from squirreldb_spark.pipeline import text as ptext
 
     df = ptext.source_drift(model.load_table(spark, sf_dir, "documents"))
     plan = plan_of(df)
-    assert "SortMergeJoin" not in plan, plan[:1500]
+    assert "SortMergeJoin" in plan, plan[:1500]
+    # the vocab join's build side must not appear as a broadcast: the
+    # only BroadcastExchanges in the plan carry the bounded columns
+    import re
+
+    for m in re.finditer(r"BroadcastExchange[^\n]*\n[^\n]*", plan):
+        assert "cn" not in m.group(0) or "_c_tot" in m.group(0), m.group(0)
     for cols in shuffle_exchange_outputs(df):
         assert "text" not in [c for c, _ in cols], cols
 

@@ -817,6 +817,15 @@ def test_user_concentration_gini_matches_brute_force(spark, counts):
 # ------------------------------- inter-arrival two-level decomposition
 
 
+def _quant_gap(g: int) -> int:
+    """Python reference for the kernel's power-of-2 relative grid:
+    exact below 4096, floor to a 12-significant-bit mantissa above."""
+    if g < 4096:
+        return g
+    step = 1 << (g.bit_length() - 12)
+    return (g // step) * step
+
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -826,8 +835,10 @@ def test_user_concentration_gini_matches_brute_force(spark, counts):
 def test_interarrival_profile_matches_flat_reference(spark, gaps):
     """The (event_type, day)-split lag + day-boundary stitch must
     reproduce exactly the flat consecutive-gap multiset: mean/cv/
-    burstiness from the same integer moments, percentiles as type-1
-    order statistics — including gaps spanning multiple days."""
+    burstiness from the same integer moments over the RAW gaps,
+    percentiles as type-1 order statistics over the QUANTIZED multiset
+    (the r11 bounded-window grid) — including gaps spanning multiple
+    days."""
     import math as m
 
     from squirreldb_spark.pipeline.events import interarrival_profile
@@ -847,7 +858,7 @@ def test_interarrival_profile_matches_flat_reference(spark, gaps):
     sd = m.sqrt(var)
     assert r.n_gaps == n
     assert r.mean_ms == round(mean, 6)
-    srt = sorted(gaps)
+    srt = sorted(_quant_gap(g) for g in gaps)
     for q, fld in ((0.5, r.p50_ms), (0.9, r.p90_ms), (0.99, r.p99_ms)):
         assert fld == srt[m.ceil(n * q) - 1]
     if mean > 0:

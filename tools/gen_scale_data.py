@@ -122,15 +122,59 @@ def gen_embeddings(path: str, n: int, rng: np.random.Generator):
     })
 
 
+def gen_events_adversarial(n: int, rng: np.random.Generator):
+    """ADVERSARIAL events stream for the r11 window-boundedness check
+    (VERDICT r10 "What's wrong" #3): per-type inter-arrival gaps drawn
+    lognormal(mu=8, sigma=3) ms — spanning ~1 ms to ~1e7 ms, so at 1M
+    rows the ms-resolution gaps are nearly ALL DISTINCT (the case that
+    defeated the r10 DISTINCT-(type, gap) collapse) — and zipf(1.6)
+    user_ids, so the per-user count histogram has a long diverse tail
+    (the analogous stress for ev_user_concentration's count-level
+    window).  Matches the /root/testdata events.parquet schema
+    (timestamp[us] ts)."""
+    types = np.array(["signup", "click", "error", "view", "purchase"])
+    per = np.array_split(np.arange(n), len(types))
+    ts = np.empty(n, dtype=np.int64)
+    typ = np.empty(n, dtype=object)
+    for t, idx in zip(types, per):
+        gaps_ms = rng.lognormal(mean=8.0, sigma=3.0, size=len(idx))
+        ts[idx] = np.cumsum(gaps_ms * 1000.0).astype(np.int64)  # us
+        typ[idx] = t
+    order = np.argsort(ts, kind="stable")
+    ts, typ = ts[order], typ[order]
+    n_users = max(n // 50, 1)
+    user = (rng.zipf(1.6, size=n) - 1) % n_users
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array(ts + 1_700_000_000_000_000, pa.timestamp("us")),
+        "user_id": pa.array(user.astype(np.int64), pa.int64()),
+        "event_type": pa.array(typ.tolist(), pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 200, n), 2), pa.float64()),
+        "props": pa.array(
+            [f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n)],
+            pa.string()),
+    })
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=float, default=10.0)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "_scale", "sf1"))
+    ap.add_argument("--events", type=int, default=0, metavar="N",
+                    help="ALSO write an N-row adversarial continuous-gap "
+                         "events.parquet (and nothing else if --events-only)")
+    ap.add_argument("--events-only", action="store_true")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
+    if args.events:
+        ev = gen_events_adversarial(args.events, rng)
+        pq.write_table(ev, os.path.join(args.out, "events.parquet"))
+        print(f"wrote {ev.num_rows} adversarial events -> {args.out}")
+        if args.events_only:
+            return
     fitted = fit_documents(BASE)
     docs = gen_documents(fitted, int(fitted["n"] * args.mult), rng)
     pq.write_table(docs, os.path.join(args.out, "documents.parquet"))

@@ -50,9 +50,20 @@ OPS = [
     "emb_pq_distortion",
 ]
 
+#: VERDICT r10 #4: the two window-bounded event operators, measured on
+#: the ADVERSARIAL continuous-gap / zipf-user events pair (nearly
+#: all-distinct ms gaps — the case the r10 DISTINCT collapse didn't
+#: bound).  gen_scale_data.py --events writes the pair:
+#:   python tools/gen_scale_data.py --events 100000  --events-only --out _scale/adv01
+#:   python tools/gen_scale_data.py --events 1000000 --events-only --out _scale/adv1
+EV_ADV_OPS = ["ev_interarrival", "ev_user_concentration"]
+
 SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "_scale", "sf1")
+_SCALE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_scale")
+SF1 = os.path.join(_SCALE, "sf1")
+ADV01 = os.path.join(_SCALE, "adv01")
+ADV1 = os.path.join(_SCALE, "adv1")
 
 
 def warm_page_cache(d: str) -> None:
@@ -64,6 +75,16 @@ def warm_page_cache(d: str) -> None:
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", help="small-scale dir (default sf0.1 + adv01)")
+    ap.add_argument("--big", help="large-scale dir (default _scale/sf1 + adv1)")
+    ap.add_argument("--factor", type=float, default=10.0,
+                    help="data-volume ratio big/base (exponent denominator)")
+    ap.add_argument("--ops", help="comma-separated op subset")
+    args = ap.parse_args()
+
     from squirreldb_spark.queries import CATALOG
     from squirreldb_spark.session import get_session
 
@@ -72,8 +93,6 @@ def main() -> None:
     for warm in ("doc_simhash", "emb_cosine_knn"):
         CATALOG[warm].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop").mode("overwrite").save()
-    warm_page_cache(SF01)
-    warm_page_cache(SF1)
 
     def run(name: str, sf_dir: str, reps: int = 2) -> float:
         runs = []
@@ -84,19 +103,32 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         return round(min(runs), 3)
 
+    if args.base and args.big:
+        pairs = [(args.ops.split(","), args.base, args.big, args.factor)]
+    else:
+        pairs = [(args.ops.split(",") if args.ops else OPS, SF01, SF1, 10.0)]
+        if os.path.isdir(ADV01) and os.path.isdir(ADV1) and not args.ops:
+            pairs.append((EV_ADV_OPS, ADV01, ADV1, 10.0))
+
     out = {}
-    for name in OPS:
-        t01 = run(name, SF01)
-        t1 = run(name, SF1)
-        out[name] = {
-            "sf0.1_sec": t01,
-            "sf1_sec": t1,
-            "ratio": round(t1 / t01, 2),
-            "exponent": round(math.log(t1 / t01) / math.log(10), 2),
-        }
-        print(f"# {name}: {t01}s -> {t1}s  ratio {out[name]['ratio']}"
-              f"  exponent {out[name]['exponent']}", flush=True)
-    print(json.dumps({"metric": "scale_check_sf0.1_vs_sf1", "ops": out}))
+    for ops, base, big, factor in pairs:
+        warm_page_cache(base)
+        warm_page_cache(big)
+        for name in ops:
+            t01 = run(name, base)
+            t1 = run(name, big)
+            out[name] = {
+                "base_sec": t01,
+                "big_sec": t1,
+                "base": os.path.basename(base.rstrip("/")),
+                "big": os.path.basename(big.rstrip("/")),
+                "ratio": round(t1 / t01, 2),
+                "exponent": round(math.log(t1 / t01) / math.log(factor), 2),
+            }
+            print(f"# {name} [{out[name]['base']}->{out[name]['big']}]: "
+                  f"{t01}s -> {t1}s  ratio {out[name]['ratio']}"
+                  f"  exponent {out[name]['exponent']}", flush=True)
+    print(json.dumps({"metric": "scale_check", "ops": out}))
 
 
 if __name__ == "__main__":
