@@ -148,6 +148,14 @@ SECONDARY_QUERIES = [
     "doc_packing_efficiency",
     "doc_lang_confusion",
     "ev_funnel_windowed",
+    # round-11 additions
+    "doc_repetition_profile",
+    "doc_tokenizer_fertility",
+    "doc_minhash_containment",
+    "emb_centroid_drift",
+    "ev_powerlaw_fit",
+    "ev_survival_curve",
+    "ev_transition_entropy",
 ]
 
 

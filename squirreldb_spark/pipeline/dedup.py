@@ -2211,3 +2211,126 @@ j AS (
   JOIN shl shb ON shb.doc_id = p.id_b)
 {per_k}
 """
+
+
+# ------------------------------------------- containment / near-superset
+
+def minhash_containment(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+    contain_threshold: float = 0.8,
+    dup_threshold: float = 0.7,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT for the LSH candidate pairs:
+    ``containment_a = |A∩B| / |A|`` (how much of A's shingle set lives
+    inside B) and vice versa, with a relation verdict — Jaccard alone
+    misses near-SUPERSET pairs (a snippet quoted inside a long page has
+    jaccard ≈ |A|/|B| ≈ 0 but containment_a ≈ 1), which is exactly the
+    quote/boilerplate-inclusion case a dedup policy treats differently
+    from a near-copy (Broder 1997's "containment" companion measure to
+    resemblance).  relation: ``near_dup`` (jaccard ≥ dup_threshold),
+    else ``a_in_b``/``b_in_a`` (containment ≥ contain_threshold), else
+    ``partial``.
+
+    Scale shape: candidates come from the attested banded equi-join
+    (never all-pairs, hot-bucket capped); the exact set arithmetic runs
+    once per CANDIDATE pair via the id-keyed text join-back
+    (minhash_accuracy's contract); output is pair-cardinality.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands=bands, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    j = cand.join(ta, "id_a").join(tb, "id_b")
+    sa = F.array_distinct(shingles("text_a", shingle_n))
+    sb = F.array_distinct(shingles("text_b", shingle_n))
+    inter = F.size(F.array_intersect(sa, sb))
+    na, nb = F.size(sa), F.size(sb)
+    jac = inter / (na + nb - inter)
+    c_a, c_b = inter / na, inter / nb
+    return j.select(
+        "id_a",
+        "id_b",
+        na.cast("long").alias("n_shingles_a"),
+        nb.cast("long").alias("n_shingles_b"),
+        F.round(jac, 6).alias("jaccard"),
+        F.round(c_a, 6).alias("containment_a"),
+        F.round(c_b, 6).alias("containment_b"),
+        F.when(F.round(jac, 6) >= dup_threshold, F.lit("near_dup"))
+        .when(F.round(c_a, 6) >= contain_threshold, F.lit("a_in_b"))
+        .when(F.round(c_b, 6) >= contain_threshold, F.lit("b_in_a"))
+        .otherwise(F.lit("partial"))
+        .alias("relation"),
+    )
+
+
+def sql_minhash_containment(
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+    contain_threshold: float = 0.8,
+    dup_threshold: float = 0.7,
+) -> str:
+    """Replays the signature/banding oracles plus the exact shingle-set
+    containment arithmetic on the candidate pairs."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    melt = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
+melt0 AS (
+  {melt}),
+melt AS (
+  SELECT * FROM melt0
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melt a JOIN melt b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2),
+m AS (
+  SELECT p.id_a, p.id_b,
+         len(sha.s)::BIGINT AS n_shingles_a,
+         len(shb.s)::BIGINT AS n_shingles_b,
+         len(list_intersect(sha.s, shb.s)) AS inter
+  FROM pairs p
+  JOIN shl sha ON sha.doc_id = p.id_a
+  JOIN shl shb ON shb.doc_id = p.id_b)
+SELECT id_a, id_b, n_shingles_a, n_shingles_b,
+       round(inter / (n_shingles_a + n_shingles_b - inter)::DOUBLE, 6)
+         AS jaccard,
+       round(inter / n_shingles_a::DOUBLE, 6) AS containment_a,
+       round(inter / n_shingles_b::DOUBLE, 6) AS containment_b,
+       CASE
+         WHEN round(inter / (n_shingles_a + n_shingles_b - inter)::DOUBLE, 6)
+              >= {dup_threshold} THEN 'near_dup'
+         WHEN round(inter / n_shingles_a::DOUBLE, 6) >= {contain_threshold}
+              THEN 'a_in_b'
+         WHEN round(inter / n_shingles_b::DOUBLE, 6) >= {contain_threshold}
+              THEN 'b_in_a'
+         ELSE 'partial'
+       END AS relation
+FROM m
+"""

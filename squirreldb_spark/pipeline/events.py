@@ -2724,3 +2724,340 @@ def sql_funnel_windowed(
        END AS conv_from_first
 FROM counts"""
     )
+
+
+# --------------------------------------- activity power-law fit
+
+def powerlaw_fit(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Discrete power-law MLE over per-key activity counts, per event
+    type: the Clauset–Shalizi–Newman (2009, eq. 3.7) closed form with
+    ``x_min = 1`` — ``α̂ = 1 + n / Σ ln(x_i / (x_min − ½))`` — plus its
+    standard error ``(α̂−1)/√n``.  The one-number summary of how
+    heavy-tailed user activity is (α→2: a few users dominate — the
+    sampling/capping decision ``ev_user_concentration``'s Lorenz curve
+    shows graphically; α large: near-uniform usage).
+
+    Scale shape: per-(type, key) counts are one combinable exchange
+    (register-width); the count HISTOGRAM collapse bounds the log-sum
+    input at the distinct-level cardinality (≪ keys — zipf tails have
+    ~√n levels); each level's ``ln(2·level)`` term is 12-dp-quantized
+    into DECIMAL so the sum is addition-order-exact on both engines.
+    """
+    per_key = events.groupBy("event_type", key_col).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    hist = per_key.groupBy("event_type", "x").agg(
+        F.count(F.lit(1)).alias("n_keys")
+    )
+    # decimal widths chosen so the product FITS Spark's 38-digit cap:
+    # DECIMAL(18,12) x DECIMAL(12,0) -> DECIMAL(31,12) (exact); a wider
+    # operand (e.g. 28,12 x bigint -> 49 digits) silently TRUNCATES the
+    # scale to 6 under allowPrecisionLoss — caught by the known-alpha
+    # unit test sitting on a 6-dp boundary
+    term = (
+        F.round(F.log(2.0 * F.col("x")), 12).cast("decimal(18,12)")
+        * F.col("n_keys").cast("decimal(12,0)")
+    )
+    agg = hist.groupBy("event_type").agg(
+        F.sum("n_keys").cast("long").alias("n_users"),
+        F.max("x").cast("long").alias("max_count"),
+        F.sum(term).cast("decimal(38,12)").alias("_lsum"),
+    )
+    alpha = 1.0 + F.col("n_users") / F.col("_lsum").cast("double")
+    return agg.select(
+        "event_type",
+        "n_users",
+        "max_count",
+        F.round(alpha, 6).alias("alpha"),
+        F.round((alpha - 1.0) / F.sqrt(F.col("n_users")), 6).alias(
+            "alpha_se"
+        ),
+    )
+
+
+def sql_powerlaw_fit() -> str:
+    return """
+WITH per_key AS (
+  SELECT event_type, user_id, count(*) AS x FROM events GROUP BY 1, 2),
+hist AS (
+  SELECT event_type, x, count(*) AS n_keys FROM per_key GROUP BY 1, 2),
+agg AS (
+  SELECT event_type,
+         sum(n_keys)::BIGINT AS n_users,
+         max(x)::BIGINT AS max_count,
+         sum(CAST(round(ln(2.0 * x), 12) AS DECIMAL(28,12))
+             * n_keys)::DECIMAL(28,12) AS lsum
+  FROM hist GROUP BY 1)
+SELECT event_type, n_users, max_count,
+       round(1.0 + n_users / lsum::DOUBLE, 6) AS alpha,
+       round((n_users / lsum::DOUBLE) / sqrt(n_users), 6) AS alpha_se
+FROM agg
+"""
+
+
+# --------------------------------------- conversion survival curve
+
+def survival_curve(
+    events: DataFrame,
+    start_type: str = "view",
+    end_type: str = "purchase",
+    day_ms: int = _DAY_MS,
+) -> DataFrame:
+    """Kaplan–Meier time-to-conversion: for each user with a
+    ``start_type`` event, the days from their FIRST start to their
+    first ``end_type`` AT OR AFTER it; users who never convert are
+    right-censored at the stream's end.  Output: one row per day
+    bucket with activity, carrying the risk set, conversions,
+    censorings and the KM survival estimate ``S(t) = Π (1 − d_i/n_i)``
+    — the funnel family (``ev_funnel_timing`` reports conversion-only
+    latency quantiles) with the censoring-aware estimator a
+    retention/latency analysis actually needs (conversion-only
+    quantiles are biased optimistic).
+
+    Scale shape: first-start and first-conversion are user-keyed
+    combinable aggregates + one user-keyed equi-join; the stream-end
+    scalar broadcasts; the KM recursion runs over the bounded
+    day-bucket table (cumulative window), with each day's
+    ``ln(1 − d/n)`` factor 12-dp-quantized so the log-sum product is
+    engine-exact; a risk-set-exhausting final day pins survival to 0
+    explicitly (Spark ln(0) is NULL, DuckDB −inf).
+    """
+    starts = (
+        events.filter(F.col("event_type") == start_type)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_fv"))
+    )
+    ends = events.filter(F.col("event_type") == end_type).select(
+        "user_id", F.col("ts").alias("_pt")
+    )
+    t_max = events.agg(F.max("ts").alias("_t_max"))
+    per_user = (
+        starts.join(ends, "user_id", "left")
+        .groupBy("user_id", "_fv")
+        .agg(
+            F.min(
+                F.when(F.col("_pt") >= F.col("_fv"), F.col("_pt"))
+            ).alias("_fp")
+        )
+        .crossJoin(F.broadcast(t_max))
+        .select(
+            F.when(
+                F.col("_fp").isNotNull(),
+                F.floor((F.col("_fp") - F.col("_fv")) / day_ms),
+            )
+            .otherwise(F.floor((F.col("_t_max") - F.col("_fv")) / day_ms))
+            .cast("long")
+            .alias("day"),
+            F.col("_fp").isNotNull().alias("_converted"),
+        )
+    )
+    per_day = per_user.groupBy("day").agg(
+        F.sum(F.when(F.col("_converted"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_conversions"),
+        F.sum(F.when(F.col("_converted"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_censored"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per_day.select(
+        "day",
+        "n_conversions",
+        "n_censored",
+        (
+            F.sum(F.col("n_conversions") + F.col("n_censored")).over(w_all)
+            - F.sum(F.col("n_conversions") + F.col("n_censored")).over(w)
+            + F.col("n_conversions")
+            + F.col("n_censored")
+        )
+        .cast("long")
+        .alias("n_risk"),
+    )
+    dec = "decimal(28,12)"
+    # the exhausting day (d == n, only possible on the last active day)
+    # must not reach ln(0): Spark yields NULL but DuckDB -inf, which the
+    # DECIMAL cast rejects — guard the term itself; both engines' sum
+    # skips the NULL and the `exhausted` flag pins survival to 0
+    factor_ln = F.when(
+        F.col("n_conversions") < F.col("n_risk"),
+        F.round(
+            F.log(1.0 - F.col("n_conversions") / F.col("n_risk")), 12
+        ).cast(dec),
+    )
+    w2 = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    exhausted = F.max(
+        F.when(F.col("n_conversions") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w2)
+    return cum.select(
+        "day",
+        "n_risk",
+        "n_conversions",
+        "n_censored",
+        F.when(exhausted == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.sum(factor_ln).over(w2).cast("double")), 6)
+        )
+        .alias("survival"),
+    )
+
+
+def sql_survival_curve(
+    start_type: str = "view", end_type: str = "purchase",
+    day_ms: int = _DAY_MS,
+) -> str:
+    return f"""
+WITH ev AS (SELECT user_id, event_type, epoch_ms(ts) AS ts FROM events),
+starts AS (
+  SELECT user_id, min(ts) AS fv FROM ev
+  WHERE event_type = '{start_type}' GROUP BY 1),
+t_max AS (SELECT max(ts) AS t_max FROM ev),
+per_user AS (
+  SELECT s.user_id, s.fv,
+         min(CASE WHEN e.ts >= s.fv THEN e.ts END) AS fp
+  FROM starts s
+  LEFT JOIN ev e ON e.user_id = s.user_id AND e.event_type = '{end_type}'
+  GROUP BY 1, 2),
+durs AS (
+  SELECT CAST(floor(CASE WHEN fp IS NOT NULL THEN (fp - fv)
+                         ELSE (t_max - fv) END / {day_ms}) AS BIGINT) AS day,
+         fp IS NOT NULL AS converted
+  FROM per_user, t_max),
+per_day AS (
+  SELECT day,
+         sum(CASE WHEN converted THEN 1 ELSE 0 END)::BIGINT AS n_conversions,
+         sum(CASE WHEN converted THEN 0 ELSE 1 END)::BIGINT AS n_censored
+  FROM durs GROUP BY 1),
+cum AS (
+  SELECT day, n_conversions, n_censored,
+         (sum(n_conversions + n_censored) OVER ()
+          - sum(n_conversions + n_censored)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+          + n_conversions + n_censored)::BIGINT AS n_risk
+  FROM per_day)
+SELECT day, n_risk, n_conversions, n_censored,
+       CASE WHEN max(CASE WHEN n_conversions >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE round(exp((sum(CASE WHEN n_conversions < n_risk THEN
+                                  CAST(round(ln(1.0 - n_conversions
+                                                / n_risk::DOUBLE), 12)
+                                       AS DECIMAL(28,12)) END)
+                OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::DOUBLE), 6)
+       END AS survival
+FROM cum
+"""
+
+
+# --------------------------------------- transition entropy rate
+
+def transition_entropy(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Per-from-type conditional entropy of the within-session next
+    event (nats) — the information-theoretic summary sitting on top of
+    :func:`markov_transitions`' matrix: entropy ≈ 0 means the next step
+    is deterministic given this one (a rigid funnel / bot-like flow),
+    entropy near ``ln(n_next_types)`` means the flow is maximally
+    branching.  Also reports the modal next step (count-desc,
+    type-lexicographic tie-break — deterministic on both engines) and
+    the normalized entropy.
+
+    Scale shape: inherits markov_transitions' one user-window exchange;
+    the entropy fold and the modal join run over the ≤ types² count
+    matrix, with 12-dp DECIMAL term quantization for order-exactness.
+    """
+    numbered = _numbered_sessions(events, gap_ms, carry=("event_type",))
+    w = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    trans = (
+        numbered.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    dec = "decimal(28,12)"
+    p = F.col("n") / F.sum("n").over(wf)
+    enriched = counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(-p * F.log(p), 12).cast(dec).alias("_h_term"),
+        p.alias("_p"),
+    )
+    # modal next step with deterministic tie-break: max count, then
+    # lexicographically smallest to_type
+    wm = Window.partitionBy("from_type").orderBy(
+        F.col("n").desc(), F.col("to_type").asc()
+    )
+    ranked = enriched.withColumn("_rk", F.row_number().over(wm))
+    agg = ranked.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_next_types"),
+        F.sum("_h_term").cast(dec).alias("_h"),
+        F.max(F.when(F.col("_rk") == 1, F.col("to_type"))).alias("top_next"),
+        F.max(F.when(F.col("_rk") == 1, F.round(F.col("_p"), 6))).alias(
+            "top_next_prob"
+        ),
+    )
+    return agg.select(
+        "from_type",
+        "n_transitions",
+        "n_next_types",
+        F.round(F.col("_h").cast("double"), 6).alias("entropy_nats"),
+        F.when(
+            F.col("n_next_types") > 1,
+            F.round(
+                F.col("_h").cast("double") / F.log(F.col("n_next_types")), 6
+            ),
+        ).alias("entropy_norm"),
+        "top_next",
+        "top_next_prob",
+    )
+
+
+def sql_transition_entropy(gap_ms: int = SESSION_GAP_MS) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts FROM events),
+flagged AS (
+  SELECT *, CASE WHEN ts - lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) > {gap_ms}
+                 OR lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS new_s
+  FROM ev),
+numbered AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged),
+trans AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, session_seq
+                                ORDER BY ts, event_id) AS to_type
+  FROM numbered),
+counts AS (
+  SELECT from_type, to_type, count(*) AS n FROM trans
+  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+enriched AS (
+  SELECT *,
+         n / sum(n) OVER (PARTITION BY from_type)::DOUBLE AS p,
+         row_number() OVER (PARTITION BY from_type
+                            ORDER BY n DESC, to_type ASC) AS rk
+  FROM counts)
+SELECT from_type,
+       sum(n)::BIGINT AS n_transitions,
+       count(*)::BIGINT AS n_next_types,
+       round(sum(CAST(round(-p * ln(p), 12) AS DECIMAL(28,12)))::DOUBLE, 6)
+         AS entropy_nats,
+       CASE WHEN count(*) > 1 THEN
+         round(sum(CAST(round(-p * ln(p), 12) AS DECIMAL(28,12)))::DOUBLE
+               / ln(count(*)), 6) END AS entropy_norm,
+       max(CASE WHEN rk = 1 THEN to_type END) AS top_next,
+       max(CASE WHEN rk = 1 THEN round(p, 6) END) AS top_next_prob
+FROM enriched GROUP BY 1
+"""

@@ -2185,3 +2185,120 @@ SELECT p.s::BIGINT AS subspace,
        round(max(t.sumd) / (max(t.tot) * {sd}), 6) AS mse_per_dim
 FROM percode p JOIN tots t USING (s) GROUP BY 1
 """
+
+
+# ------------------------------------------- per-label centroid drift
+
+def centroid_drift(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label embedding centroid drift vs the corpus centroid:
+    cosine and L2 between each label's mean vector and the global mean,
+    plus the label's dispersion (mean squared distance to its own
+    centroid, ``E‖x‖² − ‖µ_l‖²``) — the embedding-space analog of
+    ``doc_source_drift`` (which reads token distributions): which
+    slices of the corpus sit far from the blend (add diversity) and
+    which are tight redundant clusters (candidates for harder
+    SemDeDup-style pruning).
+
+    Scale shape: one posexplode → (label, dim) map-side-combinable
+    aggregate carrying DECIMAL moment partials of 7-dp-quantized
+    coordinates (the dim_variance treatment — no vector ever crosses an
+    exchange, and every downstream float derives from engine-exact
+    decimal sums); everything after runs on the labels×dims table
+    (bounded, e.g. 10×64), with per-term 12-dp DECIMAL quantization on
+    the dot/norm folds so the 64-term sums are addition-order-exact
+    too.
+    """
+    xq = F.round(F.col("x"), 7).cast("decimal(18,7)")
+    ld = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(xq).alias("_s1"),
+            F.sum(xq * xq).alias("_s2"),
+        )
+    )
+    g = ld.groupBy("dim").agg(
+        F.sum("_n").alias("_gn"),
+        F.sum("_s1").alias("_gs1"),
+    )
+    mu_l = F.col("_s1").cast("double") / F.col("_n")
+    mu_g = F.col("_gs1").cast("double") / F.col("_gn")
+    dec = "decimal(28,12)"
+
+    def q12(c: Column) -> Column:
+        return F.round(c, 12).cast(dec)
+
+    per = (
+        ld.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.max("_n").cast("long").alias("n_vectors"),
+            F.sum(q12(mu_l * mu_g)).alias("_dot"),
+            F.sum(q12(mu_l * mu_l)).alias("_nl"),
+            F.sum(q12(mu_g * mu_g)).alias("_ng"),
+            F.sum(q12((mu_l - mu_g) * (mu_l - mu_g))).alias("_d2"),
+            F.sum(F.col("_s2")).alias("_e2"),
+        )
+    )
+    nl = F.col("_nl").cast("double")
+    ng = F.col("_ng").cast("double")
+    return per.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        F.when(
+            (nl > 0) & (ng > 0),
+            F.round(
+                F.col("_dot").cast("double") / F.sqrt(nl * ng), 6
+            ),
+        ).alias("cos_to_global"),
+        F.round(F.sqrt(F.col("_d2").cast("double")), 6).alias("l2_to_global"),
+        F.round(
+            F.col("_e2").cast("double") / F.col("n_vectors") - nl, 6
+        ).alias("dispersion"),
+    )
+
+
+def sql_centroid_drift() -> str:
+    return """
+WITH x AS (
+  SELECT label,
+         unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)),
+ld AS (
+  SELECT label, dim, count(*) AS n,
+         sum(CAST(round(x, 7) AS DECIMAL(18,7))) AS s1,
+         sum(CAST(round(x, 7) AS DECIMAL(18,7))
+             * CAST(round(x, 7) AS DECIMAL(18,7))) AS s2
+  FROM x GROUP BY 1, 2),
+g AS (SELECT dim, sum(n) AS gn, sum(s1) AS gs1 FROM ld GROUP BY 1),
+per AS (
+  SELECT label,
+         max(n)::BIGINT AS n_vectors,
+         sum(CAST(round((s1::DOUBLE / n) * (gs1::DOUBLE / gn), 12)
+                  AS DECIMAL(28,12))) AS dot,
+         sum(CAST(round((s1::DOUBLE / n) * (s1::DOUBLE / n), 12)
+                  AS DECIMAL(28,12))) AS nl,
+         sum(CAST(round((gs1::DOUBLE / gn) * (gs1::DOUBLE / gn), 12)
+                  AS DECIMAL(28,12))) AS ng,
+         sum(CAST(round((s1::DOUBLE / n - gs1::DOUBLE / gn)
+                        * (s1::DOUBLE / n - gs1::DOUBLE / gn), 12)
+                  AS DECIMAL(28,12))) AS d2,
+         sum(s2) AS e2
+  FROM ld JOIN g USING (dim) GROUP BY 1)
+SELECT label::BIGINT AS label,
+       n_vectors,
+       CASE WHEN nl::DOUBLE > 0 AND ng::DOUBLE > 0 THEN
+         round(dot::DOUBLE / sqrt(nl::DOUBLE * ng::DOUBLE), 6) END
+         AS cos_to_global,
+       round(sqrt(d2::DOUBLE), 6) AS l2_to_global,
+       round(e2::DOUBLE / n_vectors - nl::DOUBLE, 6) AS dispersion
+FROM per
+"""

@@ -2989,3 +2989,165 @@ SELECT lang, lang_guess, n_docs,
        round(n_docs / tot, 6) AS frac_of_lang
 FROM cells JOIN tots USING (lang)
 """
+
+
+# ------------------------------------------ intra-document repetition
+
+def repetition_profile(
+    docs: DataFrame, text_col: str = "text", flag_threshold: float = 0.2
+) -> DataFrame:
+    """Per-source intra-document repetition profile: the Gopher-style
+    duplicate n-gram fractions (Rae et al. 2021 §A1.1 "repetition"
+    filters — the strongest cheap signal for machine-generated or
+    boilerplate-looped text).  For each document, ``dup{2,3}_frac`` is
+    the fraction of its word {2,3}-grams that are repeats of an n-gram
+    already seen IN THE SAME document (1 − distinct/total); the rollup
+    reports per-source means and the share of documents over
+    ``flag_threshold``.  Complements :func:`doc_stats`'s unigram
+    type-token ratio (vocabulary diversity) and the corpus-wide
+    ``duplicate_ngram_ratio`` (CROSS-document 8-gram dup): this one is
+    per-document self-repetition.
+
+    Scale shape: the n-gram arrays are let-bound higher-order
+    expressions in the scan (zero exchange, O(words) per doc — the
+    dedup.shingles binding trick); per-doc fractions are deterministic
+    single-row arithmetic; the only exchange is the combinable
+    source-cardinality rollup carrying DECIMAL(18,9) sum partials
+    (quantized per-doc, so the mean is addition-order-independent — the
+    ADVICE r10 dim_variance treatment).
+    """
+    def dup_frac(n: int) -> Column:
+        ng = F.expr(
+            f"flatten(transform(array(split({text_col}, ' ')), t ->"
+            f" transform(sequence(1, greatest(size(t) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(t, i, {n})))))"
+        )
+        return (
+            F.lit(1.0)
+            - F.size(F.array_distinct(ng)) / F.size(ng)
+        )
+
+    dec = "decimal(18,9)"
+    per = docs.select(
+        "source",
+        F.round(dup_frac(2), 9).cast(dec).alias("_d2"),
+        F.round(dup_frac(3), 9).cast(dec).alias("_d3"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_d2").alias("_s2"),
+            F.sum("_d3").alias("_s3"),
+            F.sum(
+                F.when(F.col("_d2") > flag_threshold, 1).otherwise(0)
+            ).alias("_flagged"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("_s2").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_dup2_frac"
+            ),
+            F.round(F.col("_s3").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_dup3_frac"
+            ),
+            F.round(F.col("_flagged") / F.col("n_docs"), 6).alias(
+                "repetitive_rate"
+            ),
+        )
+    )
+
+
+def sql_repetition_profile(flag_threshold: float = 0.2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents),
+ng AS (
+  SELECT source,
+         list_transform(generate_series(1, greatest(len(t) - 1, 1)),
+                        i -> array_to_string(t[i : i + 1], ' ')) AS n2,
+         list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                        i -> array_to_string(t[i : i + 2], ' ')) AS n3
+  FROM toks),
+per AS (
+  SELECT source,
+         CAST(round(1.0 - len(list_distinct(n2)) / len(n2)::DOUBLE, 9)
+              AS DECIMAL(18,9)) AS d2,
+         CAST(round(1.0 - len(list_distinct(n3)) / len(n3)::DOUBLE, 9)
+              AS DECIMAL(18,9)) AS d3
+  FROM ng)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       round(sum(d2)::DOUBLE / count(*), 6) AS mean_dup2_frac,
+       round(sum(d3)::DOUBLE / count(*), 6) AS mean_dup3_frac,
+       round(sum(CASE WHEN d2 > {flag_threshold} THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS repetitive_rate
+FROM per GROUP BY 1
+"""
+
+
+# ------------------------------------------- tokenizer fertility
+
+def tokenizer_fertility(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language tokenizer fertility: BPE-ish subword tokens per
+    whitespace word and bytes per subword token — the standard metric
+    for how efficiently a tokenizer covers each language (fertility ≫ 1
+    on a language means its text burns context window; the number a
+    vocab-allocation or sampling-weight decision reads next to
+    ``doc_mix_weights``).  Uses the same GPT-2-style pretokenizer
+    classes as ``doc_bpe_tokens`` (letter runs / digit runs / punct
+    runs, optionally space-prefixed).
+
+    Scale shape: three regexp/size counters folded into the scan (zero
+    exchange), then one combinable language-cardinality rollup of LONG
+    count partials — integer-exact in any addition order, no float
+    summation at all until the final division.
+    """
+    pat = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+    per = docs.select(
+        "lang",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("_ws"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{pat}', 0)"))
+        .cast("long")
+        .alias("_bpe"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_ws").alias("_sws"),
+            F.sum("_bpe").alias("_sbpe"),
+            F.sum("_chars").alias("_schars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.col("_sws").cast("long").alias("n_ws_tokens"),
+            F.col("_sbpe").cast("long").alias("n_bpe_tokens"),
+            F.round(F.col("_sbpe") / F.col("_sws"), 6).alias("fertility"),
+            F.round(F.col("_schars") / F.col("_sbpe"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
+
+
+def sql_tokenizer_fertility() -> str:
+    return """
+WITH per AS (
+  SELECT lang,
+         len(string_split(text, ' '))::BIGINT AS ws,
+         len(regexp_extract_all(text,
+             ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))::BIGINT AS bpe,
+         length(text)::BIGINT AS chars
+  FROM documents)
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       sum(ws)::BIGINT AS n_ws_tokens,
+       sum(bpe)::BIGINT AS n_bpe_tokens,
+       round(sum(bpe) / sum(ws)::DOUBLE, 6) AS fertility,
+       round(sum(chars) / sum(bpe)::DOUBLE, 6) AS chars_per_token
+FROM per GROUP BY 1
+"""

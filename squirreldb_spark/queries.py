@@ -3452,6 +3452,59 @@ def q_ev_funnel_windowed(spark, sf_dir):
     return pevents.funnel_windowed(_events(spark, sf_dir))
 
 
+# ------------------------------------------------- round-11 operators
+
+
+def q_doc_repetition_profile(spark, sf_dir):
+    """Per-source intra-document duplicate {2,3}-gram fractions + the
+    share of documents over the repetition flag threshold — the Gopher
+    repetition quality family (pipeline/text.py repetition_profile)."""
+    return ptext.repetition_profile(_docs(spark, sf_dir))
+
+
+def q_doc_tokenizer_fertility(spark, sf_dir):
+    """Per-language BPE-ish subword fertility (tokens per whitespace
+    word) and chars per token — the tokenizer-efficiency table
+    (pipeline/text.py tokenizer_fertility)."""
+    return ptext.tokenizer_fertility(_docs(spark, sf_dir))
+
+
+def q_doc_minhash_containment(spark, sf_dir):
+    """Asymmetric shingle containment + relation verdict (near_dup /
+    a_in_b / b_in_a / partial) for the LSH candidate pairs — the
+    near-superset detector Jaccard alone misses (pipeline/dedup.py
+    minhash_containment)."""
+    return pdedup.minhash_containment(_docs(spark, sf_dir))
+
+
+def q_emb_centroid_drift(spark, sf_dir):
+    """Per-label centroid cosine/L2 drift vs the corpus centroid plus
+    within-label dispersion — the embedding-space source-diversity
+    profile (pipeline/similarity.py centroid_drift)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.centroid_drift(emb)
+
+
+def q_ev_powerlaw_fit(spark, sf_dir):
+    """Discrete power-law MLE (Clauset-Shalizi-Newman) over per-user
+    activity counts, per event type (pipeline/events.py powerlaw_fit)."""
+    return pevents.powerlaw_fit(_events(spark, sf_dir))
+
+
+def q_ev_survival_curve(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion (first view -> first purchase,
+    right-censored at stream end), one row per active day bucket
+    (pipeline/events.py survival_curve)."""
+    return pevents.survival_curve(_events(spark, sf_dir))
+
+
+def q_ev_transition_entropy(spark, sf_dir):
+    """Per-from-type conditional next-event entropy (nats + normalized)
+    with the modal next step, over within-session transitions
+    (pipeline/events.py transition_entropy)."""
+    return pevents.transition_entropy(_events(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4077,6 +4130,27 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_priority_sample": QueryDef(
         q_doc_priority_sample, ptext.sql_priority_sample()
     ),
+    # --- round 11: repetition/containment/centroid-drift/power-law/
+    #     survival/entropy/fertility ---
+    "doc_repetition_profile": QueryDef(
+        q_doc_repetition_profile, ptext.sql_repetition_profile()
+    ),
+    "doc_tokenizer_fertility": QueryDef(
+        q_doc_tokenizer_fertility, ptext.sql_tokenizer_fertility()
+    ),
+    "doc_minhash_containment": QueryDef(
+        q_doc_minhash_containment, pdedup.sql_minhash_containment()
+    ),
+    "emb_centroid_drift": QueryDef(
+        q_emb_centroid_drift, psim.sql_centroid_drift()
+    ),
+    "ev_powerlaw_fit": QueryDef(q_ev_powerlaw_fit, pevents.sql_powerlaw_fit()),
+    "ev_survival_curve": QueryDef(
+        q_ev_survival_curve, pevents.sql_survival_curve()
+    ),
+    "ev_transition_entropy": QueryDef(
+        q_ev_transition_entropy, pevents.sql_transition_entropy()
+    ),
 }
 
 
@@ -4093,7 +4167,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (computed at r11 while rotating this window): after the
 # r11 window attests its 50 rows, the oldest remaining attestations are
-# the 4 spilled r5 rows (emb_neardup_pairs, mm_extract_features,
+# the 11 spilled r5 rows (ts_index_verify, ts_label_join,
+# ts_label_replace, doc_bpe_tokens, doc_simhash, emb_ann_lsh,
+# emb_cosine_knn, emb_neardup_pairs, mm_extract_features,
 # mm_resize_images, mm_sample_frames) and the 39-row r6 cohort
 # (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
 # doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
@@ -4107,10 +4183,20 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 43 rows; the r12 window takes (0) any new/changed
-# r12 kernels, then these 43, then starts on the r8 cohort.
+# ts_tenant_filter) = 50 rows; the r12 window takes (0) any new/changed
+# r12 kernels, then these 50 (any overflow rolls to r13 ahead of the
+# r8 cohort).
 #
 _VERIFY_FIRST: list[str] = [
+    # --- (0) NEW round-11 kernels (ratchet rule: new kernels enter the
+    # window in the commit that adds them) ---
+    "doc_repetition_profile",
+    "doc_tokenizer_fertility",
+    "doc_minhash_containment",
+    "emb_centroid_drift",
+    "ev_powerlaw_fit",
+    "ev_survival_curve",
+    "ev_transition_entropy",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4121,11 +4207,12 @@ _VERIFY_FIRST: list[str] = [
     "emb_dim_variance",
     "doc_minhash_k_sweep",
     # --- (2) r5-era backfill: the cohort the r10 verdict queued for this
-    # window (oldest remaining attestations; the 4 unlisted r5 rows —
-    # emb_neardup_pairs, mm_extract_features, mm_resize_images,
-    # mm_sample_frames — spill to the r12 window together with
-    # the 39-row r6 cohort; new r11 kernels displace this tail in the
-    # commit that adds them) ---
+    # window (oldest remaining attestations; the 11 r5 rows displaced by
+    # the 7 new kernels — ts_index_verify, ts_label_join,
+    # ts_label_replace, doc_bpe_tokens, doc_simhash, emb_ann_lsh,
+    # emb_cosine_knn, emb_neardup_pairs, mm_extract_features,
+    # mm_resize_images, mm_sample_frames — spill to the r12 window
+    # together with the 39-row r6 cohort) ---
     "promql_absent_over_time",
     "promql_agg_group",
     "promql_at_modifier",
@@ -4164,13 +4251,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_date_functions",
     "ts_export_pivot",
     "ts_import_roundtrip",
-    "ts_index_verify",
-    "ts_label_join",
-    "ts_label_replace",
-    "doc_bpe_tokens",
-    "doc_simhash",
-    "emb_ann_lsh",
-    "emb_cosine_knn",
 ]
 
 

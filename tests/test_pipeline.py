@@ -2236,3 +2236,146 @@ def test_floor_day_buckets_pre_1970_do_not_collapse(spark):
     out = {(r.cohort_week, r.week_offset): r.n_users
            for r in pevents.retention_cohorts(ev).collect()}
     assert out == {(-1, 0): 1, (-1, 1): 1}
+
+
+# ------------------------------------------------- round-11 operators
+
+
+def test_repetition_profile_known_fractions(spark):
+    """'a a a a' has three 2-grams all equal (dup2 = 2/3) and two
+    3-grams equal (dup3 = 1/2); a no-repeat doc scores 0; the flag rate
+    counts only the repetitive one."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a", "s1"), (1, "a b c d", "s1")],
+        "doc_id long, text string, source string",
+    )
+    r = {x.source: x for x in ptext.repetition_profile(docs).collect()}["s1"]
+    assert r.n_docs == 2
+    assert r.mean_dup2_frac == round((2 / 3 + 0.0) / 2, 6)
+    assert r.mean_dup3_frac == round((1 / 2 + 0.0) / 2, 6)
+    assert r.repetitive_rate == 0.5
+
+
+def test_tokenizer_fertility_known_counts(spark):
+    """'ab 12 cd!' = 3 whitespace words, 4 BPE-ish tokens ('ab', ' 12',
+    ' cd', '!'), 9 chars."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "ab 12 cd!", "en")], "doc_id long, text string, lang string"
+    )
+    r = ptext.tokenizer_fertility(docs).collect()[0]
+    assert (r.n_ws_tokens, r.n_bpe_tokens) == (3, 4)
+    assert r.fertility == round(4 / 3, 6)
+    assert r.chars_per_token == round(9 / 4, 6)
+
+
+def test_minhash_containment_duplicate_and_superset(spark):
+    """An exact duplicate pair is a guaranteed LSH candidate (all bands
+    match) with jaccard = containment = 1 -> near_dup; a document
+    contained in a much longer one classifies a_in_b when the banding
+    surfaces it (deterministic hash family; verified to surface for
+    this corpus)."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    extra = base + " " + " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, base), (1, base), (2, extra)], "doc_id long, text string"
+    )
+    out = {(r.id_a, r.id_b): r
+           for r in pdedup.minhash_containment(docs).collect()}
+    dup = out[(0, 1)]
+    assert dup.relation == "near_dup"
+    assert dup.jaccard == 1.0 and dup.containment_a == 1.0
+    if (0, 2) in out:  # banding recall for a 0.58-jaccard pair
+        sup = out[(0, 2)]
+        assert sup.relation == "a_in_b"
+        assert sup.containment_a == 1.0 and sup.jaccard < 0.7
+
+
+def test_centroid_drift_two_point_geometry(spark):
+    """Labels at (1,0) and (0,1): global centroid (.5,.5), each label
+    cos = cos(45deg), l2 = sqrt(.5), dispersion 0 for singletons."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {r.label: r for r in psim.centroid_drift(emb).collect()}
+    for lab in (0, 1):
+        assert out[lab].n_vectors == 1
+        assert out[lab].cos_to_global == round(1 / math.sqrt(2), 6)
+        assert out[lab].l2_to_global == round(math.sqrt(0.5), 6)
+        assert out[lab].dispersion == 0.0
+
+
+def test_powerlaw_fit_known_alpha(spark):
+    """Counts {1, 1, 2}: alpha = 1 + 3 / (ln2 + ln2 + ln4) = 1 + 3/(4ln2)."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(1, 0, 0), (2, 1, 10), (3, 2, 20), (3, 3, 30)]
+    ev = spark.createDataFrame(
+        [(u, e, t, "click") for u, e, t in rows],
+        "user_id long, event_id long, ts long, event_type string",
+    )
+    r = pevents.powerlaw_fit(ev).collect()[0]
+    assert r.n_users == 3 and r.max_count == 2
+    # mirror the kernel's 12-dp per-term quantization (this alpha sits
+    # exactly on a 6-dp rounding boundary)
+    lsum = 2 * round(math.log(2), 12) + round(math.log(4), 12)
+    alpha = 1 + 3 / lsum
+    assert r.alpha == round(alpha, 6)
+    assert r.alpha_se == round((alpha - 1) / math.sqrt(3), 6)
+
+
+def test_survival_curve_hand_km(spark):
+    """3 users view at t=0; conversions on day 0 and day 2; one censored
+    at stream end (day 2). KM: S(0) = 2/3, S(2) = 2/3 * (1 - 1/2)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    rows = [
+        (1, 0, 0, "view"), (2, 1, 0, "view"), (3, 2, 0, "view"),
+        (1, 3, 1000, "purchase"),            # day 0
+        (2, 4, 2 * DAY + 5, "purchase"),     # day 2
+        (3, 5, 2 * DAY + 9, "click"),        # sets t_max: censor day 2
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.day: r for r in pevents.survival_curve(ev).collect()}
+    d0, d2 = out[0], out[2]
+    assert (d0.n_risk, d0.n_conversions, d0.n_censored) == (3, 1, 0)
+    assert d0.survival == round(2 / 3, 6)
+    assert (d2.n_risk, d2.n_conversions, d2.n_censored) == (2, 1, 1)
+    assert d2.survival == round((2 / 3) * (1 / 2), 6)
+
+
+def test_transition_entropy_known_sequence(spark):
+    """One session a->b->a->c: from 'a' the next is uniform over {b, c}
+    (entropy ln 2, modal tie breaks lexicographically to 'b'); from 'b'
+    it is deterministic (entropy 0)."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(1, 0, 0, "a"), (1, 1, 10, "b"), (1, 2, 20, "a"), (1, 3, 30, "c")]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.from_type: r for r in pevents.transition_entropy(ev).collect()}
+    a, b = out["a"], out["b"]
+    assert a.n_transitions == 2 and a.n_next_types == 2
+    assert a.entropy_nats == round(math.log(2), 6)
+    assert a.entropy_norm == 1.0
+    assert (a.top_next, a.top_next_prob) == ("b", 0.5)
+    assert b.entropy_nats == 0.0 and b.entropy_norm is None
+    assert (b.top_next, b.top_next_prob) == ("a", 1.0)

@@ -1141,3 +1141,86 @@ def test_funnel_windowed_joins_stay_user_keyed(spark, sf_dir):
 
     df = pevents.funnel_windowed(model.load_table(spark, sf_dir, "events"))
     assert_no_theta_joins(plan_of(df), "ev_funnel_windowed")
+
+
+# ------------------------------------------------- round-11 operators
+
+
+def test_repetition_profile_text_stays_in_scan(spark, sf_dir):
+    """The n-gram arrays and per-doc dup fractions fold into the scan;
+    the only exchange is the source-cardinality rollup — raw text (and
+    any array) never rides a shuffle."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.repetition_profile(model.load_table(spark, sf_dir, "documents"))
+    for cols in shuffle_exchange_outputs(df):
+        names = [c for c, _ in cols]
+        assert "text" not in names, cols
+        assert not [t for _, t in cols if t.startswith("array")], cols
+
+
+def test_tokenizer_fertility_long_partials_only(spark, sf_dir):
+    """Zero-width scan fold: the lang rollup's exchange carries only
+    long count partials, never text."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.tokenizer_fertility(model.load_table(spark, sf_dir, "documents"))
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
+
+
+def test_minhash_containment_no_theta_joins(spark, sf_dir):
+    """Candidates come from the banded equi-join; signature and text
+    join-backs are id-keyed equi-joins — never a cartesian shape."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.minhash_containment(model.load_table(spark, sf_dir, "documents"))
+    assert_no_theta_joins(plan_of(df), "doc_minhash_containment")
+
+
+def test_centroid_drift_no_vector_crosses_shuffle(spark, sf_dir):
+    """The (label, dim) moment aggregate is map-side combinable: only
+    narrow partial rows cross the exchange, never a vector."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    assert_no_vector_crosses_shuffle(psim.centroid_drift(emb), "emb_centroid_drift")
+
+
+def test_powerlaw_fit_histogram_collapse(spark, sf_dir):
+    """The log-sum runs over the (type, count-level) HISTOGRAM, so no
+    window exists at all and every exchange is combinable; props/text
+    never ride a shuffle."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.powerlaw_fit(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert "Window" not in plan, plan[:1200]
+    assert_no_theta_joins(plan, "ev_powerlaw_fit")
+
+
+def test_survival_curve_bounded_windows_and_broadcast_scalar(spark, sf_dir):
+    """The only windows run over the bounded day-bucket table (global
+    orderBy day — a table of distinct duration days, not events); the
+    stream-end scalar is an unconditioned broadcast cross; user-keyed
+    join is a hash equi-join."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.survival_curve(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_survival_curve")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line and "lag(" not in line:
+            assert "day" in line, line.strip()[:200]
+
+
+def test_transition_entropy_types_squared_rollup(spark, sf_dir):
+    """Inherits markov_transitions' user-window exchange; the entropy
+    fold and the modal ranking run over the <= types^2 matrix; props
+    never ride a shuffle."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.transition_entropy(model.load_table(spark, sf_dir, "events"))
+    assert_no_theta_joins(plan_of(df), "ev_transition_entropy")
+    for cols in shuffle_exchange_outputs(df):
+        assert "props" not in [c for c, _ in cols], cols

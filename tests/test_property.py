@@ -995,3 +995,102 @@ def test_dim_variance_matches_moment_reference(spark, vecs):
         var = s2 / n - mean * mean
         assert got[d].mean == round(mean, 6)
         assert abs(got[d].variance - round(var, 6)) <= 1e-6
+
+
+# ------------------------------------ power-law MLE brute-force reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=20),
+)
+def test_powerlaw_fit_matches_brute_force(spark, counts):
+    """Events built so user i fires exactly counts[i] times: alpha must
+    equal the Clauset-Shalizi-Newman closed form computed directly in
+    Python (with the kernel's 12-dp per-term quantization)."""
+    import math as m
+
+    from squirreldb_spark.pipeline.events import powerlaw_fit
+
+    rows, eid = [], 0
+    for u, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((u, eid, eid * 10, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    r = powerlaw_fit(ev).collect()[0]
+    n = len(counts)
+    lsum = sum(round(m.log(2.0 * c), 12) for c in counts)
+    alpha = 1 + n / lsum
+    assert r.n_users == n
+    assert r.max_count == max(counts)
+    assert r.alpha == round(alpha, 6)
+    assert r.alpha_se == round((alpha - 1) / m.sqrt(n), 6)
+
+
+# -------------------------------------- Kaplan-Meier hand reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    users=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400_000_000),  # first view ts
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=500_000_000)),
+        ),
+        min_size=1, max_size=12),
+)
+def test_survival_curve_matches_km_reference(spark, users):
+    """Random view/purchase streams (purchase offsets may precede the
+    view — then they don't count) against a direct Python Kaplan-Meier
+    with the kernel's censoring-at-stream-end and 12-dp factor
+    quantization."""
+    import math as m
+
+    DAY = 86_400_000
+    T_END = 600_000_000  # a late no-view event pins the stream end
+    rows, eid = [], 0
+    for u, (fv, p) in enumerate(users):
+        rows.append((u, eid, fv, "view")); eid += 1
+        if p is not None:
+            rows.append((u, eid, p, "purchase")); eid += 1
+    rows.append((10_000, eid, T_END, "click"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    from squirreldb_spark.pipeline.events import survival_curve
+
+    got = {r.day: r for r in survival_curve(ev).collect()}
+
+    # python reference
+    per_day: dict[int, list[int]] = {}
+    for fv, p in users:
+        conv = p is not None and p >= fv
+        dur = (p - fv) if conv else (T_END - fv)
+        day = dur // DAY
+        d = per_day.setdefault(day, [0, 0])
+        d[0 if conv else 1] += 1
+    total = len(users)
+    done = 0
+    acc = 0.0
+    exhausted = False
+    for day in sorted(per_day):
+        d, c = per_day[day]
+        n_risk = total - done
+        if not exhausted and d < n_risk:
+            acc += round(m.log(1.0 - d / n_risk), 12)
+            surv = round(m.exp(acc), 6)
+        else:
+            exhausted = exhausted or d >= n_risk
+            surv = 0.0 if exhausted else round(m.exp(acc), 6)
+        r = got[day]
+        assert (r.n_risk, r.n_conversions, r.n_censored) == (n_risk, d, c)
+        assert r.survival == surv, (day, r.survival, surv)
+        done += d + c
+    assert len(got) == len(per_day)

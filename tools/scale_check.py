@@ -48,6 +48,10 @@ OPS = [
     "doc_lang_confusion",
     "emb_dim_variance",
     "emb_pq_distortion",
+    # round-11 operators with data-volume-bound kernels
+    "doc_repetition_profile",
+    "doc_minhash_containment",
+    "emb_centroid_drift",
 ]
 
 #: VERDICT r10 #4: the two window-bounded event operators, measured on
