@@ -156,6 +156,9 @@ SECONDARY_QUERIES = [
     "ev_powerlaw_fit",
     "ev_survival_curve",
     "ev_transition_entropy",
+    "doc_split_leakage",
+    "ev_ab_test",
+    "ev_cohort_ltv",
 ]
 
 

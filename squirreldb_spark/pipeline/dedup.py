@@ -2334,3 +2334,151 @@ SELECT id_a, id_b, n_shingles_a, n_shingles_b,
        END AS relation
 FROM m
 """
+
+
+# --------------------------------------- cross-split leakage audit
+
+def split_leakage_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> DataFrame:
+    """Train/val/test NEAR-DUP contamination audit: the content-hashed
+    ``split_assign`` makes exact-duplicate leakage structurally
+    impossible (byte-identical docs share a bucket), but near-duplicates
+    hash independently and can straddle splits — the classic eval
+    contamination a leaderboard audit looks for.  Counts the LSH
+    near-dup pairs (exact n-gram Jaccard ≥ threshold) per unordered
+    split pair and reports each cell's share plus the overall
+    cross-split contamination rate.
+
+    Scale shape: candidates are the attested banded equi-join; the
+    split labels join back id-keyed; the rollup has ≤ 6 cells and the
+    contamination scalar broadcasts back onto it.
+    """
+    from squirreldb_spark.pipeline.text import split_assign
+
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    cand = lsh_candidate_pairs(
+        sig, id_col, num_hashes, bands=bands, max_bucket=max_bucket
+    ).select("id_a", "id_b")
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    j = ngram_jaccard_pairs(
+        cand.join(ta, "id_a").join(tb, "id_b"), n=shingle_n
+    ).filter(F.col("jaccard") >= jaccard_threshold)
+    sp = split_assign(docs, text_col, pct_train, pct_val)
+    sp_a = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("_sa"))
+    sp_b = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("_sb"))
+    labeled = (
+        j.join(sp_a, "id_a")
+        .join(sp_b, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+    )
+    cells = labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = cells.agg(
+        F.sum("n_pairs").alias("_tot"),
+        F.sum(
+            F.when(F.col("split_a") != F.col("split_b"), F.col("n_pairs"))
+            .otherwise(0)
+        ).alias("_cross"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "split_a",
+        "split_b",
+        "n_pairs",
+        (F.col("split_a") != F.col("split_b")).alias("is_cross"),
+        F.round(F.col("n_pairs") / F.col("_tot"), 6).alias("share"),
+        F.round(F.col("_cross") / F.col("_tot"), 6).alias(
+            "contamination_rate"
+        ),
+    )
+
+
+def sql_split_leakage_check(
+    jaccard_threshold: float = 0.5,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+    pct_train: int = 90,
+    pct_val: int = 5,
+) -> str:
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    melt = "\n  UNION ALL\n  ".join(band_selects)
+    jac = (
+        "len(list_intersect(sha.s, shb.s))"
+        " / len(list_distinct(sha.s || shb.s))::DOUBLE"
+    )
+    return f"""
+WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
+melt0 AS (
+  {melt}),
+melt AS (
+  SELECT * FROM melt0
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melt a JOIN melt b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2),
+near AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN shl sha ON sha.doc_id = p.id_a
+  JOIN shl shb ON shb.doc_id = p.id_b
+  WHERE round({jac}, 6) >= {jaccard_threshold}),
+splits AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+                   < {pct_train} THEN 'train'
+              WHEN ('0x' || substr(md5(text), 1, 8))::BIGINT % 100
+                   < {pct_train + pct_val} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+labeled AS (
+  SELECT least(a.split, b.split) AS split_a,
+         greatest(a.split, b.split) AS split_b
+  FROM near
+  JOIN splits a ON a.doc_id = near.id_a
+  JOIN splits b ON b.doc_id = near.id_b),
+cells AS (
+  SELECT split_a, split_b, count(*)::BIGINT AS n_pairs
+  FROM labeled GROUP BY 1, 2),
+tot AS (
+  SELECT sum(n_pairs) AS tot,
+         sum(CASE WHEN split_a <> split_b THEN n_pairs ELSE 0 END) AS crs
+  FROM cells)
+SELECT split_a, split_b, n_pairs,
+       split_a <> split_b AS is_cross,
+       round(n_pairs / tot, 6) AS share,
+       round(crs / tot, 6) AS contamination_rate
+FROM cells, tot
+"""

@@ -3061,3 +3061,194 @@ SELECT from_type,
        max(CASE WHEN rk = 1 THEN round(p, 6) END) AS top_next_prob
 FROM enriched GROUP BY 1
 """
+
+
+# --------------------------------------- two-proportion A/B z-test
+
+def ab_test(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Two-proportion z-test between the deterministic user halves
+    (``user_id % 2`` → A/B): per-variant users, converters, conversion
+    rate, relative lift, pooled-SE z-score and the ±1.96·SE normal CI
+    half-width on the rate difference — the closed-form experiment
+    readout every analytics engine ships (erf-free by design: the
+    z-score against ±1.96/±2.58 IS the decision number, no p-value
+    lookup table needed).
+
+    Scale shape: one user-keyed combinable reduction (converted =
+    max over the user's events), then a 2-row rollup — integer counts
+    are exact in any addition order; floats appear only in the final
+    2-row arithmetic.
+    """
+    per_user = events.groupBy(key_col).agg(
+        F.max(
+            F.when(F.col("event_type") == conversion_type, 1).otherwise(0)
+        ).alias("_conv")
+    )
+    per_variant = (
+        per_user.select(
+            F.when(F.col(key_col) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "_conv",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("_conv").cast("long").alias("conv"),
+        )
+    )
+    a = per_variant.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = per_variant.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(pool * (1 - pool) * (1 / F.col("n_a") + 1 / F.col("n_b")))
+    return j.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(ra > 0, F.round((rb - ra) / ra, 6)).alias("lift"),
+        F.when(se > 0, F.round((rb - ra) / se, 6)).alias("z_score"),
+        F.when(se > 0, F.round(1.96 * se, 6)).alias("ci95_half_width"),
+    )
+
+
+def sql_ab_test(conversion_type: str = "purchase") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = '{conversion_type}' THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1),
+pv AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         count(*)::BIGINT AS n, sum(conv)::BIGINT AS conv
+  FROM per_user GROUP BY 1),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.conv AS conv_a, b.conv AS conv_b
+  FROM (SELECT n, conv FROM pv WHERE variant = 'A') a,
+       (SELECT n, conv FROM pv WHERE variant = 'B') b)
+SELECT n_a, n_b, conv_a, conv_b,
+       round(conv_a / n_a::DOUBLE, 6) AS rate_a,
+       round(conv_b / n_b::DOUBLE, 6) AS rate_b,
+       CASE WHEN conv_a > 0 THEN
+         round((conv_b / n_b::DOUBLE - conv_a / n_a::DOUBLE)
+               / (conv_a / n_a::DOUBLE), 6) END AS lift,
+       CASE WHEN (conv_a + conv_b) > 0
+                 AND (conv_a + conv_b) < (n_a + n_b) THEN
+         round((conv_b / n_b::DOUBLE - conv_a / n_a::DOUBLE)
+               / sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                      * (1 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                      * (1.0 / n_a + 1.0 / n_b)), 6) END AS z_score,
+       CASE WHEN (conv_a + conv_b) > 0
+                 AND (conv_a + conv_b) < (n_a + n_b) THEN
+         round(1.96 * sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                           * (1 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                           * (1.0 / n_a + 1.0 / n_b)), 6) END
+         AS ci95_half_width
+FROM j
+"""
+
+
+# --------------------------------------- cohort lifetime value
+
+def cohort_ltv(
+    events: DataFrame,
+    revenue_type: str = "purchase",
+    week_ms: int = _WEEK_MS,
+) -> DataFrame:
+    """Weekly-cohort cumulative revenue per user (LTV curves): users
+    cohorted by first-event week (the ``retention_cohorts`` convention),
+    each cohort's purchase revenue bucketed by week offset, and the
+    running cumulative revenue divided by the FIXED cohort size — the
+    money companion to retention_cohorts' count matrix (which week a
+    cohort pays back its acquisition cost).
+
+    Scale shape: first-event reduction per user + one user-keyed
+    equi-join (both sides hash user_id); revenue quantizes to
+    DECIMAL(18,2) at the source (the data's own 2-dp grid) so every sum
+    is engine-exact in any order; the cumulative window runs over the
+    tiny weeks×weeks matrix.
+    """
+    first = events.groupBy("user_id").agg(
+        F.floor(F.min("ts") / week_ms).alias("cohort_week")
+    )
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = events.filter(F.col("event_type") == revenue_type).select(
+        "user_id",
+        F.floor(F.col("ts") / week_ms).alias("week"),
+        F.round(F.col("value"), 2).cast("decimal(18,2)").alias("_v"),
+    )
+    cells = (
+        rev.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.sum("_v").alias("_rev"))
+    )
+    w = Window.partitionBy("cohort_week").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        cells.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            F.col("week_offset").cast("long").alias("week_offset"),
+            "cohort_users",
+            F.col("_rev").cast("double").alias("_wr"),
+            F.sum("_rev").over(w).cast("double").alias("_cum"),
+        )
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            F.round("_wr", 2).alias("week_revenue"),
+            F.round(F.col("_cum") / F.col("cohort_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+    )
+
+
+def sql_cohort_ltv(
+    revenue_type: str = "purchase", week_ms: int = _WEEK_MS
+) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts, value FROM events),
+first AS (
+  SELECT user_id,
+         CAST(floor(min(ts) / {week_ms}) AS BIGINT) AS cohort_week
+  FROM ev GROUP BY 1),
+sizes AS (
+  SELECT cohort_week, count(*)::BIGINT AS cohort_users
+  FROM first GROUP BY 1),
+rev AS (
+  SELECT user_id, CAST(floor(ts / {week_ms}) AS BIGINT) AS week,
+         CAST(round(value, 2) AS DECIMAL(18,2)) AS v
+  FROM ev WHERE event_type = '{revenue_type}'),
+cells AS (
+  SELECT f.cohort_week, (r.week - f.cohort_week)::BIGINT AS week_offset,
+         sum(r.v) AS rev
+  FROM rev r JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT c.cohort_week, c.week_offset, s.cohort_users,
+       round(c.rev::DOUBLE, 2) AS week_revenue,
+       round((sum(c.rev) OVER (PARTITION BY c.cohort_week
+                               ORDER BY c.week_offset
+                               ROWS UNBOUNDED PRECEDING))::DOUBLE
+             / s.cohort_users, 6) AS cum_ltv_per_user
+FROM cells c JOIN sizes s USING (cohort_week)
+"""

@@ -3505,6 +3505,27 @@ def q_ev_transition_entropy(spark, sf_dir):
     return pevents.transition_entropy(_events(spark, sf_dir))
 
 
+def q_doc_split_leakage(spark, sf_dir):
+    """Cross-split near-dup contamination audit: LSH near-dup pairs
+    (exact jaccard >= 0.5) per unordered split pair + the overall
+    cross-split rate (pipeline/dedup.py split_leakage_check)."""
+    return pdedup.split_leakage_check(_docs(spark, sf_dir))
+
+
+def q_ev_ab_test(spark, sf_dir):
+    """Two-proportion z-test between deterministic user halves:
+    conversion rates, lift, pooled-SE z and the 95% CI half-width
+    (pipeline/events.py ab_test)."""
+    return pevents.ab_test(_events(spark, sf_dir))
+
+
+def q_ev_cohort_ltv(spark, sf_dir):
+    """Weekly-cohort cumulative purchase revenue per user (LTV curves,
+    retention_cohorts' money companion) (pipeline/events.py
+    cohort_ltv)."""
+    return pevents.cohort_ltv(_events(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4151,6 +4172,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_transition_entropy": QueryDef(
         q_ev_transition_entropy, pevents.sql_transition_entropy()
     ),
+    "doc_split_leakage": QueryDef(
+        q_doc_split_leakage, pdedup.sql_split_leakage_check()
+    ),
+    "ev_ab_test": QueryDef(q_ev_ab_test, pevents.sql_ab_test()),
+    "ev_cohort_ltv": QueryDef(q_ev_cohort_ltv, pevents.sql_cohort_ltv()),
 }
 
 
@@ -4167,10 +4193,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (computed at r11 while rotating this window): after the
 # r11 window attests its 50 rows, the oldest remaining attestations are
-# the 11 spilled r5 rows (ts_index_verify, ts_label_join,
-# ts_label_replace, doc_bpe_tokens, doc_simhash, emb_ann_lsh,
-# emb_cosine_knn, emb_neardup_pairs, mm_extract_features,
-# mm_resize_images, mm_sample_frames) and the 39-row r6 cohort
+# the 15 spilled r5 rows (ts_date_functions, ts_export_pivot,
+# ts_import_roundtrip,
+# ts_index_verify, ts_label_join, ts_label_replace, doc_bpe_tokens,
+# doc_simhash, emb_ann_lsh, emb_cosine_knn, emb_neardup_pairs,
+# mm_extract_features, mm_resize_images, mm_sample_frames) and the
+# 39-row r6 cohort
 # (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
 # doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
 # doc_incremental_dedup, doc_lang_id, doc_minhash_accuracy,
@@ -4183,9 +4211,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 50 rows; the r12 window takes (0) any new/changed
-# r12 kernels, then these 50 (any overflow rolls to r13 ahead of the
-# r8 cohort).
+# ts_tenant_filter) = 54 rows; the r12 window takes (0) any new/changed
+# r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
+# the r8 cohort).
 #
 _VERIFY_FIRST: list[str] = [
     # --- (0) NEW round-11 kernels (ratchet rule: new kernels enter the
@@ -4197,6 +4225,9 @@ _VERIFY_FIRST: list[str] = [
     "ev_powerlaw_fit",
     "ev_survival_curve",
     "ev_transition_entropy",
+    "doc_split_leakage",
+    "ev_ab_test",
+    "ev_cohort_ltv",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4207,12 +4238,14 @@ _VERIFY_FIRST: list[str] = [
     "emb_dim_variance",
     "doc_minhash_k_sweep",
     # --- (2) r5-era backfill: the cohort the r10 verdict queued for this
-    # window (oldest remaining attestations; the 11 r5 rows displaced by
-    # the 7 new kernels — ts_index_verify, ts_label_join,
-    # ts_label_replace, doc_bpe_tokens, doc_simhash, emb_ann_lsh,
-    # emb_cosine_knn, emb_neardup_pairs, mm_extract_features,
-    # mm_resize_images, mm_sample_frames — spill to the r12 window
-    # together with the 39-row r6 cohort) ---
+    # window (oldest remaining attestations; the 15 r5 rows displaced by
+    # the 10 new kernels — ts_date_functions, ts_export_pivot,
+    # ts_import_roundtrip,
+    # ts_index_verify, ts_label_join, ts_label_replace,
+    # doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
+    # emb_neardup_pairs, mm_extract_features, mm_resize_images,
+    # mm_sample_frames — spill to the r12 window together with the
+    # 39-row r6 cohort) ---
     "promql_absent_over_time",
     "promql_agg_group",
     "promql_at_modifier",
@@ -4248,9 +4281,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_deriv",
     "ts_absent",
     "ts_agg_quantile_by",
-    "ts_date_functions",
-    "ts_export_pivot",
-    "ts_import_roundtrip",
 ]
 
 

@@ -2379,3 +2379,90 @@ def test_transition_entropy_known_sequence(spark):
     assert (a.top_next, a.top_next_prob) == ("b", 0.5)
     assert b.entropy_nats == 0.0 and b.entropy_norm is None
     assert (b.top_next, b.top_next_prob) == ("a", 1.0)
+
+
+def test_split_leakage_known_pairs(spark):
+    """Two near-dup pairs engineered (via the real md5 split formula) so
+    one pair straddles splits and one does not: the contamination rate
+    counts exactly the straddling pair.  Exact duplicates cannot
+    straddle by construction (same hash bucket)."""
+    import hashlib
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    def split_of(text: str) -> str:
+        b = int(hashlib.md5(text.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    base = " ".join(f"w{i}" for i in range(25))
+
+    def mutate(seed: int) -> str:
+        w = base.split()
+        w[-1] = f"z{seed}"
+        return " ".join(w)
+
+    # find a mutation landing in a DIFFERENT split than base, and one in
+    # the SAME split (deterministic search over the real hash)
+    cross = next(m for m in (mutate(s) for s in range(500))
+                 if split_of(m) != split_of(base))
+    same = next(m for m in (mutate(s) for s in range(500, 1000))
+                if split_of(m) == split_of(base))
+    docs = spark.createDataFrame(
+        [(0, base, "en"), (1, cross, "en"), (2, same, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = pdedup.split_leakage_check(docs).collect()
+    cross_pairs = sum(r.n_pairs for r in out if r.is_cross)
+    total = sum(r.n_pairs for r in out)
+    assert cross_pairs >= 1  # the engineered straddling pair surfaced
+    rate = round(cross_pairs / total, 6)
+    assert all(r.contamination_rate == rate for r in out)
+
+
+def test_ab_test_known_z(spark):
+    """A = users {0, 2} (1 converter), B = users {1, 3} (2 converters):
+    rates 0.5 vs 1.0, pooled p = 0.75, z = 0.5 / sqrt(0.1875) / ..."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [
+        (0, 0, 0, "view"), (0, 1, 10, "purchase"),
+        (2, 2, 20, "view"),
+        (1, 3, 30, "purchase"), (3, 4, 40, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    r = pevents.ab_test(ev).collect()[0]
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (2, 2, 1, 2)
+    assert (r.rate_a, r.rate_b) == (0.5, 1.0)
+    assert r.lift == 1.0
+    se = math.sqrt(0.75 * 0.25 * (0.5 + 0.5))
+    assert r.z_score == round(0.5 / se, 6)
+    assert r.ci95_half_width == round(1.96 * se, 6)
+
+
+def test_cohort_ltv_hand_curve(spark):
+    """Two users cohorted in week 0; purchases of 10.00 (week 0) and
+    5.00 (week 1): cum LTV per user 5.0 then 7.5."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    WEEK = 7 * 86_400_000
+    rows = [
+        (1, 0, 0, "view", 0.0),
+        (2, 1, 5, "view", 0.0),
+        (1, 2, 100, "purchase", 10.0),
+        (2, 3, WEEK + 50, "purchase", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts long, event_type string, value double",
+    )
+    out = {(r.cohort_week, r.week_offset): r
+           for r in pevents.cohort_ltv(ev).collect()}
+    assert out[(0, 0)].cohort_users == 2
+    assert out[(0, 0)].week_revenue == 10.0
+    assert out[(0, 0)].cum_ltv_per_user == 5.0
+    assert out[(0, 1)].week_revenue == 5.0
+    assert out[(0, 1)].cum_ltv_per_user == 7.5

@@ -1224,3 +1224,38 @@ def test_transition_entropy_types_squared_rollup(spark, sf_dir):
     assert_no_theta_joins(plan_of(df), "ev_transition_entropy")
     for cols in shuffle_exchange_outputs(df):
         assert "props" not in [c for c, _ in cols], cols
+
+
+def test_split_leakage_no_theta_joins(spark, sf_dir):
+    """Candidates from the banded equi-join; jaccard and split labels
+    join back id-keyed; the 6-cell rollup crosses only a broadcast
+    1-row total."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.split_leakage_check(model.load_table(spark, sf_dir, "documents"))
+    assert_no_theta_joins(plan_of(df), "doc_split_leakage")
+
+
+def test_ab_test_single_user_reduction(spark, sf_dir):
+    """One user-keyed combinable reduction, a 2-row rollup and a 1-row
+    broadcast cross — no window, no theta join, no props in a shuffle."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.ab_test(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert "Window" not in plan, plan[:1200]
+    assert_no_theta_joins(plan, "ev_ab_test")
+
+
+def test_cohort_ltv_window_over_cohort_matrix(spark, sf_dir):
+    """The cumulative window runs over the weeks-by-weeks cohort matrix
+    (ordered by week_offset), never over raw events; revenue crosses
+    shuffles only as DECIMAL(18,2) partials."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.cohort_ltv(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_cohort_ltv")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "week_offset" in line, line.strip()[:200]
