@@ -156,7 +156,7 @@ SECONDARY_QUERIES = [
     "ev_powerlaw_fit",
     "ev_survival_curve",
     "ev_transition_entropy",
-    "doc_split_leakage",
+    "doc_split_leakage_rate",
     "ev_ab_test",
     "ev_cohort_ltv",
 ]

@@ -3505,10 +3505,11 @@ def q_ev_transition_entropy(spark, sf_dir):
     return pevents.transition_entropy(_events(spark, sf_dir))
 
 
-def q_doc_split_leakage(spark, sf_dir):
-    """Cross-split near-dup contamination audit: LSH near-dup pairs
-    (exact jaccard >= 0.5) per unordered split pair + the overall
-    cross-split rate (pipeline/dedup.py split_leakage_check)."""
+def q_doc_split_leakage_rate(spark, sf_dir):
+    """Cross-split near-dup contamination RATE: exact-jaccard near-dup
+    pairs per unordered split pair + the overall cross-split share —
+    the cell-level rollup companion to doc_split_leakage's leaking-pair
+    LIST (pipeline/dedup.py split_leakage_check)."""
     return pdedup.split_leakage_check(_docs(spark, sf_dir))
 
 
@@ -4172,8 +4173,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_transition_entropy": QueryDef(
         q_ev_transition_entropy, pevents.sql_transition_entropy()
     ),
-    "doc_split_leakage": QueryDef(
-        q_doc_split_leakage, pdedup.sql_split_leakage_check()
+    "doc_split_leakage_rate": QueryDef(
+        q_doc_split_leakage_rate, pdedup.sql_split_leakage_check()
     ),
     "ev_ab_test": QueryDef(q_ev_ab_test, pevents.sql_ab_test()),
     "ev_cohort_ltv": QueryDef(q_ev_cohort_ltv, pevents.sql_cohort_ltv()),
@@ -4225,7 +4226,7 @@ _VERIFY_FIRST: list[str] = [
     "ev_powerlaw_fit",
     "ev_survival_curve",
     "ev_transition_entropy",
-    "doc_split_leakage",
+    "doc_split_leakage_rate",
     "ev_ab_test",
     "ev_cohort_ltv",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the

@@ -1233,7 +1233,7 @@ def test_split_leakage_no_theta_joins(spark, sf_dir):
     from squirreldb_spark.pipeline import dedup as pdedup
 
     df = pdedup.split_leakage_check(model.load_table(spark, sf_dir, "documents"))
-    assert_no_theta_joins(plan_of(df), "doc_split_leakage")
+    assert_no_theta_joins(plan_of(df), "doc_split_leakage_rate")
 
 
 def test_ab_test_single_user_reduction(spark, sf_dir):
