@@ -2466,3 +2466,30 @@ def test_cohort_ltv_hand_curve(spark):
     assert out[(0, 0)].cum_ltv_per_user == 5.0
     assert out[(0, 1)].week_revenue == 5.0
     assert out[(0, 1)].cum_ltv_per_user == 7.5
+
+
+def test_no_duplicate_defs_or_catalog_keys():
+    """Source lint (round-11 lesson): a re-used wrapper name or catalog
+    key silently SHADOWS the earlier operator — the round-6
+    doc_split_leakage vanished from the catalog when round 11 reused its
+    name, and nothing failed because the dict last-write wins. Parse the
+    catalog + pipeline sources and reject duplicate top-level function
+    names and duplicate string keys in any large dict literal."""
+    import ast
+    import collections
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "squirreldb_spark"
+    files = [root / "queries.py"] + sorted((root / "pipeline").glob("*.py"))
+    for path in files:
+        tree = ast.parse(path.read_text())
+        names = [n.name for n in tree.body
+                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+        dups = [n for n, c in collections.Counter(names).items() if c > 1]
+        assert not dups, f"{path.name}: duplicate top-level defs {dups}"
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Dict) and len(node.keys) > 50:
+                keys = [k.value for k in node.keys
+                        if isinstance(k, ast.Constant) and isinstance(k.value, str)]
+                d = [k for k, c in collections.Counter(keys).items() if c > 1]
+                assert not d, f"{path.name}: duplicate catalog keys {d}"
