@@ -63,6 +63,9 @@ ITERATIVE_QUERIES = [
     # round 9: these rerun the CC DAG, so they bench with the iterative block
     "doc_dedup_savings",
     "mm_audio_dedup_clusters",
+    # round 11: fixed-iteration PageRank materializes its transition
+    # table eagerly inside fn(), so it benches with the iterative block
+    "doc_pagerank",
 ]
 
 #: round-4 operator families, tracked OUTSIDE the frozen headline set so

@@ -2482,3 +2482,196 @@ SELECT split_a, split_b, n_pairs,
        round(crs / tot, 6) AS contamination_rate
 FROM cells, tot
 """
+
+
+# --------------------------------------- similarity-graph PageRank
+
+def pagerank(
+    edges: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    weight_col: str = "weight",
+    damping: float = 0.85,
+    n_iters: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over an undirected edge list (edges count in
+    both directions), ``n_iters`` fixed power iterations from the
+    uniform vector: ``r'(v) = (1−d)/N + d·Σ_{u→v} r(u)·p(u→v)`` with
+    ``p`` the weight-normalized transition probability.  On the
+    near-dup similarity graph this ranks each variant's CENTRALITY —
+    the "most representative copy" signal for canonical selection
+    inside a duplicate cluster (connected_components says WHICH docs
+    group; this says which one to keep when quality/length ties).
+
+    Engine-exact by construction: each iteration's per-edge
+    contribution ``d·r(u)·p`` is computed in double (identical inputs →
+    identical value on both engines), 12-dp-quantized into DECIMAL and
+    summed exactly, so ranks are identical decimals by induction —
+    the fixed-iteration DuckDB oracle replays it with unrolled CTEs.
+
+    Scale shape: the transition table (src, dst, p) materializes ONCE
+    (localCheckpoint — the connected_components convention; the LSH
+    candidate generation must not re-run per iteration); each iteration
+    is one src-keyed hash equi-join + one dst-keyed combinable
+    aggregate — the standard Pregel shape, n_iters bounded exchanges,
+    no window, nothing wider than (node, decimal) anywhere.
+    """
+    fwd = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    rev = edges.select(
+        F.col(b_col).alias("src"), F.col(a_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    both = fwd.unionAll(rev)
+    wtot = both.groupBy("src").agg(F.sum("w").alias("_wtot"))
+    trans = (
+        both.join(wtot, "src")
+        .select("src", "dst", (F.col("w") / F.col("_wtot")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = trans.select(F.col("src").alias("node")).distinct()
+    n = nodes.count()  # config-sized scalar (the CC convergence convention)
+    dec = "decimal(28,12)"
+    if n == 0:  # no edges above threshold: empty ranking, stable schema
+        return nodes.select("node", F.lit(None).cast("double").alias("rank"))
+    teleport = round((1.0 - damping) / n, 12)
+    ranks = nodes.select(
+        "node", F.lit(round(1.0 / n, 12)).cast(dec).alias("rank")
+    )
+    for _ in range(n_iters):
+        contrib = (
+            trans.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(
+                    damping * F.col("rank").cast("double") * F.col("p"), 12
+                ).cast(dec).alias("_c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("_c").cast(dec).alias("_in"))
+        )
+        # every node has out-edges (undirected graph), so the join back
+        # to the node list only fills nodes that received no mass
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport).cast(dec)
+                + F.coalesce(F.col("_in"), F.lit(0).cast(dec))
+            ).cast(dec).alias("rank"),
+        )
+    return ranks.select(
+        "node", F.round(F.col("rank").cast("double"), 6).alias("rank")
+    )
+
+
+def doc_pagerank(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.3,
+    damping: float = 0.85,
+    n_iters: int = 8,
+) -> DataFrame:
+    """PageRank centrality over the exact-Jaccard-weighted near-dup
+    graph (LSH candidates at ``jaccard ≥ min_jaccard``) — see
+    :func:`pagerank`."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    cand = lsh_candidate_pairs(sig, id_col).select("id_a", "id_b")
+    ta = docs.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = docs.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    edges = ngram_jaccard_pairs(cand.join(ta, "id_a").join(tb, "id_b")).filter(
+        F.col("jaccard") >= min_jaccard
+    ).select("id_a", "id_b", F.col("jaccard").alias("weight"))
+    return pagerank(
+        edges, damping=damping, n_iters=n_iters
+    ).withColumnRenamed("node", "doc_id")
+
+
+def sql_doc_pagerank(
+    min_jaccard: float = 0.3,
+    damping: float = 0.85,
+    n_iters: int = 8,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    """Unrolled fixed-iteration oracle: the banded-candidate + exact
+    Jaccard edge list, then n_iters chained CTEs replaying the
+    12-dp-quantized power iteration."""
+    rows = num_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        cols = " || '_' || ".join(
+            f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, md5({cols}) AS band_hash FROM sig"
+        )
+    melt = "\n  UNION ALL\n  ".join(band_selects)
+    jac = (
+        "round(len(list_intersect(sha.s, shb.s))"
+        " / len(list_distinct(sha.s || shb.s))::DOUBLE, 6)"
+    )
+    iters = []
+    prev = "r0"
+    for i in range(1, n_iters + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.node,
+         CAST(CAST(round((1.0 - {damping}) / (SELECT n FROM nn), 12)
+                   AS DECIMAL(28,12))
+              + coalesce(c.inmass, CAST(0 AS DECIMAL(28,12)))
+              AS DECIMAL(28,12)) AS rank
+  FROM nodes n
+  LEFT JOIN (
+    SELECT t.dst AS node,
+           CAST(sum(CAST(round({damping} * r.rank::DOUBLE * t.p, 12)
+                         AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS inmass
+    FROM trans t JOIN {prev} r ON r.node = t.src
+    GROUP BY 1) c ON c.node = n.node)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_sql_minhash_ctes(num_hashes, shingle_n)},
+melt0 AS (
+  {melt}),
+melt AS (
+  SELECT * FROM melt0
+  QUALIFY count(*) OVER (PARTITION BY band_id, band_hash) <= {max_bucket}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM melt a JOIN melt b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+shl AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, greatest(len(t) - {shingle_n - 1}, 1)),
+                 i -> array_to_string(t[i : i + {shingle_n - 1}], ' '))) AS s
+        FROM toks2),
+edges AS (
+  SELECT p.id_a, p.id_b, {jac} AS w
+  FROM pairs p
+  JOIN shl sha ON sha.doc_id = p.id_a
+  JOIN shl shb ON shb.doc_id = p.id_b
+  WHERE {jac} >= {min_jaccard}),
+bidir AS (
+  SELECT id_a AS src, id_b AS dst, w FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst, w FROM edges),
+wtot AS (SELECT src, sum(w) AS wt FROM bidir GROUP BY 1),
+trans AS (
+  SELECT b.src, b.dst, b.w / t.wt AS p FROM bidir b JOIN wtot t USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM trans),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (
+  SELECT node,
+         CAST(round(1.0 / (SELECT n FROM nn), 12) AS DECIMAL(28,12)) AS rank
+  FROM nodes),{','.join(iters)}
+SELECT node AS doc_id, round(rank::DOUBLE, 6) AS rank FROM {prev}
+"""

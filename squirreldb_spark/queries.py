@@ -3527,6 +3527,14 @@ def q_ev_cohort_ltv(spark, sf_dir):
     return pevents.cohort_ltv(_events(spark, sf_dir))
 
 
+def q_doc_pagerank(spark, sf_dir):
+    """Weighted PageRank centrality over the exact-Jaccard near-dup
+    graph (8 fixed power iterations, DECIMAL-quantized so the unrolled
+    DuckDB oracle matches exactly) - the canonical-variant selection
+    signal inside duplicate clusters (pipeline/dedup.py doc_pagerank)."""
+    return pdedup.doc_pagerank(_docs(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4178,6 +4186,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     "ev_ab_test": QueryDef(q_ev_ab_test, pevents.sql_ab_test()),
     "ev_cohort_ltv": QueryDef(q_ev_cohort_ltv, pevents.sql_cohort_ltv()),
+    "doc_pagerank": QueryDef(q_doc_pagerank, pdedup.sql_doc_pagerank()),
 }
 
 
@@ -4194,7 +4203,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (computed at r11 while rotating this window): after the
 # r11 window attests its 50 rows, the oldest remaining attestations are
-# the 15 spilled r5 rows (ts_date_functions, ts_export_pivot,
+# the 16 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
 # ts_import_roundtrip,
 # ts_index_verify, ts_label_join, ts_label_replace, doc_bpe_tokens,
 # doc_simhash, emb_ann_lsh, emb_cosine_knn, emb_neardup_pairs,
@@ -4212,7 +4221,7 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 54 rows; the r12 window takes (0) any new/changed
+# ts_tenant_filter) = 55 rows; the r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
 #
@@ -4229,6 +4238,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_split_leakage_rate",
     "ev_ab_test",
     "ev_cohort_ltv",
+    "doc_pagerank",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4239,8 +4249,8 @@ _VERIFY_FIRST: list[str] = [
     "emb_dim_variance",
     "doc_minhash_k_sweep",
     # --- (2) r5-era backfill: the cohort the r10 verdict queued for this
-    # window (oldest remaining attestations; the 15 r5 rows displaced by
-    # the 10 new kernels — ts_date_functions, ts_export_pivot,
+    # window (oldest remaining attestations; the 16 r5 rows displaced by
+    # the 11 new kernels — ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
     # ts_import_roundtrip,
     # ts_index_verify, ts_label_join, ts_label_replace,
     # doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
@@ -4281,7 +4291,6 @@ _VERIFY_FIRST: list[str] = [
     "ts_predict_linear",
     "ts_deriv",
     "ts_absent",
-    "ts_agg_quantile_by",
 ]
 
 

@@ -2493,3 +2493,39 @@ def test_no_duplicate_defs_or_catalog_keys():
                         if isinstance(k, ast.Constant) and isinstance(k.value, str)]
                 d = [k for k, c in collections.Counter(keys).items() if c > 1]
                 assert not d, f"{path.name}: duplicate catalog keys {d}"
+
+
+def test_pagerank_two_node_fixed_point_and_star(spark):
+    """A symmetric two-node graph sits at the uniform fixed point
+    (0.5/0.5 through every iteration); a 3-leaf star matches a direct
+    Python replay of the quantized power iteration."""
+    from decimal import Decimal
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    two = spark.createDataFrame(
+        [(0, 1, 1.0)], "id_a long, id_b long, weight double"
+    )
+    got = {r.node: r.rank for r in pdedup.pagerank(two).collect()}
+    assert got == {0: 0.5, 1: 0.5}
+
+    star = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)],
+        "id_a long, id_b long, weight double",
+    )
+    got = {r.node: r.rank for r in pdedup.pagerank(star).collect()}
+
+    # python replay with the kernel's exact quantization
+    trans = {(0, 1): 1 / 3, (0, 2): 1 / 3, (0, 3): 1 / 3,
+             (1, 0): 1.0, (2, 0): 1.0, (3, 0): 1.0}
+    ranks = {v: Decimal(str(round(0.25, 12))) for v in range(4)}
+    tele = Decimal(str(round(0.15 / 4, 12)))
+    for _ in range(8):
+        nxt = {v: tele for v in range(4)}
+        for (u, v), p in trans.items():
+            nxt[v] += Decimal(str(round(0.85 * float(ranks[u]) * p, 12)))
+        ranks = nxt
+    for v in range(4):
+        assert got[v] == round(float(ranks[v]), 6), (v, got[v], ranks[v])
+    # the hub out-ranks the leaves
+    assert got[0] > got[1] == got[2] == got[3]

@@ -1259,3 +1259,17 @@ def test_cohort_ltv_window_over_cohort_matrix(spark, sf_dir):
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
             assert "week_offset" in line, line.strip()[:200]
+
+
+def test_pagerank_iterations_are_hash_joins_no_text(spark, sf_dir):
+    """Each power iteration is a src-keyed hash equi-join + a combinable
+    dst aggregate over the checkpointed transition table — no theta
+    join, and document text never crosses a shuffle (the LSH edge
+    construction materializes before the loop)."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.doc_pagerank(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_pagerank")
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
