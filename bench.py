@@ -374,6 +374,46 @@ def _basis_delta(t_median: dict[str, float]) -> dict:
         return {"basis_round": None, "error": str(exc)[:120]}
 
 
+def qps_bench(spark, CATALOG) -> dict:
+    """Concurrent-querier throughput, mirroring the reference's SECOND
+    bench harness (tests/squirreldb-promql-bench/main.go:159-174: an
+    instant query and an optional 1 h query_range, 10 parallel queriers,
+    10 s run — the reference publishes the harness, not numbers).  Each
+    worker loops the full API path (parse → plan → execute, a fresh
+    DataFrame per request, like a real request handler); Spark schedules
+    the concurrent jobs across the local[N] cores.  Reported as QPS in
+    the final line; per-mode counts in bench_detail.json."""
+    import concurrent.futures
+
+    out = {}
+    for label, name in (("instant", "api_instant_query"),
+                        ("range_1h", "api_query_range")):
+        CATALOG[name].fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()  # warm the plan
+        t0 = time.perf_counter()
+        stop = t0 + 10.0
+
+        def worker(_):
+            n = 0
+            while time.perf_counter() < stop:
+                CATALOG[name].fn(spark, SF_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                n += 1
+            return n
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=10) as ex:
+            counts = list(ex.map(worker, range(10)))
+        dur = time.perf_counter() - t0
+        out[label] = {
+            "queries": sum(counts),
+            "duration_sec": round(dur, 2),
+            "qps": round(sum(counts) / dur, 1),
+        }
+    return out
+
+
 def main() -> None:
     import subprocess
     import tempfile
@@ -428,6 +468,7 @@ def main() -> None:
         i_samples[name] = runs
 
     ingest = ingest_bench(spark)
+    qps = qps_bench(spark, CATALOG)
 
     sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -452,6 +493,7 @@ def main() -> None:
         "buff_cache_gb_pre": buff_cache_pre,
         "buff_cache_gb_post": _buff_cache_gb(),
         "basis": _basis_delta(t_median),
+        "qps_detail": qps,
     }
     # Round-5's single enriched line outgrew the driver's tail capture
     # (BENCH_r05 parsed: null).  The samples/median/spread detail now goes
@@ -481,6 +523,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "ingest": ingest,
+        "qps": {k: v["qps"] for k, v in qps.items()},
         "basis": detail["basis"],
         "sf": sf,
     }
