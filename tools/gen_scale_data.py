@@ -156,6 +156,31 @@ def gen_events_adversarial(n: int, rng: np.random.Generator):
     })
 
 
+def gen_documents_adversarial(fitted: dict, n: int,
+                              rng: np.random.Generator, p_sub: float = 0.02):
+    """ADVERSARIAL near-dup corpus for the hot-bucket-cap check: every
+    document is a light (2% word substitution) mutation of ONE 60-word
+    base, so MinHash bands collide massively — without the MAX_BUCKET
+    cap the banded self-join would emit ~n^2/2 candidate pairs.  The
+    cap's documented contract is that candidate generation stays
+    bounded; this corpus measures it instead of asserting it."""
+    vocab = np.array(fitted["vocab"])
+    base = rng.choice(vocab, size=60, p=fitted["wp"])
+    texts = []
+    for _ in range(n):
+        w = base.copy()
+        sub = rng.random(len(w)) < p_sub
+        w[sub] = rng.choice(vocab, size=int(sub.sum()), p=fitted["wp"])
+        texts.append(" ".join(w))
+    return pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([f"s{i % 20}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=float, default=10.0)
@@ -166,9 +191,18 @@ def main() -> None:
                     help="ALSO write an N-row adversarial continuous-gap "
                          "events.parquet (and nothing else if --events-only)")
     ap.add_argument("--events-only", action="store_true")
+    ap.add_argument("--adv-docs", type=int, default=0, metavar="N",
+                    help="write ONLY an N-row adversarial all-near-dup "
+                         "documents.parquet (hot-bucket-cap check)")
     args = ap.parse_args()
     rng = np.random.default_rng(42)
     os.makedirs(args.out, exist_ok=True)
+    if args.adv_docs:
+        fitted = fit_documents(BASE)
+        docs = gen_documents_adversarial(fitted, args.adv_docs, rng)
+        pq.write_table(docs, os.path.join(args.out, "documents.parquet"))
+        print(f"wrote {docs.num_rows} adversarial near-dup docs -> {args.out}")
+        return
     if args.events:
         ev = gen_events_adversarial(args.events, rng)
         pq.write_table(ev, os.path.join(args.out, "events.parquet"))
