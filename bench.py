@@ -162,6 +162,9 @@ SECONDARY_QUERIES = [
     "doc_split_leakage_rate",
     "ev_ab_test",
     "ev_cohort_ltv",
+    "ev_cusum_changepoint",
+    "ev_benford",
+    "ev_lag_autocorr",
 ]
 
 

@@ -3252,3 +3252,314 @@ SELECT c.cohort_week, c.week_offset, s.cohort_users,
              / s.cohort_users, 6) AS cum_ltv_per_user
 FROM cells c JOIN sizes s USING (cohort_week)
 """
+
+
+# --------------------------------------- CUSUM change-point detection
+
+def cusum_changepoint(events: DataFrame, day_ms: int = _DAY_MS) -> DataFrame:
+    """Per-type CUSUM change-point over daily event volumes: the day
+    ``d`` maximizing ``|S_d|``, ``S_d = Σ_{i<=d} (n_i − n̄)`` — the
+    classic cumulative-sum estimator of a single mean shift (Page 1954;
+    Taylor's CUSUM changepoint procedure).  Output per event type: the
+    detected day, ``max |S|`` (the shift evidence mass), and the
+    before/after daily means whose difference is the estimated shift —
+    the volume-drift alarm that complements ``ev_anomaly_mad``'s
+    single-day outliers (a level SHIFT is precisely what MAD flags
+    poorly: after a few days the new level recentres the median).
+
+    Scale shape: the (type, day) rollup is the only corpus-sized
+    exchange (map-side combinable counts); the cumulative window and
+    the argmax ranking run over the ~types x days bucket table.  Engine
+    parity: prefix sums and row counters stay exact longs; the float
+    mean enters each row's ``S_d`` once, via the same expression both
+    engines evaluate (``cum − k·(tot/n_days)``), and the ranking key is
+    the 6-dp-rounded ``|S_d|`` with the day as tie-break.
+    """
+    daily = events.groupBy(
+        "event_type", F.floor(F.col("ts") / day_ms).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("n").alias("_tot"), F.count(F.lit(1)).alias("n_days")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scored = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn("_k", F.count(F.lit(1)).over(wcum))
+        .withColumn("_cum", F.sum("n").over(wcum))
+        .withColumn(
+            "abs_s",
+            F.round(
+                F.abs(
+                    F.col("_cum")
+                    - F.col("_k") * (F.col("_tot") / F.col("n_days"))
+                ),
+                6,
+            ),
+        )
+    )
+    wrank = Window.partitionBy("event_type").orderBy(
+        F.desc("abs_s"), F.asc("day")
+    )
+    best = scored.withColumn("_rnk", F.row_number().over(wrank)).filter(
+        F.col("_rnk") == 1
+    )
+    mean_before = F.round(F.col("_cum") / F.col("_k"), 6)
+    mean_after = F.when(
+        F.col("n_days") > F.col("_k"),
+        F.round(
+            (F.col("_tot") - F.col("_cum")) / (F.col("n_days") - F.col("_k")),
+            6,
+        ),
+    )
+    return best.select(
+        "event_type",
+        (F.col("day") * day_ms).cast("long").alias("cp_day_ms"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("abs_s").alias("s_max"),
+        mean_before.alias("mean_before"),
+        mean_after.alias("mean_after"),
+        F.round(mean_after - mean_before, 6).alias("shift"),
+    )
+
+
+def sql_cusum_changepoint(day_ms: int = _DAY_MS) -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch_ms(ts) / {day_ms}) AS BIGINT) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+tot AS (
+  SELECT event_type, sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_days
+  FROM daily GROUP BY 1),
+cum AS (
+  SELECT d.event_type, d.day, t.tot, t.n_days,
+         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS k,
+         sum(d.n) OVER (PARTITION BY d.event_type ORDER BY d.day
+                        ROWS UNBOUNDED PRECEDING) AS cumn
+  FROM daily d JOIN tot t USING (event_type)),
+scored AS (
+  SELECT *, round(abs(cumn - k * (tot / n_days)), 6) AS abs_s FROM cum),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY abs_s DESC, day) AS rnk
+  FROM scored)
+SELECT event_type, (day * {day_ms})::BIGINT AS cp_day_ms, n_days,
+       abs_s AS s_max,
+       round(cumn / k, 6) AS mean_before,
+       CASE WHEN n_days > k
+            THEN round((tot - cumn) / (n_days - k), 6) END AS mean_after,
+       CASE WHEN n_days > k
+            THEN round(round((tot - cumn) / (n_days - k), 6)
+                       - round(cumn / k, 6), 6) END AS shift
+FROM best WHERE rnk = 1
+"""
+
+
+# --------------------------------------- Benford first-digit audit
+
+#: Benford's-law first-digit probabilities log10(1 + 1/d), embedded as
+#: identical 17-significant-digit literals in BOTH engines so no libm
+#: log10 call participates in the parity-gated arithmetic.
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+
+def benford_deviation(events: DataFrame) -> DataFrame:
+    """Benford's-law first-significant-digit audit of the ``value``
+    measure, per event type: observed digit distribution vs
+    ``P(d) = log10(1 + 1/d)``, summarized as the chi-square statistic,
+    the leading-1 share, and the largest per-digit share deviation —
+    the standard forensic data-quality screen for fabricated or
+    unit-mangled numeric feeds (Nigrini 2012).  A synthetic uniform
+    feed FAILS Benford loudly (huge chi2) — that is the point: the
+    operator measures deviation, it does not assume conformance.
+
+    Scale shape: one corpus projection computes each row's first digit
+    (two scalar fns, no UDF), then a (type, digit) combinable rollup
+    bounds everything downstream at <= 9·|types| rows.  Engine parity:
+    the digit comes from ``floor(v / 10^floor(log10 v))`` (clamped to
+    [1, 9]); each digit's chi-square term is 12-dp-quantized into
+    DECIMAL so the <= 9-term sum is addition-order-exact; zero-count
+    digits enter through the ``n + Σ(term − e)`` decomposition (their
+    ``(0−e)²/e = e`` cancels), so the statistic covers all nine digits
+    even when a digit never occurs.
+    """
+    v = F.col("value")
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v)))).cast("int")
+    per = (
+        events.filter(v > 0)
+        .select(
+            "event_type",
+            F.least(F.greatest(digit, F.lit(1)), F.lit(9)).alias("digit"),
+        )
+        .groupBy("event_type", "digit")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    n = F.sum("obs").over(Window.partitionBy("event_type"))
+    p = F.element_at(
+        F.array(*[F.lit(_BENFORD_P[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    e = n * p
+    term = F.round((F.col("obs") - e) * (F.col("obs") - e) / e - e, 12).cast(
+        "decimal(25,12)"
+    )
+    scored = per.withColumn("_n", n).withColumn("_term", term).withColumn(
+        "_dev", F.round(F.abs(F.col("obs") / n - p), 6)
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("_n").cast("long").alias("n_pos"),
+            F.round(
+                F.max("_n") + F.sum("_term").cast("decimal(38,12)").cast("double"),
+                6,
+            ).alias("chi2"),
+            F.round(
+                F.sum(F.when(F.col("digit") == 1, F.col("obs")).otherwise(0))
+                / F.max("_n"),
+                6,
+            ).alias("d1_share"),
+            F.max("_dev").alias("max_abs_dev"),
+        )
+    )
+
+
+def sql_benford_deviation() -> str:
+    parr = ", ".join(repr(_BENFORD_P[d]) for d in range(1, 10))
+    return f"""
+WITH pos AS (
+  SELECT event_type,
+         least(greatest(CAST(floor(value / pow(10, floor(log10(value))))
+                             AS INT), 1), 9) AS digit
+  FROM events WHERE value > 0),
+per AS (
+  SELECT event_type, digit, count(*)::BIGINT AS obs FROM pos GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, digit, obs,
+         sum(obs) OVER (PARTITION BY event_type) AS n,
+         [{parr}][digit] AS p
+  FROM per)
+SELECT event_type,
+       max(n)::BIGINT AS n_pos,
+       round(max(n) + sum(CAST(round((obs - n * p) * (obs - n * p) / (n * p)
+                                     - n * p, 12) AS DECIMAL(25,12)))::DOUBLE,
+             6) AS chi2,
+       round(sum(CASE WHEN digit = 1 THEN obs ELSE 0 END) / max(n), 6)
+         AS d1_share,
+       max(round(abs(obs / n - p), 6)) AS max_abs_dev
+FROM scored GROUP BY 1
+"""
+
+
+# --------------------------------------- daily-volume autocorrelation
+
+def lag_autocorr(
+    events: DataFrame,
+    lags: tuple[int, ...] = (1, 2, 3, 7),
+    day_ms: int = _DAY_MS,
+) -> DataFrame:
+    """Autocorrelation of per-type daily event volumes at calendar lags
+    (default 1/2/3/7 days): ``r_l = Σ(x_t−x̄)(x_{t−l}−x̄) / Σ(x_t−x̄)²``
+    with the global mean/variance as the normalizer — the standard
+    sample ACF.  A strong ``r_7`` is the weekly-seasonality detector
+    that justifies ``ev_anomaly_seasonal``'s day-of-week baseline; a
+    near-zero one says the seasonal model is overfit.  Lags are joined
+    on the CALENDAR day grid (day = day − l), so missing days pair with
+    nothing rather than silently shifting the series.
+
+    Scale shape: the (type, day) rollup is the only corpus-sized
+    exchange; the per-lag pairing is an equi-join of the tiny bucket
+    table against its lag-exploded twin (<= |lags|·|buckets| rows) and
+    every aggregate input (``Σxy, Σx, Σy``) stays an exact long, so the
+    closing double arithmetic is one identical expression per engine.
+    """
+    daily = events.groupBy(
+        "event_type", F.floor(F.col("ts") / day_ms).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n").alias("_tot"),
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+    )
+    cur = daily.select("event_type", "day", F.col("n").alias("x"))
+    past = (
+        daily.withColumn(
+            "lag", F.explode(F.array(*[F.lit(int(l)) for l in lags]))
+        )
+        .select(
+            "event_type",
+            "lag",
+            (F.col("day") + F.col("lag")).alias("day"),
+            F.col("n").alias("y"),
+        )
+    )
+    pairs = cur.join(past, ["event_type", "day"]).groupBy(
+        "event_type", "lag"
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+    )
+    j = pairs.join(F.broadcast(stats), "event_type")
+    mu = F.col("_tot") / F.col("n_days")
+    num = (
+        F.col("_sxy")
+        - mu * F.col("_sx")
+        - mu * F.col("_sy")
+        + F.col("n_pairs") * mu * mu
+    )
+    den = F.col("_ss") - F.col("n_days") * mu * mu
+    return j.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.when(den > 0, F.round(num / den, 6)).alias("acf"),
+    ).orderBy("event_type", "lag")
+
+
+def sql_lag_autocorr(
+    lags: tuple[int, ...] = (1, 2, 3, 7), day_ms: int = _DAY_MS
+) -> str:
+    larr = ", ".join(str(int(l)) for l in lags)
+    return f"""
+WITH daily AS (
+  SELECT event_type, CAST(floor(epoch_ms(ts) / {day_ms}) AS BIGINT) AS day,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+stats AS (
+  SELECT event_type, sum(n)::BIGINT AS tot, count(*)::BIGINT AS n_days,
+         sum(n * n)::BIGINT AS ss
+  FROM daily GROUP BY 1),
+past AS (
+  SELECT event_type, l.lag, day + l.lag AS day, n AS y
+  FROM daily, (SELECT unnest([{larr}]) AS lag) l),
+pairs AS (
+  SELECT c.event_type, p.lag, count(*)::BIGINT AS n_pairs,
+         sum(c.n * p.y)::BIGINT AS sxy, sum(c.n)::BIGINT AS sx,
+         sum(p.y)::BIGINT AS sy
+  FROM daily c JOIN past p ON c.event_type = p.event_type AND c.day = p.day
+  GROUP BY 1, 2)
+SELECT pr.event_type, pr.lag::INT AS lag, pr.n_pairs,
+       CASE WHEN s.ss - s.n_days * (s.tot / s.n_days) * (s.tot / s.n_days) > 0
+            THEN round((pr.sxy - (s.tot / s.n_days) * pr.sx
+                        - (s.tot / s.n_days) * pr.sy
+                        + pr.n_pairs * (s.tot / s.n_days) * (s.tot / s.n_days))
+                       / (s.ss - s.n_days * (s.tot / s.n_days)
+                          * (s.tot / s.n_days)), 6) END AS acf
+FROM pairs pr JOIN stats s USING (event_type)
+ORDER BY 1, 2
+"""

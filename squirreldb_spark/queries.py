@@ -3535,6 +3535,27 @@ def q_doc_pagerank(spark, sf_dir):
     return pdedup.doc_pagerank(_docs(spark, sf_dir))
 
 
+def q_ev_cusum_changepoint(spark, sf_dir):
+    """CUSUM mean-shift change-point over per-type daily event volumes
+    (Page 1954): detected day, max |S|, before/after means
+    (pipeline/events.py cusum_changepoint)."""
+    return pevents.cusum_changepoint(_events(spark, sf_dir))
+
+
+def q_ev_benford(spark, sf_dir):
+    """Benford first-significant-digit audit of the value measure per
+    event type: chi-square vs log10(1+1/d), leading-1 share, max digit
+    deviation (pipeline/events.py benford_deviation)."""
+    return pevents.benford_deviation(_events(spark, sf_dir))
+
+
+def q_ev_lag_autocorr(spark, sf_dir):
+    """Sample ACF of per-type daily volumes at calendar lags 1/2/3/7 —
+    the weekly-seasonality detector behind anomaly_seasonal's baseline
+    (pipeline/events.py lag_autocorr)."""
+    return pevents.lag_autocorr(_events(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4187,6 +4208,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_ab_test": QueryDef(q_ev_ab_test, pevents.sql_ab_test()),
     "ev_cohort_ltv": QueryDef(q_ev_cohort_ltv, pevents.sql_cohort_ltv()),
     "doc_pagerank": QueryDef(q_doc_pagerank, pdedup.sql_doc_pagerank()),
+    # CUSUM daily-volume change-point per event type
+    "ev_cusum_changepoint": QueryDef(
+        q_ev_cusum_changepoint, pevents.sql_cusum_changepoint()
+    ),
+    # Benford first-digit forensic audit of the value measure
+    "ev_benford": QueryDef(q_ev_benford, pevents.sql_benford_deviation()),
+    # daily-volume autocorrelation at calendar lags (seasonality detector)
+    "ev_lag_autocorr": QueryDef(q_ev_lag_autocorr, pevents.sql_lag_autocorr()),
 }
 
 
@@ -4221,7 +4250,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 55 rows; the r12 window takes (0) any new/changed
+# ts_tenant_filter) = 55 rows, plus the three r5 rows the session-2
+# kernels displaced from this window (ts_predict_linear, ts_deriv,
+# ts_absent) = 58 rows; the r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
 #
@@ -4239,6 +4270,9 @@ _VERIFY_FIRST: list[str] = [
     "ev_ab_test",
     "ev_cohort_ltv",
     "doc_pagerank",
+    "ev_cusum_changepoint",
+    "ev_benford",
+    "ev_lag_autocorr",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4288,9 +4322,8 @@ _VERIFY_FIRST: list[str] = [
     "ts_quantile_over_time",
     "ts_preagg_route_rate",
     "ts_mad_over_time",
-    "ts_predict_linear",
-    "ts_deriv",
-    "ts_absent",
+    # (ts_predict_linear, ts_deriv, ts_absent spilled to the r12 queue
+    # when the three session-2 kernels above took their window slots)
 ]
 
 

@@ -2529,3 +2529,106 @@ def test_pagerank_two_node_fixed_point_and_star(spark):
         assert got[v] == round(float(ranks[v]), 6), (v, got[v], ranks[v])
     # the hub out-ranks the leaves
     assert got[0] > got[1] == got[2] == got[3]
+
+
+def test_cusum_changepoint_hand_shift(spark):
+    """Daily counts [10, 10, 20, 20]: mean 15, S = [-5, -10, -5, 0] —
+    change-point at day 1 with |S| = 10, means 10 -> 20."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    rows = []
+    eid = 0
+    for day, n in enumerate([10, 10, 20, 20]):
+        for i in range(n):
+            rows.append((1, eid, day * DAY + i, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    r = pevents.cusum_changepoint(ev).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.cp_day_ms == DAY and r.n_days == 4
+    assert r.s_max == 10.0
+    assert r.mean_before == 10.0 and r.mean_after == 20.0 and r.shift == 10.0
+
+
+def test_benford_deviation_hand_chi2(spark):
+    """Values [1.5, 19, 0.12, 2.3, 35] -> digits [1, 1, 1, 2, 3];
+    chi2/d1_share/max_abs_dev recomputed with the kernel's own
+    quantization recipe."""
+    from squirreldb_spark.pipeline import events as pevents
+    from squirreldb_spark.pipeline.events import _BENFORD_P
+
+    vals = [1.5, 19.0, 0.12, 2.3, 35.0]
+    ev = spark.createDataFrame(
+        [(1, i, i, "click", v) for i, v in enumerate(vals)],
+        "user_id long, event_id long, ts long, event_type string, value double",
+    )
+    r = pevents.benford_deviation(ev).collect()
+    assert len(r) == 1
+    r = r[0]
+    assert r.n_pos == 5 and r.d1_share == 0.6
+    obs = {1: 3, 2: 1, 3: 1}
+    n = 5
+    chi2 = n + sum(
+        round((o - n * _BENFORD_P[d]) ** 2 / (n * _BENFORD_P[d])
+              - n * _BENFORD_P[d], 12)
+        for d, o in obs.items()
+    )
+    assert r.chi2 == round(chi2, 6)
+    assert r.max_abs_dev == max(
+        round(abs(o / n - _BENFORD_P[d]), 6) for d, o in obs.items()
+    )
+
+
+def test_benford_zero_and_negative_values_excluded(spark):
+    """Non-positive values have no first significant digit; they must
+    not reach the digit extraction (log10 of <= 0)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = spark.createDataFrame(
+        [(1, 0, 0, "click", -5.0), (1, 1, 1, "click", 0.0),
+         (1, 2, 2, "click", 42.0)],
+        "user_id long, event_id long, ts long, event_type string, value double",
+    )
+    r = pevents.benford_deviation(ev).collect()[0]
+    assert r.n_pos == 1 and r.d1_share == 0.0
+
+
+def test_lag_autocorr_hand_acf(spark):
+    """Daily counts [1, 2, 3, 4]: mu = 2.5, denom = 5; hand ACF
+    r1 = 0.25, r2 = -0.3, r3 = -0.45; lag 7 has no pairs (no row)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    rows = []
+    eid = 0
+    for day, n in enumerate([1, 2, 3, 4]):
+        for i in range(n):
+            rows.append((1, eid, day * DAY + i, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.lag: r for r in pevents.lag_autocorr(ev).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_pairs == 3 and out[1].acf == 0.25
+    assert out[2].n_pairs == 2 and out[2].acf == -0.3
+    assert out[3].n_pairs == 1 and out[3].acf == -0.45
+
+
+def test_lag_autocorr_missing_days_pair_on_calendar(spark):
+    """A gap in the calendar must not let lag-1 pair across it: days
+    [0, 2] produce no lag-1 pair but one lag-2 pair."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    DAY = 86_400_000
+    ev = spark.createDataFrame(
+        [(1, 0, 0, "click"), (1, 1, 2 * DAY, "click"),
+         (1, 2, 2 * DAY + 1, "click")],
+        "user_id long, event_id long, ts long, event_type string",
+    )
+    out = {r.lag: r for r in pevents.lag_autocorr(ev).collect()}
+    assert 1 not in out and out[2].n_pairs == 1

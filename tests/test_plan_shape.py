@@ -1273,3 +1273,50 @@ def test_pagerank_iterations_are_hash_joins_no_text(spark, sf_dir):
     assert_no_theta_joins(plan, "doc_pagerank")
     for cols in shuffle_exchange_outputs(df):
         assert "text" not in [c for c, _ in cols], cols
+
+
+def test_cusum_changepoint_windows_only_over_day_buckets(spark, sf_dir):
+    """The (type, day) rollup is the only corpus-sized exchange; both
+    windows (cumulative sum, argmax rank) partition by event_type over
+    the bucket table; no theta joins."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.cusum_changepoint(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_cusum_changepoint")
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "event_type" in line, line.strip()[:200]
+    for cols in shuffle_exchange_outputs(df):
+        names = [c for c, _ in cols]
+        assert "props" not in names and "value" not in names, names
+
+
+def test_benford_single_combinable_rollup(spark, sf_dir):
+    """The digit extraction is a scalar projection inside the scan; the
+    (type, digit) rollup is combinable (partial_count before exchange)
+    and bounds the chi-square stage at <= 9 x |types| rows."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.benford_deviation(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_benford")
+    assert "partial_count" in plan
+    for cols in shuffle_exchange_outputs(df):
+        names = [c for c, _ in cols]
+        assert "props" not in names and "value" not in names, names
+
+
+def test_lag_autocorr_equijoin_on_bucket_grid(spark, sf_dir):
+    """The per-lag pairing is an equi-join of the day-bucket table
+    against its lag-exploded twin — never a theta/range join — and no
+    window exists at all."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    df = pevents.lag_autocorr(model.load_table(spark, sf_dir, "events"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_lag_autocorr")
+    assert "Window" not in plan.replace("windowspecdefinition", "")
+    for cols in shuffle_exchange_outputs(df):
+        names = [c for c, _ in cols]
+        assert "props" not in names and "value" not in names, names
