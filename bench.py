@@ -165,6 +165,8 @@ SECONDARY_QUERIES = [
     "ev_cusum_changepoint",
     "ev_benford",
     "ev_lag_autocorr",
+    "emb_hubness",
+    "emb_intrinsic_dim",
 ]
 
 

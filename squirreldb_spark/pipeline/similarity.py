@@ -2302,3 +2302,245 @@ SELECT label::BIGINT AS label,
        round(e2::DOUBLE / n_vectors - nl::DOUBLE, 6) AS dispersion
 FROM per
 """
+
+
+# --------------------------------------------------- hubness (k-occurrence)
+
+def hubness(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hubness profile of the corpus's bucketed ANN k-NN graph: the
+    k-occurrence (in-degree) distribution summary — mean, skewness
+    (Radovanović et al. 2010's ``S_k``, THE hubness statistic), max,
+    hub count (in-degree ≥ 2k) and antihub count (in-degree 0).  High
+    positive skew says a few "hub" vectors appear in everyone's
+    neighbor list — an intrinsic-dimensionality symptom that silently
+    degrades ANN recall and dedup quality, which is why it sits next to
+    ``emb_qc`` in the embedding-QC family.
+
+    Scale shape: the k-NN graph reuses the attested hyperplane-LSH
+    serving shape (bucket equi-join, never all-pairs) and the shared
+    two-phase top-k kernel, so no task sorts a whole bucket's candidate
+    list; in-degrees are a register-width combinable rollup and the
+    closing moment fold sums EXACT integer powers (DECIMAL(38,0)), so
+    the skewness arithmetic is one identical double expression per
+    engine.  100×: bucket count scales with ``n_planes`` (config), the
+    per-bucket cap story is ``emb_ann_lsh``'s, and nothing after the
+    in-degree rollup sees corpus-sized data.
+    """
+    planes = hyperplanes(n_planes, dim)
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    q = bucketed.select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
+    )
+    j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    knn = _topk_per_query(scored, k, carry=[])
+    indeg = knn.groupBy("c_id").agg(F.count(F.lit(1)).alias("indeg"))
+    full = (
+        base.select(F.col(id_col).alias("c_id"))
+        .join(indeg, "c_id", "left")
+        .select(F.coalesce(F.col("indeg"), F.lit(0)).alias("indeg"))
+    )
+    agg = full.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("indeg").cast("decimal(38,0)").alias("_s1"),
+        F.sum(F.col("indeg") * F.col("indeg")).cast("decimal(38,0)").alias("_s2"),
+        F.sum(F.col("indeg") * F.col("indeg") * F.col("indeg"))
+        .cast("decimal(38,0)")
+        .alias("_s3"),
+        F.max("indeg").cast("long").alias("max_indeg"),
+        F.sum(F.when(F.col("indeg") >= 2 * k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hubs"),
+        F.sum(F.when(F.col("indeg") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_antihubs"),
+    )
+    n = F.col("_n")
+    m1 = F.col("_s1").cast("double") / n
+    m2 = F.col("_s2").cast("double") / n - m1 * m1
+    m3 = (
+        F.col("_s3").cast("double") / n
+        - 3 * m1 * (F.col("_s2").cast("double") / n)
+        + 2 * m1 * m1 * m1
+    )
+    return agg.select(
+        n.cast("long").alias("n_vectors"),
+        F.round(m1, 6).alias("mean_indeg"),
+        F.when(m2 > 0, F.round(m3 / F.pow(m2, F.lit(1.5)), 6)).alias(
+            "skewness"
+        ),
+        "max_indeg",
+        "n_hubs",
+        "n_antihubs",
+    )
+
+
+def sql_hubness(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+    planes = hyperplanes(n_planes, dim)
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (SELECT vec_id, v, {duck_bucket_expr('v', planes)} AS bucket FROM base),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored),
+indeg AS (
+  SELECT c_id, count(*)::BIGINT AS d FROM ranked WHERE rank <= {k} GROUP BY 1),
+alldeg AS (
+  SELECT coalesce(i.d, 0)::BIGINT AS indeg
+  FROM base b LEFT JOIN indeg i ON b.vec_id = i.c_id),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(indeg)::DECIMAL(38,0) AS s1,
+         sum(indeg * indeg)::DECIMAL(38,0) AS s2,
+         sum(indeg * indeg * indeg)::DECIMAL(38,0) AS s3,
+         max(indeg)::BIGINT AS max_indeg,
+         sum(CASE WHEN indeg >= {2 * k} THEN 1 ELSE 0 END)::BIGINT AS n_hubs,
+         sum(CASE WHEN indeg = 0 THEN 1 ELSE 0 END)::BIGINT AS n_antihubs
+  FROM alldeg)
+SELECT n AS n_vectors,
+       round(s1::DOUBLE / n, 6) AS mean_indeg,
+       CASE WHEN s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n) > 0
+            THEN round((s3::DOUBLE / n
+                        - 3 * (s1::DOUBLE / n) * (s2::DOUBLE / n)
+                        + 2 * (s1::DOUBLE / n) * (s1::DOUBLE / n)
+                          * (s1::DOUBLE / n))
+                       / pow(s2::DOUBLE / n
+                             - (s1::DOUBLE / n) * (s1::DOUBLE / n), 1.5), 6)
+       END AS skewness,
+       max_indeg, n_hubs, n_antihubs
+FROM agg
+"""
+
+
+# ------------------------------------------- TwoNN intrinsic dimension
+
+_DSQ = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0D, (acc, v) -> acc + v)"
+)
+
+_DUCK_DSQ = (
+    "list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+)
+
+
+def intrinsic_dim(
+    emb: DataFrame,
+    n_queries: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
+    query point, μ = d₂/d₁ (the ratio of its second- to first-nearest
+    Euclidean neighbor distance); the MLE is ``d̂ = n / Σ ln μᵢ``.  The
+    one-number answer to "do these 64-dim embeddings actually live on a
+    64-dim manifold?" — a low d̂ says aggressive Matryoshka/PQ
+    compression (``emb_matryoshka_recall``, ``emb_pq_distortion``) is
+    safe; d̂ near the ambient dimension says it is not.
+
+    Scale shape: the query set is a FIXED budget (first ``n_queries``
+    ids — the estimator needs a few hundred points regardless of corpus
+    size; swap the predicate for a hash sample at deployment), so the
+    scored pass is a broadcast of the query block against one corpus
+    scan — exactly ``emb_cosine_knn``'s attested shape — and the 2-NN
+    selection reuses the shared two-phase top-k kernel.  Engine parity:
+    squared distances are 6-dp-rounded before ranking (id tie-break);
+    each ln μ is 12-dp-DECIMAL-quantized so the MLE's log-sum is
+    addition-order-exact; exact-duplicate queries (d₁ = 0) are dropped
+    on both engines, as in the paper.
+    """
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    q = base.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+    )
+    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    scored = j.withColumn(
+        "dsq", F.round(F.expr(_DSQ.format(a="qv", b="cv")), 6)
+    )
+    two = two_phase_topk(
+        scored,
+        ["q_id"],
+        [F.asc("dsq"), F.asc("c_id")],
+        2,
+        shard_cols=["c_id"],
+        rank_col="rank",
+    )
+    per = two.groupBy("q_id").agg(
+        F.min(F.when(F.col("rank") == 1, F.col("dsq"))).alias("d1"),
+        F.min(F.when(F.col("rank") == 2, F.col("dsq"))).alias("d2"),
+    )
+    ok = per.filter((F.col("d1") > 0) & F.col("d2").isNotNull())
+    lnmu = F.round(0.5 * F.log(F.col("d2") / F.col("d1")), 12).cast(
+        "decimal(25,12)"
+    )
+    mu = F.round(F.sqrt(F.col("d2") / F.col("d1")), 12).cast("decimal(25,12)")
+    agg = ok.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(lnmu).cast("decimal(38,12)").alias("_lsum"),
+        F.sum(mu).cast("decimal(38,12)").alias("_msum"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_queries"),
+        F.round(F.col("_msum").cast("double") / F.col("_n"), 6).alias(
+            "mean_mu"
+        ),
+        F.when(
+            F.col("_lsum").cast("double") > 0,
+            F.round(F.col("_n") / F.col("_lsum").cast("double"), 6),
+        ).alias("id_twonn"),
+    )
+
+
+def sql_intrinsic_dim(n_queries: int = 200) -> str:
+    dsq = _DUCK_DSQ.format(a="qv", b="cv")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id < {n_queries}),
+c AS (SELECT vec_id AS c_id, v AS cv FROM base),
+scored AS (
+  SELECT q_id, c_id, round({dsq}, 6) AS dsq
+  FROM c, q WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY dsq, c_id) AS rank
+  FROM scored),
+per AS (
+  SELECT q_id,
+         min(CASE WHEN rank = 1 THEN dsq END) AS d1,
+         min(CASE WHEN rank = 2 THEN dsq END) AS d2
+  FROM ranked WHERE rank <= 2 GROUP BY 1),
+ok AS (SELECT * FROM per WHERE d1 > 0 AND d2 IS NOT NULL),
+agg AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(round(0.5 * ln(d2 / d1), 12) AS DECIMAL(25,12)))
+           ::DECIMAL(38,12) AS lsum,
+         sum(CAST(round(sqrt(d2 / d1), 12) AS DECIMAL(25,12)))
+           ::DECIMAL(38,12) AS msum
+  FROM ok)
+SELECT n AS n_queries,
+       round(msum::DOUBLE / n, 6) AS mean_mu,
+       CASE WHEN lsum::DOUBLE > 0 THEN round(n / lsum::DOUBLE, 6) END
+         AS id_twonn
+FROM agg
+"""

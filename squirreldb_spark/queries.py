@@ -3535,6 +3535,22 @@ def q_doc_pagerank(spark, sf_dir):
     return pdedup.doc_pagerank(_docs(spark, sf_dir))
 
 
+def q_emb_hubness(spark, sf_dir):
+    """Hubness (k-occurrence) profile of the bucketed ANN k-NN graph:
+    mean/skewness/max in-degree, hub and antihub counts (Radovanovic's
+    S_k) (pipeline/similarity.py hubness)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.hubness(emb)
+
+
+def q_emb_intrinsic_dim(spark, sf_dir):
+    """TwoNN intrinsic-dimension MLE (Facco 2017) from 2-NN distance
+    ratios over a fixed query budget (pipeline/similarity.py
+    intrinsic_dim)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.intrinsic_dim(emb)
+
+
 def q_ev_cusum_changepoint(spark, sf_dir):
     """CUSUM mean-shift change-point over per-type daily event volumes
     (Page 1954): detected day, max |S|, before/after means
@@ -4216,6 +4232,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "ev_benford": QueryDef(q_ev_benford, pevents.sql_benford_deviation()),
     # daily-volume autocorrelation at calendar lags (seasonality detector)
     "ev_lag_autocorr": QueryDef(q_ev_lag_autocorr, pevents.sql_lag_autocorr()),
+    # k-occurrence hubness profile of the ANN graph (embedding QC)
+    "emb_hubness": QueryDef(q_emb_hubness, psim.sql_hubness()),
+    # TwoNN intrinsic-dimension estimate (compression-safety signal)
+    "emb_intrinsic_dim": QueryDef(q_emb_intrinsic_dim, psim.sql_intrinsic_dim()),
 }
 
 
@@ -4250,9 +4270,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 55 rows, plus the three r5 rows the session-2
+# ts_tenant_filter) = 55 rows, plus the five r5 rows the session-2
 # kernels displaced from this window (ts_predict_linear, ts_deriv,
-# ts_absent) = 58 rows; the r12 window takes (0) any new/changed
+# ts_absent, ts_preagg_route_rate, ts_mad_over_time) = 60 rows; the
+# r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
 #
@@ -4273,6 +4294,8 @@ _VERIFY_FIRST: list[str] = [
     "ev_cusum_changepoint",
     "ev_benford",
     "ev_lag_autocorr",
+    "emb_hubness",
+    "emb_intrinsic_dim",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4320,10 +4343,9 @@ _VERIFY_FIRST: list[str] = [
     "ts_histogram_quantile",
     "ts_holt_winters",
     "ts_quantile_over_time",
-    "ts_preagg_route_rate",
-    "ts_mad_over_time",
-    # (ts_predict_linear, ts_deriv, ts_absent spilled to the r12 queue
-    # when the three session-2 kernels above took their window slots)
+    # (ts_preagg_route_rate, ts_mad_over_time, ts_predict_linear,
+    # ts_deriv, ts_absent spilled to the r12 queue when the five
+    # session-2 kernels above took their window slots)
 ]
 
 

@@ -2632,3 +2632,58 @@ def test_lag_autocorr_missing_days_pair_on_calendar(spark):
     )
     out = {r.lag: r for r in pevents.lag_autocorr(ev).collect()}
     assert 1 not in out and out[2].n_pairs == 1
+
+
+def test_hubness_hand_graph(spark):
+    """Four 2-D points at angles 0/10/80/180 deg, k=1, single bucket
+    (n_planes=0): NN graph a->b, b->a, c->b, d->c gives in-degrees
+    [1, 2, 1, 0] — mean 1, skew 0, one hub (b), one antihub (d)."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    emb = spark.createDataFrame(
+        [(0, at(0)), (1, at(10)), (2, at(80)), (3, at(180))],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.hubness(emb, k=1, n_planes=0, dim=2).collect()[0]
+    assert r.n_vectors == 4
+    assert r.mean_indeg == 1.0
+    assert r.skewness == 0.0
+    assert (r.max_indeg, r.n_hubs, r.n_antihubs) == (2, 1, 1)
+
+
+def test_intrinsic_dim_hand_line(spark):
+    """Collinear points 0/1/3/7 with 2 queries: mu ratios 3 and 2, so
+    mean_mu = 2.5 and d = 2 / (ln3 + ln2) with the kernel's 12-dp
+    per-term quantization."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [7.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.intrinsic_dim(emb, n_queries=2).collect()[0]
+    assert r.n_queries == 2
+    assert r.mean_mu == 2.5
+    lsum = round(0.5 * math.log(9.0), 12) + round(0.5 * math.log(4.0), 12)
+    assert r.id_twonn == round(2 / lsum, 6)
+
+
+def test_intrinsic_dim_drops_exact_duplicates(spark):
+    """A query with an exact duplicate (d1 = 0) must be excluded from
+    the MLE, as in the TwoNN paper."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [3.0, 0.0]), (3, [7.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.intrinsic_dim(emb, n_queries=1).collect()[0]
+    assert r.n_queries == 0

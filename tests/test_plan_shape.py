@@ -1320,3 +1320,32 @@ def test_lag_autocorr_equijoin_on_bucket_grid(spark, sf_dir):
     for cols in shuffle_exchange_outputs(df):
         names = [c for c, _ in cols]
         assert "props" not in names and "value" not in names, names
+
+
+def test_hubness_closing_moments_are_register_width(spark, sf_dir):
+    """The k-NN graph reuses the attested LSH bucket equi-join; after
+    the in-degree rollup no exchange carries a vector — the outermost
+    (final moment) exchange is register-width only."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.hubness(emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "emb_hubness")
+    outs = shuffle_exchange_outputs(df)
+    assert outs, "expected at least the closing aggregation exchange"
+    assert all("array" not in t for _, t in outs[0]), outs[0]
+
+
+def test_intrinsic_dim_broadcasts_query_block(spark, sf_dir):
+    """The fixed query budget broadcasts against one corpus scan (the
+    attested brute-kNN shape); the closing MLE exchange carries only
+    DECIMAL/long partials."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.intrinsic_dim(emb)
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    outs = shuffle_exchange_outputs(df)
+    assert outs and all("array" not in t for _, t in outs[0]), outs[0]
