@@ -167,6 +167,8 @@ SECONDARY_QUERIES = [
     "ev_lag_autocorr",
     "emb_hubness",
     "emb_intrinsic_dim",
+    "doc_dedup_threshold_sweep",
+    "doc_lexical_diversity",
 ]
 
 

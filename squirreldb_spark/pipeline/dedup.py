@@ -2675,3 +2675,121 @@ r0 AS (
   FROM nodes),{','.join(iters)}
 SELECT node AS doc_id, round(rank::DOUBLE, 6) AS rank FROM {prev}
 """
+
+
+# ------------------------------------- dedup threshold sensitivity sweep
+
+DEFAULT_SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(
+    docs: DataFrame,
+    thresholds: tuple[float, ...] = DEFAULT_SWEEP_THRESHOLDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int | None = MAX_BUCKET,
+) -> DataFrame:
+    """Dedup threshold-sensitivity report: for each candidate Jaccard
+    cutoff, how many LSH candidate pairs survive, how many documents
+    they touch, and how many docs the keep-min-id greedy rule would
+    remove (a doc is removed iff it has ANY surviving neighbor with a
+    smaller id — the upper bound the exact CC pass of
+    ``doc_dedup_savings`` refines).  This is the table an operator
+    reads to PICK the threshold before paying for clustering: the
+    S-curve (``doc_lsh_s_curve``) says what the banding detects;
+    this says what each cutoff would delete from THIS corpus.
+
+    Scale shape: ONE attested MinHash→banding→estimation pass
+    (hot-bucket-capped equi-join, the ``doc_minhash_lsh_pairs`` plan);
+    the sweep explodes |thresholds| (config, 5) copies of the PAIR
+    table only — never of the corpus — and every rollup is a
+    combinable count / count-distinct over register-width ids; the
+    corpus-size scalar broadcasts.  Engine parity: pair counts and
+    distinct-id counts are exact integers; thresholds are shared
+    literals compared against the attested 6-dp ``est_jaccard``.
+    """
+    sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sig, id_col, num_hashes, bands, max_bucket)
+    est = minhash_estimated_similarity(sig, pairs, id_col, num_hashes)
+    tarr = F.array(*[F.lit(float(t)) for t in thresholds])
+    pt = est.withColumn("threshold", F.explode(tarr)).filter(
+        F.col("est_jaccard") >= F.col("threshold")
+    )
+    stats = pt.groupBy("threshold").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_removed_greedy"),
+    )
+    involved = (
+        pt.select(
+            "threshold",
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id"),
+        )
+        .groupBy("threshold")
+        .agg(F.countDistinct("id").cast("long").alias("n_docs_involved"))
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("_total"))
+    grid = (
+        docs.sparkSession.range(1)
+        .select(F.explode(tarr).alias("threshold"))
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        grid.join(stats, "threshold", "left")
+        .join(involved, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+            F.coalesce(F.col("n_docs_involved"), F.lit(0)).alias(
+                "n_docs_involved"
+            ),
+            F.coalesce(F.col("n_removed_greedy"), F.lit(0)).alias(
+                "n_removed_greedy"
+            ),
+            F.round(
+                F.coalesce(F.col("n_removed_greedy"), F.lit(0))
+                / F.col("_total"),
+                6,
+            ).alias("savings_pct"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def sql_dedup_threshold_sweep(
+    thresholds: tuple[float, ...] = DEFAULT_SWEEP_THRESHOLDS,
+    num_hashes: int = NUM_HASHES,
+    bands: int = BANDS,
+    shingle_n: int = 3,
+    max_bucket: int = MAX_BUCKET,
+) -> str:
+    tlist = ", ".join(repr(float(t)) for t in thresholds)
+    return f"""
+WITH est AS ({sql_minhash_lsh_pairs(num_hashes, bands, shingle_n, max_bucket)}),
+grid AS (SELECT unnest([{tlist}]) AS threshold),
+pt AS (
+  SELECT g.threshold, e.id_a, e.id_b
+  FROM est e JOIN grid g ON e.est_jaccard >= g.threshold),
+stats AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs,
+         count(DISTINCT id_b)::BIGINT AS n_removed_greedy
+  FROM pt GROUP BY 1),
+involved AS (
+  SELECT threshold, count(DISTINCT id)::BIGINT AS n_docs_involved
+  FROM (SELECT threshold, id_a AS id FROM pt
+        UNION ALL SELECT threshold, id_b FROM pt)
+  GROUP BY 1),
+total AS (SELECT count(*)::BIGINT AS n_total FROM documents)
+SELECT g.threshold,
+       coalesce(s.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(i.n_docs_involved, 0)::BIGINT AS n_docs_involved,
+       coalesce(s.n_removed_greedy, 0)::BIGINT AS n_removed_greedy,
+       round(coalesce(s.n_removed_greedy, 0) / t.n_total, 6) AS savings_pct
+FROM grid g
+LEFT JOIN stats s USING (threshold)
+LEFT JOIN involved i USING (threshold)
+CROSS JOIN total t
+ORDER BY 1
+"""

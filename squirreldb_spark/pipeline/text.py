@@ -3151,3 +3151,85 @@ SELECT lang,
        round(sum(chars) / sum(bpe)::DOUBLE, 6) AS chars_per_token
 FROM per GROUP BY 1
 """
+
+
+# ----------------------------------------- per-source lexical diversity
+
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source lexical-diversity profile over the unigram frequency
+    spectrum: type-token ratio, hapax-legomenon share of the
+    vocabulary, Simpson's repeat-rate ``Σ n(n−1) / (N(N−1))`` and
+    Yule's characteristic ``K = 10⁴·(Σn² − N)/N²`` — the classic
+    richness constants (Yule 1944; Herdan) a curation pass reads next
+    to ``doc_zipf_stats``' slope: a source whose K explodes relative to
+    its peers is template/boilerplate-heavy even when its Zipf slope
+    still looks natural, because K weighs the high-frequency repeaters
+    quadratically.
+
+    Scale shape: the (source, word) wordcount is the only corpus-sized
+    exchange (map-side combinable); the per-source reduction collapses
+    the vocabulary-sized intermediate with every moment summed as
+    EXACT integers in DECIMAL(38,0) (``n`` is cast before squaring so
+    no long overflow exists at any corpus size), and the closing
+    ratios are one identical double expression per engine.
+    """
+    wc = (
+        docs.select(
+            "source", F.explode(tokens(text_col)).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    per = wc.groupBy("source").agg(
+        F.sum("n").cast("decimal(38,0)").alias("_N"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("_hapax"),
+        F.sum(nd * (nd - 1)).cast("decimal(38,0)").alias("_s2m"),
+        F.sum(nd * nd).cast("decimal(38,0)").alias("_s2"),
+    )
+    N = F.col("_N").cast("double")
+    return per.select(
+        "source",
+        F.col("_N").cast("long").alias("n_tokens"),
+        "vocab",
+        F.round(F.col("vocab") / N, 6).alias("ttr"),
+        F.round(F.col("_hapax") / F.col("vocab"), 6).alias("hapax_ratio"),
+        F.when(
+            N > 1,
+            F.round(F.col("_s2m").cast("double") / (N * (N - 1)), 6),
+        ).alias("simpson"),
+        F.round(
+            10000.0 * (F.col("_s2").cast("double") - N) / (N * N), 6
+        ).alias("yule_k"),
+    )
+
+
+def sql_lexical_diversity() -> str:
+    return """
+WITH wc AS (
+  SELECT source, w, count(*)::BIGINT AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+per AS (
+  SELECT source,
+         sum(n)::DECIMAL(38,0) AS nn,
+         count(*)::BIGINT AS vocab,
+         sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+         sum(n::DECIMAL(19,0) * (n::DECIMAL(19,0) - 1))::DECIMAL(38,0) AS s2m,
+         sum(n::DECIMAL(19,0) * n::DECIMAL(19,0))::DECIMAL(38,0) AS s2
+  FROM wc GROUP BY 1)
+SELECT source,
+       nn::BIGINT AS n_tokens,
+       vocab,
+       round(vocab / nn::DOUBLE, 6) AS ttr,
+       round(hapax / vocab, 6) AS hapax_ratio,
+       CASE WHEN nn::DOUBLE > 1
+            THEN round(s2m::DOUBLE / (nn::DOUBLE * (nn::DOUBLE - 1)), 6)
+       END AS simpson,
+       round(10000.0 * (s2::DOUBLE - nn::DOUBLE)
+             / (nn::DOUBLE * nn::DOUBLE), 6) AS yule_k
+FROM per
+"""

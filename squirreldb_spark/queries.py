@@ -3535,6 +3535,21 @@ def q_doc_pagerank(spark, sf_dir):
     return pdedup.doc_pagerank(_docs(spark, sf_dir))
 
 
+def q_doc_dedup_threshold_sweep(spark, sf_dir):
+    """Per-cutoff dedup sensitivity from ONE attested LSH pass:
+    surviving pairs, touched docs, keep-min-id greedy removals and
+    savings share at each candidate Jaccard threshold
+    (pipeline/dedup.py dedup_threshold_sweep)."""
+    return pdedup.dedup_threshold_sweep(_docs(spark, sf_dir))
+
+
+def q_doc_lexical_diversity(spark, sf_dir):
+    """Per-source lexical richness: TTR, hapax share, Simpson repeat
+    rate, Yule's K over the unigram spectrum (pipeline/text.py
+    lexical_diversity)."""
+    return ptext.lexical_diversity(_docs(spark, sf_dir))
+
+
 def q_emb_hubness(spark, sf_dir):
     """Hubness (k-occurrence) profile of the bucketed ANN k-NN graph:
     mean/skewness/max in-degree, hub and antihub counts (Radovanovic's
@@ -4236,6 +4251,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "emb_hubness": QueryDef(q_emb_hubness, psim.sql_hubness()),
     # TwoNN intrinsic-dimension estimate (compression-safety signal)
     "emb_intrinsic_dim": QueryDef(q_emb_intrinsic_dim, psim.sql_intrinsic_dim()),
+    # per-cutoff dedup sensitivity from one LSH pass
+    "doc_dedup_threshold_sweep": QueryDef(
+        q_doc_dedup_threshold_sweep, pdedup.sql_dedup_threshold_sweep()
+    ),
+    # per-source lexical richness constants (TTR/hapax/Simpson/Yule K)
+    "doc_lexical_diversity": QueryDef(
+        q_doc_lexical_diversity, ptext.sql_lexical_diversity()
+    ),
 }
 
 
@@ -4272,7 +4295,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
 # ts_tenant_filter) = 55 rows, plus the five r5 rows the session-2
 # kernels displaced from this window (ts_predict_linear, ts_deriv,
-# ts_absent, ts_preagg_route_rate, ts_mad_over_time) = 60 rows; the
+# ts_absent, ts_preagg_route_rate, ts_mad_over_time, ts_quantile_over_time,
+# ts_holt_winters) = 62 rows; the
 # r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
@@ -4296,6 +4320,8 @@ _VERIFY_FIRST: list[str] = [
     "ev_lag_autocorr",
     "emb_hubness",
     "emb_intrinsic_dim",
+    "doc_dedup_threshold_sweep",
+    "doc_lexical_diversity",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4341,11 +4367,10 @@ _VERIFY_FIRST: list[str] = [
     "ts_rate",
     "ts_increase",
     "ts_histogram_quantile",
-    "ts_holt_winters",
-    "ts_quantile_over_time",
-    # (ts_preagg_route_rate, ts_mad_over_time, ts_predict_linear,
-    # ts_deriv, ts_absent spilled to the r12 queue when the five
-    # session-2 kernels above took their window slots)
+    # (ts_holt_winters, ts_quantile_over_time, ts_preagg_route_rate, ts_mad_over_time,
+    # ts_predict_linear, ts_deriv, ts_absent and the last backfill slot
+    # spilled to the r12 queue as the seven session-2 kernels above
+    # took their window slots)
 ]
 
 

@@ -2687,3 +2687,68 @@ def test_intrinsic_dim_drops_exact_duplicates(spark):
     )
     r = psim.intrinsic_dim(emb, n_queries=1).collect()[0]
     assert r.n_queries == 0
+
+
+def test_dedup_threshold_sweep_identical_pair(spark):
+    """Two identical docs + one unrelated: the identical pair
+    (est_jaccard 1.0) survives every cutoff — 1 pair, 2 docs touched,
+    1 greedy removal, savings 1/3 at each threshold."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    base = " ".join(f"w{i}" for i in range(30))
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, other)], "doc_id long, text string"
+    )
+    out = {r.threshold: r for r in pdedup.dedup_threshold_sweep(docs).collect()}
+    assert set(out) == {0.5, 0.6, 0.7, 0.8, 0.9}
+    for t, r in out.items():
+        assert r.n_pairs == 1, t
+        assert r.n_docs_involved == 2 and r.n_removed_greedy == 1
+        assert r.savings_pct == round(1 / 3, 6)
+
+
+def test_dedup_threshold_sweep_keeps_empty_grid_rows(spark):
+    """With no near-dups at all, every threshold still reports a row
+    of zeros (the grid join-back)."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = pdedup.dedup_threshold_sweep(docs).collect()
+    assert len(rows) == 5
+    assert all(
+        (r.n_pairs, r.n_docs_involved, r.n_removed_greedy, r.savings_pct)
+        == (0, 0, 0, 0.0)
+        for r in rows
+    )
+
+
+def test_lexical_diversity_hand_constants(spark):
+    """'a a b c': N=4, V=3, hapax=2 — TTR .75, hapax 2/3, Simpson
+    2/(4*3), Yule K = 1e4*(6-4)/16 = 1250."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(1, "a a b c", "s1")], "doc_id long, text string, source string"
+    )
+    r = ptext.lexical_diversity(docs).collect()[0]
+    assert (r.n_tokens, r.vocab) == (4, 3)
+    assert r.ttr == 0.75
+    assert r.hapax_ratio == round(2 / 3, 6)
+    assert r.simpson == round(2 / 12, 6)
+    assert r.yule_k == 1250.0
+
+
+def test_lexical_diversity_single_token_source_null_simpson(spark):
+    """N=1 leaves Simpson undefined (division by N(N-1)=0) — NULL on
+    both engines by the same guard."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(1, "only", "s1")], "doc_id long, text string, source string"
+    )
+    r = ptext.lexical_diversity(docs).collect()[0]
+    assert r.simpson is None and r.ttr == 1.0

@@ -1349,3 +1349,29 @@ def test_intrinsic_dim_broadcasts_query_block(spark, sf_dir):
     assert "BroadcastExchange" in plan
     outs = shuffle_exchange_outputs(df)
     assert outs and all("array" not in t for _, t in outs[0]), outs[0]
+
+
+def test_dedup_threshold_sweep_explodes_pairs_not_corpus(spark, sf_dir):
+    """The sweep reuses the attested LSH chain; the threshold explode
+    rides the PAIR table, the corpus total is an unconditioned
+    broadcast scalar, and document text never crosses a shuffle."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    df = pdedup.dedup_threshold_sweep(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_dedup_threshold_sweep")
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
+
+
+def test_lexical_diversity_wordcount_is_only_corpus_exchange(spark, sf_dir):
+    """One combinable (source, word) exchange; the per-source moment
+    collapse carries DECIMAL partials only; text never shuffles."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.lexical_diversity(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_lexical_diversity")
+    assert "partial_count" in plan
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols
