@@ -1094,3 +1094,123 @@ def test_survival_curve_matches_km_reference(spark, users):
         assert r.survival == surv, (day, r.survival, surv)
         done += d + c
     assert len(got) == len(per_day)
+
+
+# ---------------------------------- CUSUM change-point brute reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    daily=st.lists(st.integers(min_value=1, max_value=25),
+                   min_size=2, max_size=12),
+)
+def test_cusum_changepoint_matches_brute_force(spark, daily):
+    """Random daily-count series vs a direct Python CUSUM argmax with
+    the kernel's 6-dp rounding and earliest-day tie-break."""
+    from squirreldb_spark.pipeline.events import cusum_changepoint
+
+    DAY = 86_400_000
+    rows, eid = [], 0
+    for day, n in enumerate(daily):
+        for _ in range(n):
+            rows.append((1, eid, day * DAY + eid % 1000, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    r = cusum_changepoint(ev).collect()[0]
+    tot, nd = sum(daily), len(daily)
+    best = None
+    cum = 0
+    for k, n in enumerate(daily, start=1):
+        cum += n
+        abs_s = round(abs(cum - k * (tot / nd)), 6)
+        if best is None or abs_s > best[0]:
+            best = (abs_s, k, cum)
+    abs_s, k, cum = best
+    assert r.n_days == nd
+    assert r.cp_day_ms == (k - 1) * DAY
+    assert r.s_max == abs_s
+    assert r.mean_before == round(cum / k, 6)
+    if k < nd:
+        assert r.mean_after == round((tot - cum) / (nd - k), 6)
+    else:
+        assert r.mean_after is None
+
+
+# -------------------------------------- daily ACF brute-force reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    daily=st.lists(st.integers(min_value=1, max_value=20),
+                   min_size=2, max_size=14),
+)
+def test_lag_autocorr_matches_brute_force(spark, daily):
+    """Random contiguous daily series vs the direct sample-ACF formula
+    (global mean/variance normalizer)."""
+    from squirreldb_spark.pipeline.events import lag_autocorr
+
+    DAY = 86_400_000
+    rows, eid = [], 0
+    for day, n in enumerate(daily):
+        for _ in range(n):
+            rows.append((1, eid, day * DAY + eid % 1000, "click"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, event_type string"
+    )
+    out = {r.lag: r for r in lag_autocorr(ev).collect()}
+    nd = len(daily)
+    mu = sum(daily) / nd
+    den = sum(x * x for x in daily) - nd * mu * mu
+    for lag in (1, 2, 3, 7):
+        pairs = [(daily[t], daily[t - lag]) for t in range(lag, nd)]
+        if not pairs:
+            assert lag not in out
+            continue
+        sxy = sum(x * y for x, y in pairs)
+        sx = sum(x for x, _ in pairs)
+        sy = sum(y for _, y in pairs)
+        num = sxy - mu * sx - mu * sy + len(pairs) * mu * mu
+        r = out[lag]
+        assert r.n_pairs == len(pairs)
+        if den > 0:
+            assert r.acf == pytest.approx(num / den, abs=2e-6)
+        else:
+            assert r.acf is None
+
+
+# ------------------------------ lexical diversity brute-force reference
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(st.integers(min_value=0, max_value=6),
+                   min_size=2, max_size=60),
+)
+def test_lexical_diversity_matches_brute_force(spark, words):
+    """Random unigram streams vs direct TTR/hapax/Simpson/Yule-K
+    formulas computed from the exact frequency spectrum."""
+    from collections import Counter
+
+    from squirreldb_spark.pipeline.text import lexical_diversity
+
+    text = " ".join(f"w{w}" for w in words)
+    docs = spark.createDataFrame(
+        [(1, text, "s")], "doc_id long, text string, source string"
+    )
+    r = lexical_diversity(docs).collect()[0]
+    freq = Counter(words)
+    N, V = len(words), len(freq)
+    hapax = sum(1 for c in freq.values() if c == 1)
+    s2m = sum(c * (c - 1) for c in freq.values())
+    s2 = sum(c * c for c in freq.values())
+    assert (r.n_tokens, r.vocab) == (N, V)
+    assert r.ttr == pytest.approx(V / N, abs=1e-6)
+    assert r.hapax_ratio == pytest.approx(hapax / V, abs=1e-6)
+    assert r.simpson == pytest.approx(s2m / (N * (N - 1)), abs=1e-6)
+    assert r.yule_k == pytest.approx(1e4 * (s2 - N) / (N * N), abs=1e-6)
