@@ -169,6 +169,8 @@ SECONDARY_QUERIES = [
     "emb_intrinsic_dim",
     "doc_dedup_threshold_sweep",
     "doc_lexical_diversity",
+    "emb_kmeans_elbow",
+    "doc_term_burstiness",
 ]
 
 

@@ -2544,3 +2544,103 @@ SELECT n AS n_queries,
          AS id_twonn
 FROM agg
 """
+
+
+# ------------------------------------------------- k-means elbow curve
+
+ELBOW_KS = (2, 4, 8)
+
+
+def kmeans_elbow(
+    emb: DataFrame,
+    ks: tuple[int, ...] = ELBOW_KS,
+    cent_base: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    train_mod: int = 4,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Elbow curve for the IVF coarse quantizer: spherical-k-means
+    cosine inertia ``Σ (1 − best_cos)`` and its mean at each candidate
+    cell count — the table read before fixing ``n_cells`` (the knee
+    marks where more cells stop buying separation; FAISS's
+    ``nlist``-sizing decision).
+
+    Scale shape: each candidate k trains on the deterministic
+    1/``train_mod`` sample via the attested :func:`train_ivf` path
+    (literal-centroid folds, one combinable (cell, pos) mean exchange
+    per Lloyd iteration); the evaluation is ONE corpus scan computing
+    all |ks| assignment folds side by side as projections (no exchange,
+    no per-k rescan), closed by a single-row aggregate of
+    DECIMAL-quantized distances, melted to |ks| rows.  Engine parity:
+    per-row distances inherit the attested 6-dp assignment rounding;
+    sums are exact DECIMAL(18,6).
+    """
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    scan = base.withColumn("_vn", F.expr(_vnorm_expr("v")))
+    aggs = []
+    for k in ks:
+        rows = train_ivf(
+            emb, n_cells=k, cent_base=cent_base, id_col=id_col,
+            vec_col=vec_col, kmeans_iters=kmeans_iters,
+            train_mod=train_mod,
+            cache_key=cache_key,
+        )
+        scores = _centroid_scores_expr(rows)
+        best = _ARGMAX_STRUCT.format(scores=scores)
+        scan = scan.withColumn(
+            f"_d{k}",
+            F.expr(f"cast(round(1 - ({best}).ccos, 6) as decimal(18,6))"),
+        )
+        aggs.append(F.sum(f"_d{k}").cast("decimal(38,6)").alias(f"_s{k}"))
+    one = scan.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    melted = one.select(
+        F.col("_n"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(int(k)).alias("k"),
+                    F.col(f"_s{k}").alias("inertia_dec"),
+                )
+                for k in ks
+            ])
+        ).alias("e"),
+    )
+    return melted.select(
+        F.col("e.k").alias("k"),
+        F.col("_n").cast("long").alias("n_vectors"),
+        F.round(F.col("e.inertia_dec").cast("double"), 6).alias("inertia"),
+        F.round(
+            F.col("e.inertia_dec").cast("double") / F.col("_n"), 6
+        ).alias("mean_dist"),
+    ).orderBy("k")
+
+
+def sql_kmeans_elbow(
+    ks: tuple[int, ...] = ELBOW_KS,
+    cent_base: int = 100,
+    kmeans_iters: int = 2,
+    dim: int = 64,
+    train_mod: int = 4,
+) -> str:
+    """Oracle: per candidate k, replay the unrolled-Lloyd training CTE
+    chain inside its own subquery scope (no CTE-name collisions), then
+    score every vector against that k's centroids and reduce with the
+    same DECIMAL quantization."""
+    parts = []
+    for k in ks:
+        ctes, final = _ivf_train_ctes(k, cent_base, kmeans_iters, dim, train_mod)
+        parts.append(f"""
+SELECT {k} AS k,
+       count(*)::BIGINT AS n_vectors,
+       round(sum(dist)::DOUBLE, 6) AS inertia,
+       round(sum(dist)::DOUBLE / count(*), 6) AS mean_dist
+FROM (
+  SELECT b.vec_id,
+         CAST(round(1 - max({_duck_cos('b.v', 'c.cent')}), 6)
+              AS DECIMAL(18,6)) AS dist
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b,
+       ({ctes} SELECT cell, cent FROM {final}) c
+  GROUP BY 1)""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY k"

@@ -3233,3 +3233,61 @@ SELECT source,
              / (nn::DOUBLE * nn::DOUBLE), 6) AS yule_k
 FROM per
 """
+
+
+# ----------------------------------------- term burstiness (Church-Gale)
+
+def term_burstiness(
+    docs: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """Church–Gale term burstiness for the ``top_k`` highest-frequency
+    terms: collection frequency, document frequency, their ratio
+    (mean occurrences per CONTAINING doc — the burstiness), and the
+    share of occurrences concentrated in repeat docs
+    ``(cf − df) / cf``.  A function word repeats evenly (ratio near
+    cf/n_docs); a bursty content/boilerplate term clumps into few docs
+    with many repeats — the signal separating topical vocabulary from
+    template noise that plain frequency (``doc_top_terms``) cannot see.
+
+    Scale shape: one token explode feeding a single (term) reduction —
+    ``cf`` is a plain combinable count and ``df`` a count-distinct over
+    (term, doc_id) (Spark's two-level distinct-aggregate rewrite, the
+    wordcount exchange family); both inputs are exact integers, and the
+    top-k is a TakeOrdered (cf desc, term asc — no global vocabulary
+    sort).
+    """
+    exploded = docs.select(
+        "doc_id", F.explode(tokens(text_col)).alias("term")
+    )
+    per_term = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    top = per_term.orderBy(F.desc("cf"), F.asc("term")).limit(top_k)
+    return top.select(
+        "term",
+        "cf",
+        "df",
+        F.round(F.col("cf") / F.col("df"), 6).alias("burstiness"),
+        F.round((F.col("cf") - F.col("df")) / F.col("cf"), 6).alias(
+            "repeat_mass"
+        ),
+    )
+
+
+def sql_term_burstiness(top_k: int = 20) -> str:
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, w AS term, count(*)::BIGINT AS n
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2),
+per_term AS (
+  SELECT term, sum(n)::BIGINT AS cf, count(*)::BIGINT AS df
+  FROM per_doc GROUP BY 1),
+top AS (
+  SELECT * FROM per_term ORDER BY cf DESC, term LIMIT {top_k})
+SELECT term, cf, df,
+       round(cf / df, 6) AS burstiness,
+       round((cf - df) / cf, 6) AS repeat_mass
+FROM top
+"""

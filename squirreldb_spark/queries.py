@@ -3535,6 +3535,21 @@ def q_doc_pagerank(spark, sf_dir):
     return pdedup.doc_pagerank(_docs(spark, sf_dir))
 
 
+def q_emb_kmeans_elbow(spark, sf_dir):
+    """IVF coarse-quantizer elbow curve: spherical-k-means cosine
+    inertia at each candidate cell count, one corpus scan for all ks
+    (pipeline/similarity.py kmeans_elbow)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.kmeans_elbow(emb, cache_key=sf_dir)
+
+
+def q_doc_term_burstiness(spark, sf_dir):
+    """Church-Gale burstiness of the top-frequency terms: collection
+    vs document frequency and repeat-doc mass share (pipeline/text.py
+    term_burstiness)."""
+    return ptext.term_burstiness(_docs(spark, sf_dir))
+
+
 def q_doc_dedup_threshold_sweep(spark, sf_dir):
     """Per-cutoff dedup sensitivity from ONE attested LSH pass:
     surviving pairs, touched docs, keep-min-id greedy removals and
@@ -4259,6 +4274,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_lexical_diversity": QueryDef(
         q_doc_lexical_diversity, ptext.sql_lexical_diversity()
     ),
+    # IVF cell-count elbow curve (one corpus scan for all ks)
+    "emb_kmeans_elbow": QueryDef(q_emb_kmeans_elbow, psim.sql_kmeans_elbow()),
+    # Church-Gale term burstiness of the high-frequency vocabulary
+    "doc_term_burstiness": QueryDef(
+        q_doc_term_burstiness, ptext.sql_term_burstiness()
+    ),
 }
 
 
@@ -4293,11 +4314,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 55 rows, plus the five r5 rows the session-2
+# ts_tenant_filter) = 55 rows, plus the nine r5 rows the session-2
 # kernels displaced from this window (ts_predict_linear, ts_deriv,
-# ts_absent, ts_preagg_route_rate, ts_mad_over_time, ts_quantile_over_time,
-# ts_holt_winters) = 62 rows; the
-# r12 window takes (0) any new/changed
+# ts_absent, ts_preagg_route_rate, ts_mad_over_time,
+# ts_quantile_over_time, ts_holt_winters, ts_histogram_quantile,
+# ts_increase) = 64 rows; the r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
 #
@@ -4322,6 +4343,8 @@ _VERIFY_FIRST: list[str] = [
     "emb_intrinsic_dim",
     "doc_dedup_threshold_sweep",
     "doc_lexical_diversity",
+    "emb_kmeans_elbow",
+    "doc_term_burstiness",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4365,12 +4388,10 @@ _VERIFY_FIRST: list[str] = [
     "api_bounded_scan",
     "api_preagg_stitch",
     "ts_rate",
-    "ts_increase",
-    "ts_histogram_quantile",
-    # (ts_holt_winters, ts_quantile_over_time, ts_preagg_route_rate, ts_mad_over_time,
-    # ts_predict_linear, ts_deriv, ts_absent and the last backfill slot
-    # spilled to the r12 queue as the seven session-2 kernels above
-    # took their window slots)
+    # (ts_increase, ts_histogram_quantile, ts_holt_winters,
+    # ts_quantile_over_time, ts_preagg_route_rate, ts_mad_over_time,
+    # ts_predict_linear, ts_deriv, ts_absent spilled to the r12 queue
+    # as the nine session-2 kernels above took their window slots)
 ]
 
 

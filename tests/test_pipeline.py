@@ -2752,3 +2752,46 @@ def test_lexical_diversity_single_token_source_null_simpson(spark):
     )
     r = ptext.lexical_diversity(docs).collect()[0]
     assert r.simpson is None and r.ttr == 1.0
+
+
+def test_kmeans_elbow_monotone_and_consistent_with_ivf(spark, sf_dir):
+    """Inertia must not increase with k (nested candidate sets share
+    the seed prefix), and every row counts the whole corpus."""
+    from squirreldb_spark import model
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    rows = psim.kmeans_elbow(emb).collect()
+    assert [r.k for r in rows] == [2, 4, 8]
+    n = emb.count()
+    assert all(r.n_vectors == n for r in rows)
+    assert rows[0].inertia >= rows[1].inertia >= rows[2].inertia
+    for r in rows:
+        assert r.mean_dist == round(r.inertia / n, 6)
+
+
+def test_term_burstiness_hand_counts(spark):
+    """'b b b' + 'a b' + 'a c': b has cf 4 / df 2 -> burstiness 2.0,
+    repeat_mass 0.5; a has cf 2 / df 2 -> 1.0, 0."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(1, "b b b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    out = {r.term: r for r in ptext.term_burstiness(docs).collect()}
+    assert out["b"].cf == 4 and out["b"].df == 2
+    assert out["b"].burstiness == 2.0 and out["b"].repeat_mass == 0.5
+    assert out["a"].burstiness == 1.0 and out["a"].repeat_mass == 0.0
+    assert out["c"].cf == 1 and out["c"].burstiness == 1.0
+
+
+def test_term_burstiness_topk_tiebreak(spark):
+    """cf ties crossing the cutoff resolve by term asc on both
+    engines: with top_k=1 and equal cf, 'a' wins."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(1, "z a")], "doc_id long, text string"
+    )
+    rows = ptext.term_burstiness(docs, top_k=1).collect()
+    assert len(rows) == 1 and rows[0].term == "a"

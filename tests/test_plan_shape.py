@@ -1375,3 +1375,28 @@ def test_lexical_diversity_wordcount_is_only_corpus_exchange(spark, sf_dir):
     assert "partial_count" in plan
     for cols in shuffle_exchange_outputs(df):
         assert "text" not in [c for c, _ in cols], cols
+
+
+def test_kmeans_elbow_single_corpus_scan(spark, sf_dir):
+    """All |ks| assignment folds are projections inside ONE corpus
+    scan: exactly one parquet scan of embeddings in the evaluation
+    plan, no join, no per-k rescan."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.kmeans_elbow(emb)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_term_burstiness_no_vocabulary_sort(spark, sf_dir):
+    """The top-k is a TakeOrdered over the per-term rollup — no global
+    Sort of the vocabulary; text never crosses a shuffle."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    df = ptext.term_burstiness(model.load_table(spark, sf_dir, "documents"))
+    plan = plan_of(df)
+    assert "TakeOrdered" in plan, plan[:1200]
+    for cols in shuffle_exchange_outputs(df):
+        assert "text" not in [c for c, _ in cols], cols

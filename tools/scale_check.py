@@ -52,6 +52,12 @@ OPS = [
     "doc_repetition_profile",
     "doc_minhash_containment",
     "emb_centroid_drift",
+    # round-11 session-2: the four data-volume-bound additions (the
+    # three ev_* additions reduce to the daily rollup immediately)
+    "emb_hubness",
+    "emb_intrinsic_dim",
+    "doc_dedup_threshold_sweep",
+    "doc_lexical_diversity",
 ]
 
 #: VERDICT r10 #4: the two window-bounded event operators, measured on
