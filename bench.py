@@ -171,6 +171,7 @@ SECONDARY_QUERIES = [
     "doc_lexical_diversity",
     "emb_kmeans_elbow",
     "doc_term_burstiness",
+    "mm_keyframe_select",
 ]
 
 

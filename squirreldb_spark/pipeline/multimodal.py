@@ -964,3 +964,139 @@ FROM (SELECT *, row_number() OVER (PARTITION BY id_a, id_b
       FROM hist)
 WHERE rn = 1
 """
+
+
+# ----------------------------------- diverse keyframe selection (maxmin)
+
+def keyframe_select(
+    binary_table: DataFrame,
+    k: int = 3,
+    n_frames: int = 6,
+    frame_len: int = 16,
+) -> DataFrame:
+    """Per-video diverse keyframe selection by farthest-point (maxmin)
+    sampling over frame pHashes: anchor on frame 0, then ``k − 1``
+    greedy picks, each maximizing the Hamming distance to the CLOSEST
+    already-selected frame (ties → lowest frame index) — the diversity
+    half of MMR (λ = 0), which is exactly what VLM frame sampling wants
+    when a caption model sees ``k`` frames per clip: evenly-spread
+    visual content instead of ``k`` near-copies of the title card.
+    Output one row per (video, selection rank) with the frame and its
+    ``gain`` (that min-distance; rank 1 anchors at NULL).
+
+    Scale shape: the pHash pass is the attested Arrow-batched
+    :func:`frame_phashes` (no explode shuffle; one row fans out to
+    ``n_frames`` inside the batch); each greedy step is a doc-keyed
+    equi-join against the ≤ ``n_frames``-row per-video frame set, so
+    the unrolled ``k − 1`` steps are ``k − 1`` co-partitioned hash
+    joins, never a cross join.  Engine parity is trivial by
+    construction: distances are INTEGER bit counts, ties break on
+    integer frame index — no float enters the selection.
+    """
+    from pyspark.sql import Window
+
+    ph = frame_phashes(binary_table, n_frames=n_frames, frame_len=frame_len)
+    sel = [
+        ph.filter(F.col("frame_idx") == 0).select(
+            "doc_id",
+            F.lit(1).alias("rank"),
+            "frame_idx",
+            "phash",
+            F.lit(None).cast("long").alias("gain"),
+        )
+    ]
+    picked = sel[0].select(
+        "doc_id",
+        F.col("frame_idx").alias("idx1"),
+        F.col("phash").alias("h1"),
+    )
+    for step in range(2, k + 1):
+        cand = ph.join(picked, "doc_id")
+        not_picked = F.lit(True)
+        dists = []
+        for s in range(1, step):
+            not_picked = not_picked & (F.col("frame_idx") != F.col(f"idx{s}"))
+            dists.append(
+                F.bit_count(
+                    F.col("phash").bitwiseXOR(F.col(f"h{s}"))
+                )
+            )
+        mind = dists[0]
+        for d in dists[1:]:
+            mind = F.least(mind, d)
+        cand = cand.filter(not_picked).withColumn("_gain", mind.cast("long"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.desc("_gain"), F.asc("frame_idx")
+        )
+        best = cand.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") == 1
+        )
+        sel.append(
+            best.select(
+                "doc_id",
+                F.lit(step).alias("rank"),
+                "frame_idx",
+                "phash",
+                F.col("_gain").alias("gain"),
+            )
+        )
+        picked = best.select(
+            "doc_id",
+            *[F.col(f"idx{s}") for s in range(1, step)],
+            *[F.col(f"h{s}") for s in range(1, step)],
+            F.col("frame_idx").alias(f"idx{step}"),
+            F.col("phash").alias(f"h{step}"),
+        )
+    out = sel[0]
+    for s in sel[1:]:
+        out = out.unionByName(s)
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "phash",
+        "gain",
+    )
+
+
+def sql_keyframe_select(
+    k: int = 3, n_frames: int = 6, frame_len: int = 16
+) -> str:
+    """Unrolls the same maxmin greedy steps over the
+    :func:`sql_frame_phashes` CTE (integer Hamming distances, lowest
+    frame index on ties)."""
+    steps = [f"""
+s1 AS (
+  SELECT doc_id, 1 AS rank, frame_idx, phash, NULL::BIGINT AS gain
+  FROM ph WHERE frame_idx = 0)"""]
+    sel_names = ["s1"]
+    for step in range(2, k + 1):
+        prior = ", ".join(sel_names)
+        not_in = " AND ".join(
+            f"ph.frame_idx != {s}.frame_idx" for s in sel_names
+        )
+        mind = "least(" + ", ".join(
+            f"bit_count(xor(ph.phash, {s}.phash))" for s in sel_names
+        ) + ")" if len(sel_names) > 1 else (
+            f"bit_count(xor(ph.phash, s1.phash))"
+        )
+        joins = " AND ".join(f"ph.doc_id = {s}.doc_id" for s in sel_names)
+        steps.append(f"""
+s{step} AS (
+  SELECT doc_id, {step} AS rank, frame_idx, phash, gain FROM (
+    SELECT ph.doc_id, ph.frame_idx, ph.phash,
+           ({mind})::BIGINT AS gain,
+           row_number() OVER (PARTITION BY ph.doc_id
+                              ORDER BY {mind} DESC, ph.frame_idx) AS rn
+    FROM ph, {prior}
+    WHERE {joins} AND {not_in})
+  WHERE rn = 1)""")
+        sel_names.append(f"s{step}")
+    union = "\nUNION ALL\n".join(f"SELECT * FROM {s}" for s in sel_names)
+    return f"""
+WITH ph AS ({sql_frame_phashes(n_frames, frame_len)}),
+{','.join(steps)}
+SELECT doc_id, rank::INT AS rank, frame_idx::BIGINT AS frame_idx,
+       phash, gain
+FROM ({union})
+"""

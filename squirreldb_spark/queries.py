@@ -3535,6 +3535,15 @@ def q_doc_pagerank(spark, sf_dir):
     return pdedup.doc_pagerank(_docs(spark, sf_dir))
 
 
+def q_mm_keyframe_select(spark, sf_dir):
+    """Per-video diverse keyframe selection: farthest-point (maxmin)
+    greedy over frame pHash Hamming distances, k=3 of 6 frames —
+    integer-only selection, unrolled identically in the oracle
+    (pipeline/multimodal.py keyframe_select)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pmm.keyframe_select(pmm.as_binary_table(docs))
+
+
 def q_emb_kmeans_elbow(spark, sf_dir):
     """IVF coarse-quantizer elbow curve: spherical-k-means cosine
     inertia at each candidate cell count, one corpus scan for all ks
@@ -4280,6 +4289,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_term_burstiness": QueryDef(
         q_doc_term_burstiness, ptext.sql_term_burstiness()
     ),
+    # farthest-point diverse keyframe selection (VLM frame sampling)
+    "mm_keyframe_select": QueryDef(
+        q_mm_keyframe_select, pmm.sql_keyframe_select()
+    ),
 }
 
 
@@ -4314,11 +4327,11 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 55 rows, plus the nine r5 rows the session-2
+# ts_tenant_filter) = 55 rows, plus the ten r5 rows the session-2
 # kernels displaced from this window (ts_predict_linear, ts_deriv,
 # ts_absent, ts_preagg_route_rate, ts_mad_over_time,
 # ts_quantile_over_time, ts_holt_winters, ts_histogram_quantile,
-# ts_increase) = 64 rows; the r12 window takes (0) any new/changed
+# ts_increase, ts_rate) = 65 rows; the r12 window takes (0) any new/changed
 # r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
 # the r8 cohort).
 #
@@ -4345,6 +4358,7 @@ _VERIFY_FIRST: list[str] = [
     "doc_lexical_diversity",
     "emb_kmeans_elbow",
     "doc_term_burstiness",
+    "mm_keyframe_select",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
     # window of the round that touches them): the source_drift vocab-join
     # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
@@ -4387,11 +4401,10 @@ _VERIFY_FIRST: list[str] = [
     "api_query_range",
     "api_bounded_scan",
     "api_preagg_stitch",
-    "ts_rate",
-    # (ts_increase, ts_histogram_quantile, ts_holt_winters,
+    # (ts_rate, ts_increase, ts_histogram_quantile, ts_holt_winters,
     # ts_quantile_over_time, ts_preagg_route_rate, ts_mad_over_time,
     # ts_predict_linear, ts_deriv, ts_absent spilled to the r12 queue
-    # as the nine session-2 kernels above took their window slots)
+    # as the ten session-2 kernels above took their window slots)
 ]
 
 

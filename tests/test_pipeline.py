@@ -2795,3 +2795,39 @@ def test_term_burstiness_topk_tiebreak(spark):
     )
     rows = ptext.term_burstiness(docs, top_k=1).collect()
     assert len(rows) == 1 and rows[0].term == "a"
+
+
+def test_keyframe_select_hand_maxmin(spark):
+    """Controlled pHashes via a crafted payload are hard; instead pin
+    the greedy INVARIANTS on real stub hashes: rank 1 is frame 0;
+    rank 2 maximizes hamming to frame 0 (verified against a Python
+    replay of the same pHash rows); rank 3's gain <= rank 2's gain;
+    no frame repeats within a video."""
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + " ".join(f"tok{i}_{j}" for j in range(24)),
+          "en", "s")
+         for i in range(6)],
+        "doc_id long, text string, lang string, source string",
+    )
+    bt = pmm.as_binary_table(docs)
+    ph = {(r.doc_id, r.frame_idx): r.phash
+          for r in pmm.frame_phashes(bt, n_frames=6).collect()}
+    out = pmm.keyframe_select(bt).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.rank] = r
+    for doc_id, ranks in by_doc.items():
+        assert set(ranks) == {1, 2, 3}
+        r1, r2, r3 = ranks[1], ranks[2], ranks[3]
+        assert r1.frame_idx == 0 and r1.gain is None
+        assert len({r1.frame_idx, r2.frame_idx, r3.frame_idx}) == 3
+        # python replay of step 2
+        h0 = ph[(doc_id, 0)]
+        best = max(
+            ((bin(ph[(doc_id, f)] ^ h0).count("1"), -f) for f in range(1, 6)),
+        )
+        assert r2.gain == best[0] and r2.frame_idx == -best[1]
+        # step-3 gain cannot exceed step-2's (maxmin is non-increasing)
+        assert r3.gain <= r2.gain

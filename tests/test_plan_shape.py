@@ -1400,3 +1400,18 @@ def test_term_burstiness_no_vocabulary_sort(spark, sf_dir):
     assert "TakeOrdered" in plan, plan[:1200]
     for cols in shuffle_exchange_outputs(df):
         assert "text" not in [c for c, _ in cols], cols
+
+
+def test_keyframe_select_doc_keyed_equijoins_only(spark, sf_dir):
+    """Each greedy step is a doc-keyed hash equi-join against the
+    bounded per-video frame set — no cross join, no payload bytes in
+    any exchange."""
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    df = pmm.keyframe_select(pmm.as_binary_table(docs))
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "mm_keyframe_select")
+    for cols in shuffle_exchange_outputs(df):
+        names = [c for c, _ in cols]
+        assert "payload" not in names and "text" not in names, names
