@@ -2793,3 +2793,148 @@ LEFT JOIN involved i USING (threshold)
 CROSS JOIN total t
 ORDER BY 1
 """
+
+
+# ------------------------------------- cross-detector agreement audit
+
+AGREEMENT_EST_THRESH = 0.5
+
+
+def detector_agreement(
+    docs: DataFrame,
+    est_thresh: float = AGREEMENT_EST_THRESH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row confusion summary of the repo's three duplicate
+    detectors over the same corpus: exact (content-hash equality),
+    MinHash-LSH (estimated Jaccard ≥ ``est_thresh`` on the banded
+    candidates) and SimHash (Hamming ≤ 3 by block pigeonhole).
+    Reports each detector's pair count, the MinHash∩SimHash overlap
+    and pair-set Jaccard, and each approximate detector's recall of
+    the exact-duplicate pairs — the calibration cross-check that says
+    whether the two sketch families actually agree on THIS corpus
+    before a curation pass trusts either alone (`doc_minhash_accuracy`
+    and `doc_simhash_accuracy` score each against true Jaccard; this
+    op scores them against each other).
+
+    Scale shape: reuses the two attested candidate generators verbatim
+    (banded equi-joins with the hot-bucket cap — never all-pairs); the
+    exact-pair self-join keys on a content hash (identical-text groups
+    enumerate within-group pairs only, the exact_dedup exchange); the
+    three pair sets then merge by full-outer equi-join on (id_a, id_b)
+    — pair-set-sized, fingerprints only — into a single-row exact
+    integer reduction.
+    """
+    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    mh = (
+        minhash_estimated_similarity(sig, lsh_candidate_pairs(sig, id_col=id_col), id_col=id_col)
+        .filter(F.col("est_jaccard") >= est_thresh)
+        .select("id_a", "id_b", F.lit(1).alias("in_mh"))
+    )
+    sh = simhash_neardup_pairs(docs, text_col=text_col, id_col=id_col).select(
+        "id_a", "id_b", F.lit(1).alias("in_sh")
+    )
+    hashed = docs.select(
+        F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_h")
+    )
+    ex = (
+        hashed.select(F.col(id_col).alias("id_a"), "_h")
+        .join(hashed.select(F.col(id_col).alias("id_b"), "_h"), "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1).alias("in_ex"))
+    )
+    j = mh.join(sh, ["id_a", "id_b"], "full_outer").join(
+        ex, ["id_a", "id_b"], "full_outer"
+    )
+    agg = j.agg(
+        F.coalesce(F.sum("in_mh"), F.lit(0)).cast("long").alias("n_minhash"),
+        F.coalesce(F.sum("in_sh"), F.lit(0)).cast("long").alias("n_simhash"),
+        F.coalesce(F.sum("in_ex"), F.lit(0)).cast("long").alias("n_exact"),
+        F.sum(
+            F.when(
+                F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+        F.sum(
+            F.when(
+                F.col("in_mh").isNotNull() & F.col("in_ex").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_mh_ex"),
+        F.sum(
+            F.when(
+                F.col("in_sh").isNotNull() & F.col("in_ex").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("_sh_ex"),
+    )
+    union_n = F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")
+    return agg.select(
+        "n_minhash",
+        "n_simhash",
+        "n_exact",
+        "n_both",
+        F.when(union_n > 0, F.round(F.col("n_both") / union_n, 6)).alias(
+            "pair_jaccard"
+        ),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("_mh_ex") / F.col("n_exact"), 6),
+        ).alias("exact_recall_minhash"),
+        F.when(
+            F.col("n_exact") > 0,
+            F.round(F.col("_sh_ex") / F.col("n_exact"), 6),
+        ).alias("exact_recall_simhash"),
+    )
+
+
+def sql_detector_agreement(
+    est_thresh: float = AGREEMENT_EST_THRESH,
+) -> str:
+    return f"""
+WITH mh AS (
+  SELECT id_a, id_b, 1 AS in_mh
+  FROM ({sql_minhash_lsh_pairs()}) WHERE est_jaccard >= {est_thresh!r}),
+sh AS (
+  SELECT id_a, id_b, 1 AS in_sh
+  FROM ({sql_simhash_neardup_pairs()})),
+hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS in_ex
+  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id),
+allp AS (
+  SELECT id_a, id_b FROM mh
+  UNION SELECT id_a, id_b FROM sh
+  UNION SELECT id_a, id_b FROM ex),
+j AS (
+  SELECT p.id_a, p.id_b, mh.in_mh, sh.in_sh, ex.in_ex
+  FROM allp p
+  LEFT JOIN mh USING (id_a, id_b)
+  LEFT JOIN sh USING (id_a, id_b)
+  LEFT JOIN ex USING (id_a, id_b)),
+agg AS (
+  SELECT coalesce(sum(in_mh), 0)::BIGINT AS n_minhash,
+         coalesce(sum(in_sh), 0)::BIGINT AS n_simhash,
+         coalesce(sum(in_ex), 0)::BIGINT AS n_exact,
+         sum(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         sum(CASE WHEN in_mh IS NOT NULL AND in_ex IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS mh_ex,
+         sum(CASE WHEN in_sh IS NOT NULL AND in_ex IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS sh_ex
+  FROM j)
+SELECT n_minhash, n_simhash, n_exact, n_both,
+       CASE WHEN n_minhash + n_simhash - n_both > 0 THEN
+         round(n_both / (n_minhash + n_simhash - n_both), 6) END
+         AS pair_jaccard,
+       CASE WHEN n_exact > 0 THEN round(mh_ex / n_exact, 6) END
+         AS exact_recall_minhash,
+       CASE WHEN n_exact > 0 THEN round(sh_ex / n_exact, 6) END
+         AS exact_recall_simhash
+FROM agg
+"""

@@ -3563,3 +3563,321 @@ SELECT pr.event_type, pr.lag::INT AS lag, pr.n_pairs,
 FROM pairs pr JOIN stats s USING (event_type)
 ORDER BY 1, 2
 """
+
+
+# --------------------------------------- weekly heavy-hitter drift
+
+TOPK_DRIFT_K = 10
+
+
+def topk_drift(events: DataFrame, k: int = TOPK_DRIFT_K) -> DataFrame:
+    """Week-over-week turnover of the top-``k`` heaviest users: for
+    each week with a preceding active week, how many of the current
+    top-k were also in last week's top-k (retained), the Jaccard of
+    the two sets and the churn share of last week's set.  The drift
+    twin of the static ``ev_key_skew`` report: a pipeline whose salting
+    / cap decisions key on this week's heavy hitters needs to know how
+    fast that set rotates — stable hot keys get dedicated handling,
+    fast-rotating ones need adaptive (AQE) treatment instead.
+
+    Scale shape: events collapse to a (week, user) count first
+    (map-side combinable); per-week top-k runs on the shared two-phase
+    kernel (no task sorts a whole week's user set); the drift join is
+    top-k-sized (weeks × k rows) and every output is an exact integer
+    ratio.
+    """
+    wk = (
+        events.select(
+            F.floor(F.col("ts") / F.lit(_DAY_MS * 7)).cast("long").alias(
+                "week"
+            ),
+            "user_id",
+        )
+        .groupBy("week", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    tops = two_phase_topk(
+        wk,
+        ["week"],
+        [F.desc("n"), F.asc("user_id")],
+        k,
+        shard_cols=["user_id"],
+        rank_col="rank",
+    ).select("week", "user_id")
+    curr = tops.withColumn("in_curr", F.lit(1))
+    prev = tops.select(
+        (F.col("week") + 1).cast("long").alias("week"),
+        "user_id",
+        F.lit(1).alias("in_prev"),
+    )
+    j = curr.join(prev, ["week", "user_id"], "full_outer")
+    per = (
+        j.groupBy("week")
+        .agg(
+            F.sum("in_curr").cast("long").alias("n_curr"),
+            F.sum("in_prev").cast("long").alias("n_prev"),
+            F.sum(
+                F.when(
+                    F.col("in_curr").isNotNull()
+                    & F.col("in_prev").isNotNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("retained"),
+        )
+        .filter(F.col("n_curr").isNotNull() & F.col("n_prev").isNotNull())
+    )
+    return per.select(
+        "week",
+        "n_prev",
+        "n_curr",
+        "retained",
+        F.round(
+            F.col("retained")
+            / (F.col("n_prev") + F.col("n_curr") - F.col("retained")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            (F.col("n_prev") - F.col("retained")) / F.col("n_prev"), 6
+        ).alias("churn"),
+    ).orderBy("week")
+
+
+def sql_topk_drift(k: int = TOPK_DRIFT_K) -> str:
+    return f"""
+WITH wk AS (
+  SELECT CAST(floor(epoch_ms(ts) / {_DAY_MS * 7}) AS BIGINT) AS week,
+         user_id, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT week, user_id,
+         row_number() OVER (PARTITION BY week
+                            ORDER BY n DESC, user_id) AS rank
+  FROM wk),
+tops AS (SELECT week, user_id FROM ranked WHERE rank <= {k}),
+j AS (
+  SELECT coalesce(c.week, p.week + 1) AS week,
+         CASE WHEN c.user_id IS NOT NULL THEN 1 END AS in_curr,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 END AS in_prev
+  FROM tops c FULL OUTER JOIN tops p
+    ON c.week = p.week + 1 AND c.user_id = p.user_id),
+per AS (
+  SELECT week, sum(in_curr)::BIGINT AS n_curr,
+         sum(in_prev)::BIGINT AS n_prev,
+         sum(CASE WHEN in_curr IS NOT NULL AND in_prev IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS retained
+  FROM j GROUP BY 1)
+SELECT week, n_prev, n_curr, retained,
+       round(retained / (n_prev + n_curr - retained), 6) AS jaccard,
+       round((n_prev - retained) / n_prev, 6) AS churn
+FROM per WHERE n_curr IS NOT NULL AND n_prev IS NOT NULL
+ORDER BY week
+"""
+
+
+# --------------------------------- value-distribution stability (PSI)
+
+PSI_LOG_BIN_W = 0.5
+PSI_EPS = 1e-4
+
+
+def value_psi(
+    events: DataFrame,
+    bin_w: float = PSI_LOG_BIN_W,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Population Stability Index of the ``value`` measure per
+    (event_type, week) against that type's whole-corpus distribution —
+    THE standard numeric-feature drift gate (PSI < 0.1 stable,
+    0.1–0.25 moderate, > 0.25 shifted) a training pipeline runs before
+    trusting a new data drop.  Values are histogrammed on fixed
+    log-scale bins ``floor(ln(1+value)/w)`` (deterministic, quantile-
+    free, right for a heavy-tailed positive measure), and a week-absent
+    bin takes the conventional ε-share so the log term stays finite;
+    corpus shares need no smoothing because every week bin is a corpus
+    bin by construction.
+
+    Scale shape: two map-side-combinable integer histograms — (type,
+    week, bin) and (type, bin) — joined on the bin-cardinality tables
+    (types × bins, nothing corpus-sized after the first reduction);
+    the PSI fold sums 12-dp-DECIMAL-quantized terms over the bounded
+    bin set, so parity is addition-order-independent.
+    """
+    binned = events.select(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(_DAY_MS * 7)).cast("long").alias("week"),
+        F.floor(F.log(F.lit(1.0) + F.col("value")) / F.lit(bin_w))
+        .cast("long")
+        .alias("bin"),
+    )
+    wk = binned.groupBy("event_type", "week", "bin").agg(
+        F.count(F.lit(1)).alias("wn")
+    )
+    corpus = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    wk_tot = wk.groupBy("event_type", "week").agg(
+        F.sum("wn").cast("long").alias("wt")
+    )
+    c_tot = corpus.groupBy("event_type").agg(
+        F.sum("cn").cast("long").alias("ct")
+    )
+    # full bin set per (type, week): corpus bins x active weeks, so a
+    # week missing a corpus bin contributes the eps-smoothed term too
+    grid = corpus.join(wk_tot, "event_type")
+    g = (
+        grid.join(wk, ["event_type", "week", "bin"], "left")
+        .join(c_tot, "event_type")
+        .select(
+            "event_type",
+            "week",
+            "wt",
+            F.greatest(
+                F.coalesce(F.col("wn"), F.lit(0)) / F.col("wt"), F.lit(eps)
+            ).alias("p"),
+            (F.col("cn") / F.col("ct")).alias("q"),
+        )
+    )
+    term = F.round(
+        (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12
+    ).cast("decimal(28,12)")
+    per = g.groupBy("event_type", "week").agg(
+        F.max("wt").alias("n_events"),
+        F.sum(term).alias("_psi"),
+    )
+    psi = F.col("_psi").cast("double")
+    return per.select(
+        "event_type",
+        "week",
+        "n_events",
+        F.round(psi, 6).alias("psi"),
+        F.when(psi < 0.1, "stable")
+        .when(psi < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    ).orderBy("event_type", "week")
+
+
+def sql_value_psi(
+    bin_w: float = PSI_LOG_BIN_W, eps: float = PSI_EPS
+) -> str:
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / {_DAY_MS * 7}) AS BIGINT) AS week,
+         CAST(floor(ln(1 + value) / {bin_w!r}) AS BIGINT) AS bin
+  FROM events),
+wk AS (SELECT event_type, week, bin, count(*)::BIGINT AS wn
+       FROM binned GROUP BY 1, 2, 3),
+corpus AS (SELECT event_type, bin, count(*)::BIGINT AS cn
+           FROM binned GROUP BY 1, 2),
+wk_tot AS (SELECT event_type, week, sum(wn)::BIGINT AS wt
+           FROM wk GROUP BY 1, 2),
+c_tot AS (SELECT event_type, sum(cn)::BIGINT AS ct FROM corpus GROUP BY 1),
+g AS (
+  SELECT grid.event_type, grid.week, grid.wt,
+         greatest(coalesce(wk.wn, 0) / grid.wt, {eps!r}) AS p,
+         grid.cn / ct.ct AS q
+  FROM (SELECT c.event_type, c.bin, c.cn, t.week, t.wt
+        FROM corpus c JOIN wk_tot t USING (event_type)) grid
+  LEFT JOIN wk ON wk.event_type = grid.event_type
+             AND wk.week = grid.week AND wk.bin = grid.bin
+  JOIN c_tot ct ON ct.event_type = grid.event_type),
+per AS (
+  SELECT event_type, week, max(wt)::BIGINT AS n_events,
+         sum(CAST(round((p - q) * ln(p / q), 12)
+                  AS DECIMAL(28,12))) AS psi
+  FROM g GROUP BY 1, 2)
+SELECT event_type, week, n_events,
+       round(psi::DOUBLE, 6) AS psi,
+       CASE WHEN psi::DOUBLE < 0.1 THEN 'stable'
+            WHEN psi::DOUBLE < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM per ORDER BY 1, 2
+"""
+
+
+# ----------------------------------------- daily user lifecycle
+
+RESURRECT_GAP_DAYS = 14
+
+
+def user_lifecycle(
+    events: DataFrame, gap_days: int = RESURRECT_GAP_DAYS
+) -> DataFrame:
+    """Daily active-user lifecycle split: of each day's actives, how
+    many are brand new (first day ever), resurrected (previous active
+    day more than ``gap_days`` ago) or plain returning — the
+    acquisition-vs-retention decomposition behind every growth
+    dashboard, and the denominator sanity check for
+    ``ev_retention_cohorts`` (whose cohort sizes must equal this
+    report's n_new).
+
+    Scale shape: one DISTINCT (user, day) collapse, then a per-user
+    ``lag(day)`` window (the `bot_cadence` per-user-window family —
+    partitions are per-user history, never corpus-sized) and a per-day
+    exact integer rollup.
+    """
+    ud = (
+        events.select(
+            "user_id",
+            F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long").alias("day"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cls = (
+        ud.withColumn("_prev", F.lag("day").over(w))
+        .withColumn(
+            "cls",
+            F.when(F.col("_prev").isNull(), F.lit("new"))
+            .when(
+                F.col("day") - F.col("_prev") > gap_days, F.lit("resurrected")
+            )
+            .otherwise(F.lit("returning")),
+        )
+    )
+    return (
+        cls.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum(F.when(F.col("cls") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("cls") == "returning", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returning"),
+            F.sum(F.when(F.col("cls") == "resurrected", 1).otherwise(0))
+            .cast("long")
+            .alias("n_resurrected"),
+        )
+        .orderBy("day")
+    )
+
+
+def sql_user_lifecycle(gap_days: int = RESURRECT_GAP_DAYS) -> str:
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch_ms(ts) / {_DAY_MS}) AS BIGINT) AS day
+  FROM events),
+cls AS (
+  SELECT day,
+         CASE WHEN lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                   IS NULL THEN 'new'
+              WHEN day - lag(day) OVER (PARTITION BY user_id
+                                        ORDER BY day) > {gap_days}
+                   THEN 'resurrected'
+              ELSE 'returning' END AS cls
+  FROM ud)
+SELECT day, count(*)::BIGINT AS n_active,
+       sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END)::BIGINT AS n_new,
+       sum(CASE WHEN cls = 'returning' THEN 1 ELSE 0 END)::BIGINT
+         AS n_returning,
+       sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END)::BIGINT
+         AS n_resurrected
+FROM cls GROUP BY 1 ORDER BY 1
+"""

@@ -2644,3 +2644,196 @@ FROM (
        ({ctes} SELECT cell, cent FROM {final}) c
   GROUP BY 1)""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY k"
+
+
+# ----------------------------------------------------- corpus isotropy
+
+def isotropy(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corpus-level embedding isotropy: the exact mean pairwise cosine
+    among all distinct unit-normalized vectors (Ethayarajh 2019's
+    anisotropy statistic) plus the norm of the mean unit vector — the
+    "common direction" whose length is the anisotropy's square-root
+    twin.  A healthy retrieval/dedup space has mean pairwise cosine
+    near 0; a collapsed ("cone-shaped") space pushes it toward 1, which
+    silently inflates every cosine threshold `emb_semantic_dedup` and
+    the ANN rungs rely on.
+
+    The O(n²) pair sum is computed WITHOUT pairing: for unit vectors
+    ``Σ_{i≠j} cos(x_i,x_j) = ‖Σ x̂‖² − Σ‖x̂‖²``, so one per-dimension
+    reduction replaces the quadratic join.
+
+    Scale shape: per-row normalization is the house 7-dp-rounded double
+    (the `with_cosine` tolerance family); every REDUCTION after it sums
+    DECIMAL(18,7) quantities — addition-order-exact, so the parity does
+    not depend on partitioning (the `centroid_drift` treatment) — in
+    one posexplode → per-dim map-side-combinable aggregate; the closing
+    fold runs on the dim-cardinality table (e.g. 64 rows) with 12-dp
+    DECIMAL per-term quantization.  100×: nothing after the per-dim
+    reduction sees corpus-sized data and no vector crosses an exchange.
+    """
+    base = (
+        emb.select(F.expr(_to_double(vec_col)).alias("v"))
+        .withColumn("_nrm", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+        .filter(F.col("_nrm") > 0)
+    )
+    xq = F.round(F.col("x") / F.col("_nrm"), 7).cast("decimal(18,7)")
+    per_dim = (
+        base.select(F.posexplode("v").alias("dim", "x"), "_nrm")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(xq).alias("_s1"),
+            F.sum(xq * xq).alias("_s2"),
+        )
+    )
+    dec = "decimal(28,12)"
+    s1d = F.col("_s1").cast("double")
+    agg = per_dim.agg(
+        F.max("_n").cast("long").alias("_nv"),
+        F.sum(F.round(s1d * s1d, 12).cast(dec)).alias("_snorm2"),
+        F.sum("_s2").alias("_ssq"),
+    )
+    n = F.col("_nv").cast("double")
+    snorm2 = F.col("_snorm2").cast("double")
+    ssq = F.col("_ssq").cast("double")
+    return agg.select(
+        F.col("_nv").alias("n_vectors"),
+        F.when(
+            F.col("_nv") > 1,
+            F.round((snorm2 - ssq) / (n * (n - 1)), 6),
+        ).alias("mean_pairwise_cos"),
+        F.round(F.sqrt(snorm2) / n, 6).alias("center_norm"),
+        F.round(ssq / n, 6).alias("mean_sq_norm"),
+    )
+
+
+def sql_isotropy() -> str:
+    return """
+WITH base AS (
+  SELECT v, sqrt(list_sum(list_transform(generate_series(1, len(v)),
+                                         i -> v[i] * v[i]))) AS nrm
+  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings)),
+x AS (
+  SELECT unnest(generate_series(1, len(v))) - 1 AS dim,
+         unnest(v) AS x, nrm
+  FROM base WHERE nrm > 0),
+per_dim AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(round(x / nrm, 7) AS DECIMAL(18,7))) AS s1,
+         sum(CAST(round(x / nrm, 7) AS DECIMAL(18,7))
+             * CAST(round(x / nrm, 7) AS DECIMAL(18,7))) AS s2
+  FROM x GROUP BY 1),
+agg AS (
+  SELECT max(n)::BIGINT AS nv,
+         sum(CAST(round(s1::DOUBLE * s1::DOUBLE, 12)
+                  AS DECIMAL(28,12))) AS snorm2,
+         sum(s2) AS ssq
+  FROM per_dim)
+SELECT nv AS n_vectors,
+       CASE WHEN nv > 1 THEN
+         round((snorm2::DOUBLE - ssq::DOUBLE)
+               / (nv::DOUBLE * (nv::DOUBLE - 1)), 6) END
+         AS mean_pairwise_cos,
+       round(sqrt(snorm2::DOUBLE) / nv::DOUBLE, 6) AS center_norm,
+       round(ssq::DOUBLE / nv::DOUBLE, 6) AS mean_sq_norm
+FROM agg
+"""
+
+
+# ------------------------------------------- k-NN label purity
+
+def knn_label_purity(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label k-NN label agreement over the bucketed ANN graph: for
+    each vector, how many of its k nearest (same-bucket) neighbors
+    share its label — the standard embedding-quality probe ("kNN
+    accuracy") that tells you whether the space actually separates the
+    classes the downstream sampler/curation pass will stratify on.
+    Reported per label: query count, edge count, agreeing-edge count
+    and purity (agree/edges), so a label whose purity collapses is
+    visible even when the corpus-wide average looks fine.
+
+    Scale shape: reuses the attested hyperplane-LSH serving shape
+    (bucket equi-join, never all-pairs — `emb_ann_lsh`) and the shared
+    two-phase top-k kernel with labels carried through the rank; the
+    closing rollup is a label-cardinality exact integer reduction.
+    Vectors alone in their bucket contribute no edges (counted out by
+    n_edges), matching the serving path's recall story.  100×: bucket
+    count scales with n_planes (config); nothing after the top-k sees
+    more than corpus×k rows.
+    """
+    planes = hyperplanes(n_planes, dim)
+    base = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.expr(_to_double(vec_col)).alias("v"),
+    )
+    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    q = bucketed.select(
+        F.col(id_col).alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        "bucket",
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("c_id"),
+        F.col("label").alias("c_label"),
+        F.col("v").alias("cv"),
+        "bucket",
+    )
+    j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    knn = _topk_per_query(scored, k, carry=["q_label", "c_label"])
+    per = knn.groupBy("q_label").agg(
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("c_label") == F.col("q_label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return per.select(
+        F.col("q_label").cast("long").alias("label"),
+        "n_queries",
+        "n_edges",
+        "n_agree",
+        F.round(F.col("n_agree") / F.col("n_edges"), 6).alias("purity"),
+    ).orderBy("label")
+
+
+def sql_knn_label_purity(
+    k: int = 5, n_planes: int = 6, dim: int = 64
+) -> str:
+    planes = hyperplanes(n_planes, dim)
+    return f"""
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+bucketed AS (
+  SELECT vec_id, label, v, {duck_bucket_expr('v', planes)} AS bucket
+  FROM base),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, bucket FROM bucketed),
+c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket FROM bucketed),
+scored AS (
+  SELECT q_id, q_label, c_id, c_label, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY cosine DESC, c_id) AS rank
+  FROM scored)
+SELECT q_label::BIGINT AS label,
+       count(DISTINCT q_id)::BIGINT AS n_queries,
+       count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+       round(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END)
+             / count(*), 6) AS purity
+FROM ranked WHERE rank <= {k}
+GROUP BY 1 ORDER BY 1
+"""

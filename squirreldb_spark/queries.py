@@ -3611,6 +3611,52 @@ def q_ev_lag_autocorr(spark, sf_dir):
     return pevents.lag_autocorr(_events(spark, sf_dir))
 
 
+def q_emb_isotropy(spark, sf_dir):
+    """Corpus anisotropy (Ethayarajh 2019): exact mean pairwise cosine
+    of the unit-normalized corpus via the sum-vector identity — one
+    per-dim reduction, no pair join (pipeline/similarity.py
+    isotropy)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.isotropy(emb)
+
+
+def q_emb_knn_purity(spark, sf_dir):
+    """Per-label k-NN label agreement ("kNN accuracy") over the
+    bucketed ANN graph — the class-separation probe for the embedding
+    space (pipeline/similarity.py knn_label_purity)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.knn_label_purity(emb)
+
+
+def q_ev_topk_drift(spark, sf_dir):
+    """Week-over-week top-k heavy-hitter turnover: retained count,
+    pair-set Jaccard and churn of the weekly top user set — the drift
+    twin of ev_key_skew (pipeline/events.py topk_drift)."""
+    return pevents.topk_drift(_events(spark, sf_dir))
+
+
+def q_ev_value_psi(spark, sf_dir):
+    """Population Stability Index of the value measure per (type,
+    week) vs the type's corpus distribution on fixed log bins, with
+    the standard 0.1/0.25 verdict bands (pipeline/events.py
+    value_psi)."""
+    return pevents.value_psi(_events(spark, sf_dir))
+
+
+def q_ev_user_lifecycle(spark, sf_dir):
+    """Daily active-user lifecycle split: new / returning /
+    resurrected (gap > 14 d) actives per day (pipeline/events.py
+    user_lifecycle)."""
+    return pevents.user_lifecycle(_events(spark, sf_dir))
+
+
+def q_doc_detector_agreement(spark, sf_dir):
+    """Cross-detector dedup agreement: exact vs MinHash-LSH vs SimHash
+    pair counts, overlap Jaccard and exact-pair recall of each sketch
+    (pipeline/dedup.py detector_agreement)."""
+    return pdedup.detector_agreement(_docs(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4293,6 +4339,24 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "mm_keyframe_select": QueryDef(
         q_mm_keyframe_select, pmm.sql_keyframe_select()
     ),
+    # corpus anisotropy: exact mean pairwise cosine, no pair join
+    "emb_isotropy": QueryDef(q_emb_isotropy, psim.sql_isotropy()),
+    # per-label kNN label agreement over the bucketed ANN graph
+    "emb_knn_purity": QueryDef(
+        q_emb_knn_purity, psim.sql_knn_label_purity()
+    ),
+    # week-over-week heavy-hitter turnover
+    "ev_topk_drift": QueryDef(q_ev_topk_drift, pevents.sql_topk_drift()),
+    # value-distribution PSI drift gate per (type, week)
+    "ev_value_psi": QueryDef(q_ev_value_psi, pevents.sql_value_psi()),
+    # daily new/returning/resurrected active split
+    "ev_user_lifecycle": QueryDef(
+        q_ev_user_lifecycle, pevents.sql_user_lifecycle()
+    ),
+    # exact vs MinHash vs SimHash pair-set confusion summary
+    "doc_detector_agreement": QueryDef(
+        q_doc_detector_agreement, pdedup.sql_detector_agreement()
+    ),
 }
 
 
@@ -4309,11 +4373,14 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (computed at r11 while rotating this window): after the
 # r11 window attests its 50 rows, the oldest remaining attestations are
-# the 16 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
+# the 22 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
 # ts_import_roundtrip,
 # ts_index_verify, ts_label_join, ts_label_replace, doc_bpe_tokens,
 # doc_simhash, emb_ann_lsh, emb_cosine_knn, emb_neardup_pairs,
-# mm_extract_features, mm_resize_images, mm_sample_frames) and the
+# mm_extract_features, mm_resize_images, mm_sample_frames, plus the six
+# displaced by the session-3 kernels: promql_preagg_route,
+# promql_rate_sum, promql_selector_matchers, promql_subquery,
+# promql_time_timestamp, promql_topk) and the
 # 39-row r6 cohort
 # (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
 # doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
@@ -4338,6 +4405,12 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 _VERIFY_FIRST: list[str] = [
     # --- (0) NEW round-11 kernels (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
+    "emb_isotropy",
+    "emb_knn_purity",
+    "ev_topk_drift",
+    "ev_value_psi",
+    "ev_user_lifecycle",
+    "doc_detector_agreement",
     "doc_repetition_profile",
     "doc_tokenizer_fertility",
     "doc_minhash_containment",
@@ -4389,12 +4462,6 @@ _VERIFY_FIRST: list[str] = [
     "promql_group_right",
     "promql_map_labels",
     "promql_offset",
-    "promql_preagg_route",
-    "promql_rate_sum",
-    "promql_selector_matchers",
-    "promql_subquery",
-    "promql_time_timestamp",
-    "promql_topk",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",

@@ -2831,3 +2831,178 @@ def test_keyframe_select_hand_maxmin(spark):
         assert r2.gain == best[0] and r2.frame_idx == -best[1]
         # step-3 gain cannot exceed step-2's (maxmin is non-increasing)
         assert r3.gain <= r2.gain
+
+
+def test_isotropy_hand_sum_vector_identity(spark):
+    """(1,0), (0,1), (1,0): Σx̂=(2,1), ‖Σ‖²=5, Σ‖x̂‖²=3 -> pair sum 2
+    over n(n-1)=6 -> mean cos 1/3; center_norm = sqrt(5)/3."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.isotropy(emb).collect()[0]
+    assert r.n_vectors == 3
+    assert r.mean_pairwise_cos == round(2 / 6, 6)
+    assert r.center_norm == round(5 ** 0.5 / 3, 6)
+    assert r.mean_sq_norm == 1.0
+
+
+def test_isotropy_zero_vector_filtered(spark):
+    """A zero vector cannot be normalized; it must drop out rather
+    than poison the sums with NaN."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.0]),
+         (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.isotropy(emb).collect()[0]
+    assert r.n_vectors == 3 and r.mean_pairwise_cos == round(2 / 6, 6)
+
+
+def test_isotropy_single_vector_null_mean(spark):
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    r = psim.isotropy(emb).collect()[0]
+    assert r.n_vectors == 1 and r.mean_pairwise_cos is None
+    assert r.mean_sq_norm == 1.0
+
+
+def test_knn_purity_hand_labels(spark):
+    """Exact (single-bucket) 1-NN: a<->b agree (label 0), c's NN is b
+    (label 0 != 1) -> label 0 purity 1.0, label 1 purity 0.0."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    rows = psim.knn_label_purity(emb, k=1, n_planes=0, dim=2).collect()
+    by = {r.label: r for r in rows}
+    assert by[0].n_queries == 2 and by[0].n_edges == 2
+    assert by[0].n_agree == 2 and by[0].purity == 1.0
+    assert by[1].n_queries == 1 and by[1].n_agree == 0
+    assert by[1].purity == 0.0
+
+
+def test_topk_drift_hand_turnover(spark):
+    """Week0 top2 {u1,u2}, week1 top2 {u2,u3}: retained 1, jaccard
+    1/3, churn 1/2; only weeks with a preceding active week emit."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = []
+    eid = 0
+    for u, n in [(1, 3), (2, 2), (3, 1)]:       # week 0
+        for _ in range(n):
+            rows.append((eid, u, 10 + eid)); eid += 1
+    for u, n in [(2, 5), (3, 4)]:               # week 1
+        for _ in range(n):
+            rows.append((eid, u, 7 * D + 10 + eid)); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    out = pevents.topk_drift(ev, k=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.week, r.n_prev, r.n_curr, r.retained) == (1, 2, 2, 1)
+    assert r.jaccard == round(1 / 3, 6) and r.churn == 0.5
+
+
+def test_value_psi_identical_weeks_stable(spark):
+    """Two weeks with identical value mixes match the corpus exactly:
+    psi 0, verdict stable on both rows."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(0, 1, 10, "a", 1.0), (1, 1, 20, "a", 10.0),
+            (2, 1, 7 * D + 10, "a", 1.0), (3, 1, 7 * D + 20, "a", 10.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = pevents.value_psi(ev).collect()
+    assert len(out) == 2
+    assert all(r.psi == 0.0 and r.verdict == "stable" for r in out)
+    assert all(r.n_events == 2 for r in out)
+
+
+def test_value_psi_disjoint_weeks_shifted(spark):
+    """Week0 all-small, week1 all-large: each week sees half the
+    corpus bins absent -> large symmetric PSI, verdict shifted."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(0, 1, 10, "a", 1.0), (1, 1, 20, "a", 1.0),
+            (2, 1, 7 * D + 10, "a", 10.0), (3, 1, 7 * D + 20, "a", 10.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = pevents.value_psi(ev).collect()
+    assert len(out) == 2
+    assert all(r.verdict == "shifted" and r.psi > 0.25 for r in out)
+    assert out[0].psi == out[1].psi  # symmetric by construction
+
+
+def test_user_lifecycle_hand_classes(spark):
+    """u1 active d0/d1/d20, u2 active d0: d0 = 2 new, d1 = 1
+    returning, d20 gap 19 > 14 = 1 resurrected."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(0, 1, 5), (1, 1, D + 5), (2, 1, 20 * D + 5), (3, 2, 7)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    out = {r.day: r for r in pevents.user_lifecycle(ev).collect()}
+    assert out[0].n_active == 2 and out[0].n_new == 2
+    assert out[1].n_returning == 1 and out[1].n_new == 0
+    assert out[20].n_resurrected == 1 and out[20].n_returning == 0
+
+
+def test_user_lifecycle_gap_boundary(spark):
+    """A gap of exactly gap_days is returning; gap_days+1 is
+    resurrected (strict >)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    ev = spark.createDataFrame(
+        [(0, 1, 5), (1, 1, 14 * D + 5), (2, 2, 5), (3, 2, 15 * D + 5)],
+        "event_id long, user_id long, ts long",
+    )
+    out = {r.day: r for r in pevents.user_lifecycle(ev).collect()}
+    assert out[14].n_returning == 1 and out[14].n_resurrected == 0
+    assert out[15].n_resurrected == 1 and out[15].n_returning == 0
+
+
+def test_detector_agreement_identical_pair(spark):
+    """Two byte-identical docs + one unrelated: every detector flags
+    exactly the identical pair -> counts 1, jaccard 1, recalls 1."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "aa bb cc dd ee"),
+         (3, "xx yy zz ww vv qq")],
+        "doc_id long, text string",
+    )
+    r = pdedup.detector_agreement(docs).collect()[0]
+    assert (r.n_exact, r.n_minhash, r.n_simhash, r.n_both) == (1, 1, 1, 1)
+    assert r.pair_jaccard == 1.0
+    assert r.exact_recall_minhash == 1.0
+    assert r.exact_recall_simhash == 1.0
+
+
+def test_detector_agreement_no_exact_dups_null_recall(spark):
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "xx yy zz ww vv qq")],
+        "doc_id long, text string",
+    )
+    r = pdedup.detector_agreement(docs).collect()[0]
+    assert r.n_exact == 0
+    assert r.exact_recall_minhash is None
+    assert r.exact_recall_simhash is None

@@ -1415,3 +1415,74 @@ def test_keyframe_select_doc_keyed_equijoins_only(spark, sf_dir):
     for cols in shuffle_exchange_outputs(df):
         names = [c for c, _ in cols]
         assert "payload" not in names and "text" not in names, names
+
+
+def test_isotropy_no_pair_join_no_vector_exchange(spark, sf_dir):
+    """The O(n²) pair sum is the sum-vector identity: the plan has NO
+    join at all, and no exchange carries an array — only the per-dim
+    DECIMAL partials move."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.isotropy(emb)
+    plan = plan_of(df)
+    assert "Join" not in plan, "isotropy must not join/pair vectors"
+    outs = shuffle_exchange_outputs(df)
+    assert outs and all(
+        "array" not in t for out in outs for _, t in out
+    ), outs
+
+
+def test_knn_purity_bucket_equijoin_only(spark, sf_dir):
+    """The kNN graph reuses the attested hyperplane-LSH bucket
+    equi-join (never all-pairs); the closing label rollup is
+    register-width."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.knn_label_purity(emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "emb_knn_purity")
+    outs = shuffle_exchange_outputs(df)
+    assert outs and all("array" not in t for _, t in outs[0]), outs[0]
+
+
+def test_topk_drift_two_phase_window(spark, sf_dir):
+    """Per-week top-k runs on the shared two-phase kernel: the shard
+    prefilter window keys on (week, _shard) so no task sorts a whole
+    week's user set; the drift join is an equi-join."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = model.load_table(spark, sf_dir, "events")
+    df = pevents.topk_drift(ev)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_topk_drift")
+    assert "_shard" in plan, "two-phase shard prefilter missing"
+
+
+def test_value_psi_histogram_reductions_only(spark, sf_dir):
+    """Both PSI inputs are integer histograms (map-side combinable
+    partial_count before the exchange); nothing corpus-sized is
+    joined — the grid join keys on event_type/bin-cardinality
+    tables."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = model.load_table(spark, sf_dir, "events")
+    df = pevents.value_psi(ev)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_value_psi")
+    assert "partial_count" in plan, "histogram must combine map-side"
+
+
+def test_detector_agreement_no_text_in_exchanges(spark, sf_dir):
+    """All three detectors exchange fingerprints (hashes, signature
+    longs, band hashes) — the document text itself never crosses a
+    shuffle."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    df = pdedup.detector_agreement(docs)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_detector_agreement")
+    for out in shuffle_exchange_outputs(df):
+        assert all(n != "text" for n, _ in out), out

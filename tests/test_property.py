@@ -1214,3 +1214,154 @@ def test_lexical_diversity_matches_brute_force(spark, words):
     assert r.hapax_ratio == pytest.approx(hapax / V, abs=1e-6)
     assert r.simpson == pytest.approx(s2m / (N * (N - 1)), abs=1e-6)
     assert r.yule_k == pytest.approx(1e4 * (s2 - N) / (N * N), abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(st.floats(-4, 4, allow_nan=False),
+                  st.floats(-4, 4, allow_nan=False),
+                  st.floats(-4, 4, allow_nan=False)),
+        min_size=2, max_size=12,
+    ),
+)
+def test_isotropy_matches_brute_force_pair_mean(spark, vecs):
+    """The sum-vector identity vs the literal O(n²) pairwise-cosine
+    mean over the 7-dp-quantized normalized corpus."""
+    from squirreldb_spark.pipeline.similarity import isotropy
+
+    emb = spark.createDataFrame(
+        [(i, list(v)) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    r = isotropy(emb).collect()[0]
+    unit = []
+    for v in vecs:
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            unit.append([round(x / n, 7) for x in v])
+    if len(unit) < 2:
+        assert r.mean_pairwise_cos is None
+        return
+    m = len(unit)
+    pair_sum = sum(
+        sum(a * b for a, b in zip(unit[i], unit[j]))
+        for i in range(m) for j in range(m) if i != j
+    )
+    assert r.n_vectors == m
+    assert r.mean_pairwise_cos == pytest.approx(
+        pair_sum / (m * (m - 1)), abs=1e-6
+    )
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3),          # user
+                  st.integers(0, 20),         # day
+                  st.floats(0.01, 300, allow_nan=False)),  # value
+        min_size=1, max_size=50,
+    ),
+)
+def test_value_psi_nonnegative_and_corpus_week_is_zero(spark, events):
+    """Every PSI term (p−q)·ln(p/q) is ≥ 0, so PSI ≥ 0 always; and a
+    corpus with ONE active week has p = q exactly -> PSI 0."""
+    from squirreldb_spark.pipeline.events import value_psi
+
+    D = 86_400_000
+    rows = [(i, u, d * D + 50, "t", val)
+            for i, (u, d, val) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = value_psi(ev).collect()
+    assert all(r.psi >= 0 for r in out)
+    weeks = {d // 7 for _, d, _ in events}
+    if len(weeks) == 1:
+        assert len(out) == 1 and out[0].psi == 0.0
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    activity=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 40)),  # (user, day)
+        min_size=1, max_size=60,
+    ),
+)
+def test_user_lifecycle_matches_brute_force(spark, activity):
+    """Class split vs a direct per-user day-walk; per-day classes sum
+    to actives and Σ n_new equals the distinct user count."""
+    from collections import defaultdict
+
+    from squirreldb_spark.pipeline.events import user_lifecycle
+
+    D = 86_400_000
+    rows = [(i, u, d * D + 99) for i, (u, d) in enumerate(activity)]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    out = {r.day: r for r in user_lifecycle(ev).collect()}
+
+    per_user = defaultdict(set)
+    for u, d in activity:
+        per_user[u].add(d)
+    ref = defaultdict(lambda: [0, 0, 0])  # new, returning, resurrected
+    for u, days in per_user.items():
+        prev = None
+        for d in sorted(days):
+            if prev is None:
+                ref[d][0] += 1
+            elif d - prev > 14:
+                ref[d][2] += 1
+            else:
+                ref[d][1] += 1
+            prev = d
+    assert set(out) == set(ref)
+    for d, (nn, nr, ns) in ref.items():
+        r = out[d]
+        assert (r.n_new, r.n_returning, r.n_resurrected) == (nn, nr, ns)
+        assert r.n_active == nn + nr + ns
+    assert sum(r.n_new for r in out.values()) == len(per_user)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    weeks=st.lists(
+        st.lists(st.tuples(st.integers(0, 9), st.integers(1, 9)),
+                 min_size=1, max_size=10),
+        min_size=2, max_size=4,
+    ),
+)
+def test_topk_drift_matches_set_reference(spark, weeks):
+    """Drift rows vs direct top-k sets computed per week with the same
+    (count desc, user asc) tie-break."""
+    from squirreldb_spark.pipeline.events import topk_drift
+
+    D = 86_400_000
+    rows, eid = [], 0
+    for w, week in enumerate(weeks):
+        for u, n in week:
+            for _ in range(n):
+                rows.append((eid, u, w * 7 * D + eid % (7 * D))); eid += 1
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts long")
+    k = 3
+    out = {r.week: r for r in topk_drift(ev, k=k).collect()}
+
+    from collections import Counter
+    tops = {}
+    for w, week in enumerate(weeks):
+        cnt = Counter()
+        for u, n in week:
+            cnt[u] += n
+        ranked = sorted(cnt.items(), key=lambda t: (-t[1], t[0]))[:k]
+        tops[w] = {u for u, _ in ranked}
+    for w in range(1, len(weeks)):
+        prev, curr = tops[w - 1], tops[w]
+        r = out[w]
+        inter = len(prev & curr)
+        assert (r.n_prev, r.n_curr, r.retained) == (len(prev), len(curr), inter)
+        assert r.jaccard == pytest.approx(inter / len(prev | curr), abs=1e-6)
+        assert r.churn == pytest.approx((len(prev) - inter) / len(prev), abs=1e-6)

@@ -58,6 +58,11 @@ OPS = [
     "emb_intrinsic_dim",
     "doc_dedup_threshold_sweep",
     "doc_lexical_diversity",
+    # round-11 session-3: the three data-volume-bound additions (the
+    # three ev_* additions reduce to weekly/daily rollups immediately)
+    "doc_detector_agreement",
+    "emb_knn_purity",
+    "emb_isotropy",
 ]
 
 #: VERDICT r10 #4: the two window-bounded event operators, measured on
