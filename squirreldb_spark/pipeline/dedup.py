@@ -2938,3 +2938,96 @@ SELECT n_minhash, n_simhash, n_exact, n_both,
          AS exact_recall_simhash
 FROM agg
 """
+
+
+# --------------------------------- quality-vs-duplication lift audit
+
+def quality_dup_lift(
+    docs: DataFrame,
+    est_thresh: float = AGREEMENT_EST_THRESH,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Does near-duplication concentrate in low-quality documents?
+    Per Gopher-quality verdict (keep / drop from `doc_quality_filter`'s
+    rules): document count, near-dup-touched count (member of ≥ 1
+    MinHash-LSH pair at estimated Jaccard ≥ ``est_thresh``), the dup
+    rate, and its LIFT over the corpus dup rate.  Lift > 1 on the
+    drop side is the classic web-corpus signature (boilerplate is both
+    low-quality and heavily duplicated) and justifies running the
+    cheap quality gate BEFORE the expensive pair generation; lift ≈ 1
+    says dedup must run on the full corpus.
+
+    Scale shape: the quality verdict is a narrow map fused into the
+    corpus scan (the curation_verdict treatment — a shared column
+    builder, not a join of operator outputs); the pair generator is
+    the attested banded-LSH chain; touched ids collapse by DISTINCT
+    before a fingerprint-only left join back, and the closing rollup
+    is two rows joined with a broadcast one-row total.
+    """
+    from squirreldb_spark.pipeline.text import _quality_signal_cols
+
+    _, _, _, _, q_keep = _quality_signal_cols(text_col)
+    flags = docs.select(F.col(id_col), q_keep.alias("q_keep"))
+    sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
+    pairs = minhash_estimated_similarity(
+        sig, lsh_candidate_pairs(sig, id_col=id_col), id_col=id_col
+    ).filter(F.col("est_jaccard") >= est_thresh)
+    touched = (
+        pairs.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        )
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    j = flags.join(touched, id_col, "left")
+    per = j.groupBy("q_keep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count("_dup").cast("long").alias("n_dup"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("long").alias("_td"),
+        F.sum("n_dup").cast("long").alias("_tn"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    rate = F.col("n_dup") / F.col("n_docs")
+    corpus_rate = F.col("_tn") / F.col("_td")
+    return out.select(
+        "q_keep",
+        "n_docs",
+        "n_dup",
+        F.round(rate, 6).alias("dup_rate"),
+        F.when(F.col("_tn") > 0, F.round(rate / corpus_rate, 6)).alias(
+            "lift"
+        ),
+    ).orderBy("q_keep")
+
+
+def sql_quality_dup_lift(est_thresh: float = AGREEMENT_EST_THRESH) -> str:
+    from squirreldb_spark.pipeline.text import sql_quality_filter
+
+    return f"""
+WITH q AS ({sql_quality_filter()}),
+pairs AS (
+  SELECT id_a, id_b
+  FROM ({sql_minhash_lsh_pairs()}) WHERE est_jaccard >= {est_thresh!r}),
+touched AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM pairs
+    UNION ALL SELECT id_b AS doc_id FROM pairs)),
+j AS (
+  SELECT q.keep AS q_keep,
+         CASE WHEN t.doc_id IS NOT NULL THEN 1 END AS dup
+  FROM q LEFT JOIN touched t ON t.doc_id = q.doc_id),
+per AS (
+  SELECT q_keep, count(*)::BIGINT AS n_docs,
+         count(dup)::BIGINT AS n_dup
+  FROM j GROUP BY 1),
+tot AS (SELECT sum(n_docs)::BIGINT AS td, sum(n_dup)::BIGINT AS tn
+        FROM per)
+SELECT q_keep, n_docs, n_dup,
+       round(n_dup / n_docs, 6) AS dup_rate,
+       CASE WHEN tn > 0 THEN
+         round((n_dup / n_docs) / (tn / td), 6) END AS lift
+FROM per, tot ORDER BY q_keep
+"""

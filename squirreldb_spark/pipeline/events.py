@@ -3881,3 +3881,98 @@ SELECT day, count(*)::BIGINT AS n_active,
          AS n_resurrected
 FROM cls GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------- event-type mix drift (JS)
+
+def type_mix_drift(events: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence of each week's event-type mix against
+    the whole-corpus mix — the categorical drift gate next to
+    ``ev_value_psi``'s numeric one: PSI watches the VALUES move,
+    this watches the TYPE composition move (a new client version that
+    stops emitting one event shifts the mix long before any value
+    distribution does).  JS needs no smoothing: a week-absent type
+    contributes its analytic tail ``½·q·ln 2`` through the ``p = 0``
+    branch (the doc_source_drift treatment), and ``q > 0`` for every
+    type by construction.
+
+    Scale shape: two map-side-combinable integer histograms — (week,
+    type) and (type) — then everything runs on the types × weeks grid
+    (the corpus table crossJoins the broadcast week-totals: bounded ×
+    bounded, the allowed unconditioned broadcast cross); the JS fold
+    sums 12-dp-DECIMAL-quantized terms over the bounded type set.
+    100×: the histograms reduce more rows into the same grid.
+    """
+    binned = events.select(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(_DAY_MS * 7)).cast("long").alias("week"),
+    )
+    wk = binned.groupBy("week", "event_type").agg(
+        F.count(F.lit(1)).alias("wn")
+    )
+    wk_tot = wk.groupBy("week").agg(F.sum("wn").cast("long").alias("wt"))
+    corpus = binned.groupBy("event_type").agg(F.count(F.lit(1)).alias("cn"))
+    c_tot = corpus.agg(F.sum("cn").cast("long").alias("ct"))
+    grid = corpus.crossJoin(F.broadcast(wk_tot)).crossJoin(
+        F.broadcast(c_tot)
+    )
+    g = grid.join(wk, ["event_type", "week"], "left").select(
+        "week",
+        "wt",
+        F.col("wn").isNotNull().alias("active"),
+        (F.coalesce(F.col("wn"), F.lit(0)) / F.col("wt")).alias("p"),
+        (F.col("cn") / F.col("ct")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m))
+        .otherwise(0.0)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    per = g.groupBy("week").agg(
+        F.max("wt").alias("n_events"),
+        F.sum(F.round(term, 12).cast("decimal(28,12)")).alias("_js"),
+        F.sum(F.when(F.col("active"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_types_active"),
+    )
+    return per.select(
+        "week",
+        "n_events",
+        F.round(F.col("_js").cast("double"), 6).alias("js_divergence"),
+        "n_types_active",
+    ).orderBy("week")
+
+
+def sql_type_mix_drift() -> str:
+    return f"""
+WITH binned AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / {_DAY_MS * 7}) AS BIGINT) AS week
+  FROM events),
+wk AS (SELECT week, event_type, count(*)::BIGINT AS wn
+       FROM binned GROUP BY 1, 2),
+wk_tot AS (SELECT week, sum(wn)::BIGINT AS wt FROM wk GROUP BY 1),
+corpus AS (SELECT event_type, count(*)::BIGINT AS cn
+           FROM binned GROUP BY 1),
+c_tot AS (SELECT sum(cn)::BIGINT AS ct FROM corpus),
+g AS (
+  SELECT t.week, t.wt, wk.wn IS NOT NULL AS active,
+         coalesce(wk.wn, 0) / t.wt AS p,
+         c.cn / ct.ct AS q
+  FROM corpus c CROSS JOIN wk_tot t CROSS JOIN c_tot ct
+  LEFT JOIN wk ON wk.event_type = c.event_type AND wk.week = t.week),
+per AS (
+  SELECT week, max(wt)::BIGINT AS n_events,
+         sum(CAST(round(
+           CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))
+                ELSE 0 END
+           + 0.5 * q * ln(q / ((p + q) / 2)), 12)
+           AS DECIMAL(28,12))) AS js,
+         sum(CASE WHEN active THEN 1 ELSE 0 END)::BIGINT
+           AS n_types_active
+  FROM g GROUP BY 1)
+SELECT week, n_events, round(js::DOUBLE, 6) AS js_divergence,
+       n_types_active
+FROM per ORDER BY 1
+"""

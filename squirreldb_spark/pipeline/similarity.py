@@ -2306,6 +2306,33 @@ FROM per
 
 # --------------------------------------------------- hubness (k-occurrence)
 
+#: per-bucket CANDIDATE budget for the full-corpus k-NN-graph ops
+#: (hubness, knn_label_purity): every vector still queries, but each
+#: bucket contributes at most this many candidates (kept by min id —
+#: deterministic, oracle-mirrorable), so the bucket self-join fan-out
+#: is Σ bucket × min(bucket, cap) ≤ corpus × cap — LINEAR in data at
+#: fixed n_planes instead of Σ bucket² ~ n²/B. Not binding at the test
+#: scales (sf1 buckets ≈ 300); at 100 TB the config story is raising
+#: n_planes with the corpus, and the cap is the hard guard under it.
+KNN_GRAPH_MAX_BUCKET = 2000
+
+
+def _cap_candidates(
+    bucketed: DataFrame, id_col: str, max_bucket: int | None
+) -> DataFrame:
+    """Keep at most ``max_bucket`` candidates per bucket (lowest ids) —
+    the window keys on the join's own shuffle key, the
+    lsh_candidate_pairs cap pattern."""
+    if max_bucket is None:
+        return bucketed
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    return (
+        bucketed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_bucket)
+        .drop("_rn")
+    )
+
+
 def hubness(
     emb: DataFrame,
     k: int = 5,
@@ -2313,6 +2340,7 @@ def hubness(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = KNN_GRAPH_MAX_BUCKET,
 ) -> DataFrame:
     """Hubness profile of the corpus's bucketed ANN k-NN graph: the
     k-occurrence (in-degree) distribution summary — mean, skewness
@@ -2329,9 +2357,14 @@ def hubness(
     list; in-degrees are a register-width combinable rollup and the
     closing moment fold sums EXACT integer powers (DECIMAL(38,0)), so
     the skewness arithmetic is one identical double expression per
-    engine.  100×: bucket count scales with ``n_planes`` (config), the
-    per-bucket cap story is ``emb_ann_lsh``'s, and nothing after the
-    in-degree rollup sees corpus-sized data.
+    engine.  100×: bucket count scales with ``n_planes`` (config), and
+    the CANDIDATE side of the bucket self-join is capped at
+    ``max_bucket`` per bucket (lowest ids — deterministic, mirrored in
+    the oracle), so the join fan-out is Σ bucket × min(bucket, cap) ≤
+    corpus × cap — linear in data, never Σ bucket² ~ n²/B; every
+    vector still queries, in-degrees just count within the capped
+    candidate pool. Nothing after the in-degree rollup sees
+    corpus-sized data.
     """
     planes = hyperplanes(n_planes, dim)
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
@@ -2339,7 +2372,7 @@ def hubness(
     q = bucketed.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
     )
-    c = bucketed.select(
+    c = _cap_candidates(bucketed, id_col, max_bucket).select(
         F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
     )
     j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
@@ -2388,13 +2421,20 @@ def hubness(
     )
 
 
-def sql_hubness(k: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+def sql_hubness(
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    max_bucket: int = KNN_GRAPH_MAX_BUCKET,
+) -> str:
     planes = hyperplanes(n_planes, dim)
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, {duck_bucket_expr('v', planes)} AS bucket FROM base),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed),
-c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+              <= {max_bucket}),
 scored AS (
   SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
   FROM c JOIN q USING (bucket) WHERE c_id != q_id),
@@ -2750,6 +2790,7 @@ def knn_label_purity(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_bucket: int | None = KNN_GRAPH_MAX_BUCKET,
 ) -> DataFrame:
     """Per-label k-NN label agreement over the bucketed ANN graph: for
     each vector, how many of its k nearest (same-bucket) neighbors
@@ -2766,8 +2807,10 @@ def knn_label_purity(
     closing rollup is a label-cardinality exact integer reduction.
     Vectors alone in their bucket contribute no edges (counted out by
     n_edges), matching the serving path's recall story.  100×: bucket
-    count scales with n_planes (config); nothing after the top-k sees
-    more than corpus×k rows.
+    count scales with n_planes (config), the candidate side is capped
+    at ``max_bucket`` per bucket (min ids, the hubness contract — join
+    fan-out ≤ corpus × cap, linear in data), and nothing after the
+    top-k sees more than corpus×k rows.
     """
     planes = hyperplanes(n_planes, dim)
     base = emb.select(
@@ -2782,7 +2825,7 @@ def knn_label_purity(
         F.col("v").alias("qv"),
         "bucket",
     )
-    c = bucketed.select(
+    c = _cap_candidates(bucketed, id_col, max_bucket).select(
         F.col(id_col).alias("c_id"),
         F.col("label").alias("c_label"),
         F.col("v").alias("cv"),
@@ -2810,7 +2853,10 @@ def knn_label_purity(
 
 
 def sql_knn_label_purity(
-    k: int = 5, n_planes: int = 6, dim: int = 64
+    k: int = 5,
+    n_planes: int = 6,
+    dim: int = 64,
+    max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
     planes = hyperplanes(n_planes, dim)
     return f"""
@@ -2820,7 +2866,9 @@ bucketed AS (
   SELECT vec_id, label, v, {duck_bucket_expr('v', planes)} AS bucket
   FROM base),
 q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, bucket FROM bucketed),
-c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket FROM bucketed),
+c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket FROM bucketed
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
+              <= {max_bucket}),
 scored AS (
   SELECT q_id, q_label, c_id, c_label, {_duck_cos('qv', 'cv')} AS cosine
   FROM c JOIN q USING (bucket) WHERE c_id != q_id),
@@ -2837,3 +2885,262 @@ SELECT q_label::BIGINT AS label,
 FROM ranked WHERE rank <= {k}
 GROUP BY 1 ORDER BY 1
 """
+
+
+# --------------------------------------- label-pair centroid confusion
+
+def label_confusion(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Pairwise label-centroid separation matrix (upper triangle):
+    cosine and L2 between every pair of label centroids — which classes
+    the embedding space ENTANGLES, pair by pair, where
+    ``emb_centroid_drift`` only scores each label against the corpus
+    blend and ``emb_knn_purity`` only says THAT a label leaks, not into
+    whom.  A stratified sampler or a per-class dedup threshold reads
+    this to know which class pairs cannot be told apart by cosine.
+
+    Scale shape: the same one posexplode → (label, dim) DECIMAL-moment
+    reduction as centroid_drift (7-dp-quantized coordinates, exact
+    sums; no vector crosses an exchange); the pair join runs on the
+    labels×dims table (e.g. 10×64 rows) and the closing folds are
+    12-dp-DECIMAL per-term quantized, so every reported float derives
+    from addition-order-exact sums.  100×: only the first reduction
+    sees data volume.
+    """
+    xq = F.round(F.col("x"), 7).cast("decimal(18,7)")
+    ld = (
+        emb.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "dim", "x"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(xq).alias("_s1"))
+    )
+    mu = ld.select(
+        "label", "dim", (F.col("_s1").cast("double") / F.col("_n")).alias("mu")
+    )
+    a = mu.select(
+        F.col("label").alias("label_a"), "dim", F.col("mu").alias("mu_a")
+    )
+    b = mu.select(
+        F.col("label").alias("label_b"), "dim", F.col("mu").alias("mu_b")
+    )
+    dec = "decimal(28,12)"
+
+    def q12(c: Column) -> Column:
+        return F.round(c, 12).cast(dec)
+
+    per = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(q12(F.col("mu_a") * F.col("mu_b"))).alias("_dot"),
+            F.sum(q12(F.col("mu_a") * F.col("mu_a"))).alias("_na"),
+            F.sum(q12(F.col("mu_b") * F.col("mu_b"))).alias("_nb"),
+            F.sum(
+                q12(
+                    (F.col("mu_a") - F.col("mu_b"))
+                    * (F.col("mu_a") - F.col("mu_b"))
+                )
+            ).alias("_d2"),
+        )
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    return per.select(
+        F.col("label_a").cast("long").alias("label_a"),
+        F.col("label_b").cast("long").alias("label_b"),
+        F.when(
+            (na > 0) & (nb > 0),
+            F.round(F.col("_dot").cast("double") / F.sqrt(na * nb), 6),
+        ).alias("cos_centroids"),
+        F.round(F.sqrt(F.col("_d2").cast("double")), 6).alias(
+            "l2_centroids"
+        ),
+    ).orderBy("label_a", "label_b")
+
+
+def sql_label_confusion() -> str:
+    return """
+WITH x AS (
+  SELECT label,
+         unnest(generate_series(1, len(v))) - 1 AS dim, unnest(v) AS x
+  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings)),
+ld AS (
+  SELECT label, dim, count(*) AS n,
+         sum(CAST(round(x, 7) AS DECIMAL(18,7))) AS s1
+  FROM x GROUP BY 1, 2),
+mu AS (SELECT label, dim, s1::DOUBLE / n AS mu FROM ld),
+per AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(CAST(round(a.mu * b.mu, 12) AS DECIMAL(28,12))) AS dot,
+         sum(CAST(round(a.mu * a.mu, 12) AS DECIMAL(28,12))) AS na,
+         sum(CAST(round(b.mu * b.mu, 12) AS DECIMAL(28,12))) AS nb,
+         sum(CAST(round((a.mu - b.mu) * (a.mu - b.mu), 12)
+                  AS DECIMAL(28,12))) AS d2
+  FROM mu a JOIN mu b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2)
+SELECT label_a::BIGINT AS label_a, label_b::BIGINT AS label_b,
+       CASE WHEN na::DOUBLE > 0 AND nb::DOUBLE > 0 THEN
+         round(dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE), 6) END
+         AS cos_centroids,
+       round(sqrt(d2::DOUBLE), 6) AS l2_centroids
+FROM per ORDER BY 1, 2
+"""
+
+
+# --------------------------------- scalar-quantization bit-width sweep
+
+SQ_SWEEP_BITS = (8, 6, 4, 2)
+
+
+def sq_bits_sweep(
+    emb: DataFrame,
+    bits_list: tuple = SQ_SWEEP_BITS,
+    k: int = 5,
+    n_queries: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantization tuning curve: per candidate bit-width, the
+    corpus-mean reconstruction MSE and the recall@k of ASYMMETRIC
+    search (full-precision queries against reconstructed candidates —
+    the ADC serving shape) vs exact full-precision top-k.  The
+    compression twin of `emb_matryoshka_recall`'s dimension sweep: one
+    report says how many bits the store actually needs before ANN
+    quality degrades, instead of hard-coding int8.
+
+    Scale shape: per bit-width, the same two broadcast corpus scans as
+    the attested kNN path (per-dim min/max broadcasts back over an
+    unshuffled scan; reconstruction is a pure array HOF inside it) —
+    no exchange ever carries a vector; the MSE mean sums 6-dp-quantized
+    per-vector values as DECIMAL (addition-order-exact) and recall
+    joins two config-sized rankings.  The sweep multiplies scans by
+    |bits_list| (config), not data.
+    """
+    v = F.expr(_to_double(vec_col))
+    stats = emb.select(v.alias("v")).agg(
+        F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
+        F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
+    )
+    exact = cosine_knn(
+        emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "c_id")
+    base = emb.select(F.col(id_col), v.alias("v")).crossJoin(
+        F.broadcast(stats)
+    )
+    out = None
+    for bits in bits_list:
+        lv = (1 << bits) - 1
+        recon = F.expr(
+            f"transform(sequence(0, {dim - 1}), i -> CASE WHEN"
+            f" hi[i] = lo[i] THEN lo[i] ELSE lo[i] +"
+            f" cast(round({lv} * (v[i] - lo[i]) / (hi[i] - lo[i]), 0)"
+            f" as double) * (hi[i] - lo[i]) / {lv} END)"
+        )
+        coded = base.withColumn("_rv", recon).withColumn(
+            "_mse",
+            F.expr(
+                f"round(aggregate(sequence(0, {dim - 1}), 0D,"
+                f" (acc, i) -> acc + pow(v[i] - _rv[i], 2)) / {dim}, 6)"
+            ),
+        )
+        mse_row = coded.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_mse").cast("decimal(18,6)")).alias("_s"),
+        ).select(
+            F.round(
+                F.col("_s").cast("double") / F.col("_n"), 6
+            ).alias("mean_mse")
+        )
+        q = coded.filter(F.col(id_col) < n_queries).select(
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+        )
+        c = coded.select(F.col(id_col).alias("c_id"), F.col("_rv").alias("cv"))
+        j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+        scored = with_cosine(j, "qv", "cv").withColumn(
+            "cosine", F.round(F.col("cosine"), 6)
+        )
+        approx = _topk_per_query(scored, k, carry=[]).select(
+            "q_id", "c_id", F.lit(1).alias("_hit")
+        )
+        rec_row = (
+            exact.join(approx, ["q_id", "c_id"], "left")
+            .agg(
+                F.count(F.lit(1)).alias("_t"),
+                F.count("_hit").alias("_h"),
+            )
+            .select(
+                F.round(F.col("_h") / F.col("_t"), 6).alias("recall_at_k")
+            )
+        )
+        row = mse_row.crossJoin(rec_row).select(
+            F.lit(bits).cast("long").alias("bits"), "mean_mse", "recall_at_k"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy(F.desc("bits"))
+
+
+def sql_sq_bits_sweep(
+    bits_list: tuple = SQ_SWEEP_BITS,
+    k: int = 5,
+    n_queries: int = 5,
+    dim: int = 64,
+) -> str:
+    """Replays :func:`sq_bits_sweep` per bit-width inside its own
+    subquery scope (the kmeans_elbow pattern), same expression order
+    for the reconstruction arithmetic."""
+    parts = []
+    for bits in bits_list:
+        lv = (1 << bits) - 1
+        recon_ctes = f"""
+WITH dims AS (
+  SELECT generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings),
+per_dim AS (SELECT i, min(x) AS lo, max(x) AS hi FROM dims GROUP BY i),
+stats AS (SELECT list(lo ORDER BY i) AS lo, list(hi ORDER BY i) AS hi
+          FROM per_dim),
+coded AS (
+  SELECT vec_id, v, lo, hi,
+         list_transform(generate_series(1, {dim}),
+           i -> CASE WHEN hi[i] = lo[i] THEN lo[i]
+                ELSE lo[i] + CAST(round({lv} * (v[i] - lo[i])
+                     / (hi[i] - lo[i]), 0) AS DOUBLE)
+                     * (hi[i] - lo[i]) / {lv} END) AS rv
+  FROM (SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE))
+               AS v FROM embeddings), stats)"""
+        parts.append(f"""
+SELECT {bits} AS bits, mm.mean_mse, rc.recall_at_k
+FROM (
+  {recon_ctes},
+  m AS (
+    SELECT round(list_sum(list_transform(generate_series(1, {dim}),
+             i -> pow(v[i] - rv[i], 2))) / {dim}, 6) AS mse
+    FROM coded)
+  SELECT round(sum(CAST(mse AS DECIMAL(18,6)))::DOUBLE / count(*), 6)
+         AS mean_mse
+  FROM m
+) mm, (
+  {recon_ctes},
+  q AS (SELECT vec_id AS q_id, v AS qv FROM coded
+        WHERE vec_id < {n_queries}),
+  c AS (SELECT vec_id AS c_id, rv AS cv FROM coded),
+  scored AS (
+    SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+    FROM c, q WHERE c_id != q_id),
+  approx AS (
+    SELECT q_id, c_id FROM (
+      SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+               ORDER BY cosine DESC, c_id) AS rank
+      FROM scored) WHERE rank <= {k})
+  SELECT round(count(a.c_id) / count(*), 6) AS recall_at_k
+  FROM ({sql_cosine_knn(k, n_queries)}) e
+  LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
+) rc""")
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY bits DESC"

@@ -3657,6 +3657,36 @@ def q_doc_detector_agreement(spark, sf_dir):
     return pdedup.detector_agreement(_docs(spark, sf_dir))
 
 
+def q_emb_label_confusion(spark, sf_dir):
+    """Pairwise label-centroid cosine/L2 separation matrix — which
+    class pairs the space entangles (pipeline/similarity.py
+    label_confusion)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.label_confusion(emb)
+
+
+def q_emb_sq_bits_sweep(spark, sf_dir):
+    """Scalar-quantization tuning curve: mean reconstruction MSE and
+    asymmetric-search recall@k per candidate bit-width
+    (pipeline/similarity.py sq_bits_sweep)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.sq_bits_sweep(emb)
+
+
+def q_ev_type_mix_drift(spark, sf_dir):
+    """Weekly Jensen-Shannon divergence of the event-type mix vs the
+    corpus mix — the categorical drift gate beside ev_value_psi
+    (pipeline/events.py type_mix_drift)."""
+    return pevents.type_mix_drift(_events(spark, sf_dir))
+
+
+def q_doc_quality_dup_lift(spark, sf_dir):
+    """Quality-vs-duplication lift: near-dup rate per Gopher keep/drop
+    verdict against the corpus rate (pipeline/dedup.py
+    quality_dup_lift)."""
+    return pdedup.quality_dup_lift(_docs(spark, sf_dir))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4357,6 +4387,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_detector_agreement": QueryDef(
         q_doc_detector_agreement, pdedup.sql_detector_agreement()
     ),
+    # pairwise label-centroid separation matrix
+    "emb_label_confusion": QueryDef(
+        q_emb_label_confusion, psim.sql_label_confusion()
+    ),
+    # scalar-quantization bit-width tuning curve (MSE + recall@k)
+    "emb_sq_bits_sweep": QueryDef(
+        q_emb_sq_bits_sweep, psim.sql_sq_bits_sweep()
+    ),
+    # weekly event-type mix JS drift vs corpus
+    "ev_type_mix_drift": QueryDef(
+        q_ev_type_mix_drift, pevents.sql_type_mix_drift()
+    ),
+    # near-dup rate lift per quality verdict
+    "doc_quality_dup_lift": QueryDef(
+        q_doc_quality_dup_lift, pdedup.sql_quality_dup_lift()
+    ),
 }
 
 
@@ -4373,14 +4419,15 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (computed at r11 while rotating this window): after the
 # r11 window attests its 50 rows, the oldest remaining attestations are
-# the 22 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
+# the 26 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
 # ts_import_roundtrip,
 # ts_index_verify, ts_label_join, ts_label_replace, doc_bpe_tokens,
 # doc_simhash, emb_ann_lsh, emb_cosine_knn, emb_neardup_pairs,
-# mm_extract_features, mm_resize_images, mm_sample_frames, plus the six
+# mm_extract_features, mm_resize_images, mm_sample_frames, plus the ten
 # displaced by the session-3 kernels: promql_preagg_route,
 # promql_rate_sum, promql_selector_matchers, promql_subquery,
-# promql_time_timestamp, promql_topk) and the
+# promql_time_timestamp, promql_topk, promql_binop_modpow,
+# promql_binop_sub, promql_clamp_arith, promql_cmp_filter) and the
 # 39-row r6 cohort
 # (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
 # doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
@@ -4411,6 +4458,10 @@ _VERIFY_FIRST: list[str] = [
     "ev_value_psi",
     "ev_user_lifecycle",
     "doc_detector_agreement",
+    "emb_label_confusion",
+    "emb_sq_bits_sweep",
+    "ev_type_mix_drift",
+    "doc_quality_dup_lift",
     "doc_repetition_profile",
     "doc_tokenizer_fertility",
     "doc_minhash_containment",
@@ -4453,11 +4504,7 @@ _VERIFY_FIRST: list[str] = [
     "promql_absent_over_time",
     "promql_agg_group",
     "promql_at_modifier",
-    "promql_binop_modpow",
-    "promql_binop_sub",
     "promql_bottomk_without",
-    "promql_clamp_arith",
-    "promql_cmp_filter",
     "promql_group_left",
     "promql_group_right",
     "promql_map_labels",

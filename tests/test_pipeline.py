@@ -3006,3 +3006,134 @@ def test_detector_agreement_no_exact_dups_null_recall(spark):
     assert r.n_exact == 0
     assert r.exact_recall_minhash is None
     assert r.exact_recall_simhash is None
+
+
+def test_knn_graph_candidate_cap_keeps_min_ids(spark):
+    """With a single bucket (n_planes=0) and max_bucket=2, only ids
+    {0,1} serve as candidates: every query's edges point there, the
+    dropped vectors become in-degree-0 but still query."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, float(i) / 100]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.hubness(emb, k=3, n_planes=0, dim=2, max_bucket=2).collect()[0]
+    # q0->{1}, q1->{0}, q2->{0,1}, q3->{0,1}: indegs 3,3,0,0
+    assert r.n_vectors == 4
+    assert r.mean_indeg == 1.5
+    assert r.max_indeg == 3 and r.n_antihubs == 2
+
+
+def test_knn_purity_candidate_cap(spark):
+    """Same cap contract on the purity graph: capped candidates {0,1}
+    carry label 0, so label-1 queries can never agree."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.01], 0),
+         (2, [1.0, 0.02], 1), (3, [1.0, 0.03], 1)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    rows = psim.knn_label_purity(
+        emb, k=2, n_planes=0, dim=2, max_bucket=2
+    ).collect()
+    by = {r.label: r for r in rows}
+    assert by[1].n_agree == 0 and by[1].purity == 0.0
+    assert by[0].purity > 0
+
+
+def test_label_confusion_hand_centroids(spark):
+    """Label 0 centroid (1,0), label 1 centroid (0,1), label 2
+    centroid (1,0): cos(0,1)=0, cos(0,2)=1, cos(1,2)=0; l2 sqrt(2),
+    0, sqrt(2)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [1.0, 0.0], 0),
+         (2, [0.0, 1.0], 1), (3, [1.0, 0.0], 2)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    rows = {(r.label_a, r.label_b): r
+            for r in psim.label_confusion(emb).collect()}
+    assert rows[(0, 1)].cos_centroids == 0.0
+    assert rows[(0, 2)].cos_centroids == 1.0
+    assert rows[(1, 2)].cos_centroids == 0.0
+    assert rows[(0, 1)].l2_centroids == round(2 ** 0.5, 6)
+    assert rows[(0, 2)].l2_centroids == 0.0
+
+
+def test_sq_bits_sweep_monotone(spark, sf_dir):
+    """More bits can only shrink MSE; 8-bit recall should dominate
+    2-bit recall on the real fixture; every row covers the corpus."""
+    from squirreldb_spark import model
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    rows = {r.bits: r for r in psim.sq_bits_sweep(emb).collect()}
+    assert set(rows) == {8, 6, 4, 2}
+    assert rows[8].mean_mse <= rows[6].mean_mse <= rows[4].mean_mse \
+        <= rows[2].mean_mse
+    assert rows[8].recall_at_k >= rows[2].recall_at_k
+    assert 0 <= rows[2].recall_at_k <= 1
+
+
+def test_type_mix_drift_identical_weeks_zero(spark):
+    """Two weeks with the same type mix match the corpus mix exactly:
+    JS divergence 0 in both rows."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(0, 1, 10, "a"), (1, 1, 20, "b"),
+            (2, 1, 7 * D + 10, "a"), (3, 1, 7 * D + 20, "b")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = pevents.type_mix_drift(ev).collect()
+    assert len(out) == 2
+    assert all(r.js_divergence == 0.0 and r.n_types_active == 2
+               for r in out)
+
+
+def test_type_mix_drift_absent_type_analytic_tail(spark):
+    """Corpus {a,a,b}, week1 {a,a}, week2 {b}: the week-absent type
+    contributes exactly ½·q·ln2 through the p=0 branch — JS stays
+    finite and positive without smoothing."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = [(0, 1, 10, "a"), (1, 1, 20, "a"), (2, 1, 7 * D + 10, "b")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {r.week: r for r in pevents.type_mix_drift(ev).collect()}
+    w0, w1 = sorted(out)
+    # week0: p=(1,0) vs q=(2/3,1/3)
+    p, q = 1.0, 2 / 3
+    m = (p + q) / 2
+    qb = 1 / 3
+    expect0 = 0.5 * p * math.log(p / m) + 0.5 * q * math.log(q / m) \
+        + 0.5 * qb * math.log(2)
+    assert out[w0].js_divergence == round(expect0, 6)
+    assert out[w0].n_types_active == 1
+    assert out[w1].js_divergence > 0
+
+
+def test_quality_dup_lift_hand_corpus(spark):
+    """Two identical LONG docs (pass quality, near-dups) + one short
+    doc (fails quality, clean): keep-side dup rate 1, drop-side 0,
+    keep-side lift = corpus⁻¹ rate ratio 1.5."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    long_text = "the " + " ".join(f"tok{i}" for i in range(59))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, long_text), (3, "short text only")],
+        "doc_id long, text string",
+    )
+    rows = {r.q_keep: r for r in pdedup.quality_dup_lift(docs).collect()}
+    assert rows[True].n_docs == 2 and rows[True].n_dup == 2
+    assert rows[False].n_docs == 1 and rows[False].n_dup == 0
+    assert rows[True].dup_rate == 1.0 and rows[False].dup_rate == 0.0
+    assert rows[True].lift == 1.5

@@ -1486,3 +1486,57 @@ def test_detector_agreement_no_text_in_exchanges(spark, sf_dir):
     assert_no_theta_joins(plan, "doc_detector_agreement")
     for out in shuffle_exchange_outputs(df):
         assert all(n != "text" for n, _ in out), out
+
+
+def test_label_confusion_pair_join_is_dim_sized(spark, sf_dir):
+    """The pair join runs on the labels×dims table (post-reduction);
+    no exchange carries an array and no theta join appears."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.label_confusion(emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "emb_label_confusion")
+    outs = shuffle_exchange_outputs(df)
+    assert outs and all(
+        "array" not in t for out in outs for _, t in out
+    ), outs
+
+
+def test_sq_bits_sweep_broadcast_stats_no_vector_shuffle(spark, sf_dir):
+    """Per bit-width: min/max stats broadcast back over an unshuffled
+    scan (the scalar_quantize shape) and the query block broadcasts
+    (the kNN shape) — vectors never cross a shuffle exchange."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.sq_bits_sweep(emb, bits_list=(8, 2))
+    plan = plan_of(df)
+    assert "BroadcastExchange" in plan
+    for out in shuffle_exchange_outputs(df):
+        assert all("array" not in t for _, t in out), out
+
+
+def test_type_mix_drift_bounded_grid(spark, sf_dir):
+    """Both JS inputs are map-side-combined histograms; the only cross
+    is the allowed unconditioned broadcast of bounded totals."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    ev = model.load_table(spark, sf_dir, "events")
+    df = pevents.type_mix_drift(ev)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "ev_type_mix_drift")
+    assert "partial_count" in plan
+
+
+def test_quality_dup_lift_no_text_in_exchanges(spark, sf_dir):
+    """Quality is a narrow map fused into the scan; only fingerprints
+    and flags shuffle."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    df = pdedup.quality_dup_lift(docs)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_quality_dup_lift")
+    for out in shuffle_exchange_outputs(df):
+        assert all(n != "text" for n, _ in out), out

@@ -1365,3 +1365,78 @@ def test_topk_drift_matches_set_reference(spark, weeks):
         assert (r.n_prev, r.n_curr, r.retained) == (len(prev), len(curr), inter)
         assert r.jaccard == pytest.approx(inter / len(prev | curr), abs=1e-6)
         assert r.churn == pytest.approx((len(prev) - inter) / len(prev), abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(0, 2),
+                  st.floats(-3, 3, allow_nan=False),
+                  st.floats(-3, 3, allow_nan=False)),
+        min_size=2, max_size=14,
+    ),
+)
+def test_label_confusion_matches_direct_centroids(spark, vecs):
+    """Pairwise centroid cosine/L2 vs direct numpy-free centroids over
+    the 7-dp-quantized coordinates."""
+    from collections import defaultdict
+
+    from squirreldb_spark.pipeline.similarity import label_confusion
+
+    emb = spark.createDataFrame(
+        [(i, [x, y], lab) for i, (lab, x, y) in enumerate(vecs)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    rows = {(r.label_a, r.label_b): r
+            for r in label_confusion(emb).collect()}
+    sums = defaultdict(lambda: [0.0, 0.0, 0])
+    for lab, x, y in vecs:
+        s = sums[lab]
+        s[0] += round(x, 7); s[1] += round(y, 7); s[2] += 1
+    cents = {lab: (s[0] / s[2], s[1] / s[2]) for lab, s in sums.items()}
+    labs = sorted(cents)
+    import math
+    for i, a in enumerate(labs):
+        for b in labs[i + 1:]:
+            ca, cb = cents[a], cents[b]
+            dot = ca[0] * cb[0] + ca[1] * cb[1]
+            na = ca[0] ** 2 + ca[1] ** 2
+            nb = cb[0] ** 2 + cb[1] ** 2
+            r = rows[(a, b)]
+            if na > 0 and nb > 0:
+                assert r.cos_centroids == pytest.approx(
+                    dot / math.sqrt(na * nb), abs=1e-5)
+            else:
+                assert r.cos_centroids is None
+            l2 = math.sqrt((ca[0] - cb[0]) ** 2 + (ca[1] - cb[1]) ** 2)
+            assert r.l2_centroids == pytest.approx(l2, abs=1e-5)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3),     # type id
+                  st.integers(0, 27)),   # day
+        min_size=1, max_size=40,
+    ),
+)
+def test_type_mix_drift_js_bounds(spark, events):
+    """JS divergence in nats is bounded by ln 2 and is 0 iff the week
+    mix equals the corpus mix; single-active-week corpora are 0."""
+    import math
+
+    from squirreldb_spark.pipeline.events import type_mix_drift
+
+    D = 86_400_000
+    rows = [(i, 1, d * D + 9, f"t{t}") for i, (t, d) in enumerate(events)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = type_mix_drift(ev).collect()
+    assert all(0 <= r.js_divergence <= round(math.log(2), 6) + 1e-9
+               for r in out)
+    weeks = {d // 7 for _, d in events}
+    if len(weeks) == 1:
+        assert out[0].js_divergence == 0.0
