@@ -2308,29 +2308,74 @@ FROM per
 
 #: per-bucket CANDIDATE budget for the full-corpus k-NN-graph ops
 #: (hubness, knn_label_purity): every vector still queries, but each
-#: bucket contributes at most this many candidates (kept by min id —
-#: deterministic, oracle-mirrorable), so the bucket self-join fan-out
-#: is Σ bucket × min(bucket, cap) ≤ corpus × cap — LINEAR in data at
+#: bucket contributes ~this many candidates (deterministic id-hash
+#: stride sample, oracle-mirrorable), so the bucket self-join fan-out
+#: is Σ bucket × min(bucket, ~cap) ≤ corpus × cap — LINEAR in data at
 #: fixed n_planes instead of Σ bucket² ~ n²/B. Not binding at the test
 #: scales (sf1 buckets ≈ 300); at 100 TB the config story is raising
 #: n_planes with the corpus, and the cap is the hard guard under it.
 KNN_GRAPH_MAX_BUCKET = 2000
 
 
+def _cap_h32_expr(id_col: str) -> str:
+    """Engine-portable 32-bit id hash for the candidate-cap sample
+    (the priority_sample md5 pattern — identical bytes both engines)."""
+    return (
+        "cast(conv(substring(md5(cast(concat('knncap:', cast("
+        f"{id_col} as string)) as binary)), 1, 8), 16, 10) as bigint)"
+    )
+
+
 def _cap_candidates(
     bucketed: DataFrame, id_col: str, max_bucket: int | None
 ) -> DataFrame:
-    """Keep at most ``max_bucket`` candidates per bucket (lowest ids) —
-    the window keys on the join's own shuffle key, the
-    lsh_candidate_pairs cap pattern."""
+    """Keep ~``max_bucket`` candidates per bucket by a DETERMINISTIC
+    id-hash stride sample: bucket sizes come from one map-side
+    combinable count whose bucket-cardinality output broadcasts back,
+    and the keep decision is a pure row predicate — no window, so the
+    corpus is never exchanged by bucket (a bucket-keyed row_number cap
+    would serialize a hot bucket onto one task AND push every vector
+    through a shuffle; measured on the one-bucket adversarial corpus).
+    ``stride = ceil(n/cap)``; a sub-cap bucket has stride 1 and keeps
+    everything, so the cap is a no-op until it binds."""
     if max_bucket is None:
         return bucketed
-    w = Window.partitionBy("bucket").orderBy(id_col)
-    return (
-        bucketed.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= max_bucket)
-        .drop("_rn")
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("_bn")
     )
+    stride = F.ceil(F.col("_bn") / F.lit(max_bucket)).cast("long")
+    return (
+        bucketed.join(F.broadcast(counts), "bucket")
+        .filter(F.expr(_cap_h32_expr(id_col)) % stride == 0)
+        .drop("_bn")
+    )
+
+
+#: salt width for the full-corpus k-NN-graph bucket self-join: the join
+#: key is `bucket` alone (≤ 2^n_planes distinct values — 64 at the
+#: default), so without salting max parallelism is the bucket count and
+#: ONE hot bucket serializes onto one task (measured: a degenerate
+#: one-bucket corpus pins a single core for the whole join). Sharding
+#: the candidate side by id-hash and replicating the query side across
+#: shards joins on (bucket, shard) — the SAME pair set (a logical
+#: no-op, so the DuckDB oracle is untouched) at bucket × salt
+#: parallelism, for one extra narrow explode of the query rows.
+KNN_GRAPH_SALT = 8
+
+
+def _salted_graph_join(
+    q: DataFrame, c: DataFrame, n_salt: int = KNN_GRAPH_SALT
+) -> DataFrame:
+    """Equi-join q×c on (bucket, shard): c sharded by c_id hash, q
+    replicated across all shards. Emits exactly the rows of
+    ``c.join(q, on="bucket")``."""
+    cs = c.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("c_id")), F.lit(n_salt))
+    )
+    qs = q.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    return cs.join(qs, on=["bucket", "_salt"]).drop("_salt")
 
 
 def hubness(
@@ -2359,8 +2404,10 @@ def hubness(
     the skewness arithmetic is one identical double expression per
     engine.  100×: bucket count scales with ``n_planes`` (config), and
     the CANDIDATE side of the bucket self-join is capped at
-    ``max_bucket`` per bucket (lowest ids — deterministic, mirrored in
-    the oracle), so the join fan-out is Σ bucket × min(bucket, cap) ≤
+    ~``max_bucket`` per bucket (deterministic id-hash stride sample —
+    no bucket-keyed window, so the corpus is never shuffled and a hot
+    bucket cannot serialize onto one task; mirrored in the oracle), so
+    the join fan-out is Σ bucket × min(bucket, ~cap) ≤
     corpus × cap — linear in data, never Σ bucket² ~ n²/B; every
     vector still queries, in-degrees just count within the capped
     candidate pool. Nothing after the in-degree rollup sees
@@ -2375,7 +2422,7 @@ def hubness(
     c = _cap_candidates(bucketed, id_col, max_bucket).select(
         F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
     )
-    j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
+    j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
@@ -2432,9 +2479,12 @@ def sql_hubness(
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 bucketed AS (SELECT vec_id, v, {duck_bucket_expr('v', planes)} AS bucket FROM base),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed),
-c AS (SELECT vec_id AS c_id, v AS cv, bucket FROM bucketed
-      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
-              <= {max_bucket}),
+bn AS (SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY 1),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket
+      FROM bucketed JOIN bn USING (bucket)
+      WHERE ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 8))
+            ::BIGINT
+            % CAST(ceil(n::DOUBLE / {max_bucket}) AS BIGINT) = 0),
 scored AS (
   SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
   FROM c JOIN q USING (bucket) WHERE c_id != q_id),
@@ -2808,8 +2858,10 @@ def knn_label_purity(
     Vectors alone in their bucket contribute no edges (counted out by
     n_edges), matching the serving path's recall story.  100×: bucket
     count scales with n_planes (config), the candidate side is capped
-    at ``max_bucket`` per bucket (min ids, the hubness contract — join
-    fan-out ≤ corpus × cap, linear in data), and nothing after the
+    at ~``max_bucket`` per bucket (id-hash stride sample, the hubness
+    contract — join fan-out ≤ corpus × cap, linear in data, no
+    bucket-keyed shuffle; same operating rule: keep density
+    corpus / 2^n_planes at O(cap) via config), and nothing after the
     top-k sees more than corpus×k rows.
     """
     planes = hyperplanes(n_planes, dim)
@@ -2831,7 +2883,7 @@ def knn_label_purity(
         F.col("v").alias("cv"),
         "bucket",
     )
-    j = c.join(q, on="bucket").filter(F.col("c_id") != F.col("q_id"))
+    j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
     scored = with_cosine(j, "qv", "cv").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
@@ -2866,9 +2918,12 @@ bucketed AS (
   SELECT vec_id, label, v, {duck_bucket_expr('v', planes)} AS bucket
   FROM base),
 q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, bucket FROM bucketed),
-c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket FROM bucketed
-      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id)
-              <= {max_bucket}),
+bn AS (SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY 1),
+c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket
+      FROM bucketed JOIN bn USING (bucket)
+      WHERE ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 8))
+            ::BIGINT
+            % CAST(ceil(n::DOUBLE / {max_bucket}) AS BIGINT) = 0),
 scored AS (
   SELECT q_id, q_label, c_id, c_label, {_duck_cos('qv', 'cv')} AS cosine
   FROM c JOIN q USING (bucket) WHERE c_id != q_id),

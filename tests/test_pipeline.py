@@ -3008,35 +3008,61 @@ def test_detector_agreement_no_exact_dups_null_recall(spark):
     assert r.exact_recall_simhash is None
 
 
-def test_knn_graph_candidate_cap_keeps_min_ids(spark):
-    """With a single bucket (n_planes=0) and max_bucket=2, only ids
-    {0,1} serve as candidates: every query's edges point there, the
-    dropped vectors become in-degree-0 but still query."""
+def _cap_kept_ids(ids, cap):
+    """Python twin of the candidate-cap stride sample: keep ids whose
+    32-bit md5 hash of 'knncap:<id>' is 0 mod ceil(n/cap)."""
+    import hashlib
+    import math
+
+    stride = math.ceil(len(ids) / cap)
+    kept = []
+    for i in ids:
+        h = int(hashlib.md5(f"knncap:{i}".encode()).hexdigest()[:8], 16)
+        if h % stride == 0:
+            kept.append(i)
+    return set(kept)
+
+
+def test_knn_graph_candidate_cap_stride_sample(spark):
+    """With a single bucket (n_planes=0) and a binding cap, only the
+    hash-stride-sampled ids serve as candidates: every query's edges
+    land there, the sampled-out vectors get in-degree 0 but still
+    query."""
     from squirreldb_spark.pipeline import similarity as psim
 
+    n, cap, k = 8, 4, 7
+    kept = _cap_kept_ids(range(n), cap)
+    assert 0 < len(kept) < n  # binding and non-degenerate
     emb = spark.createDataFrame(
-        [(i, [1.0, float(i) / 100]) for i in range(4)],
+        [(i, [1.0, float(i) / 100]) for i in range(n)],
         "vec_id long, embedding array<double>",
     )
-    r = psim.hubness(emb, k=3, n_planes=0, dim=2, max_bucket=2).collect()[0]
-    # q0->{1}, q1->{0}, q2->{0,1}, q3->{0,1}: indegs 3,3,0,0
-    assert r.n_vectors == 4
-    assert r.mean_indeg == 1.5
-    assert r.max_indeg == 3 and r.n_antihubs == 2
+    r = psim.hubness(
+        emb, k=k, n_planes=0, dim=2, max_bucket=cap
+    ).collect()[0]
+    # each query q sees candidates kept \ {q}; every kept id is in
+    # everyone else's list, so indeg(kept id) = n - 1, others 0
+    assert r.n_vectors == n
+    assert r.max_indeg == n - 1
+    assert r.n_antihubs == n - len(kept)
+    assert r.mean_indeg == round(len(kept) * (n - 1) / n, 6)
 
 
-def test_knn_purity_candidate_cap(spark):
-    """Same cap contract on the purity graph: capped candidates {0,1}
-    carry label 0, so label-1 queries can never agree."""
+def test_knn_purity_candidate_cap_stride_sample(spark):
+    """Same cap contract on the purity graph: only sampled candidates
+    can be agreed with, so a label absent from the sample scores 0."""
     from squirreldb_spark.pipeline import similarity as psim
 
+    n, cap = 8, 4
+    kept = _cap_kept_ids(range(n), cap)
+    # give every kept id label 0, every sampled-out id label 1
     emb = spark.createDataFrame(
-        [(0, [1.0, 0.0], 0), (1, [1.0, 0.01], 0),
-         (2, [1.0, 0.02], 1), (3, [1.0, 0.03], 1)],
+        [(i, [1.0, float(i) / 100], 0 if i in kept else 1)
+         for i in range(n)],
         "vec_id long, embedding array<double>, label long",
     )
     rows = psim.knn_label_purity(
-        emb, k=2, n_planes=0, dim=2, max_bucket=2
+        emb, k=7, n_planes=0, dim=2, max_bucket=cap
     ).collect()
     by = {r.label: r for r in rows}
     assert by[1].n_agree == 0 and by[1].purity == 0.0
