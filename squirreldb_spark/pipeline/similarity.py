@@ -2362,6 +2362,22 @@ def _cap_candidates(
 #: parallelism, for one extra narrow explode of the query rows.
 KNN_GRAPH_SALT = 8
 
+#: target per-bucket density for the self-tuning plane count: with
+#: n_planes = max(6, ceil(log2(n / target))) the sub-cap n²/B pair
+#: growth flattens to ~n × target — the measured 1.71 exponent at
+#: FIXED config becomes linear by construction. At every attestation
+#: scale (≤ 16 k vectors) the auto value equals the static default 6,
+#: so the DuckDB oracles (built with 6) stay hash-identical.
+KNN_GRAPH_DENSITY_TARGET = 256
+
+
+def _auto_planes(n_rows: int, target: int = KNN_GRAPH_DENSITY_TARGET) -> int:
+    import math
+
+    if n_rows <= target:
+        return 6
+    return max(6, math.ceil(math.log2(n_rows / target)))
+
 
 def _salted_graph_join(
     q: DataFrame, c: DataFrame, n_salt: int = KNN_GRAPH_SALT
@@ -2381,7 +2397,7 @@ def _salted_graph_join(
 def hubness(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2410,9 +2426,18 @@ def hubness(
     the join fan-out is Σ bucket × min(bucket, ~cap) ≤
     corpus × cap — linear in data, never Σ bucket² ~ n²/B; every
     vector still queries, in-degrees just count within the capped
-    candidate pool. Nothing after the in-degree rollup sees
+    candidate pool. Operating rule at scale: keep per-bucket density
+    (corpus / 2^n_planes) at O(cap) — below the cap the pair count is
+    n²/B (measured exponent 1.71 at fixed config), at the cap it is
+    corpus × cap (measured 0.88). The default ``n_planes=None``
+    applies the rule automatically: one count() sizes the corpus and
+    the plane count grows as ceil(log2(n / 256)), equal to the static
+    6 at every attestation scale (so the fixed-plane oracle stays
+    hash-identical). Nothing after the in-degree rollup sees
     corpus-sized data.
     """
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
     bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
@@ -2835,7 +2860,7 @@ FROM agg
 def knn_label_purity(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -2860,10 +2885,13 @@ def knn_label_purity(
     count scales with n_planes (config), the candidate side is capped
     at ~``max_bucket`` per bucket (id-hash stride sample, the hubness
     contract — join fan-out ≤ corpus × cap, linear in data, no
-    bucket-keyed shuffle; same operating rule: keep density
-    corpus / 2^n_planes at O(cap) via config), and nothing after the
-    top-k sees more than corpus×k rows.
+    bucket-keyed shuffle; ``n_planes=None`` self-tunes the plane count
+    by the hubness density rule, equal to the static 6 at every
+    attestation scale), and nothing after the top-k sees more than
+    corpus×k rows.
     """
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
     base = emb.select(
         F.col(id_col),

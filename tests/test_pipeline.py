@@ -3163,3 +3163,16 @@ def test_quality_dup_lift_hand_corpus(spark):
     assert rows[False].n_docs == 1 and rows[False].n_dup == 0
     assert rows[True].dup_rate == 1.0 and rows[False].dup_rate == 0.0
     assert rows[True].lift == 1.5
+
+
+def test_auto_planes_density_rule():
+    """Self-tuning plane count: static 6 at every attestation scale
+    (so fixed-plane oracles stay hash-identical), growing as
+    ceil(log2(n/256)) beyond."""
+    from squirreldb_spark.pipeline.similarity import _auto_planes
+
+    assert _auto_planes(1) == 6
+    assert _auto_planes(500) == 6       # sf0.001 / sf0.01 fixtures
+    assert _auto_planes(16384) == 6     # last corpus where 6 holds
+    assert _auto_planes(16385) == 7
+    assert _auto_planes(10 ** 9) == 22  # 100 TB-class corpus
