@@ -960,6 +960,18 @@ def test_source_drift_matches_direct_formula(spark, docs):
         assert got[src].n_tokens == s_tot
 
 
+def _spark_round(x, nd):
+    """Spark's round(double, nd): HALF_UP over the double's SHORTEST
+    decimal repr (BigDecimal.valueOf semantics) — unlike Python's
+    round(), which rounds the exact binary expansion (they disagree on
+    e.g. 0.9921875/5, whose double sits just under the .5 tie its repr
+    shows)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP)
+
+
 # --------------------------------- dim-variance moments reference
 
 
@@ -973,9 +985,10 @@ def test_source_drift_matches_direct_formula(spark, docs):
         min_size=2, max_size=12),
 )
 def test_dim_variance_matches_moment_reference(spark, vecs):
-    """Per-dim mean/variance must equal the identical Σx/Σx² float64
-    formula over the float32-widened inputs; shares sum to ~1 when
-    total variance is positive."""
+    """Per-dim mean/variance vs the operator's OWN arithmetic replayed
+    independently: exact Decimal sums of the 7-dp-quantized
+    float32-widened coordinates, float64 closing expression,
+    Spark-semantics 6-dp round."""
     from squirreldb_spark.pipeline.similarity import dim_variance
 
     emb = spark.createDataFrame(
@@ -988,13 +1001,13 @@ def test_dim_variance_matches_moment_reference(spark, vecs):
     n = len(vecs)
     f32 = lambda x: struct.unpack("f", struct.pack("f", x))[0]
     for d in range(3):
-        xs = [f32(v[d]) for v in vecs]
-        s1 = sum(xs)
-        s2 = sum(x * x for x in xs)
-        mean = s1 / n
-        var = s2 / n - mean * mean
-        assert got[d].mean == round(mean, 6)
-        assert abs(got[d].variance - round(var, 6)) <= 1e-6
+        xs7 = [_spark_round(f32(v[d]), 7) for v in vecs]
+        s1 = sum(xs7)            # exact Decimal
+        s2 = sum(q * q for q in xs7)
+        mean = float(s1) / n
+        var = float(s2) / n - mean * mean
+        assert got[d].mean == float(_spark_round(mean, 6))
+        assert abs(got[d].variance - float(_spark_round(var, 6))) <= 1e-9
 
 
 # ------------------------------------ power-law MLE brute-force reference
@@ -1390,27 +1403,34 @@ def test_label_confusion_matches_direct_centroids(spark, vecs):
     )
     rows = {(r.label_a, r.label_b): r
             for r in label_confusion(emb).collect()}
-    sums = defaultdict(lambda: [0.0, 0.0, 0])
+    from decimal import Decimal
+
+    sums = defaultdict(lambda: [Decimal(0), Decimal(0), 0])
     for lab, x, y in vecs:
         s = sums[lab]
-        s[0] += round(x, 7); s[1] += round(y, 7); s[2] += 1
-    cents = {lab: (s[0] / s[2], s[1] / s[2]) for lab, s in sums.items()}
+        s[0] += _spark_round(x, 7); s[1] += _spark_round(y, 7); s[2] += 1
+    cents = {lab: (float(s[0]) / s[2], float(s[1]) / s[2])
+             for lab, s in sums.items()}
     labs = sorted(cents)
     import math
+
+    q12 = lambda v: _spark_round(v, 12)  # the operator's per-term grid
     for i, a in enumerate(labs):
         for b in labs[i + 1:]:
             ca, cb = cents[a], cents[b]
-            dot = ca[0] * cb[0] + ca[1] * cb[1]
-            na = ca[0] ** 2 + ca[1] ** 2
-            nb = cb[0] ** 2 + cb[1] ** 2
+            dot = float(q12(ca[0] * cb[0]) + q12(ca[1] * cb[1]))
+            na = float(q12(ca[0] ** 2) + q12(ca[1] ** 2))
+            nb = float(q12(cb[0] ** 2) + q12(cb[1] ** 2))
             r = rows[(a, b)]
             if na > 0 and nb > 0:
                 assert r.cos_centroids == pytest.approx(
                     dot / math.sqrt(na * nb), abs=1e-5)
             else:
+                # a q12-zero centroid norm (sub-1e-6 centroid) is the
+                # operator's documented NULL guard
                 assert r.cos_centroids is None
-            l2 = math.sqrt((ca[0] - cb[0]) ** 2 + (ca[1] - cb[1]) ** 2)
-            assert r.l2_centroids == pytest.approx(l2, abs=1e-5)
+            d2 = float(q12((ca[0] - cb[0]) ** 2) + q12((ca[1] - cb[1]) ** 2))
+            assert r.l2_centroids == pytest.approx(math.sqrt(d2), abs=1e-5)
 
 
 @settings(max_examples=8, deadline=None,
