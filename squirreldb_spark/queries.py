@@ -4417,18 +4417,22 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # changed after their newest green driver row, (2) backfill with the
 # oldest remaining attestations.
 #
-# ROUND-12 QUEUE (computed at r11 while rotating this window): after the
-# r11 window attests its 50 rows, the oldest remaining attestations are
-# the 26 spilled r5 rows (ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
-# ts_import_roundtrip,
-# ts_index_verify, ts_label_join, ts_label_replace, doc_bpe_tokens,
-# doc_simhash, emb_ann_lsh, emb_cosine_knn, emb_neardup_pairs,
-# mm_extract_features, mm_resize_images, mm_sample_frames, plus the ten
-# displaced by the session-3 kernels: promql_preagg_route,
+# ROUND-12 QUEUE (recomputed at r11 close by tools/verify_window_queue.py
+# against CORRECTNESS_r01-r10 and the final r11 window): after the r11
+# window attests its 50 rows (31 never-attested kernels, 5 changed
+# kernels, 14 r5-backfill rows), the oldest remaining attestations are
+# the 35 spilled r5 rows
+# (doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
+# emb_neardup_pairs, mm_extract_features, mm_resize_images,
+# mm_sample_frames, promql_binop_modpow, promql_binop_sub,
+# promql_clamp_arith, promql_cmp_filter, promql_preagg_route,
 # promql_rate_sum, promql_selector_matchers, promql_subquery,
-# promql_time_timestamp, promql_topk, promql_binop_modpow,
-# promql_binop_sub, promql_clamp_arith, promql_cmp_filter) and the
-# 39-row r6 cohort
+# promql_time_timestamp, promql_topk, ts_absent, ts_agg_quantile_by,
+# ts_date_functions, ts_deriv, ts_export_pivot, ts_histogram_quantile,
+# ts_holt_winters, ts_import_roundtrip, ts_increase, ts_index_verify,
+# ts_label_join, ts_label_replace, ts_mad_over_time,
+# ts_preagg_route_rate, ts_predict_linear, ts_quantile_over_time,
+# ts_rate) and the 39-row r6 cohort
 # (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
 # doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
 # doc_incremental_dedup, doc_lang_id, doc_minhash_accuracy,
@@ -4441,13 +4445,9 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 55 rows, plus the ten r5 rows the session-2
-# kernels displaced from this window (ts_predict_linear, ts_deriv,
-# ts_absent, ts_preagg_route_rate, ts_mad_over_time,
-# ts_quantile_over_time, ts_holt_winters, ts_histogram_quantile,
-# ts_increase, ts_rate) = 65 rows; the r12 window takes (0) any new/changed
-# r12 kernels, then 50 of these (the overflow rolls to r13 ahead of
-# the r8 cohort).
+# ts_tenant_filter) = 74 queued rows; the r12 window takes (0) any
+# new/changed r12 kernels, then the 35 r5 rows, then r6 rows up to 50
+# (the overflow rolls to r13 ahead of the r8 cohort).
 #
 _VERIFY_FIRST: list[str] = [
     # --- (0) NEW round-11 kernels (ratchet rule: new kernels enter the

@@ -1540,3 +1540,25 @@ def test_quality_dup_lift_no_text_in_exchanges(spark, sf_dir):
     assert_no_theta_joins(plan, "doc_quality_dup_lift")
     for out in shuffle_exchange_outputs(df):
         assert all(n != "text" for n, _ in out), out
+
+
+def test_knn_graph_join_salted_no_bucket_window(spark, sf_dir):
+    """The graph ops' candidate cap must not reintroduce a bucket-keyed
+    corpus exchange (the serializing window shape): the plan has no
+    Window over `bucket`, the salt column is present in the join, and
+    the bucket-count side arrives via broadcast."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    for df in (psim.hubness(emb), psim.knn_label_purity(emb)):
+        plan = plan_of(df)
+        assert "_salt" in plan, "salted graph join missing"
+        assert "BroadcastExchange" in plan
+        for line in plan.splitlines():
+            if "Window" in line and "bucket" in line:
+                raise AssertionError(
+                    f"bucket-keyed window reintroduced: {line.strip()[:120]}"
+                )
+        outs = shuffle_exchange_outputs(df)
+        for out in outs:
+            assert all("array" not in t for _, t in out), out
