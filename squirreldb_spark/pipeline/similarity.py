@@ -3227,3 +3227,125 @@ FROM (
   LEFT JOIN approx a ON a.q_id = e.q_id AND a.c_id = e.c_id
 ) rc""")
     return "\nUNION ALL\n".join(parts) + "\nORDER BY bits DESC"
+
+
+# --------------------------------- hybrid retrieval (RRF fusion)
+
+HYBRID_RRF_K0 = 60
+HYBRID_TOPK = 10
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = HYBRID_TOPK,
+    n_queries: int = 5,
+    k0: int = HYBRID_RRF_K0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher, SIGIR 2009: ``Σ 1/(k0 + rank)`` over
+    the systems that returned the document, k0 = 60) — the standard
+    production shape for RAG / retrieval pipelines, where BM25-family
+    lexical match and embedding cosine each miss documents the other
+    finds.  Queries are the first ``n_queries`` documents
+    (self-retrieval over the aligned doc_id = vec_id corpus); the
+    lexical ranker is token-set Jaccard, the dense ranker the attested
+    brute-force cosine top-k.
+
+    Scale shape: both rankers are the broadcast-query-block-vs-one-
+    corpus-scan shape (the `emb_cosine_knn` plan — the lexical side
+    broadcasts token SETS, never raw text, and the corpus side is a
+    single projection inside the scan); both rankings reduce through
+    the shared two-phase top-k kernel, and everything after — the
+    full-outer rank merge and the RRF re-rank — runs on config-sized
+    tables (n_queries × k rows).  The fusion arithmetic is one shared
+    expression: ranks are exact ints, ``1/(k0+rank)`` identical
+    doubles, the sum 6-dp-rounded.
+    """
+    from squirreldb_spark.pipeline.text import tokens
+    from squirreldb_spark.tsdb.aggregation import two_phase_topk
+
+    dense = cosine_knn(
+        emb, k=k, n_queries=n_queries, id_col=vec_id_col, vec_col=vec_col
+    ).select("q_id", "c_id", F.col("rank").alias("dense_rank"))
+    ts = docs.select(
+        F.col(id_col),
+        F.array_distinct(tokens(text_col)).alias("ts"),
+    )
+    q = ts.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col("ts").alias("qts")
+    )
+    c = ts.select(F.col(id_col).alias("c_id"), F.col("ts").alias("cts"))
+    j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    jac = F.round(
+        F.size(F.array_intersect("cts", "qts"))
+        / F.size(F.array_union("cts", "qts")),
+        6,
+    )
+    lex = two_phase_topk(
+        j.select("q_id", "c_id", jac.alias("jaccard")),
+        ["q_id"],
+        [F.desc("jaccard"), F.asc("c_id")],
+        k,
+        shard_cols=["c_id"],
+        rank_col="lex_rank",
+    ).select("q_id", "c_id", "lex_rank")
+    both = dense.join(lex, ["q_id", "c_id"], "full_outer")
+    rrf = F.round(
+        F.coalesce(1.0 / (F.lit(k0) + F.col("dense_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(k0) + F.col("lex_rank")), F.lit(0.0)),
+        6,
+    )
+    fused = both.select("q_id", "c_id", "dense_rank", "lex_rank", rrf.alias("rrf"))
+    return two_phase_topk(
+        fused,
+        ["q_id"],
+        [F.desc("rrf"), F.asc("c_id")],
+        k,
+        shard_cols=["c_id"],
+        rank_col="rank",
+    ).select("q_id", "c_id", "dense_rank", "lex_rank", "rrf", "rank")
+
+
+def sql_hybrid_rrf(
+    k: int = HYBRID_TOPK, n_queries: int = 5, k0: int = HYBRID_RRF_K0
+) -> str:
+    return f"""
+WITH dense AS (
+  SELECT q_id, c_id, rank AS dense_rank
+  FROM ({sql_cosine_knn(k, n_queries)})),
+ts AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+       FROM documents),
+q AS (SELECT doc_id AS q_id, ts AS qts FROM ts WHERE doc_id < {n_queries}),
+c AS (SELECT doc_id AS c_id, ts AS cts FROM ts),
+scored AS (
+  SELECT q_id, c_id,
+         round(len(list_intersect(cts, qts))
+               / len(list_distinct(list_concat(cts, qts))), 6) AS jaccard
+  FROM c, q WHERE c_id != q_id),
+lex AS (
+  SELECT q_id, c_id, lex_rank FROM (
+    SELECT q_id, c_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY jaccard DESC, c_id) AS lex_rank
+    FROM scored) WHERE lex_rank <= {k}),
+merged AS (
+  SELECT coalesce(d.q_id, l.q_id) AS q_id,
+         coalesce(d.c_id, l.c_id) AS c_id,
+         d.dense_rank, l.lex_rank
+  FROM dense d FULL OUTER JOIN lex l
+    ON d.q_id = l.q_id AND d.c_id = l.c_id),
+fused AS (
+  SELECT q_id, c_id, dense_rank, lex_rank,
+         round(coalesce(1.0 / ({k0} + dense_rank), 0.0)
+               + coalesce(1.0 / ({k0} + lex_rank), 0.0), 6) AS rrf
+  FROM merged)
+SELECT q_id, c_id, dense_rank, lex_rank, rrf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY rrf DESC, c_id) AS rank
+  FROM fused) WHERE rank <= {k}
+"""

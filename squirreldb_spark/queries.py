@@ -3687,6 +3687,15 @@ def q_doc_quality_dup_lift(spark, sf_dir):
     return pdedup.quality_dup_lift(_docs(spark, sf_dir))
 
 
+def q_doc_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack SIGIR'09, k0=60): token-Jaccard ranks merged with cosine
+    ranks over the aligned corpus (pipeline/similarity.py
+    hybrid_rrf)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.hybrid_rrf(_docs(spark, sf_dir), emb)
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4403,6 +4412,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     "doc_quality_dup_lift": QueryDef(
         q_doc_quality_dup_lift, pdedup.sql_quality_dup_lift()
     ),
+    # reciprocal-rank-fusion hybrid retrieval (lexical + dense)
+    "doc_hybrid_rrf": QueryDef(q_doc_hybrid_rrf, psim.sql_hybrid_rrf()),
 }
 
 
@@ -4419,10 +4430,10 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 #
 # ROUND-12 QUEUE (recomputed at r11 close by tools/verify_window_queue.py
 # against CORRECTNESS_r01-r10 and the final r11 window): after the r11
-# window attests its 50 rows (31 never-attested kernels, 5 changed
-# kernels, 14 r5-backfill rows), the oldest remaining attestations are
-# the 35 spilled r5 rows
-# (doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
+# window attests its 50 rows (32 never-attested kernels, 5 changed
+# kernels, 13 r5-backfill rows), the oldest remaining attestations are
+# the 36 spilled r5 rows
+# (doc_bpe_tokens, promql_agg_group, doc_simhash, emb_ann_lsh, emb_cosine_knn,
 # emb_neardup_pairs, mm_extract_features, mm_resize_images,
 # mm_sample_frames, promql_binop_modpow, promql_binop_sub,
 # promql_clamp_arith, promql_cmp_filter, promql_preagg_route,
@@ -4445,8 +4456,8 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 74 queued rows; the r12 window takes (0) any
-# new/changed r12 kernels, then the 35 r5 rows, then r6 rows up to 50
+# ts_tenant_filter) = 75 queued rows; the r12 window takes (0) any
+# new/changed r12 kernels, then the 36 r5 rows, then r6 rows up to 50
 # (the overflow rolls to r13 ahead of the r8 cohort).
 #
 _VERIFY_FIRST: list[str] = [
@@ -4462,6 +4473,7 @@ _VERIFY_FIRST: list[str] = [
     "emb_sq_bits_sweep",
     "ev_type_mix_drift",
     "doc_quality_dup_lift",
+    "doc_hybrid_rrf",
     "doc_repetition_profile",
     "doc_tokenizer_fertility",
     "doc_minhash_containment",
@@ -4502,7 +4514,6 @@ _VERIFY_FIRST: list[str] = [
     # mm_sample_frames — spill to the r12 window together with the
     # 39-row r6 cohort) ---
     "promql_absent_over_time",
-    "promql_agg_group",
     "promql_at_modifier",
     "promql_bottomk_without",
     "promql_group_left",

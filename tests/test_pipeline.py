@@ -3176,3 +3176,30 @@ def test_auto_planes_density_rule():
     assert _auto_planes(16384) == 6     # last corpus where 6 holds
     assert _auto_planes(16385) == 7
     assert _auto_planes(10 ** 9) == 22  # 100 TB-class corpus
+
+
+def test_hybrid_rrf_hand_fusion(spark):
+    """Doc 1 is both the lexical and dense top hit for query 0 (rrf
+    2/61); doc 2 is dense-only rank 2, doc 3 lexical-only rank 2 —
+    the fusion keeps both with a single 1/62 term, tie broken by id."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    docs = spark.createDataFrame(
+        [(0, "aa bb cc dd"), (1, "aa bb cc ee"),
+         (2, "zz yy xx ww"), (3, "aa bb ff gg")],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.99, 0.1]), (2, [0.9, 0.3]),
+         (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = psim.hybrid_rrf(docs, emb, k=2, n_queries=1).collect()
+    by = {r.c_id: r for r in rows if r.q_id == 0}
+    assert by[1].dense_rank == 1 and by[1].lex_rank == 1
+    assert by[1].rrf == round(2 / 61, 6) and by[1].rank == 1
+    # doc 2 (dense-only rank 2) and doc 3 (lexical-only rank 2) tie at
+    # 1/62; the id tie-break keeps doc 2 at rank 2 and cuts doc 3
+    assert by[2].lex_rank is None and by[2].dense_rank == 2
+    assert by[2].rrf == round(1 / 62, 6) and by[2].rank == 2
+    assert 3 not in by

@@ -1562,3 +1562,19 @@ def test_knn_graph_join_salted_no_bucket_window(spark, sf_dir):
         outs = shuffle_exchange_outputs(df)
         for out in outs:
             assert all("array" not in t for _, t in out), out
+
+
+def test_hybrid_rrf_broadcast_queries_both_rankers(spark, sf_dir):
+    """Both rankers broadcast the query block against one corpus scan;
+    the fusion runs on config-sized rank tables; raw text never
+    crosses a shuffle (the lexical side ships token sets)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.hybrid_rrf(docs, emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_hybrid_rrf")
+    assert "BroadcastExchange" in plan
+    for out in shuffle_exchange_outputs(df):
+        assert all(n != "text" for n, _ in out), out
