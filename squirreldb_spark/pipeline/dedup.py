@@ -2818,13 +2818,17 @@ def detector_agreement(
     and `doc_simhash_accuracy` score each against true Jaccard; this
     op scores them against each other).
 
-    Scale shape: reuses the two attested candidate generators verbatim
-    (banded equi-joins with the hot-bucket cap — never all-pairs); the
-    exact-pair self-join keys on a content hash (identical-text groups
-    enumerate within-group pairs only, the exact_dedup exchange); the
-    three pair sets then merge by full-outer equi-join on (id_a, id_b)
-    — pair-set-sized, fingerprints only — into a single-row exact
-    integer reduction.
+    Scale shape (ADVICE r11: the original exact-pair self-join enumerated
+    all within-group pairs — C(g,2) explodes on one heavily duplicated
+    boilerplate group, the only uncapped pair surface in the repo):
+    reuses the two attested candidate generators verbatim (banded
+    equi-joins with the hot-bucket cap — never all-pairs); `n_exact` is
+    now computed WITHOUT pair enumeration as Σ C(g,2) over content-hash
+    group sizes (one hash groupBy, one-row reduction); the recall terms
+    only need exact-membership of the ALREADY-CAPPED candidate pairs, so
+    the merged mh∪sh pair set is annotated `is_ex` via two id-keyed
+    equi-joins against the hash table (pair-set-sized, fingerprints
+    only).  Nothing quadratic survives at any group size.
     """
     sig = minhash_signatures(docs, text_col=text_col, id_col=id_col)
     mh = (
@@ -2838,19 +2842,37 @@ def detector_agreement(
     hashed = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_h")
     )
-    ex = (
-        hashed.select(F.col(id_col).alias("id_a"), "_h")
-        .join(hashed.select(F.col(id_col).alias("id_b"), "_h"), "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1).alias("in_ex"))
+    # n_exact = sum of C(g,2) over identical-text group sizes: exact pair
+    # COUNT without enumerating pairs (the quadratic the advice flagged).
+    ex_n = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_g"))
+        .agg(
+            F.coalesce(
+                F.sum(F.col("_g") * (F.col("_g") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("n_exact")
+        )
     )
-    j = mh.join(sh, ["id_a", "id_b"], "full_outer").join(
-        ex, ["id_a", "id_b"], "full_outer"
+    # Candidate pairs (both generators hot-bucket capped) annotated with
+    # exact membership: a pair is an exact duplicate iff its two content
+    # hashes are equal — two linear id-keyed joins, no pair self-join.
+    j = (
+        mh.join(sh, ["id_a", "id_b"], "full_outer")
+        .join(
+            hashed.select(F.col(id_col).alias("id_a"), F.col("_h").alias("_ha")),
+            "id_a",
+        )
+        .join(
+            hashed.select(F.col(id_col).alias("id_b"), F.col("_h").alias("_hb")),
+            "id_b",
+        )
+        .withColumn("_is_ex", F.col("_ha") == F.col("_hb"))
     )
     agg = j.agg(
         F.coalesce(F.sum("in_mh"), F.lit(0)).cast("long").alias("n_minhash"),
         F.coalesce(F.sum("in_sh"), F.lit(0)).cast("long").alias("n_simhash"),
-        F.coalesce(F.sum("in_ex"), F.lit(0)).cast("long").alias("n_exact"),
         F.sum(
             F.when(
                 F.col("in_mh").isNotNull() & F.col("in_sh").isNotNull(), 1
@@ -2859,20 +2881,16 @@ def detector_agreement(
         .cast("long")
         .alias("n_both"),
         F.sum(
-            F.when(
-                F.col("in_mh").isNotNull() & F.col("in_ex").isNotNull(), 1
-            ).otherwise(0)
+            F.when(F.col("in_mh").isNotNull() & F.col("_is_ex"), 1).otherwise(0)
         )
         .cast("long")
         .alias("_mh_ex"),
         F.sum(
-            F.when(
-                F.col("in_sh").isNotNull() & F.col("in_ex").isNotNull(), 1
-            ).otherwise(0)
+            F.when(F.col("in_sh").isNotNull() & F.col("_is_ex"), 1).otherwise(0)
         )
         .cast("long")
         .alias("_sh_ex"),
-    )
+    ).crossJoin(F.broadcast(ex_n))
     union_n = F.col("n_minhash") + F.col("n_simhash") - F.col("n_both")
     return agg.select(
         "n_minhash",
@@ -2904,28 +2922,31 @@ sh AS (
   SELECT id_a, id_b, 1 AS in_sh
   FROM ({sql_simhash_neardup_pairs()})),
 hx AS (SELECT doc_id, md5(text) AS h FROM documents),
-ex AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS in_ex
-  FROM hx a JOIN hx b ON a.h = b.h AND a.doc_id < b.doc_id),
+-- exact-pair COUNT from group sizes (sum C(g,2)), mirroring the Spark
+-- side's enumeration-free reduction (ADVICE r11)
+exn AS (
+  SELECT coalesce(sum(g * (g - 1) / 2), 0)::BIGINT AS n_exact
+  FROM (SELECT count(*) AS g FROM hx GROUP BY h)),
 allp AS (
   SELECT id_a, id_b FROM mh
-  UNION SELECT id_a, id_b FROM sh
-  UNION SELECT id_a, id_b FROM ex),
+  UNION SELECT id_a, id_b FROM sh),
 j AS (
-  SELECT p.id_a, p.id_b, mh.in_mh, sh.in_sh, ex.in_ex
+  SELECT p.id_a, p.id_b, mh.in_mh, sh.in_sh,
+         (ha.h = hb.h) AS is_ex
   FROM allp p
   LEFT JOIN mh USING (id_a, id_b)
   LEFT JOIN sh USING (id_a, id_b)
-  LEFT JOIN ex USING (id_a, id_b)),
+  JOIN hx ha ON p.id_a = ha.doc_id
+  JOIN hx hb ON p.id_b = hb.doc_id),
 agg AS (
   SELECT coalesce(sum(in_mh), 0)::BIGINT AS n_minhash,
          coalesce(sum(in_sh), 0)::BIGINT AS n_simhash,
-         coalesce(sum(in_ex), 0)::BIGINT AS n_exact,
+         (SELECT n_exact FROM exn) AS n_exact,
          sum(CASE WHEN in_mh IS NOT NULL AND in_sh IS NOT NULL
                   THEN 1 ELSE 0 END)::BIGINT AS n_both,
-         sum(CASE WHEN in_mh IS NOT NULL AND in_ex IS NOT NULL
+         sum(CASE WHEN in_mh IS NOT NULL AND is_ex
                   THEN 1 ELSE 0 END)::BIGINT AS mh_ex,
-         sum(CASE WHEN in_sh IS NOT NULL AND in_ex IS NOT NULL
+         sum(CASE WHEN in_sh IS NOT NULL AND is_ex
                   THEN 1 ELSE 0 END)::BIGINT AS sh_ex
   FROM j)
 SELECT n_minhash, n_simhash, n_exact, n_both,

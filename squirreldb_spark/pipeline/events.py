@@ -3688,23 +3688,36 @@ def value_psi(
     events: DataFrame,
     bin_w: float = PSI_LOG_BIN_W,
     eps: float = PSI_EPS,
+    baseline_weeks: int | None = None,
 ) -> DataFrame:
     """Population Stability Index of the ``value`` measure per
-    (event_type, week) against that type's whole-corpus distribution —
-    THE standard numeric-feature drift gate (PSI < 0.1 stable,
-    0.1–0.25 moderate, > 0.25 shifted) a training pipeline runs before
-    trusting a new data drop.  Values are histogrammed on fixed
-    log-scale bins ``floor(ln(1+value)/w)`` (deterministic, quantile-
-    free, right for a heavy-tailed positive measure), and a week-absent
-    bin takes the conventional ε-share so the log term stays finite;
-    corpus shares need no smoothing because every week bin is a corpus
-    bin by construction.
+    (event_type, week) against a reference distribution — THE standard
+    numeric-feature drift gate (PSI < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 shifted) a training pipeline runs before trusting a new
+    data drop.  Values are histogrammed on fixed log-scale bins
+    ``floor(ln(1+value)/w)`` (deterministic, quantile-free, right for
+    a heavy-tailed positive measure), and a week-absent bin takes the
+    conventional ε-share so the log term stays finite.
+
+    Reference choice (ADVICE r11): the default ``baseline_weeks=None``
+    scores each week against the type's WHOLE-CORPUS distribution,
+    which INCLUDES the scored week — on a corpus with few active weeks
+    the reference shifts with the drifting week and PSI is DILUTED
+    relative to the fixed-baseline convention the 0.1/0.25 bands were
+    calibrated for (with W equally-sized weeks, a week contributes
+    ~1/W of the reference, so the bands read conservatively — drift is
+    under-, never over-reported).  Pass ``baseline_weeks=N`` for the
+    conventional fixed baseline: the reference becomes the type's
+    first N active weeks, later weeks cannot move it, and bins unseen
+    in the baseline take the ε reference share (both sides ε-floored,
+    the standard PSI smoothing).
 
     Scale shape: two map-side-combinable integer histograms — (type,
     week, bin) and (type, bin) — joined on the bin-cardinality tables
     (types × bins, nothing corpus-sized after the first reduction);
-    the PSI fold sums 12-dp-DECIMAL-quantized terms over the bounded
-    bin set, so parity is addition-order-independent.
+    the baseline week-rank runs on the distinct (type, week) table
+    (bounded); the PSI fold sums 12-dp-DECIMAL-quantized terms over
+    the bounded bin set, so parity is addition-order-independent.
     """
     binned = events.select(
         "event_type",
@@ -3716,17 +3729,30 @@ def value_psi(
     wk = binned.groupBy("event_type", "week", "bin").agg(
         F.count(F.lit(1)).alias("wn")
     )
-    corpus = binned.groupBy("event_type", "bin").agg(
-        F.count(F.lit(1)).alias("cn")
-    )
     wk_tot = wk.groupBy("event_type", "week").agg(
         F.sum("wn").cast("long").alias("wt")
+    )
+    if baseline_weeks is None:
+        ref_src = wk
+    else:
+        rank_w = Window.partitionBy("event_type").orderBy("week")
+        base_wk = (
+            wk_tot.select("event_type", "week")
+            .withColumn("_r", F.row_number().over(rank_w))
+            .filter(F.col("_r") <= baseline_weeks)
+            .drop("_r")
+        )
+        ref_src = wk.join(F.broadcast(base_wk), ["event_type", "week"])
+    corpus = ref_src.groupBy("event_type", "bin").agg(
+        F.sum("wn").cast("long").alias("cn")
     )
     c_tot = corpus.groupBy("event_type").agg(
         F.sum("cn").cast("long").alias("ct")
     )
-    # full bin set per (type, week): corpus bins x active weeks, so a
-    # week missing a corpus bin contributes the eps-smoothed term too
+    # full bin set per (type, week): reference bins x active weeks, so a
+    # week-absent reference bin contributes the eps-smoothed term; with
+    # a fixed baseline, week bins OUTSIDE the reference support join in
+    # with the eps reference share (outer arm below)
     grid = corpus.join(wk_tot, "event_type")
     g = (
         grid.join(wk, ["event_type", "week", "bin"], "left")
@@ -3741,6 +3767,20 @@ def value_psi(
             (F.col("cn") / F.col("ct")).alias("q"),
         )
     )
+    if baseline_weeks is not None:
+        extra = (
+            wk.join(corpus.select("event_type", "bin"),
+                    ["event_type", "bin"], "left_anti")
+            .join(wk_tot, ["event_type", "week"])
+            .select(
+                "event_type",
+                "week",
+                "wt",
+                F.greatest(F.col("wn") / F.col("wt"), F.lit(eps)).alias("p"),
+                F.lit(eps).alias("q"),
+            )
+        )
+        g = g.unionByName(extra)
     term = F.round(
         (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q")), 12
     ).cast("decimal(28,12)")
@@ -3762,8 +3802,28 @@ def value_psi(
 
 
 def sql_value_psi(
-    bin_w: float = PSI_LOG_BIN_W, eps: float = PSI_EPS
+    bin_w: float = PSI_LOG_BIN_W,
+    eps: float = PSI_EPS,
+    baseline_weeks: int | None = None,
 ) -> str:
+    if baseline_weeks is None:
+        ref_cte = "ref AS (SELECT * FROM wk)"
+        extra = ""
+    else:
+        ref_cte = f"""bw AS (
+  SELECT event_type, week FROM (
+    SELECT event_type, week,
+           row_number() OVER (PARTITION BY event_type ORDER BY week) AS r
+    FROM wk_tot) WHERE r <= {baseline_weeks}),
+ref AS (SELECT wk.* FROM wk JOIN bw USING (event_type, week))"""
+        extra = f"""
+  UNION ALL
+  SELECT wk.event_type, wk.week, t.wt,
+         greatest(wk.wn / t.wt, {eps!r}) AS p, {eps!r} AS q
+  FROM wk
+  JOIN wk_tot t ON t.event_type = wk.event_type AND t.week = wk.week
+  LEFT JOIN corpus c ON c.event_type = wk.event_type AND c.bin = wk.bin
+  WHERE c.bin IS NULL"""
     return f"""
 WITH binned AS (
   SELECT event_type,
@@ -3772,10 +3832,11 @@ WITH binned AS (
   FROM events),
 wk AS (SELECT event_type, week, bin, count(*)::BIGINT AS wn
        FROM binned GROUP BY 1, 2, 3),
-corpus AS (SELECT event_type, bin, count(*)::BIGINT AS cn
-           FROM binned GROUP BY 1, 2),
 wk_tot AS (SELECT event_type, week, sum(wn)::BIGINT AS wt
            FROM wk GROUP BY 1, 2),
+{ref_cte},
+corpus AS (SELECT event_type, bin, sum(wn)::BIGINT AS cn
+           FROM ref GROUP BY 1, 2),
 c_tot AS (SELECT event_type, sum(cn)::BIGINT AS ct FROM corpus GROUP BY 1),
 g AS (
   SELECT grid.event_type, grid.week, grid.wt,
@@ -3785,7 +3846,7 @@ g AS (
         FROM corpus c JOIN wk_tot t USING (event_type)) grid
   LEFT JOIN wk ON wk.event_type = grid.event_type
              AND wk.week = grid.week AND wk.bin = grid.bin
-  JOIN c_tot ct ON ct.event_type = grid.event_type),
+  JOIN c_tot ct ON ct.event_type = grid.event_type{extra}),
 per AS (
   SELECT event_type, week, max(wt)::BIGINT AS n_events,
          sum(CAST(round((p - q) * ln(p / q), 12)
@@ -3975,4 +4036,330 @@ per AS (
 SELECT week, n_events, round(js::DOUBLE, 6) AS js_divergence,
        n_types_active
 FROM per ORDER BY 1
+"""
+
+
+# ------------------------------------- per-user contribution cap sweep
+
+USER_CAP_LEVELS = (1, 2, 5, 10, 20, 50, 100)
+
+
+def user_cap_sweep(
+    events: DataFrame,
+    caps: tuple[int, ...] = USER_CAP_LEVELS,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Per-user contribution-cap sweep: for each event type and each
+    cap K, how much of the stream survives keeping at most K events per
+    user — retained event count/share and the number of users actually
+    clipped.  This is the sizing table for the standard training-data
+    fairness guard (cap any one user's/domain's contribution before
+    sampling, the per-user analogue of ``doc_domain_cap``): read the
+    row where retained_share stops falling to pick the cheapest cap
+    that still tames the heavy tail that ``ev_user_concentration``
+    measured.
+
+    Scale shape: one map-side-combinable (type, user) count, then the
+    cap sweep explodes a |caps|-element literal over the
+    user-cardinality table and folds with Σ min(c, K) — exact integers
+    in any addition order, nothing corpus-sized after the first
+    reduction.  100×: the sweep table is types × users × |caps| rows
+    of three integers, partition-parallel; no window, no skew pivot.
+    """
+    per_user = events.groupBy("event_type", F.col(key_col).alias("_u")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    sweep = per_user.select(
+        "event_type",
+        "_c",
+        F.explode(F.array(*[F.lit(k) for k in caps])).alias("cap"),
+    )
+    out = sweep.groupBy("event_type", "cap").agg(
+        F.sum("_c").cast("long").alias("n_events"),
+        F.sum(F.least(F.col("_c"), F.col("cap"))).cast("long").alias(
+            "retained_events"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("_c") > F.col("cap"), 1).otherwise(0))
+        .cast("long")
+        .alias("users_clipped"),
+    )
+    return out.select(
+        "event_type",
+        F.col("cap").cast("long").alias("cap"),
+        "n_events",
+        "retained_events",
+        F.round(F.col("retained_events") / F.col("n_events"), 6).alias(
+            "retained_share"
+        ),
+        "n_users",
+        "users_clipped",
+    ).orderBy("event_type", "cap")
+
+
+def sql_user_cap_sweep(caps: tuple[int, ...] = USER_CAP_LEVELS) -> str:
+    cap_list = ", ".join(str(k) for k in caps)
+    return f"""
+WITH per_user AS (
+  SELECT event_type, user_id, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+sweep AS (
+  SELECT event_type, c, unnest([{cap_list}])::BIGINT AS cap
+  FROM per_user)
+SELECT event_type, cap,
+       sum(c)::BIGINT AS n_events,
+       sum(least(c, cap))::BIGINT AS retained_events,
+       round(sum(least(c, cap)) / sum(c)::DOUBLE, 6) AS retained_share,
+       count(*)::BIGINT AS n_users,
+       sum(CASE WHEN c > cap THEN 1 ELSE 0 END)::BIGINT AS users_clipped
+FROM sweep GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# --------------------------------------------- CUPED variance reduction
+
+def ab_cuped(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """CUPED-adjusted A/B readout (Deng, Xu, Kohavi & Walker, WSDM
+    2013): per-user value totals in the experiment half of the time
+    range (Y), controlled by the same user's PRE-period total (X, the
+    first half) via θ = cov(X, Y)/var(X); the adjusted metric
+    Y − θ·(X − X̄) has variance var(Y)·(1 − ρ²), so the same delta is
+    read with tighter error bars.  Reports both the naive and the
+    CUPED delta between the deterministic user halves (the ``ab_test``
+    assignment convention), θ, and the realized pooled variance
+    reduction — the number that says how much experiment runtime CUPED
+    buys on THIS corpus.  Users absent from the pre-period enter with
+    X = 0 (the standard all-users variant; θ shrinks toward 0 as
+    pre-coverage thins, never biasing the delta — E[Y−θ(X−X̄)] equals
+    E[Y] for any fixed θ).
+
+    Scale shape: one user-keyed combinable reduction builds (X, Y)
+    per user from 6-dp-DECIMAL-quantized values (exact in any
+    addition order); the moment fold (Σx, Σy, Σxx, Σxy, Σyy per
+    variant) is a 2-row DECIMAL aggregate; θ and the deltas are final
+    2-row double arithmetic — identical expressions per engine.
+    100×: nothing after the per-user reduction exceeds 2 rows.
+    """
+    vq = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    bounds = events.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    ).select(
+        F.floor((F.col("_mn") + F.col("_mx")) / 2).cast("long").alias("_mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(key_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.col("_mid"), vq)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= F.col("_mid"), vq)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("y"),
+        )
+        .select(
+            F.when(F.col(key_col) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    mom = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"),
+    )
+    a = mom.filter(F.col("variant") == "A").select(
+        *[F.col(c).alias(f"{c}_a") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    b = mom.filter(F.col("variant") == "B").select(
+        *[F.col(c).alias(f"{c}_b") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    n = d("n_a") + d("n_b")
+    sx = d("sx_a") + d("sx_b")
+    sy = d("sy_a") + d("sy_b")
+    sxx = d("sxx_a") + d("sxx_b")
+    sxy = d("sxy_a") + d("sxy_b")
+    syy = d("syy_a") + d("syy_b")
+    var_x = sxx / n - (sx / n) * (sx / n)
+    cov_xy = sxy / n - (sx / n) * (sy / n)
+    var_y = syy / n - (sy / n) * (sy / n)
+    theta = cov_xy / var_x
+    mean_y_a = d("sy_a") / d("n_a")
+    mean_y_b = d("sy_b") / d("n_b")
+    mean_x_a = d("sx_a") / d("n_a")
+    mean_x_b = d("sx_b") / d("n_b")
+    delta = mean_y_b - mean_y_a
+    delta_cuped = (mean_y_b - theta * mean_x_b) - (mean_y_a - theta * mean_x_a)
+    # pooled var(Y') = var(Y) - 2θ·cov + θ²·var(X) = var(Y)(1-ρ²) at θ*
+    var_adj = var_y - 2 * theta * cov_xy + theta * theta * var_x
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_y_a, 6).alias("mean_a"),
+        F.round(mean_y_b, 6).alias("mean_b"),
+        F.round(delta, 6).alias("delta"),
+        F.when(var_x > 0, F.round(theta, 6)).alias("theta"),
+        F.when(var_x > 0, F.round(delta_cuped, 6)).alias("delta_cuped"),
+        F.when(
+            (var_x > 0) & (var_y > 0), F.round(1 - var_adj / var_y, 6)
+        ).alias("var_reduction"),
+    )
+
+
+def sql_ab_cuped() -> str:
+    return f"""
+WITH bounds AS (
+  SELECT CAST(floor((min(epoch_ms(ts)) + max(epoch_ms(ts))) / 2) AS BIGINT)
+           AS mid
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN epoch_ms(ts) < mid THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           0::DECIMAL(18,6)) AS x,
+         coalesce(sum(CASE WHEN epoch_ms(ts) >= mid THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           0::DECIMAL(18,6)) AS y
+  FROM events, bounds GROUP BY 1),
+pv AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         count(*)::BIGINT AS n,
+         sum(x)::DECIMAL(38,6) AS sx, sum(y)::DECIMAL(38,6) AS sy,
+         sum((x * x)::DECIMAL(38,12)) AS sxx,
+         sum((x * y)::DECIMAL(38,12)) AS sxy,
+         sum((y * y)::DECIMAL(38,12)) AS syy
+  FROM per_user GROUP BY 1),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         a.sx::DOUBLE AS sx_a, b.sx::DOUBLE AS sx_b,
+         a.sy::DOUBLE AS sy_a, b.sy::DOUBLE AS sy_b,
+         a.sxx::DOUBLE AS sxx_a, b.sxx::DOUBLE AS sxx_b,
+         a.sxy::DOUBLE AS sxy_a, b.sxy::DOUBLE AS sxy_b,
+         a.syy::DOUBLE AS syy_a, b.syy::DOUBLE AS syy_b
+  FROM (SELECT * FROM pv WHERE variant = 'A') a,
+       (SELECT * FROM pv WHERE variant = 'B') b),
+f AS (
+  SELECT n_a, n_b,
+         (n_a + n_b)::DOUBLE AS n,
+         sx_a + sx_b AS sx, sy_a + sy_b AS sy,
+         sxx_a + sxx_b AS sxx, sxy_a + sxy_b AS sxy, syy_a + syy_b AS syy,
+         sy_a / n_a AS mya, sy_b / n_b AS myb,
+         sx_a / n_a AS mxa, sx_b / n_b AS mxb
+  FROM j),
+g AS (
+  SELECT *,
+         sxx / n - (sx / n) * (sx / n) AS var_x,
+         sxy / n - (sx / n) * (sy / n) AS cov_xy,
+         syy / n - (sy / n) * (sy / n) AS var_y
+  FROM f)
+SELECT n_a, n_b,
+       round(mya, 6) AS mean_a,
+       round(myb, 6) AS mean_b,
+       round(myb - mya, 6) AS delta,
+       CASE WHEN var_x > 0 THEN round(cov_xy / var_x, 6) END AS theta,
+       CASE WHEN var_x > 0 THEN
+         round((myb - (cov_xy / var_x) * mxb)
+               - (mya - (cov_xy / var_x) * mxa), 6) END AS delta_cuped,
+       CASE WHEN var_x > 0 AND var_y > 0 THEN
+         round(1 - (var_y - 2 * (cov_xy / var_x) * cov_xy
+                    + (cov_xy / var_x) * (cov_xy / var_x) * var_x)
+                   / var_y, 6) END AS var_reduction
+FROM g
+"""
+
+
+# ----------------------------------- daily-count overdispersion index
+
+def poisson_dispersion(events: DataFrame) -> DataFrame:
+    """Index-of-dispersion audit of per-type daily volumes (Fisher's
+    variance-to-mean ratio): a Poisson arrival stream has D ≈ 1;
+    D ≫ 1 is the bursty/clumped signature (campaign spikes, bot
+    bursts, batch replays) that breaks rate-based anomaly thresholds,
+    D ≪ 1 is the too-regular signature of synthetic or quota-paced
+    traffic.  Reports per type the active-day count, daily mean and
+    variance, D, and the normal-approximation z-score
+    ``(D − 1)·sqrt((n − 1)/2)`` with the ±1.96 verdict — the
+    distribution-level companion to ``ev_bot_cadence`` (which scores
+    users) and ``ev_lag_autocorr`` (which scores correlation, not
+    inflation).  Zero-event days are excluded (active days only, the
+    ``lag_autocorr`` convention — a type's quiet tail would otherwise
+    depend on the corpus time range).
+
+    Scale shape: one map-side-combinable (type, day) count, then exact
+    integer moment sums (n, Σc, Σc²) on the types × days table and
+    1-row-per-type double arithmetic.  100×: nothing after the first
+    reduction exceeds types × days.
+    """
+    daily = events.groupBy(
+        "event_type",
+        F.floor(F.col("ts") / F.lit(_DAY_MS)).cast("long").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("c").cast("long").alias("_s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("_s2"),
+    )
+    n = F.col("n_days").cast("double")
+    mean = F.col("_s1") / n
+    # sample variance (n-1 denominator), the chi-square-exact form
+    var = (F.col("_s2") - n * mean * mean) / (n - 1)
+    disp = var / mean
+    z = (disp - 1) * F.sqrt((n - 1) / 2)
+    return mom.filter(F.col("n_days") > 1).select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(var, 6).alias("var_daily"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 6).alias("z_score"),
+        F.when(z > 1.96, "overdispersed")
+        .when(z < -1.96, "underdispersed")
+        .otherwise("poisson")
+        .alias("verdict"),
+    ).orderBy("event_type")
+
+
+def sql_poisson_dispersion() -> str:
+    return f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch_ms(ts) / {_DAY_MS}) AS BIGINT) AS day,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+mom AS (
+  SELECT event_type, count(*)::BIGINT AS n_days,
+         sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+  FROM daily GROUP BY 1),
+f AS (
+  SELECT event_type, n_days,
+         s1 / n_days::DOUBLE AS mean,
+         (s2 - n_days::DOUBLE * (s1 / n_days::DOUBLE)
+               * (s1 / n_days::DOUBLE)) / (n_days - 1) AS var
+  FROM mom WHERE n_days > 1)
+SELECT event_type, n_days,
+       round(mean, 6) AS mean_daily,
+       round(var, 6) AS var_daily,
+       round(var / mean, 6) AS dispersion,
+       round((var / mean - 1) * sqrt((n_days - 1) / 2.0), 6) AS z_score,
+       CASE WHEN (var / mean - 1) * sqrt((n_days - 1) / 2.0) > 1.96
+              THEN 'overdispersed'
+            WHEN (var / mean - 1) * sqrt((n_days - 1) / 2.0) < -1.96
+              THEN 'underdispersed'
+            ELSE 'poisson' END AS verdict
+FROM f ORDER BY 1
 """

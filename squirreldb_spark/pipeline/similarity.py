@@ -459,6 +459,44 @@ def duck_bucket_expr(vec: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(bits) + ")"
 
 
+#: plane budget for the dynamic-plane oracle: 24 gated bits support
+#: corpora up to 256 x 2^24 ~ 4.3 B vectors before the rule saturates.
+AUTO_PLANES_MAX = 24
+
+
+def duck_auto_planes_cte(table: str = "embeddings") -> str:
+    """One-row CTE body computing ``_auto_planes(count(*))`` in DuckDB —
+    the SAME rule the Spark side applies when ``n_planes=None``
+    (ADVICE r11: the fixed-6 oracles silently diverged from the
+    self-tuned plane count above 16 384 vectors).  n/256 is exact in
+    doubles (256 is a power of two) and log2 hits representable values
+    only at exact powers, so ceil() agrees bit-for-bit with Python's
+    ``math.ceil(math.log2(n / target))`` at every n."""
+    return (
+        "SELECT greatest(6, CAST(ceil(log2(greatest(count(*), 1) / "
+        f"{float(KNN_GRAPH_DENSITY_TARGET)!r})) AS INT)) AS p FROM {table}"
+    )
+
+
+def duck_bucket_expr_auto(vec: str, dim: int, pcol: str = "p") -> str:
+    """Plane-count-dynamic LSH bucket: same bit layout as
+    :func:`duck_bucket_expr` over the prefix-stable hyperplane family
+    (``hyperplanes(m)[j] == hyperplanes(n)[j]`` for any j < min(m, n) —
+    plane j depends only on j), with bit j gated on ``j < pcol`` so the
+    oracle's bucket equals the Spark side's for whatever plane count
+    the auto rule picks."""
+    planes = hyperplanes(AUTO_PLANES_MAX, dim)
+    bits = []
+    for j, p in enumerate(planes):
+        arr = "[" + ", ".join(f"{x!r}" for x in p) + "]"
+        dot = _DUCK_DOT.format(a=vec, b=arr)
+        bits.append(
+            f"(CASE WHEN {j} < {pcol} AND ({dot}) >= 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(bits) + ")"
+
+
 def _ivf_train_ctes(
     n_cells: int, cent_base: int, kmeans_iters: int, dim: int, train_mod: int
 ) -> tuple[str, str]:
@@ -2372,6 +2410,17 @@ KNN_GRAPH_DENSITY_TARGET = 256
 
 
 def _auto_planes(n_rows: int, target: int = KNN_GRAPH_DENSITY_TARGET) -> int:
+    """Self-tuning plane count: max(6, ceil(log2(n / target))).
+
+    Requires the EXACT row count (not sampled/approximate): the DuckDB
+    oracle recomputes this rule from its own count(*)
+    (duck_auto_planes_cte), so the plane count is a bit-exact parity
+    contract — a sampled count that lands on the other side of a
+    power-of-two boundary would silently change the bucket layout and
+    hash-mismatch.  The count itself is a zero-column count(*) job:
+    Parquet-backed scans answer it from row-group metadata without
+    reading any column data, so at 100 TB the cost is footer IO + task
+    scheduling, once per job — acceptable for a planning decision."""
     import math
 
     if n_rows <= target:
@@ -2430,11 +2479,13 @@ def hubness(
     (corpus / 2^n_planes) at O(cap) — below the cap the pair count is
     n²/B (measured exponent 1.71 at fixed config), at the cap it is
     corpus × cap (measured 0.88). The default ``n_planes=None``
-    applies the rule automatically: one count() sizes the corpus and
-    the plane count grows as ceil(log2(n / 256)), equal to the static
-    6 at every attestation scale (so the fixed-plane oracle stays
-    hash-identical). Nothing after the in-degree rollup sees
-    corpus-sized data.
+    applies the rule automatically: one exact count() sizes the corpus
+    (metadata-answered on Parquet scans; exactness is a parity
+    contract — see ``_auto_planes``) and the plane count grows as
+    ceil(log2(n / 256)); the DuckDB oracle recomputes the SAME rule
+    from its own count(*) (ADVICE r11), so parity holds at any corpus
+    size, not just the ≤16k scales where both equal 6. Nothing after
+    the in-degree rollup sees corpus-sized data.
     """
     if n_planes is None:
         n_planes = _auto_planes(emb.count())
@@ -2495,14 +2546,24 @@ def hubness(
 
 def sql_hubness(
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
-    planes = hyperplanes(n_planes, dim)
+    """Default ``n_planes=None`` mirrors the Spark side's auto rule:
+    the plane count is computed from count(*) inside the query
+    (ADVICE r11 — the fixed-6 oracle diverged from the self-tuning
+    kernel above 16 384 vectors), so the oracle stays hash-identical
+    at ANY corpus size, not just the ≤16k attestation convention."""
+    if n_planes is not None:
+        np_cte = f"np AS (SELECT {n_planes} AS p)"
+    else:
+        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-bucketed AS (SELECT vec_id, v, {duck_bucket_expr('v', planes)} AS bucket FROM base),
+{np_cte},
+bucketed AS (SELECT vec_id, v, {bexpr} AS bucket FROM base, np),
 q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed),
 bn AS (SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY 1),
 c AS (SELECT vec_id AS c_id, v AS cv, bucket
@@ -2886,9 +2947,9 @@ def knn_label_purity(
     at ~``max_bucket`` per bucket (id-hash stride sample, the hubness
     contract — join fan-out ≤ corpus × cap, linear in data, no
     bucket-keyed shuffle; ``n_planes=None`` self-tunes the plane count
-    by the hubness density rule, equal to the static 6 at every
-    attestation scale), and nothing after the top-k sees more than
-    corpus×k rows.
+    by the hubness density rule, with the oracle recomputing the same
+    rule from its own count(*) — ADVICE r11), and nothing after the
+    top-k sees more than corpus×k rows.
     """
     if n_planes is None:
         n_planes = _auto_planes(emb.count())
@@ -2934,17 +2995,24 @@ def knn_label_purity(
 
 def sql_knn_label_purity(
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int = 64,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
-    planes = hyperplanes(n_planes, dim)
+    """``n_planes=None`` computes the plane count from count(*) with the
+    Spark side's auto rule (see :func:`sql_hubness` — ADVICE r11)."""
+    if n_planes is not None:
+        np_cte = f"np AS (SELECT {n_planes} AS p)"
+    else:
+        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
     return f"""
 WITH base AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+{np_cte},
 bucketed AS (
-  SELECT vec_id, label, v, {duck_bucket_expr('v', planes)} AS bucket
-  FROM base),
+  SELECT vec_id, label, v, {bexpr} AS bucket
+  FROM base, np),
 q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, bucket FROM bucketed),
 bn AS (SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY 1),
 c AS (SELECT vec_id AS c_id, label AS c_label, v AS cv, bucket

@@ -54,7 +54,7 @@ def main() -> None:
     else:
         raise SystemExit("need --final-line or --from-driver")
 
-    hist["rounds"][args.round] = {
+    entry = {
         "source": source,
         "value": out["value"],
         "value_median": median,
@@ -62,6 +62,20 @@ def main() -> None:
         "queries": out["queries"],
         "ingest_samples_per_s": (out.get("ingest") or {}).get("samples_per_s"),
     }
+    # VERDICT r11 #1: the secondary block gets a committed per-round basis
+    # too (per-query medians), read from the builder's bench_detail.json.
+    # The driver's BENCH_rNN.json carries only the headline line, so a
+    # driver reconciliation keeps the builder's secondary medians.
+    prior = hist["rounds"].get(args.round, {})
+    if source == "builder":
+        try:
+            detail = json.load(open(os.path.join(ROOT, "bench_detail.json")))
+            entry["secondary_median"] = detail["secondary_median"]
+        except Exception:
+            entry["secondary_median"] = prior.get("secondary_median")
+    else:
+        entry["secondary_median"] = prior.get("secondary_median")
+    hist["rounds"][args.round] = entry
     with open(HIST, "w") as fh:
         json.dump(hist, fh, indent=1, sort_keys=True)
     print(f"{args.round} <- {source}: value={out['value']} median={median}")
