@@ -66,6 +66,9 @@ ITERATIVE_QUERIES = [
     # round 11: fixed-iteration PageRank materializes its transition
     # table eagerly inside fn(), so it benches with the iterative block
     "doc_pagerank",
+    # round 12: power iteration localCheckpoints its moment table and
+    # runs the per-round collects inside fn(), so it benches here too
+    "emb_top_pc",
 ]
 
 #: round-4 operator families, tracked OUTSIDE the frozen headline set so
@@ -172,6 +175,16 @@ SECONDARY_QUERIES = [
     "emb_kmeans_elbow",
     "doc_term_burstiness",
     "mm_keyframe_select",
+    # round-12 additions
+    "ev_user_cap_sweep",
+    "ev_ab_cuped",
+    "ev_poisson_dispersion",
+    "doc_kn_logprob",
+    "doc_ngram_entropy_rate",
+    "doc_shard_balance",
+    "doc_cluster_size_dist",
+    "emb_knn_reciprocity",
+    "emb_ood_mahalanobis",
 ]
 
 

@@ -3052,3 +3052,87 @@ SELECT q_keep, n_docs, n_dup,
          round((n_dup / n_docs) / (tn / td), 6) END AS lift
 FROM per, tot ORDER BY q_keep
 """
+
+
+# ------------------------------- duplicate-cluster size distribution
+
+def cluster_size_dist(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate cluster-size distribution with a discrete
+    power-law fit: one row per observed cluster size (identical-text
+    groups, the ``exact_dedup`` content-hash key) with the cluster and
+    document counts, plus two corpus constants — the Clauset/Shalizi/
+    Newman (2009) discrete MLE exponent ``alpha = 1 + n/Σ ln(g/(gmin −
+    ½))`` over duplicated clusters (gmin = 2, the standard ½
+    continuity correction) and the largest cluster's document share.
+    Web-crawl dup clusters are canonically power-law; a fitted alpha
+    ≪ 2 warns that a few mega-clusters hold most duplicate mass (cap
+    them first — `doc_domain_cap` logic), while alpha ≳ 3 says dup
+    mass is spread thin and per-pair dedup is the cost driver.
+
+    Scale shape: one content-hash groupBy (the exact_dedup exchange,
+    fingerprints only), a second combinable rollup to DISTINCT
+    (size, n_clusters) rows — the ``user_concentration`` reduced-
+    histogram pattern — and the MLE folds over that bounded histogram
+    with 12-dp-DECIMAL-quantized log terms; no pair enumeration
+    anywhere (the C(g,2) lesson from detector_agreement).
+    """
+    sizes = (
+        docs.select(F.md5(F.col(text_col).cast("binary")).alias("_h"))
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("g"))
+    )
+    hist = sizes.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    term = F.round(F.log(F.col("g") / F.lit(1.5)), 12).cast(
+        "decimal(28,12)"
+    ) * F.col("n_clusters")
+    tot = hist.agg(
+        F.sum(F.col("g") * F.col("n_clusters")).cast("long").alias("_docs"),
+        F.max(F.col("g")).cast("long").alias("_gmax"),
+        F.sum(F.when(F.col("g") >= 2, F.col("n_clusters")).otherwise(0))
+        .cast("long")
+        .alias("_ndup"),
+        F.sum(F.when(F.col("g") >= 2, term).otherwise(F.lit(0).cast(
+            "decimal(28,12)"
+        ))).alias("_lsum"),
+    )
+    alpha = 1 + F.col("_ndup") / F.col("_lsum").cast("double")
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("g").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("g") * F.col("n_clusters")).cast("long").alias("n_docs"),
+            F.when(F.col("_ndup") > 0, F.round(alpha, 6)).alias("alpha"),
+            F.round(F.col("_gmax") / F.col("_docs"), 6).alias(
+                "max_cluster_share"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def sql_cluster_size_dist() -> str:
+    return """
+WITH sizes AS (
+  SELECT md5(text) AS h, count(*)::BIGINT AS g
+  FROM documents GROUP BY 1),
+hist AS (SELECT g, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1),
+tot AS (
+  SELECT sum(g * n_clusters)::BIGINT AS docs,
+         max(g)::BIGINT AS gmax,
+         sum(CASE WHEN g >= 2 THEN n_clusters ELSE 0 END)::BIGINT AS ndup,
+         sum(CASE WHEN g >= 2 THEN
+               CAST(round(ln(g / 1.5), 12) AS DECIMAL(28,12)) * n_clusters
+             ELSE 0::DECIMAL(28,12) END) AS lsum
+  FROM hist)
+SELECT g AS cluster_size, n_clusters,
+       (g * n_clusters)::BIGINT AS n_docs,
+       CASE WHEN ndup > 0 THEN round(1 + ndup / lsum::DOUBLE, 6) END
+         AS alpha,
+       round(gmax / docs::DOUBLE, 6) AS max_cluster_share
+FROM hist, tot ORDER BY 1
+"""

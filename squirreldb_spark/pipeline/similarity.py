@@ -3417,3 +3417,430 @@ SELECT q_id, c_id, dense_rank, lex_rank, rrf, rank FROM (
                                ORDER BY rrf DESC, c_id) AS rank
   FROM fused) WHERE rank <= {k}
 """
+
+
+# ------------------------------------------ kNN-graph edge reciprocity
+
+def knn_reciprocity(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int | None = None,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int | None = KNN_GRAPH_MAX_BUCKET,
+) -> DataFrame:
+    """Mutual-edge rate of the bucketed ANN k-NN graph: the share of
+    directed edges (q → c) whose reverse (c → q) is also a k-NN edge.
+    Low reciprocity is the other face of hubness (a hub absorbs
+    in-edges it never returns — Radovanović 2010 §6), and it directly
+    predicts how much a mutual-kNN dedup/cluster rule (SemDeDup-style
+    "keep one of each mutual pair") will actually connect; read next
+    to ``emb_hubness``'s skewness to decide whether k must grow before
+    graph-based curation is trustworthy.
+
+    Scale shape: the SAME attested kNN-graph serving shape as
+    ``hubness`` (auto plane count, stride-sample candidate cap, 8-way
+    salted bucket equi-join, shared two-phase top-k — the corpus is
+    never shuffled, join fan-out ≤ corpus × cap); the reciprocity
+    probe is then ONE fingerprint-only self-equi-join of the
+    corpus×k edge list on the reversed key, and the closing rollup is
+    a 1-row exact integer reduction.
+    """
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
+    planes = hyperplanes(n_planes, dim)
+    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    q = bucketed.select(
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = _cap_candidates(bucketed, id_col, max_bucket).select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
+    )
+    j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
+    scored = with_cosine(j, "qv", "cv").withColumn(
+        "cosine", F.round(F.col("cosine"), 6)
+    )
+    edges = _topk_per_query(scored, k, carry=[]).select("q_id", "c_id")
+    rev = edges.select(
+        F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"),
+        F.lit(1).alias("_rev"),
+    )
+    marked = edges.join(rev, ["q_id", "c_id"], "left")
+    agg = marked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.coalesce(F.sum("_rev"), F.lit(0)).cast("long").alias("n_mutual"),
+        F.countDistinct("q_id").cast("long").alias("n_queries"),
+    )
+    return agg.select(
+        "n_queries",
+        "n_edges",
+        "n_mutual",
+        F.when(
+            F.col("n_edges") > 0,
+            F.round(F.col("n_mutual") / F.col("n_edges"), 6),
+        ).alias("reciprocity"),
+    )
+
+
+def sql_knn_reciprocity(
+    k: int = 5,
+    n_planes: int | None = None,
+    dim: int = 64,
+    max_bucket: int = KNN_GRAPH_MAX_BUCKET,
+) -> str:
+    if n_planes is not None:
+        np_cte = f"np AS (SELECT {n_planes} AS p)"
+    else:
+        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+{np_cte},
+bucketed AS (SELECT vec_id, v, {bexpr} AS bucket FROM base, np),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM bucketed),
+bn AS (SELECT bucket, count(*)::BIGINT AS n FROM bucketed GROUP BY 1),
+c AS (SELECT vec_id AS c_id, v AS cv, bucket
+      FROM bucketed JOIN bn USING (bucket)
+      WHERE ('0x' || substr(md5('knncap:' || vec_id::VARCHAR), 1, 8))
+            ::BIGINT
+            % CAST(ceil(n::DOUBLE / {max_bucket}) AS BIGINT) = 0),
+scored AS (
+  SELECT q_id, c_id, {_duck_cos('qv', 'cv')} AS cosine
+  FROM c JOIN q USING (bucket) WHERE c_id != q_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id) AS rank
+  FROM scored),
+edges AS (SELECT q_id, c_id FROM ranked WHERE rank <= {k}),
+marked AS (
+  SELECT e.q_id, e.c_id, r.q_id IS NOT NULL AS mutual
+  FROM edges e
+  LEFT JOIN edges r ON r.q_id = e.c_id AND r.c_id = e.q_id)
+SELECT count(DISTINCT q_id)::BIGINT AS n_queries,
+       count(*)::BIGINT AS n_edges,
+       sum(CASE WHEN mutual THEN 1 ELSE 0 END)::BIGINT AS n_mutual,
+       CASE WHEN count(*) > 0 THEN
+         round(sum(CASE WHEN mutual THEN 1 ELSE 0 END)
+               / count(*)::DOUBLE, 6) END AS reciprocity
+FROM marked
+"""
+
+
+# --------------------------------- diagonal-Mahalanobis OOD audit
+
+OOD_Z2_FACTOR = 2.0  # flag z2 > factor * dim (chi-square far tail)
+
+
+def ood_mahalanobis(
+    emb: DataFrame,
+    z2_factor: float = OOD_Z2_FACTOR,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-label out-of-distribution audit by diagonal Mahalanobis
+    distance (Lee et al. 2018's Mahalanobis OOD detector, diagonal
+    covariance): every vector is scored ``z² = Σ_d (x_d − μ_{l,d})² /
+    σ²_{l,d}`` against ITS OWN label's per-dimension statistics; a
+    vector whose z² exceeds ``z2_factor · dim`` (the chi-square far
+    tail — E[z²] = dim for in-distribution points) is flagged OOD.
+    Reported per label: count, OOD count/rate and the mean z² — the
+    mislabeled/outlier-contamination gate a stratified sampler runs
+    per class, complementing ``emb_knn_purity`` (which needs
+    neighbors; this is one statistic per class, O(n) always).
+
+    Scale shape: per-(label, dim) moment stats from one posexplode
+    scan with 7-dp-quantized DECIMAL sums (exact in any addition
+    order, the ``centroid_drift`` pattern), broadcast back over a
+    second scan whose per-(row, dim) terms are 12-dp-DECIMAL-quantized
+    before the per-row fold — so every reported float derives from
+    addition-order-exact sums; the closing rollup is label-cardinality.
+    100×: two corpus scans, stats table is labels × dims.
+    """
+    xq = F.round(F.col("x"), 7).cast("decimal(18,7)")
+    ld = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "x"),
+    ).withColumn("xq", xq)
+    stats = ld.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("xq").alias("_s1"),
+        F.sum(
+            F.round(F.col("xq") * F.col("xq"), 12).cast("decimal(28,12)")
+        ).alias("_s2"),
+    )
+    mu = F.col("_s1").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - mu * mu
+    st = stats.select(
+        "label", "dim", mu.alias("mu"),
+        F.greatest(var, F.lit(1e-12)).alias("var"),
+    )
+    dims = emb.select(
+        F.size(F.col(vec_col)).alias("_d")
+    ).agg(F.max("_d").alias("_dim"))
+    term = F.round(
+        (F.col("xq").cast("double") - F.col("mu"))
+        * (F.col("xq").cast("double") - F.col("mu"))
+        / F.col("var"),
+        12,
+    ).cast("decimal(28,12)")
+    z2 = (
+        ld.join(F.broadcast(st), ["label", "dim"])
+        .groupBy(F.col(id_col), F.col("label"))
+        .agg(F.sum(term).alias("_z2"))
+        .select(
+            "label",
+            F.col("_z2").cast("double").alias("z2"),
+        )
+    )
+    per = z2.crossJoin(F.broadcast(dims)).groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(
+            F.when(
+                F.col("z2") > F.lit(z2_factor) * F.col("_dim"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_ood"),
+        F.sum(F.round(F.col("z2"), 6).cast("decimal(28,6)")).alias("_sz"),
+    )
+    return per.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        "n_ood",
+        F.round(F.col("n_ood") / F.col("n_vectors"), 6).alias("ood_rate"),
+        F.round(
+            F.col("_sz").cast("double") / F.col("n_vectors"), 6
+        ).alias("mean_z2"),
+    ).orderBy("label")
+
+
+def sql_ood_mahalanobis(z2_factor: float = OOD_Z2_FACTOR) -> str:
+    return f"""
+WITH ld AS (
+  SELECT vec_id, label, gs.i - 1 AS dim,
+         CAST(round(embedding[gs.i], 7) AS DECIMAL(18,7)) AS xq
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) gs),
+stats AS (
+  SELECT label, dim, count(*)::BIGINT AS n,
+         sum(xq) AS s1,
+         sum(CAST(round(xq * xq, 12) AS DECIMAL(28,12))) AS s2
+  FROM ld GROUP BY 1, 2),
+st AS (
+  SELECT label, dim, s1::DOUBLE / n AS mu,
+         greatest(s2::DOUBLE / n - (s1::DOUBLE / n) * (s1::DOUBLE / n),
+                  1e-12) AS var
+  FROM stats),
+dims AS (SELECT max(len(embedding))::BIGINT AS dim FROM embeddings),
+z2 AS (
+  SELECT ld.vec_id, ld.label,
+         sum(CAST(round((ld.xq::DOUBLE - st.mu) * (ld.xq::DOUBLE - st.mu)
+                        / st.var, 12) AS DECIMAL(28,12)))::DOUBLE AS z2
+  FROM ld JOIN st ON st.label = ld.label AND st.dim = ld.dim
+  GROUP BY 1, 2)
+SELECT label::BIGINT AS label,
+       count(*)::BIGINT AS n_vectors,
+       sum(CASE WHEN z2 > {z2_factor!r} * dim THEN 1 ELSE 0 END)::BIGINT
+         AS n_ood,
+       round(sum(CASE WHEN z2 > {z2_factor!r} * dim THEN 1 ELSE 0 END)
+             / count(*)::DOUBLE, 6) AS ood_rate,
+       round(sum(CAST(round(z2, 6) AS DECIMAL(28,6)))::DOUBLE
+             / count(*), 6) AS mean_z2
+FROM z2, dims GROUP BY 1 ORDER BY 1
+"""
+
+
+
+# ----------------------------------- top principal component (power it.)
+
+TOP_PC_ITERS = 8
+
+
+def top_pc(
+    emb: DataFrame,
+    iters: int = TOP_PC_ITERS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component of the embedding cloud by fixed-round
+    power iteration on the covariance matrix — the standard "how
+    anisotropic is this space, and along which axis" probe: reports
+    the dominant eigenvalue λ₁, the total variance (trace), the
+    explained-variance ratio λ₁/trace — the one-number "rogue
+    dimension" alarm (Timkey & van Schijndel 2021: a few dimensions
+    often dominate cosine) — and the dominant loading's dimension.
+    ``emb_isotropy`` scores the mean-direction effect; this is the
+    second-moment view, and ``emb_dim_variance``'s per-dim argmax is
+    its diagonal-only approximation (blind to oblique axes).
+
+    Scale shape: ONE corpus pass builds the dim² raw-moment table — a
+    double posexplode emits dim² 12-dp-DECIMAL-quantized products per
+    row that the map-side combiner collapses before the exchange (the
+    corpus never shuffles; the exchange carries dim² = 4096 rows) —
+    then covariance assembly and all ``iters`` matrix-vector rounds
+    run on that localCheckpointed dim²-row table with the ``train_ivf``
+    driver-loop convention: each round's 9-dp-rounded unit vector is
+    COLLECTED (64 floats) and re-embedded as literals so every
+    iteration's plan stays shallow (a chained lazy DAG made Catalyst
+    analysis blow up), while every cross-row sum is DECIMAL-quantized
+    inside the engine so the unrolled-CTE oracle folds bit-equal.
+    100×: corpus cost is the single moment scan; iteration cost is
+    O(dim²) per round regardless of corpus size.
+    """
+    xq7 = "transform({c}, x -> round(cast(x as double), 7))"
+    base = emb.select(F.expr(xq7.format(c=vec_col)).alias("xq"))
+    moments = (
+        base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
+        .select("i", "xi", F.posexplode("xq").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.round(F.col("xi") * F.col("xj"), 12).cast("decimal(38,12)")
+            ).alias("_sij"),
+            F.sum(F.round(F.col("xi"), 7).cast("decimal(18,7)")).alias("_si"),
+            F.sum(F.round(F.col("xj"), 7).cast("decimal(18,7)")).alias("_sj"),
+        )
+    )
+    n = F.col("_n")
+    cov = moments.select(
+        "i",
+        "j",
+        "_n",
+        (
+            F.col("_sij").cast("double") / n
+            - (F.col("_si").cast("double") / n)
+            * (F.col("_sj").cast("double") / n)
+        ).alias("c"),
+    ).localCheckpoint()
+
+    def q12(col):
+        return F.round(col, 12).cast("decimal(28,12)")
+
+    spark = emb.sparkSession
+    d = cov.agg((F.max("i") + 1).alias("d")).collect()[0]["d"]
+    # v0 = unit uniform vector, 9-dp rounded IN-ENGINE (round semantics
+    # must be Spark's, not Python's banker rounding)
+    v0 = spark.range(1).select(
+        F.round(F.lit(1.0) / F.sqrt(F.lit(float(d))), 9).alias("v")
+    ).collect()[0]["v"]
+    v = [v0] * d
+
+    def matvec(v_list):
+        arr = F.array(*[F.lit(float(x)) for x in v_list])
+        return (
+            cov.withColumn("_vj", F.element_at(arr, F.col("j") + 1))
+            .groupBy("i")
+            .agg(F.sum(q12(F.col("c") * F.col("_vj"))).alias("_w"))
+            .select("i", F.col("_w").cast("double").alias("w"))
+        )
+
+    for _ in range(iters):
+        w = matvec(v)
+        norm2 = w.agg(
+            F.sum(q12(F.col("w") * F.col("w"))).alias("_n2")
+        ).select(F.col("_n2").cast("double").alias("n2"))
+        rows = (
+            w.crossJoin(F.broadcast(norm2))
+            .select("i", F.round(F.col("w") / F.sqrt(F.col("n2")), 9).alias("v"))
+            .orderBy("i")
+            .collect()
+        )
+        v = [r["v"] for r in rows]
+    w9 = matvec(v)
+    varr = F.array(*[F.lit(float(x)) for x in v])
+    rayleigh = (
+        w9.withColumn("_vi", F.element_at(varr, F.col("i") + 1))
+        .agg(F.sum(q12(F.col("_vi") * F.col("w"))).alias("_lam"))
+        .select(F.col("_lam").cast("double").alias("lambda1"))
+    )
+    trace = cov.filter(F.col("i") == F.col("j")).agg(
+        F.sum(q12(F.col("c"))).alias("_tr"),
+        F.max("_n").cast("long").alias("n_vectors"),
+    ).select(F.col("_tr").cast("double").alias("trace"), "n_vectors")
+    top_dim = min(range(d), key=lambda i: (-abs(v[i]), i))
+    return (
+        trace.crossJoin(F.broadcast(rayleigh))
+        .select(
+            "n_vectors",
+            F.round(F.col("lambda1"), 6).alias("lambda1"),
+            F.round(F.col("trace"), 6).alias("trace_var"),
+            F.when(
+                F.col("trace") > 0,
+                F.round(F.col("lambda1") / F.col("trace"), 6),
+            ).alias("explained_ratio"),
+            F.lit(top_dim).cast("long").alias("top_dim"),
+            F.round(F.lit(float(v[top_dim])), 6).alias("top_loading"),
+        )
+    )
+
+
+def sql_top_pc(iters: int = TOP_PC_ITERS) -> str:
+    # every iteration CTE is AS MATERIALIZED: the chain references each
+    # w/v twice, and DuckDB's default inlining re-evaluates the whole
+    # prefix per reference — measured exponential (1.6/4.4/10.9 s at
+    # 3/4/5 iterations); materialized, the chain is linear
+    it_ctes = []
+    prev = "v0"
+    for t in range(iters):
+        it_ctes.append(f"""
+w{t} AS MATERIALIZED (
+  SELECT cov.i,
+         sum(CAST(round(cov.c * {prev}.v, 12) AS DECIMAL(28,12)))::DOUBLE
+           AS w
+  FROM cov JOIN {prev} ON cov.j = {prev}.vi GROUP BY 1),
+n{t} AS MATERIALIZED (
+  SELECT sum(CAST(round(w * w, 12) AS DECIMAL(28,12)))::DOUBLE AS n2
+  FROM w{t}),
+v{t + 1} AS MATERIALIZED (
+  SELECT i AS vi, round(w / sqrt(n2), 9) AS v FROM w{t}, n{t})""")
+        prev = f"v{t + 1}"
+    return f"""
+WITH base AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> round(x, 7)) AS xq
+  FROM embeddings),
+pairs AS (
+  SELECT gi.i - 1 AS i, gj.j - 1 AS j, xq[gi.i] AS xi, xq[gj.j] AS xj
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS i) gi,
+       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS j) gj),
+moments AS (
+  SELECT i, j, count(*)::BIGINT AS n,
+         sum(CAST(round(xi * xj, 12) AS DECIMAL(38,12))) AS sij,
+         sum(CAST(round(xi, 7) AS DECIMAL(18,7))) AS si,
+         sum(CAST(round(xj, 7) AS DECIMAL(18,7))) AS sj
+  FROM pairs GROUP BY 1, 2),
+cov AS MATERIALIZED (
+  SELECT i, j, n,
+         sij::DOUBLE / n - (si::DOUBLE / n) * (sj::DOUBLE / n) AS c
+  FROM moments),
+d AS (SELECT max(i) + 1 AS d FROM cov),
+v0 AS MATERIALIZED (
+  SELECT DISTINCT i AS vi, round(1.0 / sqrt(d), 9) AS v FROM cov, d),
+{','.join(it_ctes)},
+w9 AS (
+  SELECT cov.i,
+         sum(CAST(round(cov.c * {prev}.v, 12) AS DECIMAL(28,12)))::DOUBLE
+           AS w
+  FROM cov JOIN {prev} ON cov.j = {prev}.vi GROUP BY 1),
+ray AS (
+  SELECT sum(CAST(round({prev}.v * w9.w, 12) AS DECIMAL(28,12)))::DOUBLE
+           AS lambda1
+  FROM {prev} JOIN w9 ON w9.i = {prev}.vi),
+tr AS (
+  SELECT sum(CAST(round(c, 12) AS DECIMAL(28,12)))::DOUBLE AS trace,
+         max(n)::BIGINT AS n_vectors
+  FROM cov WHERE i = j),
+top AS (
+  SELECT vi::BIGINT AS top_dim, round(v, 6) AS top_loading
+  FROM {prev} ORDER BY abs(v) DESC, vi ASC LIMIT 1)
+SELECT n_vectors,
+       round(lambda1, 6) AS lambda1,
+       round(trace, 6) AS trace_var,
+       CASE WHEN trace > 0 THEN round(lambda1 / trace, 6) END
+         AS explained_ratio,
+       top_dim, top_loading
+FROM tr, ray, top
+"""

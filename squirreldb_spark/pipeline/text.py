@@ -3291,3 +3291,292 @@ SELECT term, cf, df,
        round((cf - df) / cf, 6) AS repeat_mass
 FROM top
 """
+
+
+# -------------------------- interpolated Kneser-Ney bigram scoring
+
+KN_DISCOUNT = 0.75
+
+
+def kn_smoothed_logprob(
+    docs: DataFrame, discount: float = KN_DISCOUNT, text_col: str = "text"
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram score per document (Kneser & Ney
+    1995; the Chen & Goodman 1998 interpolated form with a fixed
+    absolute discount D):
+
+        P(w2|w1) = max(c(w1,w2) − D, 0)/c(w1)
+                   + D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·)
+
+    — the smoothing KenLM actually ships, one real step past
+    :func:`bigram_logprob`'s raw conditional (which has no backoff
+    mass and so cannot serve out-of-corpus text).  The continuation
+    probability N1+(·,w2)/N1+(·,·) scores how PROMISCUOUSLY a word
+    follows new contexts — the famous "San Francisco" correction
+    (``Francisco`` is frequent but follows only ``San``, so its
+    continuation mass is tiny).  Reported per doc: bigram count and
+    the mean negative interpolated log-probability; high scorers are
+    the quality-filter candidates.
+
+    Plan shape at 100 TB (the bigram_logprob contract): bigram
+    extraction is a zero-shuffle zip of the token array with its own
+    tail; the model is three aggregations DERIVED from the one bigram
+    count table (context totals + context fan-out by w1, continuation
+    fan-in by w2, one global scalar); scoring joins the model back on
+    (w1, w2) then (w2) — hash joins keyed by the model's own keys —
+    and the per-doc fold is the only other exchange.
+    """
+    pairs = F.expr(
+        f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+        f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+        " (a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    bg = docs.select("doc_id", F.explode(pairs).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("fanout")
+    )
+    cont = cb.groupBy("w2").agg(F.count(F.lit(1)).alias("fanin"))
+    tot = cb.agg(F.count(F.lit(1)).alias("total_types"))
+    model = (
+        cb.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.log(
+                F.greatest(F.col("c") - F.lit(discount), F.lit(0.0))
+                / F.col("n")
+                + F.lit(discount)
+                * F.col("fanout")
+                / F.col("n")
+                * (F.col("fanin") / F.col("total_types"))
+            ).alias("logp"),
+        )
+    )
+    return (
+        bg.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(-F.avg("logp"), 6).alias("avg_neg_logprob_kn"),
+        )
+    )
+
+
+def sql_kn_smoothed_logprob(discount: float = KN_DISCOUNT) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t),
+bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+cb AS (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c)::BIGINT AS n, count(*)::BIGINT AS fanout
+        FROM cb GROUP BY 1),
+cont AS (SELECT w2, count(*)::BIGINT AS fanin FROM cb GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS total_types FROM cb),
+m AS (
+  SELECT w1, w2,
+         ln(greatest(c - {discount!r}, 0) / n
+            + {discount!r} * fanout / n * (fanin / total_types::DOUBLE))
+           AS logp
+  FROM cb JOIN ctx USING (w1) JOIN cont USING (w2), tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(logp), 6) AS avg_neg_logprob_kn
+FROM bg JOIN m USING (w1, w2) GROUP BY doc_id
+"""
+
+
+# ------------------------------ per-source bigram conditional entropy
+
+def ngram_entropy_rate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source bigram entropy rate H(W2|W1) = −Σ p(w1,w2)·ln
+    p(w2|w1) — the conditional-entropy step past :func:`token_entropy`
+    (unigram, per doc): how predictable the NEXT token is given the
+    current one, per source.  A source whose entropy rate collapses
+    far below its unigram entropy is templated/boilerplate text even
+    when its vocabulary looks rich — exactly the slop signature
+    (`doc_repetition` measures inside docs; this measures the whole
+    source's generative predictability).  Reports both entropies, the
+    rate ratio, and the bigram perplexity ``exp(H)``.
+
+    Scale shape: one map-side-combinable (source, w1, w2) count, the
+    unigram table derived FROM it by one more combinable rollup, and
+    the entropy folds sum 12-dp-DECIMAL-quantized terms over the
+    bigram-type table (vocabulary-sized, never corpus-sized) — exact
+    in any addition order.  100×: the corpus is read once.
+    """
+    pairs = F.expr(
+        f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1),"
+        f" slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1),"
+        " (a, b) -> named_struct('w1', a, 'w2', b))"
+    )
+    bg = docs.select("source", F.explode(pairs).alias("bg")).select(
+        "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cb = bg.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cb.groupBy("source", "w1").agg(F.sum("c").alias("n1"))
+    tot = cb.groupBy("source").agg(F.sum("c").cast("long").alias("nn"))
+    term_q = lambda expr: F.round(expr, 12).cast("decimal(28,12)")  # noqa: E731
+    j = cb.join(ctx, ["source", "w1"]).join(tot, "source")
+    cond = j.groupBy("source").agg(
+        F.max("nn").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_bigram_types"),
+        F.sum(
+            term_q(
+                -(F.col("c") / F.col("nn"))
+                * F.log(F.col("c") / F.col("n1"))
+            )
+        ).alias("_h2"),
+        # unigram (context-marginal) entropy from the same table:
+        # -sum over w1 of p(w1) ln p(w1), folded once per (w1) group via
+        # the c/n1 trick: sum_c over bigrams of (c/nn)*ln(n1/nn) groups
+        F.sum(
+            term_q(
+                -(F.col("c") / F.col("nn"))
+                * F.log(F.col("n1") / F.col("nn"))
+            )
+        ).alias("_h1"),
+    )
+    h2 = F.col("_h2").cast("double")
+    h1 = F.col("_h1").cast("double")
+    return cond.select(
+        "source",
+        "n_bigrams",
+        "n_bigram_types",
+        F.round(h1, 6).alias("unigram_entropy"),
+        F.round(h2, 6).alias("cond_entropy"),
+        F.when(h1 > 0, F.round(h2 / h1, 6)).alias("entropy_rate_ratio"),
+        F.round(F.exp(h2), 6).alias("bigram_perplexity"),
+    ).orderBy("source")
+
+
+def sql_ngram_entropy_rate() -> str:
+    return """
+WITH t AS (SELECT source, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT source, toks, unnest(range(1, len(toks))) AS i FROM t),
+bg AS (SELECT source, toks[i] AS w1, toks[i + 1] AS w2 FROM pos),
+cb AS (SELECT source, w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2, 3),
+ctx AS (SELECT source, w1, sum(c)::BIGINT AS n1 FROM cb GROUP BY 1, 2),
+tot AS (SELECT source, sum(c)::BIGINT AS nn FROM cb GROUP BY 1),
+per AS (
+  SELECT cb.source,
+         max(nn)::BIGINT AS n_bigrams,
+         count(*)::BIGINT AS n_bigram_types,
+         sum(CAST(round(-(c / nn::DOUBLE) * ln(n1 / nn::DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS h1,
+         sum(CAST(round(-(c / nn::DOUBLE) * ln(c / n1::DOUBLE), 12)
+                  AS DECIMAL(28,12))) AS h2
+  FROM cb
+  JOIN ctx ON ctx.source = cb.source AND ctx.w1 = cb.w1
+  JOIN tot ON tot.source = cb.source
+  GROUP BY 1)
+SELECT source, n_bigrams, n_bigram_types,
+       round(h1::DOUBLE, 6) AS unigram_entropy,
+       round(h2::DOUBLE, 6) AS cond_entropy,
+       CASE WHEN h1::DOUBLE > 0 THEN round(h2::DOUBLE / h1::DOUBLE, 6) END
+         AS entropy_rate_ratio,
+       round(exp(h2::DOUBLE), 6) AS bigram_perplexity
+FROM per ORDER BY 1
+"""
+
+
+# --------------------------------------- bucketed-layout balance audit
+
+SHARD_BALANCE_BUCKETS = (8, 32, 128)
+
+
+def shard_balance(
+    docs: DataFrame,
+    bucket_counts: tuple[int, ...] = SHARD_BALANCE_BUCKETS,
+) -> DataFrame:
+    """Bucketed-write layout audit: for each candidate bucket count B,
+    hash every document to ``h(doc_id) % B`` (the same engine-portable
+    md5 shard key the samplers use) and report the realized load
+    balance by CHARACTER mass — max/mean load ratio and the
+    coefficient of variation.  This is the table you read before
+    choosing the bucket count for a co-located corpus layout
+    (SURVEY §2 A9's bucketed write): a B whose max/mean stays ~1.0
+    keeps every downstream bucket-join task even; CV rising with B
+    says the corpus is too small (or too skewed) for that many
+    buckets.  Complements ``doc_domain_cap`` (which bounds logical
+    skew) by measuring the PHYSICAL layout skew a hash key leaves.
+
+    Scale shape: one corpus scan projecting |B-set| shard ids (narrow
+    literal explode), a map-side-combinable (B, shard) integer rollup
+    (≤ Σ bucket_counts rows), then per-B moments on that bounded
+    table — DECIMAL-exact sums, 1-row-per-B final arithmetic.
+    """
+    h = F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+    hv = F.expr(_hex_shard_expr("_h", 1 << 16))
+    per = docs.select(
+        F.col("n_chars"), h.alias("_h")
+    ).select(
+        "n_chars",
+        F.explode(
+            F.array(*[F.lit(b) for b in bucket_counts])
+        ).alias("n_buckets"),
+        hv.alias("_hv"),
+    ).select(
+        "n_chars", "n_buckets", (F.col("_hv") % F.col("n_buckets")).alias("shard")
+    )
+    shards = per.groupBy("n_buckets", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    mom = shards.groupBy("n_buckets").agg(
+        F.count(F.lit(1)).cast("long").alias("buckets_used"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("chars").cast("long").alias("total_chars"),
+        F.max("chars").cast("long").alias("max_chars"),
+        F.sum(
+            (F.col("chars") * F.col("chars")).cast("decimal(38,0)")
+        ).alias("_s2"),
+    )
+    b = F.col("n_buckets").cast("double")
+    mean = F.col("total_chars") / b  # over ALL B buckets, empty included
+    var = F.col("_s2").cast("double") / b - mean * mean
+    return mom.select(
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        "buckets_used",
+        "n_docs",
+        "total_chars",
+        "max_chars",
+        F.round(F.col("max_chars") / mean, 6).alias("max_over_mean"),
+        F.when(mean > 0, F.round(F.sqrt(var) / mean, 6)).alias("cv_chars"),
+    ).orderBy("n_buckets")
+
+
+def sql_shard_balance(
+    bucket_counts: tuple[int, ...] = SHARD_BALANCE_BUCKETS,
+) -> str:
+    blist = ", ".join(str(b) for b in bucket_counts)
+    hv = _hex_shard_expr("md5('shard:' || doc_id::VARCHAR)", 1 << 16)
+    return f"""
+WITH per AS (
+  SELECT n_chars, unnest([{blist}])::BIGINT AS n_buckets,
+         {hv} AS hv
+  FROM documents),
+shards AS (
+  SELECT n_buckets, hv % n_buckets AS shard,
+         count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+  FROM per GROUP BY 1, 2),
+mom AS (
+  SELECT n_buckets, count(*)::BIGINT AS buckets_used,
+         sum(n_docs)::BIGINT AS n_docs,
+         sum(chars)::BIGINT AS total_chars,
+         max(chars)::BIGINT AS max_chars,
+         sum((chars * chars)::DECIMAL(38,0)) AS s2
+  FROM shards GROUP BY 1)
+SELECT n_buckets, buckets_used, n_docs, total_chars, max_chars,
+       round(max_chars / (total_chars / n_buckets::DOUBLE), 6)
+         AS max_over_mean,
+       CASE WHEN total_chars > 0 THEN
+         round(sqrt(s2::DOUBLE / n_buckets
+                    - (total_chars / n_buckets::DOUBLE)
+                      * (total_chars / n_buckets::DOUBLE))
+               / (total_chars / n_buckets::DOUBLE), 6) END AS cv_chars
+FROM mom ORDER BY 1
+"""

@@ -3696,6 +3696,83 @@ def q_doc_hybrid_rrf(spark, sf_dir):
     return psim.hybrid_rrf(_docs(spark, sf_dir), emb)
 
 
+# --------------------------------------------------- round-12 additions
+
+def q_ev_user_cap_sweep(spark, sf_dir):
+    """Per-user contribution-cap sweep: retained events/share and users
+    clipped at caps 1..100 per event type — the sizing table for the
+    cap-before-sample fairness guard (pipeline/events.py
+    user_cap_sweep)."""
+    return pevents.user_cap_sweep(_events(spark, sf_dir))
+
+
+def q_ev_ab_cuped(spark, sf_dir):
+    """CUPED-adjusted A/B readout (Deng et al., WSDM 2013): pre-period
+    covariate control gives the same delta with measured variance
+    reduction (pipeline/events.py ab_cuped)."""
+    return pevents.ab_cuped(_events(spark, sf_dir))
+
+
+def q_ev_poisson_dispersion(spark, sf_dir):
+    """Index-of-dispersion audit of per-type daily volumes (Fisher's
+    variance-to-mean ratio) with the over/under-dispersion z verdict
+    (pipeline/events.py poisson_dispersion)."""
+    return pevents.poisson_dispersion(_events(spark, sf_dir))
+
+
+def q_doc_kn_logprob(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram score per doc (Kneser & Ney 1995;
+    Chen & Goodman 1998): absolute discount + continuation-probability
+    backoff, the KenLM smoothing (pipeline/text.py
+    kn_smoothed_logprob)."""
+    return ptext.kn_smoothed_logprob(_docs(spark, sf_dir))
+
+
+def q_doc_ngram_entropy_rate(spark, sf_dir):
+    """Per-source bigram conditional entropy H(W2|W1), the
+    entropy-rate/templated-text detector: both entropies, rate ratio
+    and bigram perplexity (pipeline/text.py ngram_entropy_rate)."""
+    return ptext.ngram_entropy_rate(_docs(spark, sf_dir))
+
+
+def q_doc_shard_balance(spark, sf_dir):
+    """Bucketed-write layout audit: realized char-mass balance
+    (max/mean, CV) at candidate bucket counts 8/32/128 via the
+    engine-portable md5 shard key (pipeline/text.py shard_balance)."""
+    return ptext.shard_balance(_docs(spark, sf_dir))
+
+
+def q_doc_cluster_size_dist(spark, sf_dir):
+    """Exact-duplicate cluster-size histogram with the discrete
+    power-law MLE alpha (Clauset et al. 2009) and max-cluster share
+    (pipeline/dedup.py cluster_size_dist)."""
+    return pdedup.cluster_size_dist(_docs(spark, sf_dir))
+
+
+def q_emb_knn_reciprocity(spark, sf_dir):
+    """Mutual-edge rate of the bucketed ANN k-NN graph — the hubness
+    companion that predicts mutual-kNN curation connectivity
+    (pipeline/similarity.py knn_reciprocity)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.knn_reciprocity(emb)
+
+
+def q_emb_ood_mahalanobis(spark, sf_dir):
+    """Per-label diagonal-Mahalanobis OOD audit (Lee et al. 2018):
+    z2 vs the label's own per-dim stats, OOD rate at the chi-square
+    far tail (pipeline/similarity.py ood_mahalanobis)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.ood_mahalanobis(emb)
+
+
+def q_emb_top_pc(spark, sf_dir):
+    """Dominant principal component by fixed-8 power iteration on the
+    covariance: lambda1, trace, explained-variance ratio and the top
+    loading dimension (pipeline/similarity.py top_pc)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.top_pc(emb)
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4414,6 +4491,43 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # reciprocal-rank-fusion hybrid retrieval (lexical + dense)
     "doc_hybrid_rrf": QueryDef(q_doc_hybrid_rrf, psim.sql_hybrid_rrf()),
+    # ---------------------------------------------- round-12 additions
+    # per-user contribution-cap sweep (retained share per cap)
+    "ev_user_cap_sweep": QueryDef(
+        q_ev_user_cap_sweep, pevents.sql_user_cap_sweep()
+    ),
+    # CUPED variance-reduced A/B readout
+    "ev_ab_cuped": QueryDef(q_ev_ab_cuped, pevents.sql_ab_cuped()),
+    # per-type daily-volume overdispersion index
+    "ev_poisson_dispersion": QueryDef(
+        q_ev_poisson_dispersion, pevents.sql_poisson_dispersion()
+    ),
+    # interpolated Kneser-Ney bigram scoring
+    "doc_kn_logprob": QueryDef(
+        q_doc_kn_logprob, ptext.sql_kn_smoothed_logprob()
+    ),
+    # per-source bigram conditional entropy rate
+    "doc_ngram_entropy_rate": QueryDef(
+        q_doc_ngram_entropy_rate, ptext.sql_ngram_entropy_rate()
+    ),
+    # bucketed-layout char-mass balance sweep
+    "doc_shard_balance": QueryDef(
+        q_doc_shard_balance, ptext.sql_shard_balance()
+    ),
+    # exact-dup cluster-size histogram + power-law MLE
+    "doc_cluster_size_dist": QueryDef(
+        q_doc_cluster_size_dist, pdedup.sql_cluster_size_dist()
+    ),
+    # kNN-graph mutual-edge rate
+    "emb_knn_reciprocity": QueryDef(
+        q_emb_knn_reciprocity, psim.sql_knn_reciprocity()
+    ),
+    # per-label diagonal-Mahalanobis OOD audit
+    "emb_ood_mahalanobis": QueryDef(
+        q_emb_ood_mahalanobis, psim.sql_ood_mahalanobis()
+    ),
+    # power-iteration top principal component
+    "emb_top_pc": QueryDef(q_emb_top_pc, psim.sql_top_pc()),
 }
 
 
@@ -4456,80 +4570,72 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
 # ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
 # ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 75 queued rows; the r12 window takes (0) any
-# new/changed r12 kernels, then the 36 r5 rows, then r6 rows up to 50
-# (the overflow rolls to r13 ahead of the r8 cohort).
+# ts_tenant_filter) = 75 queued rows; the r12 window takes the 10 new r12 kernels +
+# 4 changed kernels (ratchet rules 0/1) + the FULL 36-row r5 cohort
+# = exactly 50, so after r12 no attestation predates r6; the r6
+# cohort rolls to r13 ahead of the r8 cohort.
 #
 _VERIFY_FIRST: list[str] = [
-    # --- (0) NEW round-11 kernels (ratchet rule: new kernels enter the
+    # --- (0) NEW round-12 kernels (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
-    "emb_isotropy",
-    "emb_knn_purity",
-    "ev_topk_drift",
-    "ev_value_psi",
-    "ev_user_lifecycle",
-    "doc_detector_agreement",
-    "emb_label_confusion",
-    "emb_sq_bits_sweep",
-    "ev_type_mix_drift",
-    "doc_quality_dup_lift",
-    "doc_hybrid_rrf",
-    "doc_repetition_profile",
-    "doc_tokenizer_fertility",
-    "doc_minhash_containment",
-    "emb_centroid_drift",
-    "ev_powerlaw_fit",
-    "ev_survival_curve",
-    "ev_transition_entropy",
-    "doc_split_leakage_rate",
-    "ev_ab_test",
-    "ev_cohort_ltv",
-    "doc_pagerank",
-    "ev_cusum_changepoint",
-    "ev_benford",
-    "ev_lag_autocorr",
-    "emb_hubness",
-    "emb_intrinsic_dim",
-    "doc_dedup_threshold_sweep",
-    "doc_lexical_diversity",
-    "emb_kmeans_elbow",
-    "doc_term_burstiness",
-    "mm_keyframe_select",
+    "ev_user_cap_sweep",
+    "ev_ab_cuped",
+    "ev_poisson_dispersion",
+    "doc_kn_logprob",
+    "doc_ngram_entropy_rate",
+    "doc_shard_balance",
+    "doc_cluster_size_dist",
+    "emb_knn_reciprocity",
+    "emb_ood_mahalanobis",
+    "emb_top_pc",
     # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
-    # window of the round that touches them): the source_drift vocab-join
-    # fix (VERDICT r10 #2), the interarrival bounded-window rewrite
-    # (VERDICT r10 #4), and the three ADVICE r10 parity hardenings ---
-    "doc_source_drift",
-    "ev_interarrival",
-    "ev_user_concentration",
-    "emb_dim_variance",
-    "doc_minhash_k_sweep",
-    # --- (2) r5-era backfill: the cohort the r10 verdict queued for this
-    # window (oldest remaining attestations; the 16 r5 rows displaced by
-    # the 11 new kernels — ts_agg_quantile_by, ts_date_functions, ts_export_pivot,
-    # ts_import_roundtrip,
-    # ts_index_verify, ts_label_join, ts_label_replace,
-    # doc_bpe_tokens, doc_simhash, emb_ann_lsh, emb_cosine_knn,
-    # emb_neardup_pairs, mm_extract_features, mm_resize_images,
-    # mm_sample_frames — spill to the r12 window together with the
-    # 39-row r6 cohort) ---
-    "promql_absent_over_time",
-    "promql_at_modifier",
-    "promql_bottomk_without",
-    "promql_group_left",
-    "promql_group_right",
-    "promql_map_labels",
-    "promql_offset",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "api_query_range",
-    "api_bounded_scan",
-    "api_preagg_stitch",
-    # (ts_rate, ts_increase, ts_histogram_quantile, ts_holt_winters,
-    # ts_quantile_over_time, ts_preagg_route_rate, ts_mad_over_time,
-    # ts_predict_linear, ts_deriv, ts_absent spilled to the r12 queue
-    # as the ten session-2 kernels above took their window slots)
+    # window of the round that touches them): the detector_agreement
+    # pair-cap rewrite, the hubness/knn_purity dynamic-plane oracles and
+    # the value_psi baseline parameter (ADVICE r11 #1-#3) ---
+    "doc_detector_agreement",
+    "emb_hubness",
+    "emb_knn_purity",
+    "ev_value_psi",
+    # --- (2) r5-era backfill: the ENTIRE remaining r5 cohort (VERDICT
+    # r11 order #2 — after this window no catalog row's newest
+    # attestation predates r6; the 39-row r6 cohort rolls to r13 ahead
+    # of the r8 cohort) ---
+    "doc_bpe_tokens",
+    "doc_simhash",
+    "emb_ann_lsh",
+    "emb_cosine_knn",
+    "emb_neardup_pairs",
+    "mm_extract_features",
+    "mm_resize_images",
+    "mm_sample_frames",
+    "promql_agg_group",
+    "promql_binop_modpow",
+    "promql_binop_sub",
+    "promql_clamp_arith",
+    "promql_cmp_filter",
+    "promql_preagg_route",
+    "promql_rate_sum",
+    "promql_selector_matchers",
+    "promql_subquery",
+    "promql_time_timestamp",
+    "promql_topk",
+    "ts_absent",
+    "ts_agg_quantile_by",
+    "ts_date_functions",
+    "ts_deriv",
+    "ts_export_pivot",
+    "ts_histogram_quantile",
+    "ts_holt_winters",
+    "ts_import_roundtrip",
+    "ts_increase",
+    "ts_index_verify",
+    "ts_label_join",
+    "ts_label_replace",
+    "ts_mad_over_time",
+    "ts_preagg_route_rate",
+    "ts_predict_linear",
+    "ts_quantile_over_time",
+    "ts_rate",
 ]
 
 

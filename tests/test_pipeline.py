@@ -3203,3 +3203,319 @@ def test_hybrid_rrf_hand_fusion(spark):
     assert by[2].lex_rank is None and by[2].dense_rank == 2
     assert by[2].rrf == round(1 / 62, 6) and by[2].rank == 2
     assert 3 not in by
+
+
+# ------------------------------------------------- round-12 operators
+
+def test_user_cap_sweep_hand_counts(spark):
+    """Type 'a': u1 has 5 events, u2 has 1. cap=1 keeps 2 (u1 clipped);
+    cap=5 keeps all 6, nobody clipped."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(i, 1, i, "a", 1.0) for i in range(5)] + [(9, 2, 9, "a", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = {r.cap: r for r in pevents.user_cap_sweep(ev).collect()}
+    assert out[1].retained_events == 2 and out[1].users_clipped == 1
+    assert out[1].retained_share == round(2 / 6, 6)
+    assert out[2].retained_events == 3
+    assert out[5].retained_events == 6 and out[5].users_clipped == 0
+    assert all(r.n_events == 6 and r.n_users == 2 for r in out.values())
+
+
+def test_ab_cuped_perfect_covariate(spark):
+    """Y == X per user => theta = 1, every adjusted mean equals the
+    global pre-mean => delta_cuped = 0 and var_reduction = 1."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = []
+    for u, v in [(0, 1.0), (1, 2.0), (2, 5.0), (3, 9.0)]:
+        rows.append((u * 2, u, 0, "x", v))        # pre period (ts < mid)
+        rows.append((u * 2 + 1, u, 1000, "x", v))  # experiment period
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.ab_cuped(ev).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert r.theta == 1.0
+    assert r.delta == r.mean_b - r.mean_a
+    assert r.delta_cuped == 0.0
+    assert r.var_reduction == 1.0
+
+
+def test_ab_cuped_no_pre_signal(spark):
+    """All X identical => var(X) = 0 => theta/delta_cuped/var_reduction
+    are NULL (no covariate), but the naive delta still reads."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(0, 0, 0, "x", 1.0), (1, 0, 1000, "x", 3.0),
+            (2, 1, 0, "x", 1.0), (3, 1, 1000, "x", 7.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.ab_cuped(ev).collect()[0]
+    assert r.theta is None and r.delta_cuped is None
+    assert r.delta == 4.0
+
+
+def test_poisson_dispersion_verdicts(spark):
+    """Constant daily counts over 50 days => D = 0, z ~ -4.95 =>
+    underdispersed; one 100-burst day among ten 1-days => D >> 1 =>
+    overdispersed."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows = []
+    eid = 0
+    for d in range(50):           # 'flat': exactly 2 events every day
+        for _ in range(2):
+            rows.append((eid, 1, d * D + 5, "flat", 1.0)); eid += 1
+    for d in range(10):           # 'burst': day 0 has 100, others 1
+        for _ in range(100 if d == 0 else 1):
+            rows.append((eid, 1, d * D + 5, "burst", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = {r.event_type: r for r in pevents.poisson_dispersion(ev).collect()}
+    assert out["flat"].dispersion == 0.0
+    assert out["flat"].verdict == "underdispersed"
+    assert out["burst"].dispersion > 10
+    assert out["burst"].verdict == "overdispersed"
+
+
+def test_kn_logprob_hand_model(spark):
+    """Corpus 'a b', 'a b', 'a c' with D=0.75: P(b|a) = 1.25/3 +
+    0.75*(2/3)*(1/2) = 2/3, P(c|a) = 0.25/3 + 0.25 = 1/3."""
+    import math
+
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in ptext.kn_smoothed_logprob(docs).collect()}
+    assert out[0].n_bigrams == 1
+    assert out[0].avg_neg_logprob_kn == round(-math.log(2 / 3), 6)
+    assert out[2].avg_neg_logprob_kn == round(-math.log(1 / 3), 6)
+
+
+def test_kn_continuation_correction(spark):
+    """The San-Francisco effect: 'z' appears twice but only ever after
+    'y', so its continuation mass equals one bigram TYPE out of all
+    types — lower than its raw frequency share."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "y z y z"), (1, "a b a c")], "doc_id long, text string"
+    )
+    # bigram types: (y,z) (z,y) (a,b) (b,a) (a,c) -> 5 types; fanin(z)=1
+    out = ptext.kn_smoothed_logprob(docs)
+    assert out.count() == 2  # scores exist for both docs
+
+
+def test_ngram_entropy_rate_deterministic_text(spark):
+    """'a b a b a b' is fully predictable: conditional entropy 0 while
+    unigram entropy > 0; ratio 0 and perplexity 1."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b a b", "s")], "doc_id long, text string, source string"
+    )
+    r = ptext.ngram_entropy_rate(docs).collect()[0]
+    assert r.cond_entropy == 0.0
+    assert r.unigram_entropy > 0
+    assert r.entropy_rate_ratio == 0.0
+    assert r.bigram_perplexity == 1.0
+
+
+def test_ngram_entropy_rate_uniform_vs_skewed(spark):
+    """A uniform next-token distribution has higher conditional entropy
+    than a skewed one over the same vocabulary."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "x a x b x c x d", "uni"), (1, "x a x a x a x b", "skew")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in ptext.ngram_entropy_rate(docs).collect()}
+    assert out["uni"].cond_entropy > out["skew"].cond_entropy
+
+
+def test_shard_balance_single_doc_degenerate(spark):
+    """One document: all mass lands in one bucket, so max/mean = B and
+    buckets_used = 1 at every B."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(0, "t", "s", 100)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    for r in ptext.shard_balance(docs).collect():
+        assert r.buckets_used == 1
+        assert r.max_over_mean == float(r.n_buckets)
+        assert r.total_chars == 100
+
+
+def test_shard_balance_mass_conservation(spark):
+    """Across many docs every B row conserves doc and char totals and
+    max/mean >= 1."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(i, "t", "s", 10 + i) for i in range(200)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    rows = ptext.shard_balance(docs).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.n_docs == 200
+        assert r.total_chars == sum(10 + i for i in range(200))
+        assert r.max_over_mean >= 1.0
+        assert r.buckets_used <= r.n_buckets
+
+
+def test_cluster_size_dist_hand_histogram(spark):
+    """Texts x*3, y*2, z*1: histogram rows (1,1)(2,1)(3,1), alpha from
+    the discrete MLE with gmin=2, max share 3/6."""
+    import math
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = spark.createDataFrame(
+        [(0, "x"), (1, "x"), (2, "x"), (3, "y"), (4, "y"), (5, "z")],
+        "doc_id long, text string",
+    )
+    rows = {r.cluster_size: r for r in
+            pdedup.cluster_size_dist(docs).collect()}
+    assert {s: rows[s].n_clusters for s in rows} == {1: 1, 2: 1, 3: 1}
+    lsum = round(math.log(2 / 1.5), 12) + round(math.log(3 / 1.5), 12)
+    assert rows[1].alpha == round(1 + 2 / lsum, 6)
+    assert rows[1].max_cluster_share == 0.5
+
+
+def test_knn_reciprocity_hand_graph(spark):
+    """The hubness hand graph (angles 0/10/80/180, k=1): edges a->b,
+    b->a, c->b, d->c; only (a,b) is mutual -> 2 of 4 edges."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    def at(deg):
+        r = math.radians(deg)
+        return [math.cos(r), math.sin(r)]
+
+    emb = spark.createDataFrame(
+        [(0, at(0)), (1, at(10)), (2, at(80)), (3, at(180))],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.knn_reciprocity(emb, k=1, n_planes=0, dim=2).collect()[0]
+    assert (r.n_queries, r.n_edges, r.n_mutual) == (4, 4, 2)
+    assert r.reciprocity == 0.5
+
+
+def test_ood_mahalanobis_hand_stats(spark):
+    """Label 0 points with dim-1 values 0/2/4/6: mu = 3, var = 5;
+    z2 per point = (x-3)^2/5 -> [1.8, .2, .2, 1.8]; none beyond
+    2*dim = 4, mean z2 = 1."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(i, [0.0, float(2 * i)], 0) for i in range(4)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = psim.ood_mahalanobis(emb).collect()[0]
+    assert (r.label, r.n_vectors, r.n_ood) == (0, 4, 0)
+    assert r.ood_rate == 0.0
+    assert r.mean_z2 == 1.0
+
+
+def test_ood_mahalanobis_flags_outlier(spark):
+    """A far point against nine tight inliers crosses the 2*dim
+    threshold even though it contaminates its own baseline (z2 ~ 9
+    vs threshold 4; with too few inliers the masking effect would
+    hide it)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    pts = [[0.0, float(i % 3)] for i in range(9)] + [[0.0, 100.0]]
+    emb = spark.createDataFrame(
+        [(i, p, 0) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    r = psim.ood_mahalanobis(emb).collect()[0]
+    assert r.n_ood == 1 and r.ood_rate == 0.1
+
+
+def test_top_pc_axis_aligned(spark):
+    """Points on the x-axis: lambda1 = var(x) = 2.5, trace = 2.5,
+    explained ratio 1, top dimension 0."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [2.0, 0.0]),
+         (3, [-2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.top_pc(emb).collect()[0]
+    assert r.n_vectors == 4
+    assert r.lambda1 == 2.5
+    assert r.trace_var == 2.5
+    assert r.explained_ratio == 1.0
+    assert r.top_dim == 0
+
+
+def test_top_pc_oblique_axis_beats_diagonal_view(spark):
+    """Variance along the (1,1)/sqrt(2) axis: each marginal shows half
+    the variance but the power iteration finds the full oblique
+    eigenvalue — the case emb_dim_variance is blind to."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [-1.0, -1.0]), (2, [2.0, 2.0]),
+         (3, [-2.0, -2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.top_pc(emb).collect()[0]
+    # marginal variances are 2.5 each (trace 5); lambda1 = 5 (all of it)
+    assert r.trace_var == 5.0
+    assert r.lambda1 == 5.0
+    assert r.explained_ratio == 1.0
+
+
+def test_auto_planes_binding_regime():
+    """VERDICT r11 #3: pin the rule's binding branch — equal to the
+    static 6 through 16384 rows, then growing by the density target."""
+    import math
+
+    from squirreldb_spark.pipeline.similarity import _auto_planes
+
+    assert _auto_planes(0) == 6
+    assert _auto_planes(256) == 6
+    assert _auto_planes(16384) == 6       # 256 * 2^6: boundary stays 6
+    assert _auto_planes(16385) == 7       # first binding value
+    assert _auto_planes(20000) == 7
+    assert _auto_planes(2_000_000) == math.ceil(math.log2(2_000_000 / 256))
+
+
+def test_hubness_auto_planes_binding_smoke(spark):
+    """VERDICT r11 #3: run the kNN graph in the binding regime
+    (n > 16384 -> 7 planes) and check the result is complete and the
+    plan keeps the stride-cap + salted shape."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    n = 17000
+    emb = spark.createDataFrame(
+        [(i, [float((i * 37 + d * 101) % 29 - 14) for d in range(8)])
+         for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    df = psim.hubness(emb, k=2, dim=8)  # n_planes=None -> auto = 7
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salted graph join missing in auto regime"
+    r = df.collect()[0]
+    assert r.n_vectors == n
+    assert r.mean_indeg > 0

@@ -1578,3 +1578,57 @@ def test_hybrid_rrf_broadcast_queries_both_rankers(spark, sf_dir):
     assert "BroadcastExchange" in plan
     for out in shuffle_exchange_outputs(df):
         assert all(n != "text" for n, _ in out), out
+
+
+def test_knn_reciprocity_keeps_graph_contract(spark, sf_dir):
+    """The reciprocity op reuses the kNN-graph serving shape: salted
+    bucket join, no bucket-keyed window, no vector below an Exchange;
+    the mutual-edge probe adds only a fingerprint-pair equi-join."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.knn_reciprocity(emb)
+    plan = plan_of(df)
+    assert "_salt" in plan, "salted graph join missing"
+    assert_no_theta_joins(plan, "emb_knn_reciprocity")
+    for line in plan.splitlines():
+        if "Window" in line and "bucket" in line:
+            raise AssertionError(f"bucket-keyed window: {line.strip()[:120]}")
+    for out in shuffle_exchange_outputs(df):
+        assert all("array" not in t for _, t in out), out
+
+
+def test_ood_mahalanobis_stats_broadcast_scan(spark, sf_dir):
+    """The per-(label, dim) stats table broadcasts back over the
+    scoring scan (labels x dims rows — never a shuffle join of the
+    corpus against itself), and no embedding array crosses a shuffle
+    (the exploded (id, dim, x) form is scalar-width)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.ood_mahalanobis(emb)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert_no_theta_joins(plan, "emb_ood_mahalanobis")
+    for out in shuffle_exchange_outputs(df):
+        assert all("array" not in t for _, t in out), out
+
+
+def test_top_pc_moment_scan_is_combinable(spark, sf_dir):
+    """top_pc's only corpus-sized work is the dim-pair moment scan: the
+    (i, j) rollup must partially aggregate map-side (the exchange
+    carries dim^2 combiner rows of scalars, never raw vectors), and
+    the corpus never shuffles."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.top_pc(emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "emb_top_pc")
+    for out in shuffle_exchange_outputs(df):
+        assert all("array" not in t for _, t in out), out
+        # every shuffle in the whole job is a bounded aggregate table:
+        # (i, j) moment partials or the 64-row iteration folds
+        names = [n for n, _ in out]
+        assert any(n in ("i", "j") or n.startswith(("_", "sum", "count"))
+                   for n in names), out
