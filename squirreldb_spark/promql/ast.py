@@ -40,6 +40,8 @@ class Subquery:
     range_ms: int
     step_ms: int | None  # None: default to the query's evaluation interval
     offset_ms: int = 0
+    #: ``@`` modifier: None, unix-ms int, or "start"/"end" (query bounds)
+    at_ms: object = None
 
 
 @dataclass(frozen=True)

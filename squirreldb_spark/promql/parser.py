@@ -285,7 +285,8 @@ class Parser:
                     raise ParseError("expected duration after offset")
                 off = -duration_ms(val) if neg else duration_ms(val)
                 if isinstance(expr, Subquery):
-                    expr = Subquery(expr.inner, expr.range_ms, expr.step_ms, off)
+                    expr = Subquery(expr.inner, expr.range_ms, expr.step_ms,
+                                    off, expr.at_ms)
                 elif isinstance(expr, MatrixSelector):
                     expr = MatrixSelector(
                         VectorSelector(expr.inner.name, expr.inner.matchers, off,
@@ -316,8 +317,13 @@ class Parser:
                     )
                 elif isinstance(expr, VectorSelector):
                     expr = VectorSelector(expr.name, expr.matchers, expr.offset_ms, at)
+                elif isinstance(expr, Subquery):
+                    # upstream allows @ on subqueries: the whole inner
+                    # window is pinned to the fixed evaluation time
+                    expr = Subquery(expr.inner, expr.range_ms, expr.step_ms,
+                                    expr.offset_ms, at)
                 else:
-                    raise ParseError("@ requires a selector")
+                    raise ParseError("@ requires a selector or subquery")
             else:
                 return expr
 

@@ -145,6 +145,8 @@ def time_window(node, lookback_ms: int) -> tuple[int, int, list[int]]:
         return behind, ahead, anchors
     if isinstance(node, A.Subquery):
         b, a, an = time_window(node.inner, lookback_ms)
+        if isinstance(node.at_ms, int):
+            an = an + [node.at_ms]
         return (
             b + node.range_ms + max(node.offset_ms, 0),
             a + max(-node.offset_ms, 0),
@@ -676,6 +678,61 @@ class PromQLEngine:
                     self.end_ms - node.offset_ms,
                     node.step_ms or self.step_ms,
                 )
+            if node.at_ms is not None:
+                # @ on a subquery (upstream: the whole inner window is
+                # pinned at the fixed time T, so the outer range vector is
+                # the same window at every outer step).  All in-plan, the
+                # VectorSelector-@ convention: T is a 1-row DataFrame; the
+                # inner grid is the absolutely-aligned steps of
+                # (T - offset - range, T - offset]; the evaluated window
+                # then replays at every outer step by shifting each point
+                # to the same relative position in that step's window.
+                step = node.step_ms or self.step_ms
+                if node.at_ms == "start":
+                    tdf = self.grid.agg(F.min("step_ts").alias("_t"))
+                elif node.at_ms == "end":
+                    tdf = self.grid.agg(F.max("step_ts").alias("_t"))
+                else:
+                    tdf = self.grid.sparkSession.range(1).select(
+                        F.lit(node.at_ms).alias("_t")
+                    )
+                teff = (F.col("_t") - F.lit(node.offset_ms)).alias("_te")
+                k = node.range_ms // step + 2
+                offs = self.grid.sparkSession.range(k).select(
+                    (F.col("id") * step).alias("_k")
+                )
+                inner_engine.grid = (
+                    tdf.select(teff)
+                    .crossJoin(F.broadcast(offs))
+                    .select(
+                        "_te",
+                        (
+                            F.floor(F.col("_te") / step) * step - F.col("_k")
+                        ).cast("long").alias("step_ts"),
+                    )
+                    .filter(
+                        (F.col("step_ts") > F.col("_te") - node.range_ms)
+                        & (F.col("step_ts") <= F.col("_te"))
+                    )
+                    .select("step_ts")
+                )
+                inner = inner_engine._eval(node.inner)
+                assert isinstance(inner, Vec), (
+                    "subquery inner must be an instant vector")
+                # replay the fixed window at every outer step: point at
+                # (T_eff - d) maps to (outer_step - d)
+                pts = (
+                    inner.df.withColumnRenamed("step_ts", "ts")
+                    .crossJoin(F.broadcast(tdf.select(teff)))
+                    .crossJoin(self.grid.select(F.col("step_ts").alias("_os")))
+                    .select(
+                        *inner.labels,
+                        (F.col("_os") - (F.col("_te") - F.col("ts")))
+                        .cast("long").alias("ts"),
+                        "value",
+                    )
+                )
+                return Mat(pts, node.range_ms, labels=inner.labels)
             inner = inner_engine._eval(node.inner)
             assert isinstance(inner, Vec), "subquery inner must be an instant vector"
             pts = inner.df.withColumnRenamed("step_ts", "ts")

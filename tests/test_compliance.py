@@ -208,6 +208,30 @@ TEMPLATES = [
     "deg(rad(demo_num_cpus))",
     "atan(tan(vector(0.5)))",
     "cos(pi())",
+    # round-12 additions: @ with a literal timestamp, offset+@ compose,
+    # @ inside a subquery range, scalar(), sort_by_label (experimental),
+    # group_right, the smoothing alias, the experimental ts_of_*/mad
+    # range functions, and limit_ratio at its +-1.0 edges (upstream
+    # semantics: keep-all / keep-all-complement)
+    "demo_memory_usage_bytes @ 60",
+    "demo_memory_usage_bytes offset {offset} @ end()",
+    "max_over_time(demo_num_cpus[1m:10s] @ end())",
+    "scalar(demo_num_cpus)",
+    "demo_memory_usage_bytes + scalar(vector(2))",
+    'sort_by_label(demo_memory_usage_bytes, "instance")',
+    'sort_by_label_desc(demo_memory_usage_bytes, "type", "instance")',
+    "demo_memory_usage_bytes + on(instance, type) group_right"
+    " sum by(instance, type) (demo_memory_usage_bytes)",
+    "double_exponential_smoothing(demo_disk_usage_bytes[1m],"
+    " {smoothingFactor}, {trendFactor})",
+    "mad_over_time(demo_memory_usage_bytes[{range}])",
+    "ts_of_max_over_time(demo_memory_usage_bytes[{range}])",
+    "ts_of_min_over_time(demo_memory_usage_bytes[{range}])",
+    "ts_of_last_over_time(demo_memory_usage_bytes[{range}])",
+    "limit_ratio (1.0, demo_memory_usage_bytes)",
+    "limit_ratio (-1.0, demo_memory_usage_bytes)",
+    "histogram_quantile(0.5, rate(demo_cpu_usage_seconds_total[{range}]))",
+    "sgn(-demo_memory_usage_bytes) {compBinOp} bool 0",
 ]
 
 SHOULD_FAIL = [
@@ -308,3 +332,26 @@ def test_golden_label_replace_missing_src(ceng):
         'label_replace(demo_num_cpus, "job", "value-$1", "nonexistent_src", "(.*)")'
     ).collect()
     assert all(r.job == "value-" for r in out)
+
+
+def test_golden_subquery_at_modifier(ceng):
+    """@ on a subquery pins the whole inner window: the rising
+    demo_disk_usage_bytes (1000 + 5t/10s) gives 1030 at EVERY outer
+    step for @ 60, and the 30s offset composes to the window ending at
+    t=30s (1015) — vs the moving-window values without @."""
+    fixed = ceng.query_range(
+        "max_over_time(demo_disk_usage_bytes[1m:10s] @ 60)"
+    ).collect()
+    assert fixed and all(r["value"] == 1030.0 for r in fixed)
+    off = ceng.query_range(
+        "max_over_time(demo_disk_usage_bytes[1m:10s] offset 30s @ 60)"
+    ).collect()
+    assert off and all(r["value"] == 1015.0 for r in off)
+    moving = {
+        r["step_ts"]: r["value"]
+        for r in ceng.query_range(
+            "max_over_time(demo_disk_usage_bytes[1m:10s])"
+        ).collect()
+        if r["instance"] == "i1"
+    }
+    assert moving[0] == 1000.0 and moving[120000] == 1060.0
