@@ -1460,3 +1460,141 @@ def test_type_mix_drift_js_bounds(spark, events):
     weeks = {d // 7 for _, d in events}
     if len(weeks) == 1:
         assert out[0].js_divergence == 0.0
+
+
+# ------------------------------------------- round-12 operator properties
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=40),
+                    min_size=1, max_size=12),
+)
+def test_user_cap_sweep_invariants(spark, counts):
+    """Against a pure-Python model: retained = sum(min(c, cap)) exactly,
+    retained_events monotone non-decreasing in cap, bounded by n_events,
+    and users_clipped monotone non-increasing."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows, eid = [], 0
+    for u, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, u, eid, "t", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = sorted(pevents.user_cap_sweep(ev).collect(), key=lambda r: r.cap)
+    total = sum(counts)
+    prev_ret, prev_clip = -1, len(counts) + 1
+    for r in out:
+        expect = sum(min(c, r.cap) for c in counts)
+        assert r.retained_events == expect
+        assert r.n_events == total and r.n_users == len(counts)
+        assert r.users_clipped == sum(1 for c in counts if c > r.cap)
+        assert r.retained_events >= prev_ret
+        assert r.users_clipped <= prev_clip
+        prev_ret, prev_clip = r.retained_events, r.users_clipped
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=9),
+                   min_size=1, max_size=8),
+)
+def test_cluster_size_dist_conservation(spark, sizes):
+    """Histogram conserves documents; alpha matches the pure-Python
+    discrete MLE with the same 12-dp term quantization."""
+    import math
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    rows, did = [], 0
+    for gi, g in enumerate(sizes):
+        for _ in range(g):
+            rows.append((did, f"text-{gi}")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pdedup.cluster_size_dist(docs).collect()
+    assert sum(r.n_docs for r in out) == sum(sizes)
+    assert sum(r.n_clusters for r in out) == len(sizes)
+    dup = [g for g in sizes if g >= 2]
+    if dup:
+        lsum = sum(round(math.log(g / 1.5), 12) for g in dup)
+        assert out[0].alpha == round(1 + len(dup) / lsum, 6)
+    else:
+        assert out[0].alpha is None
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.floats(min_value=0.1, max_value=50.0,
+                            allow_nan=False, width=32)),
+        min_size=4, max_size=20,
+    ),
+)
+def test_ab_cuped_bounds(spark, vals):
+    """var_reduction = rho^2 is in [0, 1] whenever defined, and the
+    naive delta equals the variant mean difference exactly (DECIMAL
+    folds)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    # ensure both variants present
+    rows = [(0, 0, 0, "t", 1.0), (1, 0, 1000, "t", 1.0),
+            (2, 1, 0, "t", 2.0), (3, 1, 1000, "t", 2.0)]
+    eid = 4
+    for u, (par, v) in enumerate(vals, start=2):
+        uid = u * 2 + par
+        rows.append((eid, uid, 0, "t", float(v))); eid += 1
+        rows.append((eid, uid, 1000, "t", float(v) * 0.5)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.ab_cuped(ev).collect()[0]
+    assert r.delta == round(r.mean_b - r.mean_a, 6)
+    if r.var_reduction is not None:
+        assert -1e-6 <= r.var_reduction <= 1.0 + 1e-9
+
+
+def test_kn_logprob_is_proper_vs_bigram(spark):
+    """KN smoothing reserves mass for unseen continuations, so every
+    observed bigram's KN probability is <= its raw conditional — the
+    per-doc KN score is never better (lower) than the raw bigram score
+    minus rounding."""
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["a b c a b", "b c a", "c c a b", "a c b a"])],
+        "doc_id long, text string",
+    )
+    kn = {r.doc_id: r.avg_neg_logprob_kn
+          for r in ptext.kn_smoothed_logprob(docs).collect()}
+    raw = {r.doc_id: r.avg_neg_logprob
+           for r in ptext.bigram_logprob(docs).collect()}
+    for d in kn:
+        assert kn[d] >= raw[d] - 1e-6, (d, kn[d], raw[d])
+
+
+def test_top_pc_rotation_invariant_trace(spark):
+    """Rotating the cloud 45 degrees leaves trace and lambda1 within
+    quantization of the axis-aligned values (eigenvalues are basis
+    independent; the op quantizes at 7dp input / 12dp folds)."""
+    import math
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    pts = [1.0, -1.0, 2.0, -2.0]
+    s = math.sqrt(2) / 2
+    emb_rot = spark.createDataFrame(
+        [(i, [x * s, x * s]) for i, x in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.top_pc(emb_rot).collect()[0]
+    assert abs(r.trace_var - 2.5) < 1e-4
+    assert abs(r.lambda1 - 2.5) < 1e-4
+    assert r.explained_ratio > 0.9999
