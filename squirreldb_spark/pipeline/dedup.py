@@ -3086,9 +3086,15 @@ def cluster_size_dist(
     hist = sizes.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters")
     )
+    # operand widths sized so the product is exact: (18,12) x (12,0) ->
+    # (31,12).  A (28,12) x bigint product exceeds the 38-digit cap and
+    # allowPrecisionLoss silently truncates the scale to 6 (the
+    # ev_powerlaw_fit hazard) — caught by the round-12 property test:
+    # alpha diverged from the oracle in the 6th decimal on any corpus
+    # with exact duplicates.
     term = F.round(F.log(F.col("g") / F.lit(1.5)), 12).cast(
-        "decimal(28,12)"
-    ) * F.col("n_clusters")
+        "decimal(18,12)"
+    ) * F.col("n_clusters").cast("decimal(12,0)")
     tot = hist.agg(
         F.sum(F.col("g") * F.col("n_clusters")).cast("long").alias("_docs"),
         F.max(F.col("g")).cast("long").alias("_gmax"),
@@ -3096,7 +3102,7 @@ def cluster_size_dist(
         .cast("long")
         .alias("_ndup"),
         F.sum(F.when(F.col("g") >= 2, term).otherwise(F.lit(0).cast(
-            "decimal(28,12)"
+            "decimal(31,12)"
         ))).alias("_lsum"),
     )
     alpha = 1 + F.col("_ndup") / F.col("_lsum").cast("double")
@@ -3126,8 +3132,9 @@ tot AS (
          max(g)::BIGINT AS gmax,
          sum(CASE WHEN g >= 2 THEN n_clusters ELSE 0 END)::BIGINT AS ndup,
          sum(CASE WHEN g >= 2 THEN
-               CAST(round(ln(g / 1.5), 12) AS DECIMAL(28,12)) * n_clusters
-             ELSE 0::DECIMAL(28,12) END) AS lsum
+               CAST(round(ln(g / 1.5), 12) AS DECIMAL(18,12))
+               * n_clusters::DECIMAL(12,0)
+             ELSE 0::DECIMAL(31,12) END) AS lsum
   FROM hist)
 SELECT g AS cluster_size, n_clusters,
        (g * n_clusters)::BIGINT AS n_docs,

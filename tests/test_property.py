@@ -1464,6 +1464,14 @@ def test_type_mix_drift_js_bounds(spark, events):
 
 # ------------------------------------------- round-12 operator properties
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Spark/DuckDB round() semantics (HALF_UP on decimal digits);
+    Python's built-in round is banker's and diverges at exact .5."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(
@@ -1521,7 +1529,9 @@ def test_cluster_size_dist_conservation(spark, sizes):
     dup = [g for g in sizes if g >= 2]
     if dup:
         lsum = sum(round(math.log(g / 1.5), 12) for g in dup)
-        assert out[0].alpha == round(1 + len(dup) / lsum, 6)
+        # Spark round() is HALF_UP; Python round() is banker's — the
+        # reference model must replicate the engine's rounding
+        assert out[0].alpha == _round_half_up(1 + len(dup) / lsum, 6)
     else:
         assert out[0].alpha is None
 
@@ -1532,7 +1542,7 @@ def test_cluster_size_dist_conservation(spark, sizes):
     vals=st.lists(
         st.tuples(st.integers(min_value=0, max_value=1),
                   st.floats(min_value=0.1, max_value=50.0,
-                            allow_nan=False, width=32)),
+                            allow_nan=False)),
         min_size=4, max_size=20,
     ),
 )
@@ -1555,29 +1565,58 @@ def test_ab_cuped_bounds(spark, vals):
         " value double"
     )
     r = pevents.ab_cuped(ev).collect()[0]
-    assert r.delta == round(r.mean_b - r.mean_a, 6)
+    # mean_a/mean_b are themselves 6-dp-rounded outputs, so the delta
+    # recomputed from them can differ from the in-engine delta by 1 ulp
+    # of the 6th decimal
+    assert abs(r.delta - (r.mean_b - r.mean_a)) <= 2e-6
     if r.var_reduction is not None:
         assert -1e-6 <= r.var_reduction <= 1.0 + 1e-9
 
 
-def test_kn_logprob_is_proper_vs_bigram(spark):
-    """KN smoothing reserves mass for unseen continuations, so every
-    observed bigram's KN probability is <= its raw conditional — the
-    per-doc KN score is never better (lower) than the raw bigram score
-    minus rounding."""
+def test_kn_logprob_matches_python_reference(spark):
+    """The KN kernel must match an independently written pure-Python
+    interpolated-KN model per document (per bigram the sign of
+    KN − raw is NOT fixed — a word whose continuation probability
+    beats 1/fanout GAINS mass under KN — so the reference model, not
+    an inequality, is the checkable contract), and per context the
+    observed-bigram KN mass must stay ≤ 1 (the reserve for unseen
+    continuations is never negative)."""
+    import math
+    from collections import Counter
+
     from squirreldb_spark.pipeline import text as ptext
 
+    texts = ["a b c a b", "b c a", "c c a b", "a c b a"]
     docs = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(
-            ["a b c a b", "b c a", "c c a b", "a c b a"])],
-        "doc_id long, text string",
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
+    D = 0.75
+    bigrams = Counter()
+    per_doc: dict[int, list[tuple[str, str]]] = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        bigrams.update(bgs)
+    ctx_n = Counter(); ctx_fanout = Counter(); cont = Counter()
+    for (w1, w2), c in bigrams.items():
+        ctx_n[w1] += c; ctx_fanout[w1] += 1; cont[w2] += 1
+    total_types = len(bigrams)
+
+    def p_kn(w1, w2):
+        c = bigrams[(w1, w2)]
+        return (max(c - D, 0) / ctx_n[w1]
+                + D * ctx_fanout[w1] / ctx_n[w1]
+                * (cont[w2] / total_types))
+
+    for w1 in ctx_n:
+        mass = sum(p_kn(w1, w2) for (a, w2) in bigrams if a == w1)
+        assert mass <= 1 + 1e-9, (w1, mass)
     kn = {r.doc_id: r.avg_neg_logprob_kn
           for r in ptext.kn_smoothed_logprob(docs).collect()}
-    raw = {r.doc_id: r.avg_neg_logprob
-           for r in ptext.bigram_logprob(docs).collect()}
-    for d in kn:
-        assert kn[d] >= raw[d] - 1e-6, (d, kn[d], raw[d])
+    for i, bgs in per_doc.items():
+        expect = -sum(math.log(p_kn(*b)) for b in bgs) / len(bgs)
+        assert abs(kn[i] - expect) < 1e-6, (i, kn[i], expect)
 
 
 def test_top_pc_rotation_invariant_trace(spark):
