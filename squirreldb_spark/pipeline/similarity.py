@@ -3691,6 +3691,17 @@ def top_pc(
     """
     xq7 = "transform({c}, x -> round(cast(x as double), 7))"
     base = emb.select(F.expr(xq7.format(c=vec_col)).alias("xq"))
+    # Read-parallelism normalization for the dim²-amplified map stage:
+    # the moment scan does dim² quantized-DECIMAL products per input
+    # row, so a small input that arrives as ONE scan partition pins the
+    # whole stage on one core (measured 13 s vs 1.5 s at sf0.1, where
+    # the parquet file is a single row group). The repartition is
+    # input-sized (raw vectors, once) and CONDITIONAL: a real corpus
+    # scan already has >= cores partitions and never takes it.
+    spark = emb.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < cores:
+        base = base.repartition(cores)
     moments = (
         base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
         .select("i", "xi", F.posexplode("xq").alias("j", "xj"))
@@ -3705,6 +3716,11 @@ def top_pc(
         )
     )
     n = F.col("_n")
+    # one partition for the checkpointed dim²-row table: every
+    # iteration job then runs one task instead of shuffle-partition
+    # many (the matvec rounds are driver-loop jobs, so per-job task
+    # overhead — not data — dominated the iterative cost: 32-task
+    # rounds measured ~27 s at sf0.1, single-task ~a third of that)
     cov = moments.select(
         "i",
         "j",
@@ -3714,12 +3730,11 @@ def top_pc(
             - (F.col("_si").cast("double") / n)
             * (F.col("_sj").cast("double") / n)
         ).alias("c"),
-    ).localCheckpoint()
+    ).coalesce(1).localCheckpoint()
 
     def q12(col):
         return F.round(col, 12).cast("decimal(28,12)")
 
-    spark = emb.sparkSession
     d = cov.agg((F.max("i") + 1).alias("d")).collect()[0]["d"]
     # v0 = unit uniform vector, 9-dp rounded IN-ENGINE (round semantics
     # must be Spark's, not Python's banker rounding)
@@ -3739,12 +3754,18 @@ def top_pc(
 
     for _ in range(iters):
         w = matvec(v)
-        norm2 = w.agg(
-            F.sum(q12(F.col("w") * F.col("w"))).alias("_n2")
-        ).select(F.col("_n2").cast("double").alias("n2"))
+        # the norm is an unpartitioned window over the dim-row table
+        # (64 rows, one task) rather than a broadcast crossJoin — each
+        # iteration is then ONE job with no extra exchange (the
+        # broadcast round-trips dominated the loop: ~2.5 s/iteration of
+        # pure scheduling at any corpus size)
+        n2 = (
+            F.sum(q12(F.col("w") * F.col("w")))
+            .over(Window.partitionBy())
+            .cast("double")
+        )
         rows = (
-            w.crossJoin(F.broadcast(norm2))
-            .select("i", F.round(F.col("w") / F.sqrt(F.col("n2")), 9).alias("v"))
+            w.select("i", F.round(F.col("w") / F.sqrt(n2), 9).alias("v"))
             .orderBy("i")
             .collect()
         )
