@@ -232,6 +232,27 @@ TEMPLATES = [
     "limit_ratio (-1.0, demo_memory_usage_bytes)",
     "histogram_quantile(0.5, rate(demo_cpu_usage_seconds_total[{range}]))",
     "sgn(-demo_memory_usage_bytes) {compBinOp} bool 0",
+    # round-12 continuation: upstream special-case templates — round with
+    # to_nearest, quantile phi outside [0,1] (warn + ±Inf, not an error),
+    # clamp with min > max (empty vector), set operations with explicit
+    # on()/ignoring() matching, Go math.Pow IEEE special cases, and
+    # negative-dividend fmod
+    "round(demo_memory_usage_bytes)",
+    "round(demo_memory_usage_bytes, 0.5)",
+    "quantile(1.5, demo_memory_usage_bytes)",
+    "quantile(-0.5, demo_memory_usage_bytes)",
+    "quantile(NaN, demo_memory_usage_bytes)",
+    "quantile_over_time(1.5, demo_memory_usage_bytes[{range}])",
+    "clamp(demo_memory_usage_bytes, 1, 0)",
+    "demo_memory_usage_bytes and on(instance) demo_num_cpus",
+    'demo_memory_usage_bytes and on(instance) demo_num_cpus{instance="i1"}',
+    "demo_memory_usage_bytes unless on(instance) demo_num_cpus",
+    "demo_num_cpus or on(type) demo_memory_usage_bytes",
+    "demo_memory_usage_bytes and ignoring(type) demo_num_cpus",
+    "demo_memory_usage_bytes unless ignoring(type) demo_num_cpus",
+    "vector(-1) ^ Inf",
+    "demo_num_cpus ^ 0",
+    "-demo_num_cpus % 2",
 ]
 
 SHOULD_FAIL = [

@@ -897,6 +897,194 @@ def test_values_histogram_quantile_buckets(heng):
             assert got[k] == pytest.approx(want[k], rel=1e-9), (promql, k)
 
 
+def test_values_quantile_phi_edges(ceng):
+    """promql/quantile.go: phi outside [0,1] yields ±Inf (with a warning,
+    NOT an error) and phi=NaN yields NaN — per step, regardless of the
+    input values."""
+    assert_vals(res(ceng, "quantile(1.5, demo_memory_usage_bytes)"),
+                {(t,): math.inf for t in GRID}, "phi>1")
+    assert_vals(res(ceng, "quantile(-0.5, demo_memory_usage_bytes)"),
+                {(t,): -math.inf for t in GRID}, "phi<0")
+    assert_vals(res(ceng, "quantile(NaN, demo_memory_usage_bytes)"),
+                {(t,): math.nan for t in GRID}, "phi NaN")
+
+
+def test_values_quantile_over_time_phi_edges(ceng):
+    for phi, want_v in ((1.5, math.inf), (-0.5, -math.inf)):
+        q = f"quantile_over_time({phi}, demo_memory_usage_bytes[1m])"
+        want = {}
+        for (i, ty), s in MEM.items():
+            for t in GRID:
+                if window(s, t, 60_000):
+                    want[(i, ty, t)] = want_v
+        assert_vals(res(ceng, q, "instance", "type"), want, q)
+
+
+def test_values_clamp_min_gt_max_empty(ceng):
+    # upstream funcClamp: min > max returns an EMPTY vector, not NaN
+    assert res(ceng, "clamp(demo_memory_usage_bytes, 1, 0)") == {}
+
+
+def test_values_set_ops_with_on_and_ignoring(ceng):
+    mem_all = {
+        (i, ty, t): inst_val(s, t)
+        for (i, ty), s in MEM.items()
+        for t in GRID
+    }
+    # and on(instance): every mem instance exists on the rhs
+    q = "demo_memory_usage_bytes and on(instance) demo_num_cpus"
+    assert_vals(res(ceng, q, "instance", "type"), mem_all, q)
+    # restricted rhs keeps only the matching on-label values
+    q = ('demo_memory_usage_bytes and on(instance) '
+         'demo_num_cpus{instance="i1"}')
+    want = {k: v for k, v in mem_all.items() if k[0] == "i1"}
+    assert_vals(res(ceng, q, "instance", "type"), want, q)
+    q = ('demo_memory_usage_bytes unless on(instance) '
+         'demo_num_cpus{instance="i1"}')
+    want = {k: v for k, v in mem_all.items() if k[0] != "i1"}
+    assert_vals(res(ceng, q, "instance", "type"), want, q)
+    # ignoring(type): the remaining matching label (instance) exists on
+    # both sides for every element
+    q = "demo_memory_usage_bytes and ignoring(type) demo_num_cpus"
+    assert_vals(res(ceng, q, "instance", "type"), mem_all, q)
+    q = "demo_memory_usage_bytes unless ignoring(type) demo_num_cpus"
+    assert_vals(res(ceng, q, "instance", "type"), {}, q)
+    # or on(type): lhs type values are {""} so every mem element (type
+    # free/used) has no on-label match in the lhs and is added
+    ncpu = {
+        (i, "", t): inst_val(s, t)
+        for (i, _), s in NCPU.items()
+        for t in GRID
+    }
+    q = "demo_num_cpus or on(type) demo_memory_usage_bytes"
+    assert_vals(res(ceng, q, "instance", "type"), ncpu | mem_all, q)
+
+
+def test_values_negative_dividend_mod(ceng):
+    # Go math.Mod keeps the dividend's sign: fmod(-3, 2) = -1
+    q = "-demo_num_cpus % 2"
+    want = {
+        (i, t): math.fmod(-inst_val(s, t), 2.0)
+        for (i, _), s in NCPU.items()
+        for t in GRID
+    }
+    assert_vals(res(ceng, q, "instance"), want, q)
+
+
+def test_values_go_pow_scalar_specials(ceng):
+    # Go math.Pow: Pow(-1, ±Inf) = 1 (Java's Math.pow returns NaN)
+    assert_vals(res(ceng, "vector(-1) ^ Inf"), {(t,): 1.0 for t in GRID},
+                "(-1)^Inf")
+    # Pow(x, 0) = 1 for any x
+    got = res(ceng, "demo_num_cpus ^ 0", "instance")
+    want = {(i, t): 1.0 for (i, _) in NCPU for t in GRID}
+    assert_vals(got, want, "m^0")
+
+
+@pytest.fixture(scope="module")
+def neng(spark):
+    """Engine over crafted values (NaN / negatives / ties) for the
+    special-case golden tests below."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ("a", "m", 0, float("nan")),
+        ("b", "m", 0, -2.0),
+        ("c", "m", 0, 3.0),
+        ("d", "m", 0, -1.25),
+        ("e", "m", 0, 2.5),
+    ]
+    pts = spark.createDataFrame(
+        rows, "instance string, name string, ts long, value double"
+    )
+    return PromQLEngine(
+        pts, label_cols=("instance", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+
+
+def _by_instance(eng, q) -> dict:
+    """{instance: value} — values are constant across the grid."""
+    out = {}
+    for r in eng.query_range(q).collect():
+        prev = out.setdefault(r.instance, r.value)
+        same = (prev == r.value) or (
+            isinstance(prev, float) and isinstance(r.value, float)
+            and math.isnan(prev) and math.isnan(r.value)
+        )
+        assert same, (q, r.instance, prev, r.value)
+    return out
+
+
+def _assert_by_instance(got: dict, want: dict, q: str) -> None:
+    assert set(got) == set(want), (q, sorted(got), sorted(want))
+    for k, w in want.items():
+        g = got[k]
+        if isinstance(w, float) and math.isnan(w):
+            assert math.isnan(g), (q, k, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-12, abs=1e-12), (q, k, g, w)
+
+
+def test_values_pow_with_nan_operands(neng):
+    # Pow(NaN, 0) = 1 and Pow(1, NaN) = 1 — both differ from a naive
+    # NaN-propagation rule
+    _assert_by_instance(
+        _by_instance(neng, "m ^ 0"),
+        {k: 1.0 for k in "abcde"}, "m^0")
+    _assert_by_instance(
+        _by_instance(neng, "1 ^ m"),
+        {k: 1.0 for k in "abcde"}, "1^m")
+    # fractional power of a negative base is NaN (Go and IEEE agree)
+    _assert_by_instance(
+        _by_instance(neng, "m ^ 0.5"),
+        {"a": math.nan, "b": math.nan, "c": math.sqrt(3.0),
+         "d": math.nan, "e": math.sqrt(2.5)}, "m^0.5")
+
+
+def test_values_mod_by_zero_is_nan(neng):
+    _assert_by_instance(
+        _by_instance(neng, "m % 0"),
+        {k: math.nan for k in "abcde"}, "m%0")
+
+
+def test_values_nan_comparison_semantics(neng):
+    # Go float comparisons: NaN == NaN is false, NaN != NaN is true
+    _assert_by_instance(
+        _by_instance(neng, "m == bool m"),
+        {"a": 0.0, "b": 1.0, "c": 1.0, "d": 1.0, "e": 1.0}, "== bool")
+    _assert_by_instance(
+        _by_instance(neng, "m != bool m"),
+        {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0, "e": 0.0}, "!= bool")
+    # filter form drops the NaN element (comparison is false)
+    got = _by_instance(neng, "m == m")
+    assert set(got) == {"b", "c", "d", "e"}
+
+
+def test_values_clamp_nan_propagation(neng):
+    # a NaN sample stays NaN through clamp; a NaN bound poisons all
+    _assert_by_instance(
+        _by_instance(neng, "clamp(m, 0, 10)"),
+        {"a": math.nan, "b": 0.0, "c": 3.0, "d": 0.0, "e": 2.5},
+        "clamp finite")
+    _assert_by_instance(
+        _by_instance(neng, "clamp(m, NaN, 1)"),
+        {k: math.nan for k in "abcde"}, "clamp NaN bound")
+
+
+def test_values_round_ties_toward_positive_inf(neng):
+    # upstream funcRound: floor(v/nearest + 0.5)*nearest — ties go
+    # toward +Inf: round(2.5) = 3, round(-1.25, 0.5) = -1.0
+    _assert_by_instance(
+        _by_instance(neng, "round(m)"),
+        {"a": math.nan, "b": -2.0, "c": 3.0, "d": -1.0, "e": 3.0},
+        "round(m)")
+    _assert_by_instance(
+        _by_instance(neng, "round(m, 0.5)"),
+        {"a": math.nan, "b": -2.0, "c": 3.0, "d": -1.0, "e": 2.5},
+        "round(m, 0.5)")
+
+
 def test_values_count_values_special_floats(spark):
     """count_values must label-format Inf/NaN the way Go FormatFloat
     does ("+Inf"/"-Inf"/"NaN") and must not trip ANSI cast overflow."""
