@@ -1637,3 +1637,227 @@ def test_top_pc_rotation_invariant_trace(spark):
     assert abs(r.trace_var - 2.5) < 1e-4
     assert abs(r.lambda1 - 2.5) < 1e-4
     assert r.explained_ratio > 0.9999
+
+
+# ------------------------- round-12 continuation: reference-model tests
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    daily=st.lists(st.integers(min_value=1, max_value=30),
+                   min_size=2, max_size=10),
+)
+def test_poisson_dispersion_matches_python_reference(spark, daily):
+    """Dispersion/z/verdict against an independent pure-Python model
+    (exact integer moments, the same sample-variance form)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    D = 86_400_000
+    rows, eid = [], 0
+    for d, c in enumerate(daily):
+        for _ in range(c):
+            rows.append((eid, 1, d * D + 7, "t", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    out = pevents.poisson_dispersion(ev).collect()
+    n = len(daily)
+    s1, s2 = sum(daily), sum(c * c for c in daily)
+    mean = s1 / n
+    var = (s2 - n * mean * mean) / (n - 1)
+    disp = var / mean
+    z = (disp - 1) * math.sqrt((n - 1) / 2)
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_days == n
+    assert abs(r.mean_daily - mean) <= 2e-6
+    assert abs(r.var_daily - var) <= 2e-6
+    assert abs(r.dispersion - disp) <= 2e-6
+    assert abs(r.z_score - z) <= 2e-6
+    want_verdict = ("overdispersed" if z > 1.96
+                    else "underdispersed" if z < -1.96 else "poisson")
+    # a z within quantization width of the 1.96 band edge may verdict
+    # either way; outside it the labels must agree exactly
+    if abs(abs(z) - 1.96) > 1e-5:
+        assert r.verdict == want_verdict
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    toks=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=2, max_size=12),
+        min_size=1, max_size=6,
+    ),
+)
+def test_ngram_entropy_rate_matches_python_reference(spark, toks):
+    """Both entropy folds against a pure-Python model with the same
+    12-dp HALF_UP term quantization; plus the exp(H2) perplexity tie."""
+    from collections import Counter
+
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(i, "s", " ".join(t)) for i, t in enumerate(toks)],
+        "doc_id long, source string, text string",
+    )
+    out = ptext.ngram_entropy_rate(docs).collect()
+    cb: Counter = Counter()
+    for t in toks:
+        cb.update(zip(t, t[1:]))
+    if not cb:
+        assert out == []
+        return
+    ctx: Counter = Counter()
+    for (w1, _), c in cb.items():
+        ctx[w1] += c
+    nn = sum(cb.values())
+    h1 = sum(_round_half_up(-(c / nn) * math.log(ctx[w1] / nn), 12)
+             for (w1, _), c in cb.items())
+    h2 = sum(_round_half_up(-(c / nn) * math.log(c / ctx[w1]), 12)
+             for (w1, _), c in cb.items())
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_bigrams == nn and r.n_bigram_types == len(cb)
+    assert abs(r.unigram_entropy - h1) <= 2e-6
+    assert abs(r.cond_entropy - h2) <= 2e-6
+    assert abs(r.bigram_perplexity - math.exp(h2)) <= max(
+        2e-6, 4e-6 * math.exp(h2))
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    chars=st.lists(st.integers(min_value=1, max_value=5000),
+                   min_size=1, max_size=24),
+)
+def test_shard_balance_matches_python_reference(spark, chars):
+    """The md5 shard assignment and every balance statistic against an
+    independent hashlib model (empty buckets enter the mean/variance
+    with zero mass, the layout-audit convention)."""
+    import hashlib
+
+    from squirreldb_spark.pipeline import text as ptext
+
+    docs = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(chars)], "doc_id long, n_chars long"
+    )
+    out = {r.n_buckets: r for r in ptext.shard_balance(docs).collect()}
+    for B in (8, 32, 128):
+        load: dict[int, int] = {}
+        for i, n in enumerate(chars):
+            hv = int(hashlib.md5(f"shard:{i}".encode()).hexdigest()[:4], 16)
+            load[hv % B] = load.get(hv % B, 0) + n
+        total = sum(chars)
+        mean = total / B
+        s2 = sum(v * v for v in load.values())
+        var = s2 / B - mean * mean
+        r = out[B]
+        assert r.buckets_used == len(load)
+        assert r.n_docs == len(chars) and r.total_chars == total
+        assert r.max_chars == max(load.values())
+        assert abs(r.max_over_mean - max(load.values()) / mean) <= 2e-6
+        assert abs(r.cv_chars - math.sqrt(max(var, 0.0)) / mean) <= 2e-6
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.tuples(st.integers(min_value=-5, max_value=5),
+                  st.integers(min_value=-5, max_value=5),
+                  st.integers(min_value=-5, max_value=5))
+        .filter(lambda v: any(v)),
+        min_size=4, max_size=9,
+    ),
+)
+def test_knn_reciprocity_matches_brute_force(spark, vecs):
+    """With zero planes (single bucket = exact search) and no candidate
+    cap, the mutual-edge statistics must equal a pure-Python exact kNN
+    graph built with the identical float sequence (left-to-right dot,
+    sqrt-product denominator, HALF_UP 6-dp round, c_id tie-break)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    k = 2
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.knn_reciprocity(
+        emb, k=k, n_planes=0, dim=3, max_bucket=None
+    ).collect()[0]
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return _round_half_up(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    edges = set()
+    for qi, qv in enumerate(vecs):
+        scored = sorted(
+            ((-cos(qv, cv), ci) for ci, cv in enumerate(vecs) if ci != qi),
+        )[:k]
+        edges.update((qi, ci) for _, ci in scored)
+    mutual = sum(1 for (a, b) in edges if (b, a) in edges)
+    assert r.n_queries == len(vecs)
+    assert r.n_edges == len(edges)
+    assert r.n_mutual == mutual
+    assert r.n_mutual % 2 == 0
+    assert abs(r.reciprocity - mutual / len(edges)) <= 2e-6
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1),
+                  st.integers(min_value=-20, max_value=20),
+                  st.integers(min_value=-20, max_value=20)),
+        min_size=4, max_size=16,
+    ).filter(lambda ps: all(
+        sum(1 for p in ps if p[0] == lbl) >= 2 for lbl in {p[0] for p in ps}
+    )),
+)
+def test_ood_mahalanobis_matches_python_reference(spark, pts):
+    """z² statistics against an independent model replicating the exact
+    quantization chain (7-dp inputs, 12-dp terms, the 1e-12 variance
+    floor) — n_ood must agree exactly, mean_z2 to quantization width."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    dim = 2
+    emb = spark.createDataFrame(
+        [(i, lbl, [x / 4.0, y / 4.0]) for i, (lbl, x, y) in enumerate(pts)],
+        "vec_id long, label long, embedding array<double>",
+    )
+    out = {r.label: r for r in psim.ood_mahalanobis(emb).collect()}
+    by_label: dict[int, list[tuple[float, float]]] = {}
+    for lbl, x, y in pts:
+        by_label.setdefault(lbl, []).append((x / 4.0, y / 4.0))
+    for lbl, vs in by_label.items():
+        n = len(vs)
+        z2s = []
+        stats = []
+        for d in range(dim):
+            xs = [_round_half_up(v[d], 7) for v in vs]
+            s1 = sum(xs)  # exact: quarters are dyadic
+            s2 = sum(_round_half_up(x * x, 12) for x in xs)
+            mu = s1 / n
+            var = max(s2 / n - mu * mu, 1e-12)
+            stats.append((mu, var))
+        for v in vs:
+            z2 = sum(
+                _round_half_up(
+                    (_round_half_up(v[d], 7) - stats[d][0]) ** 2
+                    / stats[d][1], 12)
+                for d in range(dim)
+            )
+            z2s.append(z2)
+        r = out[lbl]
+        assert r.n_vectors == n
+        assert r.n_ood == sum(1 for z in z2s if z > 2.0 * dim)
+        mean_z2 = sum(_round_half_up(z, 6) for z in z2s) / n
+        assert abs(r.mean_z2 - mean_z2) <= 2e-6
