@@ -253,6 +253,21 @@ TEMPLATES = [
     "vector(-1) ^ Inf",
     "demo_num_cpus ^ 0",
     "-demo_num_cpus % 2",
+    # nested subqueries, @ on a range selector, postfix by, scalar()
+    # as a binop operand, aggregate-then-histogram composition, and
+    # bool comparisons with explicit matching
+    "max_over_time(avg_over_time(demo_num_cpus[1m:10s])[2m:30s])",
+    "sum(rate(demo_cpu_usage_seconds_total[{range}])) by (instance)",
+    "rate(demo_cpu_usage_seconds_total[{range}] @ end())",
+    "min_over_time(demo_memory_usage_bytes[1m:10s] @ 60 offset {offset})",
+    "scalar(max(demo_num_cpus)) * demo_num_cpus",
+    "quantile by (type) (0.9, demo_memory_usage_bytes)",
+    "(demo_memory_usage_bytes > 100) and (demo_memory_usage_bytes < 200)",
+    "count(demo_memory_usage_bytes == bool on(instance, type)"
+    " demo_memory_usage_bytes)",
+    "histogram_quantile(0.9, sum by (le)"
+    " (rate(demo_cpu_usage_seconds_total[{range}])))",
+    "avg without () (demo_memory_usage_bytes offset {offset} @ 60)",
 ]
 
 SHOULD_FAIL = [

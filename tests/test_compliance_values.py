@@ -1085,6 +1085,44 @@ def test_values_round_ties_toward_positive_inf(neng):
         "round(m, 0.5)")
 
 
+def test_values_nested_subquery(ceng):
+    """A subquery OF a subquery: the inner avg_over_time evaluates on
+    the absolute-aligned 10s grid, the outer max_over_time samples that
+    result on the 30s grid inside a left-open 2m window."""
+    q = "max_over_time(avg_over_time(demo_num_cpus[1m:10s])[2m:30s])"
+
+    def inner(s, ts2):
+        vals = [
+            inst_val(s, ts3)
+            for ts3 in range(0, 120_001, 10_000)
+            if ts2 - 60_000 < ts3 <= ts2 and inst_val(s, ts3) is not None
+        ]
+        return pmean(vals) if vals else None
+
+    want = {}
+    for (i, _), s in NCPU.items():
+        for t in GRID:
+            outer = [
+                inner(s, ts2)
+                for ts2 in range(0, 120_001, 30_000)
+                if t - 120_000 < ts2 <= t and inner(s, ts2) is not None
+            ]
+            if outer:
+                want[(i, t)] = max(outer)
+    assert_vals(res(ceng, q, "instance"), want, q)
+
+
+def test_values_scalar_agg_as_binop_operand(ceng):
+    # scalar(max(...)) collapses the aggregate to a per-step scalar
+    q = "scalar(max(demo_num_cpus)) * demo_num_cpus"
+    want = {
+        (i, t): 3.0 * inst_val(s, t)
+        for (i, _), s in NCPU.items()
+        for t in GRID
+    }
+    assert_vals(res(ceng, q, "instance"), want, q)
+
+
 def test_values_count_values_special_floats(spark):
     """count_values must label-format Inf/NaN the way Go FormatFloat
     does ("+Inf"/"-Inf"/"NaN") and must not trip ANSI cast overflow."""
