@@ -88,10 +88,27 @@ def _go_log(base_fn):
     return wrapped
 
 
+def _double_floor(c):
+    """Go math.Floor on doubles: Spark's floor() returns BIGINT (NaN
+    becomes 0, |x| >= 2^63 saturates at Long.MAX — the funcRound hazard,
+    promql/functions.go keeps float64 throughout), so the double floor
+    is spelled x - pmod(x, 1) with NaN/±Inf passed through untouched."""
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        c - F.pmod(c, F.lit(1.0))
+    )
+
+
+def _double_ceil(c):
+    """Go math.Ceil on doubles (= -floor(-x)); same BIGINT hazard."""
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        c + F.pmod(-c, F.lit(1.0))
+    )
+
+
 _SCALAR_FNS: dict[str, object] = {
     "abs": F.abs,
-    "ceil": F.ceil,
-    "floor": F.floor,
+    "ceil": _double_ceil,
+    "floor": _double_floor,
     "exp": F.exp,
     "ln": _go_log(F.log),
     "log2": _go_log(F.log2),

@@ -1123,6 +1123,38 @@ def test_values_scalar_agg_as_binop_operand(ceng):
     assert_vals(res(ceng, q, "instance"), want, q)
 
 
+def test_values_ceil_floor_double_semantics(spark):
+    """Go math.Ceil/Floor stay on float64: NaN -> NaN, ±Inf -> ±Inf and
+    |x| >= 2^63 is returned unchanged.  Spark's own ceil()/floor()
+    return BIGINT (NaN -> 0, huge doubles saturate at Long.MAX) — the
+    funcRound hazard; this pins the double-typed implementation."""
+    from squirreldb_spark.promql import PromQLEngine
+
+    rows = [
+        ("a", "m", 0, float("nan")),
+        ("b", "m", 0, float("inf")),
+        ("c", "m", 0, float("-inf")),
+        ("d", "m", 0, 1e300),
+        ("e", "m", 0, -2.5),
+        ("f", "m", 0, 2.5),
+    ]
+    pts = spark.createDataFrame(
+        rows, "instance string, name string, ts long, value double"
+    )
+    eng = PromQLEngine(
+        pts, label_cols=("instance", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+    _assert_by_instance(
+        _by_instance(eng, "ceil(m)"),
+        {"a": math.nan, "b": math.inf, "c": -math.inf, "d": 1e300,
+         "e": -2.0, "f": 3.0}, "ceil")
+    _assert_by_instance(
+        _by_instance(eng, "floor(m)"),
+        {"a": math.nan, "b": math.inf, "c": -math.inf, "d": 1e300,
+         "e": -3.0, "f": 2.0}, "floor")
+
+
 def test_values_count_values_special_floats(spark):
     """count_values must label-format Inf/NaN the way Go FormatFloat
     does ("+Inf"/"-Inf"/"NaN") and must not trip ANSI cast overflow."""
