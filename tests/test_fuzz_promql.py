@@ -1,0 +1,272 @@
+"""Differential fuzz of PromQL expression COMPOSITION.
+
+The compliance corpus (test_compliance.py) proves fixed templates run and
+the values tier proves one query per family produces upstream values.
+This suite closes the composition gap: Hypothesis generates random
+expression TREES — selectors, aggregations at three grouping levels,
+pointwise math functions, scalar and vector binops — renders each to
+PromQL, and compares the engine's query_range output against an
+independent bottom-up Python evaluation of the same tree over the
+compliance fixture (key sets AND values).
+
+Determinism: the fixture's sample values are integers and the scalar
+pool is dyadic, so +, -, *, aggregation sums and means (counts are
+powers of two) are EXACT in float64 on both sides; the only inexact op
+is division, where both engines divide identical IEEE inputs and so
+produce identical doubles. Go-semantics corners (x/0 -> ±Inf/NaN,
+min/max skipping NaN) are replicated in the model. `derandomize=True`
+pins the generated example set, so a pass today is a pass forever.
+
+Upstream semantics: promql/engine.go (vector matching drops __name__,
+aggregation grouping), promql/functions.go (math functions on float64).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from os.path import dirname
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, dirname(__file__))
+
+from test_compliance import fixture_rows, make_compliance_engine
+
+GRID = [0, 30_000, 60_000, 90_000, 120_000]
+LOOKBACK = 60_000
+
+# ---------------------------------------------------------------- fixture
+
+
+def _mem_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
+    out: dict[tuple[str, str], list[tuple[int, float]]] = {}
+    for inst, typ, name, ts, v in fixture_rows():
+        if name == "demo_memory_usage_bytes":
+            out.setdefault((inst, typ), []).append((ts, v))
+    for k in out:
+        out[k].sort()
+    return out
+
+
+MEM = _mem_series()
+
+
+def _inst_val(samples, t):
+    cand = [v for ts, v in samples if t - LOOKBACK < ts <= t]
+    return cand[-1] if cand else None
+
+
+@pytest.fixture(scope="module")
+def ceng(spark):
+    return make_compliance_engine(spark)
+
+
+# ------------------------------------------------------------ AST strategy
+#
+# Node forms (levels: 2 = keyed by (instance, type), 1 = (instance,),
+# 0 = ()):
+#   ("m",)                      — the base selector, level 2
+#   ("agg", op, lvl, child)     — grouping aggregation to level `lvl`
+#   ("fn", name, child)         — pointwise math function
+#   ("sop", op, s, child, left) — scalar binop (scalar on the left if left)
+#   ("vop", op, a, b)           — vector binop; operands are coerced to the
+#                                 lower of the two levels with a sum-agg
+
+SCALARS = [2.0, 0.5, -1.5, 4.0]
+AGGS = ["sum", "min", "max", "avg", "count", "group", "stddev", "stdvar"]
+FNS = ["abs", "ceil", "floor", "sqrt", "sgn"]
+VOPS = ["+", "-", "*", "/"]
+
+_BY = {2: " by(instance, type) ", 1: " by(instance) ", 0: ""}
+
+
+def _exprs():
+    leaf = st.just(("m",))
+
+    def extend(ch):
+        return st.one_of(
+            st.tuples(st.just("agg"), st.sampled_from(AGGS),
+                      st.sampled_from([0, 1, 2]), ch),
+            st.tuples(st.just("fn"), st.sampled_from(FNS), ch),
+            st.tuples(st.just("sop"), st.sampled_from(VOPS),
+                      st.sampled_from(SCALARS), ch, st.booleans()),
+            st.tuples(st.just("vop"), st.sampled_from(VOPS), ch, ch),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=5)
+
+
+def _level(e) -> int:
+    k = e[0]
+    if k == "m":
+        return 2
+    if k == "agg":
+        return min(e[2], _level(e[3]))
+    if k == "fn":
+        return _level(e[2])
+    if k == "sop":
+        return _level(e[3])
+    if k == "vop":
+        return min(_level(e[2]), _level(e[3]))
+    raise AssertionError(k)
+
+
+def _render(e) -> str:
+    k = e[0]
+    if k == "m":
+        return "demo_memory_usage_bytes"
+    if k == "agg":
+        lvl = min(e[2], _level(e[3]))
+        return f"{e[1]}{_BY[lvl]}({_render(e[3])})"
+    if k == "fn":
+        return f"{e[1]}({_render(e[2])})"
+    if k == "sop":
+        _, op, s, ch, left = e
+        return (f"({s} {op} {_render(ch)})" if left
+                else f"({_render(ch)} {op} {s})")
+    if k == "vop":
+        _, op, a, b = e
+        lvl = min(_level(a), _level(b))
+        ra, rb = _render(a), _render(b)
+        if _level(a) > lvl:
+            ra = f"sum{_BY[lvl]}({ra})"
+        if _level(b) > lvl:
+            rb = f"sum{_BY[lvl]}({rb})"
+        return f"({ra} {op} {rb})"
+    raise AssertionError(k)
+
+
+# ------------------------------------------------------- Python evaluator
+
+
+def _go_arith(op: str, a: float, b: float) -> float:
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        if b == 0:
+            if math.isnan(a) or a == 0:
+                return math.nan
+            return math.inf if a > 0 else -math.inf
+        return a / b
+    raise AssertionError(op)
+
+
+def _go_fn(name: str, v: float) -> float:
+    if name == "abs":
+        return abs(v)
+    if name in ("ceil", "floor"):
+        if math.isnan(v) or math.isinf(v):
+            return v
+        return float(math.ceil(v) if name == "ceil" else math.floor(v))
+    if name == "sqrt":
+        return math.sqrt(v) if v >= 0 else math.nan
+    if name == "sgn":
+        if math.isnan(v):
+            return math.nan
+        return float((v > 0) - (v < 0))
+    raise AssertionError(name)
+
+
+def _agg_fn(op: str, vals: list[float]) -> float:
+    if op == "sum":
+        return sum(vals)
+    if op in ("min", "max"):
+        # upstream min/max skip NaN unless every value is NaN
+        finite = [v for v in vals if not math.isnan(v)]
+        if not finite:
+            return math.nan
+        return min(finite) if op == "min" else max(finite)
+    if op == "avg":
+        return sum(vals) / len(vals)
+    if op == "count":
+        return float(len(vals))
+    if op == "group":
+        return 1.0
+    m = sum(vals) / len(vals)
+    var = sum((v - m) ** 2 for v in vals) / len(vals)
+    if op == "stdvar":
+        return var
+    if op == "stddev":
+        return math.sqrt(var)
+    raise AssertionError(op)
+
+
+def _key_to(key: tuple, lvl: int) -> tuple:
+    return key[:lvl]
+
+
+def _eval(e, t) -> dict[tuple, float]:
+    """Evaluate the tree at step t -> {key_tuple: value} at _level(e)."""
+    k = e[0]
+    if k == "m":
+        return {ks: _inst_val(s, t) for ks, s in MEM.items()}
+    if k == "agg":
+        child = _eval(e[3], t)
+        lvl = min(e[2], _level(e[3]))
+        groups: dict[tuple, list[float]] = {}
+        for ks, v in child.items():
+            groups.setdefault(_key_to(ks, lvl), []).append(v)
+        return {ks: _agg_fn(e[1], vs) for ks, vs in groups.items()}
+    if k == "fn":
+        return {ks: _go_fn(e[1], v) for ks, v in _eval(e[2], t).items()}
+    if k == "sop":
+        _, op, s, ch, left = e
+        return {
+            ks: (_go_arith(op, s, v) if left else _go_arith(op, v, s))
+            for ks, v in _eval(ch, t).items()
+        }
+    if k == "vop":
+        _, op, a, b = e
+        lvl = min(_level(a), _level(b))
+
+        def coerce(node):
+            vals = _eval(node, t)
+            if _level(node) == lvl:
+                return vals
+            groups: dict[tuple, list[float]] = {}
+            for ks, v in vals.items():
+                groups.setdefault(_key_to(ks, lvl), []).append(v)
+            return {ks: sum(vs) for ks, vs in groups.items()}
+
+        va, vb = coerce(a), coerce(b)
+        return {ks: _go_arith(op, va[ks], vb[ks]) for ks in va if ks in vb}
+    raise AssertionError(k)
+
+
+# ------------------------------------------------------------------ tests
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_exprs())
+def test_fuzz_expression_composition(spark, ceng, tree):
+    q = _render(tree)
+    lvl = _level(tree)
+    attrs = ["instance", "type"][:lvl]
+    rows = ceng.query_range(q).collect()
+    got: dict[tuple, float] = {}
+    for r in rows:
+        d = r.asDict()
+        key = tuple(d[a] for a in attrs) + (d["step_ts"],)
+        assert key not in got, (q, key)
+        got[key] = d["value"]
+    want: dict[tuple, float] = {}
+    for t in GRID:
+        for ks, v in _eval(tree, t).items():
+            want[ks + (t,)] = v
+    assert set(got) == set(want), (
+        q, sorted(set(got) ^ set(want))[:4]
+    )
+    for key, w in want.items():
+        g = got[key]
+        if math.isnan(w):
+            assert math.isnan(g), (q, key, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
