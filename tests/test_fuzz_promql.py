@@ -243,6 +243,114 @@ def _eval(e, t) -> dict[tuple, float]:
 # ------------------------------------------------------------------ tests
 
 
+# -------------------- fuzz 2: comparison filters and set operations
+#
+# Node forms (all at level 2 — filters make key sets vary per step,
+# which is exactly what set-op composition must get right):
+#   ("m",)
+#   ("fn2", name, child)
+#   ("sop2", op, s, child)          — vector-scalar arithmetic
+#   ("cmp", op, bool_mode, child, s) — comparison against a scalar
+#   ("setop", op, a, b)             — and / unless / or
+
+CMPS = ["==", "!=", ">", "<", ">=", "<="]
+SETOPS = ["and", "unless", "or"]
+#: thresholds chosen inside the fixture's value range (100..122) so
+#: comparisons genuinely split the vector
+CMP_SCALARS = [105.0, 111.5, 118.0, 0.0]
+
+
+def _exprs2():
+    leaf = st.just(("m",))
+
+    def extend(ch):
+        return st.one_of(
+            st.tuples(st.just("fn2"), st.sampled_from(["abs", "sgn"]), ch),
+            st.tuples(st.just("sop2"), st.sampled_from(["+", "-", "*"]),
+                      st.sampled_from(SCALARS), ch),
+            st.tuples(st.just("cmp"), st.sampled_from(CMPS), st.booleans(),
+                      ch, st.sampled_from(CMP_SCALARS)),
+            st.tuples(st.just("setop"), st.sampled_from(SETOPS), ch, ch),
+        )
+
+    return st.recursive(leaf, extend, max_leaves=5)
+
+
+def _go_cmp(op: str, a: float, b: float) -> bool:
+    if math.isnan(a) or math.isnan(b):
+        return op == "!="
+    return {"==": a == b, "!=": a != b, ">": a > b, "<": a < b,
+            ">=": a >= b, "<=": a <= b}[op]
+
+
+def _render2(e) -> str:
+    k = e[0]
+    if k == "m":
+        return "demo_memory_usage_bytes"
+    if k == "fn2":
+        return f"{e[1]}({_render2(e[2])})"
+    if k == "sop2":
+        return f"({_render2(e[3])} {e[1]} {e[2]})"
+    if k == "cmp":
+        _, op, boolm, ch, s = e
+        b = " bool" if boolm else ""
+        return f"({_render2(ch)} {op}{b} {s})"
+    if k == "setop":
+        return f"({_render2(e[2])} {e[1]} {_render2(e[3])})"
+    raise AssertionError(k)
+
+
+def _eval2(e, t) -> dict[tuple, float]:
+    k = e[0]
+    if k == "m":
+        return {ks: _inst_val(s, t) for ks, s in MEM.items()}
+    if k == "fn2":
+        return {ks: _go_fn(e[1], v) for ks, v in _eval2(e[2], t).items()}
+    if k == "sop2":
+        return {ks: _go_arith(e[1], v, e[2])
+                for ks, v in _eval2(e[3], t).items()}
+    if k == "cmp":
+        _, op, boolm, ch, s = e
+        child = _eval2(ch, t)
+        if boolm:
+            return {ks: float(_go_cmp(op, v, s)) for ks, v in child.items()}
+        return {ks: v for ks, v in child.items() if _go_cmp(op, v, s)}
+    if k == "setop":
+        _, op, a, b = e
+        va, vb = _eval2(a, t), _eval2(b, t)
+        if op == "and":
+            return {ks: v for ks, v in va.items() if ks in vb}
+        if op == "unless":
+            return {ks: v for ks, v in va.items() if ks not in vb}
+        return va | {ks: v for ks, v in vb.items() if ks not in va}
+    raise AssertionError(k)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_exprs2())
+def test_fuzz_filters_and_set_ops(spark, ceng, tree):
+    q = _render2(tree)
+    rows = ceng.query_range(q).collect()
+    got: dict[tuple, float] = {}
+    for r in rows:
+        d = r.asDict()
+        key = (d["instance"], d["type"], d["step_ts"])
+        assert key not in got, (q, key)
+        got[key] = d["value"]
+    want: dict[tuple, float] = {}
+    for t in GRID:
+        for ks, v in _eval2(tree, t).items():
+            want[ks + (t,)] = v
+    assert set(got) == set(want), (q, sorted(set(got) ^ set(want))[:4])
+    for key, w in want.items():
+        g = got[key]
+        if math.isnan(w):
+            assert math.isnan(g), (q, key, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
+
+
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(tree=_exprs())
