@@ -351,6 +351,168 @@ def test_fuzz_filters_and_set_ops(spark, ceng, tree):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
 
 
+# ------------------- fuzz 3: range functions under window/offset combos
+#
+# Single-level range nodes (windows cannot nest without subqueries)
+# composed with scalar arithmetic and vector binops:
+#   ("ext", kind, rng, off)   — rate/increase/delta over the cpu counter
+#   ("ot", op, rng, off)      — <op>_over_time over the memory gauge
+#   ("sop3", op, s, node)     — node op scalar
+#   ("vop3", op, a, b)        — matching on (instance, type), 1:1
+
+EXT = ["rate", "increase", "delta"]
+OT = ["avg", "min", "max", "sum", "count", "last", "stddev", "stdvar"]
+RANGES = [(30_000, "30s"), (60_000, "1m"), (90_000, "1m30s")]
+OFFSETS = [(0, ""), (30_000, " offset 30s")]
+
+
+def _cpu_series() -> dict[tuple[str, str], list[tuple[int, float]]]:
+    out: dict[tuple[str, str], list[tuple[int, float]]] = {}
+    for inst, typ, name, ts, v in fixture_rows():
+        if name == "demo_cpu_usage_seconds_total":
+            out.setdefault((inst, typ), []).append((ts, v))
+    for k in out:
+        out[k].sort()
+    return out
+
+
+CPU = _cpu_series()
+
+
+def _rng_leaves():
+    return st.one_of(
+        st.tuples(st.just("ext"), st.sampled_from(EXT),
+                  st.sampled_from(RANGES), st.sampled_from(OFFSETS)),
+        st.tuples(st.just("ot"), st.sampled_from(OT),
+                  st.sampled_from(RANGES), st.sampled_from(OFFSETS)),
+    )
+
+
+def _exprs3():
+    def extend(ch):
+        return st.one_of(
+            st.tuples(st.just("sop3"), st.sampled_from(VOPS),
+                      st.sampled_from(SCALARS), ch),
+            st.tuples(st.just("vop3"), st.sampled_from(VOPS), ch, ch),
+        )
+
+    return st.recursive(_rng_leaves(), extend, max_leaves=3)
+
+
+def _render3(e) -> str:
+    k = e[0]
+    if k == "ext":
+        _, kind, (rm, rs), (om, osfx) = e
+        return f"{kind}(demo_cpu_usage_seconds_total[{rs}]{osfx})"
+    if k == "ot":
+        _, op, (rm, rs), (om, osfx) = e
+        return f"{op}_over_time(demo_memory_usage_bytes[{rs}]{osfx})"
+    if k == "sop3":
+        return f"({_render3(e[3])} {e[1]} {e[2]})"
+    if k == "vop3":
+        return f"({_render3(e[2])} {e[1]} {_render3(e[3])})"
+    raise AssertionError(k)
+
+
+def _window(samples, t, rng, off):
+    t -= off
+    return [(ts, v) for ts, v in samples if t - rng < ts <= t]
+
+
+def _extrapolated(w, rng_ms, t, kind):
+    """promql/functions.go extrapolatedRate (v0.307.x clamp order) —
+    the values-tier reference, inlined so this module stays
+    self-contained."""
+    if len(w) < 2:
+        return None
+    (ft, fv), (lt, lv) = w[0], w[-1]
+    result = lv - fv
+    if kind in ("rate", "increase"):
+        prev = fv
+        for _, v in w[1:]:
+            if v < prev:
+                result += prev
+            prev = v
+    dur_start = (ft - (t - rng_ms)) / 1000
+    dur_end = (t - lt) / 1000
+    sampled = (lt - ft) / 1000
+    avg_between = sampled / (len(w) - 1)
+    thresh = avg_between * 1.1
+    if dur_start >= thresh:
+        dur_start = avg_between / 2
+    if kind in ("rate", "increase") and result > 0 and fv >= 0:
+        dur_zero = sampled * (fv / result)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    if dur_end >= thresh:
+        dur_end = avg_between / 2
+    extrap = sampled + dur_start + dur_end
+    factor = extrap / sampled
+    if kind == "rate":
+        factor /= rng_ms / 1000
+    return result * factor
+
+
+def _ot_fn(op: str, vals: list[float]) -> float:
+    if op == "last":
+        return vals[-1]
+    if op == "count":
+        return float(len(vals))
+    return _agg_fn(op, vals)
+
+
+def _eval3(e, t) -> dict[tuple, float]:
+    k = e[0]
+    if k == "ext":
+        _, kind, (rm, _), (om, _) = e
+        out = {}
+        for ks, s in CPU.items():
+            v = _extrapolated(_window(s, t - om, rm, 0), rm, t - om, kind)
+            if v is not None:
+                out[ks] = v
+        return out
+    if k == "ot":
+        _, op, (rm, _), (om, _) = e
+        out = {}
+        for ks, s in MEM.items():
+            w = [v for _, v in _window(s, t, rm, om)]
+            if w:
+                out[ks] = _ot_fn(op, w)
+        return out
+    if k == "sop3":
+        return {ks: _go_arith(e[1], v, e[2])
+                for ks, v in _eval3(e[3], t).items()}
+    if k == "vop3":
+        va, vb = _eval3(e[2], t), _eval3(e[3], t)
+        return {ks: _go_arith(e[1], va[ks], vb[ks]) for ks in va if ks in vb}
+    raise AssertionError(k)
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(tree=_exprs3())
+def test_fuzz_range_functions(spark, ceng, tree):
+    q = _render3(tree)
+    rows = ceng.query_range(q).collect()
+    got: dict[tuple, float] = {}
+    for r in rows:
+        d = r.asDict()
+        key = (d["instance"], d["type"], d["step_ts"])
+        assert key not in got, (q, key)
+        got[key] = d["value"]
+    want: dict[tuple, float] = {}
+    for t in GRID:
+        for ks, v in _eval3(tree, t).items():
+            want[ks + (t,)] = v
+    assert set(got) == set(want), (q, sorted(set(got) ^ set(want))[:4])
+    for key, w in want.items():
+        g = got[key]
+        if math.isnan(w):
+            assert math.isnan(g), (q, key, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
+
+
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(tree=_exprs())
