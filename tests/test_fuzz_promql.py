@@ -513,6 +513,59 @@ def test_fuzz_range_functions(spark, ceng, tree):
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
 
 
+# ---------------- fuzz 4: histogram_quantile over random bucket layouts
+#
+# Random cumulative-count vectors — including NON-MONOTONE counts (the
+# ensureMonotonic clamp), a missing +Inf bucket (NaN), and phi at both
+# out-of-range edges — against the values tier's bucketQuantile
+# reference (promql/quantile.go).
+
+_LES = ["0.1", "0.5", "1", "2.5", "5"]
+_PHIS = [0.25, 0.5, 0.9, 1.0, -0.5, 1.5]
+
+
+@settings(max_examples=20, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    n_les=st.integers(min_value=1, max_value=4),
+    counts=st.lists(st.integers(min_value=0, max_value=50),
+                    min_size=5, max_size=5),
+    with_inf=st.booleans(),
+    phi=st.sampled_from(_PHIS),
+)
+def test_fuzz_histogram_quantile(spark, n_les, counts, with_inf, phi):
+    from test_compliance_values import _bucket_quantile
+
+    from squirreldb_spark.promql import PromQLEngine
+
+    les = _LES[:n_les] + (["+Inf"] if with_inf else [])
+    pairs = list(zip(les, counts))
+    if with_inf and sum(c for _, c in pairs) == 0:
+        pairs[-1] = ("+Inf", 1)  # keep rank > 0 so phi in (0,1] is defined
+    rows = [("i1", le, "hb", 0, float(c)) for le, c in pairs]
+    pts = spark.createDataFrame(
+        rows, "instance string, le string, name string, ts long,"
+        " value double"
+    )
+    eng = PromQLEngine(
+        pts, label_cols=("instance", "le", "name"), name_label="name",
+        step_ms=30_000, lookback_ms=60_000,
+    )
+    out = eng.query_range(f"histogram_quantile({phi}, hb)").collect()
+    want = _bucket_quantile(phi, [(float(le), float(c)) for le, c in pairs])
+    if math.isnan(want) and not with_inf:
+        # upstream drops histograms without an +Inf bucket entirely
+        assert out == [] or all(math.isnan(r.value) for r in out)
+        return
+    got = {r.step_ts: r.value for r in out}
+    assert set(got) == {0}, (pairs, phi, got)
+    g = got[0]
+    if math.isnan(want):
+        assert math.isnan(g), (pairs, phi, g)
+    else:
+        assert g == pytest.approx(want, rel=1e-9, abs=1e-12), (pairs, phi, g)
+
+
 @settings(max_examples=40, deadline=None, derandomize=True,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(tree=_exprs())
