@@ -84,7 +84,16 @@ _BY = {2: " by(instance, type) ", 1: " by(instance) ", 0: ""}
 
 
 def _exprs():
-    leaf = st.just(("m",))
+    # ("gop", op, lbl, right?) — many-to-one matching on the base metric:
+    #   m op on(lbl) group_left sum by(lbl) (m)     (many side left)
+    #   sum by(lbl) (m) op on(lbl) group_right m    (many side right)
+    # level 2 (the many side's full label set survives), so it composes
+    # under every other node form.
+    leaf = st.one_of(
+        st.just(("m",)),
+        st.tuples(st.just("gop"), st.sampled_from(VOPS),
+                  st.sampled_from(["instance", "type"]), st.booleans()),
+    )
 
     def extend(ch):
         return st.one_of(
@@ -103,6 +112,8 @@ def _level(e) -> int:
     k = e[0]
     if k == "m":
         return 2
+    if k == "gop":
+        return 2
     if k == "agg":
         return min(e[2], _level(e[3]))
     if k == "fn":
@@ -118,6 +129,12 @@ def _render(e) -> str:
     k = e[0]
     if k == "m":
         return "demo_memory_usage_bytes"
+    if k == "gop":
+        _, op, lbl, right = e
+        one = f"sum by({lbl}) (demo_memory_usage_bytes)"
+        if right:
+            return f"({one} {op} on({lbl}) group_right demo_memory_usage_bytes)"
+        return f"(demo_memory_usage_bytes {op} on({lbl}) group_left {one})"
     if k == "agg":
         lvl = min(e[2], _level(e[3]))
         return f"{e[1]}{_BY[lvl]}({_render(e[3])})"
@@ -207,6 +224,18 @@ def _eval(e, t) -> dict[tuple, float]:
     k = e[0]
     if k == "m":
         return {ks: _inst_val(s, t) for ks, s in MEM.items()}
+    if k == "gop":
+        _, op, lbl, right = e
+        base = {ks: _inst_val(s, t) for ks, s in MEM.items()}
+        gi = 0 if lbl == "instance" else 1
+        groups: dict[str, float] = {}
+        for ks, v in base.items():
+            groups[ks[gi]] = groups.get(ks[gi], 0.0) + v
+        if right:
+            return {ks: _go_arith(op, groups[ks[gi]], v)
+                    for ks, v in base.items()}
+        return {ks: _go_arith(op, v, groups[ks[gi]])
+                for ks, v in base.items()}
     if k == "agg":
         child = _eval(e[3], t)
         lvl = min(e[2], _level(e[3]))
