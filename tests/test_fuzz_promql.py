@@ -622,3 +622,77 @@ def test_fuzz_expression_composition(spark, ceng, tree):
             assert math.isnan(g), (q, key, g)
         else:
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
+
+
+# ----------------------- fuzz 5: selector matcher-set combinations
+#
+# Random matcher sets over (instance, type) — equality, negation and
+# ANCHORED regex in both polarities, including the Prometheus
+# empty-string semantics (`type=""` matches series lacking the label;
+# `type!=""` requires a non-empty value) — against a Python `re`
+# model over the union of memory (type free/used) and num_cpus
+# (type "") series, so both the labeled and unlabeled cases appear.
+
+_M_OPS = ["=", "!=", "=~", "!~"]
+_INST_VALS = ["i1", "i2", "i9", ""]
+_TYPE_VALS = ["free", "used", ""]
+_INST_RES = ["i.*", ".*2", "i1|i9", ""]
+_TYPE_RES = ["fre.*", "free|used", ".+", ""]
+
+
+def _all_series() -> dict[tuple[str, str, str], list[tuple[int, float]]]:
+    out: dict[tuple, list] = {}
+    for inst, typ, name, ts, v in fixture_rows():
+        if name in ("demo_memory_usage_bytes", "demo_num_cpus"):
+            out.setdefault((name, inst, typ), []).append((ts, v))
+    for k in out:
+        out[k].sort()
+    return out
+
+
+ALL = _all_series()
+
+
+def _matcher_ok(op: str, pat: str, v: str) -> bool:
+    import re as _re
+
+    if op == "=":
+        return v == pat
+    if op == "!=":
+        return v != pat
+    hit = _re.fullmatch(f"(?:{pat})", v) is not None
+    return hit if op == "=~" else not hit
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    im=st.one_of(st.none(),
+                 st.tuples(st.sampled_from(_M_OPS),
+                           st.sampled_from(_INST_VALS + _INST_RES))),
+    tm=st.one_of(st.none(),
+                 st.tuples(st.sampled_from(_M_OPS),
+                           st.sampled_from(_TYPE_VALS + _TYPE_RES))),
+    metric=st.sampled_from(["demo_memory_usage_bytes", "demo_num_cpus"]),
+)
+def test_fuzz_selector_matchers(spark, ceng, im, tm, metric):
+    parts = []
+    if im is not None:
+        parts.append(f'instance{im[0]}"{im[1]}"')
+    if tm is not None:
+        parts.append(f'type{tm[0]}"{tm[1]}"')
+    q = metric + ("{" + ", ".join(parts) + "}" if parts else "")
+    rows = ceng.query_range(q).collect()
+    got = {(r.instance, r.type, r.step_ts) for r in rows}
+    want = set()
+    for (name, inst, typ), s in ALL.items():
+        if name != metric:
+            continue
+        if im is not None and not _matcher_ok(im[0], im[1], inst):
+            continue
+        if tm is not None and not _matcher_ok(tm[0], tm[1], typ):
+            continue
+        for t in GRID:
+            if _inst_val(s, t) is not None:
+                want.add((inst, typ, t))
+    assert got == want, (q, sorted(got ^ want)[:6])
