@@ -696,3 +696,57 @@ def test_fuzz_selector_matchers(spark, ceng, im, tm, metric):
             if _inst_val(s, t) is not None:
                 want.add((inst, typ, t))
     assert got == want, (q, sorted(got ^ want)[:6])
+
+
+# -------------------- fuzz 6: subqueries around fuzzed inner expressions
+#
+# `<outer>_over_time((<fuzz-1 tree>)[range:step] offset?)`: the inner
+# expression evaluates on the ABSOLUTE-aligned step grid, the outer
+# window is left-open, and offsets shift the whole window — the grid
+# alignment logic the fixed values-tier subquery tests touch at three
+# points, here exercised across range×step×offset × random inners.
+
+_SQ_RANGES = [(60_000, "1m"), (90_000, "1m30s"), (120_000, "2m")]
+_SQ_STEPS = [(10_000, "10s"), (30_000, "30s"), (30_000, "")]  # "" = default
+_SQ_OFFS = [(0, ""), (30_000, " offset 30s")]
+_SQ_OUTER = ["avg", "min", "max", "sum", "count", "last"]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    inner=_exprs(),
+    outer=st.sampled_from(_SQ_OUTER),
+    rng=st.sampled_from(_SQ_RANGES),
+    step=st.sampled_from(_SQ_STEPS),
+    off=st.sampled_from(_SQ_OFFS),
+)
+def test_fuzz_subquery_composition(spark, ceng, inner, outer, rng, step, off):
+    (rm, rs), (sm, ss), (om, osfx) = rng, step, off
+    colon = f"{rs}:{ss}" if ss else f"{rs}:"
+    q = f"{outer}_over_time(({_render(inner)})[{colon}]{osfx})"
+    lvl = _level(inner)
+    attrs = ["instance", "type"][:lvl]
+    rows = ceng.query_range(q).collect()
+    got: dict[tuple, float] = {}
+    for r in rows:
+        d = r.asDict()
+        key = tuple(d[a] for a in attrs) + (d["step_ts"],)
+        assert key not in got, (q, key)
+        got[key] = d["value"]
+    want: dict[tuple, float] = {}
+    for t in GRID:
+        per_key: dict[tuple, list[float]] = {}
+        for ts2 in range(0, 120_001, sm):
+            if t - om - rm < ts2 <= t - om:
+                for ks, v in _eval(inner, ts2).items():
+                    per_key.setdefault(ks, []).append(v)
+        for ks, vals in per_key.items():
+            want[ks + (t,)] = _ot_fn(outer, vals)
+    assert set(got) == set(want), (q, sorted(set(got) ^ set(want))[:4])
+    for key, w in want.items():
+        g = got[key]
+        if math.isnan(w):
+            assert math.isnan(g), (q, key, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
