@@ -4363,3 +4363,271 @@ SELECT event_type, n_days,
             ELSE 'poisson' END AS verdict
 FROM f ORDER BY 1
 """
+
+
+# ------------------------------------------- experiment design readouts
+
+#: two-sided 5% / 80%-power normal quantiles (closed-form experiment
+#: sizing constants; embedded as identical double literals in the Spark
+#: plan and the DuckDB oracle)
+Z_975 = 1.959963984540054
+Z_80 = 0.8416212335729143
+
+
+def power_mde(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Minimum detectable effect at 80% power / 5% two-sided alpha for
+    the per-user value metric between the deterministic user halves
+    (the ``ab_test`` assignment convention): the pre-experiment sizing
+    readout every experimentation platform ships —
+    ``MDE = (z_{0.975} + z_{0.80}) * sqrt(var_a/n_a + var_b/n_b)``
+    (standard two-sample normal approximation, e.g. Kohavi, Tang & Xu
+    2020 ch. 17).  Reports per-variant n/mean/variance, the absolute
+    MDE and the relative MDE against the pooled mean — "what lift
+    could this experiment even see".
+
+    Scale shape: one user-keyed combinable reduction builds the
+    6-dp-DECIMAL-quantized per-user metric (exact in any addition
+    order); the moment fold (n, Σv, Σv²) is a 2-row DECIMAL aggregate;
+    the MDE is final 2-row double arithmetic.  100×: nothing after the
+    per-user reduction exceeds 2 rows.
+    """
+    vq = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    per_user = events.groupBy(key_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == conversion_type, vq)),
+            F.lit(0).cast("decimal(18,6)"),
+        ).alias("v")
+    )
+    mom = (
+        per_user.select(
+            F.when(F.col(key_col) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "v",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v").cast("decimal(38,6)").alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)")).alias("ss"),
+        )
+    )
+    a = mom.filter(F.col("variant") == "A").select(
+        *[F.col(c).alias(f"{c}_a") for c in ("n", "s", "ss")]
+    )
+    b = mom.filter(F.col("variant") == "B").select(
+        *[F.col(c).alias(f"{c}_b") for c in ("n", "s", "ss")]
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    mean_a = d("s_a") / d("n_a")
+    mean_b = d("s_b") / d("n_b")
+    var_a = d("ss_a") / d("n_a") - mean_a * mean_a
+    var_b = d("ss_b") / d("n_b") - mean_b * mean_b
+    mde = F.lit(Z_975 + Z_80) * F.sqrt(var_a / d("n_a") + var_b / d("n_b"))
+    pooled = (d("s_a") + d("s_b")) / (d("n_a") + d("n_b"))
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(var_a, 6).alias("var_a"),
+        F.round(var_b, 6).alias("var_b"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.when(pooled > 0, F.round(mde / pooled, 6)).alias("mde_rel"),
+    )
+
+
+def sql_power_mde(conversion_type: str = "purchase") -> str:
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN event_type = '{conversion_type}' THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           0::DECIMAL(18,6)) AS v
+  FROM events GROUP BY 1),
+pv AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         count(*)::BIGINT AS n,
+         sum(v)::DECIMAL(38,6) AS s,
+         sum((v * v)::DECIMAL(38,12)) AS ss
+  FROM per_user GROUP BY 1),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         a.s::DOUBLE AS s_a, b.s::DOUBLE AS s_b,
+         a.ss::DOUBLE AS ss_a, b.ss::DOUBLE AS ss_b
+  FROM (SELECT * FROM pv WHERE variant = 'A') a,
+       (SELECT * FROM pv WHERE variant = 'B') b),
+g AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS mean_a, s_b / n_b AS mean_b,
+         ss_a / n_a - (s_a / n_a) * (s_a / n_a) AS var_a,
+         ss_b / n_b - (s_b / n_b) * (s_b / n_b) AS var_b,
+         (s_a + s_b) / (n_a + n_b) AS pooled
+  FROM j),
+h AS (
+  SELECT *,
+         {Z_975 + Z_80!r} * sqrt(var_a / n_a + var_b / n_b) AS mde
+  FROM g)
+SELECT n_a, n_b,
+       round(mean_a, 6) AS mean_a,
+       round(mean_b, 6) AS mean_b,
+       round(var_a, 6) AS var_a,
+       round(var_b, 6) AS var_b,
+       round(mde, 6) AS mde_abs,
+       CASE WHEN pooled > 0 THEN round(mde / pooled, 6) END AS mde_rel
+FROM h
+"""
+
+
+def diff_in_diff(
+    events: DataFrame,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Difference-in-differences readout between the deterministic user
+    halves across the time-range midpoint (the ``ab_cuped``
+    pre/post-split convention): DiD = (ȳ_B − x̄_B) − (ȳ_A − x̄_A) on
+    per-user pre (x) / post (y) value totals — the parallel-trends
+    estimator (Card & Krueger 1994's canonical design) that removes
+    any level difference the hash assignment left between the groups.
+    The standard error comes from the per-user change d = y − x
+    (var(d) folds off the same moments: Σd = Σy − Σx,
+    Σd² = Σy² − 2Σxy + Σx²), so the z-score needs no extra pass.
+
+    Scale shape: identical to ``ab_cuped`` — one user-keyed combinable
+    (x, y) DECIMAL reduction, a 2-row moment fold, final 2-row double
+    arithmetic.  100×: nothing after the per-user reduction exceeds
+    2 rows.
+    """
+    vq = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    bounds = events.agg(
+        F.min("ts").alias("_mn"), F.max("ts").alias("_mx")
+    ).select(
+        F.floor((F.col("_mn") + F.col("_mx")) / 2).cast("long").alias("_mid")
+    )
+    per_user = (
+        events.crossJoin(F.broadcast(bounds))
+        .groupBy(key_col)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < F.col("_mid"), vq)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= F.col("_mid"), vq)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("y"),
+        )
+        .select(
+            F.when(F.col(key_col) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    mom = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,6)").alias("sx"),
+        F.sum("y").cast("decimal(38,6)").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,12)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,12)")).alias("syy"),
+    )
+    a = mom.filter(F.col("variant") == "A").select(
+        *[F.col(c).alias(f"{c}_a") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    b = mom.filter(F.col("variant") == "B").select(
+        *[F.col(c).alias(f"{c}_b") for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    j = a.crossJoin(F.broadcast(b))
+
+    def d(c):
+        return F.col(c).cast("double")
+
+    def per_variant(v):
+        n = d(f"n_{v}")
+        sd = d(f"sy_{v}") - d(f"sx_{v}")
+        sdd = d(f"syy_{v}") - 2 * d(f"sxy_{v}") + d(f"sxx_{v}")
+        mean_d = sd / n
+        var_d = sdd / n - mean_d * mean_d
+        return mean_d, var_d, n
+
+    mean_d_a, var_d_a, n_a = per_variant("a")
+    mean_d_b, var_d_b, n_b = per_variant("b")
+    did = mean_d_b - mean_d_a
+    se = F.sqrt(var_d_a / n_a + var_d_b / n_b)
+    return j.select(
+        F.col("n_a"),
+        F.col("n_b"),
+        F.round(d("sx_a") / n_a, 6).alias("pre_a"),
+        F.round(d("sy_a") / n_a, 6).alias("post_a"),
+        F.round(d("sx_b") / n_b, 6).alias("pre_b"),
+        F.round(d("sy_b") / n_b, 6).alias("post_b"),
+        F.round(did, 6).alias("did"),
+        F.when(se > 0, F.round(did / se, 6)).alias("z_score"),
+    )
+
+
+def sql_diff_in_diff() -> str:
+    return """
+WITH bounds AS (
+  SELECT CAST(floor((min(epoch_ms(ts)) + max(epoch_ms(ts))) / 2) AS BIGINT)
+           AS mid
+  FROM events),
+per_user AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN epoch_ms(ts) < mid THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           0::DECIMAL(18,6)) AS x,
+         coalesce(sum(CASE WHEN epoch_ms(ts) >= mid THEN
+           CAST(round(value, 6) AS DECIMAL(18,6)) END),
+           0::DECIMAL(18,6)) AS y
+  FROM events, bounds GROUP BY 1),
+pv AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+         count(*)::BIGINT AS n,
+         sum(x)::DECIMAL(38,6) AS sx, sum(y)::DECIMAL(38,6) AS sy,
+         sum((x * x)::DECIMAL(38,12)) AS sxx,
+         sum((x * y)::DECIMAL(38,12)) AS sxy,
+         sum((y * y)::DECIMAL(38,12)) AS syy
+  FROM per_user GROUP BY 1),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         a.sx::DOUBLE AS sx_a, b.sx::DOUBLE AS sx_b,
+         a.sy::DOUBLE AS sy_a, b.sy::DOUBLE AS sy_b,
+         a.sxx::DOUBLE AS sxx_a, b.sxx::DOUBLE AS sxx_b,
+         a.sxy::DOUBLE AS sxy_a, b.sxy::DOUBLE AS sxy_b,
+         a.syy::DOUBLE AS syy_a, b.syy::DOUBLE AS syy_b
+  FROM (SELECT * FROM pv WHERE variant = 'A') a,
+       (SELECT * FROM pv WHERE variant = 'B') b),
+g AS (
+  SELECT *,
+         (sy_a - sx_a) / n_a AS mean_d_a,
+         (sy_b - sx_b) / n_b AS mean_d_b,
+         (syy_a - 2 * sxy_a + sxx_a) / n_a
+           - ((sy_a - sx_a) / n_a) * ((sy_a - sx_a) / n_a) AS var_d_a,
+         (syy_b - 2 * sxy_b + sxx_b) / n_b
+           - ((sy_b - sx_b) / n_b) * ((sy_b - sx_b) / n_b) AS var_d_b
+  FROM j),
+h AS (
+  SELECT *,
+         mean_d_b - mean_d_a AS did,
+         sqrt(var_d_a / n_a + var_d_b / n_b) AS se
+  FROM g)
+SELECT n_a, n_b,
+       round(sx_a / n_a, 6) AS pre_a,
+       round(sy_a / n_a, 6) AS post_a,
+       round(sx_b / n_b, 6) AS pre_b,
+       round(sy_b / n_b, 6) AS post_b,
+       round(did, 6) AS did,
+       CASE WHEN se > 0 THEN round(did / se, 6) END AS z_score
+FROM h
+"""

@@ -1100,3 +1100,123 @@ SELECT doc_id, rank::INT AS rank, frame_idx::BIGINT AS frame_idx,
        phash, gain
 FROM ({union})
 """
+
+
+# ----------------------------------------------- DCT perceptual hash
+
+PHASH_DCT_SIDE = 8
+PHASH_DCT_LOW = 4
+
+
+def _dct_basis(side: int = PHASH_DCT_SIDE, low: int = PHASH_DCT_LOW):
+    """Orthonormal 2-D DCT-II basis vectors for the ``low × low``
+    low-frequency block, flattened row-major over the ``side × side``
+    pixel grid.  Returned as ((u, v), [side² floats]) in row-major
+    (u, v) order — plain Python floats, embedded as IDENTICAL literals
+    in the Spark plan and the DuckDB oracle."""
+    import math
+
+    out = []
+    for u in range(low):
+        for v in range(low):
+            au = math.sqrt(1.0 / side) if u == 0 else math.sqrt(2.0 / side)
+            av = math.sqrt(1.0 / side) if v == 0 else math.sqrt(2.0 / side)
+            b = [
+                au * av
+                * math.cos((2 * x + 1) * u * math.pi / (2 * side))
+                * math.cos((2 * y + 1) * v * math.pi / (2 * side))
+                for x in range(side)
+                for y in range(side)
+            ]
+            out.append(((u, v), b))
+    return out
+
+
+def dct_phash(binary_table: DataFrame) -> DataFrame:
+    """Real DCT perceptual hash over the stub-decoded pixel grid — the
+    production pHash kernel (Zauner 2010, "Implementation and
+    Benchmarking of Perceptual Image Hash Functions"): sample the
+    payload to an 8×8 grid (:func:`resize_images`, the decode stub),
+    take the 2-D DCT-II, keep the 4×4 low-frequency block, and set bit
+    i when coefficient i exceeds the MEDIAN of the 15 non-DC
+    coefficients — a 15-bit hash robust to brightness/scale changes
+    where the byte-threshold stub (:func:`frame_phashes`, which this
+    upgrades per its own "production: DCT pHash" note) is not.
+    Output: ``(doc_id, phash, n_same)`` with ``n_same`` the collision
+    group size (exact perceptual-duplicate clusters).
+
+    Scale shape: the DCT is 16 dot products of the 64-long pixel array
+    against constant basis vectors — pure JVM column expressions
+    (zip_with + aggregate inside whole-stage codegen, NO Python in the
+    hot path; the only Python is the Arrow-batched decode stub that a
+    real decoder would replace).  Coefficients quantize to 6 dp before
+    the median/threshold so the bit pattern is engine-exact; the group
+    count is one hash-keyed window over register-sized rows.
+    """
+    px = resize_images(
+        binary_table, PHASH_DCT_SIDE, PHASH_DCT_SIDE
+    ).select("doc_id", F.col("pixels").alias("px"))
+    basis = _dct_basis()
+    coeff_cols = []
+    for (u, v), b in basis:
+        arr = F.array(*[F.lit(w) for w in b])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("px"), arr, lambda p, w: p.cast("double") * w
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        coeff_cols.append(F.round(dot, 6).alias(f"c_{u}_{v}"))
+    df = px.select("doc_id", *coeff_cols)
+    non_dc = [f"c_{u}_{v}" for (u, v), _ in basis if (u, v) != (0, 0)]
+    med = F.element_at(
+        F.array_sort(F.array(*[F.col(c) for c in non_dc])),
+        (len(non_dc) + 1) // 2,
+    )
+    phash = None
+    for i, c in enumerate(non_dc):
+        bit = F.when(F.col(c) > med, F.lit(1 << i)).otherwise(F.lit(0))
+        phash = bit if phash is None else phash + bit
+    out = df.select("doc_id", phash.cast("long").alias("phash"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phash")
+    return out.withColumn(
+        "n_same", F.count(F.lit(1)).over(w).cast("long")
+    )
+
+
+def sql_dct_phash() -> str:
+    side, wh = PHASH_DCT_SIDE, PHASH_DCT_SIDE * PHASH_DCT_SIDE
+    basis = _dct_basis()
+    coeffs = []
+    for (u, v), b in basis:
+        # explicit left-associated sum: same fold order as the Spark
+        # aggregate, so the double is bit-identical before round()
+        terms = " + ".join(f"px[{k + 1}] * {w!r}" for k, w in enumerate(b))
+        coeffs.append(f"round({terms}, 6) AS c_{u}_{v}")
+    non_dc = [f"c_{u}_{v}" for (u, v), _ in basis if (u, v) != (0, 0)]
+    med_idx = (len(non_dc) + 1) // 2
+    bits = " + ".join(
+        f"CASE WHEN {c} > med THEN {1 << i} ELSE 0 END"
+        for i, c in enumerate(non_dc)
+    )
+    return f"""
+WITH hx AS (SELECT doc_id, hex(encode(text)) AS h,
+                   octet_length(encode(text)) AS n
+            FROM documents),
+px AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, {wh - 1}),
+             k -> (('0x' || substr(h, 2 * ((k * n) // {wh}) + 1, 2))::BIGINT)
+                  ::DOUBLE) AS px
+  FROM hx),
+co AS (SELECT doc_id, {', '.join(coeffs)} FROM px),
+md AS (
+  SELECT *, (list_sort([{', '.join(non_dc)}]))[{med_idx}] AS med FROM co),
+ph AS (SELECT doc_id, ({bits})::BIGINT AS phash FROM md)
+SELECT doc_id, phash,
+       count(*) OVER (PARTITION BY phash)::BIGINT AS n_same
+FROM ph
+"""

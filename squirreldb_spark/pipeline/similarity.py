@@ -471,11 +471,40 @@ def duck_auto_planes_cte(table: str = "embeddings") -> str:
     self-tuned plane count above 16 384 vectors).  n/256 is exact in
     doubles (256 is a power of two) and log2 hits representable values
     only at exact powers, so ceil() agrees bit-for-bit with Python's
-    ``math.ceil(math.log2(n / target))`` at every n."""
-    return (
-        "SELECT greatest(6, CAST(ceil(log2(greatest(count(*), 1) / "
-        f"{float(KNN_GRAPH_DENSITY_TARGET)!r})) AS INT)) AS p FROM {table}"
+    ``math.ceil(math.log2(n / target))`` at every n.
+
+    The computed count is runtime-guarded against AUTO_PLANES_MAX
+    (ADVICE r12: ``duck_bucket_expr_auto`` gates only the first 24
+    bits, so a corpus large enough to push the auto rule past 24 —
+    ~4.3 B rows — would silently drop high bits and surface only as an
+    unexplained hash mismatch; error() fails loudly instead)."""
+    p = (
+        "greatest(6, CAST(ceil(log2(greatest(count(*), 1) / "
+        f"{float(KNN_GRAPH_DENSITY_TARGET)!r})) AS INT))"
     )
+    return (
+        f"SELECT CASE WHEN {p} > {AUTO_PLANES_MAX} THEN CAST(error("
+        f"'auto plane count exceeds AUTO_PLANES_MAX={AUTO_PLANES_MAX}; "
+        f"widen duck_bucket_expr_auto') AS INT) ELSE {p} END AS p "
+        f"FROM {table}"
+    )
+
+
+def duck_np_cte(n_planes: int | None, table: str = "embeddings") -> str:
+    """The one-row plane-count CTE shared by the kNN-graph oracles:
+    explicit counts are validated against the gated-bit budget
+    (ADVICE r12 — an n_planes > AUTO_PLANES_MAX would silently drop
+    high bucket bits in ``duck_bucket_expr_auto`` while the Spark side
+    uses the full plane set); ``None`` defers to the runtime-guarded
+    auto rule."""
+    if n_planes is not None:
+        if n_planes > AUTO_PLANES_MAX:
+            raise ValueError(
+                f"n_planes={n_planes} exceeds the oracle's gated-bit "
+                f"budget AUTO_PLANES_MAX={AUTO_PLANES_MAX}"
+            )
+        return f"np AS (SELECT {n_planes} AS p)"
+    return f"np AS ({duck_auto_planes_cte(table)})"
 
 
 def duck_bucket_expr_auto(vec: str, dim: int, pcol: str = "p") -> str:
@@ -2555,10 +2584,7 @@ def sql_hubness(
     (ADVICE r11 — the fixed-6 oracle diverged from the self-tuning
     kernel above 16 384 vectors), so the oracle stays hash-identical
     at ANY corpus size, not just the ≤16k attestation convention."""
-    if n_planes is not None:
-        np_cte = f"np AS (SELECT {n_planes} AS p)"
-    else:
-        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    np_cte = duck_np_cte(n_planes)
     bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3001,10 +3027,7 @@ def sql_knn_label_purity(
 ) -> str:
     """``n_planes=None`` computes the plane count from count(*) with the
     Spark side's auto rule (see :func:`sql_hubness` — ADVICE r11)."""
-    if n_planes is not None:
-        np_cte = f"np AS (SELECT {n_planes} AS p)"
-    else:
-        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    np_cte = duck_np_cte(n_planes)
     bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
     return f"""
 WITH base AS (
@@ -3490,10 +3513,7 @@ def sql_knn_reciprocity(
     dim: int = 64,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
-    if n_planes is not None:
-        np_cte = f"np AS (SELECT {n_planes} AS p)"
-    else:
-        np_cte = f"np AS ({duck_auto_planes_cte()})"
+    np_cte = duck_np_cte(n_planes)
     bexpr = duck_bucket_expr_auto("v", dim, pcol="np.p")
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -3659,6 +3679,57 @@ FROM z2, dims GROUP BY 1 ORDER BY 1
 TOP_PC_ITERS = 8
 
 
+def _cov_table(emb: DataFrame, vec_col: str) -> DataFrame:
+    """Quantized-DECIMAL covariance of the embedding cloud as a lazy
+    dim²-row table ``(i, j, _n, c)`` — the ONE corpus pass shared by
+    :func:`top_pc` and :func:`effective_rank`: a double posexplode
+    emits dim² 12-dp-DECIMAL-quantized products per row that the
+    map-side combiner collapses before the exchange (the corpus never
+    shuffles; the exchange carries dim² rows)."""
+    xq7 = "transform({c}, x -> round(cast(x as double), 7))"
+    base = emb.select(F.expr(xq7.format(c=vec_col)).alias("xq"))
+    # Read-parallelism normalization for the dim²-amplified map stage:
+    # the moment scan does dim² quantized-DECIMAL products per input
+    # row, so a small input that arrives as ONE scan partition pins the
+    # whole stage on one core (measured 13 s vs 1.5 s at sf0.1, where
+    # the parquet file is a single row group). The gate reads
+    # driver-side leaf-scan metadata (inputFiles), NOT .rdd — the .rdd
+    # access forced plan analysis through the legacy RDD path on every
+    # call (r12 review). The repartition is input-sized (raw vectors,
+    # once) and CONDITIONAL: a real corpus layout has >= cores files
+    # and never takes it; a non-file source (in-memory test relation)
+    # is small enough that the amplified stage needs no spreading.
+    spark = emb.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    files = emb.inputFiles()
+    if files and len(files) < cores:
+        base = base.repartition(cores)
+    moments = (
+        base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
+        .select("i", "xi", F.posexplode("xq").alias("j", "xj"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(
+                F.round(F.col("xi") * F.col("xj"), 12).cast("decimal(38,12)")
+            ).alias("_sij"),
+            F.sum(F.round(F.col("xi"), 7).cast("decimal(18,7)")).alias("_si"),
+            F.sum(F.round(F.col("xj"), 7).cast("decimal(18,7)")).alias("_sj"),
+        )
+    )
+    n = F.col("_n")
+    return moments.select(
+        "i",
+        "j",
+        "_n",
+        (
+            F.col("_sij").cast("double") / n
+            - (F.col("_si").cast("double") / n)
+            * (F.col("_sj").cast("double") / n)
+        ).alias("c"),
+    )
+
+
 def top_pc(
     emb: DataFrame,
     iters: int = TOP_PC_ITERS,
@@ -3689,48 +3760,13 @@ def top_pc(
     100×: corpus cost is the single moment scan; iteration cost is
     O(dim²) per round regardless of corpus size.
     """
-    xq7 = "transform({c}, x -> round(cast(x as double), 7))"
-    base = emb.select(F.expr(xq7.format(c=vec_col)).alias("xq"))
-    # Read-parallelism normalization for the dim²-amplified map stage:
-    # the moment scan does dim² quantized-DECIMAL products per input
-    # row, so a small input that arrives as ONE scan partition pins the
-    # whole stage on one core (measured 13 s vs 1.5 s at sf0.1, where
-    # the parquet file is a single row group). The repartition is
-    # input-sized (raw vectors, once) and CONDITIONAL: a real corpus
-    # scan already has >= cores partitions and never takes it.
-    spark = emb.sparkSession
-    cores = spark.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < cores:
-        base = base.repartition(cores)
-    moments = (
-        base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
-        .select("i", "xi", F.posexplode("xq").alias("j", "xj"))
-        .groupBy("i", "j")
-        .agg(
-            F.count(F.lit(1)).alias("_n"),
-            F.sum(
-                F.round(F.col("xi") * F.col("xj"), 12).cast("decimal(38,12)")
-            ).alias("_sij"),
-            F.sum(F.round(F.col("xi"), 7).cast("decimal(18,7)")).alias("_si"),
-            F.sum(F.round(F.col("xj"), 7).cast("decimal(18,7)")).alias("_sj"),
-        )
-    )
-    n = F.col("_n")
     # one partition for the checkpointed dim²-row table: every
     # iteration job then runs one task instead of shuffle-partition
     # many (the matvec rounds are driver-loop jobs, so per-job task
     # overhead — not data — dominated the iterative cost: 32-task
     # rounds measured ~27 s at sf0.1, single-task ~a third of that)
-    cov = moments.select(
-        "i",
-        "j",
-        "_n",
-        (
-            F.col("_sij").cast("double") / n
-            - (F.col("_si").cast("double") / n)
-            * (F.col("_sj").cast("double") / n)
-        ).alias("c"),
-    ).coalesce(1).localCheckpoint()
+    spark = emb.sparkSession
+    cov = _cov_table(emb, vec_col).coalesce(1).localCheckpoint()
 
     def q12(col):
         return F.round(col, 12).cast("decimal(28,12)")
@@ -3798,6 +3834,88 @@ def top_pc(
     )
 
 
+#: shared quantized-covariance CTE prefix (mirrors :func:`_cov_table`)
+_COV_CTES = """base AS (
+  SELECT list_transform(embedding::DOUBLE[], x -> round(x, 7)) AS xq
+  FROM embeddings),
+pairs AS (
+  SELECT gi.i - 1 AS i, gj.j - 1 AS j, xq[gi.i] AS xi, xq[gj.j] AS xj
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS i) gi,
+       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS j) gj),
+moments AS (
+  SELECT i, j, count(*)::BIGINT AS n,
+         sum(CAST(round(xi * xj, 12) AS DECIMAL(38,12))) AS sij,
+         sum(CAST(round(xi, 7) AS DECIMAL(18,7))) AS si,
+         sum(CAST(round(xj, 7) AS DECIMAL(18,7))) AS sj
+  FROM pairs GROUP BY 1, 2),
+cov AS MATERIALIZED (
+  SELECT i, j, n,
+         sij::DOUBLE / n - (si::DOUBLE / n) * (sj::DOUBLE / n) AS c
+  FROM moments)"""
+
+
+def effective_rank(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Effective rank of the embedding cloud via the participation
+    ratio PR = (Σλ)² / Σλ² = trace(C)² / ‖C‖²_F — "how many dimensions
+    does the variance actually live in", the spectrum-concentration
+    readout (Roy & Vetterli 2007 effective rank; the participation
+    ratio is its order-2 Rényi variant, standard in random-matrix
+    analyses of representation collapse).  Complements ``emb_top_pc``
+    (the λ₁ view) and ``emb_isotropy`` (the mean-direction view)
+    WITHOUT any eigendecomposition: trace(C) = Σλ and, for symmetric
+    C, ‖C‖²_F = trace(C²) = Σλ², so both folds read straight off the
+    covariance table.
+
+    Scale shape: the corpus appears only in :func:`_cov_table`'s ONE
+    combiner-collapsed dim² moment scan (the exchange carries dim²
+    rows); the trace and Frobenius folds are a single aggregate over
+    that dim²-row table — no iteration, no second pass, no collect.
+    Every cross-row sum is 12-dp-DECIMAL-quantized so the DuckDB
+    oracle folds bit-equal.
+    """
+    cov = _cov_table(emb, vec_col)
+
+    def q12(col):
+        return F.round(col, 12).cast("decimal(28,12)")
+
+    diag = F.col("i") == F.col("j")
+    agg = cov.agg(
+        F.sum(F.when(diag, q12(F.col("c")))).alias("_tr"),
+        F.sum(q12(F.col("c") * F.col("c"))).alias("_fr"),
+        F.max(F.when(diag, F.col("_n"))).cast("long").alias("n_vectors"),
+        (F.max("i") + 1).cast("long").alias("dim"),
+    )
+    tr = F.col("_tr").cast("double")
+    fr = F.col("_fr").cast("double")
+    return agg.select(
+        "n_vectors",
+        "dim",
+        F.round(tr, 6).alias("trace_var"),
+        F.round(fr, 6).alias("frob_sq"),
+        F.when(fr > 0, F.round(tr * tr / fr, 6)).alias("effective_rank"),
+    )
+
+
+def sql_effective_rank() -> str:
+    return f"""
+WITH {_COV_CTES},
+agg AS (
+  SELECT sum(CASE WHEN i = j
+                  THEN CAST(round(c, 12) AS DECIMAL(28,12)) END)::DOUBLE
+           AS tr,
+         sum(CAST(round(c * c, 12) AS DECIMAL(28,12)))::DOUBLE AS fr,
+         max(CASE WHEN i = j THEN n END)::BIGINT AS n_vectors,
+         (max(i) + 1)::BIGINT AS dim
+  FROM cov)
+SELECT n_vectors, dim,
+       round(tr, 6) AS trace_var,
+       round(fr, 6) AS frob_sq,
+       CASE WHEN fr > 0 THEN round(tr * tr / fr, 6) END AS effective_rank
+FROM agg
+"""
+
+
 def sql_top_pc(iters: int = TOP_PC_ITERS) -> str:
     # every iteration CTE is AS MATERIALIZED: the chain references each
     # w/v twice, and DuckDB's default inlining re-evaluates the whole
@@ -3819,24 +3937,7 @@ v{t + 1} AS MATERIALIZED (
   SELECT i AS vi, round(w / sqrt(n2), 9) AS v FROM w{t}, n{t})""")
         prev = f"v{t + 1}"
     return f"""
-WITH base AS (
-  SELECT list_transform(embedding::DOUBLE[], x -> round(x, 7)) AS xq
-  FROM embeddings),
-pairs AS (
-  SELECT gi.i - 1 AS i, gj.j - 1 AS j, xq[gi.i] AS xi, xq[gj.j] AS xj
-  FROM base,
-       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS i) gi,
-       LATERAL (SELECT unnest(generate_series(1, len(xq))) AS j) gj),
-moments AS (
-  SELECT i, j, count(*)::BIGINT AS n,
-         sum(CAST(round(xi * xj, 12) AS DECIMAL(38,12))) AS sij,
-         sum(CAST(round(xi, 7) AS DECIMAL(18,7))) AS si,
-         sum(CAST(round(xj, 7) AS DECIMAL(18,7))) AS sj
-  FROM pairs GROUP BY 1, 2),
-cov AS MATERIALIZED (
-  SELECT i, j, n,
-         sij::DOUBLE / n - (si::DOUBLE / n) * (sj::DOUBLE / n) AS c
-  FROM moments),
+WITH {_COV_CTES},
 d AS (SELECT max(i) + 1 AS d FROM cov),
 v0 AS MATERIALIZED (
   SELECT DISTINCT i AS vi, round(1.0 / sqrt(d), 9) AS v FROM cov, d),

@@ -56,11 +56,21 @@ class Mat:
 
     ``labels`` is None for plain matrix selectors (full label set); a
     subquery's inner aggregation may have reduced it.
+
+    ``pinned_grid`` is set for ``@``-pinned subqueries: a 1-row grid
+    holding the effective pinned timestamp. The window content is then
+    step-invariant (upstream wraps the whole ``f(sub @ T)`` call in a
+    StepInvariantExpr and evaluates it once, promql/engine.go), so the
+    consuming range function evaluates ONCE on this grid and the
+    per-series result is broadcast across the outer grid — never by
+    replicating the window's points per step, which would let replicas
+    slide into neighboring steps' windows and double-count.
     """
 
     points: DataFrame
     range_ms: int
     labels: tuple[str, ...] | None = None
+    pinned_grid: DataFrame | None = None
 
 
 _RANGE_FNS = {
@@ -736,20 +746,21 @@ class PromQLEngine:
                 inner = inner_engine._eval(node.inner)
                 assert isinstance(inner, Vec), (
                     "subquery inner must be an instant vector")
-                # replay the fixed window at every outer step: point at
-                # (T_eff - d) maps to (outer_step - d)
-                pts = (
-                    inner.df.withColumnRenamed("step_ts", "ts")
-                    .crossJoin(F.broadcast(tdf.select(teff)))
-                    .crossJoin(self.grid.select(F.col("step_ts").alias("_os")))
-                    .select(
-                        *inner.labels,
-                        (F.col("_os") - (F.col("_te") - F.col("ts")))
-                        .cast("long").alias("ts"),
-                        "value",
-                    )
+                # the pinned window is step-invariant: keep the single
+                # window's points at their real timestamps and hand the
+                # consumer the 1-row pinned grid. The consuming range
+                # function evaluates once at T_eff and the result is
+                # broadcast across the outer grid (_spread_pinned) —
+                # replicating points per outer step is WRONG for
+                # duplicate-sensitive functions (count/sum/avg/rate):
+                # replicas made for step s also land in the sliding
+                # windows of neighboring steps, inflating their counts.
+                pts = inner.df.withColumnRenamed("step_ts", "ts")
+                pinned = tdf.select(teff).select(
+                    F.col("_te").cast("long").alias("step_ts")
                 )
-                return Mat(pts, node.range_ms, labels=inner.labels)
+                return Mat(pts, node.range_ms, labels=inner.labels,
+                           pinned_grid=pinned)
             inner = inner_engine._eval(node.inner)
             assert isinstance(inner, Vec), "subquery inner must be an instant vector"
             pts = inner.df.withColumnRenamed("step_ts", "ts")
@@ -822,6 +833,19 @@ class PromQLEngine:
             df = df.select(*labels, "step_ts", "value")
         return Vec(df, tuple(labels))
 
+    def _mat_grid(self, mat: Mat) -> DataFrame:
+        """Grid a range function should evaluate ``mat`` on: the 1-row
+        pinned grid for an ``@``-pinned subquery (evaluate once), the
+        query grid otherwise."""
+        return mat.pinned_grid if mat.pinned_grid is not None else self.grid
+
+    def _spread_pinned(self, mat: Mat, df: DataFrame) -> DataFrame:
+        """Broadcast a pinned (step-invariant) range-function result
+        across the outer grid; identity for ordinary range vectors."""
+        if mat.pinned_grid is None:
+            return df
+        return df.drop("step_ts").crossJoin(F.broadcast(self.grid))
+
     def _eval_function(self, node: A.FunctionCall):
         name = node.name
         if name in _RANGE_FNS:
@@ -830,24 +854,27 @@ class PromQLEngine:
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.extrapolated(
                 mat.points, keys, self.step_ms, mat.range_ms,
-                grid=self.grid, **_RANGE_FNS[name],
+                grid=self._mat_grid(mat), **_RANGE_FNS[name],
             )
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, tuple(keys)))
         if name in _INSTANT_RANGE:
             mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.instantaneous(
                 mat.points, keys, self.step_ms, mat.range_ms,
-                is_rate=_INSTANT_RANGE[name], grid=self.grid,
+                is_rate=_INSTANT_RANGE[name], grid=self._mat_grid(mat),
             )
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, tuple(keys)))
         if name in _OVER_TIME_FNS:
             mat = self._routed_mat(node.args[0], name) or self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms,
-                _OVER_TIME_FNS[name], grid=self.grid,
+                _OVER_TIME_FNS[name], grid=self._mat_grid(mat),
             )
+            df = self._spread_pinned(mat, df)
             vec = Vec(df, tuple(keys))
             # last_over_time is the one *_over_time that KEEPS the metric
             # name (upstream functions.go funcLastOverTime)
@@ -858,23 +885,27 @@ class PromQLEngine:
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms,
-                "quantile", quantile=q, grid=self.grid,
+                "quantile", quantile=q, grid=self._mat_grid(mat),
             )
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, tuple(keys)))
         if name == "mad_over_time":
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.mad_over_time(
-                mat.points, keys, self.step_ms, mat.range_ms, grid=self.grid,
+                mat.points, keys, self.step_ms, mat.range_ms,
+                grid=self._mat_grid(mat),
             )
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, tuple(keys)))
         if name in ("resets", "changes"):
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = range_fns.resets_changes(
                 mat.points, keys, self.step_ms, mat.range_ms, name,
-                grid=self.grid,
+                grid=self._mat_grid(mat),
             )
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, tuple(keys)))
         if name in _SCALAR_FNS:
             vec = self._eval(node.args[0])
@@ -972,14 +1003,16 @@ class PromQLEngine:
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             df = fns.linreg(mat.points, keys, self.step_ms, mat.range_ms,
-                            grid=self.grid)
+                            grid=self._mat_grid(mat))
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, keys))
         if name == "predict_linear":
             mat = self._eval(node.args[0])
             keys = mat.labels if mat.labels is not None else self.label_cols
             t = float(self._eval(node.args[1]))
             df = fns.linreg(mat.points, keys, self.step_ms, mat.range_ms,
-                            predict_s=t, grid=self.grid)
+                            predict_s=t, grid=self._mat_grid(mat))
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, keys))
         if name in ("holt_winters", "double_exponential_smoothing"):
             # Prometheus 3.x renamed holt_winters; both spellings accepted
@@ -999,7 +1032,9 @@ class PromQLEngine:
                     f"invalid trend factor. Expected: 0 < tf < 1, got: {tf}"
                 )
             df = fns.holt_winters(mat.points, keys, self.step_ms,
-                                  mat.range_ms, sf=sf, tf=tf, grid=self.grid)
+                                  mat.range_ms, sf=sf, tf=tf,
+                                  grid=self._mat_grid(mat))
+            df = self._spread_pinned(mat, df)
             return self._drop_name(Vec(df, keys))
         if name == "pi":
             import math
@@ -1025,8 +1060,9 @@ class PromQLEngine:
             keys = mat.labels if mat.labels is not None else self.label_cols
             present = range_fns.over_time(
                 mat.points, keys, self.step_ms, mat.range_ms, "present",
-                grid=self.grid,
+                grid=self._mat_grid(mat),
             )
+            present = self._spread_pinned(mat, present)
             lbls = self._absent_const_labels(node.args[0])
             return Vec(
                 fns.absent(present, self.grid, keys, const_labels=lbls),

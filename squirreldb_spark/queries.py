@@ -3773,6 +3773,79 @@ def q_emb_top_pc(spark, sf_dir):
     return psim.top_pc(emb)
 
 
+# ------------------------------------------------ round-13 additions
+
+
+def q_promql_at_subquery(spark, sf_dir):
+    """Duplicate-SENSITIVE range function over an @-pinned subquery
+    (the r12 ADVICE high fix): count_over_time over the step-invariant
+    pinned window must be CONSTANT across the outer grid — a
+    point-replication implementation leaks replicas into neighboring
+    steps' sliding windows and varies by step (promql/planner.py Mat
+    pinned_grid)."""
+    return _promql(
+        f"count_over_time(purchase[14d:1d] @ {AT_TS_MS // 1000})"
+    )(spark, sf_dir)
+
+
+SQL_PROMQL_AT_SUBQUERY = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+igrid AS (SELECT unnest(generate_series({AT_TS_MS} - 13 * 86400000,
+                                        {AT_TS_MS}, 86400000)) AS istep),
+inst AS (
+  SELECT p.user_id, i.istep, arg_max(p.value, p.ts) AS value
+  FROM pts p, igrid i
+  WHERE p.ts > i.istep - {LOOKBACK_MS} AND p.ts <= i.istep
+    AND p.event_type = 'purchase'
+  GROUP BY 1, 2),
+cnt AS (SELECT user_id, count(*)::DOUBLE AS value FROM inst GROUP BY 1)
+SELECT c.user_id, g.step_ts, round(c.value, 6) AS value FROM cnt c, grid g
+"""
+
+
+def q_doc_oph_minhash(spark, sf_dir):
+    """One-permutation-hashing MinHash (Li, Owen & Zhang 2012;
+    Shrivastava & Li 2014 densification) -> banded LSH near-dup pairs:
+    ONE hash per shingle instead of K — the 100 TB signature scale
+    path, through the same banding/cap machinery as
+    doc_minhash_lsh_pairs (pipeline/dedup.py oph_neardup_pairs)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pdedup.oph_neardup_pairs(docs)
+
+
+def q_emb_effective_rank(spark, sf_dir):
+    """Effective rank (participation ratio (Σλ)²/Σλ²) of the embedding
+    cloud from trace identities alone — spectrum concentration with NO
+    eigendecomposition; one combiner-collapsed dim² moment scan
+    (pipeline/similarity.py effective_rank)."""
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    return psim.effective_rank(emb)
+
+
+def q_ev_power_mde(spark, sf_dir):
+    """Minimum detectable effect at 80% power / 5% alpha for the
+    per-user value metric between the ab_test user halves — the
+    experiment-sizing readout (pipeline/events.py power_mde)."""
+    return pevents.power_mde(_events(spark, sf_dir))
+
+
+def q_ev_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences across the time-range midpoint between
+    the ab_test user halves, with the per-user-change z-score
+    (pipeline/events.py diff_in_diff)."""
+    return pevents.diff_in_diff(_events(spark, sf_dir))
+
+
+def q_mm_phash_dct(spark, sf_dir):
+    """Real DCT perceptual hash (Zauner 2010) over the stub-decoded 8×8
+    grid: 16 constant-basis dot products as pure JVM column
+    expressions, median-thresholded to a 15-bit hash + collision
+    groups (pipeline/multimodal.py dct_phash)."""
+    docs = model.load_table(spark, sf_dir, "documents")
+    return pmm.dct_phash(pmm.as_binary_table(docs))
+
+
 @dataclass(frozen=True)
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -4528,6 +4601,27 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
     ),
     # power-iteration top principal component
     "emb_top_pc": QueryDef(q_emb_top_pc, psim.sql_top_pc()),
+    # ---------------------------------------------- round-13 additions
+    # @-pinned subquery under a duplicate-sensitive range fn
+    "promql_at_subquery": QueryDef(
+        q_promql_at_subquery, SQL_PROMQL_AT_SUBQUERY
+    ),
+    # one-permutation-hashing MinHash near-dup pairs
+    "doc_oph_minhash": QueryDef(
+        q_doc_oph_minhash, pdedup.sql_oph_neardup_pairs()
+    ),
+    # participation-ratio effective rank (no eigendecomposition)
+    "emb_effective_rank": QueryDef(
+        q_emb_effective_rank, psim.sql_effective_rank()
+    ),
+    # experiment-sizing minimum detectable effect
+    "ev_power_mde": QueryDef(q_ev_power_mde, pevents.sql_power_mde()),
+    # difference-in-differences across the midpoint split
+    "ev_diff_in_diff": QueryDef(
+        q_ev_diff_in_diff, pevents.sql_diff_in_diff()
+    ),
+    # DCT perceptual hash + collision groups
+    "mm_phash_dct": QueryDef(q_mm_phash_dct, pmm.sql_dct_phash()),
 }
 
 
@@ -4542,101 +4636,82 @@ WHERE doc_id NOT IN (SELECT doc_id FROM members WHERE NOT is_canonical)
 # changed after their newest green driver row, (2) backfill with the
 # oldest remaining attestations.
 #
-# ROUND-12 QUEUE (recomputed at r11 close by tools/verify_window_queue.py
-# against CORRECTNESS_r01-r10 and the final r11 window): after the r11
-# window attests its 50 rows (32 never-attested kernels, 5 changed
-# kernels, 13 r5-backfill rows), the oldest remaining attestations are
-# the 36 spilled r5 rows
-# (doc_bpe_tokens, promql_agg_group, doc_simhash, emb_ann_lsh, emb_cosine_knn,
-# emb_neardup_pairs, mm_extract_features, mm_resize_images,
-# mm_sample_frames, promql_binop_modpow, promql_binop_sub,
-# promql_clamp_arith, promql_cmp_filter, promql_preagg_route,
-# promql_rate_sum, promql_selector_matchers, promql_subquery,
-# promql_time_timestamp, promql_topk, ts_absent, ts_agg_quantile_by,
-# ts_date_functions, ts_deriv, ts_export_pivot, ts_histogram_quantile,
-# ts_holt_winters, ts_import_roundtrip, ts_increase, ts_index_verify,
-# ts_label_join, ts_label_replace, ts_mad_over_time,
-# ts_preagg_route_rate, ts_predict_linear, ts_quantile_over_time,
-# ts_rate) and the 39-row r6 cohort
-# (api_instant_query, doc_cm_heavyhitters, doc_curation_verdict,
-# doc_dsir_weights, doc_exact_dedup, doc_fingerprint,
-# doc_incremental_dedup, doc_lang_id, doc_minhash_accuracy,
-# doc_mixture_sample, doc_ngram_jaccard, doc_priority_sample,
-# doc_quality_logreg, doc_split_assign, doc_text_stats, emb_ann_ivfpq,
-# emb_ann_ivfpq_refine, emb_ann_lsh_recall, emb_matryoshka_recall,
-# emb_mmr_rerank, emb_range_search, ev_attribution, ev_cooccurrence,
-# ev_hll_distinct, ev_markov_transitions, ev_rfm_segments,
-# mm_scene_changes, promql_double_exp_smoothing, tpch_q10_returned_items,
-# tpch_q6_forecast_revenue, ts_instant_selector, ts_label_values,
-# ts_of_last_over_time, ts_of_max_over_time, ts_of_min_over_time,
-# ts_retention, ts_series_interning, ts_stitch_preagg_raw,
-# ts_tenant_filter) = 75 queued rows; the r12 window takes the 10 new r12 kernels +
-# 4 changed kernels (ratchet rules 0/1) + the FULL 36-row r5 cohort
-# = exactly 50, so after r12 no attestation predates r6; the r6
-# cohort rolls to r13 ahead of the r8 cohort.
+# ROUND-13 QUEUE (recomputed at r12 close by tools/verify_window_queue.py
+# against CORRECTNESS_r01-r12): the r12 window attested 50 rows (10 new
+# r12 kernels + 4 changed + the FULL 36-row r5 cohort), so the oldest
+# remaining attestations are the 39-row r6 cohort; the r13 window takes
+# the 6 new r13 kernels + 5 changed kernels (the @-subquery pinned-window
+# fix's nearest kernel promql_subquery; the duck_np_cte oracle gate's
+# emb_hubness / emb_knn_purity / emb_knn_reciprocity; the inputFiles
+# partition-probe's emb_top_pc) + the FULL 39-row r6 cohort = exactly 50,
+# so after r13 no attestation predates r8 (whose 49-row cohort rolls to
+# r14).
 #
 _VERIFY_FIRST: list[str] = [
-    # --- (0) NEW round-12 kernels (ratchet rule: new kernels enter the
+    # --- (0) NEW round-13 kernels (ratchet rule: new kernels enter the
     # window in the commit that adds them) ---
-    "ev_user_cap_sweep",
-    "ev_ab_cuped",
-    "ev_poisson_dispersion",
-    "doc_kn_logprob",
-    "doc_ngram_entropy_rate",
-    "doc_shard_balance",
-    "doc_cluster_size_dist",
-    "emb_knn_reciprocity",
-    "emb_ood_mahalanobis",
-    "emb_top_pc",
-    # --- (1) kernels CHANGED this round (ratchet rule: re-attest in the
-    # window of the round that touches them): the detector_agreement
-    # pair-cap rewrite, the hubness/knn_purity dynamic-plane oracles and
-    # the value_psi baseline parameter (ADVICE r11 #1-#3) ---
-    "doc_detector_agreement",
+    "promql_at_subquery",
+    "doc_oph_minhash",
+    "emb_effective_rank",
+    "ev_power_mde",
+    "ev_diff_in_diff",
+    "mm_phash_dct",
+    # --- (1) kernels CHANGED this round: promql_subquery (the
+    # @-on-subquery pinned-window fix touches every range-fn consumer;
+    # this is the nearest catalog kernel to the changed code),
+    # emb_hubness / emb_knn_purity / emb_knn_reciprocity (duck_np_cte
+    # AUTO_PLANES_MAX oracle gate, ADVICE r12 low), emb_top_pc (the
+    # .rdd -> inputFiles partition probe, r12 review #5 + the _cov_table
+    # refactor shared with emb_effective_rank) ---
+    "promql_subquery",
     "emb_hubness",
     "emb_knn_purity",
-    "ev_value_psi",
-    # --- (2) r5-era backfill: the ENTIRE remaining r5 cohort (VERDICT
-    # r11 order #2 — after this window no catalog row's newest
-    # attestation predates r6; the 39-row r6 cohort rolls to r13 ahead
-    # of the r8 cohort) ---
-    "doc_bpe_tokens",
-    "doc_simhash",
-    "emb_ann_lsh",
-    "emb_cosine_knn",
-    "emb_neardup_pairs",
-    "mm_extract_features",
-    "mm_resize_images",
-    "mm_sample_frames",
-    "promql_agg_group",
-    "promql_binop_modpow",
-    "promql_binop_sub",
-    "promql_clamp_arith",
-    "promql_cmp_filter",
-    "promql_preagg_route",
-    "promql_rate_sum",
-    "promql_selector_matchers",
-    "promql_subquery",
-    "promql_time_timestamp",
-    "promql_topk",
-    "ts_absent",
-    "ts_agg_quantile_by",
-    "ts_date_functions",
-    "ts_deriv",
-    "ts_export_pivot",
-    "ts_histogram_quantile",
-    "ts_holt_winters",
-    "ts_import_roundtrip",
-    "ts_increase",
-    "ts_index_verify",
-    "ts_label_join",
-    "ts_label_replace",
-    "ts_mad_over_time",
-    "ts_preagg_route_rate",
-    "ts_predict_linear",
-    "ts_quantile_over_time",
-    "ts_rate",
+    "emb_knn_reciprocity",
+    "emb_top_pc",
+    # --- (2) r6-era backfill: the ENTIRE remaining r6 cohort (VERDICT
+    # r12 order #4 — after this window no catalog row's newest
+    # attestation predates r8; the 49-row r8 cohort rolls to r14) ---
+    "api_instant_query",
+    "doc_cm_heavyhitters",
+    "doc_curation_verdict",
+    "doc_dsir_weights",
+    "doc_exact_dedup",
+    "doc_fingerprint",
+    "doc_incremental_dedup",
+    "doc_lang_id",
+    "doc_minhash_accuracy",
+    "doc_mixture_sample",
+    "doc_ngram_jaccard",
+    "doc_priority_sample",
+    "doc_quality_logreg",
+    "doc_split_assign",
+    "doc_text_stats",
+    "emb_ann_ivfpq",
+    "emb_ann_ivfpq_refine",
+    "emb_ann_lsh_recall",
+    "emb_matryoshka_recall",
+    "emb_mmr_rerank",
+    "emb_range_search",
+    "ev_attribution",
+    "ev_cooccurrence",
+    "ev_hll_distinct",
+    "ev_markov_transitions",
+    "ev_rfm_segments",
+    "mm_scene_changes",
+    "promql_double_exp_smoothing",
+    "tpch_q10_returned_items",
+    "tpch_q6_forecast_revenue",
+    "ts_instant_selector",
+    "ts_label_values",
+    "ts_of_last_over_time",
+    "ts_of_max_over_time",
+    "ts_of_min_over_time",
+    "ts_retention",
+    "ts_series_interning",
+    "ts_stitch_preagg_raw",
+    "ts_tenant_filter",
 ]
+
 
 
 CATALOG: dict[str, QueryDef] = {

@@ -391,3 +391,42 @@ def test_golden_subquery_at_modifier(ceng):
         if r["instance"] == "i1"
     }
     assert moving[0] == 1000.0 and moving[120000] == 1060.0
+
+
+def test_golden_subquery_at_duplicate_sensitive(ceng):
+    """Duplicate-SENSITIVE range functions over a pinned subquery.
+
+    Upstream wraps f(sub @ T) in a StepInvariantExpr and evaluates it
+    once; the result is constant across the outer grid. The pinned
+    window (0, 60s] at 10s resolution holds exactly 6 inner steps, so
+    count_over_time is the constant 6 at EVERY outer step (a
+    point-replication implementation leaks replicas into neighboring
+    steps' sliding windows and returns 9-12 varying by step — the r12
+    review finding; max_over_time alone can't catch it because max is
+    duplicate-insensitive)."""
+    cnt = ceng.query_range(
+        "count_over_time(demo_num_cpus[1m:10s] @ 60)"
+    ).collect()
+    assert cnt and all(r["value"] == 6.0 for r in cnt)
+    avg = ceng.query_range(
+        "avg_over_time(demo_num_cpus[1m:10s] @ 60)"
+    ).collect()
+    assert avg and all(
+        r["value"] == (2.0 if r["instance"] == "i1" else 3.0) for r in avg
+    )
+    tot = ceng.query_range(
+        "sum_over_time(demo_num_cpus[1m:10s] @ 60)"
+    ).collect()
+    assert tot and all(
+        r["value"] == (12.0 if r["instance"] == "i1" else 18.0) for r in tot
+    )
+    # rate over the pinned counter window: i1 rises 1..6 over (0,60s]
+    # (delta 5 over 50s, extrapolated 60s/50s -> increase 6, rate 0.1);
+    # i2 doubles it. Constant across steps.
+    rt = ceng.query_range(
+        "rate(demo_cpu_usage_seconds_total[1m:10s] @ 60)"
+    ).collect()
+    assert rt and all(
+        r["value"] == pytest.approx(0.1 if r["instance"] == "i1" else 0.2)
+        for r in rt
+    )

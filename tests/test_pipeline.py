@@ -3519,3 +3519,183 @@ def test_hubness_auto_planes_binding_smoke(spark):
     r = df.collect()[0]
     assert r.n_vectors == n
     assert r.mean_indeg > 0
+
+
+# ------------------------------------------------ round-13 additions
+
+
+def test_power_mde_hand_moments(spark):
+    """A users (0,2) purchase totals 1,3 (mean 2, var 1); B users (1,3)
+    totals 2,6 (mean 4, var 4); non-purchase events contribute 0."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [
+        (0, 0, 0, "purchase", 1.0), (1, 2, 0, "purchase", 3.0),
+        (2, 1, 0, "purchase", 2.0), (3, 3, 0, "purchase", 6.0),
+        (4, 0, 0, "view", 99.0),  # non-conversion: metric unchanged
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.power_mde(ev).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert (r.mean_a, r.mean_b) == (2.0, 4.0)
+    assert (r.var_a, r.var_b) == (1.0, 4.0)
+    expect = (pevents.Z_975 + pevents.Z_80) * math.sqrt(1.0 / 2 + 4.0 / 2)
+    assert r.mde_abs == round(expect, 6)
+    assert r.mde_rel == round(expect / 3.0, 6)
+
+
+def test_diff_in_diff_hand_cells(spark):
+    """A users change +1 each (var 0); B users change +2 and +4 (mean
+    +3, var 1) => DiD = 2, se = sqrt(0/2 + 1/2), z = 2/se."""
+    import math
+
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [
+        # user 0 (A): pre 1 -> post 2 ; user 2 (A): pre 2 -> post 3
+        (0, 0, 0, "x", 1.0), (1, 0, 1000, "x", 2.0),
+        (2, 2, 0, "x", 2.0), (3, 2, 1000, "x", 3.0),
+        # user 1 (B): pre 1 -> post 3 (+2); user 3 (B): pre 2 -> post 6 (+4)
+        (4, 1, 0, "x", 1.0), (5, 1, 1000, "x", 3.0),
+        (6, 3, 0, "x", 2.0), (7, 3, 1000, "x", 6.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.diff_in_diff(ev).collect()[0]
+    assert (r.n_a, r.n_b) == (2, 2)
+    assert (r.pre_a, r.post_a) == (1.5, 2.5)
+    assert (r.pre_b, r.post_b) == (1.5, 4.5)
+    assert r.did == 2.0
+    assert r.z_score == round(2.0 / math.sqrt(0.5), 6)
+
+
+def test_diff_in_diff_zero_variance_null_z(spark):
+    """Identical per-user changes in both variants => se = 0 => z NULL,
+    DiD still reads."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [
+        (0, 0, 0, "x", 1.0), (1, 0, 1000, "x", 2.0),
+        (2, 1, 0, "x", 1.0), (3, 1, 1000, "x", 5.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.diff_in_diff(ev).collect()[0]
+    assert r.did == 3.0 and r.z_score is None
+
+
+def test_oph_signature_densification(spark):
+    """A one-shingle doc fills exactly one bin; every other component
+    must be the rotation-densified borrow m + ((b - j) mod k) * C."""
+    import hashlib
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    sig = pdedup.oph_signatures(docs).collect()[0]
+    h = int(hashlib.md5(b"a b c").hexdigest()[:8], 16)
+    b = h % pdedup.OPH_BINS
+    for j in range(pdedup.OPH_BINS):
+        t = (b - j) % pdedup.OPH_BINS
+        assert sig[f"mh{j}"] == h + t * pdedup.OPH_ROT_C
+
+
+def test_oph_neardup_identical_docs(spark):
+    """Exact duplicates share every bin minimum => all bands collide and
+    the estimated Jaccard is exactly 1."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, txt), (2, txt), (3, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    rows = pdedup.oph_neardup_pairs(docs).collect()
+    pairs = {(r.id_a, r.id_b): r for r in rows}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.n_shared_bands == pdedup.OPH_BANDS and r.est_jaccard == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_effective_rank_one_axis(spark):
+    """Variance on a single axis => participation ratio 1."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    vecs = [(i, [float(x), 0.0, 0.0, 0.0]) for i, x in enumerate([1, 2, 3, 4])]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = psim.effective_rank(emb).collect()[0]
+    assert r.dim == 4 and r.n_vectors == 4
+    assert r.effective_rank == 1.0
+
+
+def test_effective_rank_isotropic(spark):
+    """±e_i over all d axes => covariance I/d => PR = d exactly."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    d = 4
+    vecs = []
+    k = 0
+    for i in range(d):
+        for s in (1.0, -1.0):
+            v = [0.0] * d
+            v[i] = s
+            vecs.append((k, v))
+            k += 1
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    r = psim.effective_rank(emb).collect()[0]
+    assert r.effective_rank == float(d)
+
+
+def test_duck_np_cte_rejects_overwide_planes():
+    """ADVICE r12 low: an explicit n_planes past the oracle's gated-bit
+    budget must fail loudly, not silently drop bucket bits."""
+    import pytest as _pytest
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    with _pytest.raises(ValueError, match="AUTO_PLANES_MAX"):
+        psim.duck_np_cte(psim.AUTO_PLANES_MAX + 1)
+    assert "SELECT 24 AS p" in psim.duck_np_cte(24)
+
+
+def test_dct_phash_brightness_invariant(spark):
+    """A constant byte offset moves only the DC coefficient, so the
+    pHash is identical — the property the byte-threshold stub lacks."""
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    base = "abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    shifted = "".join(chr(ord(c) + 1) for c in base)
+    docs = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)), (2, shifted, "en", "s", len(shifted))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in
+           pmm.dct_phash(pmm.as_binary_table(docs)).collect()}
+    assert out[1].phash == out[2].phash
+    assert out[1].n_same == 2 and out[2].n_same == 2
+
+
+def test_dct_phash_distinct_patterns_differ(spark):
+    """Structurally different byte patterns land on different hashes."""
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    a = "az" * 32            # high-frequency alternation
+    b = "a" * 32 + "z" * 32  # one low-frequency edge
+    docs = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in
+           pmm.dct_phash(pmm.as_binary_table(docs)).collect()}
+    assert out[1].phash != out[2].phash
+    assert out[1].n_same == 1 and out[2].n_same == 1

@@ -66,15 +66,18 @@ def main() -> None:
     # too (per-query medians), read from the builder's bench_detail.json.
     # The driver's BENCH_rNN.json carries only the headline line, so a
     # driver reconciliation keeps the builder's secondary medians.
+    # VERDICT r12 #1 adds the iterative block to the same treatment.
     prior = hist["rounds"].get(args.round, {})
-    if source == "builder":
-        try:
-            detail = json.load(open(os.path.join(ROOT, "bench_detail.json")))
-            entry["secondary_median"] = detail["secondary_median"]
-        except Exception:
-            entry["secondary_median"] = prior.get("secondary_median")
-    else:
-        entry["secondary_median"] = prior.get("secondary_median")
+    for key in ("secondary_median", "iterative_median"):
+        if source == "builder":
+            try:
+                detail = json.load(
+                    open(os.path.join(ROOT, "bench_detail.json")))
+                entry[key] = detail[key]
+            except Exception:
+                entry[key] = prior.get(key)
+        else:
+            entry[key] = prior.get(key)
     hist["rounds"][args.round] = entry
     with open(HIST, "w") as fh:
         json.dump(hist, fh, indent=1, sort_keys=True)
