@@ -750,3 +750,62 @@ def test_fuzz_subquery_composition(spark, ceng, inner, outer, rng, step, off):
             assert math.isnan(g), (q, key, g)
         else:
             assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)
+
+
+# ------------------- fuzz 7: @-PINNED subqueries (step-invariant windows)
+#
+# `<outer>_over_time((<fuzz-1 tree>)[range:step] offset? @ T)`: the whole
+# inner window pins at T_eff = T - offset, so the outer result is the
+# SAME per-series value at EVERY outer step.  The duplicate-sensitive
+# outers (count/sum/avg) are the ones the r12 review bug hit — the old
+# point-replication replay let replicas slide into neighboring steps'
+# windows, inflating exactly these functions while max/min stayed right.
+
+_SQ_ANCHORS = [(60_000, "60"), (90_000, "90"),
+               (GRID[0], "start()"), (GRID[-1], "end()")]
+
+
+@settings(max_examples=30, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    inner=_exprs(),
+    outer=st.sampled_from(_SQ_OUTER),
+    rng=st.sampled_from(_SQ_RANGES),
+    step=st.sampled_from(_SQ_STEPS),
+    off=st.sampled_from(_SQ_OFFS),
+    anchor=st.sampled_from(_SQ_ANCHORS),
+)
+def test_fuzz_subquery_at_pinned(spark, ceng, inner, outer, rng, step, off,
+                                 anchor):
+    (rm, rs), (sm, ss), (om, osfx), (at_ms, at_txt) = rng, step, off, anchor
+    colon = f"{rs}:{ss}" if ss else f"{rs}:"
+    q = f"{outer}_over_time(({_render(inner)})[{colon}]{osfx} @ {at_txt})"
+    lvl = _level(inner)
+    attrs = ["instance", "type"][:lvl]
+    rows = ceng.query_range(q).collect()
+    got: dict[tuple, float] = {}
+    for r in rows:
+        d = r.asDict()
+        key = tuple(d[a] for a in attrs) + (d["step_ts"],)
+        assert key not in got, (q, key)
+        got[key] = d["value"]
+    # model: ONE pinned window (T_eff - rm, T_eff], absolutely aligned
+    # inner steps; the per-series fold replicates across the outer grid
+    teff = at_ms - om
+    per_key: dict[tuple, list[float]] = {}
+    for ts2 in range(0, 120_001, sm):
+        if teff - rm < ts2 <= teff:
+            for ks, v in _eval(inner, ts2).items():
+                per_key.setdefault(ks, []).append(v)
+    want: dict[tuple, float] = {}
+    for ks, vals in per_key.items():
+        const = _ot_fn(outer, vals)
+        for t in GRID:
+            want[ks + (t,)] = const
+    assert set(got) == set(want), (q, sorted(set(got) ^ set(want))[:4])
+    for key, w in want.items():
+        g = got[key]
+        if math.isnan(w):
+            assert math.isnan(g), (q, key, g)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-12), (q, key, g, w)

@@ -63,6 +63,13 @@ OPS = [
     "doc_detector_agreement",
     "emb_knn_purity",
     "emb_isotropy",
+    # round-13: the three data-volume-bound additions (the two ev_*
+    # additions reduce to user rollups immediately and measure on the
+    # adversarial pair below; promql_at_subquery reduces to the events
+    # grid after the pinned instant select)
+    "doc_oph_minhash",
+    "emb_effective_rank",
+    "mm_phash_dct",
 ]
 
 #: VERDICT r10 #4: the two window-bounded event operators, measured on
@@ -71,7 +78,10 @@ OPS = [
 #: bound).  gen_scale_data.py --events writes the pair:
 #:   python tools/gen_scale_data.py --events 100000  --events-only --out _scale/adv01
 #:   python tools/gen_scale_data.py --events 1000000 --events-only --out _scale/adv1
-EV_ADV_OPS = ["ev_interarrival", "ev_user_concentration"]
+EV_ADV_OPS = ["ev_interarrival", "ev_user_concentration",
+              # round-13: the zipf-user axis is the adversarial case for
+              # the per-user experiment folds
+              "ev_power_mde", "ev_diff_in_diff"]
 
 SF01 = "/root/testdata/sf0.1"
 _SCALE = os.path.join(
