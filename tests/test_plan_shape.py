@@ -1641,3 +1641,68 @@ def test_top_pc_moment_scan_is_combinable(spark, sf_dir):
         assert any(n in ("i", "j") or n.startswith(("_", "sum", "count"))
                    for n in names), out
     assert vector_exchanges <= 1, "more than one vector exchange"
+
+
+def test_effective_rank_single_moment_scan(spark, sf_dir):
+    """effective_rank shares top_pc's one corpus pass: every shuffle
+    carries (i, j) scalar moment partials (plus the one allowed
+    conditional read-parallelism vector exchange) — the corpus never
+    shuffles and there is NO iteration after the fold."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    emb = model.load_table(spark, sf_dir, "embeddings")
+    df = psim.effective_rank(emb)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "emb_effective_rank")
+    vector_exchanges = 0
+    for out in shuffle_exchange_outputs(df):
+        names = [n for n, _ in out]
+        if any("array" in t for _, t in out):
+            vector_exchanges += 1
+            assert names == ["xq"], out
+            continue
+        assert any(n in ("i", "j") or n.startswith(("_", "sum", "count"))
+                   for n in names), out
+    assert vector_exchanges <= 1, "more than one vector exchange"
+
+
+def test_oph_no_text_or_shingles_in_exchanges(spark, sf_dir):
+    """OPH: shingle strings fold to h32 IN THE SCAN; every shuffle
+    carries (doc_id, bin/min) longs, band hashes, or signature longs —
+    never text or shingle strings."""
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    df = pdedup.oph_neardup_pairs(docs)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, "doc_oph_minhash")
+    for out in shuffle_exchange_outputs(df):
+        assert all(n not in ("text", "sh") for n, _ in out), out
+
+
+def test_phash_dct_jvm_hot_path(spark, sf_dir):
+    """The DCT is pure column expressions: the only Python stage is the
+    Arrow-batched decode stub (MapInPandas / ArrowEvalPython), never a
+    row-at-a-time BatchEvalPython; the collision window exchanges the
+    15-bit hash, not pixels."""
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    docs = model.load_table(spark, sf_dir, "documents")
+    df = pmm.dct_phash(pmm.as_binary_table(docs))
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python in plan"
+    assert_no_theta_joins(plan, "mm_phash_dct")
+    for out in shuffle_exchange_outputs(df):
+        assert all(n not in ("px", "pixels", "payload") for n, _ in out), out
+
+
+@pytest.mark.parametrize("name", ["ev_power_mde", "ev_diff_in_diff"])
+def test_experiment_folds_user_keyed_only(spark, sf_dir, name):
+    """power_mde / diff_in_diff: every shuffle is the user-keyed DECIMAL
+    reduction or the 2-row variant fold — values quantized, no raw
+    event payload (props/event_id) crosses the wire."""
+    df = CATALOG[name].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert_no_theta_joins(plan, name)
+    for out in shuffle_exchange_outputs(df):
+        assert all(n not in ("props", "event_id") for n, _ in out), out
