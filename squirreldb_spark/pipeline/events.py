@@ -4429,8 +4429,11 @@ def power_mde(
 
     mean_a = d("s_a") / d("n_a")
     mean_b = d("s_b") / d("n_b")
-    var_a = d("ss_a") / d("n_a") - mean_a * mean_a
-    var_b = d("ss_b") / d("n_b") - mean_b * mean_b
+    # clamp at 0: ss/n - mean² can land an epsilon NEGATIVE in doubles
+    # when the variance is exactly 0, and sqrt(-eps) poisons the MDE
+    # with NaN (caught by the r13 property test)
+    var_a = F.greatest(d("ss_a") / d("n_a") - mean_a * mean_a, F.lit(0.0))
+    var_b = F.greatest(d("ss_b") / d("n_b") - mean_b * mean_b, F.lit(0.0))
     mde = F.lit(Z_975 + Z_80) * F.sqrt(var_a / d("n_a") + var_b / d("n_b"))
     pooled = (d("s_a") + d("s_b")) / (d("n_a") + d("n_b"))
     return j.select(
@@ -4468,8 +4471,8 @@ j AS (
 g AS (
   SELECT n_a, n_b,
          s_a / n_a AS mean_a, s_b / n_b AS mean_b,
-         ss_a / n_a - (s_a / n_a) * (s_a / n_a) AS var_a,
-         ss_b / n_b - (s_b / n_b) * (s_b / n_b) AS var_b,
+         greatest(ss_a / n_a - (s_a / n_a) * (s_a / n_a), 0) AS var_a,
+         greatest(ss_b / n_b - (s_b / n_b) * (s_b / n_b), 0) AS var_b,
          (s_a + s_b) / (n_a + n_b) AS pooled
   FROM j),
 h AS (
@@ -4557,7 +4560,8 @@ def diff_in_diff(
         sd = d(f"sy_{v}") - d(f"sx_{v}")
         sdd = d(f"syy_{v}") - 2 * d(f"sxy_{v}") + d(f"sxx_{v}")
         mean_d = sd / n
-        var_d = sdd / n - mean_d * mean_d
+        # same epsilon-negative clamp as power_mde's variances
+        var_d = F.greatest(sdd / n - mean_d * mean_d, F.lit(0.0))
         return mean_d, var_d, n
 
     mean_d_a, var_d_a, n_a = per_variant("a")
@@ -4612,10 +4616,10 @@ g AS (
   SELECT *,
          (sy_a - sx_a) / n_a AS mean_d_a,
          (sy_b - sx_b) / n_b AS mean_d_b,
-         (syy_a - 2 * sxy_a + sxx_a) / n_a
-           - ((sy_a - sx_a) / n_a) * ((sy_a - sx_a) / n_a) AS var_d_a,
-         (syy_b - 2 * sxy_b + sxx_b) / n_b
-           - ((sy_b - sx_b) / n_b) * ((sy_b - sx_b) / n_b) AS var_d_b
+         greatest((syy_a - 2 * sxy_a + sxx_a) / n_a
+           - ((sy_a - sx_a) / n_a) * ((sy_a - sx_a) / n_a), 0) AS var_d_a,
+         greatest((syy_b - 2 * sxy_b + sxx_b) / n_b
+           - ((sy_b - sx_b) / n_b) * ((sy_b - sx_b) / n_b), 0) AS var_d_b
   FROM j),
 h AS (
   SELECT *,

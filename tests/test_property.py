@@ -1861,3 +1861,214 @@ def test_ood_mahalanobis_matches_python_reference(spark, pts):
         assert r.n_ood == sum(1 for z in z2s if z > 2.0 * dim)
         mean_z2 = sum(_round_half_up(z, 6) for z in z2s) / n
         assert abs(r.mean_z2 - mean_z2) <= 2e-6
+
+
+# ------------------------- round-13 operator properties / reference models
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=1, max_value=3200)),
+        min_size=6, max_size=24,
+    ),
+)
+def test_power_mde_matches_python_reference(spark, vals):
+    """Per-variant moments and the closed-form MDE match a pure-Python
+    model exactly (values dyadic — k/64 — so the 6-dp DECIMAL fold is
+    exact in both engines)."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(0, 0, 0, "purchase", 1.0), (1, 1, 0, "purchase", 1.0)]
+    eid = 2
+    for u, k in vals:
+        rows.append((eid, u, 0, "purchase", k / 64.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.power_mde(ev).collect()[0]
+    per_user: dict[int, float] = {}
+    for _, u, _, _, v in rows:
+        per_user[u] = per_user.get(u, 0.0) + v
+    a = [v for u, v in per_user.items() if u % 2 == 0]
+    b = [v for u, v in per_user.items() if u % 2 == 1]
+
+    def mv(xs):
+        m = sum(xs) / len(xs)
+        return m, sum(x * x for x in xs) / len(xs) - m * m
+
+    ma, va = mv(a)
+    mb, vb = mv(b)
+    assert (r.n_a, r.n_b) == (len(a), len(b))
+    assert r.mean_a == _round_half_up(ma, 6)
+    assert r.mean_b == _round_half_up(mb, 6)
+    mde = (pevents.Z_975 + pevents.Z_80) * math.sqrt(
+        va / len(a) + vb / len(b))
+    assert r.mde_abs == pytest.approx(mde, abs=2e-6)
+    assert r.mde_abs >= 0
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=7),
+                  st.integers(min_value=0, max_value=1),
+                  st.integers(min_value=1, max_value=640)),
+        min_size=6, max_size=24,
+    ),
+)
+def test_diff_in_diff_matches_python_reference(spark, vals):
+    """DiD point estimate matches the pure-Python 2x2 cell model on
+    dyadic values; the z-score agrees with the per-user-change SE."""
+    from squirreldb_spark.pipeline import events as pevents
+
+    rows = [(0, 0, 0, "t", 1.0), (1, 1, 0, "t", 1.0)]
+    eid = 2
+    for u, post, k in vals:
+        rows.append((eid, u, post * 1000, "t", k / 64.0))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string,"
+        " value double"
+    )
+    r = pevents.diff_in_diff(ev).collect()[0]
+    # model: mid = floor((0 + max_ts)/2); pre = ts < mid
+    tss = [row[2] for row in rows]
+    mid = (min(tss) + max(tss)) // 2
+    pu: dict[int, list[float]] = {}
+    for _, u, ts, _, v in rows:
+        xy = pu.setdefault(u, [0.0, 0.0])
+        xy[0 if ts < mid else 1] += v
+    a = [xy for u, xy in pu.items() if u % 2 == 0]
+    b = [xy for u, xy in pu.items() if u % 2 == 1]
+
+    def cell(g, i):
+        return sum(xy[i] for xy in g) / len(g)
+
+    did = (cell(b, 1) - cell(b, 0)) - (cell(a, 1) - cell(a, 0))
+    assert r.did == pytest.approx(did, abs=2e-6)
+    assert (r.pre_a, r.post_a) == (
+        _round_half_up(cell(a, 0), 6), _round_half_up(cell(a, 1), 6))
+
+    def var_d(g):
+        ds = [y - x for x, y in g]
+        m = sum(ds) / len(ds)
+        return sum(d * d for d in ds) / len(ds) - m * m
+
+    se = math.sqrt(var_d(a) / len(a) + var_d(b) / len(b))
+    if se > 0:
+        assert r.z_score == pytest.approx(did / se, abs=2e-5)
+    else:
+        assert r.z_score is None
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(min_value=-32, max_value=32),
+                 min_size=4, max_size=4),
+        min_size=4, max_size=16,
+    ),
+)
+def test_effective_rank_matches_numpy_eigenvalues(spark, vecs):
+    """PR from trace identities equals (Σλ)²/Σλ² from numpy's actual
+    eigenvalues of the sample covariance, and 1 <= PR <= dim."""
+    import numpy as np
+
+    from squirreldb_spark.pipeline import similarity as psim
+
+    arr = np.array(vecs, dtype=float) / 4.0
+    if np.allclose(arr.var(axis=0).sum(), 0):
+        return  # zero covariance: PR undefined (engine returns NULL)
+    emb = spark.createDataFrame(
+        [(i, list(map(float, v))) for i, v in enumerate(arr)],
+        "vec_id long, embedding array<double>",
+    )
+    r = psim.effective_rank(emb).collect()[0]
+    cov = np.cov(arr.T, bias=True)
+    lam = np.linalg.eigvalsh(cov)
+    pr = lam.sum() ** 2 / (lam ** 2).sum()
+    assert r.effective_rank == pytest.approx(pr, rel=1e-4)
+    assert 1.0 - 1e-6 <= r.effective_rank <= arr.shape[1] + 1e-6
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=12),
+        min_size=1, max_size=5,
+    ),
+)
+def test_oph_signatures_match_python_model(spark, docs):
+    """Spark OPH signatures (bin minima + rotation densification) equal
+    an independent Python implementation of the published scheme."""
+    import hashlib
+
+    from squirreldb_spark.pipeline import dedup as pdedup
+
+    k, C = pdedup.OPH_BINS, pdedup.OPH_ROT_C
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: [r[f"mh{j}"] for j in range(k)]
+           for r in pdedup.oph_signatures(sdf).collect()}
+    for i, toks in enumerate(docs):
+        # model: distinct word-3-shingles (docs shorter than 3 words
+        # shingle to the full token run, matching shingles())
+        n = 3
+        sh = {" ".join(toks[s:s + n])
+              for s in range(max(len(toks) - n + 1, 1))}
+        bins: dict[int, int] = {}
+        for s in sh:
+            h = int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+            b = h % k
+            bins[b] = min(bins.get(b, 1 << 62), h)
+        want = [
+            min(bins[(j + t) % k] + t * C
+                for t in range(k) if (j + t) % k in bins)
+            for j in range(k)
+        ]
+        assert got[i] == want, (toks, got[i], want)
+
+
+def test_dct_phash_matches_numpy_dct(spark):
+    """The 16 quantized low-frequency coefficients and the derived hash
+    match an independent numpy DCT-II of the sampled pixel grid."""
+    import numpy as np
+
+    from squirreldb_spark.pipeline import multimodal as pmm
+
+    texts = ["the quick brown fox jumps over the lazy dog" * 2,
+             "aaaabbbbccccdddd" * 5, "xyz"]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r.phash for r in
+           pmm.dct_phash(pmm.as_binary_table(docs)).collect()}
+    side, low = pmm.PHASH_DCT_SIDE, pmm.PHASH_DCT_LOW
+    wh = side * side
+    x = np.arange(side)
+    for i, t in enumerate(texts):
+        b = t.encode()
+        px = np.array([b[(kk * len(b)) // wh] for kk in range(wh)],
+                      dtype=float).reshape(side, side)
+        coeffs = []
+        for u in range(low):
+            for v in range(low):
+                au = math.sqrt(1 / side) if u == 0 else math.sqrt(2 / side)
+                av = math.sqrt(1 / side) if v == 0 else math.sqrt(2 / side)
+                cu = np.cos((2 * x + 1) * u * np.pi / (2 * side))
+                cv = np.cos((2 * x + 1) * v * np.pi / (2 * side))
+                coeffs.append(((u, v),
+                               round(au * av * float(cu @ px @ cv), 6)))
+        non_dc = [c for (uv, c) in coeffs if uv != (0, 0)]
+        med = sorted(non_dc)[(len(non_dc) + 1) // 2 - 1]
+        want = sum((1 << j) for j, c in enumerate(non_dc) if c > med)
+        assert got[i] == want, (i, got[i], want)
