@@ -584,6 +584,32 @@ def _retime_movers(
             "retimed": sorted(retimed_all), "retime_passes": passes}
 
 
+def _qps_delta(qps: dict) -> dict:
+    """QPS vs the last committed per-round basis (VERDICT r12 flagged
+    the missing QPS basis: a 6.9 vs 9.1 round-over-round move had no
+    committed number to reconcile against).  Report-only — a 10 s
+    concurrent sample is too noisy for the retime machinery, but the
+    delta lets the verdict separate drift from the documented
+    end-of-run JVM-state noise class."""
+    try:
+        rounds = _history_rounds()
+        for r in sorted(rounds, reverse=True):
+            base = rounds[r].get("qps")
+            if base:
+                return {
+                    "basis_round": r,
+                    "basis": base,
+                    "delta_pct": {
+                        k: round(100 * (qps[k]["qps"] - base[k]) / base[k], 1)
+                        for k in qps
+                        if base.get(k)
+                    },
+                }
+    except Exception:
+        pass
+    return {"basis_round": None}
+
+
 def qps_bench(spark, CATALOG) -> dict:
     """Concurrent-querier throughput, mirroring the reference's SECOND
     bench harness (tests/squirreldb-promql-bench/main.go:159-174: an
@@ -717,6 +743,7 @@ def main() -> None:
         "basis": _basis_delta(t_median),
         "secondary_basis": sec_report,
         "qps_detail": qps,
+        "qps_basis": _qps_delta(qps),
     }
     # Round-5's single enriched line outgrew the driver's tail capture
     # (BENCH_r05 parsed: null).  The samples/median/spread detail now goes

