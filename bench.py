@@ -185,6 +185,14 @@ SECONDARY_QUERIES = [
     "doc_cluster_size_dist",
     "emb_knn_reciprocity",
     "emb_ood_mahalanobis",
+    # round-13 additions (review: every new kernel enters a bench block
+    # in the round that adds it, so it gets a committed basis)
+    "promql_at_subquery",
+    "doc_oph_minhash",
+    "emb_effective_rank",
+    "ev_power_mde",
+    "ev_diff_in_diff",
+    "mm_phash_dct",
 ]
 
 
@@ -319,6 +327,7 @@ def _warm(spark, CATALOG) -> None:
 def _time_reps(
     spark, CATALOG, names: list[str], reps: int,
     extra_reps: dict[str, int] | None = None,
+    full: bool = False,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Per-query: value stays the round-3/4 frozen basis — best of the
     FIRST TWO reps (steady state; a single sample conflates GC pauses and
@@ -327,14 +336,20 @@ def _time_reps(
     can be read against the query's own variance (VERDICT r4 #3).
     `extra_reps` adds reps for named queries (VERDICT r11 #1: the top-N
     secondary queries by cost get 5 reps so a round-over-round move is
-    adjudicable against their own spread)."""
+    adjudicable against their own spread).  ``full`` brackets
+    CONSTRUCTION too — the iterative kernels (pointer-jumping CC,
+    pagerank, power iteration, k-means) materialize their passes
+    eagerly inside fn(), so timing only the final write would miss
+    almost all the work."""
     best: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in names:
         runs: list[float] = []
         for _ in range(reps + (extra_reps or {}).get(name, 0)):
-            df = CATALOG[name].fn(spark, SF_DIR)
             t0 = time.perf_counter()
+            df = CATALOG[name].fn(spark, SF_DIR)
+            if not full:
+                t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         best[name] = round(min(runs[:2]), 3)  # frozen basis
@@ -346,23 +361,8 @@ def _time_reps_full(
     spark, CATALOG, names: list[str], reps: int,
     extra_reps: dict[str, int] | None = None,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
-    """Like _time_reps, but the timer brackets CONSTRUCTION too: the
-    iterative kernels (pointer-jumping CC, pagerank, power iteration,
-    k-means) materialize their passes eagerly inside fn()
-    (localCheckpoint + convergence aggregates), so timing only the
-    final write would miss almost all the work."""
-    best: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
-    for name in names:
-        runs: list[float] = []
-        for _ in range(reps + (extra_reps or {}).get(name, 0)):
-            t0 = time.perf_counter()
-            df = CATALOG[name].fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        best[name] = round(min(runs[:2]), 3)
-        samples[name] = [round(s, 3) for s in runs]
-    return best, samples
+    """_time_reps with the timer bracketing construction (full=True)."""
+    return _time_reps(spark, CATALOG, names, reps, extra_reps, full=True)
 
 
 def _warm_plans(spark, CATALOG, names: list[str]) -> None:

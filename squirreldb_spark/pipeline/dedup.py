@@ -3160,6 +3160,14 @@ OPH_BANDS = 4  # 4 bands x 4 bins
 #: rank strictly lower (Shrivastava & Li 2014, eq. 3's k*C convention)
 OPH_ROT_C = 1 << 33
 
+#: 32-bit base hash of a shingle — MUST stay byte-identical to the
+#: inline expression in :func:`minhash_signatures` (both families share
+#: the DuckDB twin in ``_sql_shingle_hash_ctes``); unify into one
+#: constant when that attested kernel next re-enters the verify window
+_H32_BASE_EXPR = (
+    "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
+)
+
 
 def oph_signatures(
     docs: DataFrame,
@@ -3189,11 +3197,10 @@ def oph_signatures(
     one row per doc — both exchanges carry register-sized payloads;
     the corpus text never shuffles.
     """
-    base = "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
-    ).withColumn("h32", F.expr(base))
+    ).withColumn("h32", F.expr(_H32_BASE_EXPR))
     binmin = sh.groupBy(id_col, (F.col("h32") % bins).alias("b")).agg(
         F.min("h32").alias("m")
     )

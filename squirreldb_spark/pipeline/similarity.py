@@ -3693,17 +3693,39 @@ def _cov_table(emb: DataFrame, vec_col: str) -> DataFrame:
     # row, so a small input that arrives as ONE scan partition pins the
     # whole stage on one core (measured 13 s vs 1.5 s at sf0.1, where
     # the parquet file is a single row group). The gate reads
-    # driver-side leaf-scan metadata (inputFiles), NOT .rdd — the .rdd
-    # access forced plan analysis through the legacy RDD path on every
-    # call (r12 review). The repartition is input-sized (raw vectors,
-    # once) and CONDITIONAL: a real corpus layout has >= cores files
-    # and never takes it; a non-file source (in-memory test relation)
-    # is small enough that the amplified stage needs no spreading.
+    # driver-side metadata only (inputFiles + file sizes), NOT .rdd —
+    # the .rdd access forced plan analysis through the legacy RDD path
+    # on every call (r12 review). Scan-partition count is ESTIMATED as
+    # max(file count, total bytes / maxPartitionBytes): a big corpus in
+    # few files still splits by size, so it is never shuffled (r13
+    # review); only genuinely small inputs take the input-sized
+    # repartition. Non-file sources (in-memory test relations) skip it.
     spark = emb.sparkSession
     cores = spark.sparkContext.defaultParallelism
     files = emb.inputFiles()
-    if files and len(files) < cores:
-        base = base.repartition(cores)
+    if files:
+        import math as _math
+        import os as _os
+        from urllib.parse import urlparse as _urlparse
+
+        try:
+            total = sum(
+                _os.path.getsize(_urlparse(f).path) for f in files
+            )
+            mpb_raw = str(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes", "134217728"
+            )).strip().lower()
+            digits = "".join(ch for ch in mpb_raw if ch.isdigit())
+            unit = mpb_raw[len(digits):].strip()
+            mpb = int(digits or "134217728") * {
+                "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+            }.get(unit, 1)
+            est_parts = max(len(files), _math.ceil(total / max(mpb, 1)))
+        except OSError:  # non-local URI: assume a real (large) layout
+            est_parts = cores
+        if est_parts < cores:
+            base = base.repartition(cores)
     moments = (
         base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
         .select("i", "xi", F.posexplode("xq").alias("j", "xj"))

@@ -3788,11 +3788,17 @@ def q_promql_at_subquery(spark, sf_dir):
     )(spark, sf_dir)
 
 
+# inner steps are ABSOLUTELY step-aligned at floor(T_eff/step)*step
+# (planner's pinned-grid rule); the series below derives that anchor
+# instead of assuming AT_TS_MS is midnight-aligned, and the 13-step
+# reach-back is exact for ANY T: floor(T) - 13d > T - 14d always,
+# while floor(T) - 14d <= T - 14d is always excluded
 SQL_PROMQL_AT_SUBQUERY = f"""
 WITH pts AS ({_PTS}),
 {_grid_sql()},
-igrid AS (SELECT unnest(generate_series({AT_TS_MS} - 13 * 86400000,
-                                        {AT_TS_MS}, 86400000)) AS istep),
+igrid AS (SELECT unnest(generate_series(
+            ({AT_TS_MS} // 86400000) * 86400000 - 13 * 86400000,
+            ({AT_TS_MS} // 86400000) * 86400000, 86400000)) AS istep),
 inst AS (
   SELECT p.user_id, i.istep, arg_max(p.value, p.ts) AS value
   FROM pts p, igrid i

@@ -80,8 +80,9 @@ OPS = [
 #:   python tools/gen_scale_data.py --events 1000000 --events-only --out _scale/adv1
 EV_ADV_OPS = ["ev_interarrival", "ev_user_concentration",
               # round-13: the zipf-user axis is the adversarial case for
-              # the per-user experiment folds
-              "ev_power_mde", "ev_diff_in_diff"]
+              # the per-user experiment folds; the pinned subquery is
+              # grid-bound and measures on the same pair
+              "ev_power_mde", "ev_diff_in_diff", "promql_at_subquery"]
 
 SF01 = "/root/testdata/sf0.1"
 _SCALE = os.path.join(
