@@ -50,3 +50,49 @@ def test_hubness_dynamic_plane_oracle_binding_regime(spark):
     for col in sp.columns:
         assert sp[col].iloc[0] == du[col].iloc[0], (
             col, sp[col].iloc[0], du[col].iloc[0])
+
+
+def test_at_subquery_oracle_alignment_non_midnight_anchor(spark, sf_dir):
+    """r13 review: the pinned-subquery oracle must DERIVE the inner-grid
+    anchor (floor(T_eff/step)*step), not assume T is step-aligned.
+    Exact engine-vs-DuckDB match at an anchor 7h13m past midnight."""
+    import duckdb
+
+    from squirreldb_spark.queries import (
+        AT_TS_MS, LOOKBACK_MS, STEP_MS, _PTS, _engine, _grid_sql, _round,
+    )
+
+    t_ms = AT_TS_MS + 7 * 3_600_000 + 13 * 60_000  # NOT a step multiple
+    sp = _round(
+        _engine(spark, sf_dir).query_range(
+            f"count_over_time(purchase[14d:1d] @ {t_ms / 1000!r})"
+        ),
+        {"value": 6},
+    ).toPandas()
+
+    sql = f"""
+WITH pts AS ({_PTS}),
+{_grid_sql()},
+igrid AS (SELECT unnest(generate_series(
+            ({t_ms} // {STEP_MS}) * {STEP_MS} - 13 * {STEP_MS},
+            ({t_ms} // {STEP_MS}) * {STEP_MS}, {STEP_MS})) AS istep),
+inst AS (
+  SELECT p.user_id, i.istep, arg_max(p.value, p.ts) AS value
+  FROM pts p, igrid i
+  WHERE p.ts > i.istep - {LOOKBACK_MS} AND p.ts <= i.istep
+    AND p.event_type = 'purchase'
+  GROUP BY 1, 2),
+cnt AS (SELECT user_id, count(*)::DOUBLE AS value FROM inst GROUP BY 1)
+SELECT c.user_id, g.step_ts, round(c.value, 6) AS value FROM cnt c, grid g
+"""
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    du = con.execute(sql).fetchdf()
+    sk = sp.sort_values(["user_id", "step_ts"], ignore_index=True)
+    dk = du.sort_values(["user_id", "step_ts"], ignore_index=True)
+    assert len(sk) == len(dk) > 0
+    assert (sk["user_id"].to_numpy() == dk["user_id"].to_numpy()).all()
+    assert (sk["step_ts"].to_numpy() == dk["step_ts"].to_numpy()).all()
+    assert (sk["value"].to_numpy() == dk["value"].to_numpy()).all()
