@@ -299,14 +299,20 @@ class Parser:
                     raise ParseError("offset requires a selector")
             elif self.peek()[1] == "@":
                 self.next()
+                # upstream grammar: AT signed_or_unsigned_number
+                # (promql/parser/generated_parser.y) — "@ -60" is
+                # legal, the anchor may precede the epoch
+                neg = self.accept("-")
+                if not neg:
+                    self.accept("+")
                 kind, val = self.next()
-                if kind == "ident" and val in ("start", "end"):
+                if not neg and kind == "ident" and val in ("start", "end"):
                     # @ start() / @ end(): the query range's boundaries
                     self.expect("(")
                     self.expect(")")
                     at: object = val
                 elif kind == "number":
-                    at = int(float(val) * 1000)
+                    at = int(float(val) * 1000) * (-1 if neg else 1)
                 else:
                     raise ParseError("expected unix-seconds, start() or end() after @")
                 if isinstance(expr, MatrixSelector):

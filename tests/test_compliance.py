@@ -430,3 +430,18 @@ def test_golden_subquery_at_duplicate_sensitive(ceng):
         r["value"] == pytest.approx(0.1 if r["instance"] == "i1" else 0.2)
         for r in rt
     )
+
+
+def test_golden_at_modifier_signed_anchor(ceng):
+    """Upstream grammar: AT signed_or_unsigned_number — "@ -60" and
+    "@ +60" are legal; a pre-epoch anchor selects no data on this
+    fixture (empty vector, not a parse error)."""
+    assert ceng.query_range("demo_num_cpus @ -1.5").collect() == []
+    assert (
+        ceng.query_range("count_over_time(demo_num_cpus[1m:10s] @ -60)")
+        .collect() == []
+    )
+    pos = ceng.query_range("demo_num_cpus @ +60").collect()
+    assert pos and all(
+        r["value"] == (2.0 if r["instance"] == "i1" else 3.0) for r in pos
+    )
