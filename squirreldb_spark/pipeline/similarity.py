@@ -37,14 +37,53 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
 
 
 def _to_double(col: str) -> str:
-    return f"transform({col}, x -> cast(x as double))"
+    # plain element cast (NOT transform(..) — higher-order functions are
+    # CodegenFallback: interpreted per element AND they knock the whole
+    # stage out of whole-stage codegen, guide §4.1); float -> double is
+    # the same exact widening either way
+    return f"cast({col} as array<double>)"
+
+
+#: r14 OPTIMIZATION NOTE — unrolling MEASURED AND REJECTED.  An r14
+#: experiment replaced every 64-element fold with an unrolled
+#: ``(0 + a0*b0) + a1*b1 + ...`` chain behind a ``size() = 64`` guard
+#: (HOFs are CodegenFallback, guide §4.1, so this looked like a win on
+#: paper).  Measured with bench.py --retime at sf0.1 it was a large NET
+#: LOSS: the guarded form more than doubles every expression tree, the
+#: pair-join stages (with_cosine over candidate pairs, the per-centroid
+#: score array) blew janino's 64 KB method limit ("Code grows beyond
+#: 64 KB" → whole-stage codegen fallback) and catalyst/codegen time on
+#: the giant trees swamped the saved per-element interpretation:
+#: emb_ann_ivf 0.80 s basis → 6.6–12.1 s, emb_knn_reciprocity 1.59 →
+#: 7.6+ s, emb_hubness 1.47 → 5.1+ s (same-child sentinel
+#: doc_exact_dedup only ~2× rig noise).  ``UNROLL_DIM = 0`` keeps the
+#: attested HOF folds; the builders stay so the experiment is
+#: reproducible.
+UNROLL_DIM = 0
+
+
+def _dot_expr(a: str, b: str, dim: int = UNROLL_DIM) -> str:
+    """Inner product <a, b> as a strict left fold.
+
+    ``dim > 0`` unrolls the fold into a guarded arithmetic chain
+    computing the IDENTICAL doubles (same fold order) — see the
+    UNROLL_DIM note above for why that is measured-off (r14).
+    """
+    hof = _DOT.format(a=a, b=b)
+    if not dim:
+        return hof
+    terms = " + ".join(f"({a}[{i}]) * ({b}[{i}])" for i in range(dim))
+    return (
+        f"IF(size({a}) = {dim} AND size({b}) = {dim},"
+        f" (0D + {terms}), {hof})"
+    )
 
 
 def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
     """cosine(a, b) computed fully JVM-side; inputs array<float|double>."""
-    dot = _DOT.format(a=a, b=b)
-    na = _DOT.format(a=a, b=a)
-    nb = _DOT.format(a=b, b=b)
+    dot = _dot_expr(a, b)
+    na = _dot_expr(a, a)
+    nb = _dot_expr(b, b)
     return df.withColumn(out, F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"))
 
 
@@ -102,7 +141,9 @@ def cosine_knn(
 
 
 def bucket_expr(vec: str, planes: list[list[float]]) -> str:
-    """LSH bucket id: sum of sign bits against each hyperplane (Spark SQL)."""
+    """LSH bucket id: sum of sign bits against each hyperplane (Spark
+    SQL).  Kept as the HOF fold — the r14 unroll experiment (see
+    UNROLL_DIM) regressed every bucketed query."""
     if not planes:  # zero planes = a single bucket = exact search
         return "0"
     bits = []
@@ -148,7 +189,7 @@ _IVF_CENTROIDS: dict[tuple, list] = {}
 def _vnorm_expr(v: str = "v") -> str:
     """||v|| as a single JVM-side fold (computed once per row, shared by
     every per-centroid cosine)."""
-    return f"sqrt({_DOT.format(a=v, b=v)})"
+    return f"sqrt({_dot_expr(v, v)})"
 
 
 def _centroid_scores_expr(cent_rows, v: str = "v", vn: str = "_vn") -> str:
@@ -159,9 +200,12 @@ def _centroid_scores_expr(cent_rows, v: str = "v", vn: str = "_vn") -> str:
     analogue — so assignment is a pure projection inside the corpus scan:
     NO exchange, unlike the former crossJoin + ``row_number`` window which
     shuffled corpus x n_cells rows. Centroid norms are precomputed
-    host-side with the same left-fold summation ``aggregate`` uses, so the
-    arithmetic (dot / (||v|| * ||c||), rounded) is bit-identical to the
-    former ``with_cosine`` path and to the DuckDB oracle.
+    host-side with the same left-fold summation ``aggregate`` uses, so
+    the arithmetic (dot / (||v|| * ||c||), rounded) is bit-identical to
+    the former ``with_cosine`` path and to the DuckDB oracle.  Kept as
+    the transform-over-literal-structs HOF — the r14 per-centroid
+    unroll (n_cells x 64 literal terms in one projection) regressed
+    emb_ann_ivf ~8x (see UNROLL_DIM note).
     """
     entries = []
     for r in sorted(cent_rows, key=lambda r: int(r["cell"])):
@@ -2639,6 +2683,22 @@ _DSQ = (
     "0D, (acc, v) -> acc + v)"
 )
 
+
+def _dsq_expr(a: str, b: str, dim: int = UNROLL_DIM) -> str:
+    """Squared Euclidean distance — same unrolling contract (and
+    identical left-fold doubles) as :func:`_dot_expr`."""
+    hof = _DSQ.format(a=a, b=b)
+    if not dim:
+        return hof
+    terms = " + ".join(
+        f"(({a}[{i}]) - ({b}[{i}])) * (({a}[{i}]) - ({b}[{i}]))"
+        for i in range(dim)
+    )
+    return (
+        f"IF(size({a}) = {dim} AND size({b}) = {dim},"
+        f" (0D + {terms}), {hof})"
+    )
+
 _DUCK_DSQ = (
     "list_sum(list_transform(generate_series(1, len({a})), "
     "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
@@ -2679,7 +2739,7 @@ def intrinsic_dim(
     c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
     j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
     scored = j.withColumn(
-        "dsq", F.round(F.expr(_DSQ.format(a="qv", b="cv")), 6)
+        "dsq", F.round(F.expr(_dsq_expr("qv", "cv")), 6)
     )
     two = two_phase_topk(
         scored,
@@ -2875,7 +2935,7 @@ def isotropy(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """
     base = (
         emb.select(F.expr(_to_double(vec_col)).alias("v"))
-        .withColumn("_nrm", F.expr(f"sqrt({_DOT.format(a='v', b='v')})"))
+        .withColumn("_nrm", F.expr(_vnorm_expr("v")))
         .filter(F.col("_nrm") > 0)
     )
     xq = F.round(F.col("x") / F.col("_nrm"), 7).cast("decimal(18,7)")
@@ -3679,14 +3739,34 @@ FROM z2, dims GROUP BY 1 ORDER BY 1
 TOP_PC_ITERS = 8
 
 
-def _cov_table(emb: DataFrame, vec_col: str) -> DataFrame:
+def _cov_table(
+    emb: DataFrame, vec_col: str, dim: int | None = None
+) -> DataFrame:
     """Quantized-DECIMAL covariance of the embedding cloud as a lazy
     dim²-row table ``(i, j, _n, c)`` — the ONE corpus pass shared by
-    :func:`top_pc` and :func:`effective_rank`: a double posexplode
+    :func:`top_pc` and :func:`effective_rank`.
+
+    ``dim=None`` (generic, dimension unknown): a double posexplode
     emits dim² 12-dp-DECIMAL-quantized products per row that the
     map-side combiner collapses before the exchange (the corpus never
-    shuffles; the exchange carries dim² rows)."""
+    shuffles; the exchange carries dim² rows).
+
+    ``dim`` known (the catalog path): ONE posexplode to ``dim`` rows
+    per input row, and group ``i`` sums its ``dim`` quantized products
+    as ``dim`` DECIMAL aggregate columns — the identical dim² decimal
+    terms (DECIMAL addition is exact, so order-independent ⇒
+    bit-identical sums) with a dim× smaller aggregate-row stream
+    (guide §1.2 step 2: per-task work; measured in OPTIMIZATION_r14).
+    The wide row then melts back to the same (i, j, _n, c) interface,
+    with the j-sums joined from the dim-row broadcast of the i-sums."""
     xq7 = "transform({c}, x -> round(cast(x as double), 7))"
+    if dim is not None:
+        # unrolled round-per-element (no higher-order transform in the
+        # scan projection; same per-element arithmetic)
+        els = ", ".join(
+            f"round(cast({{c}}[{i}] as double), 7)" for i in range(dim)
+        )
+        xq7 = f"array({els})"
     base = emb.select(F.expr(xq7.format(c=vec_col)).alias("xq"))
     # Read-parallelism normalization for the dim²-amplified map stage:
     # the moment scan does dim² quantized-DECIMAL products per input
@@ -3712,20 +3792,63 @@ def _cov_table(emb: DataFrame, vec_col: str) -> DataFrame:
             total = sum(
                 _os.path.getsize(_urlparse(f).path) for f in files
             )
+            import re as _re
+
             mpb_raw = str(spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", "134217728"
             )).strip().lower()
-            digits = "".join(ch for ch in mpb_raw if ch.isdigit())
-            unit = mpb_raw[len(digits):].strip()
-            mpb = int(digits or "134217728") * {
+            # prefix match only (ADVICE r13): digits gathered from
+            # anywhere in the string mis-parse values like "1e6"
+            m = _re.fullmatch(r"(\d+)\s*([kmgt]?b?)", mpb_raw)
+            digits, unit = (m.group(1), m.group(2)) if m else ("134217728", "")
+            mpb = int(digits) * {
                 "": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
                 "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40,
             }.get(unit, 1)
             est_parts = max(len(files), _math.ceil(total / max(mpb, 1)))
         except OSError:  # non-local URI: assume a real (large) layout
             est_parts = cores
         if est_parts < cores:
             base = base.repartition(cores)
+    n = F.col("_n")
+    if dim is not None:
+        wide = (
+            base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
+            .groupBy("i")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.round(F.col("xi"), 7).cast("decimal(18,7)")).alias(
+                    "_si"
+                ),
+                *[
+                    F.sum(
+                        F.round(F.col("xi") * F.col("xq").getItem(j), 12)
+                        .cast("decimal(38,12)")
+                    ).alias(f"_s{j}")
+                    for j in range(dim)
+                ],
+            )
+        )
+        sums_j = wide.select(
+            F.col("i").alias("j"), F.col("_si").alias("_sj")
+        )
+        melted = wide.select(
+            "i", "_n", "_si",
+            F.posexplode(
+                F.array(*[F.col(f"_s{j}") for j in range(dim)])
+            ).alias("j", "_sij"),
+        ).join(F.broadcast(sums_j), "j")
+        return melted.select(
+            "i",
+            "j",
+            "_n",
+            (
+                F.col("_sij").cast("double") / n
+                - (F.col("_si").cast("double") / n)
+                * (F.col("_sj").cast("double") / n)
+            ).alias("c"),
+        )
     moments = (
         base.select(F.posexplode("xq").alias("i", "xi"), F.col("xq"))
         .select("i", "xi", F.posexplode("xq").alias("j", "xj"))
@@ -3739,7 +3862,6 @@ def _cov_table(emb: DataFrame, vec_col: str) -> DataFrame:
             F.sum(F.round(F.col("xj"), 7).cast("decimal(18,7)")).alias("_sj"),
         )
     )
-    n = F.col("_n")
     return moments.select(
         "i",
         "j",
@@ -3756,6 +3878,7 @@ def top_pc(
     emb: DataFrame,
     iters: int = TOP_PC_ITERS,
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top principal component of the embedding cloud by fixed-round
     power iteration on the covariance matrix — the standard "how
@@ -3788,7 +3911,7 @@ def top_pc(
     # overhead — not data — dominated the iterative cost: 32-task
     # rounds measured ~27 s at sf0.1, single-task ~a third of that)
     spark = emb.sparkSession
-    cov = _cov_table(emb, vec_col).coalesce(1).localCheckpoint()
+    cov = _cov_table(emb, vec_col, dim=dim).coalesce(1).localCheckpoint()
 
     def q12(col):
         return F.round(col, 12).cast("decimal(28,12)")
@@ -3877,7 +4000,9 @@ cov AS MATERIALIZED (
   FROM moments)"""
 
 
-def effective_rank(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def effective_rank(
+    emb: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """Effective rank of the embedding cloud via the participation
     ratio PR = (Σλ)² / Σλ² = trace(C)² / ‖C‖²_F — "how many dimensions
     does the variance actually live in", the spectrum-concentration
@@ -3896,7 +4021,7 @@ def effective_rank(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     Every cross-row sum is 12-dp-DECIMAL-quantized so the DuckDB
     oracle folds bit-equal.
     """
-    cov = _cov_table(emb, vec_col)
+    cov = _cov_table(emb, vec_col, dim=dim)
 
     def q12(col):
         return F.round(col, 12).cast("decimal(28,12)")

@@ -303,10 +303,9 @@ class Parser:
                 # (promql/parser/generated_parser.y) — "@ -60" is
                 # legal, the anchor may precede the epoch
                 neg = self.accept("-")
-                if not neg:
-                    self.accept("+")
+                signed = neg or (not neg and self.accept("+"))
                 kind, val = self.next()
-                if not neg and kind == "ident" and val in ("start", "end"):
+                if not signed and kind == "ident" and val in ("start", "end"):
                     # @ start() / @ end(): the query range's boundaries
                     self.expect("(")
                     self.expect(")")

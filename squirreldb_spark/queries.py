@@ -3770,7 +3770,7 @@ def q_emb_top_pc(spark, sf_dir):
     covariance: lambda1, trace, explained-variance ratio and the top
     loading dimension (pipeline/similarity.py top_pc)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.top_pc(emb)
+    return psim.top_pc(emb, dim=64)
 
 
 # ------------------------------------------------ round-13 additions
@@ -3826,7 +3826,7 @@ def q_emb_effective_rank(spark, sf_dir):
     eigendecomposition; one combiner-collapsed dim² moment scan
     (pipeline/similarity.py effective_rank)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.effective_rank(emb)
+    return psim.effective_rank(emb, dim=64)
 
 
 def q_ev_power_mde(spark, sf_dir):

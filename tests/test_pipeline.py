@@ -3656,6 +3656,28 @@ def test_effective_rank_isotropic(spark):
     assert r.effective_rank == float(d)
 
 
+def test_cov_table_wide_path_matches_generic(spark):
+    """r14 optimization: the dim-known wide form of _cov_table (one
+    posexplode to dim rows + dim DECIMAL aggregate columns, melted back)
+    must produce bit-identical results to the generic dim² double
+    posexplode — DECIMAL addition is exact, so the regrouped sums are
+    order-independent.  Checked through both public consumers."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    vecs = [
+        (0, [1.0, -2.5, 0.25, 3.0]),
+        (1, [0.5, 0.75, -1.25, 2.0]),
+        (2, [-3.0, 1.5, 2.25, -0.5]),
+        (3, [2.0, -0.25, 1.0, 1.75]),
+        (4, [-1.5, 2.0, -2.0, 0.25]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    for fn in (psim.effective_rank, psim.top_pc):
+        generic = fn(emb).collect()
+        wide = fn(emb, dim=4).collect()
+        assert wide == generic, fn.__name__
+
+
 def test_duck_np_cte_rejects_overwide_planes():
     """ADVICE r12 low: an explicit n_planes past the oracle's gated-bit
     budget must fail loudly, not silently drop bucket bits."""
