@@ -3830,15 +3830,25 @@ def _cov_table(
                 ],
             )
         )
-        sums_j = wide.select(
-            F.col("i").alias("j"), F.col("_si").alias("_sj")
-        )
+        from pyspark.sql import Window as _W
+
+        # _sj (= group j's _si) is read off the melted table itself: the
+        # i = j row of each j-partition carries it, so one window over
+        # the dim² register-sized rows replaces a broadcast join whose
+        # build side would RE-SCAN the corpus (lazy plans don't reuse
+        # the aggregation subtree; the first r14 cut paid a second full
+        # corpus pass for 64 broadcast rows)
         melted = wide.select(
             "i", "_n", "_si",
             F.posexplode(
                 F.array(*[F.col(f"_s{j}") for j in range(dim)])
             ).alias("j", "_sij"),
-        ).join(F.broadcast(sums_j), "j")
+        ).withColumn(
+            "_sj",
+            F.max(
+                F.when(F.col("i") == F.col("j"), F.col("_si"))
+            ).over(_W.partitionBy("j")),
+        )
         return melted.select(
             "i",
             "j",
