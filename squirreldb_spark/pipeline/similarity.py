@@ -79,12 +79,35 @@ def _dot_expr(a: str, b: str, dim: int = UNROLL_DIM) -> str:
     )
 
 
-def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
-    """cosine(a, b) computed fully JVM-side; inputs array<float|double>."""
+def with_cosine(
+    df: DataFrame,
+    a: str,
+    b: str,
+    out: str = "cosine",
+    an: str | None = None,
+    bn: str | None = None,
+) -> DataFrame:
+    """cosine(a, b) computed fully JVM-side; inputs array<float|double>.
+
+    ``an`` / ``bn`` name columns carrying PRE-COMPUTED vector norms
+    (the :func:`_vnorm_expr` fold, ``sqrt(<v, v>)``).  A norm is a
+    per-VECTOR quantity: when the pair count exceeds the vector count
+    (brute-force scans, bucketed self-joins), folding it once in the
+    base projection and carrying 8 bytes through the join replaces two
+    of the three interpreted 64-element folds per candidate PAIR —
+    O(rows x dim) instead of O(pairs x dim) norm work — with
+    bit-identical arithmetic: same left fold over the same double
+    array, same sqrt, same ``sqrt(na) * sqrt(nb)`` multiply order (the
+    contract `_centroid_scores_expr` already relies on).  Leave them
+    None where candidates are FEWER than scanned rows (rescore paths:
+    binary-hamming / IVFPQ-refine / hybrid re-score, single-probe
+    ann_lsh) — there the per-pair fold touches fewer rows than a
+    scan-side fold would.
+    """
     dot = _dot_expr(a, b)
-    na = _dot_expr(a, a)
-    nb = _dot_expr(b, b)
-    return df.withColumn(out, F.expr(f"({dot}) / (sqrt({na}) * sqrt({nb}))"))
+    na = f"sqrt({_dot_expr(a, a)})" if an is None else an
+    nb = f"sqrt({_dot_expr(b, b)})" if bn is None else bn
+    return df.withColumn(out, F.expr(f"({dot}) / (({na}) * ({nb}))"))
 
 
 def _topk_per_query(
@@ -112,14 +135,22 @@ def _brute_scored(
 ) -> DataFrame:
     """Shared brute-force prologue (kNN + radius search): broadcast the
     first ``n_queries`` vectors against the corpus scan and 6-dp-round
-    the cosine so ranking/thresholding is engine-independent."""
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    the cosine so ranking/thresholding is engine-independent.  Norms
+    are folded once per vector in the base projection (r14: pairs =
+    corpus x n_queries >> corpus, see :func:`with_cosine`)."""
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_n", F.expr(_vnorm_expr("v")))
     q = base.filter(F.col(id_col) < n_queries).select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+        F.col("_n").alias("qn"),
     )
-    c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
+    c = base.select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"),
+        F.col("_n").alias("cn"),
+    )
     j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
-    return with_cosine(j, "qv", "cv").withColumn(
+    return with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
 
@@ -354,7 +385,10 @@ def ann_ivf(
     ).withColumn("_vn", F.expr(_vnorm_expr("v")))
     cells = base.withColumn(
         "cell", F.expr(_ARGMAX_CELL.format(scores=scores))
-    ).select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell")
+    ).select(
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell",
+        F.col("_vn").alias("cn"),
+    )
     probes = (
         base.filter(F.col(id_col) < n_queries)
         .withColumn(
@@ -366,12 +400,15 @@ def ann_ivf(
         .select(
             F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
             F.col("pc.cell").alias("cell"),
+            F.col("_vn").alias("qn"),
         )
     )
     j = cells.join(F.broadcast(probes), on="cell").filter(
         F.col("c_id") != F.col("q_id")
     )
-    scored = with_cosine(j, "qv", "cv").withColumn(
+    # `_vn` is already folded once per row for the centroid argmax, so
+    # reusing it in the rerank is free (r14, see with_cosine)
+    scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     return _topk_per_query(scored, k, carry=[])
@@ -411,7 +448,9 @@ def embedding_neardup_pairs(
     enumerated; the size count shares the join's shuffle key.
     """
     all_planes = hyperplanes(n_tables * n_planes, dim)
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_n", F.expr(_vnorm_expr("v")))
     tables = F.array(*[
         F.struct(
             F.lit(t).alias("t"),
@@ -449,11 +488,21 @@ def embedding_neardup_pairs(
         .dropDuplicates(["a_id", "b_id"])
     )
     cand = cand.join(
-        base.select(F.col(id_col).alias("a_id"), F.col("v").alias("av")), "a_id"
+        base.select(
+            F.col(id_col).alias("a_id"), F.col("v").alias("av"),
+            F.col("_n").alias("an"),
+        ),
+        "a_id",
     ).join(
-        base.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv")), "b_id"
+        base.select(
+            F.col(id_col).alias("b_id"), F.col("v").alias("bv"),
+            F.col("_n").alias("bn"),
+        ),
+        "b_id",
     )
-    scored = with_cosine(cand, "av", "bv").withColumn(
+    # norms fold once per corpus row in the join-back scans, not once
+    # per candidate pair (pairs >> corpus here; r14, see with_cosine)
+    scored = with_cosine(cand, "av", "bv", an="an", bn="bn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     return scored.filter(F.col("cosine") >= threshold).select("a_id", "b_id", "cosine")
@@ -1693,13 +1742,20 @@ def mmr_rerank(
         vec_col=vec_col,
     ).select("q_id", "c_id", F.col("cosine").alias("rel"))
     base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    # norms fold once per CANDIDATE row (k x n_queries, after the id
+    # join prunes the corpus), not once per C^2-per-query pair (r14,
+    # see with_cosine)
     a = cand.join(
         base.select(F.col(id_col).alias("c_id"), F.col("v").alias("av")), "c_id"
-    )
+    ).withColumn("na", F.expr(_vnorm_expr("av")))
     b = cand.select(
         F.col("q_id"), F.col("c_id").alias("b_id")
-    ).join(base.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv")), "b_id")
-    pairs = with_cosine(a.join(b, "q_id"), "av", "bv", out="sim").select(
+    ).join(
+        base.select(F.col(id_col).alias("b_id"), F.col("v").alias("bv")), "b_id"
+    ).withColumn("nb", F.expr(_vnorm_expr("bv")))
+    pairs = with_cosine(
+        a.join(b, "q_id"), "av", "bv", out="sim", an="na", bn="nb"
+    ).select(
         "q_id", "c_id", "rel", "b_id", F.round(F.col("sim"), 6).alias("sim")
     )
 
@@ -2563,16 +2619,22 @@ def hubness(
     if n_planes is None:
         n_planes = _auto_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_n", F.expr(_vnorm_expr("v")))
     bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
     q = bucketed.select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
+        F.col("_n").alias("qn"),
     )
     c = _cap_candidates(bucketed, id_col, max_bucket).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket",
+        F.col("_n").alias("cn"),
     )
     j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
-    scored = with_cosine(j, "qv", "cv").withColumn(
+    # norms fold once per scanned row; the salted join fans out to
+    # corpus x density pairs (r14, see with_cosine)
+    scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     knn = _topk_per_query(scored, k, carry=[])
@@ -3044,22 +3106,25 @@ def knn_label_purity(
         F.col(id_col),
         F.col(label_col).alias("label"),
         F.expr(_to_double(vec_col)).alias("v"),
-    )
+    ).withColumn("_n", F.expr(_vnorm_expr("v")))
     bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
     q = bucketed.select(
         F.col(id_col).alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("v").alias("qv"),
         "bucket",
+        F.col("_n").alias("qn"),
     )
     c = _cap_candidates(bucketed, id_col, max_bucket).select(
         F.col(id_col).alias("c_id"),
         F.col("label").alias("c_label"),
         F.col("v").alias("cv"),
         "bucket",
+        F.col("_n").alias("cn"),
     )
     j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
-    scored = with_cosine(j, "qv", "cv").withColumn(
+    # per-row norm fold, corpus x density pairs (r14, see with_cosine)
+    scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     knn = _topk_per_query(scored, k, carry=["q_label", "c_label"])
@@ -3293,11 +3358,16 @@ def sq_bits_sweep(
             ).alias("mean_mse")
         )
         q = coded.filter(F.col(id_col) < n_queries).select(
-            F.col(id_col).alias("q_id"), F.col("v").alias("qv")
+            F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
+            F.expr(_vnorm_expr("v")).alias("qn"),
         )
-        c = coded.select(F.col(id_col).alias("c_id"), F.col("_rv").alias("cv"))
+        c = coded.select(
+            F.col(id_col).alias("c_id"), F.col("_rv").alias("cv"),
+            F.expr(_vnorm_expr("_rv")).alias("cn"),
+        )
         j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
-        scored = with_cosine(j, "qv", "cv").withColumn(
+        # per-row norm fold, corpus x n_queries pairs (r14, with_cosine)
+        scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
             "cosine", F.round(F.col("cosine"), 6)
         )
         approx = _topk_per_query(scored, k, carry=[]).select(
@@ -3533,16 +3603,21 @@ def knn_reciprocity(
     if n_planes is None:
         n_planes = _auto_planes(emb.count())
     planes = hyperplanes(n_planes, dim)
-    base = emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+    base = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).withColumn("_n", F.expr(_vnorm_expr("v")))
     bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
     q = bucketed.select(
-        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket"
+        F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
+        F.col("_n").alias("qn"),
     )
     c = _cap_candidates(bucketed, id_col, max_bucket).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket"
+        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "bucket",
+        F.col("_n").alias("cn"),
     )
     j = _salted_graph_join(q, c).filter(F.col("c_id") != F.col("q_id"))
-    scored = with_cosine(j, "qv", "cv").withColumn(
+    # per-row norm fold, corpus x density pairs (r14, see with_cosine)
+    scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
     edges = _topk_per_query(scored, k, carry=[]).select("q_id", "c_id")

@@ -3678,6 +3678,31 @@ def test_cov_table_wide_path_matches_generic(spark):
         assert wide == generic, fn.__name__
 
 
+def test_with_cosine_precomputed_norms_bit_identical(spark):
+    """r14 optimization: `with_cosine(an=, bn=)` carrying norms folded
+    once per row (`_vnorm_expr`) must be bit-identical to the inline
+    per-pair form — same left fold over the same double array, same
+    sqrt, same multiply order; only the evaluation SITE moves from the
+    pair stage to the scan projection."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    rows = [
+        (0, [0.1, -2.7, 3.3333333, 1e-8], [7.77, 0.003, -1.1, 2.5]),
+        (1, [1.0 / 3.0, 0.7, -0.49, 5.25], [-0.123, 9.9, 0.31, -4.04]),
+        (2, [1e9, -1e-9, 2.2, 0.6], [0.5, 0.25, -0.125, 1e6]),
+    ]
+    df = spark.createDataFrame(rows, "i long, a array<double>, b array<double>")
+    inline = {r.i: r.cosine for r in psim.with_cosine(df, "a", "b").collect()}
+    pre = df.withColumn("na", F.expr(psim._vnorm_expr("a"))).withColumn(
+        "nb", F.expr(psim._vnorm_expr("b"))
+    )
+    carried = {
+        r.i: r.cosine
+        for r in psim.with_cosine(pre, "a", "b", an="na", bn="nb").collect()
+    }
+    assert carried == inline  # exact float equality, not approx
+
+
 def test_duck_np_cte_rejects_overwide_planes():
     """ADVICE r12 low: an explicit n_planes past the oracle's gated-bit
     budget must fail loudly, not silently drop bucket bits."""
