@@ -350,8 +350,15 @@ def ann_ivf(
     train_mod: int = 4,
     centroids=None,
     cache_key: str | None = None,
+    cells_df: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize, then rerank probed cells.
+
+    ``cells_df`` (r14) lets a sweeping caller hand in the
+    probe-INDEPENDENT cell-assignment table (the exact ``cells``
+    projection built below) so a |probes|-arm sweep quantizes the
+    corpus once instead of once per arm; the probe side is rebuilt per
+    arm either way (n_queries rows behind a pushed id filter).
 
     The query path is pure serving: the (pre-)trained centroids
     (``centroids``, or :func:`train_ivf` with driver-side memoization via
@@ -383,12 +390,15 @@ def ann_ivf(
     base = emb.select(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
     ).withColumn("_vn", F.expr(_vnorm_expr("v")))
-    cells = base.withColumn(
-        "cell", F.expr(_ARGMAX_CELL.format(scores=scores))
-    ).select(
-        F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell",
-        F.col("_vn").alias("cn"),
-    )
+    if cells_df is not None:
+        cells = cells_df
+    else:
+        cells = base.withColumn(
+            "cell", F.expr(_ARGMAX_CELL.format(scores=scores))
+        ).select(
+            F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell",
+            F.col("_vn").alias("cn"),
+        )
     probes = (
         base.filter(F.col(id_col) < n_queries)
         .withColumn(
@@ -2109,15 +2119,38 @@ def ivf_nprobe_sweep(
     scans — never |probes| trainings; every per-level result is a
     config-sized (k x n_queries) table and the final union is
     |probes| rows.
+
+    r14: the "computed once" intent is now enforced — task-level input
+    metrics showed the composed plan reading ~27 corpus-scans' worth of
+    rows per execution because each union arm re-expanded the exact
+    ranking AND re-quantized the corpus.  The exact top-k
+    (k x n_queries rows) and the probe-independent cell-assignment
+    table are persisted and shared across arms (``cells_df``); each arm
+    rebuilds only its n_queries-row probe set behind a pushed id
+    filter.  Arithmetic unchanged — same expressions, same centroids,
+    only the evaluation count drops.
     """
     exact = cosine_knn(
         emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "c_id")
+    ).select("q_id", "c_id").persist()
+    centroids = train_ivf(emb, id_col=id_col, vec_col=vec_col,
+                          cache_key=cache_key)
+    scores = _centroid_scores_expr(centroids)
+    cells = (
+        emb.select(F.col(id_col), F.expr(_to_double(vec_col)).alias("v"))
+        .withColumn("_vn", F.expr(_vnorm_expr("v")))
+        .withColumn("cell", F.expr(_ARGMAX_CELL.format(scores=scores)))
+        .select(
+            F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell",
+            F.col("_vn").alias("cn"),
+        )
+        .persist()
+    )
     out = None
     for p in probes:
         approx = ann_ivf(
             emb, k=k, n_queries=n_queries, nprobe=p, id_col=id_col,
-            vec_col=vec_col, cache_key=cache_key,
+            vec_col=vec_col, centroids=centroids, cells_df=cells,
         ).select("q_id", "c_id", F.lit(1).alias("_hit"))
         rec = (
             exact.join(approx, ["q_id", "c_id"], "left")
@@ -2622,7 +2655,13 @@ def hubness(
     base = emb.select(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
     ).withColumn("_n", F.expr(_vnorm_expr("v")))
-    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    # r14: persisted — the query side, the capped candidate side and the
+    # antihub join-back each re-scanned the corpus (task-level input
+    # metrics: 5 scans/execution); one projection pass now feeds all
+    # three.  Norm + bucket fold once per row, parquet read once.
+    bucketed = base.withColumn(
+        "bucket", F.expr(bucket_expr("v", planes))
+    ).persist()
     q = bucketed.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
         F.col("_n").alias("qn"),
@@ -2640,7 +2679,7 @@ def hubness(
     knn = _topk_per_query(scored, k, carry=[])
     indeg = knn.groupBy("c_id").agg(F.count(F.lit(1)).alias("indeg"))
     full = (
-        base.select(F.col(id_col).alias("c_id"))
+        bucketed.select(F.col(id_col).alias("c_id"))
         .join(indeg, "c_id", "left")
         .select(F.coalesce(F.col("indeg"), F.lit(0)).alias("indeg"))
     )
@@ -3107,7 +3146,11 @@ def knn_label_purity(
         F.col(label_col).alias("label"),
         F.expr(_to_double(vec_col)).alias("v"),
     ).withColumn("_n", F.expr(_vnorm_expr("v")))
-    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    # r14: persisted — q and the capped candidate side each re-scanned
+    # the corpus; one projection pass feeds both (the hubness treatment)
+    bucketed = base.withColumn(
+        "bucket", F.expr(bucket_expr("v", planes))
+    ).persist()
     q = bucketed.select(
         F.col(id_col).alias("q_id"),
         F.col("label").alias("q_label"),
@@ -3319,20 +3362,34 @@ def sq_bits_sweep(
     unshuffled scan; reconstruction is a pure array HOF inside it) —
     no exchange ever carries a vector; the MSE mean sums 6-dp-quantized
     per-vector values as DECIMAL (addition-order-exact) and recall
-    joins two config-sized rankings.  The sweep multiplies scans by
-    |bits_list| (config), not data.
+    joins two config-sized rankings.
+
+    r14: the sweep's shared inputs are persisted.  Task-level input
+    metrics showed the composed plan reading ~32 corpus-scans' worth of
+    rows per execution — every per-bits branch re-ran the min/max stats
+    aggregation (broadcast subtrees are not exchange-reused across the
+    union arms) and re-scanned the corpus, and the exact ranking re-ran
+    per arm.  Now ONE corpus projection (id + double vector) is
+    persisted and every consumer — stats (1 row, persisted), the
+    per-bits MSE/query/candidate branches — reads it; the exact top-k
+    (k x n_queries rows, persisted) is computed once.  Parquet is read
+    once per execution; the sweep's per-bits work is |bits_list| passes
+    over the SAME cached projection (at deployment scale the cache
+    spills to local disk — strictly cheaper than |bits_list| x 3 remote
+    re-reads).  Arithmetic unchanged: stats aggregates the identical
+    ``_to_double`` column, branch expressions untouched.
     """
-    v = F.expr(_to_double(vec_col))
-    stats = emb.select(v.alias("v")).agg(
+    base0 = emb.select(
+        F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
+    ).persist()
+    stats = base0.agg(
         F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
         F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
-    )
+    ).persist()
     exact = cosine_knn(
         emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "c_id")
-    base = emb.select(F.col(id_col), v.alias("v")).crossJoin(
-        F.broadcast(stats)
-    )
+    ).select("q_id", "c_id").persist()
+    base = base0.crossJoin(F.broadcast(stats))
     out = None
     for bits in bits_list:
         lv = (1 << bits) - 1
@@ -3606,7 +3663,11 @@ def knn_reciprocity(
     base = emb.select(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
     ).withColumn("_n", F.expr(_vnorm_expr("v")))
-    bucketed = base.withColumn("bucket", F.expr(bucket_expr("v", planes)))
+    # r14: persisted — q and the capped candidate side each re-scanned
+    # the corpus; one projection pass feeds both (the hubness treatment)
+    bucketed = base.withColumn(
+        "bucket", F.expr(bucket_expr("v", planes))
+    ).persist()
     q = bucketed.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
         F.col("_n").alias("qn"),
@@ -3620,7 +3681,13 @@ def knn_reciprocity(
     scored = with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
-    edges = _topk_per_query(scored, k, carry=[]).select("q_id", "c_id")
+    # r14: persisted — the reversed-edge probe referenced the edge list
+    # twice, and task-level input metrics showed each reference
+    # re-running the ENTIRE graph build (salted join + two-phase top-k).
+    # The pinned edge list is corpus x k two-long fingerprint rows.
+    edges = _topk_per_query(scored, k, carry=[]).select(
+        "q_id", "c_id"
+    ).persist()
     rev = edges.select(
         F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"),
         F.lit(1).alias("_rev"),
