@@ -2845,9 +2845,13 @@ def detector_agreement(
     sh = simhash_neardup_pairs(docs, text_col=text_col, id_col=id_col).select(
         "id_a", "id_b", F.lit(1).alias("in_sh")
     )
+    # r14: persisted — referenced three times (the C(g,2) reduction and
+    # both pair-annotation joins), and task-level input metrics showed
+    # each reference re-scanning the corpus and re-hashing the text.
+    # One md5 pass now feeds all three; the pinned table is (id, hash).
     hashed = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_h")
-    )
+    ).persist()
     # n_exact = sum of C(g,2) over identical-text group sizes: exact pair
     # COUNT without enumerating pairs (the quadratic the advice flagged).
     ex_n = (

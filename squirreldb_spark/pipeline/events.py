@@ -211,10 +211,24 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     ``ceil(k*N/5)``), so both engines agree bit-for-bit. Value ties
     share a bucket (deterministic, unlike ``ntile``'s arbitrary tie
     split).
+
+    r14: the 1-row ``now`` aggregate is persisted.  Task-level input
+    metrics showed 7 events scans per execution; the user-keyed
+    aggregation's exchange IS runtime-reused across the seven
+    ``per_user`` references, but the broadcast max-ts subtree inside it
+    is rebuilt per consumer (broadcast exchanges are not reuse-deduped),
+    so each branch re-scanned raw events just for the corpus max.
+    Persisting the full per-user table instead was measured and
+    rejected: it halves the scans but its materialization barrier
+    DOUBLED the sf0.1 wall (0.475 s → 0.816 s) — the 1-row pin gets the
+    scan reduction without the barrier.
     """
     # recency is measured against the corpus max ts — a one-row agg
-    # broadcast back over the user table
-    now = events.agg(F.max("ts").alias("now_ts"))
+    # broadcast back over the user table.  r14: persisted — broadcast
+    # subtrees are rebuilt per consumer (no exchange reuse across
+    # branches), so every boundary/scoring branch re-scanned raw events
+    # just to recompute this one row.
+    now = events.agg(F.max("ts").alias("now_ts")).persist()
     per_user = (
         events.groupBy("user_id")
         .agg(
@@ -238,8 +252,13 @@ def rfm_segments(events: DataFrame) -> DataFrame:
         n_total = f"_N_{col}"
         dist = df.groupBy(col).agg(F.count(F.lit(1)).alias("n"))
         w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        # r14: the total user count is Σn over the tiny distinct-value
+        # table — exactly count(*) over df, same integer — instead of a
+        # second reference to df, which re-ran the whole events
+        # aggregation (branch subtrees are not exchange-reuse-deduped
+        # when a broadcast sits between them)
         cum = dist.withColumn("cum", F.sum("n").over(w)).crossJoin(
-            F.broadcast(df.agg(F.count(F.lit(1)).alias(n_total)))
+            F.broadcast(dist.agg(F.sum("n").alias(n_total)))
         )
         return cum.agg(
             *[
@@ -1320,6 +1339,16 @@ def hll_setops(
     pair join and estimates run on that sketch table only.  The exact
     baseline (distinct (type, id) self-joined on id) exists only under
     ``self_eval``.
+
+    r14: ``sparse`` (the |types| x 64 register table) is persisted and
+    the dense-bucket grid derives its type list from it instead of a
+    second events scan (identical set: every type with >= 1 event has
+    >= 1 register row).  Task-level input metrics showed the
+    singles/pair branches re-running the register aggregation over raw
+    events once each — 4 corpus scans per execution; now 1.  This IS
+    the sketch promise the docstring makes ("answer every pairwise
+    overlap question without touching raw events again") enforced
+    within one plan.
     """
     from squirreldb_spark.pipeline.dedup import _h60_sql_expr
 
@@ -1337,9 +1366,10 @@ def hll_setops(
         )
         .groupBy("k", "bucket")
         .agg(F.max("rank").alias("r"))
+        .persist()
     )
     buckets = (
-        events.select(F.col(key_col).alias("k"))
+        sparse.select("k")
         .distinct()
         .select("k", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("bucket"))
     )
@@ -1399,7 +1429,12 @@ def hll_setops(
     ]
     if not self_eval:
         return out.select("type_a", "type_b", *est_cols)
-    su = events.select(F.col(key_col).alias("k"), F.col(id_col).alias("i")).distinct()
+    # r14: persisted — referenced by 4 branches (pair self-join sides +
+    # both per-type counts); one distinct (type, user) reduction instead
+    # of re-deriving it from raw events per branch
+    su = events.select(
+        F.col(key_col).alias("k"), F.col(id_col).alias("i")
+    ).distinct().persist()
     ia = su.select(F.col("k").alias("type_a"), "i")
     ib = su.select(F.col("k").alias("type_b"), "i")
     inter = (

@@ -150,6 +150,13 @@ def set_op(left: DataFrame, right: DataFrame, on: Sequence[str], op: str) -> Dat
         for c in left.columns:
             if c not in right.columns and c not in meta:
                 right = right.withColumn(c, F.lit(""))
+        # r14: persisted — `or` is the one set op that references a side
+        # twice (the union output AND the anti-join key set), and
+        # task-level input metrics showed both references re-evaluating
+        # the whole left selector subtree (grid + lookback + scans).
+        # The pinned table is the evaluated left VECTOR (labels +
+        # step_ts + value, grid-bounded), materialized inside the query.
+        left = left.persist()
         lk = left.select(*keys).distinct()
         extra = right.join(lk, on=keys, how="left_anti")
         return left.unionByName(extra.select(*left.columns))
