@@ -398,7 +398,11 @@ def _stats(samples: dict[str, list[float]]) -> tuple[dict, dict]:
 #: sentinel BEFORE its payload; a child whose sentinel runs >3x the
 #: committed basis is discarded and respawned (bounded), and a record
 #: produced by a degraded final attempt carries `rig_degraded` instead
-#: of shipping silently as a regression.
+#: of shipping silently as a regression.  r14 addition: the sentinel is
+#: re-timed AFTER the payload too (`sentinel_post`, outside the timed
+#: region) — the round-close episode showed a child can pass the start
+#: gate and degrade mid-payload; a degraded post-read discards the
+#: payload and respawns just like a degraded pre-read.
 SENTINEL_QUERY = "doc_exact_dedup"
 SENTINEL_BASIS = 0.099  # committed r13 headline basis (BENCH_HISTORY)
 SENTINEL_FACTOR = 3.0
@@ -436,12 +440,38 @@ def _sentinel_gate(spark, CATALOG, out_path: str) -> dict | None:
     return sent
 
 
+def _finish_child(spark, CATALOG, out_path: str, sent: dict,
+                  doc: dict) -> None:
+    """Post-payload sentinel bracket (r14 round-close episode: a child
+    can pass the start-of-child sentinel and degrade MID-payload — one
+    task burned 14+ min of interpreted expression eval on a near-idle
+    rig, on code that had run the same queries in 1-4 s hours earlier).
+    The sentinel is re-timed AFTER the payload, outside the timed
+    region; a degraded post-read discards the payload (unless this is
+    the parent-forced final attempt) so the parent respawns instead of
+    folding a mid-run-degraded adjudication into the record.  A window
+    that hits mid-payload and recovers before this check is still
+    caught downstream by the mover re-time loop."""
+    sent_post = _sentinel_check(spark, CATALOG)
+    if sent_post["degraded"] and os.environ.get(
+        "SPARK_GRAFT_SENTINEL_FINAL"
+    ) != "1":
+        doc = {}
+    doc["sentinel"] = sent
+    doc["sentinel_post"] = sent_post
+    with open(out_path, "w") as fh:
+        json.dump(doc, fh)
+    spark.stop()
+
+
 def _run_sentinel_child(argv: list[str], out_path: str) -> tuple[dict, dict]:
     """Parent side: spawn a fresh child, respawning (up to
-    SENTINEL_MAX_SPAWNS total) while its sentinel reads degraded.  The
-    final attempt always times the payload; if even it was degraded the
-    returned report carries ``rig_degraded`` so the verdict can
-    adjudicate instead of reading a phantom regression."""
+    SENTINEL_MAX_SPAWNS total) while its sentinel — timed BEFORE the
+    payload, and again AFTER it (`sentinel_post`, the mid-payload
+    bracket) — reads degraded.  The final attempt always times the
+    payload; if even it was degraded the returned report carries
+    ``rig_degraded`` so the verdict can adjudicate instead of reading a
+    phantom regression."""
     import subprocess
 
     attempts: list[dict] = []
@@ -454,8 +484,12 @@ def _run_sentinel_child(argv: list[str], out_path: str) -> tuple[dict, dict]:
         with open(out_path) as fh:
             payload = json.load(fh)
         sent = payload.pop("sentinel", None) or {}
-        attempts.append(sent)
-        if not sent.get("degraded"):
+        sent_post = payload.pop("sentinel_post", None) or {}
+        att = dict(sent)
+        if sent_post:
+            att["post"] = sent_post
+        attempts.append(att)
+        if not (sent.get("degraded") or sent_post.get("degraded")):
             return payload, {"degraded": False, "attempts": attempts}
     return payload, {
         "degraded": True, "rig_degraded": True, "attempts": attempts,
@@ -490,18 +524,15 @@ def headline_child(out_path: str) -> None:
     cache_pre = _buff_cache_gb()
     timings, samples = _time_reps(spark, CATALOG, BENCH_QUERIES, reps=5)
     med, spread = _stats(samples)
-    with open(out_path, "w") as fh:
-        json.dump({
-            "sentinel": sent,
-            "timings": timings,
-            "samples": samples,
-            "median": med,
-            "spread": spread,
-            "min": {n: min(s) for n, s in samples.items()},
-            "buff_cache_gb_cold": cache_cold,
-            "buff_cache_gb_pre": cache_pre,
-        }, fh)
-    spark.stop()
+    _finish_child(spark, CATALOG, out_path, sent, {
+        "timings": timings,
+        "samples": samples,
+        "median": med,
+        "spread": spread,
+        "min": {n: min(s) for n, s in samples.items()},
+        "buff_cache_gb_cold": cache_cold,
+        "buff_cache_gb_pre": cache_pre,
+    })
 
 
 def _history_rounds() -> dict:
@@ -594,9 +625,7 @@ def retime_child(out_path: str, names: list[str], full: bool = False) -> None:
         return
     timer = _time_reps_full if full else _time_reps
     _, samples = timer(spark, CATALOG, names, reps=3)
-    with open(out_path, "w") as fh:
-        json.dump({"sentinel": sent, "samples": samples}, fh)
-    spark.stop()
+    _finish_child(spark, CATALOG, out_path, sent, {"samples": samples})
 
 
 def _retime_movers(
@@ -753,9 +782,7 @@ def qps_child(out_path: str) -> None:
     if sent is None:  # degraded child: parent respawns (VERDICT r13 #1)
         return
     qps = qps_bench(spark, CATALOG)
-    with open(out_path, "w") as fh:
-        json.dump({"sentinel": sent, "qps": qps}, fh)
-    spark.stop()
+    _finish_child(spark, CATALOG, out_path, sent, {"qps": qps})
 
 
 def main() -> None:

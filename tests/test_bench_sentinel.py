@@ -126,3 +126,98 @@ def test_retime_movers_flags_rig_degraded(monkeypatch):
 @pytest.mark.parametrize("median,expect", [(0.1, False), (0.5, True)])
 def test_sentinel_threshold(median, expect):
     assert (median > bench.SENTINEL_FACTOR * bench.SENTINEL_BASIS) is expect
+
+
+# ---------------------------------------------------------------------------
+# Post-payload sentinel bracket (r14: a child can pass the start-of-child
+# sentinel and degrade MID-payload — the round-close episode saw one task
+# burn 14+ min of interpreted eval on a near-idle rig).  The child re-times
+# the sentinel AFTER its payload; a degraded post-read discards the payload
+# so the parent respawns.
+
+
+class _FakeSpark:
+    def __init__(self):
+        self.stopped = False
+
+    def stop(self):
+        self.stopped = True
+
+
+def _post_sent(degraded):
+    return {"query": bench.SENTINEL_QUERY, "basis": bench.SENTINEL_BASIS,
+            "median": 9.9 if degraded else 0.1, "degraded": degraded}
+
+
+def test_finish_child_ships_payload_on_healthy_post(monkeypatch, tmp_path):
+    out = str(tmp_path / "o.json")
+    monkeypatch.setattr(bench, "_sentinel_check",
+                        lambda spark, cat: _post_sent(False))
+    monkeypatch.delenv("SPARK_GRAFT_SENTINEL_FINAL", raising=False)
+    spark = _FakeSpark()
+    bench._finish_child(spark, None, out, _post_sent(False),
+                        {"samples": {"q": [1.0]}})
+    with open(out) as fh:
+        doc = json.load(fh)
+    assert doc["samples"] == {"q": [1.0]}
+    assert doc["sentinel_post"]["degraded"] is False
+    assert spark.stopped
+
+
+def test_finish_child_discards_payload_on_degraded_post(monkeypatch,
+                                                        tmp_path):
+    out = str(tmp_path / "o.json")
+    monkeypatch.setattr(bench, "_sentinel_check",
+                        lambda spark, cat: _post_sent(True))
+    monkeypatch.delenv("SPARK_GRAFT_SENTINEL_FINAL", raising=False)
+    bench._finish_child(_FakeSpark(), None, out, _post_sent(False),
+                        {"samples": {"q": [9.0]}})
+    with open(out) as fh:
+        doc = json.load(fh)
+    assert "samples" not in doc          # payload discarded -> respawn
+    assert doc["sentinel_post"]["degraded"] is True
+    assert doc["sentinel"]["degraded"] is False
+
+
+def test_finish_child_final_attempt_ships_despite_degraded_post(
+        monkeypatch, tmp_path):
+    out = str(tmp_path / "o.json")
+    monkeypatch.setattr(bench, "_sentinel_check",
+                        lambda spark, cat: _post_sent(True))
+    monkeypatch.setenv("SPARK_GRAFT_SENTINEL_FINAL", "1")
+    bench._finish_child(_FakeSpark(), None, out, _post_sent(False),
+                        {"samples": {"q": [9.0]}})
+    with open(out) as fh:
+        doc = json.load(fh)
+    assert doc["samples"] == {"q": [9.0]}  # adjudicable, loudly flagged
+    assert doc["sentinel_post"]["degraded"] is True
+
+
+def test_parent_respawns_on_degraded_post_sentinel(monkeypatch, tmp_path):
+    """Pre-sentinel healthy, post-sentinel degraded -> parent treats the
+    child as degraded, discards its payload and respawns."""
+    out = str(tmp_path / "o.json")
+    calls = []
+
+    def run(argv, check=True, env=None):
+        final = (env or {}).get("SPARK_GRAFT_SENTINEL_FINAL") == "1"
+        calls.append(final)
+        if len(calls) == 1:  # mid-payload degradation: no payload shipped
+            doc = {"sentinel": _post_sent(False),
+                   "sentinel_post": _post_sent(True)}
+        else:
+            doc = {"sentinel": _post_sent(False),
+                   "sentinel_post": _post_sent(False),
+                   "samples": {"q": [1.0]}}
+        with open(out, "w") as fh:
+            json.dump(doc, fh)
+        return subprocess.CompletedProcess(argv, 0)
+
+    monkeypatch.setattr(subprocess, "run", run)
+    payload, rig = bench._run_sentinel_child(["x", out], out)
+    assert payload == {"samples": {"q": [1.0]}}
+    assert rig["degraded"] is False
+    assert len(rig["attempts"]) == 2
+    assert rig["attempts"][0]["post"]["degraded"] is True
+    assert rig["attempts"][0]["degraded"] is False  # pre was healthy
+    assert calls == [False, False]
