@@ -58,25 +58,36 @@ def _to_double(col: str) -> str:
 #: 7.6+ s, emb_hubness 1.47 → 5.1+ s (same-child sentinel
 #: doc_exact_dedup only ~2× rig noise).  ``UNROLL_DIM = 0`` keeps the
 #: attested HOF folds; the builders stay so the experiment is
-#: reproducible.
+#: reproducible.  SECOND r14 attempt, also measured: an UNGUARDED
+#: chain (no size() guard, no HOF fallback branch — pure codegen
+#: arithmetic, bit-identical left fold) still loses 3-15x on every
+#: COSINE path (healthy-sentinel child, sf0.1: emb_ann_ivf HOF
+#: 0.65-0.80 s → unrolled 5.3-11.9 s; emb_threshold_sweep 2.2-3.9 →
+#: 10.1-10.3; emb_cosine_knn 0.32-0.42 → 1.4-2.2; emb_ann_ivfpq one
+#: 258 s sample), so the dot unroll is off for good — but the SAME
+#: chain WINS 2-3x for the squared-distance fold in intrinsic_dim
+#: (5.2-9.0 → 2.2-2.7 s), the one heavy pair stage with no
+#: precomputed-norm trick.  `_dsq_expr` therefore unrolls where the
+#: CALLER passes the true vector width (the catalog threads dim=64;
+#: hand tests with toy vectors keep the HOF default), and `_dot_expr`
+#: keeps the HOF fold unconditionally.
 UNROLL_DIM = 0
 
 
 def _dot_expr(a: str, b: str, dim: int = UNROLL_DIM) -> str:
     """Inner product <a, b> as a strict left fold.
 
-    ``dim > 0`` unrolls the fold into a guarded arithmetic chain
-    computing the IDENTICAL doubles (same fold order) — see the
-    UNROLL_DIM note above for why that is measured-off (r14).
+    ``dim > 0`` unrolls the fold into an unguarded arithmetic chain
+    computing the IDENTICAL doubles (same fold order) over arrays that
+    MUST be exactly ``dim`` wide (ANSI mode raises on an out-of-bounds
+    index) — measured a 3-15x LOSS for every cosine path, see the
+    UNROLL_DIM note above; kept so the experiment is reproducible and
+    because the same chain is a measured WIN in :func:`_dsq_expr`.
     """
-    hof = _DOT.format(a=a, b=b)
     if not dim:
-        return hof
+        return _DOT.format(a=a, b=b)
     terms = " + ".join(f"({a}[{i}]) * ({b}[{i}])" for i in range(dim))
-    return (
-        f"IF(size({a}) = {dim} AND size({b}) = {dim},"
-        f" (0D + {terms}), {hof})"
-    )
+    return f"(0D + {terms})"
 
 
 def with_cosine(
@@ -86,6 +97,7 @@ def with_cosine(
     out: str = "cosine",
     an: str | None = None,
     bn: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """cosine(a, b) computed fully JVM-side; inputs array<float|double>.
 
@@ -104,9 +116,10 @@ def with_cosine(
     ann_lsh) — there the per-pair fold touches fewer rows than a
     scan-side fold would.
     """
-    dot = _dot_expr(a, b)
-    na = f"sqrt({_dot_expr(a, a)})" if an is None else an
-    nb = f"sqrt({_dot_expr(b, b)})" if bn is None else bn
+    d = UNROLL_DIM if dim is None else dim
+    dot = _dot_expr(a, b, d)
+    na = f"sqrt({_dot_expr(a, a, d)})" if an is None else an
+    nb = f"sqrt({_dot_expr(b, b, d)})" if bn is None else bn
     return df.withColumn(out, F.expr(f"({dot}) / (({na}) * ({nb}))"))
 
 
@@ -131,7 +144,8 @@ def _topk_per_query(
 
 
 def _brute_scored(
-    emb: DataFrame, n_queries: int, id_col: str, vec_col: str
+    emb: DataFrame, n_queries: int, id_col: str, vec_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """Shared brute-force prologue (kNN + radius search): broadcast the
     first ``n_queries`` vectors against the corpus scan and 6-dp-round
@@ -140,7 +154,7 @@ def _brute_scored(
     corpus x n_queries >> corpus, see :func:`with_cosine`)."""
     base = emb.select(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
-    ).withColumn("_n", F.expr(_vnorm_expr("v")))
+    ).withColumn("_n", F.expr(_vnorm_expr("v", dim)))
     q = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"),
         F.col("_n").alias("qn"),
@@ -150,7 +164,7 @@ def _brute_scored(
         F.col("_n").alias("cn"),
     )
     j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
-    return with_cosine(j, "qv", "cv", an="qn", bn="cn").withColumn(
+    return with_cosine(j, "qv", "cv", an="qn", bn="cn", dim=dim).withColumn(
         "cosine", F.round(F.col("cosine"), 6)
     )
 
@@ -161,13 +175,17 @@ def cosine_knn(
     n_queries: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     Rank on the 6-dp-rounded score with an id tie-break so the result is
-    engine-independent (raw float ordering is not).
+    engine-independent (raw float ordering is not).  ``dim`` overrides
+    the fold width for callers whose vectors are NOT full-width (the
+    Matryoshka truncated scan) — pass the true array length, or 0 to
+    force the HOF fold.
     """
-    scored = _brute_scored(emb, n_queries, id_col, vec_col)
+    scored = _brute_scored(emb, n_queries, id_col, vec_col, dim=dim)
     return _topk_per_query(scored, k, carry=[])
 
 
@@ -217,10 +235,11 @@ def ann_lsh(
 _IVF_CENTROIDS: dict[tuple, list] = {}
 
 
-def _vnorm_expr(v: str = "v") -> str:
+def _vnorm_expr(v: str = "v", dim: int | None = None) -> str:
     """||v|| as a single JVM-side fold (computed once per row, shared by
     every per-centroid cosine)."""
-    return f"sqrt({_dot_expr(v, v)})"
+    d = UNROLL_DIM if dim is None else dim
+    return f"sqrt({_dot_expr(v, v, d)})"
 
 
 def _centroid_scores_expr(cent_rows, v: str = "v", vn: str = "_vn") -> str:
@@ -1604,7 +1623,10 @@ def matryoshka_recall(
     trunc = emb.select(
         F.col(id_col), F.expr(f"slice({vec_col}, 1, {d_keep})").alias("_tv")
     )
-    approx = cosine_knn(trunc, k=k, n_queries=n_queries, id_col=id_col, vec_col="_tv")
+    # the truncated vectors are d_keep wide: unroll at THEIR width (the
+    # module default would index past the slice and null the fold)
+    approx = cosine_knn(trunc, k=k, n_queries=n_queries, id_col=id_col,
+                        vec_col="_tv", dim=d_keep if UNROLL_DIM else None)
     return (
         exact.select("q_id", "c_id")
         .join(approx.select("q_id", "c_id", F.lit(1).alias("_hit")),
@@ -2788,17 +2810,13 @@ _DSQ = (
 def _dsq_expr(a: str, b: str, dim: int = UNROLL_DIM) -> str:
     """Squared Euclidean distance — same unrolling contract (and
     identical left-fold doubles) as :func:`_dot_expr`."""
-    hof = _DSQ.format(a=a, b=b)
     if not dim:
-        return hof
+        return _DSQ.format(a=a, b=b)
     terms = " + ".join(
         f"(({a}[{i}]) - ({b}[{i}])) * (({a}[{i}]) - ({b}[{i}]))"
         for i in range(dim)
     )
-    return (
-        f"IF(size({a}) = {dim} AND size({b}) = {dim},"
-        f" (0D + {terms}), {hof})"
-    )
+    return f"(0D + {terms})"
 
 _DUCK_DSQ = (
     "list_sum(list_transform(generate_series(1, len({a})), "
@@ -2811,6 +2829,7 @@ def intrinsic_dim(
     n_queries: int = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """TwoNN intrinsic-dimension estimate (Facco et al. 2017): for each
     query point, μ = d₂/d₁ (the ratio of its second- to first-nearest
@@ -2839,8 +2858,12 @@ def intrinsic_dim(
     )
     c = base.select(F.col(id_col).alias("c_id"), F.col("v").alias("cv"))
     j = c.crossJoin(F.broadcast(q)).filter(F.col("c_id") != F.col("q_id"))
+    # dim (the true vector width, threaded by the catalog) unrolls the
+    # distance fold into a pure-codegen chain — measured 2-3x faster
+    # than the interpreted HOF on this pair stage (see UNROLL_DIM note);
+    # callers with variable/toy widths leave it None and keep the fold.
     scored = j.withColumn(
-        "dsq", F.round(F.expr(_dsq_expr("qv", "cv")), 6)
+        "dsq", F.round(F.expr(_dsq_expr("qv", "cv", dim or 0)), 6)
     )
     two = two_phase_topk(
         scored,

@@ -3587,7 +3587,9 @@ def q_emb_intrinsic_dim(spark, sf_dir):
     ratios over a fixed query budget (pipeline/similarity.py
     intrinsic_dim)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.intrinsic_dim(emb)
+    # dim=64 (the corpus vector width) unrolls the distance fold into a
+    # pure-codegen chain — measured 2-3x over the interpreted HOF (r14)
+    return psim.intrinsic_dim(emb, dim=64)
 
 
 def q_ev_cusum_changepoint(spark, sf_dir):

@@ -3703,6 +3703,27 @@ def test_with_cosine_precomputed_norms_bit_identical(spark):
     assert carried == inline  # exact float equality, not approx
 
 
+def test_dsq_unroll_bit_identical_and_codegen_only(spark):
+    """r14 optimization: `intrinsic_dim(dim=N)` unrolls the squared-
+    distance fold into a pure-codegen arithmetic chain (measured 2-3x
+    over the interpreted HOF on the pair stage).  The chain is the
+    IDENTICAL left fold — `0D + t0 + t1 + ...` — so results must be
+    bit-identical to the default HOF path, and the unrolled plan must
+    contain no zip_with (the interpreted fold)."""
+    from squirreldb_spark.pipeline import similarity as psim
+
+    rows = [
+        (i, [((i * 7 + j * 13) % 97) / 9.7 - 5.0 for j in range(6)])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hof = psim.intrinsic_dim(emb, n_queries=8).collect()
+    unrolled_df = psim.intrinsic_dim(emb, n_queries=8, dim=6)
+    assert unrolled_df.collect() == hof  # exact equality, not approx
+    plan = unrolled_df._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" not in plan.lower()
+
+
 def test_duck_np_cte_rejects_overwide_planes():
     """ADVICE r12 low: an explicit n_planes past the oracle's gated-bit
     budget must fail loudly, not silently drop bucket bits."""
