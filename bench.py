@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -19,12 +21,93 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# --------------------------------------------------------------------------
+# Global wall budget (VERDICT r14 #1): the r14 driver bench timed out
+# (rc 124) at BOTH 32 and 8 CPUs and shipped *nothing*, because the
+# sentinel/respawn protocol had unbounded worst-case wall and the one
+# JSON line printed only at the very end.  The harness now (a) tracks a
+# hard deadline checked between blocks and between queries, skipping
+# retime passes / ingest / QPS when short; (b) prints the headline JSON
+# line as soon as it exists and re-prints the enriched line at the end;
+# (c) installs a SIGTERM/SIGINT handler so even a killed run emits a
+# parseable line as its last output; (d) caps respawns RUN-wide, not
+# per child.  None of this changes the timed region, reps protocol,
+# query set or the final line format.
+BENCH_BUDGET = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "3600"))
+_T0 = time.monotonic()
+
+
+def _remaining() -> float:
+    """Seconds left before the run-wide deadline.  The parent exports the
+    absolute deadline via env so child processes share the same clock."""
+    dl = os.environ.get("SPARK_GRAFT_BENCH_DEADLINE")
+    if dl:
+        try:
+            return float(dl) - time.time()
+        except ValueError:
+            pass
+    return BENCH_BUDGET - (time.monotonic() - _T0)
+
+
+def _log(msg: str) -> None:
+    """Phase log on stderr: the driver tail-captures output, and a log of
+    which phase was running beats 2000 chars of progress bars when a run
+    is diagnosed post-mortem."""
+    print(f"[bench +{time.monotonic() - _T0:.0f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+#: Most-recent parseable final line + detail doc; refreshed after every
+#: completed block so a killed run still ships its progress.
+_EMIT: dict = {"line": None, "detail": None}
+_DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+_ACTIVE_CHILD: list = [None]
+
+
+def _flush_state() -> None:
+    """Persist the current detail doc (incremental flush, VERDICT r14 #1)."""
+    if _EMIT["detail"] is not None:
+        try:
+            with open(_DETAIL_PATH, "w") as fh:
+                json.dump(_EMIT["detail"], fh)
+        except OSError:
+            pass
+
+
+def _on_signal(signum, frame) -> None:
+    """Last-gasp emitter: kill the live child (its progress output would
+    otherwise trail our line), flush detail, and print the most recent
+    final-format line so the driver's tail capture parses even on a
+    timeout kill."""
+    child = _ACTIVE_CHILD[0]
+    if child is not None:
+        try:
+            child.terminate()
+            child.wait(timeout=5)
+        except Exception:
+            try:
+                child.kill()
+            except Exception:
+                pass
+    _flush_state()
+    if _EMIT["line"]:
+        try:
+            os.write(1, ("\n" + _EMIT["line"] + "\n").encode())
+        except OSError:
+            pass
+    os._exit(1)
+
 # The bench session is the one long heavy local[N] JVM that needs a big
 # heap (8g GC-thrashed once shuffle/broadcast state accumulated — the
 # round-2 drift); this is bench-harness tuning, NOT the library default,
 # which stays conservative for small hosts. Keeps the round-3 bench basis
 # (warm cache, best-of-2, 48g) frozen.
 os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+# No \r-progress bars in bench sessions: the driver tail-captures output,
+# and the r14 post-mortem had 2000 chars of progress bar where the phase
+# trace should have been.
+os.environ.setdefault("SPARK_GRAFT_CONSOLE_PROGRESS", "false")
 
 #: headline set: TSDB hot paths + relational joins + pre-agg routing
 BENCH_QUERIES = [
@@ -328,6 +411,7 @@ def _time_reps(
     spark, CATALOG, names: list[str], reps: int,
     extra_reps: dict[str, int] | None = None,
     full: bool = False,
+    reserve: float | None = None,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Per-query: value stays the round-3/4 frozen basis — best of the
     FIRST TWO reps (steady state; a single sample conflates GC pauses and
@@ -344,6 +428,14 @@ def _time_reps(
     best: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     for name in names:
+        if reserve is not None and _remaining() < reserve:
+            # VERDICT r14 #1a: hard deadline — stop the block and let the
+            # caller record the truncation rather than overrun the driver
+            # budget and ship nothing.  Headline timing passes reserve=None
+            # (it must complete; it IS the driver record).
+            _log(f"budget: truncating block before {name!r} "
+                 f"({_remaining():.0f}s left, reserve {reserve:.0f}s)")
+            break
         runs: list[float] = []
         for _ in range(reps + (extra_reps or {}).get(name, 0)):
             t0 = time.perf_counter()
@@ -354,18 +446,36 @@ def _time_reps(
             runs.append(time.perf_counter() - t0)
         best[name] = round(min(runs[:2]), 3)  # frozen basis
         samples[name] = [round(s, 3) for s in runs]
+        _release_pins()  # scope builder pins to their own query's reps
     return best, samples
+
+
+def _release_pins() -> int:
+    """Drain the builders' scoped persists between queries (VERDICT r14
+    #5): pins are rebuilt per invocation inside the timed region, but
+    without a release point every pinned table of a 250-builder session
+    stays in the storage pool until the JVM dies.  Called OUTSIDE every
+    timed region (after a query's last rep / after a warm loop), so no
+    timed rep's warm-cache state changes within its own query."""
+    try:
+        from squirreldb_spark.pipeline._pins import release_pins
+        return release_pins()
+    except Exception:
+        return 0
 
 
 def _time_reps_full(
     spark, CATALOG, names: list[str], reps: int,
     extra_reps: dict[str, int] | None = None,
+    reserve: float | None = None,
 ) -> tuple[dict[str, float], dict[str, list[float]]]:
     """_time_reps with the timer bracketing construction (full=True)."""
-    return _time_reps(spark, CATALOG, names, reps, extra_reps, full=True)
+    return _time_reps(spark, CATALOG, names, reps, extra_reps, full=True,
+                      reserve=reserve)
 
 
-def _warm_plans(spark, CATALOG, names: list[str]) -> None:
+def _warm_plans(spark, CATALOG, names: list[str],
+                reserve: float | None = None) -> None:
     """Warm every named plan at sf0.001 (VERDICT r11 #1, extending the
     r11 headline instrument to the secondary block): the emb_ann_ivfpq
     'regression' (secondary median 7.60 s vs its own r9 record 0.92 s,
@@ -373,11 +483,21 @@ def _warm_plans(spark, CATALOG, names: list[str]) -> None:
     fresh process with the plan warmed at sf0.001 measures 0.98-1.23 s
     over 5 reps.  First-compile codegen premium plus run-order state in
     a 96-query block is not what this benchmark tracks; a production
-    query service is plan-warm."""
-    for name in names:
+    query service is plan-warm.
+
+    ``reserve`` budget-gates the loop (VERDICT r14 #1a): warming 108
+    plans on a degraded rig can itself eat minutes; past the deadline
+    reserve the remaining warms are skipped (their queries will be
+    truncated by the same reserve anyway)."""
+    for i, name in enumerate(names):
+        if reserve is not None and _remaining() < reserve:
+            _log(f"budget: stopping plan warm-up at {i}/{len(names)} "
+                 f"({_remaining():.0f}s left, reserve {reserve:.0f}s)")
+            break
         CATALOG[name].fn(spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
+        _release_pins()  # sf0.001 warm pins must not shadow sf0.1 reps
 
 
 def _stats(samples: dict[str, list[float]]) -> tuple[dict, dict]:
@@ -407,6 +527,59 @@ SENTINEL_QUERY = "doc_exact_dedup"
 SENTINEL_BASIS = 0.099  # committed r13 headline basis (BENCH_HISTORY)
 SENTINEL_FACTOR = 3.0
 SENTINEL_MAX_SPAWNS = 3
+#: Run-wide respawn allowance (VERDICT r14 #1c): r14's per-child cap of 3
+#: multiplied across headline + up to 3 retime passes + QPS into an
+#: unbounded worst-case wall.  Extra (non-first) spawns now draw from one
+#: shared budget; when it is spent, the next attempt is parent-forced
+#: final (times its payload, ships flagged if still degraded).
+RESPAWN_BUDGET = int(os.environ.get("SPARK_GRAFT_RESPAWN_BUDGET", "4"))
+_SPAWNS_LEFT = [RESPAWN_BUDGET]
+
+#: Single-thread md5-over-64MiB probe basis on the reference rig
+#: (measured 0.128 s min-of-5).  VERDICT r14 #1d: the absolute 0.099 s
+#: sentinel basis is a local-rig wall-clock assumption — on any slower
+#: rig every child reads "degraded", burns max respawns and ~3x wall for
+#: no signal.  The effective basis scales by (i) a deterministic
+#: single-thread CPU probe and (ii) the core count (the committed basis
+#: was measured at local[32]; the driver also benches at 8 CPUs where
+#: the same query is legitimately slower).
+PROBE_BASIS = 0.128
+_BASIS_CACHE: list = [None]
+
+
+def _rig_probe_sec() -> float:
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.md5()
+        for _ in range(64):
+            h.update(buf)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def _effective_sentinel_basis() -> float:
+    """Parent-calibrated sentinel basis: committed basis scaled by the
+    rig's single-thread speed and the core count.  The parent computes
+    it once and exports it so every child gates against the same number
+    (a child probing DURING a degradation window would otherwise scale
+    its own gate up and wave itself through)."""
+    env = os.environ.get("SPARK_GRAFT_SENTINEL_BASIS")
+    if env:
+        try:
+            return float(env)
+        except ValueError:
+            pass
+    if _BASIS_CACHE[0] is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) \
+            or (os.cpu_count() or 32)
+        cpu_f = max(1.0, min(4.0, (32.0 / max(cpus, 1)) ** 0.7))
+        probe_f = max(1.0, min(8.0, _rig_probe_sec() / PROBE_BASIS))
+        _BASIS_CACHE[0] = round(SENTINEL_BASIS * cpu_f * probe_f, 4)
+    return _BASIS_CACHE[0]
 
 
 def _sentinel_check(spark, CATALOG) -> dict:
@@ -415,12 +588,14 @@ def _sentinel_check(spark, CATALOG) -> dict:
     _warm_plans(spark, CATALOG, [SENTINEL_QUERY])
     _, s = _time_reps(spark, CATALOG, [SENTINEL_QUERY], reps=3)
     med = round(_median(s[SENTINEL_QUERY]), 3)
+    basis_eff = _effective_sentinel_basis()
     return {
         "query": SENTINEL_QUERY,
         "basis": SENTINEL_BASIS,
+        "basis_eff": basis_eff,
         "samples": s[SENTINEL_QUERY],
         "median": med,
-        "degraded": med > SENTINEL_FACTOR * SENTINEL_BASIS,
+        "degraded": med > SENTINEL_FACTOR * basis_eff,
     }
 
 
@@ -464,33 +639,71 @@ def _finish_child(spark, CATALOG, out_path: str, sent: dict,
     spark.stop()
 
 
-def _run_sentinel_child(argv: list[str], out_path: str) -> tuple[dict, dict]:
-    """Parent side: spawn a fresh child, respawning (up to
-    SENTINEL_MAX_SPAWNS total) while its sentinel — timed BEFORE the
-    payload, and again AFTER it (`sentinel_post`, the mid-payload
-    bracket) — reads degraded.  The final attempt always times the
-    payload; if even it was degraded the returned report carries
-    ``rig_degraded`` so the verdict can adjudicate instead of reading a
-    phantom regression."""
-    import subprocess
+def _spawn(argv: list[str], env: dict) -> int:
+    """Run a child process, tracking it so the parent's signal handler
+    can terminate it before emitting the last-gasp line."""
+    proc = subprocess.Popen(argv, env=env)
+    _ACTIVE_CHILD[0] = proc
+    try:
+        return proc.wait()
+    finally:
+        _ACTIVE_CHILD[0] = None
 
+
+def _run_sentinel_child(
+    argv: list[str], out_path: str, est_sec: float = 240.0,
+) -> tuple[dict, dict]:
+    """Parent side: spawn a fresh child, respawning while its sentinel —
+    timed BEFORE the payload, and again AFTER it (`sentinel_post`, the
+    mid-payload bracket) — reads degraded.  Respawns are bounded three
+    ways (VERDICT r14 #1): per child slot (SENTINEL_MAX_SPAWNS), by the
+    run-wide _SPAWNS_LEFT budget, and by the wall deadline (an attempt
+    is parent-forced final when there would be no budget left to retry
+    it).  The final attempt always times the payload; if even it was
+    degraded the returned report carries ``rig_degraded`` so the verdict
+    can adjudicate instead of reading a phantom regression."""
     attempts: list[dict] = []
     payload: dict = {}
     for attempt in range(SENTINEL_MAX_SPAWNS):
+        final = (
+            attempt == SENTINEL_MAX_SPAWNS - 1
+            or _SPAWNS_LEFT[0] <= 0
+            or _remaining() < 2.2 * est_sec + 120.0
+        )
         env = dict(os.environ)
-        if attempt == SENTINEL_MAX_SPAWNS - 1:
+        if final:
             env["SPARK_GRAFT_SENTINEL_FINAL"] = "1"
-        subprocess.run(argv, check=True, env=env)
-        with open(out_path) as fh:
-            payload = json.load(fh)
-        sent = payload.pop("sentinel", None) or {}
-        sent_post = payload.pop("sentinel_post", None) or {}
-        att = dict(sent)
-        if sent_post:
-            att["post"] = sent_post
-        attempts.append(att)
-        if not (sent.get("degraded") or sent_post.get("degraded")):
-            return payload, {"degraded": False, "attempts": attempts}
+        if os.path.exists(out_path):
+            os.unlink(out_path)
+        t0 = time.monotonic()
+        rc = _spawn(argv, env)
+        est_sec = max(est_sec, time.monotonic() - t0)
+        doc: dict = {}
+        if rc == 0:
+            try:
+                with open(out_path) as fh:
+                    doc = json.load(fh)
+            except (OSError, ValueError):
+                doc = {}
+        sent = doc.pop("sentinel", None) or {}
+        sent_post = doc.pop("sentinel_post", None) or {}
+        payload = doc
+        if rc != 0 or (not sent and not payload):
+            # crashed / wrote nothing: treat like a degraded attempt
+            attempts.append({"child_rc": rc, "no_payload": True})
+            payload = {}
+        else:
+            att = dict(sent)
+            if sent_post:
+                att["post"] = sent_post
+            attempts.append(att)
+            if not (sent.get("degraded") or sent_post.get("degraded")):
+                return payload, {"degraded": False, "attempts": attempts}
+        if final:
+            break
+        _SPAWNS_LEFT[0] -= 1
+        _log(f"degraded/failed child, respawning "
+             f"({_SPAWNS_LEFT[0]} run-wide respawns left)")
     return payload, {
         "degraded": True, "rig_degraded": True, "attempts": attempts,
     }
@@ -619,12 +832,12 @@ def retime_child(out_path: str, names: list[str], full: bool = False) -> None:
     spark = get_session("squirreldb-spark-bench-retime")
     spark.sparkContext.setLogLevel("ERROR")
     _warm(spark, CATALOG)
-    _warm_plans(spark, CATALOG, names)
+    _warm_plans(spark, CATALOG, names, reserve=90.0)
     sent = _sentinel_gate(spark, CATALOG, out_path)
     if sent is None:  # degraded child: parent respawns (VERDICT r13 #1)
         return
     timer = _time_reps_full if full else _time_reps
-    _, samples = timer(spark, CATALOG, names, reps=3)
+    _, samples = timer(spark, CATALOG, names, reps=3, reserve=90.0)
     _finish_child(spark, CATALOG, out_path, sent, {"samples": samples})
 
 
@@ -656,12 +869,25 @@ def _retime_movers(
     retimed_all: set[str] = set()
     rig_reports: list[dict] = []
     passes = 0
+    budget_stopped = False
     for _pass in range(3):
         current = _secondary_delta(s_median, basis_round, basis)
         names = sorted(
             (current.get("movers") or {}),
             key=lambda n: -abs(current["movers"][n]["delta_pct"]))
         if not names:
+            break
+        if _remaining() < 600.0:
+            # VERDICT r14 #1a: a degraded-rig block can flag half the
+            # catalog as movers; re-timing them all would overrun the
+            # driver budget.  Unadjudicated movers ship flagged instead.
+            _log(f"budget: skipping retime pass {_pass + 1} "
+                 f"({len(names)} movers unadjudicated, "
+                 f"{_remaining():.0f}s left)")
+            for n in names:
+                movers.setdefault(n, current["movers"][n])
+                movers[n]["unadjudicated_budget"] = True
+            budget_stopped = True
             break
         passes = _pass + 1
         for n in names:
@@ -693,10 +919,14 @@ def _retime_movers(
         retimed_all |= set(retimed)
     residual = _secondary_delta(s_median, basis_round, basis)
     for name in (residual.get("movers") or {}):
-        movers[name]["standing_after_retime"] = True
-    return {"basis_round": basis_round, "movers": movers,
-            "retimed": sorted(retimed_all), "retime_passes": passes,
-            "sentinel": rig_reports}
+        if not movers.get(name, {}).get("unadjudicated_budget"):
+            movers[name]["standing_after_retime"] = True
+    out = {"basis_round": basis_round, "movers": movers,
+           "retimed": sorted(retimed_all), "retime_passes": passes,
+           "sentinel": rig_reports}
+    if budget_stopped:
+        out["budget_stopped"] = True
+    return out
 
 
 def _qps_delta(qps: dict) -> dict:
@@ -785,22 +1015,109 @@ def qps_child(out_path: str) -> None:
     _finish_child(spark, CATALOG, out_path, sent, {"qps": qps})
 
 
+def _compose_line(timings, t_median, t_min, ingest, qps, basis, sf,
+                  skipped: list[str]) -> str:
+    """The compact one-line record the driver parses.  Round-5's single
+    enriched line outgrew the driver's tail capture (BENCH_r05 parsed:
+    null); the final line carries ONLY the headline + per-query dict +
+    ingest + qps + sf — detail lives in bench_detail.json and the
+    preceding {"detail": ...} line.  The headline numbers keep the frozen
+    basis (best-of-first-2, warm cache, 48g) — comparable to BENCH_r03+;
+    value_median (median-of-5 per query, summed) prints alongside per the
+    frozen-basis rule."""
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "value_median": round(sum(t_median.values()), 3),
+        "value_min": round(sum(t_min.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "ingest": ingest,
+        "qps": {k: v["qps"] for k, v in qps.items()},
+        "basis": basis,
+        "sf": sf,
+    }
+    if skipped:
+        out["budget_skipped"] = skipped
+    line = json.dumps(out)
+    if len(line) >= 1800:
+        # VERDICT r9 #1: the driver tail-captures 2000 chars; an oversized
+        # line ships trimmed rather than unparseable (loud on stderr).
+        _log(f"WARNING: final line {len(line)} chars >= 1800; "
+             "dropping basis/ingest detail from the line")
+        out.pop("basis", None)
+        out["ingest"] = {k: v for k, v in out.get("ingest", {}).items()
+                         if k == "samples_per_s"}
+        line = json.dumps(out)
+    return line
+
+
 def main() -> None:
     import tempfile
 
+    # Run-wide deadline + calibrated sentinel basis, exported so children
+    # share them (VERDICT r14 #1a/#1d); last-gasp signal emitter (#1b).
+    os.environ.setdefault(
+        "SPARK_GRAFT_BENCH_DEADLINE", str(time.time() + BENCH_BUDGET))
+    os.environ.setdefault(
+        "SPARK_GRAFT_SENTINEL_BASIS", str(_effective_sentinel_basis()))
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    _log(f"deadline in {_remaining():.0f}s; sentinel basis "
+         f"{os.environ['SPARK_GRAFT_SENTINEL_BASIS']}s (committed "
+         f"{SENTINEL_BASIS}s); run-wide respawn budget {RESPAWN_BUDGET}")
+
+    sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf = float(sf_raw)
+    except ValueError:
+        sf = None  # non-sfN directory name: still print the timings
+    skipped: list[str] = []
+
     # Phase 1: headline block in a fresh, dedicated process (see
     # headline_child).  The child inherits SPARK_GRAFT_* env.
+    _log("phase 1: headline child")
     with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
         headline_path = tf.name
     head, head_rig = _run_sentinel_child(
         [sys.executable, os.path.abspath(__file__), "--headline",
          headline_path],
-        headline_path,
+        headline_path, est_sec=420.0,
     )
-    os.unlink(headline_path)
-    timings = head["timings"]
-    t_samples = head["samples"]
-    t_median, t_spread = head["median"], head["spread"]
+    if os.path.exists(headline_path):
+        os.unlink(headline_path)
+    timings = head.get("timings") or {}
+    t_samples = head.get("samples") or {}
+    t_median = head.get("median") or {}
+    t_spread = head.get("spread") or {}
+    t_min = head.get("min") or {}
+    basis = _basis_delta(t_median)
+
+    detail = {
+        "queries_median": t_median,
+        "queries_min": t_min,
+        "queries_samples": t_samples,
+        "queries_rel_spread": t_spread,
+        "buff_cache_gb_cold": head.get("buff_cache_gb_cold"),
+        "buff_cache_gb_headline_pre": head.get("buff_cache_gb_pre"),
+        "basis": basis,
+        "headline_sentinel": head_rig,
+    }
+    _EMIT["detail"] = detail
+
+    def _refresh_line(ingest: dict, qps: dict) -> str:
+        line = _compose_line(timings, t_median, t_min, ingest, qps,
+                             basis, sf, skipped)
+        _EMIT["line"] = line
+        _flush_state()
+        return line
+
+    # VERDICT r14 #1b: the headline line prints the moment it exists —
+    # the enriched copy re-prints as the LAST line on normal completion,
+    # and the signal handler re-prints the freshest copy on a kill.
+    print(_refresh_line({}, {}), flush=True)
+    _log(f"headline done: total {sum(timings.values()):.2f}s "
+         f"({len(timings)} queries)")
 
     # Phase 2: secondary + iterative + ingest in this process.
     from squirreldb_spark.queries import CATALOG
@@ -813,7 +1130,8 @@ def main() -> None:
     # sf0.001 before any timed rep, and the top-10 secondary queries by
     # committed-basis cost get 5 reps (3 otherwise) so their medians are
     # adjudicable against their own spread.
-    _warm_plans(spark, CATALOG, SECONDARY_QUERIES)
+    _log("phase 2: secondary block")
+    _warm_plans(spark, CATALOG, SECONDARY_QUERIES, reserve=360.0)
     sec_basis_round, sec_basis = _secondary_basis()
     by_cost = sorted(
         SECONDARY_QUERIES,
@@ -821,11 +1139,23 @@ def main() -> None:
     extra = {n: 2 for n in by_cost[:10] if sec_basis.get(n)}
     buff_cache_pre = _buff_cache_gb()
     secondary, s_samples = _time_reps(
-        spark, CATALOG, SECONDARY_QUERIES, 3, extra_reps=extra)
+        spark, CATALOG, SECONDARY_QUERIES, 3, extra_reps=extra,
+        reserve=360.0)
     s_median, s_spread = _stats(s_samples)
+    missing = [n for n in SECONDARY_QUERIES if n not in s_samples]
+    if missing:
+        skipped.append(f"secondary:{len(missing)}")
+        detail["secondary_budget_truncated"] = missing
+    detail.update({"secondary_median": s_median, "secondary": secondary,
+                   "secondary_samples": s_samples,
+                   "buff_cache_gb_pre": buff_cache_pre})
+    _refresh_line({}, {})
     sec_report = _retime_movers(s_median, s_samples, sec_basis_round,
                                 sec_basis)
     _, s_spread = _stats(s_samples)  # spreads over the adjudicated samples
+    detail.update({"secondary_rel_spread": s_spread,
+                   "secondary_basis": sec_report})
+    _refresh_line({}, {})
 
     # Iterative block, instrumented like the secondary one (VERDICT r12
     # #1 — the last uninstrumented block: its first-of-3 raw record let
@@ -835,99 +1165,72 @@ def main() -> None:
     # the MEDIAN of 3 full-bracket reps, movers vs the committed
     # `iterative_median` basis re-time in a fresh child (--retime-iter,
     # which also brackets construction).
-    _warm_plans(spark, CATALOG, ITERATIVE_QUERIES)
-    it_basis_round, it_basis = _block_basis("iterative_median")
-    _, i_samples = _time_reps_full(spark, CATALOG, ITERATIVE_QUERIES, 3)
-    i_median, _ = _stats(i_samples)
-    it_report = _retime_movers(i_median, i_samples, it_basis_round,
-                               it_basis, mode="--retime-iter")
+    i_samples: dict[str, list[float]] = {}
+    it_report: dict = {}
+    if _remaining() > 420.0:
+        _log("phase 3: iterative block")
+        _warm_plans(spark, CATALOG, ITERATIVE_QUERIES, reserve=240.0)
+        it_basis_round, it_basis = _block_basis("iterative_median")
+        _, i_samples = _time_reps_full(spark, CATALOG, ITERATIVE_QUERIES, 3,
+                                       reserve=240.0)
+        i_median, _ = _stats(i_samples)
+        it_report = _retime_movers(i_median, i_samples, it_basis_round,
+                                   it_basis, mode="--retime-iter")
+    else:
+        _log(f"budget: skipping iterative block ({_remaining():.0f}s left)")
+        skipped.append("iterative")
+        i_median = {}
     _, i_spread = _stats(i_samples)
     iterative = dict(i_median)
+    detail.update({"iterative_samples": i_samples,
+                   "iterative_median": i_median,
+                   "iterative_rel_spread": i_spread,
+                   "iterative_basis": it_report, "iterative": iterative})
+    _refresh_line({}, {})
 
-    ingest = ingest_bench(spark)
+    if _remaining() > 300.0:
+        _log("phase 4: ingest bench")
+        ingest = ingest_bench(spark)
+        detail["ingest_runs_sec"] = ingest.pop("runs_sec")
+        detail["ingest_rel_spread"] = ingest.pop("rel_spread")
+    else:
+        _log(f"budget: skipping ingest ({_remaining():.0f}s left)")
+        skipped.append("ingest")
+        ingest = {"skipped": "budget"}
+    _refresh_line(ingest, {})
 
     # QPS in a fresh, sentinel-gated child (VERDICT r13 #3 — see
     # qps_child); the parent respawns a child whose sentinel reads
     # degraded, bounded, and flags `rig_degraded` on the final record.
-    with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
-        qps_path = tf.name
-    qps_payload, qps_rig = _run_sentinel_child(
-        [sys.executable, os.path.abspath(__file__), "--qps", qps_path],
-        qps_path,
-    )
-    os.unlink(qps_path)
-    qps = qps_payload.get("qps", {})
+    qps: dict = {}
+    qps_rig: dict = {}
+    if _remaining() > 360.0:
+        _log("phase 5: qps child")
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            qps_path = tf.name
+        qps_payload, qps_rig = _run_sentinel_child(
+            [sys.executable, os.path.abspath(__file__), "--qps", qps_path],
+            qps_path, est_sec=240.0,
+        )
+        if os.path.exists(qps_path):
+            os.unlink(qps_path)
+        qps = qps_payload.get("qps", {})
+    else:
+        _log(f"budget: skipping qps ({_remaining():.0f}s left)")
+        skipped.append("qps")
 
-    sf_raw = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf = float(sf_raw)
-    except ValueError:
-        sf = None  # non-sfN directory name: still print the timings
-    detail = {
-        "queries_median": t_median,
-        "queries_min": head["min"],
-        "queries_samples": t_samples,
-        "queries_rel_spread": t_spread,
-        "secondary_median": s_median,
-        "secondary_samples": s_samples,
-        "secondary_rel_spread": s_spread,
-        "iterative_samples": i_samples,
-        "iterative_median": i_median,
-        "iterative_rel_spread": i_spread,
-        "iterative_basis": it_report,
-        "secondary": secondary,
-        "iterative": iterative,
-        "ingest_runs_sec": ingest.pop("runs_sec"),
-        "ingest_rel_spread": ingest.pop("rel_spread"),
-        "buff_cache_gb_cold": head["buff_cache_gb_cold"],
-        "buff_cache_gb_headline_pre": head["buff_cache_gb_pre"],
-        "buff_cache_gb_pre": buff_cache_pre,
+    detail.update({
         "buff_cache_gb_post": _buff_cache_gb(),
-        "basis": _basis_delta(t_median),
-        "secondary_basis": sec_report,
         "qps_detail": qps,
         "qps_basis": _qps_delta(qps),
-        "headline_sentinel": head_rig,
         "qps_sentinel": qps_rig,
-    }
-    # Round-5's single enriched line outgrew the driver's tail capture
-    # (BENCH_r05 parsed: null).  The samples/median/spread detail now goes
-    # to bench_detail.json AND a preceding line; the FINAL printed line is
-    # the compact headline object the driver parses (VERDICT r5 #2).  The
-    # headline numbers keep the frozen basis (best-of-first-2, warm cache,
-    # 48g) — comparable to BENCH_r03/r04; value_median (median-of-3 per
-    # query, summed) is printed alongside per the frozen-basis rule.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_detail.json"), "w"
-    ) as fh:
-        json.dump(detail, fh)
+    })
+    line = _refresh_line(ingest, qps)
+    _log(f"done with {_remaining():.0f}s to spare"
+         + (f"; budget-skipped: {skipped}" if skipped else ""))
+    # the one-line record is the LAST output — the driver tail-parses it
     print(json.dumps({"detail": detail}))
-    # VERDICT r9 #1: the r5 tail-capture bug regrew — `secondary` (65+
-    # entries) and `iterative` rode the final line past the driver's
-    # 2000-char capture, so BENCH_r09 parsed null.  The final line now
-    # carries ONLY the headline + per-query dict + ingest + sf; the
-    # secondary/iterative detail lives in bench_detail.json and the
-    # preceding {"detail": ...} line.  The assertion makes catalog
-    # growth a loud failure instead of a silent driver-record loss.
-    out = {
-        "metric": "headline_queries_total_wall",
-        "value": round(sum(timings.values()), 3),
-        "value_median": round(sum(t_median.values()), 3),
-        "value_min": round(sum(head["min"].values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "ingest": ingest,
-        "qps": {k: v["qps"] for k, v in qps.items()},
-        "basis": detail["basis"],
-        "sf": sf,
-    }
-    line = json.dumps(out)
-    assert len(line) < 1800, (
-        f"final bench line is {len(line)} chars; the driver tail-captures"
-        " 2000 — move detail off the final line (see bench_detail.json)"
-    )
-    print(line)
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from squirreldb_spark.pipeline._pins import pinned
+
 from squirreldb_spark.pipeline.text import tokens
 
 NUM_HASHES = 12
@@ -35,6 +37,16 @@ SIMHASH_BITS = 60
 def _h60_sql_expr(expr: str) -> str:
     """Shared 60-bit hash (Spark SQL side): first 15 md5 hex chars as BIGINT."""
     return f"cast(conv(substring(md5(cast(({expr}) as binary)), 1, 15), 16, 10) as bigint)"
+
+
+#: 32-bit base hash of a shingle, shared by BOTH MinHash families
+#: (K-permutation :func:`minhash_signatures` and OPH
+#: :func:`oph_signatures`) — one constant so the families cannot desync
+#: from each other or from the DuckDB twin in ``_sql_shingle_hash_ctes``
+#: (the r14-deferred unification, VERDICT r15 #4).
+_H32_BASE_EXPR = (
+    "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
+)
 
 
 def _h60_duck(expr: str) -> str:
@@ -118,10 +130,9 @@ def minhash_signatures(
     ``(a_i*h + b_i) mod p`` — integer-exact in both engines and ~K× fewer
     digest computations than hashing K salted copies of every shingle.
     """
-    base = "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
     sh = docs.select(
         F.col(id_col), F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh")
-    ).withColumn("h32", F.expr(base))
+    ).withColumn("h32", F.expr(_H32_BASE_EXPR))
     aggs = [
         F.min((F.col("h32") * F.lit(a) + F.lit(b)) % F.lit(_MH_P)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_perm_consts(num_hashes))
@@ -2851,7 +2862,7 @@ def detector_agreement(
     # One md5 pass now feeds all three; the pinned table is (id, hash).
     hashed = docs.select(
         F.col(id_col), F.md5(F.col(text_col).cast("binary")).alias("_h")
-    ).persist()
+    ).transform(pinned("dedup.detector_agreement.hashed"))
     # n_exact = sum of C(g,2) over identical-text group sizes: exact pair
     # COUNT without enumerating pairs (the quadratic the advice flagged).
     ex_n = (
@@ -3164,13 +3175,8 @@ OPH_BANDS = 4  # 4 bands x 4 bins
 #: rank strictly lower (Shrivastava & Li 2014, eq. 3's k*C convention)
 OPH_ROT_C = 1 << 33
 
-#: 32-bit base hash of a shingle — MUST stay byte-identical to the
-#: inline expression in :func:`minhash_signatures` (both families share
-#: the DuckDB twin in ``_sql_shingle_hash_ctes``); unify into one
-#: constant when that attested kernel next re-enters the verify window
-_H32_BASE_EXPR = (
-    "cast(conv(substring(md5(cast(sh as binary)), 1, 8), 16, 10) as bigint)"
-)
+# (_H32_BASE_EXPR moved next to _h60_sql_expr at the top of the module:
+# r15 unified the K-permutation and OPH families on the one constant.)
 
 
 def oph_signatures(
@@ -3195,35 +3201,38 @@ def oph_signatures(
     path for signatures at 100 TB, benched here against the same
     banding.
 
-    Scale shape: one explode + one (doc, bin) map-side-combined
-    groupBy (≤ ``bins`` rows per doc survive the exchange), then the
-    densification is a bins× explode of that tiny table folded back to
-    one row per doc — both exchanges carry register-sized payloads;
-    the corpus text never shuffles.
+    Scale shape (r15, VERDICT #4): ONE explode + ONE map-side-combined
+    groupBy(doc) computing all ``bins`` bin-minima together as
+    conditional mins — a single exchange carrying ≤ ``bins`` longs per
+    doc per map partition.  The rotation densification is then a
+    ``least()`` expression over the bins columns on the one-row-per-doc
+    table: ``H[j] = min_t (M[(j+t) mod bins] + t*C)``, where an empty
+    bin's ``M`` is NULL, ``NULL + t*C`` stays NULL, and ``least()``
+    skips NULLs — element-for-element the same candidate set as the
+    former bins× explode + second groupBy, whose extra exchange and
+    bins× intermediate rows this removes (plan: 3 Exchange → 2 in the
+    signature subtree, Generate(bins) gone).  Integer arithmetic only:
+    identical signatures bit-for-bit.
     """
     sh = docs.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(text_col, shingle_n))).alias("sh"),
     ).withColumn("h32", F.expr(_H32_BASE_EXPR))
-    binmin = sh.groupBy(id_col, (F.col("h32") % bins).alias("b")).agg(
-        F.min("h32").alias("m")
-    )
-    cand = binmin.select(
-        id_col, "b", "m",
-        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("j"),
-    ).select(
-        id_col,
-        "j",
-        (
-            F.col("m")
-            + ((F.col("b") - F.col("j") + bins) % bins) * F.lit(OPH_ROT_C)
-        ).alias("hv"),
-    )
-    return cand.groupBy(id_col).agg(
+    binmin = sh.groupBy(id_col).agg(
         *[
-            F.min(F.when(F.col("j") == i, F.col("hv"))).alias(f"mh{i}")
-            for i in range(bins)
+            F.min(F.when(F.col("h32") % bins == j, F.col("h32"))).alias(f"_m{j}")
+            for j in range(bins)
         ]
+    )
+    return binmin.select(
+        id_col,
+        *[
+            F.least(*[
+                F.col(f"_m{(j + t) % bins}") + F.lit(t * OPH_ROT_C)
+                for t in range(bins)
+            ]).alias(f"mh{j}")
+            for j in range(bins)
+        ],
     )
 
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from squirreldb_spark.pipeline._pins import pinned
+
 #: session gap: a new session starts after 30 min of inactivity
 SESSION_GAP_MS = 30 * 60 * 1000
 
@@ -228,7 +230,7 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     # subtrees are rebuilt per consumer (no exchange reuse across
     # branches), so every boundary/scoring branch re-scanned raw events
     # just to recompute this one row.
-    now = events.agg(F.max("ts").alias("now_ts")).persist()
+    now = events.agg(F.max("ts").alias("now_ts")).transform(pinned("events.rfm_segments.now"))
     per_user = (
         events.groupBy("user_id")
         .agg(
@@ -1366,7 +1368,7 @@ def hll_setops(
         )
         .groupBy("k", "bucket")
         .agg(F.max("rank").alias("r"))
-        .persist()
+        .transform(pinned("events.hll_setops.sparse"))
     )
     buckets = (
         sparse.select("k")
@@ -1434,7 +1436,7 @@ def hll_setops(
     # of re-deriving it from raw events per branch
     su = events.select(
         F.col(key_col).alias("k"), F.col(id_col).alias("i")
-    ).distinct().persist()
+    ).distinct().transform(pinned("events.hll_setops.su"))
     ia = su.select(F.col("k").alias("type_a"), "i")
     ib = su.select(F.col("k").alias("type_b"), "i")
     inter = (

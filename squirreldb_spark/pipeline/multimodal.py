@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from squirreldb_spark.pipeline._pins import pinned
+
 FEATURE_SCHEMA = (
     "doc_id long, byte_len long, checksum string, head_byte long, tail_byte long"
 )
@@ -1040,7 +1042,7 @@ def keyframe_select(
 
     ph = frame_phashes(
         binary_table, n_frames=n_frames, frame_len=frame_len
-    ).persist()
+    ).transform(pinned("multimodal.keyframe_select.ph"))
     sel = [
         ph.filter(F.col("frame_idx") == 0).select(
             "doc_id",

@@ -22,6 +22,14 @@ import hashlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from squirreldb_spark.pipeline._pins import pinned
+
+#: The corpus embedding width (testdata and oracle SQL both assume it).
+#: Single source of truth (ADVICE r14): the catalog call sites and every
+#: oracle-SQL builder default derive from this — a width change desyncing
+#: the unrolled-fold call sites from the data would raise under ANSI.
+EMB_DIM = 64
+
 
 def _plane_component(j: int, i: int) -> float:
     """Deterministic pseudo-random plane component in [-1, 1)."""
@@ -208,7 +216,7 @@ def ann_lsh(
     k: int = 5,
     n_queries: int = 5,
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -455,7 +463,7 @@ def embedding_neardup_pairs(
     threshold: float = 0.35,
     n_tables: int = 4,
     n_planes: int = 4,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = MAX_BUCKET,
@@ -683,7 +691,7 @@ cents0 AS (SELECT vec_id - {cent_base} AS cell, v AS cent FROM base
 
 def sql_ivf_centroids(
     n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
-    dim: int = 64, train_mod: int = 4,
+    dim: int = EMB_DIM, train_mod: int = 4,
 ) -> str:
     """Oracle for the OFFLINE training half (train_ivf): the centroid
     table itself, elements fixed to 6 decimal places (`+ 0` folds IEEE
@@ -699,7 +707,7 @@ FROM {final}
 
 def sql_ann_ivf(
     k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
-    nprobe: int = 2, kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
+    nprobe: int = 2, kmeans_iters: int = 2, dim: int = EMB_DIM, train_mod: int = 4,
 ) -> str:
     """Replays the spherical k-means training (same seeds, same sample,
     same rounding, same tie-breaks) by unrolling the Lloyd iterations
@@ -725,7 +733,7 @@ SELECT q_id, c_id, cosine, rank FROM ranked WHERE rank <= {k}
 """
 
 
-def sql_ann_lsh(k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = 64) -> str:
+def sql_ann_lsh(k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = EMB_DIM) -> str:
     planes = hyperplanes(n_planes, dim)
     return f"""
 WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -743,7 +751,7 @@ SELECT q_id, c_id, bucket, cosine, rank FROM ranked WHERE rank <= {k}
 
 
 def sql_embedding_neardup(
-    threshold: float = 0.35, n_tables: int = 4, n_planes: int = 4, dim: int = 64,
+    threshold: float = 0.35, n_tables: int = 4, n_planes: int = 4, dim: int = EMB_DIM,
     max_bucket: int = MAX_BUCKET,
 ) -> str:
     """Replays the exact multi-table LSH candidate generation of
@@ -830,7 +838,7 @@ SQ_LEVELS = 255
 
 def scalar_quantize(
     emb: DataFrame,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -879,7 +887,7 @@ def scalar_quantize(
     )
 
 
-def sql_scalar_quantize(dim: int = 64) -> str:
+def sql_scalar_quantize(dim: int = EMB_DIM) -> str:
     """Replays :func:`scalar_quantize`: same expression order so the
     IEEE arithmetic is bit-identical (both engines round positive codes
     half-away-from-zero)."""
@@ -943,7 +951,7 @@ def binary_hamming_knn(
     k: int = 5,
     n_queries: int = 5,
     rescore_mult: int = 4,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1031,7 +1039,7 @@ def duck_binary_code(vec: str, dim: int) -> str:
 
 
 def sql_binary_hamming_knn(
-    k: int = 5, n_queries: int = 5, rescore_mult: int = 4, dim: int = 64
+    k: int = 5, n_queries: int = 5, rescore_mult: int = 4, dim: int = EMB_DIM
 ) -> str:
     nw = (dim + BQ_WORD_BITS - 1) // BQ_WORD_BITS
     hamming = (
@@ -1129,7 +1137,7 @@ def ivf_diversity_sample(
 
 def sql_ivf_diversity_sample(
     per_cell: int = 3, n_cells: int = 8, cent_base: int = 100,
-    kmeans_iters: int = 2, dim: int = 64, train_mod: int = 4,
+    kmeans_iters: int = 2, dim: int = EMB_DIM, train_mod: int = 4,
 ) -> str:
     """Replays :func:`ivf_diversity_sample`; the centroids derive from
     the same unrolled training CTEs the other IVF oracles use."""
@@ -1205,7 +1213,7 @@ def train_pq(
     m: int = PQ_M,
     ks: int = PQ_KS,
     cent_base: int = 100,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     iters: int = 1,
     train_mod: int = 4,
     id_col: str = "vec_id",
@@ -1269,7 +1277,7 @@ def pq_codes(
     m: int = PQ_M,
     ks: int = PQ_KS,
     cent_base: int = 100,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     iters: int = 1,
     train_mod: int = 4,
     id_col: str = "vec_id",
@@ -1358,7 +1366,7 @@ cb0 AS (
 
 
 def sql_pq_codes(
-    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
+    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = EMB_DIM,
     iters: int = 1, train_mod: int = 4,
 ) -> str:
     """Replays :func:`train_pq` + :func:`pq_codes` (same seeds, sample,
@@ -1405,7 +1413,7 @@ def ann_ivfpq(
     nprobe: int = 2,
     m: int = PQ_M,
     ks: int = PQ_KS,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     kmeans_iters: int = 2,
     pq_iters: int = 1,
     train_mod: int = 4,
@@ -1498,7 +1506,7 @@ def ann_ivfpq(
 
 def sql_ann_ivfpq(
     k: int = 5, n_queries: int = 5, n_cells: int = 8, cent_base: int = 100,
-    nprobe: int = 2, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64,
+    nprobe: int = 2, m: int = PQ_M, ks: int = PQ_KS, dim: int = EMB_DIM,
     kmeans_iters: int = 2, pq_iters: int = 1, train_mod: int = 4,
 ) -> str:
     """Replays IVF training + PQ training + encode + ADC search: same
@@ -1624,7 +1632,8 @@ def matryoshka_recall(
         F.col(id_col), F.expr(f"slice({vec_col}, 1, {d_keep})").alias("_tv")
     )
     # the truncated vectors are d_keep wide: unroll at THEIR width (the
-    # module default would index past the slice and null the fold)
+    # module default would index past the slice and raise under ANSI —
+    # or null the fold with ANSI off)
     approx = cosine_knn(trunc, k=k, n_queries=n_queries, id_col=id_col,
                         vec_col="_tv", dim=d_keep if UNROLL_DIM else None)
     return (
@@ -1673,7 +1682,7 @@ def ann_lsh_recall(
     k: int = 5,
     n_queries: int = 5,
     n_planes: int = 6,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1698,7 +1707,7 @@ def ann_lsh_recall(
 
 
 def sql_ann_lsh_recall(
-    k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = 64
+    k: int = 5, n_queries: int = 5, n_planes: int = 6, dim: int = EMB_DIM
 ) -> str:
     return f"""
 SELECT e.q_id,
@@ -1926,7 +1935,7 @@ def neardup_threshold_sweep(
     thresholds: tuple = SWEEP_THRESHOLDS,
     n_tables: int = 4,
     n_planes: int = 4,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -2039,7 +2048,7 @@ def ivf_cell_balance(
 
 def sql_ivf_cell_balance(
     n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
-    dim: int = 64, train_mod: int = 4,
+    dim: int = EMB_DIM, train_mod: int = 4,
 ) -> str:
     ctes, prev = _ivf_train_ctes(n_cells, cent_base, kmeans_iters, dim, train_mod)
     return f"""{ctes},
@@ -2096,7 +2105,7 @@ def embedding_qc(
     )
 
 
-def sql_embedding_qc(dim: int = 64) -> str:
+def sql_embedding_qc(dim: int = EMB_DIM) -> str:
     nrm = (
         "round(sqrt(list_reduce(list_transform(v, x -> x * x),"
         " (a, b) -> a + b)), 6)"
@@ -2154,7 +2163,7 @@ def ivf_nprobe_sweep(
     """
     exact = cosine_knn(
         emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "c_id").persist()
+    ).select("q_id", "c_id").transform(pinned("similarity.ivf_nprobe_sweep.exact"))
     centroids = train_ivf(emb, id_col=id_col, vec_col=vec_col,
                           cache_key=cache_key)
     scores = _centroid_scores_expr(centroids)
@@ -2166,7 +2175,7 @@ def ivf_nprobe_sweep(
             F.col(id_col).alias("c_id"), F.col("v").alias("cv"), "cell",
             F.col("_vn").alias("cn"),
         )
-        .persist()
+        .transform(pinned("similarity.ivf_nprobe_sweep.cells"))
     )
     out = None
     for p in probes:
@@ -2189,7 +2198,7 @@ def ivf_nprobe_sweep(
 def sql_ivf_nprobe_sweep(
     probes: tuple = (1, 2, 4), k: int = 5, n_queries: int = 5,
     n_cells: int = 8, cent_base: int = 100, kmeans_iters: int = 2,
-    dim: int = 64, train_mod: int = 4,
+    dim: int = EMB_DIM, train_mod: int = 4,
 ) -> str:
     parts = []
     for p in probes:
@@ -2307,7 +2316,7 @@ def pq_distortion(
     m: int = PQ_M,
     ks: int = PQ_KS,
     cent_base: int = 100,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     iters: int = 1,
     train_mod: int = 4,
     id_col: str = "vec_id",
@@ -2376,7 +2385,7 @@ def pq_distortion(
 
 
 def sql_pq_distortion(
-    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = 64,
+    m: int = PQ_M, ks: int = PQ_KS, cent_base: int = 100, dim: int = EMB_DIM,
     iters: int = 1, train_mod: int = 4,
 ) -> str:
     """Replays :func:`train_pq` + the per-subspace rollup of
@@ -2631,7 +2640,7 @@ def hubness(
     emb: DataFrame,
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = KNN_GRAPH_MAX_BUCKET,
@@ -2683,7 +2692,7 @@ def hubness(
     # three.  Norm + bucket fold once per row, parquet read once.
     bucketed = base.withColumn(
         "bucket", F.expr(bucket_expr("v", planes))
-    ).persist()
+    ).transform(pinned("similarity.hubness.bucketed"))
     q = bucketed.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
         F.col("_n").alias("qn"),
@@ -2743,7 +2752,7 @@ def hubness(
 def sql_hubness(
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
     """Default ``n_planes=None`` mirrors the Spark side's auto rule:
@@ -3007,7 +3016,7 @@ def sql_kmeans_elbow(
     ks: tuple[int, ...] = ELBOW_KS,
     cent_base: int = 100,
     kmeans_iters: int = 2,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     train_mod: int = 4,
 ) -> str:
     """Oracle: per candidate k, replay the unrolled-Lloyd training CTE
@@ -3132,7 +3141,7 @@ def knn_label_purity(
     emb: DataFrame,
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
@@ -3173,7 +3182,7 @@ def knn_label_purity(
     # the corpus; one projection pass feeds both (the hubness treatment)
     bucketed = base.withColumn(
         "bucket", F.expr(bucket_expr("v", planes))
-    ).persist()
+    ).transform(pinned("similarity.knn_label_purity.bucketed"))
     q = bucketed.select(
         F.col(id_col).alias("q_id"),
         F.col("label").alias("q_label"),
@@ -3213,7 +3222,7 @@ def knn_label_purity(
 def sql_knn_label_purity(
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
     """``n_planes=None`` computes the plane count from count(*) with the
@@ -3368,7 +3377,7 @@ def sq_bits_sweep(
     bits_list: tuple = SQ_SWEEP_BITS,
     k: int = 5,
     n_queries: int = 5,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -3404,14 +3413,14 @@ def sq_bits_sweep(
     """
     base0 = emb.select(
         F.col(id_col), F.expr(_to_double(vec_col)).alias("v")
-    ).persist()
+    ).transform(pinned("similarity.sq_bits_sweep.base0"))
     stats = base0.agg(
         F.array(*[F.min(F.col("v")[i]) for i in range(dim)]).alias("lo"),
         F.array(*[F.max(F.col("v")[i]) for i in range(dim)]).alias("hi"),
-    ).persist()
+    ).transform(pinned("similarity.sq_bits_sweep.stats"))
     exact = cosine_knn(
         emb, k=k, n_queries=n_queries, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "c_id").persist()
+    ).select("q_id", "c_id").transform(pinned("similarity.sq_bits_sweep.exact"))
     base = base0.crossJoin(F.broadcast(stats))
     out = None
     for bits in bits_list:
@@ -3474,7 +3483,7 @@ def sql_sq_bits_sweep(
     bits_list: tuple = SQ_SWEEP_BITS,
     k: int = 5,
     n_queries: int = 5,
-    dim: int = 64,
+    dim: int = EMB_DIM,
 ) -> str:
     """Replays :func:`sq_bits_sweep` per bit-width inside its own
     subquery scope (the kmeans_elbow pattern), same expression order
@@ -3658,7 +3667,7 @@ def knn_reciprocity(
     emb: DataFrame,
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = KNN_GRAPH_MAX_BUCKET,
@@ -3690,7 +3699,7 @@ def knn_reciprocity(
     # the corpus; one projection pass feeds both (the hubness treatment)
     bucketed = base.withColumn(
         "bucket", F.expr(bucket_expr("v", planes))
-    ).persist()
+    ).transform(pinned("similarity.knn_reciprocity.bucketed"))
     q = bucketed.select(
         F.col(id_col).alias("q_id"), F.col("v").alias("qv"), "bucket",
         F.col("_n").alias("qn"),
@@ -3710,7 +3719,7 @@ def knn_reciprocity(
     # The pinned edge list is corpus x k two-long fingerprint rows.
     edges = _topk_per_query(scored, k, carry=[]).select(
         "q_id", "c_id"
-    ).persist()
+    ).transform(pinned("similarity.knn_reciprocity.edges"))
     rev = edges.select(
         F.col("c_id").alias("q_id"), F.col("q_id").alias("c_id"),
         F.lit(1).alias("_rev"),
@@ -3735,7 +3744,7 @@ def knn_reciprocity(
 def sql_knn_reciprocity(
     k: int = 5,
     n_planes: int | None = None,
-    dim: int = 64,
+    dim: int = EMB_DIM,
     max_bucket: int = KNN_GRAPH_MAX_BUCKET,
 ) -> str:
     np_cte = duck_np_cte(n_planes)

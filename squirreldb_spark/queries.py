@@ -3589,7 +3589,7 @@ def q_emb_intrinsic_dim(spark, sf_dir):
     emb = model.load_table(spark, sf_dir, "embeddings")
     # dim=64 (the corpus vector width) unrolls the distance fold into a
     # pure-codegen chain — measured 2-3x over the interpreted HOF (r14)
-    return psim.intrinsic_dim(emb, dim=64)
+    return psim.intrinsic_dim(emb, dim=psim.EMB_DIM)
 
 
 def q_ev_cusum_changepoint(spark, sf_dir):
@@ -3772,7 +3772,7 @@ def q_emb_top_pc(spark, sf_dir):
     covariance: lambda1, trace, explained-variance ratio and the top
     loading dimension (pipeline/similarity.py top_pc)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.top_pc(emb, dim=64)
+    return psim.top_pc(emb, dim=psim.EMB_DIM)
 
 
 # ------------------------------------------------ round-13 additions
@@ -3828,7 +3828,7 @@ def q_emb_effective_rank(spark, sf_dir):
     eigendecomposition; one combiner-collapsed dim² moment scan
     (pipeline/similarity.py effective_rank)."""
     emb = model.load_table(spark, sf_dir, "embeddings")
-    return psim.effective_rank(emb, dim=64)
+    return psim.effective_rank(emb, dim=psim.EMB_DIM)
 
 
 def q_ev_power_mde(spark, sf_dir):

@@ -26,6 +26,12 @@ _DYNAMIC_CONFS: dict[str, str] = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for pandas interchange on the few operators that need it.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Several kernels rely on ANSI's loud-failure contract (the
+    # intrinsic_dim width-threaded fold unroll raises on out-of-bounds
+    # array index; dedup overflow bounds).  Spark 4 defaults ANSI on, but
+    # a driver-provided ANSI-off session would silently NULL every
+    # distance instead of raising — pin it (ADVICE r14).
+    "spark.sql.ansi.enabled": "true",
     # timestamp arithmetic should use proleptic Gregorian consistently.
     "spark.sql.session.timeZone": "UTC",
 }
@@ -62,6 +68,14 @@ def get_session(app_name: str = "squirreldb-spark", cpus: int | None = None) -> 
         .master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.ui.enabled", "false")
+        # Console progress bars are useless in captured logs (the r14
+        # driver-bench tail was 2000 chars of \r-progress instead of the
+        # phase trace); bench.py turns them off via this env knob.
+        # Static conf — must be set before the context exists.
+        .config(
+            "spark.ui.showConsoleProgress",
+            os.environ.get("SPARK_GRAFT_CONSOLE_PROGRESS", "true"),
+        )
         # Conservative library default: 8g is plenty for tests and ad-hoc
         # sessions, and a 48g -Xmx would risk host OOM/swap on small
         # machines. Long heavy local[N] sessions (the bench harness, which

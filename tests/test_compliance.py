@@ -14,6 +14,11 @@ import pytest
 
 from squirreldb_spark.promql import PromQLEngine
 
+# slow tier (VERDICT r15 #2): 582 s PromQL compliance matrix; default tier keeps test_promql +
+# test_compliance_values_edges for the semantics guard
+pytestmark = pytest.mark.slow
+
+
 # ------------------------------------------------------------------ fixture
 
 M = 60_000

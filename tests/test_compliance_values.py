@@ -25,6 +25,10 @@ import pytest
 
 from test_compliance import fixture_rows, make_compliance_engine
 
+# slow tier (VERDICT r15 #2): 210 s value matrix; the edges suite stays
+# in the default tier
+pytestmark = pytest.mark.slow
+
 GRID = [0, 30_000, 60_000, 90_000, 120_000]
 LOOKBACK = 60_000
 STEP = 30_000

@@ -35,6 +35,11 @@ sys.path.insert(0, dirname(__file__))
 
 from test_compliance import fixture_rows, make_compliance_engine
 
+# slow tier (VERDICT r15 #2): 335 s of randomized PromQL fuzzing; the default tier keeps the
+# deterministic promql/compliance-edge suites
+pytestmark = pytest.mark.slow
+
+
 GRID = [0, 30_000, 60_000, 90_000, 120_000]
 LOOKBACK = 60_000
 

@@ -11,8 +11,19 @@ from squirreldb_spark.queries import CATALOG
 
 _NAMES = [n for n, qd in CATALOG.items() if qd.oracle is not None]
 
+#: slow tier (VERDICT r15 #2): DuckDB replays doc_pagerank's 8 power
+#: iterations as unrolled CTEs — 152 s even at sf0.001.  The default
+#: tier keeps test_pipeline's pagerank fixed-point equivalence test and
+#: every other catalog entry's parity check; the full tier (and the
+#: driver's own sf0.01 oracle gate) still replays this one.
+_SLOW_PARITY = {"doc_pagerank"}
 
-@pytest.mark.parametrize("name", _NAMES)
+
+@pytest.mark.parametrize(
+    "name",
+    [pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_PARITY else n
+     for n in _NAMES],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     results = list(run_parity(spark, sf_dir, names=[name]))
     assert len(results) == 1
@@ -21,6 +32,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert n_rows > 0, f"{qname}: empty result"
 
 
+@pytest.mark.slow  # 67 s synthetic 17k-vector regime probe (full tier)
 def test_hubness_dynamic_plane_oracle_binding_regime(spark):
     """ADVICE r11: above 16384 vectors the Spark side self-tunes to 7
     planes; the oracle must follow from its own count(*) (the fixed-6

@@ -11,6 +11,12 @@ reported together.
 
 from squirreldb_spark.parity import run_parity
 from squirreldb_spark.queries import CATALOG
+import pytest
+
+# slow tier (VERDICT r15 #2): the driver itself hash-compares every declared query vs DuckDB at sf0.01
+# each round; this 543 s in-suite replica runs in the full tier only
+pytestmark = pytest.mark.slow
+
 
 SF_DIR_DRIVER = "/root/testdata/sf0.01"
 

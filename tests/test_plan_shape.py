@@ -861,6 +861,7 @@ def _lambda_spans(plan: str):
         i = k  # top-level only: nested lambdas are inside this span
 
 
+@pytest.mark.slow  # 128 s whole-catalog plan sweep (full tier)
 def test_no_catalog_lambda_reevaluates_scan_width_expr(spark, sf_dir):
     """Every catalog query's analyzed plan: lambda bodies must not call an
     O(len) string/hash function on a raw (non-lambda) attribute."""
